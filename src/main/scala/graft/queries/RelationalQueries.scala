@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.DetAgg
+
+/** Relational suite over the TPC-H-ish tables (SURVEY §7 step 3): the full
+  * join/aggregate/set-op/sort surface the engine declares beyond the
+  * reference's own operator set (the reference has no joins — SURVEY §2.3 —
+  * its one key-combination is a broadcast map probe, which `bcast_join`
+  * reproduces as a genuine broadcast hash join).
+  *
+  * Scale notes per query are inline; the common rules: dimension tables
+  * (region/nation/supplier/customer at TPC-H ratios) are broadcast so fact
+  * scans never shuffle for them; aggregates go through map-side partials;
+  * top-k is `orderBy.limit` → `TakeOrderedAndProject` (no global sort).
+  */
+object RelationalQueries {
+  import DetAgg._
+  import QuerySpec._
+
+  val all: Seq[QuerySpec] = Seq(
+    // TPC-H Q1-shaped pricing summary: scan → filter (pushed to parquet) →
+    // 4-group hash agg. The workhorse single-pass aggregate.
+    checked("q1_pricing",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${sqlAvg("l_quantity")} AS avg_qty,
+         |  ${sqlAvg("l_extendedprice")} AS avg_price,
+         |  ${sqlAvg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Star join: fact orders ⋈ customer ⋈ nation ⋈ region, all dims
+    // broadcast (the reference's map-probe pattern, PcapKpiExtractor.scala
+    // :353,371-374, as a real broadcast hash join). One shuffle total (the
+    // final group-by); zero join shuffles.
+    checked("join_star",
+      s"""SELECT r_name, n_name,
+         |  count(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // Left outer join preserving customers with no orders.
+    checked("join_outer",
+      s"""SELECT c_custkey, c_name,
+         |  count(o_orderkey) AS n_orders,
+         |  round(COALESCE(${sqlSumRaw("o_totalprice")}, 0.0), $Scale) AS spend
+         |FROM customer
+         |LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(dsumRaw(col("o_totalprice")), lit(0.0)), Scale).as("spend"))
+    },
+
+    // Semi join: customers that placed at least one 'F'-status order.
+    checked("join_semi",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    },
+
+    // Anti join: customers with no orders at all.
+    checked("join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // Non-equi self join: line-item pairs within one order where the later
+    // line is cheaper (equi key + theta condition → sort-merge/shuffle-hash
+    // on the equi key, theta as residual — never a nested-loop over the
+    // full fact).
+    checked("join_theta",
+      """SELECT a.l_orderkey AS okey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey
+        | AND a.l_linenumber < b.l_linenumber
+        | AND a.l_extendedprice > b.l_extendedprice""".stripMargin) { (s, d) =>
+      val a = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber").as("ln_a"),
+        col("l_extendedprice").as("px_a"))
+      val b = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("okey_b"), col("l_linenumber").as("ln_b"),
+        col("l_extendedprice").as("px_b"))
+      a.join(b, col("l_orderkey") === col("okey_b") &&
+          col("ln_a") < col("ln_b") && col("px_a") > col("px_b"))
+        .select(col("l_orderkey").as("okey"), col("ln_a"), col("ln_b"))
+    },
+
+    // Grouping sets via ROLLUP over the region→nation hierarchy.
+    checked("rollup_geo",
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("rname"), col("n_name").as("nname"))
+        // rollup(String*) resolves through Dataset.col, whose dataset-id tag
+        // plus Expand's attribute duplication trips DetectAmbiguousSelfJoin
+        // when joins sit upstream; functions.col is untagged.
+        .rollup(col("rname"), col("nname"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(coalesce(col("rname"), lit("ALL")).as("region"),
+          coalesce(col("nname"), lit("ALL")).as("nation"),
+          col("n_customers"))
+    },
+
+    // CUBE over two independent order dimensions.
+    checked("cube_orders",
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n, ${sqlSum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+    },
+
+    // Set ops: high-balance ∪/∩/− mid-balance customer keys, tagged.
+    checked("set_ops",
+      """SELECT 'union' AS op, k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |  UNION SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 'intersect', k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 'except', k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val rich = cust.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+      val bld = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      rich.union(bld).distinct().select(lit("union").as("op"), col("k"))
+        .unionAll(rich.intersect(bld).select(lit("intersect").as("op"), col("k")))
+        .unionAll(rich.except(bld).select(lit("except").as("op"), col("k")))
+    },
+
+    // Top-k: 20 highest-revenue orders, total order for determinism —
+    // planned as TakeOrderedAndProject (heap per partition, no full sort).
+    checked("topk_orders",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // Analytic window functions: per-customer order sequencing (rank, lag,
+    // running sum) — the relational generalization of the reference's
+    // per-flow lag (SURVEY §2.5 W1).
+    checked("window_orders",
+      s"""SELECT o_orderkey, o_custkey,
+         |  row_number() OVER w AS rn,
+         |  round(COALESCE(o_totalprice - lag(o_totalprice, 1) OVER w, 0.0), $Scale) AS delta_prev,
+         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+         |        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), $Scale) AS running_spend
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        round(coalesce(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), lit(0.0)), Scale).as("delta_prev"),
+        round(sum(col("o_totalprice").cast(DecimalType(38, 10))).over(wRun).cast("double"), Scale).as("running_spend"))
+    })
+}
