@@ -14,7 +14,12 @@ object SparkEntry {
 
   val allQueries: Seq[QuerySpec] =
     KpiQueries.all ++
-      RelationalQueries.all
+      RelationalQueries.all ++
+      DedupQueries.all ++
+      SimilarityQueries.all ++
+      TextQueries.all ++
+      ScalarQueries.all ++
+      StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -27,14 +27,35 @@ object DetAgg {
     * across libm implementations. */
   val Scale = 6
 
+  /** Cross-engine decimal rounding. Engine-native `round(double, n)` is NOT
+    * reproducible across engines: Spark rounds the shortest decimal repr
+    * (BigDecimal.valueOf → HALF_UP) while DuckDB rounds the scaled binary
+    * value, and they disagree whenever the true value sits near a .5
+    * boundary (observed: round(37081.645, 2) → 37081.65 Spark / 37081.64
+    * DuckDB). floor(x·10ⁿ + 0.5)/10ⁿ is the same IEEE op sequence in both
+    * engines, hence bit-identical on identical input doubles — which the
+    * exact-decimal/integer aggregates upstream guarantee. */
+  def r(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * p + 0.5) / p
+  }
+
+  def sqlR(x: String, n: Int): String = {
+    val p = s"1e$n"
+    s"(floor(($x) * $p + 0.5) / $p)"
+  }
+
+  def r6(c: Column): Column = r(c, Scale)
+  def sqlR6(x: String): String = sqlR(x, Scale)
+
   // ---- Spark side -------------------------------------------------------
 
   /** Exact sum: DECIMAL(38,10) accumulation, exact total as DOUBLE. */
   def dsumRaw(c: Column): Column = sum(c.cast(DecimalType(38, 10))).cast("double")
 
-  def dsum(c: Column): Column = round(dsumRaw(c), Scale)
+  def dsum(c: Column): Column = r6(dsumRaw(c))
 
-  def davg(c: Column): Column = round(dsumRaw(c) / count(c), Scale)
+  def davg(c: Column): Column = r6(dsumRaw(c) / count(c))
 
   /** Sample stddev from exact power sums (n-1 denominator, like Spark's
     * `stddev` / reference `KafkaKpiPipeline.scala:117`). */
@@ -42,7 +63,7 @@ object DetAgg {
     val n = count(c)
     val s1 = dsumRaw(c)
     val s2 = dsumRaw(c * c)
-    round(sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - lit(1)))), Scale)
+    r6(sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / greatest(n - lit(1), lit(1L)))))
   }
 
   /** Population skewness m3/m2^1.5 (Spark `skewness` semantics). */
@@ -51,9 +72,9 @@ object DetAgg {
     val mu = dsumRaw(c) / n
     val r2 = dsumRaw(c * c) / n
     val r3 = dsumRaw(c * c * c) / n
-    val m2 = greatest(lit(1e-300), r2 - mu * mu)
+    val m2 = greatest(lit(1e-100), r2 - mu * mu)
     val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
-    round(m3 / (m2 * sqrt(m2)), Scale)
+    r6(m3 / (m2 * sqrt(m2)))
   }
 
   /** Population excess kurtosis m4/m2^2 - 3 (Spark `kurtosis` semantics). */
@@ -63,21 +84,21 @@ object DetAgg {
     val r2 = dsumRaw(c * c) / n
     val r3 = dsumRaw(c * c * c) / n
     val r4 = dsumRaw(c * c * c * c) / n
-    val m2 = greatest(lit(1e-300), r2 - mu * mu)
+    val m2 = greatest(lit(1e-100), r2 - mu * mu)
     val m4 = r4 - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
       lit(3.0) * mu * mu * mu * mu
-    round(m4 / (m2 * m2) - lit(3.0), Scale)
+    r6(m4 / (m2 * m2) - lit(3.0))
   }
 
   /** Exact linear-interpolated percentile (matches DuckDB `quantile_cont`).
     * Exact `percentile` is fine at verify scale; the 100 TB variant is
     * `percentile_approx` (documented divergence, not oracle-checked). */
   def dpercentile(c: Column, p: Double): Column =
-    round(percentile(c, lit(p)), Scale)
+    r6(percentile(c, lit(p)))
 
   def dmedian(c: Column): Column = dpercentile(c, 0.5)
 
-  def dround(c: Column): Column = round(c, Scale)
+  def dround(c: Column): Column = r6(c)
 
   // ---- DuckDB twin SQL builders ----------------------------------------
   // Emit the *same* arithmetic so the oracle reproduces bit-identical
@@ -86,16 +107,16 @@ object DetAgg {
   def sqlSumRaw(x: String): String =
     s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
 
-  def sqlSum(x: String): String = s"round(${sqlSumRaw(x)}, $Scale)"
+  def sqlSum(x: String): String = sqlR6(sqlSumRaw(x))
 
   def sqlAvg(x: String): String =
-    s"round(${sqlSumRaw(x)} / count($x), $Scale)"
+    sqlR6(s"${sqlSumRaw(x)} / count($x)")
 
   def sqlStddev(x: String): String = {
     val n = s"count($x)"
     val s1 = sqlSumRaw(x)
     val s2 = sqlSumRaw(s"($x) * ($x)")
-    s"round(sqrt(greatest(0.0, ($s2 - $s1 * $s1 / $n) / ($n - 1))), $Scale)"
+    sqlR6(s"sqrt(greatest(0.0, ($s2 - $s1 * $s1 / $n) / greatest($n - 1, 1)))")
   }
 
   def sqlSkewness(x: String): String = {
@@ -103,9 +124,9 @@ object DetAgg {
     val mu = s"(${sqlSumRaw(x)} / $n)"
     val r2 = s"(${sqlSumRaw(s"($x) * ($x)")} / $n)"
     val r3 = s"(${sqlSumRaw(s"($x) * ($x) * ($x)")} / $n)"
-    val m2 = s"greatest(1e-300, $r2 - $mu * $mu)"
+    val m2 = s"greatest(1e-100, $r2 - $mu * $mu)"
     val m3 = s"($r3 - 3.0 * $mu * $r2 + 2.0 * $mu * $mu * $mu)"
-    s"round($m3 / (($m2) * sqrt($m2)), $Scale)"
+    sqlR6(s"$m3 / (($m2) * sqrt($m2))")
   }
 
   def sqlKurtosis(x: String): String = {
@@ -114,11 +135,11 @@ object DetAgg {
     val r2 = s"(${sqlSumRaw(s"($x) * ($x)")} / $n)"
     val r3 = s"(${sqlSumRaw(s"($x) * ($x) * ($x)")} / $n)"
     val r4 = s"(${sqlSumRaw(s"($x) * ($x) * ($x) * ($x)")} / $n)"
-    val m2 = s"(greatest(1e-300, $r2 - $mu * $mu))"
+    val m2 = s"(greatest(1e-100, $r2 - $mu * $mu))"
     val m4 = s"($r4 - 4.0 * $mu * $r3 + 6.0 * $mu * $mu * $r2 - 3.0 * $mu * $mu * $mu * $mu)"
-    s"round($m4 / ($m2 * $m2) - 3.0, $Scale)"
+    sqlR6(s"$m4 / ($m2 * $m2) - 3.0")
   }
 
   def sqlMedian(x: String): String =
-    s"round(quantile_cont($x, 0.5), $Scale)"
+    sqlR6(s"quantile_cont($x, 0.5)")
 }

@@ -50,13 +50,13 @@ object KpiExprs {
     val n = count(c)
     val s1 = dsumRaw(c)
     val s2 = dsumRaw(c * c)
-    sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - lit(1))))
+    sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / greatest(n - lit(1), lit(1L))))
   }
   private def sqlStddevRaw(x: String): String = {
     val n = s"count($x)"
     val s1 = sqlSumRaw(x)
     val s2 = sqlSumRaw(s"($x) * ($x)")
-    s"sqrt(greatest(0.0, ($s2 - $s1 * $s1 / $n) / ($n - 1)))"
+    s"sqrt(greatest(0.0, ($s2 - $s1 * $s1 / $n) / greatest($n - 1, 1)))"
   }
   private def guard1(n: Column, c: Column): Column =
     when(n < 2, lit(0.0)).otherwise(c)
@@ -79,7 +79,7 @@ object KpiExprs {
       Kpi("Total_Bytes", dsum(len), sqlSum("len")),
       Kpi("Byte_Velocity",
         dround(dsumRaw(len) / (dsumRaw(iat) + lit(Eps))),
-        s"round(${sqlSumRaw("len")} / (${sqlSumRaw("iat")} + ${Eps}), $Scale)"),
+        sqlR6(s"${sqlSumRaw("len")} / (${sqlSumRaw("iat")} + ${Eps})")),
       // -- temporal (:116-126)
       Kpi("Avg_IAT", davg(iat), sqlAvg("iat")),
       Kpi("Jitter", guard1(count(iat), dstddev(iat)),
@@ -88,18 +88,18 @@ object KpiExprs {
         sqlGuard1("iat", sqlSkewness("iat"))),
       Kpi("IAT_Kurtosis", guard1(count(iat), dkurtosis(iat)),
         sqlGuard1("iat", sqlKurtosis("iat"))),
-      Kpi("Min_IAT", dround(min(iat)), s"round(min(iat), $Scale)"),
-      Kpi("Max_IAT", dround(max(iat)), s"round(max(iat), $Scale)"),
+      Kpi("Min_IAT", dround(min(iat)), sqlR6("min(iat)")),
+      Kpi("Max_IAT", dround(max(iat)), sqlR6("max(iat)")),
       Kpi("IAT_PAPR",
         dround(max(iat) / (avgRaw(iat) + lit(Eps))),
-        s"round(max(iat) / (${sqlAvgRaw("iat")} + ${Eps}), $Scale)"),
+        sqlR6(s"max(iat) / (${sqlAvgRaw("iat")} + ${Eps})")),
       Kpi("Transmission_Duration",
         dround(max(col("ts_sec")) - min(col("ts_sec"))),
-        s"round(max(ts_sec) - min(ts_sec), $Scale)"),
+        sqlR6("max(ts_sec) - min(ts_sec)")),
       Kpi("Idle_Periods", cwhen(iat > idleThr), sqlCwhen(s"iat > $idleThr")),
       Kpi("Idle_Rate",
         dround(cwhen(iat > idleThr) / cnt),
-        s"round(${sqlCwhen(s"iat > $idleThr")} / count(*), $Scale)"),
+        sqlR6(s"${sqlCwhen(s"iat > $idleThr")} / count(*)")),
       Kpi("IAT_Median", dmedian(iat), sqlMedian("iat")),
       // -- packet size (:131-139)
       Kpi("Avg_Packet_Size", davg(len), sqlAvg("len")),
@@ -109,22 +109,22 @@ object KpiExprs {
         sqlGuard1("len", sqlSkewness("len"))),
       Kpi("Pkt_Size_Kurtosis", guard1(count(len), dkurtosis(len)),
         sqlGuard1("len", sqlKurtosis("len"))),
-      Kpi("Min_Pkt_Size", dround(min(len)), s"round(min(len), $Scale)"),
-      Kpi("Max_Pkt_Size", dround(max(len)), s"round(max(len), $Scale)"),
+      Kpi("Min_Pkt_Size", dround(min(len)), sqlR6("min(len)")),
+      Kpi("Max_Pkt_Size", dround(max(len)), sqlR6("max(len)")),
       Kpi("Unique_Pkt_Sizes", count_distinct(len), "count(DISTINCT len)"),
       Kpi("Small_Pkt_Ratio",
         dround(cwhen(len < smallLen) / cnt),
-        s"round(${sqlCwhen(s"len < $smallLen")} / count(*), $Scale)"),
+        sqlR6(s"${sqlCwhen(s"len < $smallLen")} / count(*)")),
       Kpi("Large_Pkt_Ratio",
         dround(cwhen(len > largeLen) / cnt),
-        s"round(${sqlCwhen(s"len > $largeLen")} / count(*), $Scale)"),
+        sqlR6(s"${sqlCwhen(s"len > $largeLen")} / count(*)")),
       // -- protocol (:144-147)
       Kpi("TCP_Ratio",
         dround(cwhen(col("proto") === "TCP") / cnt),
-        s"round(${sqlCwhen("proto = 'TCP'")} / count(*), $Scale)"),
+        sqlR6(s"${sqlCwhen("proto = 'TCP'")} / count(*)")),
       Kpi("UDP_Ratio",
         dround(cwhen(col("proto") === "UDP") / cnt),
-        s"round(${sqlCwhen("proto = 'UDP'")} / count(*), $Scale)"),
+        sqlR6(s"${sqlCwhen("proto = 'UDP'")} / count(*)")),
       Kpi("Protocol_Diversity", count_distinct(col("proto")),
         "count(DISTINCT proto)"),
       Kpi("Unique_Src_Ports", count_distinct(col("src_port")),
@@ -144,15 +144,15 @@ object KpiExprs {
         "count(DISTINCT dst_port)"),
       Kpi("Coeff_Variation_Size",
         dround(guard1(count(len), stddevRaw(len) / (avgRaw(len) + lit(Eps)))),
-        s"round(${sqlGuard1("len", s"${sqlStddevRaw("len")} / (${sqlAvgRaw("len")} + ${Eps})")}, $Scale)"),
+        sqlR6(sqlGuard1("len", s"${sqlStddevRaw("len")} / (${sqlAvgRaw("len")} + ${Eps})"))),
       // -- Q7 gap-closers (train.py:57,59 consume these; pipeline never
       //    produced them — we do)
       Kpi("Retransmission_Ratio",
         dround((cnt - count_distinct(col("seq"))) / cnt),
-        s"round((count(*) - count(DISTINCT seq)) / count(*), $Scale)"),
+        sqlR6("(count(*) - count(DISTINCT seq)) / count(*)")),
       Kpi("Entropy_Score",
         dround(ShannonEntropy.ofLong(col("seq"))),
-        s"round(entropy(seq), $Scale)")
+        sqlR6("entropy(seq)"))
     )
   }
 }

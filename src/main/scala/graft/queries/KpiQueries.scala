@@ -28,7 +28,7 @@ object KpiQueries {
          |  count(*) AS total_events,
          |  ${sqlSum("value")} AS total_value,
          |  ${sqlAvg("value")} AS avg_value,
-         |  round(${sqlSumRaw("value")} * 8, $Scale) AS throughput_bits
+         |  ${sqlR6(s"${sqlSumRaw("value")} * 8")} AS throughput_bits
          |FROM events
          |GROUP BY 1, 2""".stripMargin) { (s, d) =>
       Tables.events(s, d)
@@ -38,7 +38,7 @@ object KpiQueries {
           count(lit(1)).as("total_events"),
           dsum(col("value")).as("total_value"),
           davg(col("value")).as("avg_value"),
-          round(dsumRaw(col("value")) * 8, Scale).as("throughput_bits"))
+          r6(dsumRaw(col("value")) * 8).as("throughput_bits"))
     },
 
     // The full 38-KPI table (36 reference KPIs + 2 Q7 gap-closers) per
@@ -48,17 +48,57 @@ object KpiQueries {
       FlowOps.kpiTable(Tables.events(s, d), "day", IdleThr, SmallLen, LargeLen)
     },
 
+    // Sliding windows (T3 declared addition): 2-hour windows every hour —
+    // each event lands in 2 windows. Spark plans this as a generate+agg;
+    // the DuckDB twin spells out the same 2-window expansion.
+    checked("kpi_sliding",
+      s"""SELECT slice, ws AS window_start, count(*) AS n_events,
+         |  ${sqlSum("value")} AS total_value
+         |FROM (SELECT event_type AS slice, value,
+         |    unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
+         |  FROM events)
+         |GROUP BY slice, ws""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"), window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("slice"), col("window.start").as("window_start"),
+          col("n_events"), col("total_value"))
+    },
+
+    // Session windows (T3): 30-minute-gap sessions per slice. The DuckDB
+    // twin is the classic gaps-and-islands rewrite; Spark's session_window
+    // end = last event + gap, replicated below.
+    checked("kpi_session",
+      s"""WITH e AS (SELECT event_type AS slice, ts, value FROM events),
+         |m AS (SELECT slice, ts, value,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY slice ORDER BY ts)),
+         |g AS (SELECT *, sum(new_s) OVER (PARTITION BY slice ORDER BY ts
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+         |SELECT slice, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  count(*) AS n_events, ${sqlSum("value")} AS total_value
+         |FROM g GROUP BY slice, sid""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("slice"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total_value"))
+    },
+
     // Per-flow sequencing exposed directly (reference :407-417): IAT rows.
     checked("flow_iat",
       s"""WITH pkt AS (${FlowOps.packetViewSql}),
          |seqd AS (${FlowOps.withIatSql("SELECT * FROM pkt")})
-         |SELECT event_id, slice, flow, round(ts_sec, 6) AS ts_sec6,
-         |  round(iat, 6) AS iat6
+         |SELECT event_id, slice, flow, ${sqlR6("ts_sec")} AS ts_sec6,
+         |  ${sqlR6("iat")} AS iat6
          |FROM seqd""".stripMargin) { (s, d) =>
       FlowOps.withIat(FlowOps.packetView(Tables.events(s, d)))
         .select(col("event_id"), col("slice"), col("flow"),
-          round(col("ts_sec"), 6).as("ts_sec6"),
-          round(col("iat"), 6).as("iat6"))
+          r6(col("ts_sec")).as("ts_sec6"),
+          r6(col("iat")).as("iat6"))
     }
   )
 }

@@ -76,7 +76,7 @@ object RelationalQueries {
     checked("join_outer",
       s"""SELECT c_custkey, c_name,
          |  count(o_orderkey) AS n_orders,
-         |  round(COALESCE(${sqlSumRaw("o_totalprice")}, 0.0), $Scale) AS spend
+         |  ${sqlR6(s"COALESCE(${sqlSumRaw("o_totalprice")}, 0.0)")} AS spend
          |FROM customer
          |LEFT JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_custkey, c_name""".stripMargin) { (s, d) =>
@@ -84,7 +84,7 @@ object RelationalQueries {
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
         .groupBy("c_custkey", "c_name")
         .agg(count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(dsumRaw(col("o_totalprice")), lit(0.0)), Scale).as("spend"))
+          r6(coalesce(dsumRaw(col("o_totalprice")), lit(0.0))).as("spend"))
     },
 
     // Semi join: customers that placed at least one 'F'-status order.
@@ -202,10 +202,10 @@ object RelationalQueries {
     checked("window_orders",
       s"""SELECT o_orderkey, o_custkey,
          |  row_number() OVER w AS rn,
-         |  round(COALESCE(o_totalprice - lag(o_totalprice, 1) OVER w, 0.0), $Scale) AS delta_prev,
-         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+         |  ${sqlR6("COALESCE(o_totalprice - lag(o_totalprice, 1) OVER w, 0.0)")} AS delta_prev,
+         |  ${sqlR6("""CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
          |        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), $Scale) AS running_spend
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)""")} AS running_spend
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -215,7 +215,7 @@ object RelationalQueries {
       Tables.orders(s, d).select(
         col("o_orderkey"), col("o_custkey"),
         row_number().over(w).as("rn"),
-        round(coalesce(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), lit(0.0)), Scale).as("delta_prev"),
-        round(sum(col("o_totalprice").cast(DecimalType(38, 10))).over(wRun).cast("double"), Scale).as("running_spend"))
+        r6(coalesce(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), lit(0.0))).as("delta_prev"),
+        r6(sum(col("o_totalprice").cast(DecimalType(38, 10))).over(wRun).cast("double")).as("running_spend"))
     })
 }

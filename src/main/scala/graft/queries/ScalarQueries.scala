@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+import graft.Tables
+import graft.functions.DetAgg._
+
+/** Scalar-function suite (SURVEY §2.8): the JSON / cast / conditional /
+  * string / date-time expression families the reference uses, promoted to
+  * driver-checked queries over the harness tables.
+  *
+  * All pure per-row projections + one small aggregate each — scan-bound at
+  * any scale, fully codegen'd, filters pushed to parquet.
+  */
+object ScalarQueries {
+  import QuerySpec._
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // JSON family (reference from_json/to_json — KafkaKpiPipeline.scala:253,
+    // PcapKpiExtractor.scala:253): parse events.props into a typed map,
+    // extract, and re-serialize a struct to JSON.
+    checked("scalar_json",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CAST(json_extract_string(props, '$.missing') AS INTEGER) AS k_missing,
+        |  concat('{"id":', CAST(event_id AS VARCHAR), ',"k":',
+        |         CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS VARCHAR), '}') AS as_json
+        |FROM events""".stripMargin) { (s, d) =>
+      val m = from_json(col("props"), MapType(StringType, IntegerType))
+      Tables.events(s, d).select(
+        col("event_id"),
+        m.getItem("k").as("k"),
+        m.getItem("missing").as("k_missing"),
+        // to_json on a struct would also work but field order/spacing is
+        // engine-specific; concat gives a byte-identical twin.
+        concat(lit("{\"id\":"), col("event_id").cast("string"), lit(",\"k\":"),
+          m.getItem("k").cast("string"), lit("}")).as("as_json"))
+    },
+
+    // String family: the reference's host-language string ops promoted to
+    // column functions (SURVEY §2.8 — concat_ws flowId :207, split/
+    // element_at :375, endswith :328, dotted-quad :171).
+    checked("scalar_string",
+      """SELECT s_suppkey,
+        |  concat_ws('_', CAST(s_nationkey AS VARCHAR), CAST(s_suppkey AS VARCHAR)) AS flow_id,
+        |  upper(substr(s_name, 1, 8)) AS name8,
+        |  list_extract(string_split(s_name, '#'), -1) AS name_num,
+        |  CASE WHEN suffix(s_name, '7') THEN 1 ELSE 0 END AS ends_7,
+        |  length(s_name) AS name_len,
+        |  replace(s_name, 'Supplier', 'S') AS name_short,
+        |  lpad(CAST(s_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+        |  lower(reverse(s_name)) AS name_rev
+        |FROM supplier""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        concat_ws("_", col("s_nationkey").cast("string"),
+          col("s_suppkey").cast("string")).as("flow_id"),
+        upper(substring(col("s_name"), 1, 8)).as("name8"),
+        element_at(split(col("s_name"), "#"), -1).as("name_num"),
+        when(col("s_name").endsWith("7"), 1).otherwise(0).as("ends_7"),
+        length(col("s_name")).as("name_len"),
+        regexp_replace(col("s_name"), "Supplier", "S").as("name_short"),
+        lpad(col("s_nationkey").cast("string"), 4, "0").as("nation_padded"),
+        lower(reverse(col("s_name"))).as("name_rev"))
+    },
+
+    // Date/time family: truncation grains, epoch round-trips, calendar
+    // extraction (the corrected forms of the reference's event-time cast —
+    // quirk Q1 — plus the date_trunc/floor-epoch window keys used by the
+    // KPI queries).
+    checked("scalar_datetime",
+      s"""SELECT event_id,
+         |  date_trunc('minute', ts) AS ts_minute,
+         |  date_trunc('day', ts) AS ts_day,
+         |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS epoch_sec,
+         |  CAST(floor(epoch_us(ts) / 1000000.0 / 300) * 300 AS BIGINT) AS bucket_5min,
+         |  extract(hour FROM ts) AS hh,
+         |  extract(dow FROM ts) AS dow,
+         |  CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS ymd
+         |FROM events""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        date_trunc("minute", col("ts")).as("ts_minute"),
+        date_trunc("day", col("ts")).as("ts_day"),
+        (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("epoch_sec"),
+        (floor(unix_micros(col("ts")) / lit(1000000.0) / 300) * 300).cast("long").as("bucket_5min"),
+        hour(col("ts")).cast("long").as("hh"),
+        dayofweek(col("ts")).minus(1).cast("long").as("dow"),
+        date_format(col("ts"), "yyyy-MM-dd").as("ymd"))
+    },
+
+    // Conditional/math family over lineitem: when-chains, epsilon division,
+    // bit ops, rounding — the reference's expression vocabulary (§2.8).
+    checked("scalar_math",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN l_quantity < 10 THEN 'S' WHEN l_quantity < 30 THEN 'M' ELSE 'L' END AS qty_class,
+         |  ${sqlR("l_extendedprice * (1 - l_discount)", 2)} AS net_price,
+         |  ${sqlR6("l_extendedprice / (l_quantity + 0.000001)")} AS unit_price,
+         |  CAST(l_linenumber AS BIGINT) & 3 AS ln_mod4,
+         |  CAST(l_linenumber AS BIGINT) << 2 AS ln_x4,
+         |  abs(l_discount - 0.05) >= 0.03 AS far_from_mid,
+         |  greatest(l_tax, l_discount) AS max_rate,
+         |  CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_decile
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, "S").when(col("l_quantity") < 30, "M")
+          .otherwise("L").as("qty_class"),
+        r(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"),
+        r6(col("l_extendedprice") / (col("l_quantity") + lit(1e-6))).as("unit_price"),
+        col("l_linenumber").cast("long").bitwiseAND(3).as("ln_mod4"),
+        shiftleft(col("l_linenumber").cast("long"), 2).as("ln_x4"),
+        (abs(col("l_discount") - 0.05) >= 0.03).as("far_from_mid"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        ceil(col("l_quantity") / 10.0).cast("long").as("qty_decile"))
+    })
+}

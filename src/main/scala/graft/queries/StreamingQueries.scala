@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+import graft.Tables
+import graft.functions.DetAgg._
+import graft.streaming.StreamingKpi
+
+/** Streaming suite (SURVEY §7 step 4) + transport emulation (S5-S7).
+  *
+  * Each query actually executes a Structured Streaming job (file source →
+  * micro-batches → memory sink) and returns the drained result, which must
+  * equal the batch twin — so even the streaming path is DuckDB-checked.
+  * Watermark late-drop semantics (append mode) are covered in
+  * StreamingKpiSpec with MemoryStream, where arrival order is controllable.
+  */
+object StreamingQueries {
+  import QuerySpec._
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Tumbling-window streaming aggregation (T2/T3): watermark + 1-hour
+    // windows over the event stream, complete-mode drain. Equals the batch
+    // GROUP BY — the stream/batch agreement gate.
+    checked("stream_kpi_tumbling",
+      s"""SELECT event_type AS slice, date_trunc('hour', ts) AS window_start,
+         |  count(*) AS n_events,
+         |  ${sqlSum("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val stream = StreamingKpi.eventsStream(s, d)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(col("event_type").as("slice"),
+          window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("slice"), col("window.start").as("window_start"),
+          col("n_events"), col("total_value"))
+      StreamingKpi.runBounded(s, stream, "kpi_tumbling", OutputMode.Complete)
+    },
+
+    // Keyed-state per-flow IAT (T8) — flatMapGroupsWithState carrying
+    // last-ts per flow; must reproduce the batch lag-window exactly
+    // (flow_iat's oracle).
+    checked("stream_flow_iat",
+      s"""WITH pkt AS (SELECT event_id, event_type AS slice, user_id AS flow,
+         |    epoch_us(ts) / 1000000.0 AS ts_sec FROM events),
+         |seqd AS (SELECT event_id, slice, flow, ts_sec,
+         |  COALESCE(ts_sec - lag(ts_sec, 1) OVER (PARTITION BY slice, flow ORDER BY ts_sec, event_id), 0.0) AS iat
+         |FROM pkt)
+         |SELECT event_id, slice, flow, ${sqlR6("ts_sec")} AS ts_sec6,
+         |  ${sqlR6("iat")} AS iat6
+         |FROM seqd""".stripMargin) { (s, d) =>
+      val out = StreamingKpi.flowIat(s, StreamingKpi.eventsStream(s, d))
+      StreamingKpi.runBounded(s, out.toDF(), "flow_iat_stream", OutputMode.Append)
+    },
+
+    // Transport emulation (S5-S7): the reference's Kafka hop — per-row JSON
+    // encode keyed by flow (PcapKpiExtractor.scala:252-253), partitioned
+    // write, read back, from_json decode with the declared schema
+    // (KafkaKpiPipeline.scala:245-260), null-filter, re-aggregate. The
+    // oracle sees the original table: the round-trip must be lossless.
+    checked("transport_roundtrip",
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sqlSum("value")} AS total_value,
+         |  ${sqlSum("CAST(json_extract_string(props, '" + "$" + ".k') AS INTEGER)")} AS total_k
+         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val topic = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_topic_${System.nanoTime()}").getAbsolutePath
+      // producer side: key = flow id, value = JSON of the full row
+      Tables.events(s, d)
+        .select(
+          col("user_id").cast("string").as("key"),
+          to_json(struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))).as("value"))
+        .write.mode("overwrite")
+        .partitionBy("key")
+        .text(topic)
+      // consumer side: declared schema, parse-failure tolerance (P4)
+      val schema = "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      val parsed = s.read.text(topic)
+        .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(schema)).as("m"))
+        .select(col("m.*"))
+        .filter(col("event_type").isNotNull)
+      parsed
+        .withColumn("k", from_json(col("props"), MapType(StringType, IntegerType)).getItem("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("total_value"),
+          dsum(col("k")).as("total_k"))
+    })
+}

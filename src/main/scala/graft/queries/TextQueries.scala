@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.DetAgg._
+import graft.functions.TextFns._
+
+/** Text-analysis suite over `documents` — token counting, quality scoring,
+  * language-ID, and document fingerprinting (north-star text operators).
+  * All per-row projections (no shuffle except the lang_id confusion-matrix
+  * aggregate): at 100 TB these run as a single codegen'd map over the
+  * corpus scan with full column pruning (only `doc_id`/`text`/`lang` read).
+  */
+object TextQueries {
+  import QuerySpec._
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Token counting + quality stats. Integer counts are trivially exact;
+    // the two ratios are single-divide doubles rounded at the end.
+    checked("text_stats",
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    ${sqlTokens("text")} AS toks,
+         |    ${sqlBpeTokens("text")} AS bpe
+         |  FROM documents)
+         |SELECT doc_id, n_chars,
+         |  len(toks) AS n_tokens,
+         |  len(bpe) AS n_bpe_tokens,
+         |  len(list_distinct(toks)) AS n_distinct_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    ${sqlR6("CAST(len(array_to_string(toks, '')) AS DOUBLE) / len(toks)")}
+         |  END AS avg_token_len,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    ${sqlR6("""CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+         |      / len(toks)""")}
+         |  END AS stopword_ratio
+         |FROM t""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("bpe", bpeTokens(col("text")))
+        .select(
+          col("doc_id"), col("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          size(col("bpe")).as("n_bpe_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+          when(size(col("toks")) === 0, lit(0.0)).otherwise(
+            r6(length(concat_ws("", col("toks"))).cast("double") / size(col("toks"))))
+            .as("avg_token_len"),
+          when(size(col("toks")) === 0, lit(0.0)).otherwise(
+            r6(size(filter(col("toks"),
+              x => x.isInCollection(Seq("the", "a", "of", "and", "is", "to", "in"))))
+              .cast("double") / size(col("toks"))))
+            .as("stopword_ratio"))
+    },
+
+    // Language-ID heuristic + confusion matrix vs the labeled lang column.
+    checked("lang_id",
+      s"""WITH t AS (SELECT lang, ${sqlLangId(sqlTokens("text"))} AS lang_pred
+         |  FROM documents)
+         |SELECT lang, lang_pred, count(*) AS n
+         |FROM t GROUP BY lang, lang_pred""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), langId(tokens(col("text"))).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Document fingerprints: md5 exact-dup key + base-31 rolling hash of
+    // the first 64 token h60s (both cross-engine-exact).
+    checked("doc_fingerprint",
+      s"""WITH t AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
+         |    ${sqlFingerprint(sqlH60All(sqlTokens("text")))} AS fp_rolling
+         |  FROM documents)
+         |SELECT doc_id, fp_md5, fp_rolling FROM t""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("th", h60All(tokens(col("text"))))
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp_md5"),
+          fingerprint(col("th")).as("fp_rolling"))
+    },
+
+    // Shannon entropy of the token-hash distribution per language — reuses
+    // the ShannonEntropy UDAF (Q7 gap-closer) on text data, vs DuckDB's
+    // native entropy().
+    checked("text_entropy",
+      s"""WITH t AS (SELECT lang, unnest(${sqlH60All(sqlTokens("text"))}) AS th
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_tokens, ${sqlR6("entropy(th)")} AS token_entropy
+         |FROM t GROUP BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(h60All(tokens(col("text")))).as("th"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          r6(graft.functions.ShannonEntropy.ofLong(col("th"))).as("token_entropy"))
+    })
+}

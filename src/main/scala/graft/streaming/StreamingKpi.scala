@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming restatement of the reference's KPI pipeline
+  * (`KafkaKpiPipeline.scala`), on the file source (no Kafka jar in this
+  * environment — SURVEY §2.1 S5-S7: the file source preserves the event-time
+  * /watermark semantics; swap `.format("kafka")` back in production).
+  *
+  * The driver's harness is batch-shaped (fn → DataFrame), so each streaming
+  * query here runs BOUNDED: start over the sf directory, drain with
+  * `processAllAvailable`, return the materialized memory-sink table. The
+  * results are deterministic and equal to their batch twins, which makes
+  * the streaming path DuckDB-oracle-checkable — the strongest correctness
+  * statement available for streaming (batch/stream agreement, SURVEY §5.4).
+  *
+  * Unbounded production use: same plans with `writeStream.format("parquet")
+  * .option("checkpointLocation", …).trigger(ProcessingTime(…))` — see
+  * reference `KafkaKpiPipeline.scala:293-300` (S8).
+  */
+object StreamingKpi {
+
+  /** Declared source schema — `events.parquet` carries ns-precision int64
+    * timestamps (read raw, converted with exact integer µs division;
+    * `graft.Tables.events` rationale). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // ns epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source streaming scan of the events table. One file = one
+    * micro-batch here; `maxFilesPerTrigger` is the file-source analogue of
+    * the reference's `maxOffsetsPerTrigger` rate limit (:233). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The streaming file source wants a directory; the sf dirs hold one
+    // flat file per table, so scan the dir with a glob pinned to events.
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Run a bounded streaming query into a memory sink and return the result
+    * table. Complete mode for aggregations (every window in the final
+    * table), Append for stateful flatMap output. */
+  def runBounded(spark: SparkSession, df: DataFrame, name: String,
+                 mode: OutputMode): DataFrame = {
+    // Re-runs in one session: memory sink names must be fresh.
+    val sink = s"${name}_${System.nanoTime()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(mode)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink)
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-flow IAT via keyed state — the streaming-correct replacement for
+  // the reference's illegal lag-in-streaming (quirk Q2; SURVEY §2.9 T8).
+  // ---------------------------------------------------------------------
+
+  case class FlowEvent(event_id: Long, slice: String, flow: Long, ts_sec: Double)
+  case class FlowKey(slice: String, flow: Long)
+  case class IatOut(event_id: Long, slice: String, flow: Long,
+                    ts_sec6: Double, iat6: Double)
+
+  /** Keyed state: last-seen timestamp per flow (the exact state the
+    * reference's intended lag carries — `KafkaKpiPipeline.scala:86-96`).
+    * Rows inside a batch are sorted by (ts, event_id) before sequencing:
+    * event-time order within the batch, carry-over state across batches.
+    * First packet of a flow gets IAT = 0.0 (quirk Q4, kept). */
+  def iatFlatMap(key: FlowKey, rows: Iterator[FlowEvent],
+                 state: GroupState[Double]): Iterator[IatOut] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+    var last = if (state.exists) Some(state.get) else None
+    val out = sorted.map { e =>
+      val iat = last.map(e.ts_sec - _).getOrElse(0.0)
+      last = Some(e.ts_sec)
+      IatOut(e.event_id, key.slice, key.flow,
+        math.floor(e.ts_sec * 1e6 + 0.5) / 1e6,
+        math.floor(iat * 1e6 + 0.5) / 1e6)
+    }
+    if (last.isDefined) state.update(last.get)
+    out.iterator
+  }
+
+  /** Streaming per-flow IAT dataset (call on a streaming events frame). */
+  def flowIat(spark: SparkSession, events: DataFrame): Dataset[IatOut] = {
+    import spark.implicits._
+    events
+      .select(
+        col("event_id"),
+        col("event_type").as("slice"),
+        col("user_id").as("flow"),
+        (unix_micros(col("ts")) / lit(1e6)).as("ts_sec"))
+      .as[FlowEvent]
+      .groupByKey(e => FlowKey(e.slice, e.flow))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(iatFlatMap)
+  }
+}
