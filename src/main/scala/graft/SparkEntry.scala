@@ -19,7 +19,8 @@ object SparkEntry {
       SimilarityQueries.all ++
       TextQueries.all ++
       ScalarQueries.all ++
-      StreamingQueries.all
+      StreamingQueries.all ++
+      MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

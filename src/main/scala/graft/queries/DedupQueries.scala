@@ -77,25 +77,43 @@ object DedupQueries {
     },
 
     // ------------------------------------------------------------------
-    // Quadratic n-gram Jaccard baseline. Self-join is range-restricted by
-    // doc_id inequality only — intentionally the naive O(n²) anchor that
-    // the LSH variants beat; at scale this plan is the one you must NOT
-    // run (the comment the judge should read: minhash below is the same
-    // semantics at ~linear cost).
+    // N-gram Jaccard via inverted shingle index: explode the (distinct)
+    // shingle sets, equi-join on shingle hash, count shared shingles per
+    // pair, |A∪B| = |A|+|B|−|A∩B|. Identical result set to the naive
+    // all-pairs form (jaccard ≥ thr > 0 ⟹ ≥ 1 shared shingle) but every
+    // stage is a codegen'd hash join/aggregate — no interpreted
+    // array_intersect, no nested loop. Capped to a fixed doc prefix: this
+    // is the exhaustive-correctness anchor; minhash below is the sublinear
+    // scale path. At 100 TB the same inverted-index shape works with a
+    // stop-shingle cap (drop shingles appearing in > B docs — bounded
+    // fan-out, standard trick).
     checked("dedup_ngram_jaccard",
-      s"""WITH sh AS ($shingleSetsSql)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  ${sqlR6(sqlJaccard("a.sh", "b.sh"))} AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE a.doc_id < $QuadraticCap AND b.doc_id < $QuadraticCap
-         |  AND ${sqlJaccard("a.sh", "b.sh")} >= $NgramThr""".stripMargin) { (s, d) =>
+      s"""WITH sh AS ($shingleSetsSql),
+         |capped AS (SELECT * FROM sh WHERE doc_id < $QuadraticCap),
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM capped),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sized AS (SELECT doc_a, doc_b,
+         |    CAST(n_inter AS DOUBLE) /
+         |    (len(x.sh) + len(y.sh) - n_inter) AS jac
+         |  FROM inter JOIN capped x ON doc_a = x.doc_id
+         |             JOIN capped y ON doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, ${sqlR6("jac")} AS jaccard
+         |FROM sized WHERE jac >= $NgramThr""".stripMargin) { (s, d) =>
       val sh = shingleSets(s, d).filter(col("doc_id") < QuadraticCap)
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-      a.join(b, col("doc_a") < col("doc_b"))
-        .filter(jaccard(col("sha"), col("shb")) >= NgramThr)
-        .select(col("doc_a"), col("doc_b"),
-          graft.functions.DetAgg.r6(jaccard(col("sha"), col("shb"))).as("jaccard"))
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val inter = ex.as("a")
+        .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val jac = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(jac >= NgramThr)
+        .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
     },
 
     // ------------------------------------------------------------------

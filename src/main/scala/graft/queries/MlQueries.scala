@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.{RobustScaler, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.Tables
+import graft.functions.DetAgg._
+import graft.ml.{NeuralStub, TimeSeries}
+
+/** ML / time-series suite (SURVEY §7 step 5, reference `train.py`): the
+  * deterministic pieces (split, scaling, sequence windows, metrics) are
+  * DuckDB-checked; the model fits (VAR Gram-solve, neural forward pass)
+  * are rows-only checked here and unit-tested against closed forms in
+  * VarModelSpec. */
+object MlQueries {
+  import QuerySpec._
+
+  private val seriesSql = TimeSeries.featureSeriesSql
+
+  /** Split + train-quantile CTEs shared by the checked queries' oracles. */
+  private val taggedSql =
+    s"""series AS ($seriesSql),
+       |s AS (SELECT *, row_number() OVER (PARTITION BY slice ORDER BY t) AS rn,
+       |        count(*) OVER (PARTITION BY slice) AS n FROM series),
+       |tagged AS (SELECT *, CASE WHEN rn <= n * 0.7 THEN 'train'
+       |    WHEN rn <= n * 0.85 THEN 'val' ELSE 'test' END AS split FROM s)""".stripMargin
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // M1 + M2: chronological 70/15/15 split, robust scaling with
+    // median/IQR fitted on the train partition only (train.py:186-196),
+    // expressed as exact-percentile aggregates (cross-engine-identical).
+    checked("ml_split_scale", {
+      val feats = Seq("f_events", "f_total", "f_users")
+      val stats = feats.map(f =>
+        s"quantile_cont($f, 0.5) AS ${f}_med, " +
+          s"quantile_cont($f, 0.75) - quantile_cont($f, 0.25) AS ${f}_iqr").mkString(", ")
+      val scaled = feats.map(f =>
+        s"${sqlR6(s"(t1.$f - st.${f}_med) / (CASE WHEN st.${f}_iqr = 0 THEN 1.0 ELSE st.${f}_iqr END)")} AS ${f}_scaled")
+        .mkString(",\n  ")
+      s"""WITH $taggedSql,
+         |stats AS (SELECT slice, $stats FROM tagged WHERE split = 'train' GROUP BY slice)
+         |SELECT t1.slice, t1.t, t1.split,
+         |  $scaled
+         |FROM tagged t1 JOIN stats st ON t1.slice = st.slice""".stripMargin
+    }) { (s, d) =>
+      val feats = Seq("f_events", "f_total", "f_users")
+      val series = TimeSeries.withSplit(TimeSeries.featureSeries(Tables.events(s, d)))
+      val stats = series.filter(col("split") === "train")
+        .groupBy("slice")
+        .agg(
+          percentile(col(feats.head), lit(0.5)).as(s"${feats.head}_med"),
+          (feats.map(f => percentile(col(f), lit(0.75)).minus(percentile(col(f), lit(0.25))).as(s"${f}_iqr")) ++
+            feats.tail.map(f => percentile(col(f), lit(0.5)).as(s"${f}_med"))): _*)
+      series.join(broadcast(stats), "slice")
+        .select(col("slice") +: col("t") +: col("split") +:
+          feats.map(f => r6((col(f) - col(s"${f}_med")) /
+            when(col(s"${f}_iqr") === 0, 1.0).otherwise(col(s"${f}_iqr"))).as(s"${f}_scaled")): _*)
+    },
+
+    // M9: persistence-baseline forecast metrics — RMSE/MAE per slice of the
+    // lag-1 forecast on the hourly series (the naive anchor every model in
+    // train.py:264-269 is scored against).
+    checked("ml_metrics",
+      s"""WITH series AS ($seriesSql),
+         |e AS (SELECT slice,
+         |    f_total - lag(f_total, 1) OVER (PARTITION BY slice ORDER BY t) AS err
+         |  FROM series)
+         |SELECT slice, count(err) AS n,
+         |  ${sqlR6(s"sqrt(${sqlSumRaw("err * err")} / count(err))")} AS rmse,
+         |  ${sqlR6(s"${sqlSumRaw("abs(err)")} / count(err)")} AS mae
+         |FROM e GROUP BY slice""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("slice").orderBy("t")
+      TimeSeries.featureSeries(Tables.events(s, d))
+        .withColumn("err", col("f_total") - lag(col("f_total"), 1).over(w))
+        .groupBy("slice")
+        .agg(count(col("err")).as("n"),
+          r6(sqrt(dsumRaw(col("err") * col("err")) / count(col("err")))).as("rmse"),
+          r6(dsumRaw(abs(col("err"))) / count(col("err"))).as("mae"))
+    },
+
+    // M5/W2: supervised sequence windows — 12-step history array + 1-step
+    // lead label per (slice, t), full windows only (train.py:223-232).
+    checked("ml_seq_windows",
+      s"""WITH series AS ($seriesSql),
+         |w AS (SELECT slice, t,
+         |    list(${sqlR6("f_total")}) OVER (PARTITION BY slice ORDER BY t
+         |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS hist,
+         |    lead(f_total, 1) OVER (PARTITION BY slice ORDER BY t) AS label
+         |  FROM series)
+         |SELECT slice, t, hist, ${sqlR6("label")} AS label
+         |FROM w WHERE len(hist) = 12 AND label IS NOT NULL""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("slice").orderBy("t")
+      val wHist = w.rowsBetween(-11, Window.currentRow)
+      TimeSeries.featureSeries(Tables.events(s, d))
+        .withColumn("hist", collect_list(r6(col("f_total"))).over(wHist))
+        .withColumn("label", lead(col("f_total"), 1).over(w))
+        .filter(size(col("hist")) === 12 && col("label").isNotNull)
+        .select(col("slice"), col("t"), col("hist"), r6(col("label")).as("label"))
+    },
+
+    // M2(MLlib)+M3+M4+M8+M9 end-to-end: MLlib RobustScaler (fit on train) →
+    // VAR(2) via treeAggregate Gram + breeze solve → 1-step forecasts as
+    // column expressions → neural residual model over 12-step residual
+    // windows → hybrid = VAR + residual-net, clipped ≥ train-min → RMSE per
+    // feature on the test split. Model fits aren't SQL-expressible → rows
+    // -only here; VarModelSpec pins the math against closed-form AR(1).
+    rowsOnly("ml_var_hybrid") { (s, d) =>
+      val p = 2
+      val dim = TimeSeries.FeatCols.length
+      val series = TimeSeries.withSplit(TimeSeries.featureSeries(Tables.events(s, d)))
+      // MLlib robust scaling fitted on train only (train.py:193-196)
+      val assembled = new VectorAssembler()
+        .setInputCols(TimeSeries.FeatCols.toArray).setOutputCol("fv")
+      val train = assembled.transform(series.filter(col("split") === "train"))
+      val scaler = new RobustScaler()
+        .setInputCol("fv").setOutputCol("fs")
+        .setWithCentering(true)
+        .fit(train)
+      val scaled = scaler.transform(assembled.transform(series))
+        .withColumn("fs", vector_to_array(col("fs"), "float64"))
+        .select(Seq(col("slice"), col("t"), col("split")) ++
+          TimeSeries.FeatCols.zipWithIndex.map { case (f, i) =>
+            element_at(col("fs"), i + 1).as(f)
+          }: _*)
+      val lagged = TimeSeries.lagDesign(scaled, TimeSeries.FeatCols, p).cache()
+      val model = TimeSeries.fitVar(lagged.filter(col("split") === "train"), p, dim)
+      // forecasts + residuals on every row
+      val fc = lagged.select(
+        Seq(col("slice"), col("t"), col("split"), col("y"), col("x")) ++
+          TimeSeries.forecastCols(model): _*)
+        .withColumn("resid", array((0 until dim).map(i =>
+          element_at(col("y"), i + 1) - col(s"fc_$i")): _*))
+      // neural residual prediction over a 12-step residual window (M6/M7)
+      val w = Window.partitionBy("slice").orderBy("t")
+      val nnUdf = udf((hist: Seq[Seq[Double]]) =>
+        NeuralStub.forward(hist.map(_.toArray).toArray))
+      val withNn = fc
+        .withColumn("rhist", collect_list(col("resid")).over(w.rowsBetween(-11, Window.currentRow)))
+        .filter(size(col("rhist")) === 12)
+        .withColumn("nn", nnUdf(col("rhist")))
+      // hybrid recombination + clip (train.py:251-261), scored on test (M9)
+      val errCols = (0 until dim).flatMap { i =>
+        val hybrid = col(s"fc_$i") + element_at(col("nn"), i + 1)
+        Seq((element_at(col("y"), i + 1) - hybrid).as(s"eh_$i"),
+          (element_at(col("y"), i + 1) - col(s"fc_$i")).as(s"ev_$i"))
+      }
+      val test = withNn.filter(col("split") === "test")
+        .select(Seq(col("slice")) ++ errCols: _*)
+      val metricCols = (0 until dim).flatMap(i => Seq(
+        sqrt(avg(col(s"ev_$i") * col(s"ev_$i"))).as(s"rmse_var_$i"),
+        sqrt(avg(col(s"eh_$i") * col(s"eh_$i"))).as(s"rmse_hybrid_$i")))
+      test.groupBy("slice").agg(metricCols.head, metricCols.tail: _*)
+    },
+
+    // M6/M7 direct surface: hybrid-network forward pass over feature
+    // sequence windows (batch inference — per-row UDF, no shuffle beyond
+    // the window sort).
+    rowsOnly("ml_gru_infer") { (s, d) =>
+      val w = Window.partitionBy("slice").orderBy("t")
+      val nnUdf = udf((hist: Seq[Seq[Double]]) =>
+        NeuralStub.forward(hist.map(_.toArray).toArray))
+      TimeSeries.featureSeries(Tables.events(s, d))
+        .withColumn("fv", array(TimeSeries.FeatCols.map(col): _*))
+        .withColumn("hist", collect_list(col("fv")).over(w.rowsBetween(-11, Window.currentRow)))
+        .filter(size(col("hist")) === 12)
+        .select(col("slice"), col("t"), nnUdf(col("hist")).as("pred"))
+    })
+}

@@ -67,14 +67,16 @@ object StreamingQueries {
          |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
       val topic = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_topic_${System.nanoTime()}").getAbsolutePath
-      // producer side: key = flow id, value = JSON of the full row
+      // producer side: 8 "topic partitions" keyed by flow-id hash (a Kafka
+      // topic has a fixed partition count; a partition dir per raw key
+      // would mean keys × tasks tiny files — the small-files trap).
       Tables.events(s, d)
         .select(
-          col("user_id").cast("string").as("key"),
+          pmod(col("user_id"), lit(8)).as("part"),
           to_json(struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
             col("user_id"), col("event_type"), col("value"), col("props"))).as("value"))
         .write.mode("overwrite")
-        .partitionBy("key")
+        .partitionBy("part")
         .text(topic)
       // consumer side: declared schema, parse-failure tolerance (P4)
       val schema = "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"

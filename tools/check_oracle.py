@@ -21,6 +21,10 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if hasattr(v, "tolist"):  # numpy array (list column)
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 
@@ -36,6 +40,8 @@ def close(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
     return a == b
 
 
