@@ -20,7 +20,8 @@ object SparkEntry {
       TextQueries.all ++
       ScalarQueries.all ++
       StreamingQueries.all ++
-      MlQueries.all
+      MlQueries.all ++
+      SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

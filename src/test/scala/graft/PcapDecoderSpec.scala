@@ -1,0 +1,81 @@
+package graft
+
+import java.io.ByteArrayInputStream
+
+import graft.sources.Pcap
+
+/** Decoder spec: synthesize → decode round-trips + never-throws resilience
+  * (SURVEY §5.2/§5.3; reference contract PcapKpiExtractor.scala:109-117). */
+class PcapDecoderSpec extends SparkSpec {
+
+  test("TCP packet round-trips all parsed fields") {
+    val bytes = Pcap.synthesize(Seq((1700000100L, 250000L, 7, 9, 443, 51000, 6, 123456789L, 0x12, 8192, 40)))
+    val pkts = Pcap.decodeStream(new ByteArrayInputStream(bytes), "eMBB", "t.pcap").toList
+    assert(pkts.size == 1)
+    val p = pkts.head
+    assert(p.protocol == "TCP")
+    assert(p.srcIp == "10.0.0.7" && p.dstIp == "10.0.0.9")
+    assert(p.srcPort == 443 && p.dstPort == 51000)
+    assert(p.tcpSeq == 123456789L && p.tcpFlags == 0x12 && p.tcpWindow == 8192)
+    assert(p.ethertype == 0x0800)
+    assert(math.abs(p.timestamp - (1700000100.25)) < 1e-9)
+    assert(p.flowId == "10.0.0.7_10.0.0.9_443_51000_TCP")
+    assert(p.capturedLen == 14 + 20 + 20 + 40)
+  }
+
+  test("UDP packet parses ports, no TCP fields") {
+    val bytes = Pcap.synthesize(Seq((1700000000L, 0L, 1, 2, 5353, 5353, 17, 0L, 0, 0, 8)))
+    val p = Pcap.decodeStream(new ByteArrayInputStream(bytes), "s", "f").toList.head
+    assert(p.protocol == "UDP" && p.srcPort == 5353 && p.tcpSeq == 0L && p.tcpWindow == 0)
+  }
+
+  test("multiple packets decode in order; cap respected") {
+    val specs = (0 until 50).map(i =>
+      (1700000000L + i, 0L, 1, 2, 1000 + i, 80, 6, i.toLong, 0x10, 100, 0))
+    val bytes = Pcap.synthesize(specs)
+    val all = Pcap.decodeStream(new ByteArrayInputStream(bytes), "s", "f").toList
+    assert(all.size == 50)
+    assert(all.map(_.srcPort) == (1000 until 1050).toList)
+    val capped = Pcap.decodeStream(new ByteArrayInputStream(bytes), "s", "f", maxPackets = 10).toList
+    assert(capped.size == 10)
+  }
+
+  test("truncated file decodes the complete prefix, never throws") {
+    val bytes = Pcap.synthesize(Seq(
+      (1L, 0L, 1, 2, 10, 20, 6, 0L, 0, 0, 0),
+      (2L, 0L, 1, 2, 10, 20, 6, 0L, 0, 0, 0)))
+    val cut = bytes.take(bytes.length - 7)
+    val pkts = Pcap.decodeStream(new ByteArrayInputStream(cut), "s", "f").toList
+    assert(pkts.size == 1)
+  }
+
+  test("property: decode never throws on arbitrary bytes (500 seeded cases)") {
+    (0 until 500).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val junk = new Array[Byte](rnd.nextInt(2000))
+      rnd.nextBytes(junk)
+      // also try valid-magic prefixes followed by garbage
+      if (seed % 3 == 0 && junk.length >= 4) {
+        junk(0) = 0xd4.toByte; junk(1) = 0xc3.toByte
+        junk(2) = 0xb2.toByte; junk(3) = 0xa1.toByte
+      }
+      val out = Pcap.decodeStream(new ByteArrayInputStream(junk), "s", "f").toList
+      assert(out != null)
+    }
+  }
+
+  test("distributed decode through binaryFiles plan shape (parallelize stand-in)") {
+    val sc = spark.sparkContext
+    val files = (0 until 4).map { f =>
+      (s"f$f", Pcap.synthesize((0 until 25).map(i =>
+        (1700000000L + i, 0L, f + 1, 2, 1000 + i, 80, if (i % 2 == 0) 6 else 17, i.toLong, 0x10, 10, 5))))
+    }
+    val rdd = sc.parallelize(files, 4).flatMap { case (name, bytes) =>
+      Pcap.decodeStream(new ByteArrayInputStream(bytes), "slice", name)
+    }
+    import spark.implicits._
+    val df = rdd.toDF()
+    assert(df.count() == 100)
+    assert(df.select("protocol").distinct().count() == 2)
+  }
+}

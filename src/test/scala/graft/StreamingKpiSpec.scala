@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingKpi
+
+/** Streaming semantics spec (SURVEY §5.4): MemoryStream-driven watermark
+  * late-drop, append finalization, and keyed-state IAT across batches. */
+class StreamingKpiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("watermark drops events later than the delay in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "slice", "value")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("slice"), window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("slice"), col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: window [0,10) gets 2 events; watermark → 100-10 = 90
+      mem.addData((ts(3), "a", 1.0), (ts(5), "a", 1.0), (ts(100), "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event for [0,10) — beyond watermark, must be dropped
+      mem.addData((ts(7), "a", 99.0))
+      q.processAllAvailable()
+      // batch 3: advance watermark far enough to finalize [100,110)
+      mem.addData((ts(200), "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test")
+        .select("ws", "n").as[(Timestamp, Long)].collect().toMap
+      assert(rows(ts(0)) == 2L, "late event must not inflate the closed window")
+      assert(rows(ts(100)) == 1L)
+    } finally q.stop()
+  }
+
+  test("keyed-state IAT carries last-ts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Double)] // event_id, slice, flow, ts_sec
+    val events = mem.toDF().toDF("event_id", "slice", "flow", "ts_sec")
+      .select(col("event_id"), col("slice"), col("flow"), col("ts_sec"))
+      .as[StreamingKpi.FlowEvent]
+      .groupByKey(e => StreamingKpi.FlowKey(e.slice, e.flow))
+      .flatMapGroupsWithState(OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(StreamingKpi.iatFlatMap)
+    val q = events.toDF().writeStream.format("memory").queryName("iat_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, "s", 1L, 10.0), (2L, "s", 1L, 12.0))
+      q.processAllAvailable()
+      mem.addData((3L, "s", 1L, 15.0)) // next batch: state must remember 12.0
+      q.processAllAvailable()
+      val iats = spark.table("iat_test")
+        .select("event_id", "iat6").as[(Long, Double)].collect().toMap
+      assert(iats(1L) == 0.0) // first packet of flow (quirk Q4)
+      assert(iats(2L) == 2.0)
+      assert(iats(3L) == 3.0) // across-batch state carry
+    } finally q.stop()
+  }
+
+  test("streaming tumbling aggregation equals the batch group-by") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = StreamingKpi.runBounded(spark,
+      StreamingKpi.eventsStream(spark, sfDir)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("window.start").as("ws"), col("n")),
+      "sb_agree", OutputMode.Complete)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("ws"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+}

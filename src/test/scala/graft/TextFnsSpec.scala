@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.multimodal.MediaOps
+
+/** Text primitives + multimodal stub specs. */
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: whitespace split, lower-case, empty-safe") {
+    val df = Seq("Hello  World", "", "   ", "one").toDF("text")
+      .select(TextFns.tokens(col("text")).as("t"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) == Seq("hello", "world"))
+    assert(rows(1).isEmpty && rows(2).isEmpty)
+    assert(rows(3) == Seq("one"))
+  }
+
+  test("shingles: n-gram windows, short-doc-safe") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextFns.shingles(TextFns.tokens(col("text")), 3).as("s"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("h60 is stable and within 60 bits") {
+    val h = Seq("abc").toDF("s").select(TextFns.h60(col("s"))).head().getLong(0)
+    // first 15 hex chars of md5("abc") = 900150983cd24fb...
+    assert(h == java.lang.Long.parseLong("900150983cd24fb", 16))
+    assert(h >= 0 && h < (1L << 60))
+  }
+
+  test("jaccard: identical sets 1.0, disjoint 0.0, empty-safe") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(TextFns.jaccard(col("a"), col("b")).as("j"))
+    assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("simhash: identical docs collide, different docs differ") {
+    val df = Seq("spark native engine", "spark native engine", "entirely other words here")
+      .toDF("text")
+      .withColumn("th", TextFns.h60All(TextFns.tokens(col("text"))))
+      .select(TextFns.simhash("th").as("s"))
+    val sims = df.as[Long].collect()
+    assert(sims(0) == sims(1))
+    assert(sims(0) != sims(2))
+  }
+
+  test("cosine: orthogonal → 0, parallel → 1 (scaled-int path)") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(0.5f, 0.5f), Seq(1.0f, 1.0f))).toDF("a", "b")
+      .select(TextFns.cosine(
+        TextFns.scaledVec(col("a")), TextFns.scaledVec(col("b"))).as("c"))
+    val cs = df.as[Double].collect()
+    assert(math.abs(cs(0)) < 1e-9 && math.abs(cs(1) - 1.0) < 1e-9)
+  }
+
+  test("langId picks the marker-dominant language, und when none") {
+    val df = Seq("the cat of the house", "el gato de la casa y", "zzz qqq").toDF("text")
+      .select(TextFns.langId(TextFns.tokens(col("text"))).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
+  }
+
+  test("media stub: decode/resize/embed round-trip, corrupt-safe") {
+    val feats = MediaOps.extract(MediaOps.corpus(spark, 30)).collect()
+    assert(feats.length == 30)
+    assert(feats.forall(f => f.width > 0 && f.embedding.size == MediaOps.EmbDim))
+    assert(feats.filter(_.kind == "video").forall(_.n_frames >= 1))
+    assert(feats.forall(f => math.max(f.thumb_w, f.thumb_h) == MediaOps.ThumbMax))
+    // corrupt blob → width -1, never throws
+    val (w, _, _, _) = MediaOps.decode(Array[Byte](1, 2, 3))
+    assert(w == -1)
+  }
+}
