@@ -196,6 +196,52 @@ object RelationalQueries {
         .select("o_orderkey", "o_totalprice")
     },
 
+    // Forward/backward fill (SURVEY §2.5 W3 — train.py:110 ffill/bfill):
+    // events.props.k is null when absent; ffill = last non-null before me,
+    // bfill = first non-null after me, final fillna(0).
+    checked("window_fill",
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_id,
+        |  COALESCE(
+        |    last_value(k IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    first_value(k IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+        |    0) AS k_filled
+        |FROM e""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+      val k = from_json(col("props"), MapType(StringType, IntegerType)).getItem("k")
+      val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wb = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("k", k)
+        .select(col("event_id"),
+          coalesce(
+            last(col("k"), ignoreNulls = true).over(wf),
+            first(col("k"), ignoreNulls = true).over(wb),
+            lit(0)).as("k_filled"))
+    },
+
+    // Union-by-name with missing columns (SURVEY §2.7 U2 — the py
+    // pd.concat of heterogeneous frames): two different projections of
+    // customer, aligned by column name.
+    checked("union_by_name",
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_acctbal, NULL AS c_mktsegment FROM customer WHERE c_acctbal > 7000
+        |  UNION ALL BY NAME
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 100)""".stripMargin) { (s, d) =>
+      val hi = Tables.customer(s, d).filter(col("c_acctbal") > 7000)
+        .select("c_custkey", "c_acctbal")
+      val lo = Tables.customer(s, d).filter(col("c_acctbal") < 100)
+        .select("c_custkey", "c_mktsegment")
+      hi.unionByName(lo, allowMissingColumns = true)
+    },
+
     // Analytic window functions: per-customer order sequencing (rank, lag,
     // running sum) — the relational generalization of the reference's
     // per-flow lag (SURVEY §2.5 W1).
