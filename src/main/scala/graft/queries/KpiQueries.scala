@@ -48,6 +48,23 @@ object KpiQueries {
       FlowOps.kpiTable(Tables.events(s, d), "day", IdleThr, SmallLen, LargeLen)
     },
 
+    // The 100 TB variants of the exact-distinct / exact-percentile KPIs
+    // (SURVEY §7 "hard parts"): HLL++ approx_count_distinct and
+    // GK-sketch percentile_approx. Sketch merges are order-independent →
+    // deterministic across partitionings, but not reproducible in DuckDB →
+    // rows-only; the exact twins sit alongside for error inspection.
+    rowsOnly("approx_sketches") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"))
+        .agg(
+          count_distinct(col("user_id")).as("users_exact"),
+          approx_count_distinct(col("user_id")).as("users_approx"),
+          approx_count_distinct(col("user_id"), 0.005).as("users_approx_tight"),
+          percentile(col("value"), lit(0.5)).as("p50_exact"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_approx"))
+    },
+
     // Sliding windows (T3 declared addition): 2-hour windows every hour —
     // each event lands in 2 windows. Spark plans this as a generate+agg;
     // the DuckDB twin spells out the same 2-window expansion.

@@ -196,6 +196,42 @@ object RelationalQueries {
         .select("o_orderkey", "o_totalprice")
     },
 
+    // As-of join (SURVEY §2.3): each error event matched to the same
+    // user's most recent prior-or-equal click. Spark has no native as-of;
+    // the scalable form is the tagged union + last(ignoreNulls) running
+    // carry — ONE shuffle on (user), no range-join explosion, identical to
+    // what a sorted merge as-of would do. DuckDB's native ASOF JOIN is the
+    // oracle.
+    checked("join_asof",
+      """WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |errs AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id,
+        |  c.click_id AS last_click_id,
+        |  CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        |FROM errs e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        .select(col("user_id"), col("ts"), col("click_id"), lit(0).as("is_left"),
+          lit(null).cast("long").as("event_id"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+          lit(1).as("is_left"), col("event_id"))
+      // right rows sort before left at equal ts → ">= (prior-or-equal)"
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(errs)
+        .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("last_click_ts",
+          last(when(col("is_left") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_left") === 1)
+        .select(col("event_id"), col("user_id"), col("last_click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("gap_us"))
+    },
+
     // Forward/backward fill (SURVEY §2.5 W3 — train.py:110 ffill/bfill):
     // events.props.k is null when absent; ffill = last non-null before me,
     // bfill = first non-null after me, final fillna(0).
