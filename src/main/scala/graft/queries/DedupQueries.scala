@@ -216,19 +216,25 @@ object DedupQueries {
     // SRP-bucketed plan in SimilarityQueries is the 100 TB path).
     checked("dedup_embedding",
       s"""WITH sv AS (SELECT vec_id, ${sqlScaledVec("embedding")} AS v
-         |  FROM embeddings WHERE vec_id < $QuadraticCap)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ${sqlR6(sqlCosine("a.v", "b.v", 64))} AS cos
-         |FROM sv a JOIN sv b ON a.vec_id < b.vec_id
-         |WHERE ${sqlCosine("a.v", "b.v", 64)} >= $CosineThr""".stripMargin) { (s, d) =>
+         |  FROM embeddings WHERE vec_id < $QuadraticCap),
+         |svn AS (SELECT vec_id, v, ${sqlDotInt("v", "v", 64)} AS n2 FROM sv),
+         |scored AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${sqlDotInt("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+         |  FROM svn a JOIN svn b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, ${sqlR6("cos")} AS cos
+         |FROM scored WHERE cos >= $CosineThr""".stripMargin) { (s, d) =>
+      // Squared norms are precomputed per vector (one pass) so each pair
+      // costs ONE dot product instead of three — same integers reach the
+      // same sqrt/divide, so the oracle math is unchanged.
       val sv = Tables.embeddings(s, d)
         .filter(col("vec_id") < QuadraticCap)
         .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
-      val a = sv.select(col("vec_id").as("vec_a"), col("v").as("va"))
-      val b = sv.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+        .withColumn("n2", dotInt(col("v"), col("v")))
+      val a = sv.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n2").as("n2a"))
+      val b = sv.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n2").as("n2b"))
+      val cos = dotInt(col("va"), col("vb")) / (sqrt(col("n2a")) * sqrt(col("n2b")))
       a.join(b, col("vec_a") < col("vec_b"))
-        .filter(cosine(col("va"), col("vb")) >= CosineThr)
-        .select(col("vec_a"), col("vec_b"),
-          graft.functions.DetAgg.r6(cosine(col("va"), col("vb"))).as("cos"))
+        .filter(cos >= CosineThr)
+        .select(col("vec_a"), col("vec_b"), graft.functions.DetAgg.r6(cos).as("cos"))
     })
 }

@@ -29,7 +29,16 @@ object SimilarityQueries {
   val SrpBits = 6
   val Dim = 64
 
-  private val svSql = s"SELECT vec_id, label, ${sqlScaledVec("embedding")} AS v FROM embeddings"
+  // Squared norms precomputed once per vector: each scored pair costs one
+  // dot product, and the identical integers reach the same sqrt/divide.
+  private val svSql =
+    s"SELECT vec_id, label, v, ${sqlDotInt("v", "v", Dim)} AS n2 FROM " +
+      s"(SELECT vec_id, label, ${sqlScaledVec("embedding")} AS v FROM embeddings)"
+
+  private def svSpark(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
+      .withColumn("n2", dotInt(col("v"), col("v")))
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -37,21 +46,21 @@ object SimilarityQueries {
     // (query, cos desc, vec_id) — deterministic total order.
     checked("ann_cosine_topk",
       s"""WITH sv AS ($svSql),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM sv WHERE vec_id < $NQueries),
+         |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM sv WHERE vec_id < $NQueries),
          |scored AS (
-         |  SELECT q_id, vec_id, ${sqlCosine("qv", "v", Dim)} AS cos
+         |  SELECT q_id, vec_id, ${sqlDotInt("qv", "v", Dim)} / (sqrt(qn2) * sqrt(n2)) AS cos
          |  FROM q JOIN sv ON vec_id <> q_id),
          |ranked AS (SELECT q_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
          |  FROM scored)
          |SELECT q_id, rnk, vec_id, ${graft.functions.DetAgg.sqlR6("cos")} AS cos
          |FROM ranked WHERE rnk <= $TopK""".stripMargin) { (s, d) =>
-      val sv = Tables.embeddings(s, d)
-        .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
+      val sv = svSpark(s, d)
       val q = sv.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
       val scored = broadcast(q).join(sv, col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+        .select(col("q_id"), col("vec_id"),
+          (dotInt(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)
@@ -61,25 +70,27 @@ object SimilarityQueries {
     // SRP-LSH bucketed ANN: candidates = same-bucket vectors only.
     checked("ann_srp_lsh",
       s"""WITH sv AS ($svSql),
-         |bk AS (SELECT vec_id, v, ${sqlSrpBucket("v", SrpBits, Dim)} AS bucket FROM sv),
-         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id < 50),
+         |bk AS (SELECT vec_id, v, n2, ${sqlSrpBucket("v", SrpBits, Dim)} AS bucket FROM sv),
+         |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, bucket FROM bk WHERE vec_id < 50),
          |scored AS (
-         |  SELECT q_id, bk.vec_id AS vec_id, ${sqlCosine("qv", "bk.v", Dim)} AS cos
+         |  SELECT q_id, bk.vec_id AS vec_id,
+         |    ${sqlDotInt("qv", "bk.v", Dim)} / (sqrt(qn2) * sqrt(bk.n2)) AS cos
          |  FROM q JOIN bk ON q.bucket = bk.bucket AND bk.vec_id <> q.q_id),
          |ranked AS (SELECT q_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
          |  FROM scored)
          |SELECT q_id, rnk, vec_id, ${graft.functions.DetAgg.sqlR6("cos")} AS cos
          |FROM ranked WHERE rnk <= 5""".stripMargin) { (s, d) =>
-      val sv = Tables.embeddings(s, d)
-        .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
+      val sv = svSpark(s, d)
       val bk = sv.withColumn("bucket", srpBucket(col("v"), SrpBits, Dim))
       val q = bk.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("n2").as("qn2"), col("bucket"))
       val scored = broadcast(q)
-        .join(bk.select(col("vec_id"), col("v"), col("bucket").as("b2")),
+        .join(bk.select(col("vec_id"), col("v"), col("n2"), col("bucket").as("b2")),
           col("bucket") === col("b2") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+        .select(col("q_id"), col("vec_id"),
+          (dotInt(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
