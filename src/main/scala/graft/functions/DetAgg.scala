@@ -50,8 +50,18 @@ object DetAgg {
 
   // ---- Spark side -------------------------------------------------------
 
-  /** Exact sum: DECIMAL(38,10) accumulation, exact total as DOUBLE. */
-  def dsumRaw(c: Column): Column = sum(c.cast(DecimalType(38, 10))).cast("double")
+  /** Exact sum: DECIMAL(38,10) accumulation, exact total as DOUBLE.
+    *
+    * The decimal→double hop goes THROUGH A STRING: DuckDB's direct
+    * decimal→double is (double)unscaled_int128 / (double)10^scale — two
+    * roundings — while the JVM converts in one correctly-rounded step, so
+    * for unscaled values > 2^53 the engines can land 1 ulp apart (observed
+    * on a 3.76e9 grand total, amplified to 1e-6 by the floor-rounding).
+    * decimal→string is exact in both engines and string→double parse is
+    * correctly rounded in both, making the conversion engine-identical at
+    * any magnitude. Cost: one string format per GROUP, not per row. */
+  def dsumRaw(c: Column): Column =
+    sum(c.cast(DecimalType(38, 10))).cast("string").cast("double")
 
   def dsum(c: Column): Column = r6(dsumRaw(c))
 
@@ -105,7 +115,7 @@ object DetAgg {
   // doubles. Keep these in lockstep with the Column builders above.
 
   def sqlSumRaw(x: String): String =
-    s"CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST(($x) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
 
   def sqlSum(x: String): String = sqlR6(sqlSumRaw(x))
 

@@ -61,9 +61,12 @@ object TimeSeries {
     series
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wAll))
+      // Integer boundary arithmetic: `rn <= n*0.7` is a DECIMAL product in
+      // DuckDB but a double product on the JVM (470*0.7 = 328.999…), so the
+      // boundary row can switch splits. rn*10 <= n*7 is exact everywhere.
       .withColumn("split",
-        when(col("rn") <= col("n") * 0.7, "train")
-          .when(col("rn") <= col("n") * 0.85, "val")
+        when(col("rn") * 10 <= col("n") * 7, "train")
+          .when(col("rn") * 100 <= col("n") * 85, "val")
           .otherwise("test"))
       .drop("rn", "n")
   }

@@ -25,40 +25,58 @@ object MlQueries {
     s"""series AS ($seriesSql),
        |s AS (SELECT *, row_number() OVER (PARTITION BY slice ORDER BY t) AS rn,
        |        count(*) OVER (PARTITION BY slice) AS n FROM series),
-       |tagged AS (SELECT *, CASE WHEN rn <= n * 0.7 THEN 'train'
-       |    WHEN rn <= n * 0.85 THEN 'val' ELSE 'test' END AS split FROM s)""".stripMargin
+       |tagged AS (SELECT *, CASE WHEN rn * 10 <= n * 7 THEN 'train'
+       |    WHEN rn * 100 <= n * 85 THEN 'val' ELSE 'test' END AS split FROM s)""".stripMargin
 
   val all: Seq[QuerySpec] = Seq(
 
     // M1 + M2: chronological 70/15/15 split, robust scaling with
-    // median/IQR fitted on the train partition only (train.py:186-196),
-    // expressed as exact-percentile aggregates (cross-engine-identical).
+    // median/IQR fitted on the train partition only (train.py:186-196).
+    // Quantiles are TYPE-1 (exact rank, value at ceil(n·p)) rather than
+    // interpolated: Spark `percentile` and DuckDB `quantile_cont`
+    // interpolate with different IEEE op orders and drift by ulps, while
+    // an order statistic is an actual data value — bit-identical by
+    // construction.
     checked("ml_split_scale", {
       val feats = Seq("f_events", "f_total", "f_users")
-      val stats = feats.map(f =>
-        s"quantile_cont($f, 0.5) AS ${f}_med, " +
-          s"quantile_cont($f, 0.75) - quantile_cont($f, 0.25) AS ${f}_iqr").mkString(", ")
+      val rankCtes = feats.map { f =>
+        s"""rk_$f AS (
+           |  SELECT slice,
+           |    max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.5) AS BIGINT)) THEN $f END) AS med,
+           |    max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.75) AS BIGINT)) THEN $f END) -
+           |    max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.25) AS BIGINT)) THEN $f END) AS iqr
+           |  FROM (SELECT slice, $f,
+           |      row_number() OVER (PARTITION BY slice ORDER BY $f) AS rn,
+           |      count(*) OVER (PARTITION BY slice) AS n
+           |    FROM tagged WHERE split = 'train')
+           |  GROUP BY slice)""".stripMargin
+      }.mkString(",\n")
       val scaled = feats.map(f =>
-        s"${sqlR6(s"(t1.$f - st.${f}_med) / (CASE WHEN st.${f}_iqr = 0 THEN 1.0 ELSE st.${f}_iqr END)")} AS ${f}_scaled")
+        s"${sqlR6(s"(t1.$f - rk_$f.med) / (CASE WHEN rk_$f.iqr = 0 THEN 1.0 ELSE rk_$f.iqr END)")} AS ${f}_scaled")
         .mkString(",\n  ")
       s"""WITH $taggedSql,
-         |stats AS (SELECT slice, $stats FROM tagged WHERE split = 'train' GROUP BY slice)
+         |$rankCtes
          |SELECT t1.slice, t1.t, t1.split,
          |  $scaled
-         |FROM tagged t1 JOIN stats st ON t1.slice = st.slice""".stripMargin
+         |FROM tagged t1 ${feats.map(f => s"JOIN rk_$f ON t1.slice = rk_$f.slice").mkString(" ")}""".stripMargin
     }) { (s, d) =>
       val feats = Seq("f_events", "f_total", "f_users")
       val series = TimeSeries.withSplit(TimeSeries.featureSeries(Tables.events(s, d)))
-      val stats = series.filter(col("split") === "train")
-        .groupBy("slice")
-        .agg(
-          percentile(col(feats.head), lit(0.5)).as(s"${feats.head}_med"),
-          (feats.map(f => percentile(col(f), lit(0.75)).minus(percentile(col(f), lit(0.25))).as(s"${f}_iqr")) ++
-            feats.tail.map(f => percentile(col(f), lit(0.5)).as(s"${f}_med"))): _*)
-      series.join(broadcast(stats), "slice")
-        .select(col("slice") +: col("t") +: col("split") +:
-          feats.map(f => r6((col(f) - col(s"${f}_med")) /
-            when(col(s"${f}_iqr") === 0, 1.0).otherwise(col(s"${f}_iqr"))).as(s"${f}_scaled")): _*)
+      val train = series.filter(col("split") === "train")
+      def rankStats(f: String) = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("slice").orderBy(f)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy("slice")
+        def at(p: Double) = max(when(col("rn") ===
+          greatest(lit(1L), ceil(col("n") * p).cast("long")), col(f)))
+        train.select(col("slice"), col(f),
+            row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("n"))
+          .groupBy("slice")
+          .agg(at(0.5).as(s"${f}_med"), (at(0.75) - at(0.25)).as(s"${f}_iqr"))
+      }
+      val joined = feats.foldLeft(series)((df, f) => df.join(broadcast(rankStats(f)), "slice"))
+      joined.select(col("slice") +: col("t") +: col("split") +:
+        feats.map(f => r6((col(f) - col(s"${f}_med")) /
+          when(col(s"${f}_iqr") === 0, 1.0).otherwise(col(s"${f}_iqr"))).as(s"${f}_scaled")): _*)
     },
 
     // M9: persistence-baseline forecast metrics — RMSE/MAE per slice of the

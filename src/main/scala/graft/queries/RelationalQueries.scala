@@ -285,9 +285,9 @@ object RelationalQueries {
       s"""SELECT o_orderkey, o_custkey,
          |  row_number() OVER w AS rn,
          |  ${sqlR6("COALESCE(o_totalprice - lag(o_totalprice, 1) OVER w, 0.0)")} AS delta_prev,
-         |  ${sqlR6("""CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+         |  ${sqlR6("""CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
          |        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)""")} AS running_spend
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)""")} AS running_spend
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -298,6 +298,7 @@ object RelationalQueries {
         col("o_orderkey"), col("o_custkey"),
         row_number().over(w).as("rn"),
         r6(coalesce(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), lit(0.0))).as("delta_prev"),
-        r6(sum(col("o_totalprice").cast(DecimalType(38, 10))).over(wRun).cast("double")).as("running_spend"))
+        r6(sum(col("o_totalprice").cast(DecimalType(38, 10))).over(wRun)
+          .cast("string").cast("double")).as("running_spend"))
     })
 }
