@@ -144,7 +144,11 @@ object MlQueries {
           TimeSeries.FeatCols.zipWithIndex.map { case (f, i) =>
             element_at(col("fs"), i + 1).as(f)
           }: _*)
-      val lagged = TimeSeries.lagDesign(scaled, TimeSeries.FeatCols, p).cache()
+      // No .cache() here: a cache entry created inside a query fn is never
+      // unpersisted (the driver re-invokes fns many times per session) and
+      // accumulated storage eventually GC-thrashes the whole bench run.
+      // Recomputing the lag design once more is cheaper than the leak.
+      val lagged = TimeSeries.lagDesign(scaled, TimeSeries.FeatCols, p)
       val model = TimeSeries.fitVar(lagged.filter(col("split") === "train"), p, dim)
       // forecasts + residuals on every row
       val fc = lagged.select(

@@ -64,7 +64,15 @@ object StreamingKpi {
     try {
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(sink)
+    // Materialize and FREE the sink: memory-sink tables otherwise pile up
+    // across the driver's repeated invocations and bloat the session.
+    val result = spark.table(sink)
+    val rows = result.collect()
+    val out = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+      result.schema)
+    spark.catalog.dropTempView(sink)
+    out
   }
 
   // ---------------------------------------------------------------------
