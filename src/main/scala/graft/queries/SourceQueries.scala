@@ -18,37 +18,74 @@ import graft.sources.Pcap
 object SourceQueries {
   import QuerySpec._
 
+  /** Deterministic synthetic pcap corpus: nFiles files of perFile packets,
+    * tagged with 5G slice names as in the reference's directory layout. */
+  private def syntheticPackets(s: org.apache.spark.sql.SparkSession,
+                               nFiles: Int, perFile: Int) = {
+    val filesRdd = s.sparkContext.parallelize(0 until nFiles, nFiles).map { f =>
+      val slice = Seq("eMBB", "URLLC", "mMTC")(f % 3)
+      val specs = (0 until perFile).map { i =>
+        val rnd = new scala.util.Random(f * 100000L + i)
+        // small address/port pools → flows recur, so IAT/jitter KPIs see
+        // real multi-packet sequences (random 5-tuples would make every
+        // flow a singleton and zero out the temporal block)
+        (1700000000L + i / 50, rnd.nextInt(1000000).toLong,
+          1 + rnd.nextInt(6), 1 + rnd.nextInt(6),
+          1000 + rnd.nextInt(4), if (rnd.nextBoolean()) 80 else 443,
+          if (rnd.nextBoolean()) 6 else 17,
+          rnd.nextInt(1 << 30).toLong, if (rnd.nextInt(20) == 0) 0x04 else 0x10,
+          rnd.nextInt(65536), rnd.nextInt(256))
+      }
+      (s"file_$f.pcap", slice, Pcap.synthesize(specs))
+    }
+    filesRdd.flatMap { case (name, slice, bytes) =>
+      Pcap.decodeStream(new java.io.ByteArrayInputStream(bytes), slice, name)
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // S3/S4: packet decode → per (slice, protocol) traffic profile (the
     // reference's protocol census, PcapKpiExtractor.scala:398-401).
     rowsOnly("pcap_decode") { (s, _) =>
       import s.implicits._
-      val nFiles = 8
-      val perFile = 500
-      val filesRdd = s.sparkContext.parallelize(0 until nFiles, nFiles).map { f =>
-        val slice = Seq("eMBB", "URLLC", "mMTC")(f % 3)
-        val specs = (0 until perFile).map { i =>
-          val rnd = new scala.util.Random(f * 100000L + i)
-          (1700000000L + i, rnd.nextInt(1000000).toLong,
-            1 + rnd.nextInt(250), 1 + rnd.nextInt(250),
-            1024 + rnd.nextInt(60000), 80 + rnd.nextInt(8000),
-            if (rnd.nextBoolean()) 6 else 17,
-            rnd.nextInt(1 << 30).toLong, if (rnd.nextInt(20) == 0) 0x04 else 0x10,
-            rnd.nextInt(65536), rnd.nextInt(256))
-        }
-        (s"file_$f.pcap", slice, Pcap.synthesize(specs))
-      }
-      val packets = filesRdd.flatMap { case (name, slice, bytes) =>
-        Pcap.decodeStream(new java.io.ByteArrayInputStream(bytes), slice, name)
-      }
-      packets.toDF()
+      syntheticPackets(s, 8, 500).toDF()
         .groupBy("sliceType", "protocol")
         .agg(
           count(lit(1)).as("n_packets"),
           sum(col("capturedLen")).as("total_bytes"),
           count_distinct(col("flowId")).as("n_flows"),
           sum(when(col("tcpFlags").bitwiseAND(0x04) =!= 0, 1L).otherwise(0L)).as("rst_count"))
+    },
+
+    // The reference's FULL lifecycle composed end-to-end on real packet
+    // rows (what PcapKpiExtractor.main + KafkaKpiPipeline's batch path
+    // compute together): binary decode → per-flow lag IAT → the 38-KPI
+    // aggregate per (slice, 1-second epoch window), at the reference's own
+    // operating point (idle 0.1 s, small <100 B, large >1400 B, floor-epoch
+    // windows — KafkaKpiPipeline.scala:25-27, :418). A user of the
+    // reference runs exactly this table.
+    rowsOnly("pcap_kpi_pipeline") { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val pkt = syntheticPackets(s, 8, 500).toDF().select(
+        col("sliceType").as("slice"), col("flowId").as("flow"),
+        // KpiExprs takes len/win_size as DOUBLE: the moment aggregates
+        // raise c to the 4th power pre-cast, which overflows 32/64-bit
+        // integers under ANSI (60000⁴ ≈ 1.3e19).
+        col("timestamp").as("ts_sec"), col("capturedLen").cast("double").as("len"),
+        col("protocol").as("proto"), col("srcPort").as("src_port"),
+        col("dstPort").as("dst_port"), col("tcpWindow").cast("double").as("win_size"),
+        col("tcpFlags").as("flags"), col("tcpSeq").as("seq"))
+      val w = Window.partitionBy("slice", "flow")
+        .orderBy(col("ts_sec"), col("seq"), col("src_port"))
+      val seqd = pkt.withColumn("iat",
+        coalesce(col("ts_sec") - lag(col("ts_sec"), 1).over(w), lit(0.0)))
+      val kpis = graft.functions.KpiExprs.kpis(
+        idleThr = 0.1, smallLen = 100.0, largeLen = 1400.0)
+      seqd
+        .groupBy(col("slice"), floor(col("ts_sec")).cast("long").as("window_start"))
+        .agg(kpis.head.sparkNamed, kpis.tail.map(_.sparkNamed): _*)
     },
 
     // Multimodal binary pipeline: decode → resize → frame-sample → embed,
