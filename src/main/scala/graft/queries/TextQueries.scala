@@ -21,7 +21,7 @@ object TextQueries {
     // the two ratios are single-divide doubles rounded at the end.
     checked("text_stats",
       s"""WITH t AS (
-         |  SELECT doc_id, n_chars,
+         |  SELECT doc_id, n_chars, text,
          |    ${sqlTokens("text")} AS toks,
          |    ${sqlBpeTokens("text")} AS bpe
          |  FROM documents)
@@ -35,7 +35,13 @@ object TextQueries {
          |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
          |    ${sqlR6("""CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
          |      / len(toks)""")}
-         |  END AS stopword_ratio
+         |  END AS stopword_ratio,
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |    ${sqlR6("CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)")}
+         |  END AS punct_ratio,
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |    ${sqlR6("CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)")}
+         |  END AS digit_ratio
          |FROM t""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .withColumn("toks", tokens(col("text")))
@@ -52,7 +58,13 @@ object TextQueries {
             r6(size(filter(col("toks"),
               x => x.isInCollection(Seq("the", "a", "of", "and", "is", "to", "in"))))
               .cast("double") / size(col("toks"))))
-            .as("stopword_ratio"))
+            .as("stopword_ratio"),
+          when(length(col("text")) === 0, lit(0.0)).otherwise(
+            r6(size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+              .cast("double") / length(col("text")))).as("punct_ratio"),
+          when(length(col("text")) === 0, lit(0.0)).otherwise(
+            r6(size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+              .cast("double") / length(col("text")))).as("digit_ratio"))
     },
 
     // Language-ID heuristic + confusion matrix vs the labeled lang column.
