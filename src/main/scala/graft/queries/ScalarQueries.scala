@@ -91,6 +91,44 @@ object ScalarQueries {
         date_format(col("ts"), "yyyy-MM-dd").as("ymd"))
     },
 
+    // Generator family (SURVEY §2.11 UDTF-shaped ops): posexplode of the
+    // per-order lineitem quantity array — array_agg in a deterministic
+    // order, then unnest with ordinality.
+    checked("scalar_posexplode",
+      """WITH arrs AS (
+        |  SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
+        |  FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey)
+        |SELECT l_orderkey, generate_subscripts(qs, 1) - 1 AS pos, unnest(qs) AS qty
+        |FROM arrs""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        // array_agg ordered within groups via sort_array of (ln, qty) structs
+        .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("pairs"))
+        .select(col("l_orderkey"),
+          posexplode(transform(col("pairs"), p => p.getField("l_quantity"))))
+        .withColumnRenamed("col", "qty")
+    },
+
+    // Pivot (declared addition; no pivot in the reference): order counts by
+    // status spread into columns — the oracle is the CASE-aggregation
+    // spelling, which is also exactly how Spark plans a pivot.
+    checked("scalar_pivot",
+      s"""SELECT o_orderpriority,
+         |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+         |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
+         |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+    },
+
     // Conditional/math family over lineitem: when-chains, epsilon division,
     // bit ops, rounding — the reference's expression vocabulary (§2.8).
     checked("scalar_math",

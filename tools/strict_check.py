@@ -1,0 +1,29 @@
+import json, math, sys
+import duckdb
+sfd, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfd}/{t}.parquet')")
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+def flat(v):
+    if hasattr(v, "tolist"):
+        for x in v.tolist(): yield from flat(x)
+    elif isinstance(v,(list,tuple)):
+        for x in v: yield from flat(x)
+    else: yield v
+bad = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        sdf = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+        ddf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(name, "ERR", str(e)[:90]); bad += 1; continue
+    cols = sorted(sdf.columns)
+    if sorted(ddf.columns) != cols or len(sdf) != len(ddf):
+        print(name, "SHAPE", len(sdf), len(ddf)); bad += 1; continue
+    sr = sorted([tuple(flat(r)) for r in sdf[cols].itertuples(index=False, name=None)], key=str)
+    dr = sorted([tuple(flat(r)) for r in ddf[cols].itertuples(index=False, name=None)], key=str)
+    ne = sum(1 for a,b in zip(sr,dr) for x,y in zip(a,b)
+             if not (x==y or (isinstance(x,float) and isinstance(y,float) and math.isnan(x) and math.isnan(y))))
+    if ne: print(name, ne, "NON-EXACT"); bad += 1
+print(f"STRICT {sfd}: {len(oracle)-bad} bit-exact, {bad} bad")
