@@ -21,7 +21,8 @@ object SparkEntry {
       ScalarQueries.all ++
       StreamingQueries.all ++
       MlQueries.all ++
-      SourceQueries.all
+      SourceQueries.all ++
+      FormatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
