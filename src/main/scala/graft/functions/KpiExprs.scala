@@ -40,8 +40,10 @@ object KpiExprs {
 
   /** Conditional count, exact on both engines. */
   private def cwhen(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+  // CAST: DuckDB sum(int) yields HUGEINT (fetched as float64); Spark emits
+  // BIGINT — the driver's no-tolerance hash gate flags the repr difference.
   private def sqlCwhen(c: String): String =
-    s"sum(CASE WHEN $c THEN 1 ELSE 0 END)"
+    s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT)"
 
   // Unrounded building blocks for ratio KPIs (round once, at the end).
   private def avgRaw(c: Column): Column = dsumRaw(c) / count(c)

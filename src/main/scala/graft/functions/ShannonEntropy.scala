@@ -17,11 +17,14 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
   * Matches DuckDB's `entropy(x)`: H = -Σ (c/n)·log2(c/n).
   */
 object ShannonEntropy {
-  private val aggregator: Aggregator[Long, Map[Long, Long], Double] =
-    new Aggregator[Long, Map[Long, Long], Double] {
+  private val aggregator: Aggregator[java.lang.Long, Map[Long, Long], Double] =
+    new Aggregator[java.lang.Long, Map[Long, Long], Double] {
       def zero: Map[Long, Long] = Map.empty
-      def reduce(b: Map[Long, Long], a: Long): Map[Long, Long] =
-        b.updated(a, b.getOrElse(a, 0L) + 1L)
+      // Boxed input so NULLs are visible and skipped — DuckDB's entropy()
+      // ignores NULLs, and the KPI caller feeds a nullable seq column.
+      def reduce(b: Map[Long, Long], a: java.lang.Long): Map[Long, Long] =
+        if (a == null) b
+        else b.updated(a.longValue, b.getOrElse(a.longValue, 0L) + 1L)
       def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] =
         y.foldLeft(x) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
       def finish(m: Map[Long, Long]): Double = {
@@ -43,8 +46,9 @@ object ShannonEntropy {
       def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
 
-  private lazy val fn = udaf(aggregator)
+  private lazy val fn = udaf(aggregator, Encoders.LONG)
 
-  /** Entropy of an integral column (nulls must be filtered upstream). */
+  /** Entropy of an integral column. NULLs are ignored (DuckDB `entropy`
+    * semantics). */
   def ofLong(c: Column): Column = fn(c)
 }

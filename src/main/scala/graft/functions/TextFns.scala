@@ -157,10 +157,11 @@ object TextFns {
       .stripMargin.replace("\n", " "))
 
   def sqlSimhash(tokHashes: String): String =
-    s"""list_aggregate(list_transform(range(0, 60), j -> CASE WHEN
+    // Outer CAST: list_aggregate 'sum' yields HUGEINT in DuckDB.
+    s"""CAST(list_aggregate(list_transform(range(0, 60), j -> CASE WHEN
        | list_aggregate(list_transform($tokHashes,
        |   h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
-       | THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), 'sum')""".stripMargin.replace("\n", " ")
+       | THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), 'sum') AS BIGINT)""".stripMargin.replace("\n", " ")
 
   /** 15-bit SimHash bands (4 per signature): pigeonhole guarantees any pair
     * at Hamming distance ≤ 3 collides on ≥ 1 band. */
@@ -202,10 +203,12 @@ object TextFns {
   def sqlFingerprint(tokHashes: String): String = {
     val powLit = pow31.mkString("[", ", ", "]")
     val hs = s"(($tokHashes)[1:$FpLen])"
-    s"""CASE WHEN len($hs) = 0 THEN 0 ELSE
+    // Outer CAST: DuckDB list_aggregate(...,'sum') yields HUGEINT (fetched
+    // as float64); Spark emits BIGINT — cast so the strict hash gate agrees.
+    s"""CAST(CASE WHEN len($hs) = 0 THEN 0 ELSE
        | list_aggregate(list_transform(range(1, len($hs) + 1),
        |  i -> ($hs[i] % ${P}) * (${powLit})[len($hs) - i + 1] % ${P}),
-       | 'sum') % ${P} END""".stripMargin.replace("\n", " ")
+       | 'sum') % ${P} END AS BIGINT)""".stripMargin.replace("\n", " ")
   }
 
   // ---------------------------------------------------------------------

@@ -89,7 +89,7 @@ object KpiQueries {
       s"""WITH e AS (SELECT event_type AS slice, ts, value FROM events),
          |m AS (SELECT slice, ts, value,
          |  CASE WHEN lag(ts) OVER w IS NULL
-         |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
          |  FROM e WINDOW w AS (PARTITION BY slice ORDER BY ts)),
          |g AS (SELECT *, sum(new_s) OVER (PARTITION BY slice ORDER BY ts
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)

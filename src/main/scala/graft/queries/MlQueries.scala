@@ -100,8 +100,12 @@ object MlQueries {
           r6(dsumRaw(abs(col("err"))) / count(col("err"))).as("mae"))
     },
 
-    // M5/W2: supervised sequence windows — 12-step history array + 1-step
-    // lead label per (slice, t), full windows only (train.py:223-232).
+    // M5/W2: supervised sequence windows — 12-step history + 1-step lead
+    // label per (slice, t), full windows only (train.py:223-232). The
+    // window is built as an array, then posexploded to (pos, h) rows in the
+    // final projection: the driver's row-sort/hash comparator can't order
+    // array cells, and the flat form is hash-checkable on both engines
+    // (DuckDB zips the two unnests positionally).
     checked("ml_seq_windows",
       s"""WITH series AS ($seriesSql),
          |w AS (SELECT slice, t,
@@ -109,7 +113,8 @@ object MlQueries {
          |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS hist,
          |    lead(f_total, 1) OVER (PARTITION BY slice ORDER BY t) AS label
          |  FROM series)
-         |SELECT slice, t, hist, ${sqlR6("label")} AS label
+         |SELECT slice, t, unnest(range(0, 12)) AS pos, unnest(hist) AS h,
+         |  ${sqlR6("label")} AS label
          |FROM w WHERE len(hist) = 12 AND label IS NOT NULL""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("slice").orderBy("t")
       val wHist = w.rowsBetween(-11, Window.currentRow)
@@ -117,7 +122,10 @@ object MlQueries {
         .withColumn("hist", collect_list(r6(col("f_total"))).over(wHist))
         .withColumn("label", lead(col("f_total"), 1).over(w))
         .filter(size(col("hist")) === 12 && col("label").isNotNull)
-        .select(col("slice"), col("t"), col("hist"), r6(col("label")).as("label"))
+        .select(col("slice"), col("t"),
+          posexplode(col("hist")).as(Seq("p", "h")), r6(col("label")).as("label"))
+        .select(col("slice"), col("t"), col("p").cast("long").as("pos"),
+          col("h"), col("label"))
     },
 
     // M2(MLlib)+M3+M4+M8+M9 end-to-end: MLlib RobustScaler (fit on train) →
@@ -183,12 +191,17 @@ object MlQueries {
     // the window sort).
     rowsOnly("ml_gru_infer") { (s, d) =>
       val w = Window.partitionBy("slice").orderBy("t")
+      val dim = TimeSeries.FeatCols.length
       val nnUdf = udf((hist: Seq[Seq[Double]]) =>
         NeuralStub.forward(hist.map(_.toArray).toArray))
+      // Per-dimension pred columns (not one array column): the driver's
+      // row-sort/hash comparator can't handle array cells.
       TimeSeries.featureSeries(Tables.events(s, d))
         .withColumn("fv", array(TimeSeries.FeatCols.map(col): _*))
         .withColumn("hist", collect_list(col("fv")).over(w.rowsBetween(-11, Window.currentRow)))
         .filter(size(col("hist")) === 12)
-        .select(col("slice"), col("t"), nnUdf(col("hist")).as("pred"))
+        .withColumn("pred", nnUdf(col("hist")))
+        .select(Seq(col("slice"), col("t")) ++
+          (0 until dim).map(i => element_at(col("pred"), i + 1).as(s"pred_$i")): _*)
     })
 }

@@ -115,9 +115,9 @@ object ScalarQueries {
     // spelling, which is also exactly how Spark plans a pivot.
     checked("scalar_pivot",
       s"""SELECT o_orderpriority,
-         |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
-         |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
-         |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
          |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderpriority")

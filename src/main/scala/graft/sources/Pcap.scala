@@ -65,8 +65,10 @@ object Pcap {
     * PacketEvent. Unknown layers degrade gracefully to OTHER/defaults —
     * decode must never throw on garbage (resilience contract). */
   def parsePacket(bytes: Array[Byte], slice: String, file: String,
-                  tsSec: Long, tsUsec: Long, origLen: Int): PacketEvent = {
-    val ts = (tsSec & 0xffffffffL) + tsUsec / 1e6
+                  tsSec: Long, tsFrac: Long, origLen: Int,
+                  nano: Boolean = false): PacketEvent = {
+    // Fractional field is µs in classic pcap, ns in the nano variants.
+    val ts = (tsSec & 0xffffffffL) + tsFrac / (if (nano) 1e9 else 1e6)
     var ethertype = 0
     var proto = "OTHER"
     var srcIp = ""; var dstIp = ""
@@ -116,6 +118,7 @@ object Pcap {
     try {
       val magic = d.readInt()
       val le = magic == MagicLe || magic == MagicLeNano
+      val nano = magic == MagicLeNano || magic == MagicBeNano
       val known = le || magic == MagicBe || magic == MagicBeNano
       if (known) {
         d.skipBytes(20) // version, thiszone, sigfigs, snaplen, network
@@ -124,14 +127,14 @@ object Pcap {
         while (!eof && n < maxPackets) {
           try {
             val tsSec = readU32(d, le)
-            val tsUsec = readU32(d, le)
+            val tsFrac = readU32(d, le)
             val capLen = readU32(d, le).toInt
-            d.skipBytes(4) // origLen — re-read below if needed; keep simple
+            val origLen = readU32(d, le).toInt
             if (capLen <= 0 || capLen >= MaxCapLen) eof = true
             else {
               val buf = new Array[Byte](capLen)
               d.readFully(buf)
-              out += parsePacket(buf, slice, file, tsSec, tsUsec, capLen)
+              out += parsePacket(buf, slice, file, tsSec, tsFrac, origLen, nano)
               n += 1
             }
           } catch { case _: EOFException => eof = true }

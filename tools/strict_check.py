@@ -21,9 +21,21 @@ for name, sql in sorted(oracle.items()):
     cols = sorted(sdf.columns)
     if sorted(ddf.columns) != cols or len(sdf) != len(ddf):
         print(name, "SHAPE", len(sdf), len(ddf)); bad += 1; continue
+    # Dtype gate: the driver's hash compare flags int-vs-float repr drift
+    # (e.g. DuckDB HUGEINT fetched as float64 vs Spark BIGINT) even when
+    # Python would say 1008.0 == 1008. Compare numeric kinds per column.
+    knd = {"i": "int", "u": "int", "f": "float"}
+    dt = [c for c in cols
+          if knd.get(sdf[c].dtype.kind, sdf[c].dtype.kind)
+          != knd.get(ddf[c].dtype.kind, ddf[c].dtype.kind)]
+    if dt:
+        print(name, "DTYPE", {c: (str(sdf[c].dtype), str(ddf[c].dtype)) for c in dt})
+        bad += 1; continue
     sr = sorted([tuple(flat(r)) for r in sdf[cols].itertuples(index=False, name=None)], key=str)
     dr = sorted([tuple(flat(r)) for r in ddf[cols].itertuples(index=False, name=None)], key=str)
+    def isf(v): return isinstance(v, float)
     ne = sum(1 for a,b in zip(sr,dr) for x,y in zip(a,b)
-             if not (x==y or (isinstance(x,float) and isinstance(y,float) and math.isnan(x) and math.isnan(y))))
+             if not ((x==y and isf(x)==isf(y)) or
+                     (isf(x) and isf(y) and math.isnan(x) and math.isnan(y))))
     if ne: print(name, ne, "NON-EXACT"); bad += 1
 print(f"STRICT {sfd}: {len(oracle)-bad} bit-exact, {bad} bad")
