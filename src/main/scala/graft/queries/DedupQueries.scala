@@ -53,12 +53,20 @@ object DedupQueries {
     * so at verify scale this is the full corpus. */
   val QuadraticCap = 500L
 
-  /** Shared doc → distinct shingle-hash-set preparation (one projection,
-    * no shuffle; reused by minhash + ngram twins). */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      array_distinct(h60All(shingles(tokens(col("text")), ShingleN))).as("sh"))
+  /** Distinct (doc_id, shingle-h60) rows — the exploded form of the
+    * oracle's per-doc shingle sets. The md5/conv hash runs as a codegen'd per-row
+    * expression after the generator instead of inside a higher-order
+    * lambda (HOFs are interpreted — measured 6.7 s/pass over sf0.1's
+    * 5 000 docs vs < 1 s for this shape), and every downstream consumer
+    * (signature minima, set sizes, pair intersections) is a codegen'd
+    * hash aggregate or join on these rows. At 100 TB this is the standard
+    * inverted-index build: one shuffle, partitioned by (doc_id, h). */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), ShingleN)).as("sstr"))
+      .select(col("doc_id"), h60(col("sstr")).as("h"))
+      .distinct()
 
   private val shingleSetsSql: String =
     s"""SELECT doc_id, list_distinct(${sqlH60All(
@@ -101,9 +109,8 @@ object DedupQueries {
          |             JOIN capped y ON doc_b = y.doc_id)
          |SELECT doc_a, doc_b, ${sqlR6("jac")} AS jaccard
          |FROM sized WHERE jac >= $NgramThr""".stripMargin) { (s, d) =>
-      val sh = shingleSets(s, d).filter(col("doc_id") < QuadraticCap)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val ex = shingleRows(s, d).filter(col("doc_id") < QuadraticCap)
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = ex.as("a")
         .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -133,16 +140,18 @@ object DedupQueries {
          |FROM cand JOIN sh x ON cand.doc_a = x.doc_id
          |          JOIN sh y ON cand.doc_b = y.doc_id
          |WHERE ${sqlJaccard("x.sh", "y.sh")} >= $JaccardThr""".stripMargin) { (s, d) =>
-      val sh = shingleSets(s, d)
       // Signature via explode + codegen'd hash aggregate (32 min() columns)
       // rather than per-row higher-order lambdas: HOFs are interpreted
       // (no whole-stage codegen) and cost ~K×|shingles| interpreted evals
-      // per row; the explode route is one shuffle on doc_id and stays in
-      // codegen end-to-end. Same integer math as TextFns.minhashSig, so the
-      // DuckDB twin (list-lambda form) is unchanged.
-      val ex = sh.select(col("doc_id"), explode_outer(col("sh")).as("h"))
+      // per row; the explode route is map-side-combined mins — one tiny
+      // shuffle of (doc_id × 32 longs) partials. Same integer math as
+      // TextFns.minhashSig, so the DuckDB twin (list-lambda form) is
+      // unchanged. Docs with no shingles drop out of the explode — the
+      // SQL twin keeps them as all-P signatures, but any pair they form
+      // verifies at jaccard 0 < thr, so the output is identical.
+      val ex = shingleRows(s, d)
       val minCols = perms(K).zipWithIndex.map { case ((a, b), i) =>
-        coalesce(min((col("h") % P * a + b) % P), lit(P)).as(s"m$i")
+        min((col("h") % P * a + b) % P).as(s"m$i")
       }
       val sig = ex.groupBy("doc_id")
         .agg(minCols.head, minCols.tail: _*)
@@ -155,12 +164,24 @@ object DedupQueries {
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-        .filter(jaccard(col("sha"), col("shb")) >= JaccardThr)
+      // Exact-Jaccard verify on candidates via shared-shingle join-count
+      // over the same exploded rows (|A∩B| as a hash join + count; sizes
+      // as per-doc counts) — identical value to the oracle's
+      // len(list_intersect)/len-union on distinct sets, with no
+      // interpreted array_intersect and no recompute of the shingle HOFs.
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val nInter = cand
+        .join(ex.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+        .join(ex.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      val jac = col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")).cast("double")
+      nInter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(jac >= JaccardThr)
         .select(col("doc_a"), col("doc_b"),
-          graft.functions.DetAgg.r6(jaccard(col("sha"), col("shb"))).as("jaccard"))
+          graft.functions.DetAgg.r6(jac).as("jaccard"))
     },
 
     // ------------------------------------------------------------------
@@ -184,9 +205,13 @@ object DedupQueries {
       // nested-lambda simhash is the per-row reference form): 60 signed
       // bit-sums per doc, then one projection assembles the signature.
       // explode_outer keeps empty docs (sim = 0), matching the SQL twin
-      // where an empty token list yields NULL sums → all bits 0.
+      // where an empty token list yields NULL sums → all bits 0. The
+      // token hash runs per exploded row (codegen), not inside the
+      // interpreted h60All lambda; h60(null) stays null for the
+      // explode_outer row, giving the same -1 bit-sums as before.
       val th = Tables.documents(s, d)
-        .select(col("doc_id"), explode_outer(h60All(tokens(col("text")))).as("h"))
+        .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), h60(col("tok")).as("h"))
       val bitSums = (0 until 60).map { j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")
       }

@@ -103,7 +103,8 @@ object TextQueries {
          |SELECT lang, count(*) AS n_tokens, ${sqlR6("entropy(th)")} AS token_entropy
          |FROM t GROUP BY lang""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .select(col("lang"), explode(h60All(tokens(col("text")))).as("th"))
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .select(col("lang"), h60(col("tok")).as("th"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tokens"),
           r6(graft.functions.ShannonEntropy.ofLong(col("th"))).as("token_entropy"))
