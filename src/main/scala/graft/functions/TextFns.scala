@@ -268,8 +268,15 @@ object TextFns {
   def sqlScaledVec(v: String): String =
     s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
-  /** Exact integer dot product of two scaled vectors, as DOUBLE. */
+  /** Exact integer dot product of two scaled vectors, as DOUBLE — native
+    * codegen'd expression ([[graft.functions.expr.DotLong]]). */
   def dotInt(a: Column, b: Column): Column =
+    graft.functions.expr.DotLong(a, b).cast("double")
+
+  /** Higher-order-function twin of [[dotInt]] (interpreted; the
+    * composed-built-ins reference form DotLong is property-tested
+    * against). */
+  def dotIntHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
       .cast("double")
 

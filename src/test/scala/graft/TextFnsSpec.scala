@@ -78,4 +78,30 @@ class TextFnsSpec extends SparkSpec {
     val (w, _, _, _) = MediaOps.decode(Array[Byte](1, 2, 3))
     assert(w == -1)
   }
+
+  test("DotLong native expression matches the HOF reference form") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(200) {
+      val n = rnd.nextInt(65)
+      (Seq.fill(n)(rnd.nextLong() % 2000000L), Seq.fill(n)(rnd.nextLong() % 2000000L))
+    } ++ Seq(
+      (Seq.empty[Long], Seq.empty[Long]),       // empty → 0
+      (Seq(1L, 2L), Seq(3L)))                    // length mismatch → null
+    val df = cases.toDF("a", "b")
+      .select(
+        graft.functions.expr.DotLong(col("a"), col("b")).as("native"),
+        TextFns.dotIntHof(col("a"), col("b")).cast("long").as("hof"))
+    assert(df.collect().forall(r => r.get(0) == r.get(1)))
+    // null array → null
+    val nullDf = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(graft.functions.expr.DotLong(col("a"), col("b")))
+    assert(nullDf.head().isNullAt(0))
+    // and the codegen path actually evaluates (non-local relation)
+    val big = spark.range(1000).select(
+      expr("array(id, id+1, id+2)").as("a"), expr("array(id, id, id)").as("b"))
+    val s = big.select(graft.functions.expr.DotLong(col("a"), col("b")).as("d"))
+      .agg(sum(col("d"))).head().getLong(0)
+    val ref = (0L until 1000L).map(i => i * i + (i + 1) * i + (i + 2) * i).sum
+    assert(s == ref)
+  }
 }
