@@ -36,7 +36,7 @@ object TimeSeries {
         min(col("value")).as("f_min"),
         max(col("value")).as("f_max"),
         count_distinct(col("user_id")).cast("double").as("f_users"),
-        dsumRaw(get_json_object(col("props"), "$.k").cast("int")).as("f_ksum"))
+        dsumRaw(graft.functions.JsonFns.jsonInt(col("props"), "k")).as("f_ksum"))
 
   val FeatCols: Seq[String] =
     Seq("f_events", "f_total", "f_avg", "f_min", "f_max", "f_users", "f_ksum")
@@ -50,7 +50,7 @@ object TimeSeries {
        |  min(value) AS f_min,
        |  max(value) AS f_max,
        |  CAST(count(DISTINCT user_id) AS DOUBLE) AS f_users,
-       |  ${sqlSumRaw("CAST(json_extract_string(props, '$$.k') AS INTEGER)")} AS f_ksum
+       |  ${sqlSumRaw(graft.functions.JsonFns.sqlJsonInt("props", "k"))} AS f_ksum
        |FROM events GROUP BY 1, 2""".stripMargin.replace("$$", "$")
 
   /** Chronological 70/15/15 split tag (`train.py:186-190` — M1). Ordered

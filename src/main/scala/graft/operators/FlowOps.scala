@@ -26,7 +26,7 @@ object FlowOps {
   /** Canonical packet view over `events` (column contract of
     * [[graft.functions.KpiExprs]]). */
   def packetView(events: DataFrame): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("int")
+    val k = graft.functions.JsonFns.jsonInt(col("props"), "k")
     events.select(
       col("event_id"),
       col("ts"),
@@ -44,7 +44,7 @@ object FlowOps {
 
   /** DuckDB twin of [[packetView]] (kept in lockstep). */
   val packetViewSql: String =
-    """SELECT event_id, ts,
+    s"""SELECT event_id, ts,
       |  event_type AS slice,
       |  user_id AS flow,
       |  epoch_us(ts) / 1000000.0 AS ts_sec,
@@ -55,7 +55,7 @@ object FlowOps {
       |  k AS win_size,
       |  k AS flags,
       |  CAST(k % 50 AS BIGINT) AS seq
-      |FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)""".stripMargin
+      |FROM (SELECT *, ${graft.functions.JsonFns.sqlJsonInt("props", "k")} AS k FROM events)""".stripMargin
 
   /** Per-flow inter-arrival time via `lag` (reference `:86-96`; quirk Q4:
     * a flow's first packet gets IAT = 0.0, faithfully replicated).

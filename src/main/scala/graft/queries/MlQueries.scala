@@ -137,7 +137,21 @@ object MlQueries {
     rowsOnly("ml_var_hybrid") { (s, d) =>
       val p = 2
       val dim = TimeSeries.FeatCols.length
-      val series = TimeSeries.withSplit(TimeSeries.featureSeries(Tables.events(s, d)))
+      // The hourly feature frame is bounded by slices × hours — the same
+      // in-memory contract the reference takes (train.py loads the full
+      // KPI frame into pandas before statsmodels/keras ever run). One
+      // distributed pass does the 100 TB work (scan + hourly agg); the
+      // collected frame then backs a LocalRelation so the model-fit
+      // actions that follow (MLlib scaler fit, Gram treeAggregate, final
+      // scoring) replan from local rows instead of re-scanning events
+      // once per action. No cache entry is created (session hygiene).
+      val series = {
+        val distributed =
+          TimeSeries.withSplit(TimeSeries.featureSeries(Tables.events(s, d)))
+        val rows = distributed.collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), distributed.schema)
+      }
       // MLlib robust scaling fitted on train only (train.py:193-196)
       val assembled = new VectorAssembler()
         .setInputCols(TimeSeries.FeatCols.toArray).setOutputCol("fv")
