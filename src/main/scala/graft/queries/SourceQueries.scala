@@ -18,25 +18,30 @@ import graft.sources.Pcap
 object SourceQueries {
   import QuerySpec._
 
+  /** Deterministic per-file packet specs (shared by the RDD and V2 query
+    * twins). Small address/port pools → flows recur, so IAT/jitter KPIs
+    * see real multi-packet sequences (random 5-tuples would make every
+    * flow a singleton and zero out the temporal block). */
+  private def fileSpecs(f: Int, perFile: Int) =
+    (0 until perFile).map { i =>
+      val rnd = new scala.util.Random(f * 100000L + i)
+      (1700000000L + i / 50, rnd.nextInt(1000000).toLong,
+        1 + rnd.nextInt(6), 1 + rnd.nextInt(6),
+        1000 + rnd.nextInt(4), if (rnd.nextBoolean()) 80 else 443,
+        if (rnd.nextBoolean()) 6 else 17,
+        rnd.nextInt(1 << 30).toLong, if (rnd.nextInt(20) == 0) 0x04 else 0x10,
+        rnd.nextInt(65536), rnd.nextInt(256))
+    }
+
+  private val SliceNames = Seq("eMBB", "URLLC", "mMTC")
+
   /** Deterministic synthetic pcap corpus: nFiles files of perFile packets,
     * tagged with 5G slice names as in the reference's directory layout. */
   private def syntheticPackets(s: org.apache.spark.sql.SparkSession,
                                nFiles: Int, perFile: Int) = {
     val filesRdd = s.sparkContext.parallelize(0 until nFiles, nFiles).map { f =>
-      val slice = Seq("eMBB", "URLLC", "mMTC")(f % 3)
-      val specs = (0 until perFile).map { i =>
-        val rnd = new scala.util.Random(f * 100000L + i)
-        // small address/port pools → flows recur, so IAT/jitter KPIs see
-        // real multi-packet sequences (random 5-tuples would make every
-        // flow a singleton and zero out the temporal block)
-        (1700000000L + i / 50, rnd.nextInt(1000000).toLong,
-          1 + rnd.nextInt(6), 1 + rnd.nextInt(6),
-          1000 + rnd.nextInt(4), if (rnd.nextBoolean()) 80 else 443,
-          if (rnd.nextBoolean()) 6 else 17,
-          rnd.nextInt(1 << 30).toLong, if (rnd.nextInt(20) == 0) 0x04 else 0x10,
-          rnd.nextInt(65536), rnd.nextInt(256))
-      }
-      (s"file_$f.pcap", slice, Pcap.synthesize(specs))
+      val slice = SliceNames(f % 3)
+      (s"file_$f.pcap", slice, Pcap.synthesize(fileSpecs(f, perFile)))
     }
     filesRdd.flatMap { case (name, slice, bytes) =>
       Pcap.decodeStream(new java.io.ByteArrayInputStream(bytes), slice, name)
@@ -50,6 +55,32 @@ object SourceQueries {
     rowsOnly("pcap_decode") { (s, _) =>
       import s.implicits._
       syntheticPackets(s, 8, 500).toDF()
+        .groupBy("sliceType", "protocol")
+        .agg(
+          count(lit(1)).as("n_packets"),
+          sum(col("capturedLen")).as("total_bytes"),
+          count_distinct(col("flowId")).as("n_flows"),
+          sum(when(col("tcpFlags").bitwiseAND(0x04) =!= 0, 1L).otherwise(0L)).as("rst_count"))
+    },
+
+    // S2 alternative route: the same decode through the DataSource V2
+    // reader (`spark.read.format("pcap")`) — Catalyst-integrated scan with
+    // one partition per file and column pruning reaching the decoder
+    // (graft.sources.v2.PcapDataSource). The corpus is written to a
+    // deterministic temp dir (slice = parent dir, as in the reference's
+    // HDFS layout) and the same census aggregate runs on top; only the
+    // pruned 4 columns are materialized from each packet.
+    rowsOnly("pcap_decode_v2") { (s, _) =>
+      val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_pcap_v2")
+      (0 until 8).foreach { f =>
+        val dir = new java.io.File(root, SliceNames(f % 3))
+        dir.mkdirs()
+        val file = new java.io.File(dir, s"file_$f.pcap")
+        if (!file.exists()) // deterministic content: write once, reuse
+          java.nio.file.Files.write(file.toPath, Pcap.synthesize(fileSpecs(f, 500)))
+      }
+      s.read.format("pcap")
+        .load(SliceNames.map(sl => new java.io.File(root, sl).getAbsolutePath): _*)
         .groupBy("sliceType", "protocol")
         .agg(
           count(lit(1)).as("n_packets"),
