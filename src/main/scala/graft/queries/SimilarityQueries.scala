@@ -28,6 +28,10 @@ object SimilarityQueries {
   val NQueries = 5L
   val SrpBits = 6
   val Dim = 64
+  /** IVF coarse quantizer: nList sampled centroids, nProbe probed lists. */
+  val IvfLists = 8
+  val IvfProbe = 2
+  val IvfCentroidBase = 10L
 
   // Squared norms precomputed once per vector: each scored pair costs one
   // dot product, and the identical integers reach the same sqrt/divide.
@@ -95,5 +99,68 @@ object SimilarityQueries {
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk"), col("vec_id"), graft.functions.DetAgg.r6(col("cos")).as("cos"))
+    },
+
+    // IVF-style ANN: coarse quantizer = IvfLists sampled centroids (fixed
+    // vec_ids — the standard init for an IVF index); every vector is
+    // assigned to its nearest centroid by exact squared L2 distance in
+    // scaled-integer space (‖x−c‖² = n2 − 2·x·c + cn2, all
+    // integer-valued → bit-exact, ties by centroid id); queries probe
+    // their IvfProbe nearest lists and re-rank candidates by exact
+    // cosine. The 100 TB shape: centroids broadcast (nList ≪ corpus),
+    // assignment is one no-shuffle pass, candidates shuffle on list id
+    // only, probes touch nProbe/nList of the corpus. Recall/cost trades
+    // via IvfProbe exactly as in a production IVF index.
+    checked("ann_ivf", {
+      val dist = s"(n2 - 2 * ${sqlDotInt("v", "cv", Dim)} + cn2)"
+      val qdist = s"(qn2 - 2 * ${sqlDotInt("qv", "cv", Dim)} + cn2)"
+      s"""WITH sv AS ($svSql),
+         |cent AS (SELECT vec_id - $IvfCentroidBase AS c_id, v AS cv, n2 AS cn2
+         |  FROM sv WHERE vec_id >= $IvfCentroidBase AND vec_id < ${IvfCentroidBase + IvfLists}),
+         |asg AS (SELECT vec_id, v, n2, c_id FROM (
+         |  SELECT sv.vec_id, sv.v, sv.n2, cent.c_id,
+         |    row_number() OVER (PARTITION BY sv.vec_id ORDER BY $dist, c_id) AS rn
+         |  FROM sv CROSS JOIN cent) WHERE rn = 1),
+         |q AS (SELECT q_id, qv, qn2, c_id FROM (
+         |  SELECT sv.vec_id AS q_id, sv.v AS qv, sv.n2 AS qn2, cent.c_id,
+         |    row_number() OVER (PARTITION BY sv.vec_id ORDER BY $qdist, c_id) AS rn
+         |  FROM sv CROSS JOIN cent WHERE sv.vec_id < 50) WHERE rn <= $IvfProbe),
+         |scored AS (
+         |  SELECT q_id, asg.vec_id AS vec_id,
+         |    ${sqlDotInt("qv", "asg.v", Dim)} / (sqrt(qn2) * sqrt(asg.n2)) AS cos
+         |  FROM q JOIN asg ON q.c_id = asg.c_id AND asg.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, vec_id, ${graft.functions.DetAgg.sqlR6("cos")} AS cos
+         |FROM ranked WHERE rnk <= 5""".stripMargin
+    }) { (s, d) =>
+      val sv = svSpark(s, d)
+      val cent = sv
+        .filter(col("vec_id") >= IvfCentroidBase &&
+          col("vec_id") < IvfCentroidBase + IvfLists)
+        .select((col("vec_id") - IvfCentroidBase).as("c_id"),
+          col("v").as("cv"), col("n2").as("cn2"))
+      val dist = col("n2") - lit(2) * dotInt(col("v"), col("cv")) + col("cn2")
+      val wAsg = Window.partitionBy("vec_id").orderBy(dist, col("c_id"))
+      val asg = sv.crossJoin(broadcast(cent))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("n2"), col("c_id"))
+      val q = sv.filter(col("vec_id") < 50).crossJoin(broadcast(cent))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") <= IvfProbe)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("n2").as("qn2"), col("c_id"))
+      val scored = broadcast(q)
+        .join(asg.select(col("vec_id"), col("v"), col("n2"), col("c_id").as("c2")),
+          col("c_id") === col("c2") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dotInt(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id"),
+          graft.functions.DetAgg.r6(col("cos")).as("cos"))
     })
 }
