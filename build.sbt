@@ -31,5 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 50-query session generates thousands of Janino classes; the default
+  // 2 compiler threads + 240 MB code cache were observed starving JIT
+  // compilation late in a run (hot generated loops stuck interpreted at
+  // ~100x cost). Give compilation headroom.
+  "-XX:CICompilerCount=8",
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++ sys.env.get("SPARK_GRAFT_JFR").map(f =>
   s"-XX:StartFlightRecording=filename=$f,settings=profile").toSeq
