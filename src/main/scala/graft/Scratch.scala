@@ -21,8 +21,7 @@ object Scratch {
     }
 
     t("warm")(Tables.documents(spark, sfDir).count())
-    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash", "text_entropy");
-         i <- 1 to 2)
+    for (q <- Seq("dedup_minhash", "dedup_simhash"); i <- 1 to 3)
       t(s"$q #$i")(SparkEntry.queries(q)(spark, sfDir).count())
     spark.stop()
   }
