@@ -66,6 +66,35 @@ class StreamingKpiSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed state runs identically on the RocksDB state store") {
+    // HDFSBackedStateStoreProvider (default) keeps state on the heap — the
+    // right choice for these bounded runs, but at 100 TB state the
+    // production backend is RocksDB (off-heap, incremental checkpoints,
+    // bounded memory). The jar ships with Spark; this pins that the keyed
+    // IAT pipeline produces identical rows under it.
+    val sfDir = "/root/testdata/sf0.001"
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = StreamingKpi.runBounded(spark,
+        StreamingKpi.flowIat(spark, StreamingKpi.eventsStream(spark, sfDir)).toDF(),
+        "rocks_iat", OutputMode.Append)
+      spark.conf.unset(provider)
+      val heap = StreamingKpi.runBounded(spark,
+        StreamingKpi.flowIat(spark, StreamingKpi.eventsStream(spark, sfDir)).toDF(),
+        "heap_iat", OutputMode.Append)
+      assert(rocks.count() == heap.count() && rocks.count() > 0)
+      assert(rocks.except(heap).isEmpty && heap.except(rocks).isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
+
   test("streaming tumbling aggregation equals the batch group-by") {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = StreamingKpi.runBounded(spark,
