@@ -39,6 +39,55 @@ object StreamingQueries {
       StreamingKpi.runBounded(s, stream, "kpi_tumbling", OutputMode.Complete)
     },
 
+    // Sliding-window streaming aggregation (T3 declared addition): every
+    // event lands in two 2-hour windows; the streaming planner handles the
+    // expansion (generate + windowed state). Equals the batch twin
+    // kpi_sliding and its oracle.
+    checked("stream_kpi_sliding",
+      s"""SELECT slice, ws AS window_start, count(*) AS n_events,
+         |  ${sqlSum("value")} AS total_value
+         |FROM (SELECT event_type AS slice, value,
+         |    unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
+         |  FROM events)
+         |GROUP BY slice, ws""".stripMargin) { (s, d) =>
+      val stream = StreamingKpi.eventsStream(s, d)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(col("event_type").as("slice"),
+          window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("slice"), col("window.start").as("window_start"),
+          col("n_events"), col("total_value"))
+      StreamingKpi.runBounded(s, stream, "kpi_sliding_stream", OutputMode.Complete)
+    },
+
+    // Session-window streaming aggregation (T3): 30-minute-gap sessions
+    // merged by the streaming state store as batches arrive — the
+    // stateful-merge semantics batch mode gets for free. Complete-mode
+    // drain returns every session; equals the batch twin kpi_session and
+    // its gaps-and-islands oracle.
+    checked("stream_kpi_session",
+      s"""WITH e AS (SELECT event_type AS slice, ts, value FROM events),
+         |m AS (SELECT slice, ts, value,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY slice ORDER BY ts)),
+         |g AS (SELECT *, sum(new_s) OVER (PARTITION BY slice ORDER BY ts
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+         |SELECT slice, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  count(*) AS n_events, ${sqlSum("value")} AS total_value
+         |FROM g GROUP BY slice, sid""".stripMargin) { (s, d) =>
+      val stream = StreamingKpi.eventsStream(s, d)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(col("event_type").as("slice"),
+          session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("slice"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total_value"))
+      StreamingKpi.runBounded(s, stream, "kpi_session_stream", OutputMode.Complete)
+    },
+
     // Keyed-state per-flow IAT (T8) — flatMapGroupsWithState carrying
     // last-ts per flow; must reproduce the batch lag-window exactly
     // (flow_iat's oracle).
