@@ -56,11 +56,23 @@ object StreamingKpi {
                  mode: OutputMode): DataFrame = {
     // Re-runs in one session: memory sink names must be fresh.
     val sink = s"${name}_${System.nanoTime()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode(mode)
-      .start()
+    // Stateful queries pay a per-state-partition constant every micro-batch
+    // (store commit + snapshot + task): 8 partitions halves these bounded
+    // drains vs 32 at sf0.1 state sizes, with bit-identical results (all
+    // aggregates are partition-invariant by construction). The setting
+    // binds at query start and is restored right after; unbounded
+    // production runs should size it to state volume, not cores.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    val q =
+      try {
+        spark.conf.set(partsKey, "8")
+        df.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode(mode)
+          .start()
+      } finally spark.conf.set(partsKey, prevParts)
     try {
       q.processAllAvailable()
     } finally q.stop()
