@@ -20,11 +20,12 @@ object Scratch {
       r
     }
 
-    t("warm")(Tables.events(spark, sfDir).count())
-    for (n <- Seq("32", "8", "4"); q <- Seq("stream_flow_iat", "stream_kpi_session"); i <- 1 to 2) {
-      spark.conf.set("spark.sql.shuffle.partitions", n)
-      t(s"$q parts=$n #$i")(SparkEntry.queries(q)(spark, sfDir).count())
-    }
+    t("warm")(Tables.documents(spark, sfDir).count())
+    for (q <- Seq("dedup_minhash", "dedup_simhash"); i <- 1 to 3)
+      t(s"$q #$i")(SparkEntry.queries(q)(spark, sfDir).count())
+    val plan = SparkEntry.queries("dedup_minhash")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    System.err.println("[scratch] ReusedExchange: " + plan.contains("ReusedExchange"))
     spark.stop()
   }
 }
