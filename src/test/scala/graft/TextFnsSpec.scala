@@ -79,6 +79,21 @@ class TextFnsSpec extends SparkSpec {
     assert(w == -1)
   }
 
+  test("jsonInt fast path agrees with get_json_object on flat JSON") {
+    import graft.functions.JsonFns
+    val cases = Seq(
+      """{"k": 42}""", """{"k":-7}""", """{"k" : 0}""",
+      """{"a": 1, "k": 99}""", """{"a": 1}""", // k missing → null
+      "", "not json at all")
+    val df = cases.toDF("props").select(
+      JsonFns.jsonInt(col("props"), "k").as("fast"),
+      get_json_object(col("props"), "$.k").cast("int").as("full"))
+    df.collect().foreach(r => assert(r.get(0) == r.get(1), r.toString))
+    // DuckDB twin produces the same values on the same inputs
+    val sql = JsonFns.sqlJsonInt("props", "k")
+    assert(sql.contains("regexp_extract") && sql.contains("nullif"))
+  }
+
   test("DotLong native expression matches the HOF reference form") {
     val rnd = new scala.util.Random(7)
     val cases = Seq.fill(200) {
