@@ -76,8 +76,19 @@ object SourceQueries {
         val dir = new java.io.File(root, SliceNames(f % 3))
         dir.mkdirs()
         val file = new java.io.File(dir, s"file_$f.pcap")
-        if (!file.exists()) // deterministic content: write once, reuse
-          java.nio.file.Files.write(file.toPath, Pcap.synthesize(fileSpecs(f, 500)))
+        val bytes = Pcap.synthesize(fileSpecs(f, 500))
+        // Reuse only a byte-complete file: a truncated leftover from an
+        // interrupted run would decode short forever (the decoder tolerates
+        // truncation and the rows-only gate wouldn't notice). Stage to a
+        // .tmp name (the scan lists *.pcap only) and atomically rename, so
+        // a concurrent run never observes a partial file.
+        if (file.length() != bytes.length) {
+          val tmp = java.nio.file.Files.createTempFile(dir.toPath, s".file_$f", ".tmp")
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.move(tmp, file.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
       }
       s.read.format("pcap")
         .load(SliceNames.map(sl => new java.io.File(root, sl).getAbsolutePath): _*)

@@ -29,14 +29,14 @@ object StreamingQueries {
          |  count(*) AS n_events,
          |  ${sqlSum("value")} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
-      val stream = StreamingKpi.eventsStream(s, d)
+      StreamingKpi.runBounded(s, s2 => StreamingKpi.eventsStream(s2, d)
         .withWatermark("ts", "10 seconds")
         .groupBy(col("event_type").as("slice"),
           window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
         .select(col("slice"), col("window.start").as("window_start"),
-          col("n_events"), col("total_value"))
-      StreamingKpi.runBounded(s, stream, "kpi_tumbling", OutputMode.Complete)
+          col("n_events"), col("total_value")),
+        "kpi_tumbling", OutputMode.Complete)
     },
 
     // Sliding-window streaming aggregation (T3 declared addition): every
@@ -50,14 +50,14 @@ object StreamingQueries {
          |    unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
          |  FROM events)
          |GROUP BY slice, ws""".stripMargin) { (s, d) =>
-      val stream = StreamingKpi.eventsStream(s, d)
+      StreamingKpi.runBounded(s, s2 => StreamingKpi.eventsStream(s2, d)
         .withWatermark("ts", "10 seconds")
         .groupBy(col("event_type").as("slice"),
           window(col("ts"), "2 hours", "1 hour"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
         .select(col("slice"), col("window.start").as("window_start"),
-          col("n_events"), col("total_value"))
-      StreamingKpi.runBounded(s, stream, "kpi_sliding_stream", OutputMode.Complete)
+          col("n_events"), col("total_value")),
+        "kpi_sliding_stream", OutputMode.Complete)
     },
 
     // Session-window streaming aggregation (T3): 30-minute-gap sessions
@@ -76,7 +76,7 @@ object StreamingQueries {
          |SELECT slice, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
          |  count(*) AS n_events, ${sqlSum("value")} AS total_value
          |FROM g GROUP BY slice, sid""".stripMargin) { (s, d) =>
-      val stream = StreamingKpi.eventsStream(s, d)
+      StreamingKpi.runBounded(s, s2 => StreamingKpi.eventsStream(s2, d)
         .withWatermark("ts", "10 seconds")
         .groupBy(col("event_type").as("slice"),
           session_window(col("ts"), "30 minutes"))
@@ -84,8 +84,8 @@ object StreamingQueries {
         .select(col("slice"),
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
-          col("n_events"), col("total_value"))
-      StreamingKpi.runBounded(s, stream, "kpi_session_stream", OutputMode.Complete)
+          col("n_events"), col("total_value")),
+        "kpi_session_stream", OutputMode.Complete)
     },
 
     // Keyed-state per-flow IAT (T8) — flatMapGroupsWithState carrying
@@ -100,8 +100,9 @@ object StreamingQueries {
          |SELECT event_id, slice, flow, ${sqlR6("ts_sec")} AS ts_sec6,
          |  ${sqlR6("iat")} AS iat6
          |FROM seqd""".stripMargin) { (s, d) =>
-      val out = StreamingKpi.flowIat(s, StreamingKpi.eventsStream(s, d))
-      StreamingKpi.runBounded(s, out.toDF(), "flow_iat_stream", OutputMode.Append)
+      StreamingKpi.runBounded(s,
+        s2 => StreamingKpi.flowIat(s2, StreamingKpi.eventsStream(s2, d)).toDF(),
+        "flow_iat_stream", OutputMode.Append)
     },
 
     // Transport emulation (S5-S7): the reference's Kafka hop — per-row JSON

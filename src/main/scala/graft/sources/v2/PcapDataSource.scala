@@ -4,7 +4,6 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -120,20 +119,25 @@ class PcapScanBuilder(options: Map[String, String])
 
   override def build(): Scan = {
     // load(p) passes "path" verbatim; load(p1, p2, …) passes "paths" as a
-    // JSON string array.
+    // JSON string array — parse it as JSON (paths may contain commas or
+    // quotes), not by splitting on ','.
     def expand(v: String): Seq[String] =
-      if (v.startsWith("["))
-        v.stripPrefix("[").stripSuffix("]").split(",").toSeq
-          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      else Seq(v)
+      if (v.trim.startsWith("[")) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        mapper.readValue(v, classOf[Array[String]]).toSeq
+      } else Seq(v)
     val paths = Seq("path", "paths").flatMap(k => options.get(k))
       .flatMap(expand).map(_.trim).filter(_.nonEmpty)
     require(paths.nonEmpty, "pcap source needs a path: spark.read.format(\"pcap\").load(dir)")
     val maxPackets = options.get("maxpackets").orElse(options.get("maxPackets"))
       .map(_.toInt).getOrElse(Pcap.MaxPacketsPerFile)
+    // The session's Hadoop conf (fs.* settings, credentials), not a bare
+    // `new Configuration()` — listed here, and shipped to the readers so a
+    // non-local filesystem opens with the same settings.
+    val hadoopConf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     // Driver-side listing only (the reference's S1 stage): directories
     // expand to their .pcap children, files pass through.
-    val fs = new Path(paths.head).getFileSystem(new Configuration())
+    val fs = new Path(paths.head).getFileSystem(hadoopConf)
     val files = paths.flatMap { p =>
       val path = new Path(p)
       if (fs.getFileStatus(path).isDirectory)
@@ -141,13 +145,15 @@ class PcapScanBuilder(options: Map[String, String])
           .map(_.getPath).filter(_.getName.endsWith(".pcap")).map(_.toString)
       else Seq(p)
     }
-    PcapScan(files, required, maxPackets)
+    PcapScan(files, required, maxPackets,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
   }
 }
 
 case class PcapInputPartition(path: String, slice: String) extends InputPartition
 
-case class PcapScan(files: Seq[String], required: StructType, maxPackets: Int)
+case class PcapScan(files: Seq[String], required: StructType, maxPackets: Int,
+                    hadoopConf: org.apache.spark.util.SerializableConfiguration)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -159,10 +165,11 @@ case class PcapScan(files: Seq[String], required: StructType, maxPackets: Int)
     files.map(f => PcapInputPartition(f, Pcap.defaultSlicer(f)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    PcapReaderFactory(required.fieldNames.toSeq, maxPackets)
+    PcapReaderFactory(required.fieldNames.toSeq, maxPackets, hadoopConf)
 }
 
-case class PcapReaderFactory(fields: Seq[String], maxPackets: Int)
+case class PcapReaderFactory(fields: Seq[String], maxPackets: Int,
+                             hadoopConf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -170,7 +177,7 @@ case class PcapReaderFactory(fields: Seq[String], maxPackets: Int)
     new PartitionReader[InternalRow] {
       private val extractors = fields.map(PcapTable.extractor).toArray
       private val path = new Path(p.path)
-      private val in = path.getFileSystem(new Configuration()).open(path)
+      private val in = path.getFileSystem(hadoopConf.value).open(path)
       private val it = Pcap.decodeStream(in, p.slice, p.path, maxPackets)
       private var current: InternalRow = _
 

@@ -51,39 +51,48 @@ object StreamingKpi {
 
   /** Run a bounded streaming query into a memory sink and return the result
     * table. Complete mode for aggregations (every window in the final
-    * table), Append for stateful flatMap output. */
-  def runBounded(spark: SparkSession, df: DataFrame, name: String,
-                 mode: OutputMode): DataFrame = {
+    * table), Append for stateful flatMap output.
+    *
+    * The stream is BUILT (via `build`) and run in an isolated child session:
+    * stateful queries pay a per-state-partition constant every micro-batch
+    * (store commit + snapshot + task), so the bounded drain wants 8 state
+    * partitions (halves these drains vs 32 at sf0.1 state sizes, with
+    * bit-identical results — all aggregates are partition-invariant by
+    * construction), and that setting binds from the session conf at query
+    * start. Mutating the shared session would race with any concurrently
+    * started query; `newSession()` shares the SparkContext but isolates the
+    * SQLConf. Parent runtime conf (e.g. a state-store-provider override) is
+    * carried over, since `newSession` starts from builder-time defaults.
+    * Unbounded production runs should size state partitions to state
+    * volume, not cores. */
+  def runBounded(spark: SparkSession, build: SparkSession => DataFrame,
+                 name: String, mode: OutputMode): DataFrame = {
+    val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      // Static/read-only entries can't be set on a live session — skip.
+      try s2.conf.set(k, v) catch { case _: Exception => () }
+    }
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     // Re-runs in one session: memory sink names must be fresh.
     val sink = s"${name}_${System.nanoTime()}"
-    // Stateful queries pay a per-state-partition constant every micro-batch
-    // (store commit + snapshot + task): 8 partitions halves these bounded
-    // drains vs 32 at sf0.1 state sizes, with bit-identical results (all
-    // aggregates are partition-invariant by construction). The setting
-    // binds at query start and is restored right after; unbounded
-    // production runs should size it to state volume, not cores.
-    val partsKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partsKey)
-    val q =
-      try {
-        spark.conf.set(partsKey, "8")
-        df.writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode(mode)
-          .start()
-      } finally spark.conf.set(partsKey, prevParts)
+    val q = build(s2).writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(mode)
+      .start()
     try {
       q.processAllAvailable()
     } finally q.stop()
     // Materialize and FREE the sink: memory-sink tables otherwise pile up
-    // across the driver's repeated invocations and bloat the session.
-    val result = spark.table(sink)
+    // across the driver's repeated invocations and bloat the session. The
+    // result rows return as a DataFrame of the PARENT session (the child's
+    // catalog dies with it).
+    val result = s2.table(sink)
     val rows = result.collect()
     val out = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
       result.schema)
-    spark.catalog.dropTempView(sink)
+    s2.catalog.dropTempView(sink)
     out
   }
 

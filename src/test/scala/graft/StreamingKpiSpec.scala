@@ -79,11 +79,11 @@ class StreamingKpiSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val rocks = StreamingKpi.runBounded(spark,
-        StreamingKpi.flowIat(spark, StreamingKpi.eventsStream(spark, sfDir)).toDF(),
+        s2 => StreamingKpi.flowIat(s2, StreamingKpi.eventsStream(s2, sfDir)).toDF(),
         "rocks_iat", OutputMode.Append)
       spark.conf.unset(provider)
       val heap = StreamingKpi.runBounded(spark,
-        StreamingKpi.flowIat(spark, StreamingKpi.eventsStream(spark, sfDir)).toDF(),
+        s2 => StreamingKpi.flowIat(s2, StreamingKpi.eventsStream(s2, sfDir)).toDF(),
         "heap_iat", OutputMode.Append)
       assert(rocks.count() == heap.count() && rocks.count() > 0)
       assert(rocks.except(heap).isEmpty && heap.except(rocks).isEmpty)
@@ -98,7 +98,7 @@ class StreamingKpiSpec extends SparkSpec {
   test("streaming tumbling aggregation equals the batch group-by") {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = StreamingKpi.runBounded(spark,
-      StreamingKpi.eventsStream(spark, sfDir)
+      s2 => StreamingKpi.eventsStream(s2, sfDir)
         .groupBy(col("event_type"), window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"))
         .select(col("event_type"), col("window.start").as("ws"), col("n")),

@@ -94,6 +94,22 @@ class TextFnsSpec extends SparkSpec {
     assert(sql.contains("regexp_extract") && sql.contains("nullif"))
   }
 
+  test("jsonInt fast path agrees with get_json_object on the real events table") {
+    // The flat-integer contract is a claim about the generated data, not
+    // just the function: if the generator ever emits quoted numerics,
+    // floats, or nested props, the fast path and the full parser diverge
+    // silently. Pin the agreement on the actual table (ADVICE r02).
+    import graft.functions.JsonFns
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val diff = events.select(
+        col("props"),
+        JsonFns.jsonInt(col("props"), "k").as("fast"),
+        get_json_object(col("props"), "$.k").cast("int").as("full"))
+      .filter(not(col("fast") <=> col("full")))
+    assert(diff.isEmpty, s"fast/full divergence: ${diff.take(5).mkString("; ")}")
+    assert(events.count() > 0)
+  }
+
   test("DotLong native expression matches the HOF reference form") {
     val rnd = new scala.util.Random(7)
     val cases = Seq.fill(200) {
