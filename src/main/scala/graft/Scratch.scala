@@ -21,11 +21,11 @@ object Scratch {
     }
 
     t("warm")(Tables.documents(spark, sfDir).count())
-    for (q <- Seq("dedup_minhash", "dedup_simhash"); i <- 1 to 3)
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
+        "dedup_simhash", "dedup_embedding", "ann_cosine_topk", "ann_srp_lsh", "ann_ivf")
+    for (q <- qs; i <- 1 to 3)
       t(s"$q #$i")(SparkEntry.queries(q)(spark, sfDir).count())
-    val plan = SparkEntry.queries("dedup_minhash")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    System.err.println("[scratch] ReusedExchange: " + plan.contains("ReusedExchange"))
     spark.stop()
   }
 }

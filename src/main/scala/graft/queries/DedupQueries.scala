@@ -109,7 +109,9 @@ object DedupQueries {
          |             JOIN capped y ON doc_b = y.doc_id)
          |SELECT doc_a, doc_b, ${sqlR6("jac")} AS jaccard
          |FROM sized WHERE jac >= $NgramThr""".stripMargin) { (s, d) =>
-      val ex = shingleRows(s, d).filter(col("doc_id") < QuadraticCap)
+      // The inverted index is consumed by three branches (both self-join
+      // sides + the per-doc sizes); stage it once — see QuerySpec.staged.
+      val ex = staged(shingleRows(s, d).filter(col("doc_id") < QuadraticCap))
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = ex.as("a")
         .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -149,7 +151,12 @@ object DedupQueries {
       // unchanged. Docs with no shingles drop out of the explode — the
       // SQL twin keeps them as all-P signatures, but any pair they form
       // verifies at jaccard 0 < thr, so the output is identical.
-      val ex = shingleRows(s, d)
+      // Staged once: ex feeds the signature aggregate, the per-doc sizes,
+      // and both sides of the intersection join (4 consumers); banded
+      // feeds both sides of the candidate self-join. Without staging the
+      // shingle chain re-runs ~6× (self-joins get fresh exprIds, so
+      // ReuseExchange never matches).
+      val ex = staged(shingleRows(s, d))
       val minCols = perms(K).zipWithIndex.map { case ((a, b), i) =>
         min((col("h") % P * a + b) % P).as(s"m$i")
       }
@@ -157,8 +164,8 @@ object DedupQueries {
         .agg(minCols.head, minCols.tail: _*)
         .select(col("doc_id"),
           array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
-      val banded = sig.select(col("doc_id"),
-        explode(lshBands(col("sig"), K, R)).as("band"))
+      val banded = staged(sig.select(col("doc_id"),
+        explode(lshBands(col("sig"), K, R)).as("band")))
       val cand = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -215,11 +222,13 @@ object DedupQueries {
       val bitSums = (0 until 60).map { j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")
       }
-      val sim = th.groupBy("doc_id")
+      // One row per doc, consumed by 4 branches (band self-join sides +
+      // verify joins): stage so the 60-bit-sum aggregate runs once.
+      val sim = staged(th.groupBy("doc_id")
         .agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
           (0 until 60).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).as("sim"))
+            .reduce(_ + _).as("sim")))
       val banded = sim.select(col("doc_id"), col("sim"),
         explode(array((0 until 4).map(b =>
           concat_ws(":", lit(b.toString), simhashBand(col("sim"), b).cast("string"))): _*)).as("band"))
@@ -251,10 +260,10 @@ object DedupQueries {
       // Squared norms are precomputed per vector (one pass) so each pair
       // costs ONE dot product instead of three — same integers reach the
       // same sqrt/divide, so the oracle math is unchanged.
-      val sv = Tables.embeddings(s, d)
+      val sv = staged(Tables.embeddings(s, d)
         .filter(col("vec_id") < QuadraticCap)
         .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
-        .withColumn("n2", dotInt(col("v"), col("v")))
+        .withColumn("n2", dotInt(col("v"), col("v"))))
       val a = sv.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n2").as("n2a"))
       val b = sv.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n2").as("n2b"))
       val cos = dotInt(col("va"), col("vb")) / (sqrt(col("n2a")) * sqrt(col("n2b")))

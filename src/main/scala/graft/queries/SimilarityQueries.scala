@@ -39,10 +39,14 @@ object SimilarityQueries {
     s"SELECT vec_id, label, v, ${sqlDotInt("v", "v", Dim)} AS n2 FROM " +
       s"(SELECT vec_id, label, ${sqlScaledVec("embedding")} AS v FROM embeddings)"
 
+  // Staged once per query (QuerySpec.staged): every ANN plan consumes sv
+  // from 2-3 branches (query set, corpus side, centroid sample), and the
+  // scaled-vector projection is a higher-order lambda (interpreted, no
+  // codegen) — without staging it re-runs per branch.
   private def svSpark(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.Tables.embeddings(s, d)
+    QuerySpec.staged(graft.Tables.embeddings(s, d)
       .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
-      .withColumn("n2", dotInt(col("v"), col("v")))
+      .withColumn("n2", dotInt(col("v"), col("v"))))
 
   val all: Seq[QuerySpec] = Seq(
 
