@@ -21,11 +21,62 @@ object Scratch {
     }
 
     t("warm")(Tables.documents(spark, sfDir).count())
+    if (args.headOption.contains("ex-parts")) {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFns._
+      val N = 3
+      val docs = Tables.documents(spark, sfDir)
+      for (i <- 1 to 3) {
+        t(s"shingle-build #$i")(docs
+          .select(col("doc_id"), explode(shingles(tokens(col("text")), N)).as("sstr"))
+          .count())
+        t(s"shingle+h60 #$i")(docs
+          .select(col("doc_id"), explode(shingles(tokens(col("text")), N)).as("sstr"))
+          .select(col("doc_id"), h60(col("sstr")).as("h"))
+          .agg(sum(col("h") % 1000)).collect())
+        t(s"shingle+h60+distinct #$i")(docs
+          .select(col("doc_id"), explode(shingles(tokens(col("text")), N)).as("sstr"))
+          .select(col("doc_id"), h60(col("sstr")).as("h"))
+          .distinct().count())
+      }
+    } else if (args.headOption.contains("minhash-stages")) {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFns._
+      val K = 32; val R = 4; val N = 3
+      for (i <- 1 to 3) {
+        val ex = t(s"stage ex #$i")(graft.queries.QuerySpec.staged(
+          Tables.documents(spark, sfDir)
+            .select(col("doc_id"), explode(shingles(tokens(col("text")), N)).as("sstr"))
+            .select(col("doc_id"), h60(col("sstr")).as("h"))
+            .distinct()))
+        val minCols = perms(K).zipWithIndex.map { case ((a, b), j) =>
+          min((col("h") % P * a + b) % P).as(s"m$j") }
+        val sig = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+          .select(col("doc_id"), array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
+        val banded = t(s"stage banded #$i")(graft.queries.QuerySpec.staged(
+          sig.select(col("doc_id"), explode(lshBands(col("sig"), K, R)).as("band"))))
+        val cand = banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+        t(s"stage cand #$i")(cand.count())
+        val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val nInter = cand
+          .join(ex.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+          .join(ex.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+        t(s"stage verify #$i")(nInter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .count())
+      }
+    } else {
     val qs = if (args.nonEmpty) args.toSeq
       else Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_simhash", "dedup_embedding", "ann_cosine_topk", "ann_srp_lsh", "ann_ivf")
     for (q <- qs; i <- 1 to 3)
       t(s"$q #$i")(SparkEntry.queries(q)(spark, sfDir).count())
+    }
     spark.stop()
   }
 }

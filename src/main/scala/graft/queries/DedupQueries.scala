@@ -64,7 +64,9 @@ object DedupQueries {
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(shingles(tokens(col("text")), ShingleN)).as("sstr"))
+        // Native generator: same rows as explode(shingles(tokens(..), n)),
+        // without the per-shingle interpreted HOF cost — see ShingleExplode.
+        graft.functions.expr.ShingleExplode(tokens(col("text")), ShingleN).as("sstr"))
       .select(col("doc_id"), h60(col("sstr")).as("h"))
       .distinct()
 

@@ -110,6 +110,25 @@ class TextFnsSpec extends SparkSpec {
     assert(events.count() > 0)
   }
 
+  test("ShingleExplode generator matches explode(shingles(...)) row-for-row") {
+    import graft.functions.expr.ShingleExplode
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "", "héllo", "界")
+    val docs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" "))
+    } :+ ((200L, "")) :+ ((201L, "one two")) // fewer than n tokens → no rows
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = docs.toDF("doc_id", "text")
+      val viaHof = df.select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), n)).as("s"))
+      val viaGen = df.select(col("doc_id"),
+        ShingleExplode(TextFns.tokens(col("text")), n).as("s"))
+      val h = viaHof.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val g = viaGen.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(g == h, s"n=$n")
+    }
+  }
+
   test("DotLong native expression matches the HOF reference form") {
     val rnd = new scala.util.Random(7)
     val cases = Seq.fill(200) {
