@@ -38,6 +38,9 @@ object DedupQueries {
   val NgramThr = 0.1
   val HammingThr = 3
   val CosineThr = 0.4
+  /** Stop-shingle doc-frequency cap: shingles in > StopDf docs are dropped
+    * before pair generation (bounded self-join fan-out per key). */
+  val StopDf = 20L
 
   /** Normalized-text key for exact dedup. */
   private def normSql = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
@@ -125,6 +128,51 @@ object DedupQueries {
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .filter(jac >= NgramThr)
         .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
+    },
+
+    // ------------------------------------------------------------------
+    // Stop-shingle-capped pair generation over the FULL corpus — the
+    // bounded-fan-out trick that makes the inverted-index shape safe at
+    // 100 TB: a shingle appearing in > StopDf documents contributes
+    // O(StopDf²) candidate pairs at most, so dropping high-frequency
+    // ("stop") shingles bounds the self-join fan-out per key while near-
+    // duplicate pairs — which share many RARE shingles — keep their
+    // overlap. Unlike dedup_ngram_jaccard (exhaustive, fixed prefix) this
+    // runs un-capped over every document; the score is Jaccard over the
+    // kept (rare) shingle sets.
+    checked("dedup_stopshingle",
+      s"""WITH sh AS ($shingleSetsSql),
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |df AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+         |kept AS (SELECT ex.doc_id, ex.h FROM ex JOIN df USING (h)
+         |  WHERE df <= $StopDf),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sized AS (SELECT doc_a, doc_b, n_inter,
+         |    CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) AS jac
+         |  FROM inter JOIN sizes x ON doc_a = x.doc_id
+         |             JOIN sizes y ON doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, n_inter, ${sqlR6("jac")} AS jaccard
+         |FROM sized WHERE jac >= $NgramThr""".stripMargin) { (s, d) =>
+      val ex = staged(shingleRows(s, d))
+      val df = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      // kept feeds the sizes aggregate and both self-join sides.
+      val kept = staged(ex.join(df.filter(col("df") <= StopDf), "h")
+        .select(col("doc_id"), col("h")))
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = kept.as("a")
+        .join(kept.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val jac = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(jac >= NgramThr)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), r6(jac).as("jaccard"))
     },
 
     // ------------------------------------------------------------------

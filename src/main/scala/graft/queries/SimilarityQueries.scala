@@ -105,6 +105,60 @@ object SimilarityQueries {
         .select(col("q_id"), col("rnk"), col("vec_id"), graft.functions.DetAgg.r6(col("cos")).as("cos"))
     },
 
+    // Multi-probe SRP-LSH: each query probes its own bucket AND every
+    // bucket at Hamming distance 1 (flip each of the nBits sign bits) —
+    // the standard recall/cost knob for sign-random-projection indexes
+    // (one table, nBits+1 probes ≈ the recall of 2^nBits/(nBits+1)× more
+    // tables with no extra index storage). Physical shape at 100 TB:
+    // probe keys are generated in the projection (no shuffle), the
+    // candidate join is equi on bucket id, candidates dedup on
+    // (query, vector) BEFORE the exact re-rank so each pair is scored
+    // once no matter how many probes found it.
+    checked("ann_srp_multiprobe",
+      s"""WITH sv AS ($svSql),
+         |bk AS (SELECT vec_id, v, n2, ${sqlSrpBucket("v", SrpBits, Dim)} AS bucket FROM sv),
+         |qp AS (SELECT vec_id AS q_id, unnest(list_transform(range(0, ${SrpBits + 1}),
+         |    i -> CASE WHEN i = 0 THEN bucket
+         |         ELSE xor(bucket, CAST(1 AS BIGINT) << (i - 1)) END)) AS probe
+         |  FROM bk WHERE vec_id < 50),
+         |cand AS (SELECT DISTINCT q_id, bk.vec_id AS vec_id
+         |  FROM qp JOIN bk ON qp.probe = bk.bucket AND bk.vec_id <> qp.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.vec_id,
+         |    ${sqlDotInt("qb.v", "cb.v", Dim)} / (sqrt(qb.n2) * sqrt(cb.n2)) AS cos
+         |  FROM cand JOIN bk qb ON cand.q_id = qb.vec_id
+         |            JOIN bk cb ON cand.vec_id = cb.vec_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, vec_id, ${graft.functions.DetAgg.sqlR6("cos")} AS cos
+         |FROM ranked WHERE rnk <= 5""".stripMargin) { (s, d) =>
+      val sv = svSpark(s, d)
+      val bk = QuerySpec.staged(
+        sv.withColumn("bucket", srpBucket(col("v"), SrpBits, Dim)))
+      val probes = array((0 to SrpBits).map {
+        case 0 => col("bucket")
+        case i => col("bucket").bitwiseXOR(lit(1L << (i - 1)))
+      }: _*)
+      val qp = bk.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), explode(probes).as("probe"))
+      val cand = broadcast(qp)
+        .join(bk.select(col("vec_id"), col("bucket").as("b2")),
+          col("probe") === col("b2") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+        .distinct()
+      val scored = cand
+        .join(bk.select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2")), "q_id")
+        .join(bk.select(col("vec_id"), col("v"), col("n2")), "vec_id")
+        .select(col("q_id"), col("vec_id"),
+          (dotInt(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id"),
+          graft.functions.DetAgg.r6(col("cos")).as("cos"))
+    },
+
     // IVF-style ANN: coarse quantizer = IvfLists sampled centroids (fixed
     // vec_ids — the standard init for an IVF index); every vector is
     // assigned to its nearest centroid by exact squared L2 distance in
