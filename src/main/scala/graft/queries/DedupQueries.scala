@@ -42,6 +42,14 @@ object DedupQueries {
     * before pair generation (bounded self-join fan-out per key). */
   val StopDf = 20L
 
+  /** LSH band-frequency cap: bands shared by > BandCap docs are dropped
+    * before the candidate self-join. One viral band (boilerplate, empty
+    * docs) otherwise lands O(members²) candidate pairs on a single shuffle
+    * key — the classic LSH straggler at 100 TB. 50 = 10% of the sf0.01
+    * corpus: far above any planted near-dup cluster, low enough to bound
+    * per-key fan-out. */
+  val BandCap = 50L
+
   /** Normalized-text key for exact dedup. */
   private def normSql = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
@@ -177,17 +185,20 @@ object DedupQueries {
 
     // ------------------------------------------------------------------
     // MinHash + banded LSH. Physical shape: per-doc signature projection
-    // (no shuffle) → explode 8 band keys → shuffle on band key (the ONLY
-    // data-dependent shuffle) → candidate pairs → hash-join signatures
-    // back → exact-Jaccard verify. Collision cost is concentrated on hot
-    // bands; at 100 TB add a band-frequency cap (skip bands with > B
-    // members — classic LSH skew guard).
+    // (no shuffle) → explode 8 band keys → band-frequency cap (drop bands
+    // with > BandCap members — the classic LSH skew guard: one viral band
+    // otherwise concentrates O(members²) pairs on a single shuffle key) →
+    // shuffle on band key (the ONLY data-dependent shuffle) → candidate
+    // pairs → hash-join signatures back → exact-Jaccard verify.
     checked("dedup_minhash",
       s"""WITH sh AS ($shingleSetsSql),
          |sig AS (SELECT doc_id, sh, ${sqlMinhashSig("sh", K)} AS sig FROM sh),
          |banded AS (SELECT doc_id, unnest(${sqlLshBands("sig", K, R)}) AS band FROM sig),
+         |bf AS (SELECT band, count(*) AS bf FROM banded GROUP BY band),
+         |kept AS (SELECT banded.doc_id, banded.band FROM banded JOIN bf USING (band)
+         |  WHERE bf <= $BandCap),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |  FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, ${sqlR6(sqlJaccard("x.sh", "y.sh"))} AS jaccard
          |FROM cand JOIN sh x ON cand.doc_a = x.doc_id
          |          JOIN sh y ON cand.doc_b = y.doc_id
@@ -200,9 +211,13 @@ object DedupQueries {
       // TextFns.minhashSig, so the DuckDB twin (list-lambda form) is
       // unchanged. Docs with no shingles drop out of the explode — the
       // SQL twin keeps them as all-P signatures, but any pair they form
-      // verifies at jaccard 0 < thr, so the output is identical.
+      // verifies at jaccard 0 < thr, so the output is identical. (The
+      // band-frequency counts can likewise differ between engines only on
+      // those all-P bands — band keys are verbatim value strings, and
+      // non-empty docs cannot produce the all-P slice — which generate no
+      // surviving pairs on either side regardless of the cap decision.)
       // Staged once: ex feeds the signature aggregate, the per-doc sizes,
-      // and both sides of the intersection join (4 consumers); banded
+      // and both sides of the intersection join (4 consumers); kept
       // feeds both sides of the candidate self-join. Without staging the
       // shingle chain re-runs ~6× (self-joins get fresh exprIds, so
       // ReuseExchange never matches).
@@ -214,10 +229,17 @@ object DedupQueries {
         .agg(minCols.head, minCols.tail: _*)
         .select(col("doc_id"),
           array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+      // Staged: banded feeds both the frequency count and the kept build.
       val banded = staged(sig.select(col("doc_id"),
         explode(lshBands(col("sig"), K, R)).as("band")))
-      val cand = banded.as("a")
-        .join(banded.as("b"),
+      // Band-frequency cap: aggregate + equi-join (the same bounded-fan-out
+      // shape as dedup_stopshingle's doc-frequency cap). At 100 TB the bf
+      // side is tiny (distinct bands ≪ banded rows) and broadcastable.
+      val bf = banded.groupBy("band").agg(count(lit(1)).as("bf"))
+      val kept = staged(banded.join(bf.filter(col("bf") <= BandCap), "band")
+        .select(col("doc_id"), col("band")))
+      val cand = kept.as("a")
+        .join(kept.as("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
