@@ -171,7 +171,20 @@ object MlQueries {
       // accumulated storage eventually GC-thrashes the whole bench run.
       // Recomputing the lag design once more is cheaper than the leak.
       val lagged = TimeSeries.lagDesign(scaled, TimeSeries.FeatCols, p)
-      val model = TimeSeries.fitVar(lagged.filter(col("split") === "train"), p, dim)
+      val fitted = TimeSeries.fitVar(lagged.filter(col("split") === "train"), p, dim)
+      // S11 model sink: round-trip the fitted VAR + scaler stats through
+      // the JSON persistence path (train.py:271 saves its model the same
+      // way) and score with the RELOADED model. ModelIO round-trips
+      // doubles bit-exactly, so the query output is unchanged — but every
+      // run now exercises save → load end-to-end.
+      val mpath = java.nio.file.Files.createTempFile("graft-var-model", ".json")
+      val model = try {
+        graft.ml.ModelIO.save(fitted,
+          Some(graft.ml.ModelIO.ScalerParams(
+            scaler.median.toArray, scaler.range.toArray)),
+          mpath.toString)
+        graft.ml.ModelIO.load(mpath.toString).model
+      } finally java.nio.file.Files.deleteIfExists(mpath)
       // forecasts + residuals on every row
       val fc = lagged.select(
         Seq(col("slice"), col("t"), col("split"), col("y"), col("x")) ++
