@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQueryListener}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming restatement of the reference's KPI pipeline
@@ -49,6 +49,55 @@ object StreamingKpi {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** One micro-batch's progress snapshot (SURVEY §2.9 T7) — the fields the
+    * reference's monitor loop polls from `lastProgress`
+    * (`KafkaKpiPipeline.scala:315-333`): batch id, input volume, state
+    * store size, trigger latency. */
+  final case class BatchProgress(
+      runId: String, batchId: Long, numInputRows: Long,
+      stateRows: Long, stateBytes: Long, triggerMs: Long)
+
+  /** Listener-based progress capture. Registered on the (isolated) child
+    * session's StreamingQueryManager before start so no batch is missed;
+    * events arrive asynchronously on the listener bus, so completeness is
+    * established by waiting for the query's terminated event — every
+    * progress event for a run precedes its termination event in bus order.
+    * Unbounded production use: attach the same listener and stream
+    * `snapshot` to a metrics sink instead of draining it once at stop. */
+  final class ProgressLog extends StreamingQueryListener {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[BatchProgress]
+    private val done = scala.collection.mutable.Set.empty[String]
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val st = Option(p.stateOperators).getOrElse(Array.empty)
+      val trig = Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L)
+      synchronized {
+        buf += BatchProgress(p.runId.toString, p.batchId, p.numInputRows,
+          st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum, trig)
+      }
+    }
+
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      synchronized { done += e.runId.toString }
+
+    def snapshot(runId: String): Seq[BatchProgress] =
+      synchronized(buf.filter(_.runId == runId).toSeq)
+
+    def isTerminated(runId: String): Boolean = synchronized(done.contains(runId))
+
+    /** Wait for the run's terminated event (bounded), so `snapshot` is
+      * complete when this returns true. */
+    def awaitTerminated(runId: String, timeoutMs: Long = 10000): Boolean = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!isTerminated(runId) && System.nanoTime() < deadline) Thread.sleep(20)
+      isTerminated(runId)
+    }
+  }
+
   /** Run a bounded streaming query into a memory sink and return the result
     * table. Complete mode for aggregations (every window in the final
     * table), Append for stateful flatMap output.
@@ -66,13 +115,23 @@ object StreamingKpi {
     * Unbounded production runs should size state partitions to state
     * volume, not cores. */
   def runBounded(spark: SparkSession, build: SparkSession => DataFrame,
-                 name: String, mode: OutputMode): DataFrame = {
+                 name: String, mode: OutputMode): DataFrame =
+    runBoundedWithProgress(spark, build, name, mode)._1
+
+  /** [[runBounded]] plus the per-batch progress telemetry (T7) the listener
+    * observed while the query drained. */
+  def runBoundedWithProgress(
+      spark: SparkSession, build: SparkSession => DataFrame,
+      name: String, mode: OutputMode): (DataFrame, Seq[BatchProgress]) = {
     val s2 = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       // Static/read-only entries can't be set on a live session — skip.
       try s2.conf.set(k, v) catch { case _: Exception => () }
     }
     s2.conf.set("spark.sql.shuffle.partitions", "8")
+    // T7 telemetry: registered before start so batch 0 is captured.
+    val progressLog = new ProgressLog
+    s2.streams.addListener(progressLog)
     // Re-runs in one session: memory sink names must be fresh.
     val sink = s"${name}_${System.nanoTime()}"
     val q = build(s2).writeStream
@@ -80,9 +139,17 @@ object StreamingKpi {
       .queryName(sink)
       .outputMode(mode)
       .start()
-    try {
+    val progress = try {
       q.processAllAvailable()
-    } finally q.stop()
+      q.stop()
+      // Progress events are async; the terminated event (which follows
+      // every progress event of this run in bus order) marks completeness.
+      progressLog.awaitTerminated(q.runId.toString)
+      progressLog.snapshot(q.runId.toString)
+    } finally {
+      if (q.isActive) q.stop()
+      s2.streams.removeListener(progressLog)
+    }
     // Materialize and FREE the sink: memory-sink tables otherwise pile up
     // across the driver's repeated invocations and bloat the session. The
     // result rows return as a DataFrame of the PARENT session (the child's
@@ -93,7 +160,7 @@ object StreamingKpi {
       new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
       result.schema)
     s2.catalog.dropTempView(sink)
-    out
+    (out, progress)
   }
 
   // ---------------------------------------------------------------------

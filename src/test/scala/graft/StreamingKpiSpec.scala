@@ -95,6 +95,26 @@ class StreamingKpiSpec extends SparkSpec {
     }
   }
 
+  test("progress listener reports per-batch telemetry (T7)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val (rows, progress) = StreamingKpi.runBoundedWithProgress(spark,
+      s2 => StreamingKpi.eventsStream(s2, sfDir)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("window.start").as("ws"), col("n")),
+      "prog_test", OutputMode.Complete)
+    assert(rows.count() > 0)
+    assert(progress.nonEmpty, "listener captured no batches")
+    // Every input row is accounted for across micro-batches.
+    val totalIn = progress.map(_.numInputRows).sum
+    assert(totalIn == Tables.events(spark, sfDir).count(),
+      s"progress input rows $totalIn != table size")
+    // Batch ids are the monotone micro-batch sequence.
+    assert(progress.map(_.batchId) == progress.map(_.batchId).sorted)
+    // The windowed aggregate holds state: the store must report rows.
+    assert(progress.last.stateRows > 0, "stateful query reported empty state")
+  }
+
   test("streaming tumbling aggregation equals the batch group-by") {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = StreamingKpi.runBounded(spark,
