@@ -62,6 +62,7 @@ object Bench {
     // land entirely on whichever query happens to run first.
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      graft.queries.QuerySpec.releaseStaged()
     }
     spark.catalog.clearCache()
 
@@ -74,6 +75,7 @@ object Bench {
       // Session hygiene between timed queries: leaked cache entries from
       // model-fit queries would GC-thrash everything that runs after them.
       spark.catalog.clearCache()
+      graft.queries.QuerySpec.releaseStaged()
       Sample(sec, st, nCpu)
     }
 

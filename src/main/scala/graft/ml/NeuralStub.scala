@@ -77,25 +77,39 @@ object NeuralStub extends Serializable {
     }
   }
 
-  /** Scaled-dot self-attention, single head (stand-in for the 4-head
-    * MultiHeadAttention, train.py:162-164). */
+  val Heads = 4 // MultiHeadAttention heads (train.py:162-164)
+
+  /** Scaled-dot multi-head self-attention (train.py:162-164:
+    * `MultiHeadAttention(num_heads=4, key_dim=32)`; key dim scaled to
+    * d/4 in line with the other scaled-down widths). Per head: Q/K/V
+    * projections to keyDim, softmax(QKᵀ/√keyDim)·V; the four head outputs
+    * are concatenated and passed through the output projection, exactly
+    * the Keras layer's shape. */
   def attention(seq: Array[Array[Double]], seed: Long): Array[Array[Double]] = {
     val d = seq(0).length
-    val q = seq.map(x => matVec(mat(seed, d, d), x))
-    val k = seq.map(x => matVec(mat(seed + 1, d, d), x))
-    val v = seq.map(x => matVec(mat(seed + 2, d, d), x))
-    val scale = 1.0 / math.sqrt(d)
+    val kd = math.max(1, d / Heads)
+    val headOuts = (0 until Heads).map { h =>
+      val hs = seed + 16L * h
+      val q = seq.map(x => matVec(mat(hs, kd, d), x))
+      val k = seq.map(x => matVec(mat(hs + 1, kd, d), x))
+      val v = seq.map(x => matVec(mat(hs + 2, kd, d), x))
+      val scale = 1.0 / math.sqrt(kd)
+      seq.indices.map { i =>
+        val scores = k.map(kj => q(i).zip(kj).map { case (a, b) => a * b }.sum * scale)
+        val m = scores.max
+        val e = scores.map(s => math.exp(s - m))
+        val z = e.sum
+        val out = Array.fill(kd)(0.0)
+        v.indices.foreach { j =>
+          val wgt = e(j) / z
+          var t = 0; while (t < kd) { out(t) += wgt * v(j)(t); t += 1 }
+        }
+        out
+      }.toArray
+    }
+    val wo = mat(seed + 99, d, Heads * kd)
     seq.indices.map { i =>
-      val scores = k.map(kj => q(i).zip(kj).map { case (a, b) => a * b }.sum * scale)
-      val m = scores.max
-      val e = scores.map(s => math.exp(s - m))
-      val z = e.sum
-      val out = Array.fill(d)(0.0)
-      v.indices.foreach { j =>
-        val wgt = e(j) / z
-        var t = 0; while (t < d) { out(t) += wgt * v(j)(t); t += 1 }
-      }
-      out
+      matVec(wo, headOuts.flatMap(_(i)).toArray)
     }.toArray
   }
 

@@ -28,10 +28,34 @@ object QuerySpec {
     * chain recomputed ~6× through its candidate/verify joins). This is the
     * cluster-scale pattern too: a dedup pass persists its inverted index
     * before the pair joins. `localCheckpoint` (not `.cache()`) keeps the
-    * driver's long-lived shared session clean — the blocks die with the
-    * RDD reference instead of piling up in the cache manager; on a real
-    * multi-executor deployment with dynamic allocation, use
-    * `persist(MEMORY_AND_DISK)` or a reliable checkpoint instead (local
-    * checkpoints are lost with their executor). */
-  def staged(df: DataFrame): DataFrame = df.localCheckpoint()
+    * driver's long-lived shared session clean; on a real multi-executor
+    * deployment with dynamic allocation, use `persist(MEMORY_AND_DISK)` or
+    * a reliable checkpoint instead (local checkpoints are lost with their
+    * executor).
+    *
+    * Every block a `staged` call creates is recorded so the runner can
+    * free it deterministically with [[releaseStaged]] after the consuming
+    * action, instead of leaving the blocks to the driver JVM's GC (across
+    * the harness's many invocations per long-lived session they would
+    * otherwise linger until the next full collection). */
+  def staged(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint() // eager: the blocks exist on return
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) liveBlocks.add(rdd)
+    }
+    out
+  }
+
+  private val liveBlocks =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Unpersist every block created by [[staged]] since the last release.
+    * Call after the consuming action has materialized the query result —
+    * the checkpointed rows are never needed across query invocations. */
+  def releaseStaged(): Unit = {
+    var r = liveBlocks.poll()
+    while (r != null) { r.unpersist(blocking = false); r = liveBlocks.poll() }
+  }
 }

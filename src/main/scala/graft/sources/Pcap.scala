@@ -74,32 +74,33 @@ object Pcap {
     var srcIp = ""; var dstIp = ""
     var srcPort = 0; var dstPort = 0
     var seq = 0L; var flags = 0; var win = 0
-    if (bytes.length >= 14) {
-      ethertype = u16(bytes, 12)
-      if (ethertype == 0x0800 && bytes.length >= 34) { // IPv4
-        val ipOff = 14
-        val ihl = (bytes(ipOff) & 0x0f) * 4
-        val p = bytes(ipOff + 9) & 0xff
-        srcIp = (12 to 15).map(i => bytes(ipOff + i) & 0xff).mkString(".")
-        dstIp = (16 to 19).map(i => bytes(ipOff + i) & 0xff).mkString(".")
-        val l4 = ipOff + ihl
-        p match {
-          case 6 =>
-            proto = "TCP"
-            if (bytes.length >= l4 + 20) {
-              srcPort = u16(bytes, l4); dstPort = u16(bytes, l4 + 2)
-              seq = u32(bytes, l4 + 4)
-              flags = bytes(l4 + 13) & 0xff
-              win = u16(bytes, l4 + 14)
-            }
-          case 17 =>
-            proto = "UDP"
-            if (bytes.length >= l4 + 8) {
-              srcPort = u16(bytes, l4); dstPort = u16(bytes, l4 + 2)
-            }
-          case 1 => proto = "ICMP"
-          case _ => proto = "OTHER"
-        }
+    if (bytes.length >= 14) ethertype = u16(bytes, 12)
+    // Raw-IP tolerance (reference PcapKpiExtractor.scala:161-164): when the
+    // ethertype is not IPv4, retry the IP header at offset 0 guarded by the
+    // version nibble, so DLT_RAW captures (no Ethernet layer) still decode.
+    val ipOff = if (ethertype == 0x0800) 14 else 0
+    if (bytes.length >= ipOff + 20 && ((bytes(ipOff) >> 4) & 0x0f) == 4) {
+      val ihl = (bytes(ipOff) & 0x0f) * 4
+      val p = bytes(ipOff + 9) & 0xff
+      srcIp = (12 to 15).map(i => bytes(ipOff + i) & 0xff).mkString(".")
+      dstIp = (16 to 19).map(i => bytes(ipOff + i) & 0xff).mkString(".")
+      val l4 = ipOff + ihl
+      p match {
+        case 6 =>
+          proto = "TCP"
+          if (bytes.length >= l4 + 20) {
+            srcPort = u16(bytes, l4); dstPort = u16(bytes, l4 + 2)
+            seq = u32(bytes, l4 + 4)
+            flags = bytes(l4 + 13) & 0xff
+            win = u16(bytes, l4 + 14)
+          }
+        case 17 =>
+          proto = "UDP"
+          if (bytes.length >= l4 + 8) {
+            srcPort = u16(bytes, l4); dstPort = u16(bytes, l4 + 2)
+          }
+        case 1 => proto = "ICMP"
+        case _ => proto = "OTHER"
       }
     }
     PacketEvent(slice, file, ts, (ts * 1000).toLong, bytes.length, origLen,

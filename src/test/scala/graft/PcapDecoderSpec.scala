@@ -49,6 +49,52 @@ class PcapDecoderSpec extends SparkSpec {
     assert(pkts.size == 1)
   }
 
+  test("raw-IP frame (no Ethernet layer) decodes via the offset-0 fallback") {
+    // DLT_RAW capture: the record payload starts directly at the IPv4 header
+    // (reference PcapKpiExtractor.scala:161-164 parses at offset 0 when the
+    // ethertype is unknown, guarded by the version nibble).
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32le(v: Long): Unit = {
+      bb.write((v & 0xff).toInt); bb.write(((v >> 8) & 0xff).toInt)
+      bb.write(((v >> 16) & 0xff).toInt); bb.write(((v >> 24) & 0xff).toInt)
+    }
+    def w16be(v: Int): Unit = { bb.write((v >> 8) & 0xff); bb.write(v & 0xff) }
+    w32le(0xa1b2c3d4L); w16be(0); w16be(0)
+    w32le(0); w32le(0); w32le(65535); w32le(101) // network = LINKTYPE_RAW
+    val ipLen = 20 + 8 // IPv4 + UDP, no payload
+    w32le(5L); w32le(250000L); w32le(ipLen); w32le(ipLen)
+    bb.write(0x45); bb.write(0); w16be(ipLen); w16be(0); w16be(0)
+    bb.write(64); bb.write(17); w16be(0)
+    bb.write(10); bb.write(0); bb.write(0); bb.write(1)
+    bb.write(10); bb.write(0); bb.write(0); bb.write(2)
+    w16be(5353); w16be(53); w16be(8); w16be(0)
+    val p = Pcap.decodeStream(new ByteArrayInputStream(bb.toByteArray), "s", "raw.pcap").toList.head
+    assert(p.protocol == "UDP")
+    assert(p.srcIp == "10.0.0.1" && p.dstIp == "10.0.0.2")
+    assert(p.srcPort == 5353 && p.dstPort == 53)
+    assert(math.abs(p.timestamp - 5.25) < 1e-9)
+  }
+
+  test("ethernet frame with non-IP ethertype still degrades to OTHER") {
+    // ARP-ish frame: ethertype 0x0806, body not a valid IPv4 header — the
+    // offset-0 fallback must not misfire (dest MAC first nibble != 4).
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32le(v: Long): Unit = {
+      bb.write((v & 0xff).toInt); bb.write(((v >> 8) & 0xff).toInt)
+      bb.write(((v >> 16) & 0xff).toInt); bb.write(((v >> 24) & 0xff).toInt)
+    }
+    def w16be(v: Int): Unit = { bb.write((v >> 8) & 0xff); bb.write(v & 0xff) }
+    w32le(0xa1b2c3d4L); w16be(0); w16be(0)
+    w32le(0); w32le(0); w32le(65535); w32le(1)
+    val cap = 14 + 28
+    w32le(7L); w32le(0L); w32le(cap); w32le(cap)
+    (0 until 12).foreach(_ => bb.write(0x00)) // MACs: first nibble 0, not 4
+    w16be(0x0806) // ARP
+    (0 until 28).foreach(_ => bb.write(0x01))
+    val p = Pcap.decodeStream(new ByteArrayInputStream(bb.toByteArray), "s", "arp.pcap").toList.head
+    assert(p.protocol == "OTHER" && p.srcIp == "" && p.ethertype == 0x0806)
+  }
+
   test("property: decode never throws on arbitrary bytes (500 seeded cases)") {
     (0 until 500).foreach { seed =>
       val rnd = new scala.util.Random(seed)
