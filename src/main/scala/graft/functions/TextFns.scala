@@ -300,9 +300,13 @@ object TextFns {
     IndexedSeq.fill(nBits, dim)(if (rnd.nextBoolean()) 1L else -1L)
   }
 
-  /** Sign-random-projection bucket id: bit i = [r_i · v > 0]. */
-  def srpBucket(sv: Column, nBits: Int, dim: Int): Column = {
-    val planes = hyperplanes(nBits, dim)
+  /** Sign-random-projection bucket id: bit i = [r_i · v > 0]. `table`
+    * selects an independent hyperplane set (rows [table·nBits,
+    * (table+1)·nBits) of the shared seeded matrix — row-major fill, so
+    * table 0 is prefix-stable with the single-table form): multi-table
+    * LSH trades index size for recall exactly like minhash bands. */
+  def srpBucket(sv: Column, nBits: Int, dim: Int, table: Int = 0): Column = {
+    val planes = hyperplanes((table + 1) * nBits, dim).drop(table * nBits)
     val bits = planes.zipWithIndex.map { case (row, i) =>
       val rowLit = array(row.map(lit): _*)
       when(dotInt(rowLit, sv) > 0, lit(1L << i)).otherwise(lit(0L))
@@ -310,8 +314,8 @@ object TextFns {
     bits.reduce(_ + _)
   }
 
-  def sqlSrpBucket(sv: String, nBits: Int, dim: Int): String = {
-    val planes = hyperplanes(nBits, dim)
+  def sqlSrpBucket(sv: String, nBits: Int, dim: Int, table: Int = 0): String = {
+    val planes = hyperplanes((table + 1) * nBits, dim).drop(table * nBits)
     val bits = planes.zipWithIndex.map { case (row, i) =>
       val rowLit = row.mkString("[", ", ", "]")
       s"CASE WHEN ${sqlDotInt(rowLit, sv, dim)} > 0 THEN ${1L << i} ELSE 0 END"

@@ -50,6 +50,23 @@ object DedupQueries {
     * per-key fan-out. */
   val BandCap = 50L
 
+  /** SRP near-dup parameters: SrpTables independent sign-random-projection
+    * tables of SrpDedupBits each (hyperplanes shared with the ANN queries
+    * — TextFns.hyperplanes; table t uses plane rows [t·bits, (t+1)·bits)),
+    * and the viral-bucket cap (same role as [[BandCap]]). One 6-bit table
+    * catches a cos≈0.9 near-dup with p≈0.4; four tables lift that to
+    * ≈0.87 — the index-size/recall knob of any multi-table LSH. */
+  val SrpDedupBits = 6
+  val SrpTables = 4
+  val EmbDim = 64
+  val BucketCap = 500L
+
+  /** corpus_clean thresholds: minimum token count (p10 of the corpus —
+    * drops genuinely short docs without gutting the table) and the
+    * target language for the cleaned training corpus. */
+  val MinTokens = 20
+  val CleanLang = "en"
+
   /** Normalized-text key for exact dedup. */
   private def normSql = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
@@ -342,5 +359,135 @@ object DedupQueries {
       a.join(b, col("vec_a") < col("vec_b"))
         .filter(cos >= CosineThr)
         .select(col("vec_a"), col("vec_b"), graft.functions.DetAgg.r6(cos).as("cos"))
+    },
+
+    // ------------------------------------------------------------------
+    // SRP-bucketed embedding near-dup over the FULL corpus — the 100 TB
+    // path dedup_embedding anchors (that one is all-pairs on a fixed
+    // prefix; this one is sublinear): SrpTables sign-random-projection
+    // bucket keys per vector, computed in the projection (no shuffle);
+    // candidate pairs are bucket-mates in ANY table (equi self-join on
+    // the (table, bucket) key — the ONLY data-dependent shuffle),
+    // deduped, then verified by exact integer-scaled cosine. Viral
+    // buckets (degenerate/duplicate embeddings piling onto one key) are
+    // dropped by the same aggregate+equi-join cap shape as the minhash
+    // band cap; at 100 TB nBits grows with log(corpus) to keep expected
+    // bucket size constant, and SrpTables sets the recall.
+    checked("dedup_embedding_srp", {
+      val sqlBands = (0 until SrpTables).map(t =>
+        s"concat_ws(':', '$t', CAST(${sqlSrpBucket("v", SrpDedupBits, EmbDim, t)} AS VARCHAR))")
+        .mkString("[", ", ", "]")
+      s"""WITH sv AS (SELECT vec_id, ${sqlScaledVec("embedding")} AS v FROM embeddings),
+         |svn AS (SELECT vec_id, v, ${sqlDotInt("v", "v", EmbDim)} AS n2 FROM sv),
+         |banded AS (SELECT vec_id, unnest($sqlBands) AS band FROM svn),
+         |bf AS (SELECT band, count(*) AS bf FROM banded GROUP BY band),
+         |kept AS (SELECT banded.vec_id, banded.band FROM banded JOIN bf USING (band)
+         |  WHERE bf <= $BucketCap),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM kept a JOIN kept b ON a.band = b.band AND a.vec_id < b.vec_id),
+         |scored AS (SELECT vec_a, vec_b,
+         |    ${sqlDotInt("x.v", "y.v", EmbDim)} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+         |  FROM cand JOIN svn x ON cand.vec_a = x.vec_id
+         |            JOIN svn y ON cand.vec_b = y.vec_id)
+         |SELECT vec_a, vec_b, ${sqlR6("cos")} AS cos
+         |FROM scored WHERE cos >= $CosineThr""".stripMargin
+    }) { (s, d) =>
+      // sv feeds the band projection and both verify joins — staged; the
+      // banded rows feed the frequency count and both candidate sides.
+      val sv = staged(Tables.embeddings(s, d)
+        .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
+        .withColumn("n2", dotInt(col("v"), col("v"))))
+      val bands = array((0 until SrpTables).map(t =>
+        concat_ws(":", lit(t.toString),
+          srpBucket(col("v"), SrpDedupBits, EmbDim, t).cast("string"))): _*)
+      val banded = staged(sv.select(col("vec_id"), explode(bands).as("band")))
+      val bf = banded.groupBy("band").agg(count(lit(1)).as("bf"))
+      val kept = staged(banded.join(bf.filter(col("bf") <= BucketCap), "band")
+        .select(col("vec_id"), col("band")))
+      val cand = kept.as("a")
+        .join(kept.as("b"),
+          col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val cos = dotInt(col("va"), col("vb")) / (sqrt(col("n2a")) * sqrt(col("n2b")))
+      cand
+        .join(sv.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("n2").as("n2a")), "vec_a")
+        .join(sv.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("n2").as("n2b")), "vec_b")
+        .filter(cos >= CosineThr)
+        .select(col("vec_a"), col("vec_b"), graft.functions.DetAgg.r6(cos).as("cos"))
+    },
+
+    // ------------------------------------------------------------------
+    // End-to-end training-corpus cleaning — the composition a real LLM
+    // data pipeline runs nightly, as ONE declarative plan: quality gate
+    // (token count ≥ MinTokens) → language gate (predicted CleanLang) →
+    // exact-dedup keeper (min doc_id per normalized-text fingerprint) →
+    // fuzzy-dedup survivor (greedy keep-lowest-id over the stop-shingle
+    // near-dup pairs). Every stage is a stage this suite already verifies
+    // in isolation; composing them costs no new shuffle shape — the
+    // quality/lang gates are projections over the scan, the keeper is one
+    // groupBy + semi join, the near-dup drop reuses the bounded-fan-out
+    // inverted index and lands as one anti join. At 100 TB this whole
+    // query is: one corpus scan + the stopshingle pair build + three
+    // small joins.
+    checked("corpus_clean",
+      s"""WITH sh AS ($shingleSetsSql),
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+         |kept AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfq USING (h)
+         |  WHERE df <= $StopDf),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dupb AS (SELECT DISTINCT doc_b FROM inter
+         |  JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+         |  WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= $NgramThr),
+         |fps AS (SELECT doc_id, $normSql AS fp FROM documents),
+         |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY fp),
+         |t AS (SELECT doc_id, lang, source,
+         |    len(${sqlTokens("text")}) AS n_tokens,
+         |    ${sqlLangId(sqlTokens("text"))} AS lang_pred
+         |  FROM documents)
+         |SELECT t.doc_id, lang, source, n_tokens
+         |FROM t JOIN fps USING (doc_id)
+         |       JOIN keepers ON fps.fp = keepers.fp AND t.doc_id = keepers.keeper
+         |WHERE n_tokens >= $MinTokens AND lang_pred = '$CleanLang'
+         |  AND t.doc_id NOT IN (SELECT doc_b FROM dupb)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // Fuzzy-dedup victim set: doc_b of every stop-shingle near-dup pair
+      // (keep-lowest-id greedy) — the same plan as dedup_stopshingle.
+      val ex = staged(shingleRows(s, d))
+      val dfq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      val kept = staged(ex.join(dfq.filter(col("df") <= StopDf), "h")
+        .select(col("doc_id"), col("h")))
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = kept.as("a")
+        .join(kept.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val jac = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
+      val dupB = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(jac >= NgramThr)
+        .select(col("doc_b").as("doc_id")).distinct()
+      // Exact-dedup keepers: min doc_id per normalized fingerprint.
+      val fps = docNorm(docs).select(col("doc_id"), col("fp"))
+      val keepers = fps.join(
+          fps.groupBy("fp").agg(min(col("doc_id")).as("keeper")), "fp")
+        .filter(col("doc_id") === col("keeper"))
+        .select(col("doc_id"))
+      // Quality + language gates are pure projections over the scan.
+      docs.select(col("doc_id"), col("lang"), col("source"),
+          size(tokens(col("text"))).as("n_tokens"),
+          langId(tokens(col("text"))).as("lang_pred"))
+        .filter(col("n_tokens") >= MinTokens && col("lang_pred") === CleanLang)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(dupB, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
     })
 }

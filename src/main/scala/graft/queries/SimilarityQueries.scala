@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -170,9 +169,13 @@ object SimilarityQueries {
     // scaled-integer space (‖x−c‖² = n2 − 2·x·c + cn2, all
     // integer-valued → bit-exact, ties by centroid id); queries probe
     // their IvfProbe nearest lists and re-rank candidates by exact
-    // cosine. The 100 TB shape: centroids broadcast (nList ≪ corpus),
-    // assignment is one no-shuffle pass, candidates shuffle on list id
-    // only, probes touch nProbe/nList of the corpus. Recall/cost trades
+    // cosine. The 100 TB shape: the quantizer is DRIVER state (nList
+    // vectors — exactly what a production IVF index trains centrally and
+    // ships to every worker), inlined as literals so both the corpus
+    // assignment (argmin over the distance array) and the query probe
+    // (sorted (dist, c_id) structs, first nProbe) are pure codegen'd
+    // projections — zero shuffle until the candidate equi-join on list
+    // id, which touches nProbe/nList of the corpus. Recall/cost trades
     // via IvfProbe exactly as in a production IVF index.
     checked("ann_ivf", {
       val dist = s"(n2 - 2 * ${sqlDotInt("v", "cv", Dim)} + cn2)"
@@ -199,22 +202,36 @@ object SimilarityQueries {
          |FROM ranked WHERE rnk <= 5""".stripMargin
     }) { (s, d) =>
       val sv = svSpark(s, d)
+      // Quantizer to the driver: IvfLists rows, bounded by construction —
+      // the one collect a real IVF index also does (its centroids are
+      // trained centrally and broadcast as literals/closure state).
       val cent = sv
         .filter(col("vec_id") >= IvfCentroidBase &&
           col("vec_id") < IvfCentroidBase + IvfLists)
         .select((col("vec_id") - IvfCentroidBase).as("c_id"),
           col("v").as("cv"), col("n2").as("cn2"))
-      val dist = col("n2") - lit(2) * dotInt(col("v"), col("cv")) + col("cn2")
-      val wAsg = Window.partitionBy("vec_id").orderBy(dist, col("c_id"))
-      val asg = sv.crossJoin(broadcast(cent))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("n2"), col("c_id"))
-      val q = sv.filter(col("vec_id") < 50).crossJoin(broadcast(cent))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") <= IvfProbe)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("n2").as("qn2"), col("c_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+        .sortBy(_._1)
+      // Per-centroid exact squared-L2 distance columns, ordered by c_id.
+      val dists = cent.map { case (cid, cv, cn2) =>
+        (cid, col("n2") - lit(2) * dotInt(array(cv.map(lit): _*), col("v")) + lit(cn2))
+      }
+      val dArr = array(dists.map(_._2): _*)
+      // Corpus assignment: argmin of the distance array; array_position
+      // returns the FIRST index holding the min, i.e. ties break to the
+      // lowest c_id — the oracle's ORDER BY dist, c_id with rn = 1.
+      val asg = sv.select(col("vec_id"), col("v"), col("n2"),
+        (array_position(dArr, array_min(dArr)) - 1).as("c_id"))
+      // Query probes: lexicographic sort of (dist, c_id) structs = the
+      // oracle's ORDER BY dist, c_id; keep the first IvfProbe entries.
+      val probeArr = sort_array(array(dists.map { case (cid, dc) =>
+        struct(dc.as("d"), lit(cid).as("c_id"))
+      }: _*))
+      val q = sv.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
+          explode(slice(probeArr, 1, IvfProbe)).as("p"))
+        .select(col("q_id"), col("qv"), col("qn2"), col("p.c_id").as("c_id"))
       val scored = broadcast(q)
         .join(asg.select(col("vec_id"), col("v"), col("n2"), col("c_id").as("c2")),
           col("c_id") === col("c2") && col("vec_id") =!= col("q_id"))
