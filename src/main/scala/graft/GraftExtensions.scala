@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+
+import graft.functions.expr.{CosTopK, DotLong, ShingleExplode}
+
+/** SQL-surface registration for the engine's native Catalyst expressions
+  * (SURVEY §4.3 path (c): `SparkSessionExtensions`). Column-API users get
+  * them through the typed helpers ([[graft.functions.TextFns.dotInt]],
+  * [[CosTopK.topk]], …); this makes the same codegen'd operators callable
+  * from `spark.sql("…")`:
+  *
+  *  - `dot_long(a, b)`             exact BIGINT-array dot product
+  *  - `shingle_explode(toks, n)`   generator: one row per n-token shingle
+  *  - `cos_top_k(score, id, k)`    bounded-heap per-group top-k aggregate
+  *
+  * Two entry points, same registrations:
+  *  - config `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the deployment route — survives `newSession()`);
+  *  - [[GraftExtensions.register]] on a live session (adds
+  *    `shannon_entropy`, a typed-Aggregator UDAF that goes through the
+  *    session UDF registry rather than a Catalyst builder).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  private[graft] val builders: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] =
+    Map(
+      "dot_long" -> (
+        new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+        (args: Seq[Expression]) => args match {
+          case Seq(a, b) => DotLong(a, b)
+          case _ => throw new IllegalArgumentException("dot_long(arrayA, arrayB)")
+        }),
+      "shingle_explode" -> (
+        new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode"),
+        (args: Seq[Expression]) => args match {
+          case Seq(toks, n) => ShingleExplode(toks, intArg(n, "shingle_explode", 2))
+          case _ => throw new IllegalArgumentException("shingle_explode(tokens, n)")
+        }),
+      "cos_top_k" -> (
+        new ExpressionInfo(classOf[CosTopK].getName, "cos_top_k"),
+        (args: Seq[Expression]) => args match {
+          // Bare AggregateFunction: the analyzer wraps it in an
+          // AggregateExpression during function resolution. SQL numeric
+          // literals arrive as DECIMAL/INT — cast to the aggregate's
+          // exact (double, bigint) input contract.
+          case Seq(score, id, k) => CosTopK(
+            Cast(score, org.apache.spark.sql.types.DoubleType),
+            Cast(id, org.apache.spark.sql.types.LongType),
+            intArg(k, "cos_top_k", 3))
+          case _ => throw new IllegalArgumentException("cos_top_k(score, id, k)")
+        }))
+
+  /** Register on a LIVE session (no `spark.sql.extensions` needed): the
+    * three Catalyst builders into the session's function registry, plus
+    * the `shannon_entropy` UDAF via the UDF registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, (info, builder)) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+    spark.udf.register("shannon_entropy", graft.functions.ShannonEntropy.udafFn)
+  }
+}

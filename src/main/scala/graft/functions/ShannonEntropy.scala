@@ -46,9 +46,12 @@ object ShannonEntropy {
       def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
 
-  private lazy val fn = udaf(aggregator, Encoders.LONG)
+  /** The UDAF object — also registrable by name for SQL callers
+    * (`GraftExtensions.register`). */
+  lazy val udafFn: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(aggregator, Encoders.LONG)
 
   /** Entropy of an integral column. NULLs are ignored (DuckDB `entropy`
     * semantics). */
-  def ofLong(c: Column): Column = fn(c)
+  def ofLong(c: Column): Column = udafFn(c)
 }

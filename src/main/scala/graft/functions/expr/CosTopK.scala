@@ -50,6 +50,17 @@ case class CosTopK(
   override def nullable: Boolean = false
   override def prettyName: String = "cos_top_k"
 
+  // update() unboxes Double/Long directly — reject anything else at
+  // analysis time instead of a ClassCastException mid-task (SQL callers
+  // can hand a DECIMAL literal; GraftExtensions' builder casts for them).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cos_top_k expects (DOUBLE score, BIGINT id), got " +
+          s"(${score.dataType.sql}, ${id.dataType.sql})")
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("rnk", IntegerType, nullable = false),

@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.QuerySpec
+
+/** Plan-shape regression pins: the scale claims the query comments make
+  * (map-side top-k, no window in the IVF assignment, broadcast star joins,
+  * filter pushdown reaching the parquet scan) asserted against the actual
+  * physical plan, so a refactor that silently reintroduces a
+  * shuffle-the-corpus shape fails here instead of at 100 TB. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    try {
+      val q = SparkEntry.allQueries.find(_.name == name)
+        .getOrElse(fail(s"no query named $name"))
+      q.fn(spark, sf).queryExecution.executedPlan.toString
+    } finally QuerySpec.releaseStaged()
+
+  test("ann re-rank reduces map-side: partial cos_top_k before the exchange") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("partial_cos_top_k"),
+      "top-k must aggregate partially (ObjectHashAggregate) before any shuffle")
+    assert(!p.contains("Window"),
+      "no window operator may rank the full scored candidate set")
+  }
+
+  test("ann_ivf assignment and probing are pure projections (no window, no BNLJ)") {
+    val p = plan("ann_ivf")
+    assert(!p.contains("Window"), "centroid assignment must not rank through a window")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "no nested-loop/cartesian join may survive in the IVF plan")
+  }
+
+  test("topk_orders compiles to TakeOrderedAndProject") {
+    assert(plan("topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_star broadcasts the dimension side") {
+    assert(plan("join_star").contains("BroadcastHashJoin"))
+  }
+
+  test("q1_pricing pushes its date filter into the parquet scan") {
+    val p = plan("q1_pricing")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      s"scan must carry pushed filters, got plan:\n$p")
+  }
+
+  test("dedup_minhash candidate join is an equi hash join on the band key") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band self-join must stay an equi join")
+  }
+}
