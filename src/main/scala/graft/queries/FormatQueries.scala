@@ -40,6 +40,41 @@ object FormatQueries {
           min(col("ts_us")).as("first_us"))
     },
 
+    // Bucketed co-located join: both sides written bucketBy(8, key) +
+    // sortBy, then joined WITHOUT a shuffle — the bucketed scan satisfies
+    // the join's hash-partitioning requirement, so neither side crosses an
+    // exchange on the join key (PlanShapeSpec pins it). This is THE
+    // pre-partitioning pattern for a 100 TB fact-fact join that recurs
+    // nightly: pay the layout once at write time, skip the dominant
+    // shuffle on every subsequent join. The merge hint forces SMJ at test
+    // scale (the tables are broadcast-sized there; at production scale
+    // SMJ is what the planner picks anyway).
+    checked("bucketed_join",
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${sqlSum("l_extendedprice")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val stamp = System.nanoTime()
+      def writeBucketed(df: org.apache.spark.sql.DataFrame,
+                        name: String, key: String): Unit =
+        df.write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_bucket_${name}_$stamp").getAbsolutePath)
+          .saveAsTable(name)
+      writeBucketed(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_orders_b", "o_orderkey")
+      writeBucketed(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice")),
+        "graft_lineitem_b", "l_orderkey")
+      s.table("graft_orders_b").hint("merge")
+        .join(s.table("graft_lineitem_b").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+    },
+
     // S8/S9: hive-partitioned parquet sink, read back with a partition
     // filter — the scan must prune to the one slice directory (check with
     // graft.Explain: PartitionFilters, not PushedFilters).

@@ -47,6 +47,15 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must carry pushed filters, got plan:\n$p")
   }
 
+  test("bucketed_join joins co-located buckets with no exchange on the key") {
+    val p = plan("bucketed_join")
+    assert(p.contains("SortMergeJoin"), "bucketed fact-fact join must be SMJ")
+    assert(!p.contains("hashpartitioning(o_orderkey") &&
+      !p.contains("hashpartitioning(l_orderkey"),
+      s"join keys must not cross an exchange — bucket layout satisfies the " +
+        s"distribution requirement; got plan:\n$p")
+  }
+
   test("dedup_minhash candidate join is an equi hash join on the band key") {
     val p = plan("dedup_minhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
