@@ -127,6 +127,40 @@ object RelationalQueries {
         .select(col("l_orderkey").as("okey"), col("ln_a"), col("ln_b"))
     },
 
+    // Salted skew join: event_type is the corpus's hottest key (5 values
+    // over every event row), so a plain shuffle join lands each key's
+    // ENTIRE volume on one reducer — the canonical straggler at 100 TB.
+    // Salting fans each hot key across Salt reducers: the dim side
+    // replicates ×Salt (explode over the salt range), the fact side
+    // computes salt = pmod(event_id, Salt) in its projection, and the
+    // join key becomes (event_type, salt) — identical rows out, Salt× the
+    // parallelism where it was 1×. Broadcast is the first choice when the
+    // dim fits (join_star); salting is the structural fallback when both
+    // sides are shuffle-sized. The merge hints force the shuffle join at
+    // test scale so the plan under test is the one that skews in
+    // production; the oracle is the UNSALTED join — same result set.
+    checked("join_skew_salted",
+      s"""WITH dim AS (SELECT event_type, ${sqlSum("value")} AS type_total
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_type, count(*) AS n, min(type_total) AS type_total,
+         |  ${sqlR6(sqlSumRaw("e.value / type_total"))} AS share_sum
+         |FROM events e JOIN dim ON e.event_type = dim.event_type
+         |GROUP BY e.event_type""".stripMargin) { (s, d) =>
+      val salt = 8
+      val dim = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(dsum(col("value")).as("type_total"))
+        .withColumn("salt", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+      val fact = Tables.events(s, d).select(col("event_type"), col("value"),
+        pmod(col("event_id"), lit(salt.toLong)).as("salt"))
+      fact.hint("merge")
+        .join(dim.hint("merge"), Seq("event_type", "salt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("type_total")).as("type_total"),
+          r6(dsumRaw(col("value") / col("type_total"))).as("share_sum"))
+    },
+
     // Grouping sets via ROLLUP over the region→nation hierarchy.
     checked("rollup_geo",
       """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,

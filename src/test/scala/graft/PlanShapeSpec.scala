@@ -56,6 +56,13 @@ class PlanShapeSpec extends SparkSpec {
         s"distribution requirement; got plan:\n$p")
   }
 
+  test("join_skew_salted shuffles on the salted composite key") {
+    val p = plan("join_skew_salted")
+    assert("hashpartitioning\\(event_type#\\d+, salt".r.findFirstIn(p).isDefined,
+      s"the join exchange must partition on (event_type, salt) — the salt " +
+        s"is what fans the hot keys out; got plan:\n$p")
+  }
+
   test("dedup_minhash candidate join is an equi hash join on the band key") {
     val p = plan("dedup_minhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
