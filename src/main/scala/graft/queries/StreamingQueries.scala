@@ -105,6 +105,41 @@ object StreamingQueries {
         "flow_iat_stream", OutputMode.Append)
     },
 
+    // Stream-stream inner join (T-surface beyond the reference): purchases
+    // within one hour of a click by the same user — the classic funnel.
+    // Both sides are real file-source streams with watermarks; the
+    // time-range join condition is what lets the state store evict expired
+    // click/purchase rows as the watermark advances, so state is bounded
+    // by the join window, not the stream length — the only stream-stream
+    // join shape that survives an unbounded 100 TB/day feed. The bounded
+    // drain equals the batch join, so even this path is oracle-checked.
+    checked("stream_join_funnel",
+      s"""SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+         |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+         |FROM events a JOIN events b
+         |  ON a.user_id = b.user_id
+         | AND a.event_type = 'click' AND b.event_type = 'purchase'
+         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin) { (s, d) =>
+      StreamingKpi.runBounded(s, s2 => {
+        val clicks = StreamingKpi.eventsStream(s2, d)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "10 seconds")
+        val purchases = StreamingKpi.eventsStream(s2, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "10 seconds")
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+      }, "join_funnel", OutputMode.Append)
+    },
+
     // Transport emulation (S5-S7): the reference's Kafka hop — per-row JSON
     // encode keyed by flow (PcapKpiExtractor.scala:252-253), partitioned
     // write, read back, from_json decode with the declared schema

@@ -115,6 +115,36 @@ class StreamingKpiSpec extends SparkSpec {
     assert(progress.last.stateRows > 0, "stateful query reported empty state")
   }
 
+  test("stream-stream time-range join matches across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksMem = MemoryStream[(Long, Long, Timestamp)]
+    val buysMem = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = clicksMem.toDF().toDF("click_id", "user_id", "click_ts")
+      .withWatermark("click_ts", "10 seconds")
+    val buys = buysMem.toDF().toDF("purchase_id", "p_user", "p_ts")
+      .withWatermark("p_ts", "10 seconds")
+    val joined = clicks.join(buys,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: a click, no purchase yet — click state must be retained
+      clicksMem.addData((1L, 7L, ts(100)))
+      q.processAllAvailable()
+      // batch 2: in-window purchase (cross-batch match), out-of-window
+      // purchase (same user, too late), and a different user
+      buysMem.addData((10L, 7L, ts(160)), (11L, 7L, ts(100 + 3601)), (12L, 8L, ts(170)))
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)),
+        s"expected only the in-window same-user pair, got $got")
+    } finally q.stop()
+  }
+
   test("streaming tumbling aggregation equals the batch group-by") {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = StreamingKpi.runBounded(spark,
