@@ -58,7 +58,10 @@ object DedupQueries {
     * ≈0.87 — the index-size/recall knob of any multi-table LSH. */
   val SrpDedupBits = 6
   val SrpTables = 4
-  val EmbDim = 64
+  /** Embedding dimension — one constant with the ANN suite: the two
+    * suites share TextFns.hyperplanes, and a dim drift would silently
+    * truncate the shared dot products. */
+  val EmbDim = SimilarityQueries.Dim
   val BucketCap = 500L
 
   /** corpus_clean thresholds: minimum token count (p10 of the corpus —

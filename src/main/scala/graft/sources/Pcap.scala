@@ -61,12 +61,18 @@ object Pcap {
     x & 0xffffffffL
   }
 
+  /** LINKTYPE_ETHERNET — the pcap global header's `network` field value
+    * for Ethernet frames; anything else is treated as a raw-IP-style link
+    * (DLT_RAW = 101/12) and parsed at offset 0. */
+  val LinkEthernet = 1
+
   /** Parse one captured frame (Ethernet → IPv4 → TCP/UDP/ICMP) into a
     * PacketEvent. Unknown layers degrade gracefully to OTHER/defaults —
     * decode must never throw on garbage (resilience contract). */
   def parsePacket(bytes: Array[Byte], slice: String, file: String,
                   tsSec: Long, tsFrac: Long, origLen: Int,
-                  nano: Boolean = false): PacketEvent = {
+                  nano: Boolean = false,
+                  linktype: Int = LinkEthernet): PacketEvent = {
     // Fractional field is µs in classic pcap, ns in the nano variants.
     val ts = (tsSec & 0xffffffffL) + tsFrac / (if (nano) 1e9 else 1e6)
     var ethertype = 0
@@ -74,12 +80,19 @@ object Pcap {
     var srcIp = ""; var dstIp = ""
     var srcPort = 0; var dstPort = 0
     var seq = 0L; var flags = 0; var win = 0
-    if (bytes.length >= 14) ethertype = u16(bytes, 12)
-    // Raw-IP tolerance (reference PcapKpiExtractor.scala:161-164): when the
-    // ethertype is not IPv4, retry the IP header at offset 0 guarded by the
-    // version nibble, so DLT_RAW captures (no Ethernet layer) still decode.
-    val ipOff = if (ethertype == 0x0800) 14 else 0
-    if (bytes.length >= ipOff + 20 && ((bytes(ipOff) >> 4) & 0x0f) == 4) {
+    val isEthernet = linktype == LinkEthernet
+    if (isEthernet && bytes.length >= 14) ethertype = u16(bytes, 12)
+    // Raw-IP tolerance, gated on the capture's declared linktype: DLT_RAW
+    // (and any other non-Ethernet link) parses the IP header at offset 0,
+    // guarded by the version nibble. Declared divergence from the
+    // reference (PcapKpiExtractor.scala:161-164), which retries offset 0
+    // whenever the ETHERTYPE is unknown regardless of linktype — on real
+    // Ethernet captures that misdecodes ARP/IPv6/VLAN frames whose dest
+    // MAC begins 0x4X (the version-nibble guard passes on the MAC byte)
+    // into garbage IPv4 flows. The linktype field disambiguates exactly,
+    // so Ethernet non-IP frames here degrade to OTHER as they should.
+    val ipOff = if (!isEthernet) 0 else if (ethertype == 0x0800) 14 else -1
+    if (ipOff >= 0 && bytes.length >= ipOff + 20 && ((bytes(ipOff) >> 4) & 0x0f) == 4) {
       val ihl = (bytes(ipOff) & 0x0f) * 4
       val p = bytes(ipOff + 9) & 0xff
       srcIp = (12 to 15).map(i => bytes(ipOff + i) & 0xff).mkString(".")
@@ -122,7 +135,8 @@ object Pcap {
       val nano = magic == MagicLeNano || magic == MagicBeNano
       val known = le || magic == MagicBe || magic == MagicBeNano
       if (known) {
-        d.skipBytes(20) // version, thiszone, sigfigs, snaplen, network
+        d.skipBytes(16) // version, thiszone, sigfigs, snaplen
+        val linktype = readU32(d, le).toInt // network: 1 = Ethernet, 101 = RAW
         var n = 0
         var eof = false
         while (!eof && n < maxPackets) {
@@ -135,7 +149,8 @@ object Pcap {
             else {
               val buf = new Array[Byte](capLen)
               d.readFully(buf)
-              out += parsePacket(buf, slice, file, tsSec, tsFrac, origLen, nano)
+              out += parsePacket(buf, slice, file, tsSec, tsFrac, origLen,
+                nano, linktype)
               n += 1
             }
           } catch { case _: EOFException => eof = true }

@@ -95,6 +95,29 @@ class PcapDecoderSpec extends SparkSpec {
     assert(p.protocol == "OTHER" && p.srcIp == "" && p.ethertype == 0x0806)
   }
 
+  test("ethernet IPv6 frame with a 0x4X-leading MAC does not misdecode as raw IPv4") {
+    // Regression: an offset-0 retry gated only on the version nibble (the
+    // reference's shape) sees dest-MAC byte 0x44 as "IPv4 version 4" and
+    // fabricates a flow from MAC/payload bytes. The linktype gate must
+    // keep this frame OTHER.
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32le(v: Long): Unit = {
+      bb.write((v & 0xff).toInt); bb.write(((v >> 8) & 0xff).toInt)
+      bb.write(((v >> 16) & 0xff).toInt); bb.write(((v >> 24) & 0xff).toInt)
+    }
+    def w16be(v: Int): Unit = { bb.write((v >> 8) & 0xff); bb.write(v & 0xff) }
+    w32le(0xa1b2c3d4L); w16be(0); w16be(0)
+    w32le(0); w32le(0); w32le(65535); w32le(1) // network = LINKTYPE_ETHERNET
+    val cap = 14 + 40
+    w32le(9L); w32le(0L); w32le(cap); w32le(cap)
+    bb.write(0x44); (0 until 11).foreach(_ => bb.write(0x55)) // MACs, first byte 0x44
+    w16be(0x86dd) // IPv6
+    (0 until 40).foreach(i => bb.write(0x60 + (i % 7)))
+    val p = Pcap.decodeStream(new ByteArrayInputStream(bb.toByteArray), "s", "v6.pcap").toList.head
+    assert(p.protocol == "OTHER" && p.srcIp == "" && p.dstIp == "")
+    assert(p.ethertype == 0x86dd)
+  }
+
   test("property: decode never throws on arbitrary bytes (500 seeded cases)") {
     (0 until 500).foreach { seed =>
       val rnd = new scala.util.Random(seed)

@@ -9,7 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
-  override def afterAll(): Unit = () // keep the shared session alive
+  // Keep the shared session alive across suites, but drain any staged
+  // localCheckpoint blocks a suite's queries created (suites that run
+  // query fns without a Verify/Bench-style runner would otherwise pin
+  // blocks in the registry for the whole test JVM).
+  override def afterAll(): Unit = graft.queries.QuerySpec.releaseStaged()
 }
 
 object SparkSpec {
