@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.MediaOps
 import graft.sources.Pcap
@@ -11,9 +12,17 @@ import graft.sources.Pcap
   * both queries synthesize deterministic binary inputs driver-side,
   * distribute them, and run the real executor-side decode path — the same
   * plan shape as production (binaryFiles → flatMap decode → toDF), minus
-  * only the filesystem hop. Decode correctness is pinned by
-  * PcapDecoderSpec round-trips; these queries are rows-only (no relational
-  * oracle exists for binary decode).
+  * only the filesystem hop.
+  *
+  * Oracle strategy: DuckDB cannot decode pcap, but the decoded packet
+  * table is perfectly relational — so the decode output is dumped ONCE per
+  * JVM to a pid-keyed parquet directory and every aggregate gets a DuckDB
+  * twin over that dump. The Spark side still aggregates the LIVE decode
+  * plan, so a decode/aggregation divergence (or a dump that drifts from
+  * the live rows) fails the hash. `pcap_decode_v2` aggregates the
+  * DataSource-V2 route but keeps the RDD-route dump as its oracle input —
+  * the oracle therefore also pins cross-route decode equality. Byte-level
+  * decode correctness stays pinned by PcapDecoderSpec round-trips.
   */
 object SourceQueries {
   import QuerySpec._
@@ -35,32 +44,89 @@ object SourceQueries {
 
   private val SliceNames = Seq("eMBB", "URLLC", "mMTC")
 
-  /** Deterministic synthetic pcap corpus: nFiles files of perFile packets,
-    * tagged with 5G slice names as in the reference's directory layout. */
-  private def syntheticPackets(s: org.apache.spark.sql.SparkSession,
-                               nFiles: Int, perFile: Int) = {
-    val filesRdd = s.sparkContext.parallelize(0 until nFiles, nFiles).map { f =>
+  /** Deterministic synthetic pcap corpus decoded on executors, with a
+    * within-file packet index (`pkt_idx`). The index makes per-flow window
+    * ordering TOTAL — `(ts_sec, fileName, pkt_idx)` is unique by
+    * construction — so lag-derived IAT is deterministic under any
+    * partitioning and reproducible in the DuckDB twin (a seq/port
+    * tie-break would only be probabilistically unique). */
+  private def decodedPackets(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val filesRdd = s.sparkContext.parallelize(0 until 8, 8).map { f =>
       val slice = SliceNames(f % 3)
-      (s"file_$f.pcap", slice, Pcap.synthesize(fileSpecs(f, perFile)))
+      (s"file_$f.pcap", slice, Pcap.synthesize(fileSpecs(f, 500)))
     }
     filesRdd.flatMap { case (name, slice, bytes) =>
       Pcap.decodeStream(new java.io.ByteArrayInputStream(bytes), slice, name)
+        .zipWithIndex.map { case (p, i) => (p, i.toLong) }
+    }.toDF("p", "pkt_idx").select(col("p.*"), col("pkt_idx"))
+  }
+
+  /** Parquet dump of [[decodedPackets]] for the DuckDB oracles. Pid-keyed:
+    * Bench and Verify run as separate JVMs sharing java.io.tmpdir, and a
+    * shared path could race (ADVICE round 4). Written once per JVM; the
+    * oracle SQL built in the same JVM references the same path. */
+  private val DumpDir = new java.io.File(
+    sys.props("java.io.tmpdir"),
+    s"graft_pcap_dump_${ProcessHandle.current().pid()}").getAbsolutePath
+  @volatile private var dumped = false
+  private def packetDump(s: SparkSession): String = {
+    if (!dumped) synchronized {
+      if (!dumped) {
+        decodedPackets(s).coalesce(1).write.mode("overwrite").parquet(DumpDir)
+        dumped = true
+      }
     }
+    DumpDir
+  }
+
+  /** Census aggregate shared by both decode routes (the reference's
+    * protocol census, PcapKpiExtractor.scala:398-401). */
+  private def census(pkt: DataFrame): DataFrame =
+    pkt.groupBy("sliceType", "protocol")
+      .agg(
+        count(lit(1)).as("n_packets"),
+        sum(col("capturedLen")).as("total_bytes"),
+        count_distinct(col("flowId")).as("n_flows"),
+        sum(when(col("tcpFlags").bitwiseAND(0x04) =!= 0, 1L).otherwise(0L)).as("rst_count"))
+
+  private val censusSql: String =
+    s"""SELECT sliceType, protocol, count(*) AS n_packets,
+       |  CAST(sum(capturedLen) AS BIGINT) AS total_bytes,
+       |  count(DISTINCT flowId) AS n_flows,
+       |  CAST(sum(CASE WHEN (tcpFlags & 4) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS rst_count
+       |FROM read_parquet('$DumpDir/*.parquet')
+       |GROUP BY 1, 2""".stripMargin
+
+  /** DuckDB twin of the full decode→IAT→38-KPI pipeline, over the packet
+    * dump, at the reference's own operating point. */
+  private val kpiPipelineSql: String = {
+    val kpis = graft.functions.KpiExprs.kpis(
+      idleThr = 0.1, smallLen = 100.0, largeLen = 1400.0)
+    s"""WITH pkt AS (SELECT sliceType AS slice, flowId AS flow,
+       |    "timestamp" AS ts_sec, CAST(capturedLen AS DOUBLE) AS len,
+       |    protocol AS proto, srcPort AS src_port, dstPort AS dst_port,
+       |    CAST(tcpWindow AS DOUBLE) AS win_size, tcpFlags AS flags,
+       |    tcpSeq AS seq, fileName AS file, pkt_idx
+       |  FROM read_parquet('$DumpDir/*.parquet')),
+       |seqd AS (SELECT *, COALESCE(ts_sec - lag(ts_sec, 1)
+       |    OVER (PARTITION BY slice, flow ORDER BY ts_sec, file, pkt_idx),
+       |    0.0) AS iat
+       |  FROM pkt)
+       |SELECT slice, CAST(floor(ts_sec) AS BIGINT) AS window_start,
+       |${kpis.map(_.duckNamed).mkString(",\n")}
+       |FROM seqd
+       |GROUP BY slice, CAST(floor(ts_sec) AS BIGINT)""".stripMargin
   }
 
   val all: Seq[QuerySpec] = Seq(
 
-    // S3/S4: packet decode → per (slice, protocol) traffic profile (the
-    // reference's protocol census, PcapKpiExtractor.scala:398-401).
-    rowsOnly("pcap_decode") { (s, _) =>
-      import s.implicits._
-      syntheticPackets(s, 8, 500).toDF()
-        .groupBy("sliceType", "protocol")
-        .agg(
-          count(lit(1)).as("n_packets"),
-          sum(col("capturedLen")).as("total_bytes"),
-          count_distinct(col("flowId")).as("n_flows"),
-          sum(when(col("tcpFlags").bitwiseAND(0x04) =!= 0, 1L).otherwise(0L)).as("rst_count"))
+    // S3/S4: packet decode → per (slice, protocol) traffic profile. The
+    // oracle reads the parquet dump of the same decode — round 5 closes
+    // the round-4 blind spot where this path was rows-only.
+    checked("pcap_decode", censusSql) { (s, _) =>
+      packetDump(s)
+      census(decodedPackets(s))
     },
 
     // S2 alternative route: the same decode through the DataSource V2
@@ -69,8 +135,11 @@ object SourceQueries {
     // (graft.sources.v2.PcapDataSource). The corpus is written to a
     // deterministic temp dir (slice = parent dir, as in the reference's
     // HDFS layout) and the same census aggregate runs on top; only the
-    // pruned 4 columns are materialized from each packet.
-    rowsOnly("pcap_decode_v2") { (s, _) =>
+    // pruned 4 columns are materialized from each packet. The oracle input
+    // is the RDD-route dump, so this check also pins cross-route decode
+    // equality (previously only PcapV2Spec asserted it).
+    checked("pcap_decode_v2", censusSql) { (s, _) =>
+      packetDump(s)
       val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_pcap_v2")
       (0 until 8).foreach { f =>
         val dir = new java.io.File(root, SliceNames(f % 3))
@@ -90,14 +159,8 @@ object SourceQueries {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
       }
-      s.read.format("pcap")
-        .load(SliceNames.map(sl => new java.io.File(root, sl).getAbsolutePath): _*)
-        .groupBy("sliceType", "protocol")
-        .agg(
-          count(lit(1)).as("n_packets"),
-          sum(col("capturedLen")).as("total_bytes"),
-          count_distinct(col("flowId")).as("n_flows"),
-          sum(when(col("tcpFlags").bitwiseAND(0x04) =!= 0, 1L).otherwise(0L)).as("rst_count"))
+      census(s.read.format("pcap")
+        .load(SliceNames.map(sl => new java.io.File(root, sl).getAbsolutePath): _*))
     },
 
     // The reference's FULL lifecycle composed end-to-end on real packet
@@ -106,11 +169,12 @@ object SourceQueries {
     // aggregate per (slice, 1-second epoch window), at the reference's own
     // operating point (idle 0.1 s, small <100 B, large >1400 B, floor-epoch
     // windows — KafkaKpiPipeline.scala:25-27, :418). A user of the
-    // reference runs exactly this table.
-    rowsOnly("pcap_kpi_pipeline") { (s, _) =>
+    // reference runs exactly this table. Oracle: the same IAT window + KPI
+    // expressions (KpiExprs duck twins) over the packet dump.
+    checked("pcap_kpi_pipeline", kpiPipelineSql) { (s, _) =>
       import org.apache.spark.sql.expressions.Window
-      import s.implicits._
-      val pkt = syntheticPackets(s, 8, 500).toDF().select(
+      packetDump(s)
+      val pkt = decodedPackets(s).select(
         col("sliceType").as("slice"), col("flowId").as("flow"),
         // KpiExprs takes len/win_size as DOUBLE: the moment aggregates
         // raise c to the 4th power pre-cast, which overflows 32/64-bit
@@ -118,9 +182,10 @@ object SourceQueries {
         col("timestamp").as("ts_sec"), col("capturedLen").cast("double").as("len"),
         col("protocol").as("proto"), col("srcPort").as("src_port"),
         col("dstPort").as("dst_port"), col("tcpWindow").cast("double").as("win_size"),
-        col("tcpFlags").as("flags"), col("tcpSeq").as("seq"))
+        col("tcpFlags").as("flags"), col("tcpSeq").as("seq"),
+        col("fileName").as("file"), col("pkt_idx"))
       val w = Window.partitionBy("slice", "flow")
-        .orderBy(col("ts_sec"), col("seq"), col("src_port"))
+        .orderBy(col("ts_sec"), col("file"), col("pkt_idx"))
       val seqd = pkt.withColumn("iat",
         coalesce(col("ts_sec") - lag(col("ts_sec"), 1).over(w), lit(0.0)))
       val kpis = graft.functions.KpiExprs.kpis(

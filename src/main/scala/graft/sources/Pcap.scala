@@ -62,9 +62,17 @@ object Pcap {
   }
 
   /** LINKTYPE_ETHERNET — the pcap global header's `network` field value
-    * for Ethernet frames; anything else is treated as a raw-IP-style link
-    * (DLT_RAW = 101/12) and parsed at offset 0. */
+    * for Ethernet frames. */
   val LinkEthernet = 1
+
+  /** Linktypes whose record payload starts directly at the IP header —
+    * DLT_RAW's two historical numeric values (libpcap's 12 on some BSDs,
+    * the standardized 101). Other non-Ethernet linktypes (LINKTYPE_NULL=0
+    * has a 4-byte family header, LINUX_SLL=113 a 16-byte one, …) carry
+    * their own link headers; without a per-type parser their frames must
+    * degrade to OTHER rather than risk fabricating IPv4 flows from a
+    * link-header byte whose first nibble happens to be 4. */
+  val RawIpLinktypes: Set[Int] = Set(101, 12)
 
   /** Parse one captured frame (Ethernet → IPv4 → TCP/UDP/ICMP) into a
     * PacketEvent. Unknown layers degrade gracefully to OTHER/defaults —
@@ -82,16 +90,20 @@ object Pcap {
     var seq = 0L; var flags = 0; var win = 0
     val isEthernet = linktype == LinkEthernet
     if (isEthernet && bytes.length >= 14) ethertype = u16(bytes, 12)
-    // Raw-IP tolerance, gated on the capture's declared linktype: DLT_RAW
-    // (and any other non-Ethernet link) parses the IP header at offset 0,
-    // guarded by the version nibble. Declared divergence from the
+    // Raw-IP tolerance, gated on the capture's declared linktype: only the
+    // whitelisted DLT_RAW values parse the IP header at offset 0 (still
+    // guarded by the version nibble). Declared divergence from the
     // reference (PcapKpiExtractor.scala:161-164), which retries offset 0
     // whenever the ETHERTYPE is unknown regardless of linktype — on real
     // Ethernet captures that misdecodes ARP/IPv6/VLAN frames whose dest
     // MAC begins 0x4X (the version-nibble guard passes on the MAC byte)
-    // into garbage IPv4 flows. The linktype field disambiguates exactly,
-    // so Ethernet non-IP frames here degrade to OTHER as they should.
-    val ipOff = if (!isEthernet) 0 else if (ethertype == 0x0800) 14 else -1
+    // into garbage IPv4 flows. Linktypes with their own link headers
+    // (NULL=0, LINUX_SLL=113, …) degrade to OTHER unconditionally — a
+    // link-header first nibble of 4 would otherwise fabricate IPv4 flows.
+    val ipOff =
+      if (isEthernet) { if (ethertype == 0x0800) 14 else -1 }
+      else if (RawIpLinktypes(linktype)) 0
+      else -1
     if (ipOff >= 0 && bytes.length >= ipOff + 20 && ((bytes(ipOff) >> 4) & 0x0f) == 4) {
       val ihl = (bytes(ipOff) & 0x0f) * 4
       val p = bytes(ipOff + 9) & 0xff

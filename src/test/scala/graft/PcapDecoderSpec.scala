@@ -118,6 +118,28 @@ class PcapDecoderSpec extends SparkSpec {
     assert(p.ethertype == 0x86dd)
   }
 
+  test("non-raw non-Ethernet linktype (LINUX_SLL) degrades to OTHER even when its link header leads with nibble 4") {
+    // LINUX_SLL (113) has a 16-byte link header the decoder does not parse.
+    // A first byte of 0x40 would pass the version-nibble guard, so only the
+    // raw-linktype whitelist (101/12) keeps this frame from fabricating an
+    // IPv4 flow out of link-header bytes (ADVICE round 4).
+    val bb = new java.io.ByteArrayOutputStream()
+    def w32le(v: Long): Unit = {
+      bb.write((v & 0xff).toInt); bb.write(((v >> 8) & 0xff).toInt)
+      bb.write(((v >> 16) & 0xff).toInt); bb.write(((v >> 24) & 0xff).toInt)
+    }
+    def w16be(v: Int): Unit = { bb.write((v >> 8) & 0xff); bb.write(v & 0xff) }
+    w32le(0xa1b2c3d4L); w16be(0); w16be(0)
+    w32le(0); w32le(0); w32le(65535); w32le(113) // network = LINKTYPE_LINUX_SLL
+    val cap = 16 + 28 // SLL header + body
+    w32le(11L); w32le(0L); w32le(cap); w32le(cap)
+    bb.write(0x45) // SLL packet-type byte crafted to look like "IPv4, IHL=5"
+    (0 until 15).foreach(_ => bb.write(0x06)) // rest of the SLL header
+    (0 until 28).foreach(_ => bb.write(0x11))
+    val p = Pcap.decodeStream(new ByteArrayInputStream(bb.toByteArray), "s", "sll.pcap").toList.head
+    assert(p.protocol == "OTHER" && p.srcIp == "" && p.dstIp == "")
+  }
+
   test("property: decode never throws on arbitrary bytes (500 seeded cases)") {
     (0 until 500).foreach { seed =>
       val rnd = new scala.util.Random(seed)
