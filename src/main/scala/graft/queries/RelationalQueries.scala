@@ -161,6 +161,113 @@ object RelationalQueries {
           r6(dsumRaw(col("value") / col("type_total"))).as("share_sum"))
     },
 
+    // Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20 % of
+    // their part's average quantity. The test of Catalyst's decorrelation —
+    // RewriteCorrelatedScalarSubquery turns the per-row subquery into ONE
+    // aggregate over lineitem joined back on l_partkey (two scans + two
+    // shuffles total), not a subplan per outer row; PlanShapeSpec pins the
+    // decorrelated shape. Cross-engine determinism: l_quantity is integral,
+    // so the per-part avg is an exact double in both engines and the
+    // 0.2×avg threshold comparison cannot ulp-flip.
+    checked("scalar_subquery",
+      s"""SELECT p_brand, count(*) AS n_small,
+         |  ${sqlSum("l_extendedprice")} AS small_revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+         |GROUP BY p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("sq_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("sq_part")
+      s.sql(
+        """SELECT p_brand, count(*) AS n_small,
+          |  (floor(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS STRING) AS DOUBLE) * 1e6 + 0.5) / 1e6) AS small_revenue
+          |FROM sq_lineitem JOIN sq_part ON p_partkey = l_partkey
+          |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          |                    FROM sq_lineitem l2 WHERE l2.l_partkey = p_partkey)
+          |GROUP BY p_brand""".stripMargin)
+    },
+
+    // Correlated EXISTS + NOT EXISTS (TPC-H Q21 shape): orders that have a
+    // returned line but no late-shipped line. RewritePredicateSubquery
+    // plans these as left-semi and left-anti joins on o_orderkey — no
+    // per-row probing; PlanShapeSpec pins semi+anti and no nested loop.
+    checked("exists_correlated",
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey
+        |                    AND l.l_shipdate > TIMESTAMP '1998-06-30 00:00:00')""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("sq_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("sq_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_orderpriority, o_totalprice
+          |FROM sq_orders o
+          |WHERE EXISTS (SELECT 1 FROM sq_lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          |  AND NOT EXISTS (SELECT 1 FROM sq_lineitem l
+          |                  WHERE l.l_orderkey = o.o_orderkey
+          |                    AND l.l_shipdate > TIMESTAMP '1998-06-30 00:00:00')""".stripMargin)
+    },
+
+    // AQE skew-join twin of join_skew_salted: the production-first answer
+    // is to let adaptive execution split the skewed shuffle partitions at
+    // runtime (spark.sql.adaptive.skewJoin) instead of hand-salting the
+    // key. event_type itself is uniform (~2k rows each), so the workload's
+    // hot key is modeled by collapsing four of the five types into one
+    // 'hot' group (~80 % of the fact rows) — the single-dominant-key shape
+    // AQE must handle. Runs in a child session so the lowered skew
+    // thresholds (needed for AQE to see "skew" at test scale; production
+    // defaults are 256 MB) never leak into the shared session. Manual
+    // salting (join_skew_salted) remains the structural answer when the
+    // row VOLUME under one key must itself be cut by pre-aggregation; AQE
+    // splits the hot partition's rows across tasks and replicates the
+    // matching build row, which fixes the straggler without touching the
+    // query. PlanShapeSpec pins that the executed plan actually split the
+    // skewed partition (isSkewJoin on the SMJ).
+    checked("join_skew_aqe",
+      s"""WITH f AS (SELECT CASE WHEN event_type = 'purchase' THEN event_type
+         |    ELSE 'hot' END AS grp, value FROM events),
+         |dim AS (SELECT grp, ${sqlSum("value")} AS grp_total FROM f GROUP BY grp)
+         |SELECT f.grp, count(*) AS n, min(grp_total) AS grp_total,
+         |  ${sqlR6(sqlSumRaw("f.value / grp_total"))} AS share_sum
+         |FROM f JOIN dim ON f.grp = dim.grp
+         |GROUP BY f.grp""".stripMargin) { (s, d) =>
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "true")
+      ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      ss.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // repartition(16): AQE splits a skewed reduce partition at MAP-OUTPUT
+      // granularity — the sf-test events.parquet is one row group → one map
+      // task → the hot partition is a single indivisible chunk and the skew
+      // rule silently finds nothing to split. At warehouse scale the scan
+      // has thousands of map tasks and this shuffle is unnecessary; at test
+      // scale it is what makes the demo exercise the production code path.
+      val fact = Tables.events(ss, d).select(
+        when(col("event_type") === "purchase", col("event_type"))
+          .otherwise(lit("hot")).as("grp"),
+        col("value"))
+        .repartition(16)
+      // staged: OptimizeSkewedJoin only matches an SMJ whose children are
+      // bare shuffle stages — an aggregate between the dim's exchange and
+      // the join hides the stage boundary and silently disables skew
+      // handling. Truncating the dim's lineage (2 rows) gives the join its
+      // own exchange on both sides.
+      val dim = staged(fact.groupBy("grp").agg(dsum(col("value")).as("grp_total")))
+      fact.hint("merge")
+        .join(dim.hint("merge"), Seq("grp"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          min(col("grp_total")).as("grp_total"),
+          r6(dsumRaw(col("value") / col("grp_total"))).as("share_sum"))
+    },
+
     // Grouping sets via ROLLUP over the region→nation hierarchy.
     checked("rollup_geo",
       """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,

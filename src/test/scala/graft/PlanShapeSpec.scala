@@ -63,6 +63,40 @@ class PlanShapeSpec extends SparkSpec {
         s"is what fans the hot keys out; got plan:\n$p")
   }
 
+  test("scalar_subquery is decorrelated into an aggregate + join (no per-row subplan)") {
+    val p = plan("scalar_subquery")
+    assert(!p.contains("Subquery"),
+      s"the correlated scalar subquery must be rewritten to a join, not " +
+        s"left as a subquery node; got plan:\n$p")
+    assert(p.contains("avg(l_quantity"),
+      "the per-part average must appear as a standalone aggregate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("exists_correlated plans as left-semi + left-anti joins") {
+    val p = plan("exists_correlated")
+    assert(p.contains("LeftSemi"), "EXISTS must become a left-semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must become a left-anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("join_skew_aqe actually splits the hot partition at runtime") {
+    // AQE's final plan only exists after execution — run the query, then
+    // assert the executed join is the skew-handling variant.
+    val q = SparkEntry.allQueries.find(_.name == "join_skew_aqe").get
+    val df = try {
+      val df = q.fn(spark, "/root/testdata/sf0.01")
+      df.collect()
+      df
+    } finally QuerySpec.releaseStaged()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"the SMJ must run with isSkewJoin — AQE found and split the skewed " +
+        s"partition; got plan:\n$p")
+    assert(p.contains("AQEShuffleRead skewed"),
+      "the fact-side shuffle read must carry skew splits")
+  }
+
   test("dedup_minhash candidate join is an equi hash join on the band key") {
     val p = plan("dedup_minhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
