@@ -54,7 +54,7 @@ object FormatQueries {
          |  ${sqlSum("l_extendedprice")} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
-      // Layout is written ONCE per (tmpdir, sf dir) and reused across
+      // Layout is written ONCE per (JVM, sf dir) and reused across
       // invocations in a session — the point of bucketing is paying the
       // write once; re-bucketing every run would time the write, not the
       // shuffle-free join. The sf-dir key is part of the TABLE NAME, so a
@@ -62,8 +62,19 @@ object FormatQueries {
       // and reuse requires both the catalog entry and the _SUCCESS marker
       // (an interrupted write leaves no marker → torn layouts are
       // rewritten, never read). Deterministic paths overwrite in place
-      // instead of orphaning copies.
-      val sfKey = Integer.toHexString(d.hashCode & 0x7fffffff)
+      // instead of orphaning copies. Keying (ADVICE round 4): md5 of the
+      // CANONICAL sf path — a 31-bit String.hashCode collision between two
+      // sf dirs would silently pass both reuse checks and join the wrong
+      // data — plus the JVM pid, so Bench and Verify running concurrently
+      // in separate JVMs against one shared java.io.tmpdir can never race
+      // each other's mode(overwrite) writes.
+      val sfKey = {
+        val canonical = new java.io.File(d).getCanonicalPath
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(canonical.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString +
+          s"_${ProcessHandle.current().pid()}"
+      }
       def ensureBucketed(df: => org.apache.spark.sql.DataFrame,
                          base: String, key: String): String = {
         val name = s"${base}_$sfKey"

@@ -43,27 +43,35 @@ object QuerySpec {
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint() // eager: the blocks exist on return
     sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!before.contains(id)) liveBlocks.add(rdd)
+      if (!before.contains(id)) liveBlocks.get().add(rdd)
     }
     out
   }
 
-  private val liveBlocks =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  // THREAD-scoped registry (ADVICE round 4): a global queue let any caller
+  // unpersist blocks another thread's staged DataFrame still needed —
+  // unrecoverable, because localCheckpoint truncates lineage. Scoping per
+  // thread makes the failure mode of cross-thread misuse a leak (blocks
+  // linger until JVM exit — recoverable, visible) instead of
+  // checkpoint-block-not-found at a distance.
+  private val liveBlocks = ThreadLocal.withInitial[
+    java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]](
+    () => new java.util.ArrayDeque)
 
-  /** Unpersist every block created by [[staged]] since the last release.
-    * Call after the consuming action has materialized the query result —
-    * the checkpointed rows are never needed across query invocations.
+  /** Unpersist every block created by [[staged]] ON THIS THREAD since its
+    * last release. Call after the consuming action has materialized the
+    * query result — the checkpointed rows are never needed across query
+    * invocations.
     *
-    * Contract: ONE query runs at a time (Verify, Bench, and the specs are
-    * all sequential). The registry is global, so a release issued while
-    * another thread's staged DataFrame is still in use would unpersist its
-    * blocks (lineage is truncated — they cannot be recomputed). A
-    * concurrent runner must scope releases differently. Callers that never
-    * release simply keep the pre-round-4 behavior economics, except the
-    * registry also pins the RDD references until the next release. */
+    * Contract: the releasing thread must be the thread that ran the query
+    * (true for Verify, Bench, and the specs, which are all sequential
+    * single-thread runners). A release never touches blocks staged by
+    * other threads, so concurrent runners are safe by construction; a
+    * stage-on-thread-A / release-on-thread-B mismatch leaks A's blocks
+    * until the JVM exits rather than corrupting anything. */
   def releaseStaged(): Unit = {
-    var r = liveBlocks.poll()
-    while (r != null) { r.unpersist(blocking = false); r = liveBlocks.poll() }
+    val q = liveBlocks.get()
+    var r = q.poll()
+    while (r != null) { r.unpersist(blocking = false); r = q.poll() }
   }
 }

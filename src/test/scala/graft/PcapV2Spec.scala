@@ -65,6 +65,38 @@ class PcapV2Spec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("scan carries the SESSION's Hadoop conf to readers (fs.* keys), not a bare Configuration") {
+    // A bare `new Configuration()` in the scan would silently drop
+    // credentials/fs.* settings on a real cluster (ADVICE round 4, fixed
+    // via sessionState.newHadoopConf + SerializableConfiguration). Pin it:
+    // a session-level conf key must be visible in the conf the scan ships.
+    val root = writeCorpus()
+    spark.conf.set("fs.graft.test.marker", "visible-to-readers")
+    try {
+      val builder = new graft.sources.v2.PcapScanBuilder(Map("path" -> (root + "/eMBB")))
+      val scan = builder.build().asInstanceOf[graft.sources.v2.PcapScan]
+      assert(scan.hadoopConf.value.get("fs.graft.test.marker") == "visible-to-readers")
+      // And the full read path still works with the session conf in play.
+      assert(spark.read.format("pcap").load(root + "/eMBB").count() == 20)
+    } finally spark.conf.unset("fs.graft.test.marker")
+  }
+
+  test("multi-path load survives a directory name containing a comma") {
+    // load(p1, p2) arrives as a JSON array in the `paths` option — a naive
+    // comma split would shear a path like "a,b" in two.
+    val root = Files.createTempDirectory("pcapv2comma").toString
+    val dir = Paths.get(root, "slice,with,commas")
+    Files.createDirectories(dir)
+    val specs = (0 until 7).map(i =>
+      (1700000000L + i, 0L, 1, 2, 1000 + i, 80, 6, i.toLong, 0x10, 100, 0))
+    Files.write(dir.resolve("c.pcap"), Pcap.synthesize(specs))
+    val df = spark.read.format("pcap").load(dir.toString, root + "/slice,with,commas")
+    // Both paths point at the same dir; each load path scans it once.
+    assert(df.count() == 14)
+    assert(df.select("sliceType").distinct().collect().map(_.getString(0)).toSet ==
+      Set("slice,with,commas"))
+  }
+
   test("corrupt file yields zero rows, never throws") {
     val root = Files.createTempDirectory("pcapv2bad").toString
     Files.write(Paths.get(root, "junk.pcap"), Array[Byte](1, 2, 3, 4, 5))

@@ -27,4 +27,24 @@ class StagedLifecycleSpec extends SparkSpec {
     QuerySpec.releaseStaged()
     QuerySpec.releaseStaged()
   }
+
+  test("a release on one thread never frees blocks another thread staged") {
+    // ADVICE round 4: the old process-global registry let any caller
+    // unpersist a concurrent runner's localCheckpoint blocks — lineage is
+    // truncated, so those rows are unrecoverable. The registry is now
+    // thread-scoped: thread B's release must leave thread A's blocks live.
+    QuerySpec.releaseStaged()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    import spark.implicits._
+    val staged = QuerySpec.staged(Seq(1, 2, 3).toDF("x"))
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.nonEmpty)
+    val t = new Thread(() => QuerySpec.releaseStaged())
+    t.start(); t.join()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after == mine, "another thread's release must not free my blocks")
+    assert(staged.count() == 3) // still usable
+    QuerySpec.releaseStaged()   // my own release frees them
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }
