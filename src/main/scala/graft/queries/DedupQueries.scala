@@ -435,40 +435,91 @@ object DedupQueries {
     // inverted index and lands as one anti join. At 100 TB this whole
     // query is: one corpus scan + the stopshingle pair build + three
     // small joins.
-    checked("corpus_clean",
-      s"""WITH sh AS ($shingleSetsSql),
-         |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
-         |dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
-         |kept AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfq USING (h)
-         |  WHERE df <= $StopDf),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |dupb AS (SELECT DISTINCT doc_b FROM inter
-         |  JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
-         |  WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= $NgramThr),
-         |fps AS (SELECT doc_id, $normSql AS fp FROM documents),
-         |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY fp),
-         |t AS (SELECT doc_id, lang, source,
-         |    len(${sqlTokens("text")}) AS n_tokens,
-         |    ${sqlLangId(sqlTokens("text"))} AS lang_pred
-         |  FROM documents)
-         |SELECT t.doc_id, lang, source, n_tokens
-         |FROM t JOIN fps USING (doc_id)
-         |       JOIN keepers ON fps.fp = keepers.fp AND t.doc_id = keepers.keeper
-         |WHERE n_tokens >= $MinTokens AND lang_pred = '$CleanLang'
-         |  AND t.doc_id NOT IN (SELECT doc_b FROM dupb)""".stripMargin) { (s, d) =>
+    checked("corpus_clean", corpusCleanSql()) { (s, d) =>
+      corpusCleanSpark(s, d)
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental corpus cleaning — the shape the nightly pipeline
+    // actually runs: yesterday's keeper STORE (exact fingerprints +
+    // df-capped shingle rows + shingle doc-frequencies) is persisted
+    // parquet; tonight's batch is gated, exact-deduped against the store's
+    // fingerprints, and fuzzy-deduped against store ∪ batch shingles —
+    // WITHOUT rescanning the historical corpus. Cost ∝ batch size + store
+    // joins, which is what makes a 100 TB corpus cleanable nightly.
+    //
+    // Correctness anchor: history and batch are disjoint, so
+    // df_full = df_store + df_batch, and rows the store dropped at df >
+    // StopDf stay dropped under any larger combined df — the incremental
+    // result is therefore EXACTLY the full-pipeline result restricted to
+    // batch docs, which is what the oracle asserts (the corpus_clean SQL
+    // plus the batch filter). Here the split is by doc_id (history =
+    // oldest 60 % of ids); stage 1 simulating "yesterday's run" writes the
+    // store once per (JVM, sf dir) and reuses it, like bucketed_join's
+    // layout.
+    checked("corpus_clean_incremental",
+      corpusCleanSql(
+        s" AND t.doc_id * 5 > (SELECT max(doc_id) FROM documents) * 3")) { (s, d) =>
       val docs = Tables.documents(s, d)
-      // Fuzzy-dedup victim set: doc_b of every stop-shingle near-dup pair
-      // (keep-lowest-id greedy) — the same plan as dedup_stopshingle.
-      val ex = staged(shingleRows(s, d))
-      val dfq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      val kept = staged(ex.join(dfq.filter(col("df") <= StopDf), "h")
-        .select(col("doc_id"), col("h")))
-      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = kept.as("a")
-        .join(kept.as("b"),
+      val maxDf = broadcast(docs.agg(max(col("doc_id")).as("max_id")))
+      def hist(df: DataFrame) =
+        df.crossJoin(maxDf).filter(col("doc_id") * 5 <= col("max_id") * 3)
+          .drop("max_id")
+      def batch(df: DataFrame) =
+        df.crossJoin(maxDf).filter(col("doc_id") * 5 > col("max_id") * 3)
+          .drop("max_id")
+
+      // ---- stage 1: yesterday's keeper store (write once, reuse) ------
+      val sfKey = {
+        val canonical = new java.io.File(d).getCanonicalPath
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(canonical.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString +
+          s"_${ProcessHandle.current().pid()}"
+      }
+      val storeRoot = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_keeper_store_$sfKey")
+      def part(name: String) = new java.io.File(storeRoot, name)
+      if (!Seq("fps", "shingles", "dfs")
+        .forall(p => new java.io.File(part(p), "_SUCCESS").exists())) {
+        val histShingles = staged(hist(shingleRows(s, d)))
+        val histDfs = histShingles.groupBy("h").agg(count(lit(1)).as("df_hist"))
+        // Store: every historical fingerprint (any match blocks a batch
+        // doc), the df-capped shingle rows (rows past the cap can never
+        // come back — combined df only grows), and the FULL df table (a
+        // batch shingle must see the historical count even when the
+        // store's rows for it were capped away).
+        docNorm(hist(docs)).select(col("fp")).distinct()
+          .write.mode("overwrite").parquet(part("fps").getAbsolutePath)
+        histShingles.join(histDfs.filter(col("df_hist") <= StopDf), "h")
+          .select(col("doc_id"), col("h"))
+          .write.mode("overwrite").parquet(part("shingles").getAbsolutePath)
+        histDfs
+          .write.mode("overwrite").parquet(part("dfs").getAbsolutePath)
+        QuerySpec.releaseStaged()
+      }
+      val storeFps = s.read.parquet(part("fps").getAbsolutePath)
+      val storeShingles = s.read.parquet(part("shingles").getAbsolutePath)
+      val storeDfs = s.read.parquet(part("dfs").getAbsolutePath)
+
+      // ---- stage 2: tonight's batch against the store -----------------
+      val exBatch = staged(batch(shingleRows(s, d)))
+      val dfBatch = exBatch.groupBy("h").agg(count(lit(1)).as("df_batch"))
+      // Combined doc-frequency = store + batch (disjoint doc sets).
+      val dfFull = staged(storeDfs
+        .join(dfBatch, Seq("h"), "full_outer")
+        .select(col("h"),
+          (coalesce(col("df_hist"), lit(0L)) +
+            coalesce(col("df_batch"), lit(0L))).as("df")))
+      val okH = dfFull.filter(col("df") <= StopDf).select("h")
+      val keptBatch = staged(exBatch.join(okH, Seq("h"), "left_semi"))
+      val keptHist = storeShingles.join(okH, Seq("h"), "left_semi")
+      val keptAll = staged(keptHist.unionByName(keptBatch))
+      val sizes = keptAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Near-dup pairs with the NEW doc on the right: batch×batch and
+      // history×batch — history×history was already resolved yesterday.
+      val inter = keptAll.as("a")
+        .join(keptBatch.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_inter"))
@@ -478,14 +529,16 @@ object DedupQueries {
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .filter(jac >= NgramThr)
         .select(col("doc_b").as("doc_id")).distinct()
-      // Exact-dedup keepers: min doc_id per normalized fingerprint.
-      val fps = docNorm(docs).select(col("doc_id"), col("fp"))
-      val keepers = fps.join(
-          fps.groupBy("fp").agg(min(col("doc_id")).as("keeper")), "fp")
+      // Exact dedup: a store fingerprint hit drops the batch doc outright
+      // (the keeper lives in history); survivors keep min doc_id per fp
+      // within the batch.
+      val fpsBatch = docNorm(batch(docs)).select(col("doc_id"), col("fp"))
+        .join(storeFps, Seq("fp"), "left_anti")
+      val keepers = fpsBatch.join(
+          fpsBatch.groupBy("fp").agg(min(col("doc_id")).as("keeper")), "fp")
         .filter(col("doc_id") === col("keeper"))
         .select(col("doc_id"))
-      // Quality + language gates are pure projections over the scan.
-      docs.select(col("doc_id"), col("lang"), col("source"),
+      batch(docs).select(col("doc_id"), col("lang"), col("source"),
           size(tokens(col("text"))).as("n_tokens"),
           langId(tokens(col("text"))).as("lang_pred"))
         .filter(col("n_tokens") >= MinTokens && col("lang_pred") === CleanLang)
@@ -493,4 +546,71 @@ object DedupQueries {
         .join(dupB, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
     })
+
+  // ------------------------------------------------------------------
+
+  /** The corpus_clean DuckDB oracle, optionally restricted (the
+    * incremental twin appends the batch filter — its result is provably
+    * the full pipeline's result on the batch docs). */
+  private def corpusCleanSql(extraWhere: String = ""): String =
+    s"""WITH sh AS ($shingleSetsSql),
+       |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+       |dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+       |kept AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfq USING (h)
+       |  WHERE df <= $StopDf),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dupb AS (SELECT DISTINCT doc_b FROM inter
+       |  JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+       |  WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= $NgramThr),
+       |fps AS (SELECT doc_id, $normSql AS fp FROM documents),
+       |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY fp),
+       |t AS (SELECT doc_id, lang, source,
+       |    len(${sqlTokens("text")}) AS n_tokens,
+       |    ${sqlLangId(sqlTokens("text"))} AS lang_pred
+       |  FROM documents)
+       |SELECT t.doc_id, lang, source, n_tokens
+       |FROM t JOIN fps USING (doc_id)
+       |       JOIN keepers ON fps.fp = keepers.fp AND t.doc_id = keepers.keeper
+       |WHERE n_tokens >= $MinTokens AND lang_pred = '$CleanLang'
+       |  AND t.doc_id NOT IN (SELECT doc_b FROM dupb)$extraWhere""".stripMargin
+
+  /** The full-corpus cleaning plan (corpus_clean's Spark side). */
+  private def corpusCleanSpark(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // Fuzzy-dedup victim set: doc_b of every stop-shingle near-dup pair
+    // (keep-lowest-id greedy) — the same plan as dedup_stopshingle.
+    val ex = staged(shingleRows(s, d))
+    val dfq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val kept = staged(ex.join(dfq.filter(col("df") <= StopDf), "h")
+      .select(col("doc_id"), col("h")))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
+    val dupB = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(jac >= NgramThr)
+      .select(col("doc_b").as("doc_id")).distinct()
+    // Exact-dedup keepers: min doc_id per normalized fingerprint.
+    val fps = docNorm(docs).select(col("doc_id"), col("fp"))
+    val keepers = fps.join(
+        fps.groupBy("fp").agg(min(col("doc_id")).as("keeper")), "fp")
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"))
+    // Quality + language gates are pure projections over the scan.
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"),
+        langId(tokens(col("text"))).as("lang_pred"))
+      .filter(col("n_tokens") >= MinTokens && col("lang_pred") === CleanLang)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(dupB, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+  }
 }
