@@ -7,26 +7,34 @@ import org.apache.spark.sql.functions._
   * typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages (north-star multimodal operators).
   *
-  * The Spark-side plumbing is real — schema, per-partition batched
-  * execution, deterministic output — while the codec itself is a STUB: no
-  * image/audio libraries exist in this environment, so "decode" parses a
-  * deterministic synthetic container format (`GRFT` header + seeded
-  * payload). In production the stub body is replaced by the real codec
-  * call (JNI/javacv or an Arrow `mapInArrow`/`mapInPandas` hop to a Python
-  * worker); every signature, batch shape, and downstream schema stays
-  * unchanged.
+  * The metadata decode is REAL for the two formats a JVM can parse with no
+  * external libraries: PNG (signature + IHDR width/height/channels, CRC32-
+  * verified) and WAV (RIFF chunk walk → fmt sample-rate/channels/bits +
+  * data frame count). Header parsing is also the right 100 TB shape: a
+  * metadata pass must not decompress pixels/samples to learn dimensions.
+  * Only two stages remain declared stubs — the video container (no
+  * standard video format parses trivially in pure JVM; the `GRFT`
+  * synthetic container stands in) and the embedding (per-chunk byte means
+  * where production runs an encoder model). In production those bodies
+  * become the real codec call (JNI/javacv or an Arrow `mapInArrow`/
+  * `mapInPandas` hop to a Python worker); every signature, batch shape,
+  * and downstream schema stays unchanged.
   *
   * Execution shape: `mapPartitions` over the binary rows — the Scala
   * analogue of `mapInPandas` batches. Per-row independent compute: no
   * shuffle, linear scans, embarrassingly parallel at any scale; binary
-  * blobs never leave the executor that read them.
+  * blobs never leave the executor that read them. Malformed blobs yield
+  * width = -1 rows (never throw — a 100 TB corpus WILL contain garbage).
   */
 object MediaOps {
 
   /** Raw media row: what a 100 TB media lakehouse table looks like. */
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
 
-  /** Decoded metadata + derived features. */
+  /** Decoded metadata + derived features. For audio, `width` carries the
+    * sample rate and `height` the bits per sample (the natural "dims" of a
+    * PCM stream); `n_frames` is sample frames for audio, container frames
+    * for video, 1 for stills. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -41,34 +49,106 @@ object MediaOps {
       embedding: Seq[Double])
 
   val Magic: Array[Byte] = "GRFT".getBytes("US-ASCII")
+  val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
   val EmbDim = 16
   val ThumbMax = 64
 
-  /** Deterministic synthetic container: GRFT | w u16 | h u16 | ch u8 |
-    * frames u8 | payload (seeded bytes). */
-  def synthesize(id: Long, kind: String): Array[Byte] = {
-    val rnd = new scala.util.Random(id * 2654435761L + kind.hashCode)
-    val w = 16 + rnd.nextInt(240)
-    val h = 16 + rnd.nextInt(240)
-    val ch = if (kind == "audio") 1 else 3
-    val frames = if (kind == "video") 1 + rnd.nextInt(30) else 1
-    val payload = new Array[Byte](64 + rnd.nextInt(192))
-    rnd.nextBytes(payload)
-    Array[Byte](Magic(0), Magic(1), Magic(2), Magic(3),
-      (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte,
-      ch.toByte, frames.toByte) ++ payload
+  private def u32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def ascii(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length &&
+      s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+  private val Corrupt = (-1, -1, -1, -1)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (must be first per spec):
+    * length(4) "IHDR" width(4,BE) height(4,BE) bitDepth(1) colorType(1)
+    * … crc(4, over type+data). The CRC is verified — a torn blob with an
+    * intact prefix must not yield plausible-looking dimensions. Returns
+    * (width, height, channels-from-color-type, 1). */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    if (bytes.length < 33 || !bytes.take(8).sameElements(PngSig)) return Corrupt
+    if (u32be(bytes, 8) != 13 || !ascii(bytes, 12, "IHDR")) return Corrupt
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, 12, 17) // "IHDR" + 13 data bytes
+    if (crc.getValue != u32be(bytes, 29)) return Corrupt
+    val w = u32be(bytes, 16)
+    val h = u32be(bytes, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return Corrupt
+    val channels = (bytes(25) & 0xff) match {
+      case 0 => 1 // greyscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette
+      case 4 => 2 // grey + alpha
+      case 6 => 4 // truecolor + alpha
+      case _ => return Corrupt
+    }
+    (w.toInt, h.toInt, channels, 1)
   }
 
-  /** STUB decode — replace the body with the real codec in production.
-    * Parses the container header; malformed blobs yield width = -1 rows
-    * (never throws — the 100 TB corpus WILL contain garbage). */
-  def decode(bytes: Array[Byte]): (Int, Int, Int, Int) =
-    if (bytes.length < 10 || !bytes.take(4).sameElements(Magic)) (-1, -1, -1, -1)
+  /** WAV: "RIFF" … "WAVE", then a chunk walk for "fmt " (channels,
+    * sample rate, block align, bits/sample) and "data" (payload size).
+    * Returns (sampleRate, bitsPerSample, channels, sampleFrames). */
+  def decodeWav(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    if (!ascii(bytes, 0, "RIFF") || !ascii(bytes, 8, "WAVE")) return Corrupt
+    var off = 12
+    var rate = -1; var bits = -1; var ch = -1; var blockAlign = -1
+    var dataLen = -1L
+    var walking = true
+    while (walking && off + 8 <= bytes.length) {
+      val size = u32le(bytes, off + 4)
+      if (size > bytes.length) walking = false // torn chunk header: stop,
+      else {                                   // keep whatever parsed so far
+        if (ascii(bytes, off, "fmt ") && off + 8 + 16 <= bytes.length) {
+          ch = u16le(bytes, off + 10)
+          rate = u32le(bytes, off + 12).toInt
+          blockAlign = u16le(bytes, off + 20)
+          bits = u16le(bytes, off + 22)
+        } else if (ascii(bytes, off, "data")) {
+          dataLen = math.min(size, bytes.length - off - 8L)
+        }
+        // Chunks are word-aligned: odd sizes carry a pad byte.
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+    }
+    if (rate <= 0 || ch <= 0) Corrupt
+    else {
+      val frames =
+        if (dataLen < 0 || blockAlign <= 0) 0
+        else math.min(dataLen / blockAlign, Int.MaxValue.toLong).toInt
+      (rate, bits, ch, frames)
+    }
+  }
+
+  /** Synthetic `GRFT` container (the declared VIDEO stub — no standard
+    * video container parses trivially in pure JVM): GRFT | w u16 | h u16 |
+    * ch u8 | frames u8 | payload. */
+  def decodeGrft(bytes: Array[Byte]): (Int, Int, Int, Int) =
+    if (bytes.length < 10 || !bytes.take(4).sameElements(Magic)) Corrupt
     else (
       ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff),
       ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff),
       bytes(8) & 0xff,
       bytes(9) & 0xff)
+
+  /** Format dispatch on magic bytes — the shape of a real media-lake
+    * decode stage (the column is opaque binary; the FORMAT is data). */
+  def decode(bytes: Array[Byte]): (Int, Int, Int, Int) =
+    if (bytes == null || bytes.length < 4) Corrupt
+    else if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig)) decodePng(bytes)
+    else if (ascii(bytes, 0, "RIFF")) decodeWav(bytes)
+    else if (bytes.take(4).sameElements(Magic)) decodeGrft(bytes)
+    else Corrupt
 
   /** Aspect-preserving resize-to-fit (pure arithmetic; the real op would
     * emit resampled pixels). */
@@ -114,7 +194,86 @@ object MediaOps {
     }
   }
 
-  /** Deterministic demo corpus (no media files ship with the harness). */
+  // ---------------------------------------------------------------------
+  // Deterministic synthetic corpus (no media files ship with the harness;
+  // the IMAGE and AUDIO blobs are real PNG/WAV bytes — a stock decoder
+  // would accept their headers).
+  // ---------------------------------------------------------------------
+
+  private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = (24 to 0 by -8).foreach(s => out.write(((v >> s) & 0xff).toInt))
+    w32(data.length)
+    val body = chunkType.getBytes("US-ASCII") ++ data
+    out.write(body, 0, body.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(body)
+    w32(crc.getValue)
+    out.toByteArray
+  }
+
+  /** Real PNG bytes: signature + CRC-correct IHDR + one (junk-payload)
+    * IDAT + IEND. Header-complete; only the pixel payload is filler. */
+  def synthesizePng(w: Int, h: Int, colorType: Int, payload: Array[Byte]): Array[Byte] = {
+    val ihdr = Array[Byte](
+      ((w >> 24) & 0xff).toByte, ((w >> 16) & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      ((h >> 24) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      8, colorType.toByte, 0, 0, 0) // bit depth 8, deflate, std filter, no interlace
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", payload) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Real PCM WAV bytes: RIFF/WAVE + fmt + data. */
+  def synthesizeWav(rate: Int, channels: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = (0 to 24 by 8).foreach(s => out.write(((v >> s) & 0xff).toInt))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    val blockAlign = channels * bits / 8
+    tag("RIFF"); w32(36L + data.length); tag("WAVE")
+    tag("fmt "); w32(16); w16(1); w16(channels); w32(rate.toLong)
+    w32(rate.toLong * blockAlign); w16(blockAlign); w16(bits)
+    tag("data"); w32(data.length)
+    out.write(data, 0, data.length)
+    out.toByteArray
+  }
+
+  /** Deterministic per-id blob: image → PNG, audio → WAV, video → GRFT;
+    * every 50th id is torn garbage (the resilience path must be exercised
+    * by the corpus, not just by specs). */
+  def synthesize(id: Long, kind: String): Array[Byte] = {
+    val rnd = new scala.util.Random(id * 2654435761L + kind.hashCode)
+    if (id % 50 == 49) {
+      val junk = new Array[Byte](8 + rnd.nextInt(64))
+      rnd.nextBytes(junk)
+      return junk
+    }
+    kind match {
+      case "image" =>
+        val payload = new Array[Byte](64 + rnd.nextInt(192))
+        rnd.nextBytes(payload)
+        val colorType = Seq(0, 2, 6)(rnd.nextInt(3))
+        synthesizePng(16 + rnd.nextInt(240), 16 + rnd.nextInt(240), colorType, payload)
+      case "audio" =>
+        val data = new Array[Byte](128 + rnd.nextInt(256))
+        rnd.nextBytes(data)
+        val rate = Seq(8000, 16000, 22050, 44100)(rnd.nextInt(4))
+        synthesizeWav(rate, 1 + rnd.nextInt(2), 16, data)
+      case _ =>
+        val w = 16 + rnd.nextInt(240)
+        val h = 16 + rnd.nextInt(240)
+        val frames = 1 + rnd.nextInt(30)
+        val payload = new Array[Byte](64 + rnd.nextInt(192))
+        rnd.nextBytes(payload)
+        Array[Byte](Magic(0), Magic(1), Magic(2), Magic(3),
+          (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte,
+          3, frames.toByte) ++ payload
+    }
+  }
+
+  /** Deterministic demo corpus. */
   def corpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).select(col("id")).as[Long].map { id =>

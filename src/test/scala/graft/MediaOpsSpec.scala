@@ -1,0 +1,89 @@
+package graft
+
+import graft.multimodal.MediaOps
+
+/** Real-header media decode spec: hand-built PNG/WAV byte fixtures (written
+  * out field by field in the test, independent of MediaOps' own
+  * synthesizers) must yield the planted dimensions; torn or CRC-broken
+  * blobs must degrade to the corrupt row, never throw. */
+class MediaOpsSpec extends SparkSpec {
+
+  /** Hand-built PNG: signature, IHDR(49×37, bit depth 8, color type 6 =
+    * RGBA), computed CRC — byte-for-byte per the PNG spec, not via
+    * MediaOps.synthesizePng. */
+  private def handPng(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdrData = Array[Byte](
+      (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+      (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+      8, colorType.toByte, 0, 0, 0)
+    val typed = "IHDR".getBytes("US-ASCII") ++ ihdrData
+    val crc = new java.util.zip.CRC32()
+    crc.update(typed)
+    val c = crc.getValue
+    sig ++ Array[Byte](0, 0, 0, 13) ++ typed ++
+      Array[Byte]((c >> 24).toByte, (c >> 16).toByte, (c >> 8).toByte, c.toByte)
+  }
+
+  /** Hand-built 16-bit stereo PCM WAV at 44100 Hz with 400 data bytes. */
+  private def handWav(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = (0 to 24 by 8).foreach(s => out.write(((v >> s) & 0xff).toInt))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes, 0, 4); w32(36 + 400); out.write("WAVE".getBytes, 0, 4)
+    out.write("fmt ".getBytes, 0, 4); w32(16)
+    w16(1); w16(2); w32(44100); w32(44100L * 4); w16(4); w16(16)
+    out.write("data".getBytes, 0, 4); w32(400)
+    out.write(new Array[Byte](400), 0, 400)
+    out.toByteArray
+  }
+
+  test("PNG IHDR parses width/height/channels; CRC is enforced") {
+    assert(MediaOps.decode(handPng(49, 37, 6)) == (49, 37, 4, 1))
+    assert(MediaOps.decode(handPng(300, 1, 0)) == (300, 1, 1, 1))
+    assert(MediaOps.decode(handPng(16, 16, 2)) == (16, 16, 3, 1))
+    // Flip one IHDR byte without recomputing the CRC → corrupt, not 48×37.
+    val broken = handPng(49, 37, 6)
+    broken(16 + 3) = 48.toByte
+    assert(MediaOps.decode(broken) == (-1, -1, -1, -1))
+    // Truncated mid-IHDR → corrupt.
+    assert(MediaOps.decode(handPng(49, 37, 6).take(20)) == (-1, -1, -1, -1))
+  }
+
+  test("WAV fmt/data chunks parse rate/bits/channels/frames") {
+    // 400 data bytes / blockAlign 4 = 100 sample frames.
+    assert(MediaOps.decode(handWav()) == (44100, 16, 2, 100))
+    // Torn after the fmt chunk: rate/channels survive, frames = 0.
+    assert(MediaOps.decode(handWav().take(40)) == (44100, 16, 2, 0))
+    // RIFF but not WAVE → corrupt.
+    val avi = handWav(); avi(8) = 'A'; avi(9) = 'V'; avi(10) = 'I'; avi(11) = ' '
+    assert(MediaOps.decode(avi) == (-1, -1, -1, -1))
+  }
+
+  test("synthesized corpus blobs are real PNG/WAV; corrupt ids degrade") {
+    assert(MediaOps.decode(MediaOps.synthesize(0, "image"))._3 >= 1) // PNG channels
+    assert(MediaOps.synthesize(0, "image").take(4).sameElements(
+      Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)))
+    assert(new String(MediaOps.synthesize(1, "audio").take(4), "US-ASCII") == "RIFF")
+    assert(new String(MediaOps.synthesize(2, "video").take(4), "US-ASCII") == "GRFT")
+    // Every 50th id is torn garbage → the corrupt row.
+    assert(MediaOps.decode(MediaOps.synthesize(49, "audio")) == (-1, -1, -1, -1))
+  }
+
+  test("extract pipeline over a mixed corpus: real dims, corrupt rows counted") {
+    val feats = MediaOps.extract(MediaOps.corpus(spark, 150)).collect()
+    assert(feats.length == 150)
+    val byKind = feats.groupBy(_.kind)
+    // Images: PNG dims within the synthesizer's 16..255 range.
+    assert(byKind("image").filter(_.width > 0)
+      .forall(f => f.width >= 16 && f.width <= 255 && f.channels >= 1))
+    // Audio: width carries the sample rate.
+    assert(byKind("audio").filter(_.width > 0)
+      .forall(f => Set(8000, 16000, 22050, 44100)(f.width) && f.n_frames > 0))
+    // ids 49, 99, 149 are torn (one per kind here).
+    assert(feats.count(_.width == -1) == 3)
+    // Determinism: the whole pipeline is seed-driven.
+    val again = MediaOps.extract(MediaOps.corpus(spark, 150)).collect()
+    assert(feats.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+}
