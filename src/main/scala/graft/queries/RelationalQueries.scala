@@ -404,6 +404,31 @@ object RelationalQueries {
             lit(0)).as("k_filled"))
     },
 
+    // Time-range trailing window (RANGE frame): per-slice trailing-1-hour
+    // event count and value sum at every event — the rolling-feature shape
+    // a training pipeline derives per entity. RANGE frames are defined by
+    // the ORDER-BY value, so ts ties all share one frame and the result is
+    // deterministic under any partitioning with no tie-break needed. Both
+    // engines order by exact µs longs and the sum accumulates in decimal —
+    // bit-exact. One shuffle on the partition key, same as any window.
+    checked("window_range",
+      s"""SELECT event_id, count(*) OVER w AS n_trail,
+         |  ${sqlR6("""CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w AS VARCHAR) AS DOUBLE)""")} AS trail_value
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("event_type").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_trail"),
+          r6(sum(col("value").cast(DecimalType(38, 10))).over(w)
+            .cast("string").cast("double")).as("trail_value"))
+    },
+
     // Union-by-name with missing columns (SURVEY §2.7 U2 — the py
     // pd.concat of heterogeneous frames): two different projections of
     // customer, aligned by column name.

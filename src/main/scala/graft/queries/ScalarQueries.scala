@@ -129,6 +129,28 @@ object ScalarQueries {
           coalesce(col("P"), lit(0L)).as("p_cnt"))
     },
 
+    // Unpivot/melt — pivot's inverse (the pandas `melt` every
+    // feature-table-to-long-format hop needs): four lineitem measures fold
+    // into (measure, val) rows, then re-aggregate per measure. Spark plans
+    // unpivot as Expand — the same operator rollup/cube use; no shuffle
+    // until the final aggregate.
+    checked("scalar_unpivot",
+      s"""SELECT measure, count(*) AS n, ${sqlSum("val")} AS total
+         |FROM (UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+         |               FROM lineitem)
+         |      ON l_quantity, l_extendedprice, l_discount, l_tax
+         |      INTO NAME measure VALUE val)
+         |GROUP BY measure""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), dsum(col("val")).as("total"))
+    },
+
     // Conditional/math family over lineitem: when-chains, epsilon division,
     // bit ops, rounding — the reference's expression vocabulary (§2.8).
     checked("scalar_math",

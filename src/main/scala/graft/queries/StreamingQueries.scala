@@ -140,6 +140,23 @@ object StreamingQueries {
       }, "join_funnel", OutputMode.Append)
     },
 
+    // Streaming deduplication — the event-stream analogue of the batch
+    // dedup suite: dropDuplicates carries the exact seen-key set in the
+    // state store, so the drained output equals batch DISTINCT (the
+    // oracle). Exact dedup state grows with key cardinality; the bounded
+    // variant (dropDuplicatesWithinWatermark — state evicted as the
+    // watermark passes, duplicates guaranteed caught only within the
+    // delay) is covered in StreamingKpiSpec where arrival order is
+    // controllable, because its output depends on batch boundaries and is
+    // only watermark-exact, not set-exact.
+    checked("stream_dedup",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, d) =>
+      StreamingKpi.runBounded(s, s2 => StreamingKpi.eventsStream(s2, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type"),
+        "stream_dedup", OutputMode.Append)
+    },
+
     // Transport emulation (S5-S7): the reference's Kafka hop — per-row JSON
     // encode keyed by flow (PcapKpiExtractor.scala:252-253), partitioned
     // write, read back, from_json decode with the declared schema

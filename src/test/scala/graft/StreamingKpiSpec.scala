@@ -42,6 +42,37 @@ class StreamingKpiSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: dedups inside the delay, evicts state past it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val dedup = mem.toDF().toDF("ts", "key")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("key")
+    val q = dedup.writeStream.format("memory").queryName("ddwm_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: key 1 twice within the delay → one row; watermark → 20-10=10
+      mem.addData((ts(3), 1L), (ts(5), 1L), (ts(20), 2L))
+      q.processAllAvailable()
+      // batch 2: key 1 again at t=8 — its state (expires at 3+10=13) is
+      // still live at watermark 10 → still deduped.
+      mem.addData((ts(8), 1L))
+      q.processAllAvailable()
+      // batch 3: advance watermark past key 1's expiry, then re-emit key 1
+      // — state was evicted, so the SAME key passes again. This is the
+      // bounded-state contract: dedup guaranteed only within the delay
+      // (stream_dedup's exact variant holds all keys instead).
+      mem.addData((ts(100), 3L))
+      q.processAllAvailable()
+      mem.addData((ts(105), 1L))
+      q.processAllAvailable()
+      val keys = spark.table("ddwm_test").select("key")
+        .as[Long].collect().toSeq
+      assert(keys.sorted == Seq(1L, 1L, 2L, 3L),
+        s"key 1 once per watermark epoch, keys 2/3 once: got $keys")
+    } finally q.stop()
+  }
+
   test("keyed-state IAT carries last-ts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long, Double)] // event_id, slice, flow, ts_sec
