@@ -20,6 +20,42 @@ object MlQueries {
 
   private val seriesSql = TimeSeries.featureSeriesSql
 
+  /** Shared model-input prep (ml_var_hybrid, ml_train): hourly feature
+    * frame → chronological split → MLlib RobustScaler fitted on train only
+    * (train.py:193-196). The hourly frame is bounded by slices × hours —
+    * the same in-memory contract the reference takes (train.py loads the
+    * full KPI frame into pandas before statsmodels/keras ever run). One
+    * distributed pass does the 100 TB work (scan + hourly agg); the
+    * collected frame then backs a LocalRelation so the model-fit actions
+    * that follow (scaler fit, Gram/gradient treeAggregates, scoring)
+    * replan from local rows instead of re-scanning events once per action.
+    * No cache entry is created (session hygiene). */
+  private def scaledLocalSeries(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.ml.feature.RobustScalerModel) = {
+    val series = {
+      val distributed =
+        TimeSeries.withSplit(TimeSeries.featureSeries(Tables.events(s, d)))
+      val rows = distributed.collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), distributed.schema)
+    }
+    val assembled = new VectorAssembler()
+      .setInputCols(TimeSeries.FeatCols.toArray).setOutputCol("fv")
+    val train = assembled.transform(series.filter(col("split") === "train"))
+    val scaler = new RobustScaler()
+      .setInputCol("fv").setOutputCol("fs")
+      .setWithCentering(true)
+      .fit(train)
+    val scaled = scaler.transform(assembled.transform(series))
+      .withColumn("fs", vector_to_array(col("fs"), "float64"))
+      .select(Seq(col("slice"), col("t"), col("split")) ++
+        TimeSeries.FeatCols.zipWithIndex.map { case (f, i) =>
+          element_at(col("fs"), i + 1).as(f)
+        }: _*)
+    (scaled, scaler)
+  }
+
   /** Split + train-quantile CTEs shared by the checked queries' oracles. */
   private val taggedSql =
     s"""series AS ($seriesSql),
@@ -137,35 +173,7 @@ object MlQueries {
     rowsOnly("ml_var_hybrid") { (s, d) =>
       val p = 2
       val dim = TimeSeries.FeatCols.length
-      // The hourly feature frame is bounded by slices × hours — the same
-      // in-memory contract the reference takes (train.py loads the full
-      // KPI frame into pandas before statsmodels/keras ever run). One
-      // distributed pass does the 100 TB work (scan + hourly agg); the
-      // collected frame then backs a LocalRelation so the model-fit
-      // actions that follow (MLlib scaler fit, Gram treeAggregate, final
-      // scoring) replan from local rows instead of re-scanning events
-      // once per action. No cache entry is created (session hygiene).
-      val series = {
-        val distributed =
-          TimeSeries.withSplit(TimeSeries.featureSeries(Tables.events(s, d)))
-        val rows = distributed.collect()
-        s.createDataFrame(
-          java.util.Arrays.asList(rows: _*), distributed.schema)
-      }
-      // MLlib robust scaling fitted on train only (train.py:193-196)
-      val assembled = new VectorAssembler()
-        .setInputCols(TimeSeries.FeatCols.toArray).setOutputCol("fv")
-      val train = assembled.transform(series.filter(col("split") === "train"))
-      val scaler = new RobustScaler()
-        .setInputCol("fv").setOutputCol("fs")
-        .setWithCentering(true)
-        .fit(train)
-      val scaled = scaler.transform(assembled.transform(series))
-        .withColumn("fs", vector_to_array(col("fs"), "float64"))
-        .select(Seq(col("slice"), col("t"), col("split")) ++
-          TimeSeries.FeatCols.zipWithIndex.map { case (f, i) =>
-            element_at(col("fs"), i + 1).as(f)
-          }: _*)
+      val (scaled, scaler) = scaledLocalSeries(s, d)
       // No .cache() here: a cache entry created inside a query fn is never
       // unpersisted (the driver re-invokes fns many times per session) and
       // accumulated storage eventually GC-thrashes the whole bench run.
@@ -230,5 +238,31 @@ object MlQueries {
         .withColumn("pred", nnUdf(col("hist")))
         .select(Seq(col("slice"), col("t")) ++
           (0 until dim).map(i => element_at(col("pred"), i + 1).as(s"pred_$i")): _*)
+    },
+
+    // M7 training-loop counterpart (the one reference capability that had
+    // no engine analogue): Huber + Adam + EarlyStopping + ReduceLROnPlateau
+    // over the VAR-shaped lagged design, one distributed gradient pass per
+    // epoch (graft.ml.Trainer). Output = the per-epoch history the
+    // reference's fit() returns (loss curve, val curve, LR schedule) plus
+    // the loop's exit state. Rows-only (gradient descent isn't
+    // SQL-expressible); TrainerSpec pins convergence to the closed-form
+    // OLS solution, callback firing order, and determinism.
+    rowsOnly("ml_train") { (s, d) =>
+      val p = 2
+      val dim = TimeSeries.FeatCols.length
+      val (scaled, _) = scaledLocalSeries(s, d)
+      val lagged = TimeSeries.lagDesign(scaled, TimeSeries.FeatCols, p)
+      val trained = graft.ml.Trainer.fit(lagged, p, dim,
+        graft.ml.Trainer.Config(lr = 0.02, maxEpochs = 120, patience = 15,
+          minDelta = 1e-5))
+      import s.implicits._
+      trained.history.toDF()
+        .select(col("epoch"),
+          col("trainLoss").as("train_loss"),
+          col("valLoss").as("val_loss"),
+          col("lr"),
+          lit(trained.bestEpoch).as("best_epoch"),
+          lit(trained.stoppedEarly).as("stopped_early"))
     })
 }
