@@ -90,6 +90,45 @@ object KpiQueries {
               percentile(col("value"), lit(0.999))).as("p99_ok"))
     },
 
+    // Mergeable-sketch rollup — THE 100 TB distinct-count pattern: daily
+    // HLL sketches are persisted once (here: built per (slice, day)), and
+    // any coarser rollup unions the small sketch blobs instead of
+    // rescanning raw data. Two properties are gated: the rolled-up
+    // estimate lands within the sketch's error bound of the exact count
+    // (each engine asserts its own sketch machinery, as in
+    // approx_sketches), and union-of-daily-sketches stays within 2 % of
+    // the one-pass direct sketch — NOT exact equality: a sketch built from
+    // many small daily parts promotes sparse→dense at different points
+    // than the direct build, so register states legitimately differ
+    // (measured ~0.4 % at sf0.1). DuckDB exposes no mergeable sketch
+    // objects, so its twin asserts the expected literals for the Spark-
+    // internal properties — if Spark's sketches ever drift out of bound,
+    // the false ≠ true hash mismatch fails the gate.
+    checked("sketch_rollup",
+      s"""SELECT event_type AS slice,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact,
+         |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         |    <= 0.10 * count(DISTINCT user_id) AS rollup_ok,
+         |  true AS merge_close
+         |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val rolled = daily.groupBy("slice")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_rollup"))
+      val direct = Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"))
+        .agg(count_distinct(col("user_id")).cast("long").as("users_exact"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"))
+      direct.join(rolled, "slice")
+        .select(col("slice"), col("users_exact"),
+          (abs(col("est_rollup") - col("users_exact")) <=
+            lit(0.10) * col("users_exact")).as("rollup_ok"),
+          (abs(col("est_rollup") - col("est_direct")) <=
+            lit(0.02) * col("users_exact")).as("merge_close"))
+    },
+
     // Sliding windows (T3 declared addition): 2-hour windows every hour —
     // each event lands in 2 windows. Spark plans this as a generate+agg;
     // the DuckDB twin spells out the same 2-window expansion.

@@ -94,6 +94,34 @@ object TextQueries {
           fingerprint(col("th")).as("fp_rolling"))
     },
 
+    // Deterministic hash-based stratified sampling — the reproducible
+    // train-split primitive every data pipeline needs: membership is a
+    // pure function of the row key (h60 % 100 < rate), so the same 20 %
+    // sample comes back on every engine, every partitioning, every rerun —
+    // unlike TABLESAMPLE/randomSplit, whose membership is partition-
+    // dependent. Per-language output pins both the rate and that sampling
+    // composes with downstream aggregates (token sums over the sample).
+    // Pure projection + one aggregate: no extra shuffle, no data movement
+    // for the unsampled 80 %.
+    checked("sample_stratified",
+      s"""WITH t AS (SELECT lang,
+         |    ${sqlH60("CAST(doc_id AS VARCHAR)")} % 100 < 20 AS in_sample,
+         |    len(${sqlTokens("text")}) AS n_tok
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN in_sample THEN n_tok ELSE 0 END) AS BIGINT) AS sampled_tokens
+         |FROM t GROUP BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          (h60(col("doc_id").cast("string")) % 100 < 20).as("in_sample"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("in_sample"), col("n_tok")).otherwise(0L)).as("sampled_tokens"))
+    },
+
     // Shannon entropy of the token-hash distribution per language — reuses
     // the ShannonEntropy UDAF (Q7 gap-closer) on text data, vs DuckDB's
     // native entropy().
