@@ -461,13 +461,14 @@ object DedupQueries {
       corpusCleanSql(
         s" AND t.doc_id * 5 > (SELECT max(doc_id) FROM documents) * 3")) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val maxDf = broadcast(docs.agg(max(col("doc_id")).as("max_id")))
-      def hist(df: DataFrame) =
-        df.crossJoin(maxDf).filter(col("doc_id") * 5 <= col("max_id") * 3)
-          .drop("max_id")
-      def batch(df: DataFrame) =
-        df.crossJoin(maxDf).filter(col("doc_id") * 5 > col("max_id") * 3)
-          .drop("max_id")
+      // One bounded 1-row aggregate to the driver (the same contract as the
+      // IVF quantizer collect): inlining the threshold as a literal lets
+      // the split predicates push into the parquet scans — a crossJoin'd
+      // 1-row frame would re-run the max per consumer (3 extra column
+      // scans) and block pushdown behind a nested-loop join.
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      def hist(df: DataFrame) = df.filter(col("doc_id") * 5 <= maxId * 3)
+      def batch(df: DataFrame) = df.filter(col("doc_id") * 5 > maxId * 3)
 
       // ---- stage 1: yesterday's keeper store (write once, reuse) ------
       val sfKey = {
