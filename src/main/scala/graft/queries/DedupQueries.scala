@@ -440,6 +440,59 @@ object DedupQueries {
     },
 
     // ------------------------------------------------------------------
+    // Connected components over the near-dup pair graph — what greedy
+    // pairwise keep-lowest-id (corpus_clean's victim drop) misses: near-
+    // duplication is transitive in practice (A~B, B~C ⇒ one cluster even
+    // when A,C never pair), and the canonical minhash-dedup postprocess
+    // labels every doc with its cluster representative. Algorithm:
+    // min-label propagation — each round every node takes the min label
+    // among itself and its neighbors, iterated to fixpoint. The Spark
+    // shape is the canonical iterative-algorithm pattern: per-round
+    // localCheckpoint (staged) truncates the lineage so round N's plan
+    // doesn't embed rounds 1..N-1, and the loop exits on a driver-side
+    // emptiness check of the changed set. Rounds = graph diameter —
+    // near-dup clusters are shallow (boilerplate families), so a handful;
+    // a worst-case chained corpus would switch to large-star/small-star
+    // (O(log n) rounds), same per-round plan. Oracle: DuckDB's recursive
+    // transitive closure, min reachable node per doc.
+    checked("dedup_components",
+      s"""WITH RECURSIVE $pairsCtesSql,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |walk AS (SELECT n AS node, n AS reach FROM nodes
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+         |SELECT node AS doc_id, min(reach) AS component
+         |FROM walk GROUP BY node""".stripMargin) { (s, d) =>
+      val pairs = staged(nearDupPairs(s, d))
+      val edges = staged(pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+      var labels = staged(edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
+      var converged = false
+      var round = 0
+      while (!converged && round < 50) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("nbr"), col("label")),
+            col("doc_b") === col("nbr"))
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(min(col("label")).as("nbr_min"))
+        val next = staged(labels
+          .join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
+        converged = next
+          .join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old"))
+          .isEmpty
+        labels = next
+        round += 1
+      }
+      labels.select(col("doc_id"), col("label").as("component"))
+    },
+
+    // ------------------------------------------------------------------
     // Incremental corpus cleaning — the shape the nightly pipeline
     // actually runs: yesterday's keeper STORE (exact fingerprints +
     // df-capped shingle rows + shingle doc-frequencies) is persisted
@@ -550,6 +603,22 @@ object DedupQueries {
 
   // ------------------------------------------------------------------
 
+  /** DuckDB CTE chain producing the stop-shingle near-dup `pairs` relation
+    * (the SQL twin of [[nearDupPairs]]). */
+  private def pairsCtesSql: String =
+    s"""sh AS ($shingleSetsSql),
+       |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+       |dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+       |kept AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfq USING (h)
+       |  WHERE df <= $StopDf),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+       |  WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= $NgramThr)""".stripMargin
+
   /** The corpus_clean DuckDB oracle, optionally restricted (the
     * incremental twin appends the batch filter — its result is provably
     * the full pipeline's result on the batch docs). */
@@ -578,11 +647,11 @@ object DedupQueries {
        |WHERE n_tokens >= $MinTokens AND lang_pred = '$CleanLang'
        |  AND t.doc_id NOT IN (SELECT doc_b FROM dupb)$extraWhere""".stripMargin
 
-  /** The full-corpus cleaning plan (corpus_clean's Spark side). */
-  private def corpusCleanSpark(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    // Fuzzy-dedup victim set: doc_b of every stop-shingle near-dup pair
-    // (keep-lowest-id greedy) — the same plan as dedup_stopshingle.
+  /** Stop-shingle near-dup pairs over the full corpus (doc_a < doc_b,
+    * Jaccard ≥ NgramThr) — the edge set shared by corpus_clean's victim
+    * drop and dedup_components' clustering. Same plan as dedup_stopshingle:
+    * df-capped inverted index, equi self-join, count-based Jaccard. */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val ex = staged(shingleRows(s, d))
     val dfq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val kept = staged(ex.join(dfq.filter(col("df") <= StopDf), "h")
@@ -594,11 +663,19 @@ object DedupQueries {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
-    val dupB = inter
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .filter(jac >= NgramThr)
-      .select(col("doc_b").as("doc_id")).distinct()
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** The full-corpus cleaning plan (corpus_clean's Spark side). */
+  private def corpusCleanSpark(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // Fuzzy-dedup victim set: doc_b of every stop-shingle near-dup pair
+    // (keep-lowest-id greedy).
+    val dupB = nearDupPairs(s, d).select(col("doc_b").as("doc_id")).distinct()
     // Exact-dedup keepers: min doc_id per normalized fingerprint.
     val fps = docNorm(docs).select(col("doc_id"), col("fp"))
     val keepers = fps.join(
