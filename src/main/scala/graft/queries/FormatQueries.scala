@@ -101,6 +101,53 @@ object FormatQueries {
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
     },
 
+    // Dynamic partition pruning: the fact table is hive-partitioned by
+    // event_type; the dim side (top-2 types by total value) is DATA-
+    // dependent, so no static rule can prune — at runtime Catalyst turns
+    // the dim's key set into a partition filter on the fact scan
+    // (DynamicPruningExpression; PlanShapeSpec pins it) and only 2 of 5
+    // partition directories are read. THE mechanism that keeps a
+    // dim-filtered join from scanning all of a 100 TB partitioned fact.
+    // The layout is written once per (JVM, sf dir) like bucketed_join's.
+    checked("join_dpp",
+      s"""WITH dim AS (SELECT event_type, ${sqlSum("value")} AS total
+         |  FROM events GROUP BY 1),
+         |top2 AS (SELECT event_type, total FROM (
+         |  SELECT *, row_number() OVER (ORDER BY total DESC, event_type) AS rn
+         |  FROM dim) WHERE rn <= 2)
+         |SELECT e.event_type, count(*) AS n, min(total) AS type_total
+         |FROM events e JOIN top2 t ON e.event_type = t.event_type
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sfKey = {
+        val canonical = new java.io.File(d).getCanonicalPath
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(canonical.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString +
+          s"_${ProcessHandle.current().pid()}"
+      }
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_dpp_$sfKey")
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(dir.getAbsolutePath)
+      }
+      val fact = s.read.parquet(dir.getAbsolutePath)
+      val dim = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(dsum(col("value")).as("total"))
+      val top2 = dim
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("total").desc, col("event_type"))))
+        .filter(col("rn") <= 2)
+        .select(col("event_type").as("dim_type"), col("total"))
+      fact.join(top2, col("event_type") === col("dim_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("total")).as("type_total"))
+    },
+
     // S8/S9: hive-partitioned parquet sink, read back with a partition
     // filter — the scan must prune to the one slice directory (check with
     // graft.Explain: PartitionFilters, not PushedFilters).

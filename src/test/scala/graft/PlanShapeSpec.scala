@@ -97,6 +97,13 @@ class PlanShapeSpec extends SparkSpec {
       "the fact-side shuffle read must carry skew splits")
   }
 
+  test("join_dpp prunes fact partitions at runtime from the dim filter") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"the partitioned fact scan must carry a DynamicPruningExpression — " +
+        s"without it the dim filter scans every partition; got plan:\n$p")
+  }
+
   test("dedup_minhash candidate join is an equi hash join on the band key") {
     val p = plan("dedup_minhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
