@@ -524,15 +524,9 @@ object DedupQueries {
       def batch(df: DataFrame) = df.filter(col("doc_id") * 5 > maxId * 3)
 
       // ---- stage 1: yesterday's keeper store (write once, reuse) ------
-      val sfKey = {
-        val canonical = new java.io.File(d).getCanonicalPath
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(canonical.getBytes("UTF-8"))
-          .take(6).map("%02x".format(_)).mkString +
-          s"_${ProcessHandle.current().pid()}"
-      }
       val storeRoot = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_keeper_store_$sfKey")
+        sys.props("java.io.tmpdir"),
+        s"graft_keeper_store_${QuerySpec.jvmScopedKey(d)}")
       def part(name: String) = new java.io.File(storeRoot, name)
       if (!Seq("fps", "shingles", "dfs")
         .forall(p => new java.io.File(part(p), "_SUCCESS").exists())) {

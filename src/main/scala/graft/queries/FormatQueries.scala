@@ -62,19 +62,9 @@ object FormatQueries {
       // and reuse requires both the catalog entry and the _SUCCESS marker
       // (an interrupted write leaves no marker → torn layouts are
       // rewritten, never read). Deterministic paths overwrite in place
-      // instead of orphaning copies. Keying (ADVICE round 4): md5 of the
-      // CANONICAL sf path — a 31-bit String.hashCode collision between two
-      // sf dirs would silently pass both reuse checks and join the wrong
-      // data — plus the JVM pid, so Bench and Verify running concurrently
-      // in separate JVMs against one shared java.io.tmpdir can never race
-      // each other's mode(overwrite) writes.
-      val sfKey = {
-        val canonical = new java.io.File(d).getCanonicalPath
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(canonical.getBytes("UTF-8"))
-          .take(6).map("%02x".format(_)).mkString +
-          s"_${ProcessHandle.current().pid()}"
-      }
+      // instead of orphaning copies; see QuerySpec.jvmScopedKey for the
+      // collision/race rationale (ADVICE round 4).
+      val sfKey = QuerySpec.jvmScopedKey(d)
       def ensureBucketed(df: => org.apache.spark.sql.DataFrame,
                          base: String, key: String): String = {
         val name = s"${base}_$sfKey"
@@ -119,15 +109,8 @@ object FormatQueries {
          |FROM events e JOIN top2 t ON e.event_type = t.event_type
          |GROUP BY 1""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val sfKey = {
-        val canonical = new java.io.File(d).getCanonicalPath
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(canonical.getBytes("UTF-8"))
-          .take(6).map("%02x".format(_)).mkString +
-          s"_${ProcessHandle.current().pid()}"
-      }
       val dir = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_dpp_$sfKey")
+        sys.props("java.io.tmpdir"), s"graft_dpp_${QuerySpec.jvmScopedKey(d)}")
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
         Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("value"), col("event_type"))

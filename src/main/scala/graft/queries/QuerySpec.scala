@@ -48,6 +48,20 @@ object QuerySpec {
     out
   }
 
+  /** Key for JVM-scoped reusable layouts under java.io.tmpdir (bucketed
+    * tables, keeper stores, partitioned fact copies): md5 of the CANONICAL
+    * sf path — a 31-bit String.hashCode collision between two sf dirs
+    * would silently pass reuse checks and read the wrong data — plus the
+    * JVM pid, so concurrent Bench/Verify JVMs sharing one tmpdir can never
+    * race each other's mode(overwrite) writes. */
+  def jvmScopedKey(sfDir: String): String = {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString +
+      s"_${ProcessHandle.current().pid()}"
+  }
+
   // THREAD-scoped registry (ADVICE round 4): a global queue let any caller
   // unpersist blocks another thread's staged DataFrame still needed —
   // unrecoverable, because localCheckpoint truncates lineage. Scoping per
