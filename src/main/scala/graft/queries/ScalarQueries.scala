@@ -129,6 +129,48 @@ object ScalarQueries {
           coalesce(col("P"), lit(0L)).as("p_cnt"))
     },
 
+    // VARIANT — Spark 4's semi-structured type: props parses ONCE into a
+    // binary variant, fields extract with typed paths; at scale this beats
+    // per-field get_json_object re-parses (one parse, many extractions;
+    // shredded storage when written to parquet). Nonexistent paths are
+    // null-safe via try_variant_get. The DuckDB twin is its native JSON
+    // extraction — same values, engine-appropriate machinery on each side.
+    checked("scalar_variant",
+      s"""SELECT event_type,
+         |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+         |  CAST(count(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS BIGINT) AS k_present,
+         |  CAST(count(CAST(json_extract_string(props, '$$.nope') AS INTEGER)) AS BIGINT) AS nope_present
+         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          try_variant_get(col("v"), "$.k", "int").as("k"),
+          try_variant_get(col("v"), "$.nope", "int").as("nope"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).cast("long").as("k_sum"),
+          count(col("k")).as("k_present"),
+          count(col("nope")).as("nope_present"))
+    },
+
+    // try_* error-safe family — ANSI mode's escape hatches: arithmetic and
+    // casts that yield NULL instead of failing the job. At 100 TB a single
+    // malformed row otherwise kills an hours-long job; try_* keeps the
+    // pipeline total and lets a quality gate count the casualties.
+    checked("scalar_try",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN l_quantity = 0 THEN NULL
+         |       ELSE ${sqlR6("l_extendedprice / l_quantity")} END AS unit_price,
+         |  TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+         |  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS ln_roundtrip
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6(try_divide(col("l_extendedprice"),
+            when(col("l_quantity") === 0, lit(null)).otherwise(col("l_quantity")))).as("unit_price"),
+          try_to_number(col("l_returnflag"), lit("999")).cast("int").as("flag_as_int"),
+          col("l_linenumber").cast("string").cast("int").as("ln_roundtrip"))
+    },
+
     // Unpivot/melt — pivot's inverse (the pandas `melt` every
     // feature-table-to-long-format hop needs): four lineitem measures fold
     // into (measure, val) rows, then re-aggregate per measure. Spark plans
