@@ -101,24 +101,35 @@ object MediaOps {
     * Returns (sampleRate, bitsPerSample, channels, sampleFrames). */
   def decodeWav(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     if (!ascii(bytes, 0, "RIFF") || !ascii(bytes, 8, "WAVE")) return Corrupt
-    var off = 12
+    // The walk offset is a LONG: chunk sizes are u32 (up to 4 GiB-1), and
+    // Int advance arithmetic can wrap negative on a >1 GiB blob whose
+    // chunk sizes pass the length guard — the next access would then throw
+    // AIOOBE, violating the never-throw contract (ADVICE round 5). Every
+    // byte access below is guarded by `off + 8 <= bytes.length`, so the
+    // Int cast at the access site is exact.
+    var off = 12L
     var rate = -1; var bits = -1; var ch = -1; var blockAlign = -1
     var dataLen = -1L
     var walking = true
     while (walking && off + 8 <= bytes.length) {
-      val size = u32le(bytes, off + 4)
+      val o = off.toInt
+      val size = u32le(bytes, o + 4)
       if (size > bytes.length) walking = false // torn chunk header: stop,
       else {                                   // keep whatever parsed so far
-        if (ascii(bytes, off, "fmt ") && off + 8 + 16 <= bytes.length) {
-          ch = u16le(bytes, off + 10)
-          rate = u32le(bytes, off + 12).toInt
-          blockAlign = u16le(bytes, off + 20)
-          bits = u16le(bytes, off + 22)
-        } else if (ascii(bytes, off, "data")) {
+        // fmt fields are read only when the chunk DECLARES them: a
+        // malformed fmt chunk with size < 16 must yield the corrupt row,
+        // not silently read the next chunk's header bytes as
+        // rate/channels/bits (ADVICE round 5).
+        if (ascii(bytes, o, "fmt ") && size >= 16 && off + 8 + 16 <= bytes.length) {
+          ch = u16le(bytes, o + 10)
+          rate = u32le(bytes, o + 12).toInt
+          blockAlign = u16le(bytes, o + 20)
+          bits = u16le(bytes, o + 22)
+        } else if (ascii(bytes, o, "data")) {
           dataLen = math.min(size, bytes.length - off - 8L)
         }
         // Chunks are word-aligned: odd sizes carry a pad byte.
-        off += 8 + size.toInt + (size.toInt & 1)
+        off += 8L + size + (size & 1L)
       }
     }
     if (rate <= 0 || ch <= 0) Corrupt
@@ -128,6 +139,44 @@ object MediaOps {
         else math.min(dataLen / blockAlign, Int.MaxValue.toLong).toInt
       (rate, bits, ch, frames)
     }
+  }
+
+  /** JPEG: SOI (FF D8), then a marker walk — FF xx markers, each (except
+    * the standalone RST/TEM markers) carrying a 2-byte big-endian length
+    * that includes itself — until a SOF frame header (C0-CF minus the
+    * non-frame C4/C8/CC): precision(1) height(2,BE) width(2,BE)
+    * nComponents(1). Dimensions come from the frame header alone — no
+    * entropy-coded data is touched, the right metadata-pass shape.
+    * Returns (width, height, components, 1). */
+  def decodeJpeg(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    if (bytes.length < 4 ||
+      (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return Corrupt
+    var off = 2L // Long for the same >1 GiB wrap reason as the WAV walk
+    while (off + 4 <= bytes.length) {
+      val o = off.toInt
+      if ((bytes(o) & 0xff) != 0xff) return Corrupt
+      val marker = bytes(o + 1) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off += 2 // standalone markers: no length field
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return Corrupt // EOI or start-of-scan before any SOF: no frame header
+      } else {
+        val len = ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+        if (len < 2 || off + 2 + len > bytes.length) return Corrupt
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 8) return Corrupt // must hold precision+dims+ncomp
+          val h = ((bytes(o + 5) & 0xff) << 8) | (bytes(o + 6) & 0xff)
+          val w = ((bytes(o + 7) & 0xff) << 8) | (bytes(o + 8) & 0xff)
+          val nc = bytes(o + 9) & 0xff
+          if (w <= 0 || h <= 0 || nc <= 0) return Corrupt
+          return (w, h, nc, 1)
+        }
+        off += 2L + len
+      }
+    }
+    Corrupt
   }
 
   /** Synthetic `GRFT` container (the declared VIDEO stub — no standard
@@ -147,6 +196,7 @@ object MediaOps {
     if (bytes == null || bytes.length < 4) Corrupt
     else if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig)) decodePng(bytes)
     else if (ascii(bytes, 0, "RIFF")) decodeWav(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) decodeJpeg(bytes)
     else if (bytes.take(4).sameElements(Magic)) decodeGrft(bytes)
     else Corrupt
 
@@ -240,7 +290,31 @@ object MediaOps {
     out.toByteArray
   }
 
-  /** Deterministic per-id blob: image → PNG, audio → WAV, video → GRFT;
+  /** Real JPEG bytes: SOI + JFIF APP0 + SOF0 with the given dims + a
+    * minimal SOS + junk entropy payload + EOI. Header-complete for any
+    * marker-walking parser; only the entropy-coded data is filler. */
+  def synthesizeJpeg(w: Int, h: Int, channels: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xe0); w16(16) // APP0, JFIF v1.1
+    out.write("JFIF".getBytes("US-ASCII"), 0, 4); b(0)
+    b(1); b(1); b(0); w16(1); w16(1); b(0); b(0)
+    b(0xff); b(0xc0); w16(8 + 3 * channels) // SOF0 frame header
+    b(8); w16(h); w16(w); b(channels)
+    (0 until channels).foreach { c => b(c + 1); b(0x11); b(0) }
+    b(0xff); b(0xda); w16(6 + 2 * channels) // SOS
+    b(channels)
+    (0 until channels).foreach { c => b(c + 1); b(0) }
+    b(0); b(63); b(0)
+    out.write(payload, 0, payload.length)
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Deterministic per-id blob: image → PNG or JPEG (alternating — kind is
+    * the MODALITY, the byte format is data), audio → WAV, video → GRFT;
     * every 50th id is torn garbage (the resilience path must be exercised
     * by the corpus, not just by specs). */
   def synthesize(id: Long, kind: String): Array[Byte] = {
@@ -254,8 +328,14 @@ object MediaOps {
       case "image" =>
         val payload = new Array[Byte](64 + rnd.nextInt(192))
         rnd.nextBytes(payload)
-        val colorType = Seq(0, 2, 6)(rnd.nextInt(3))
-        synthesizePng(16 + rnd.nextInt(240), 16 + rnd.nextInt(240), colorType, payload)
+        val w = 16 + rnd.nextInt(240)
+        val h = 16 + rnd.nextInt(240)
+        if (id % 2 == 0) {
+          val colorType = Seq(0, 2, 6)(rnd.nextInt(3))
+          synthesizePng(w, h, colorType, payload)
+        } else {
+          synthesizeJpeg(w, h, Seq(1, 3)(rnd.nextInt(2)), payload)
+        }
       case "audio" =>
         val data = new Array[Byte](128 + rnd.nextInt(256))
         rnd.nextBytes(data)

@@ -524,8 +524,7 @@ object DedupQueries {
       def batch(df: DataFrame) = df.filter(col("doc_id") * 5 > maxId * 3)
 
       // ---- stage 1: yesterday's keeper store (write once, reuse) ------
-      val storeRoot = new java.io.File(
-        sys.props("java.io.tmpdir"),
+      val storeRoot = TmpDirs.scoped(
         s"graft_keeper_store_${QuerySpec.jvmScopedKey(d)}")
       def part(name: String) = new java.io.File(storeRoot, name)
       if (!Seq("fps", "shingles", "dfs")

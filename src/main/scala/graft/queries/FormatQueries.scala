@@ -25,8 +25,11 @@ object FormatQueries {
          |  ${sqlSum("value")} AS total_value,
          |  CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
          |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
-      val dir = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_csv_${System.nanoTime()}").getAbsolutePath
+      // One deterministic dir per (JVM, sf dir), overwritten each run and
+      // deleted at JVM exit — a nanoTime-keyed dir per invocation leaked a
+      // fresh copy every run (ADVICE round 5).
+      val dir = TmpDirs.scoped(s"graft_csv_${QuerySpec.jvmScopedKey(d)}")
+        .getAbsolutePath
       Tables.events(s, d)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
@@ -68,7 +71,7 @@ object FormatQueries {
       def ensureBucketed(df: => org.apache.spark.sql.DataFrame,
                          base: String, key: String): String = {
         val name = s"${base}_$sfKey"
-        val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_bucket_$name")
+        val dir = TmpDirs.scoped(s"graft_bucket_$name")
         val complete = new java.io.File(dir, "_SUCCESS").exists()
         if (!(complete && s.catalog.tableExists(name))) {
           df.write.mode("overwrite")
@@ -109,8 +112,7 @@ object FormatQueries {
          |FROM events e JOIN top2 t ON e.event_type = t.event_type
          |GROUP BY 1""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val dir = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_dpp_${QuerySpec.jvmScopedKey(d)}")
+      val dir = TmpDirs.scoped(s"graft_dpp_${QuerySpec.jvmScopedKey(d)}")
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
         Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
@@ -137,8 +139,10 @@ object FormatQueries {
     checked("partitioned_sink",
       s"""SELECT user_id, count(*) AS n, ${sqlSum("value")} AS total_value
          |FROM events WHERE event_type = 'click' GROUP BY user_id""".stripMargin) { (s, d) =>
-      val dir = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_part_${System.nanoTime()}").getAbsolutePath
+      // Deterministic per-(JVM, sf) dir, overwritten in place each run (the
+      // write IS part of the measured query) and deleted at JVM exit.
+      val dir = TmpDirs.scoped(s"graft_part_${QuerySpec.jvmScopedKey(d)}")
+        .getAbsolutePath
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
         .write.mode("overwrite").partitionBy("event_type").parquet(dir)

@@ -66,8 +66,7 @@ object SourceQueries {
     * Bench and Verify run as separate JVMs sharing java.io.tmpdir, and a
     * shared path could race (ADVICE round 4). Written once per JVM; the
     * oracle SQL built in the same JVM references the same path. */
-  private val DumpDir = new java.io.File(
-    sys.props("java.io.tmpdir"),
+  private val DumpDir = TmpDirs.persistent(
     s"graft_pcap_dump_${ProcessHandle.current().pid()}").getAbsolutePath
   @volatile private var dumped = false
   private def packetDump(s: SparkSession): String = {

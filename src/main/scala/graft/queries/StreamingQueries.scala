@@ -167,8 +167,10 @@ object StreamingQueries {
          |  ${sqlSum("value")} AS total_value,
          |  ${sqlSum("CAST(json_extract_string(props, '" + "$" + ".k') AS INTEGER)")} AS total_k
          |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
-      val topic = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_topic_${System.nanoTime()}").getAbsolutePath
+      // Deterministic per-(JVM, sf) topic dir, overwritten each run and
+      // deleted at JVM exit (a nanoTime dir per invocation leaked forever).
+      val topic = TmpDirs.scoped(s"graft_topic_${QuerySpec.jvmScopedKey(d)}")
+        .getAbsolutePath
       // producer side: 8 "topic partitions" keyed by flow-id hash (a Kafka
       // topic has a fixed partition count; a partition dir per raw key
       // would mean keys × tasks tiny files — the small-files trap).

@@ -60,10 +60,60 @@ class MediaOpsSpec extends SparkSpec {
     assert(MediaOps.decode(avi) == (-1, -1, -1, -1))
   }
 
+  /** Hand-built baseline JPEG: SOI, APP0 (JFIF), a DQT filler segment, SOF0
+    * with the planted dims, SOS, junk entropy data, EOI — written marker by
+    * marker per the JPEG spec, independent of MediaOps.synthesizeJpeg. */
+  private def handJpeg(w: Int, h: Int, nc: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xff); b(0xd8)
+    b(0xff); b(0xe0); w16(16)
+    out.write("JFIF".getBytes, 0, 4); b(0); b(1); b(2); b(0); w16(72); w16(72); b(0); b(0)
+    b(0xff); b(0xdb); w16(2 + 65); b(0) // DQT: the walk must skip it
+    (0 until 64).foreach(i => b(i))
+    b(0xff); b(0xc0); w16(8 + 3 * nc)
+    b(8); w16(h); w16(w); b(nc)
+    (0 until nc).foreach { c => b(c + 1); b(0x22); b(0) }
+    b(0xff); b(0xda); w16(6 + 2 * nc); b(nc)
+    (0 until nc).foreach { c => b(c + 1); b(0) }
+    b(0); b(63); b(0)
+    b(0x12); b(0x34); b(0x56)
+    b(0xff); b(0xd9)
+    out.toByteArray
+  }
+
+  test("JPEG SOF0 marker walk parses width/height/components") {
+    assert(MediaOps.decode(handJpeg(640, 480, 3)) == (640, 480, 3, 1))
+    assert(MediaOps.decode(handJpeg(1, 2, 1)) == (1, 2, 1, 1))
+    // Truncated before SOF0 → corrupt, not a throw.
+    assert(MediaOps.decode(handJpeg(640, 480, 3).take(12)) == (-1, -1, -1, -1))
+    // SOI + EOI only (no frame header) → corrupt.
+    assert(MediaOps.decode(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) ==
+      (-1, -1, -1, -1))
+  }
+
+  test("WAV fmt chunk shorter than 16 declared bytes is corrupt, not misparsed") {
+    // fmt declares size 4: the 16 format bytes are NOT there — reading
+    // them would interpret the next chunk's header as rate/channels
+    // (ADVICE round 5). Must yield the corrupt row.
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = (0 to 24 by 8).foreach(s => out.write(((v >> s) & 0xff).toInt))
+    out.write("RIFF".getBytes, 0, 4); w32(100); out.write("WAVE".getBytes, 0, 4)
+    out.write("fmt ".getBytes, 0, 4); w32(4); w32(0) // short fmt, 4 junk bytes
+    out.write("data".getBytes, 0, 4); w32(8); w32(0); w32(0)
+    assert(MediaOps.decode(out.toByteArray) == (-1, -1, -1, -1))
+  }
+
   test("synthesized corpus blobs are real PNG/WAV; corrupt ids degrade") {
     assert(MediaOps.decode(MediaOps.synthesize(0, "image"))._3 >= 1) // PNG channels
     assert(MediaOps.synthesize(0, "image").take(4).sameElements(
       Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)))
+    // Odd image ids are JPEG (SOI marker), and their dims parse.
+    assert(MediaOps.synthesize(3, "image").take(2).sameElements(
+      Array(0xff, 0xd8).map(_.toByte)))
+    val (jw, jh, jc, _) = MediaOps.decode(MediaOps.synthesize(3, "image"))
+    assert(jw >= 16 && jw <= 255 && jh >= 16 && jh <= 255 && (jc == 1 || jc == 3))
     assert(new String(MediaOps.synthesize(1, "audio").take(4), "US-ASCII") == "RIFF")
     assert(new String(MediaOps.synthesize(2, "video").take(4), "US-ASCII") == "GRFT")
     // Every 50th id is torn garbage → the corrupt row.
