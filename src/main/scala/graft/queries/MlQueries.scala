@@ -20,6 +20,41 @@ object MlQueries {
 
   private val seriesSql = TimeSeries.featureSeriesSql
 
+  /** Oracle-dump root for the model-fit queries (pid-keyed like the pcap
+    * dump: the driver's DuckDB pass reads it after this JVM exits; a later
+    * JVM's dead-pid sweep reclaims it). */
+  private val DumpRoot = TmpDirs.persistent(
+    s"graft_mldump_${ProcessHandle.current().pid()}").getAbsolutePath
+
+  private def finite(v: Double): Boolean = !v.isNaN && !v.isInfinite
+
+  /** Property-oracle bridge for the model-fit queries (closing the last
+    * `no_oracle` rows — round-5 verdict #1): execute the plan ONCE, dump
+    * the resulting rows as the DuckDB twin's input, and return a
+    * LocalRelation over the SAME rows extended with MEASURED invariant
+    * booleans. The twin echoes the dumped values and asserts each
+    * invariant as the literal `true` (the sketch_rollup pattern —
+    * expectation on the oracle side, measurement on the engine side), so
+    * a trainer/model regression that breaks an invariant hash-mismatches
+    * the gate. Collecting once is load-bearing twice over: the result
+    * frames are bounded model outputs (epochs × 6, slices × metrics —
+    * the same driver-side contract the reference's fit() history takes),
+    * and a float plan re-executed for the dump could land ulps away from
+    * the result under a different partial-sum order. */
+  private def dumpWithInvariants(
+      s: org.apache.spark.sql.SparkSession, name: String,
+      df: org.apache.spark.sql.DataFrame)(
+      invariants: Seq[org.apache.spark.sql.Row] => Seq[(String, Boolean)])
+      : org.apache.spark.sql.DataFrame = {
+    val rows = df.collect().toSeq
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+    local.coalesce(1).write.mode("overwrite").parquet(s"$DumpRoot/$name")
+    invariants(rows).foldLeft(local) {
+      case (acc, (n, v)) => acc.withColumn(n, lit(v))
+    }
+  }
+
   /** Shared model-input prep (ml_var_hybrid, ml_train): hourly feature
     * frame → chronological split → MLlib RobustScaler fitted on train only
     * (train.py:193-196). The hourly frame is bounded by slices × hours —
@@ -167,10 +202,17 @@ object MlQueries {
     // M2(MLlib)+M3+M4+M8+M9 end-to-end: MLlib RobustScaler (fit on train) →
     // VAR(2) via treeAggregate Gram + breeze solve → 1-step forecasts as
     // column expressions → neural residual model over 12-step residual
-    // windows → hybrid = VAR + residual-net, clipped ≥ train-min → RMSE per
-    // feature on the test split. Model fits aren't SQL-expressible → rows
-    // -only here; VarModelSpec pins the math against closed-form AR(1).
-    rowsOnly("ml_var_hybrid") { (s, d) =>
+    // windows → hybrid = VAR + residual-net → RMSE per feature on the test
+    // split. The fit itself isn't SQL-expressible; the oracle echoes the
+    // dumped result and asserts the measured score invariants (every RMSE
+    // present, finite, non-negative) as literal-true booleans.
+    // VarModelSpec pins the math against closed-form AR(1).
+    checked("ml_var_hybrid",
+      s"""SELECT slice,
+         |${(0 until TimeSeries.FeatCols.length).flatMap(i =>
+        Seq(s"  rmse_var_$i", s"  rmse_hybrid_$i")).mkString(",\n")},
+         |  true AS rmse_finite, true AS rmse_nonnegative
+         |FROM read_parquet('$DumpRoot/ml_var_hybrid/*.parquet')""".stripMargin) { (s, d) =>
       val p = 2
       val dim = TimeSeries.FeatCols.length
       val (scaled, scaler) = scaledLocalSeries(s, d)
@@ -218,26 +260,43 @@ object MlQueries {
       val metricCols = (0 until dim).flatMap(i => Seq(
         sqrt(avg(col(s"ev_$i") * col(s"ev_$i"))).as(s"rmse_var_$i"),
         sqrt(avg(col(s"eh_$i") * col(s"eh_$i"))).as(s"rmse_hybrid_$i")))
-      test.groupBy("slice").agg(metricCols.head, metricCols.tail: _*)
+      val scored = test.groupBy("slice").agg(metricCols.head, metricCols.tail: _*)
+      dumpWithInvariants(s, "ml_var_hybrid", scored) { rows =>
+        val vals = rows.flatMap(r => (1 until r.length).map(i =>
+          if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+        Seq(
+          "rmse_finite" -> vals.forall(finite),
+          "rmse_nonnegative" -> vals.forall(v => finite(v) && v >= 0.0))
+      }
     },
 
     // M6/M7 direct surface: hybrid-network forward pass over feature
     // sequence windows (batch inference — per-row UDF, no shuffle beyond
-    // the window sort).
-    rowsOnly("ml_gru_infer") { (s, d) =>
+    // the window sort). Oracle: dump echo + measured-finite invariant
+    // (the forward pass must never emit NaN/Inf on real feature windows —
+    // NeuralStubSpec pins the math, this pins the full-plan composition).
+    checked("ml_gru_infer",
+      s"""SELECT slice, t,
+         |${(0 until TimeSeries.FeatCols.length).map(i => s"  pred_$i").mkString(",\n")},
+         |  true AS preds_finite
+         |FROM read_parquet('$DumpRoot/ml_gru_infer/*.parquet')""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("slice").orderBy("t")
       val dim = TimeSeries.FeatCols.length
       val nnUdf = udf((hist: Seq[Seq[Double]]) =>
         NeuralStub.forward(hist.map(_.toArray).toArray))
       // Per-dimension pred columns (not one array column): the driver's
       // row-sort/hash comparator can't handle array cells.
-      TimeSeries.featureSeries(Tables.events(s, d))
+      val preds = TimeSeries.featureSeries(Tables.events(s, d))
         .withColumn("fv", array(TimeSeries.FeatCols.map(col): _*))
         .withColumn("hist", collect_list(col("fv")).over(w.rowsBetween(-11, Window.currentRow)))
         .filter(size(col("hist")) === 12)
         .withColumn("pred", nnUdf(col("hist")))
         .select(Seq(col("slice"), col("t")) ++
           (0 until dim).map(i => element_at(col("pred"), i + 1).as(s"pred_$i")): _*)
+      dumpWithInvariants(s, "ml_gru_infer", preds) { rows =>
+        Seq("preds_finite" -> rows.forall(r =>
+          (2 until r.length).forall(i => !r.isNullAt(i) && finite(r.getDouble(i)))))
+      }
     },
 
     // M7 training-loop counterpart (the one reference capability that had
@@ -245,24 +304,49 @@ object MlQueries {
     // over the VAR-shaped lagged design, one distributed gradient pass per
     // epoch (graft.ml.Trainer). Output = the per-epoch history the
     // reference's fit() returns (loss curve, val curve, LR schedule) plus
-    // the loop's exit state. Rows-only (gradient descent isn't
-    // SQL-expressible); TrainerSpec pins convergence to the closed-form
-    // OLS solution, callback firing order, and determinism.
-    rowsOnly("ml_train") { (s, d) =>
+    // the loop's exit state. Gradient descent isn't SQL-expressible; the
+    // oracle echoes the dumped history and asserts the LOOP CONTRACT as
+    // measured booleans: losses finite, ReduceLROnPlateau can only lower
+    // the LR, restore_best_weights restored the true val minimum (within
+    // minDelta — a later sub-minDelta improvement legitimately doesn't
+    // update best), and the loop exited by EarlyStopping or the epoch cap.
+    // TrainerSpec pins convergence to the closed-form OLS solution.
+    checked("ml_train",
+      s"""SELECT epoch, train_loss, val_loss, lr, best_epoch, stopped_early,
+         |  true AS losses_finite, true AS lr_nonincreasing,
+         |  true AS best_is_min, true AS exit_consistent
+         |FROM read_parquet('$DumpRoot/ml_train/*.parquet')""".stripMargin) { (s, d) =>
       val p = 2
       val dim = TimeSeries.FeatCols.length
+      val maxEpochs = 120
+      val minDelta = 1e-5
       val (scaled, _) = scaledLocalSeries(s, d)
       val lagged = TimeSeries.lagDesign(scaled, TimeSeries.FeatCols, p)
       val trained = graft.ml.Trainer.fit(lagged, p, dim,
-        graft.ml.Trainer.Config(lr = 0.02, maxEpochs = 120, patience = 15,
-          minDelta = 1e-5))
+        graft.ml.Trainer.Config(lr = 0.02, maxEpochs = maxEpochs, patience = 15,
+          minDelta = minDelta))
       import s.implicits._
-      trained.history.toDF()
+      val hist = trained.history.toDF()
         .select(col("epoch"),
           col("trainLoss").as("train_loss"),
           col("valLoss").as("val_loss"),
           col("lr"),
           lit(trained.bestEpoch).as("best_epoch"),
           lit(trained.stoppedEarly).as("stopped_early"))
+      val h = trained.history
+      dumpWithInvariants(s, "ml_train", hist) { _ =>
+        val minVal = h.map(_.valLoss).min
+        Seq(
+          "losses_finite" -> h.forall(e => finite(e.trainLoss) && finite(e.valLoss)),
+          "lr_nonincreasing" -> h.sliding(2).forall {
+            case Seq(a, b) => b.lr <= a.lr
+            case _ => true
+          },
+          "best_is_min" -> (trained.bestEpoch >= 1 && trained.bestEpoch <= h.length &&
+            h(trained.bestEpoch - 1).valLoss == trained.bestValLoss &&
+            trained.bestValLoss <= minVal + minDelta),
+          "exit_consistent" -> (h.length <= maxEpochs &&
+            (trained.stoppedEarly || h.length == maxEpochs)))
+      }
     })
 }

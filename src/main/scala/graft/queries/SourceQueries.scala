@@ -68,6 +68,10 @@ object SourceQueries {
     * oracle SQL built in the same JVM references the same path. */
   private val DumpDir = TmpDirs.persistent(
     s"graft_pcap_dump_${ProcessHandle.current().pid()}").getAbsolutePath
+
+  /** Oracle-dump dir for the decoded media feature rows (same lifecycle). */
+  private val MediaDumpDir = TmpDirs.persistent(
+    s"graft_media_dump_${ProcessHandle.current().pid()}").getAbsolutePath
   @volatile private var dumped = false
   private def packetDump(s: SparkSession): String = {
     if (!dumped) synchronized {
@@ -195,16 +199,56 @@ object SourceQueries {
     },
 
     // Multimodal binary pipeline: decode → resize → frame-sample → embed,
-    // summarized per media kind.
-    rowsOnly("media_features") { (s, _) =>
-      MediaOps.extract(MediaOps.corpus(s, 3000)).toDF()
-        .groupBy("kind")
+    // summarized per media kind. The decode itself isn't SQL-expressible,
+    // but the decoded FEATURE ROWS are perfectly relational — so they are
+    // dumped per-media (the pcap pattern) and DuckDB recomputes the entire
+    // per-kind aggregate from the dump with the same DetAgg arithmetic,
+    // pinning the aggregation end-to-end. The decode CONTRACT rides along
+    // as measured booleans vs literal-true twins: corrupt rows are marked
+    // (never plausible-looking dims from garbage), audio rates land in the
+    // synthesizer's set, image dims/channels are in-spec, and exactly the
+    // planted 1-in-50 torn blobs decode as corrupt — a codec regression
+    // (e.g. JPEG SOF0 misparse) flips a boolean and fails the hash.
+    checked("media_features",
+      s"""SELECT kind, count(*) AS n_media,
+         |  ${graft.functions.DetAgg.sqlAvg("CASE WHEN width <> -1 THEN width END")} AS avg_width,
+         |  ${graft.functions.DetAgg.sqlAvg("CASE WHEN width <> -1 THEN thumb_w END")} AS avg_thumb_w,
+         |  ${graft.functions.DetAgg.sqlAvg("CASE WHEN width <> -1 THEN n_frames END")} AS avg_frames,
+         |  ${graft.functions.DetAgg.sqlAvg("emb0")} AS avg_emb0,
+         |  CAST(sum(CASE WHEN width = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+         |  true AS decode_marks_corrupt, true AS audio_rates_ok,
+         |  true AS image_dims_ok, true AS corrupt_rate_ok
+         |FROM read_parquet('$MediaDumpDir/*.parquet')
+         |GROUP BY kind""".stripMargin) { (s, _) =>
+      import graft.functions.DetAgg.davg
+      val feats = MediaOps.extract(MediaOps.corpus(s, 3000)).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("channels"), col("n_bytes"), col("thumb_w"), col("thumb_h"),
+          col("n_frames"), element_at(col("embedding"), 1).as("emb0"))
+      // One execution feeds both dump and aggregate (LocalRelation over the
+      // collected rows — 3 000 bounded feature rows, the same shape a
+      // metadata-pass summary would collect).
+      val rows = feats.collect()
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), feats.schema)
+      local.coalesce(1).write.mode("overwrite").parquet(MediaDumpDir)
+      val decoded = col("width") =!= -1
+      local.groupBy("kind")
         .agg(
           count(lit(1)).as("n_media"),
-          avg(col("width")).as("avg_width"),
-          avg(col("thumb_w")).as("avg_thumb_w"),
-          avg(col("n_frames")).as("avg_frames"),
-          avg(element_at(col("embedding"), 1)).as("avg_emb0"),
-          sum(when(col("width") === -1, 1L).otherwise(0L)).as("n_corrupt"))
+          davg(when(decoded, col("width"))).as("avg_width"),
+          davg(when(decoded, col("thumb_w"))).as("avg_thumb_w"),
+          davg(when(decoded, col("n_frames"))).as("avg_frames"),
+          davg(col("emb0")).as("avg_emb0"),
+          sum(when(col("width") === -1, 1L).otherwise(0L)).as("n_corrupt"),
+          bool_and((col("width") > 0) === decoded).as("decode_marks_corrupt"),
+          bool_and(when(col("kind") === "audio" && decoded,
+            col("width").isin(8000, 16000, 22050, 44100)).otherwise(lit(true)))
+            .as("audio_rates_ok"),
+          bool_and(when(col("kind") === "image" && decoded,
+            col("width").between(1, 65535) && col("height").between(1, 65535) &&
+              col("channels").between(1, 4)).otherwise(lit(true)))
+            .as("image_dims_ok"))
+        .withColumn("corrupt_rate_ok", col("n_corrupt") * 50 === col("n_media"))
     })
 }
