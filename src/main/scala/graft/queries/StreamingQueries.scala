@@ -19,6 +19,19 @@ import graft.streaming.StreamingKpi
 object StreamingQueries {
   import QuerySpec._
 
+  /** Batch-lag oracle shared by both keyed-state IAT routes (legacy
+    * flatMapGroupsWithState and Spark 4 transformWithState): the streaming
+    * result must equal the batch window exactly. */
+  private val flowIatSql =
+    s"""WITH pkt AS (SELECT event_id, event_type AS slice, user_id AS flow,
+       |    epoch_us(ts) / 1000000.0 AS ts_sec FROM events),
+       |seqd AS (SELECT event_id, slice, flow, ts_sec,
+       |  COALESCE(ts_sec - lag(ts_sec, 1) OVER (PARTITION BY slice, flow ORDER BY ts_sec, event_id), 0.0) AS iat
+       |FROM pkt)
+       |SELECT event_id, slice, flow, ${sqlR6("ts_sec")} AS ts_sec6,
+       |  ${sqlR6("iat")} AS iat6
+       |FROM seqd""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // Tumbling-window streaming aggregation (T2/T3): watermark + 1-hour
@@ -91,18 +104,20 @@ object StreamingQueries {
     // Keyed-state per-flow IAT (T8) — flatMapGroupsWithState carrying
     // last-ts per flow; must reproduce the batch lag-window exactly
     // (flow_iat's oracle).
-    checked("stream_flow_iat",
-      s"""WITH pkt AS (SELECT event_id, event_type AS slice, user_id AS flow,
-         |    epoch_us(ts) / 1000000.0 AS ts_sec FROM events),
-         |seqd AS (SELECT event_id, slice, flow, ts_sec,
-         |  COALESCE(ts_sec - lag(ts_sec, 1) OVER (PARTITION BY slice, flow ORDER BY ts_sec, event_id), 0.0) AS iat
-         |FROM pkt)
-         |SELECT event_id, slice, flow, ${sqlR6("ts_sec")} AS ts_sec6,
-         |  ${sqlR6("iat")} AS iat6
-         |FROM seqd""".stripMargin) { (s, d) =>
+    checked("stream_flow_iat", flowIatSql) { (s, d) =>
       StreamingKpi.runBounded(s,
         s2 => StreamingKpi.flowIat(s2, StreamingKpi.eventsStream(s2, d)).toDF(),
         "flow_iat_stream", OutputMode.Append)
+    },
+
+    // The SAME keyed-state semantics through Spark 4's transformWithState
+    // (StatefulProcessor + typed ValueState, RocksDB state store) — the
+    // current stateful API, not just the legacy one. Identical oracle:
+    // both routes must land on the batch lag result.
+    checked("stream_flow_iat_tws", flowIatSql) { (s, d) =>
+      StreamingKpi.runBounded(s,
+        s2 => StreamingKpi.flowIatTws(s2, StreamingKpi.eventsStream(s2, d)).toDF(),
+        "flow_iat_tws", OutputMode.Append, StreamingKpi.TwsConf)
     },
 
     // Stream-stream inner join (T-surface beyond the reference): purchases
@@ -143,18 +158,33 @@ object StreamingQueries {
     // Streaming deduplication — the event-stream analogue of the batch
     // dedup suite: dropDuplicates carries the exact seen-key set in the
     // state store, so the drained output equals batch DISTINCT (the
-    // oracle). Exact dedup state grows with key cardinality; the bounded
-    // variant (dropDuplicatesWithinWatermark — state evicted as the
-    // watermark passes, duplicates guaranteed caught only within the
-    // delay) is covered in StreamingKpiSpec where arrival order is
-    // controllable, because its output depends on batch boundaries and is
-    // only watermark-exact, not set-exact.
+    // oracle). Exact dedup state grows with key cardinality — the bounded
+    // variant below is the 100 TB path.
     checked("stream_dedup",
       "SELECT DISTINCT user_id, event_type FROM events") { (s, d) =>
       StreamingKpi.runBounded(s, s2 => StreamingKpi.eventsStream(s2, d)
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type"),
         "stream_dedup", OutputMode.Append)
+    },
+
+    // Bounded-state streaming dedup (dropDuplicatesWithinWatermark): state
+    // is EVICTED once the watermark passes a key's event time + delay, so
+    // state size tracks the delay window, not key cardinality — the only
+    // dedup that survives an unbounded 100 TB/day feed. Duplicates are
+    // guaranteed caught only within the delay; here the drain is
+    // controlled (the sf dir is one events file → one micro-batch, and
+    // eviction happens only between batches), so the output is set-exact
+    // and shares batch DISTINCT's oracle. Out-of-order/eviction semantics
+    // are pinned in StreamingKpiSpec where arrival order is controllable.
+    checked("stream_dedup_bounded",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, d) =>
+      StreamingKpi.runBounded(s, s2 => StreamingKpi.eventsStream(s2, d)
+        .withWatermark("ts", "10 seconds")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+        "stream_dedup_bounded", OutputMode.Append)
     },
 
     // Transport emulation (S5-S7): the reference's Kafka hop — per-row JSON

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQueryListener}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQueryListener, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming restatement of the reference's KPI pipeline
@@ -115,20 +115,25 @@ object StreamingKpi {
     * Unbounded production runs should size state partitions to state
     * volume, not cores. */
   def runBounded(spark: SparkSession, build: SparkSession => DataFrame,
-                 name: String, mode: OutputMode): DataFrame =
-    runBoundedWithProgress(spark, build, name, mode)._1
+                 name: String, mode: OutputMode,
+                 extraConf: Map[String, String] = Map.empty): DataFrame =
+    runBoundedWithProgress(spark, build, name, mode, extraConf)._1
 
   /** [[runBounded]] plus the per-batch progress telemetry (T7) the listener
-    * observed while the query drained. */
+    * observed while the query drained. `extraConf` entries land on the
+    * ISOLATED child session only (e.g. a state-store-provider override for
+    * one query), never on the caller's shared session. */
   def runBoundedWithProgress(
       spark: SparkSession, build: SparkSession => DataFrame,
-      name: String, mode: OutputMode): (DataFrame, Seq[BatchProgress]) = {
+      name: String, mode: OutputMode,
+      extraConf: Map[String, String] = Map.empty): (DataFrame, Seq[BatchProgress]) = {
     val s2 = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       // Static/read-only entries can't be set on a live session — skip.
       try s2.conf.set(k, v) catch { case _: Exception => () }
     }
     s2.conf.set("spark.sql.shuffle.partitions", "8")
+    extraConf.foreach { case (k, v) => s2.conf.set(k, v) }
     // T7 telemetry: registered before start so batch 0 is captured.
     val progressLog = new ProgressLog
     s2.streams.addListener(progressLog)
@@ -196,6 +201,13 @@ object StreamingKpi {
   /** Streaming per-flow IAT dataset (call on a streaming events frame). */
   def flowIat(spark: SparkSession, events: DataFrame): Dataset[IatOut] = {
     import spark.implicits._
+    flowEvents(events)
+      .groupByKey(e => FlowKey(e.slice, e.flow))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(iatFlatMap)
+  }
+
+  private def flowEvents(events: DataFrame): Dataset[FlowEvent] = {
+    import events.sparkSession.implicits._
     events
       .select(
         col("event_id"),
@@ -203,7 +215,49 @@ object StreamingKpi {
         col("user_id").as("flow"),
         (unix_micros(col("ts")) / lit(1e6)).as("ts_sec"))
       .as[FlowEvent]
+  }
+
+  /** [[iatFlatMap]] restated on Spark 4's `transformWithState` API — the
+    * successor of `flatMapGroupsWithState` (typed state variables behind a
+    * StatefulProcessorHandle, optional TTL/timers, RocksDB-only). The
+    * per-flow state is one typed ValueState[Double] (last-seen ts); the
+    * semantics — in-batch event-time sort, cross-batch carry, IAT 0.0 for
+    * a flow's first packet — are identical, and the engine must prove it
+    * by reproducing the same batch-lag oracle. */
+  final class IatProcessor extends StatefulProcessor[FlowKey, FlowEvent, IatOut] {
+    @transient private var lastTs: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastTs = getHandle.getValueState[Double]("lastTs",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: FlowKey, rows: Iterator[FlowEvent],
+        timerValues: TimerValues): Iterator[IatOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+      var last = if (lastTs.exists()) Some(lastTs.get()) else None
+      val out = sorted.map { e =>
+        val iat = last.map(e.ts_sec - _).getOrElse(0.0)
+        last = Some(e.ts_sec)
+        IatOut(e.event_id, key.slice, key.flow,
+          math.floor(e.ts_sec * 1e6 + 0.5) / 1e6,
+          math.floor(iat * 1e6 + 0.5) / 1e6)
+      }
+      last.foreach(lastTs.update)
+      out.iterator
+    }
+  }
+
+  /** Conf required by transformWithState: the operator's state schema
+    * evolution rides RocksDB-only features. */
+  val TwsConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Streaming per-flow IAT via [[IatProcessor]]. */
+  def flowIatTws(spark: SparkSession, events: DataFrame): Dataset[IatOut] = {
+    import spark.implicits._
+    flowEvents(events)
       .groupByKey(e => FlowKey(e.slice, e.flow))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(iatFlatMap)
+      .transformWithState(new IatProcessor, TimeMode.None(), OutputMode.Append())
   }
 }

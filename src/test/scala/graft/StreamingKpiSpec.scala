@@ -97,6 +97,42 @@ class StreamingKpiSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState IAT: typed ValueState carries across batches") {
+    // The Spark 4 stateful API (StatefulProcessor + ValueState) must show
+    // the same cross-batch semantics as the legacy flatMapGroupsWithState
+    // route above. RocksDB provider: transformWithState is RocksDB-only.
+    implicit val sqlCtx = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Long, Double)]
+      val events = mem.toDF().toDF("event_id", "slice", "flow", "ts_sec")
+        .as[StreamingKpi.FlowEvent]
+        .groupByKey(e => StreamingKpi.FlowKey(e.slice, e.flow))
+        .transformWithState(new StreamingKpi.IatProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val q = events.toDF().writeStream.format("memory").queryName("iat_tws_test")
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData((1L, "s", 7L, 10.0), (2L, "s", 7L, 12.5))
+        q.processAllAvailable()
+        mem.addData((3L, "s", 7L, 16.0), (4L, "t", 7L, 20.0))
+        q.processAllAvailable()
+        val iats = spark.table("iat_tws_test")
+          .select("event_id", "iat6").as[(Long, Double)].collect().toMap
+        assert(iats(1L) == 0.0) // first packet of flow
+        assert(iats(2L) == 2.5)
+        assert(iats(3L) == 3.5) // typed ValueState carried across batches
+        assert(iats(4L) == 0.0) // different key: fresh state
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("keyed state runs identically on the RocksDB state store") {
     // HDFSBackedStateStoreProvider (default) keeps state on the heap — the
     // right choice for these bounded runs, but at 100 TB state the
