@@ -37,7 +37,8 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => 0L }
 
-  private final case class Sample(sec: Double, steal: Long, cpus: Int) {
+  private final case class Sample(sec: Double, steal: Long, cpus: Int,
+                                  shuffle: ShuffleMeter.Snap) {
     // >5% of the window's machine-wide tick budget stolen → storm window.
     def contaminated: Boolean =
       steal > math.max(25L, (sec * StealHz * cpus * 0.05).toLong)
@@ -56,6 +57,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Shuffle/spill accounting per timed run (round-5 verdict #5): bytes
+    // moved are steal-storm-immune, so a plan regression shows even when
+    // the wall clock doesn't.
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
     // Untimed warm-up: JVM/codegen/parquet-footer startup costs otherwise
@@ -67,16 +73,19 @@ object Bench {
     spark.catalog.clearCache()
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
+      val b0 = meter.stable()
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       val st = stealTicks() - s0
+      // The bus-drain poll runs AFTER the timing window closes.
+      val b1 = meter.stable()
       // Session hygiene between timed queries: leaked cache entries from
       // model-fit queries would GC-thrash everything that runs after them.
       spark.catalog.clearCache()
       graft.queries.QuerySpec.releaseStaged()
-      Sample(sec, st, nCpu)
+      Sample(sec, st, nCpu, b1 - b0)
     }
 
     def fullPass(): Map[String, Sample] =
@@ -104,8 +113,14 @@ object Bench {
       .mkString("{", ",", "}")
     val flagged = results.collect { case (k, v) if v.contaminated => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // Per-query shuffle volume from the reported (best) sample — layouts
+    // and stores are warm by then, so these are steady-state bytes.
+    val sh = results.map { case (k, v) =>
+      s"\"" + k + "\":{\"w\":" + v.shuffle.write + ",\"r\":" + v.shuffle.read +
+        ",\"spill\":" + v.shuffle.spill + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_flagged":$flagged}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_flagged":$flagged,"shuffle_bytes":$sh}""")
     spark.stop()
   }
 }

@@ -109,4 +109,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "band self-join must stay an equi join")
   }
+
+  test("shuffle-volume ceilings hold for the heaviest queries") {
+    // Wall time only tells you a regression happened on THIS machine;
+    // bytes crossing the exchanges tell you the plan itself regressed — a
+    // change that doubles a shuffle fails here even when the VM absorbs it
+    // (round-5 verdict #5). Ceilings are ~2× the measured steady-state
+    // shuffle WRITE bytes at sf0.01 (second run — layouts/keeper stores
+    // warm), loose enough for partition-count jitter, tight enough that a
+    // reintroduced corpus-wide shuffle (the failure mode these plans
+    // dodged by df-capping/banding) blows straight through.
+    // Measured (round 6): components 650k, clean 663k, incremental 449k,
+    // minhash 576k, stopshingle 642k.
+    val ceilings = Map(
+      "dedup_components" -> 1300000L,
+      "corpus_clean_incremental" -> 900000L,
+      "dedup_minhash" -> 1200000L,
+      "dedup_stopshingle" -> 1300000L,
+      "corpus_clean" -> 1350000L)
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    try {
+      ceilings.toSeq.sortBy(_._1).foreach { case (name, cap) =>
+        val q = SparkEntry.allQueries.find(_.name == name)
+          .getOrElse(fail(s"no query named $name"))
+        def run(): Unit =
+          try q.fn(spark, "/root/testdata/sf0.01").count(): Unit
+          finally QuerySpec.releaseStaged()
+        run() // warm: builds JVM-scoped layouts/stores off the books
+        val before = meter.stable()
+        run()
+        val delta = meter.stable() - before
+        info(f"$name%-26s write=${delta.write}%10d read=${delta.read}%10d spill=${delta.spill}%d")
+        assert(delta.write <= cap,
+          s"$name shuffled ${delta.write} bytes — over the ${cap} ceiling; " +
+            "the plan moved materially more data than its design point")
+        assert(delta.spill == 0L, s"$name spilled ${delta.spill} bytes at sf0.01")
+      }
+    } finally spark.sparkContext.removeSparkListener(meter)
+  }
 }
