@@ -50,11 +50,6 @@ object Trainer {
       bestEpoch: Int,
       bestValLoss: Double)
 
-  /** Huber ρ and ψ (loss and d loss/d residual) at delta. */
-  private def huber(r: Double, delta: Double): (Double, Double) =
-    if (math.abs(r) <= delta) (0.5 * r * r, r)
-    else (delta * (math.abs(r) - 0.5 * delta), delta * math.signum(r))
-
   /** One distributed pass: mean Huber loss and its gradient wrt W over
     * `rows`. Gradient of mean loss: (1/n) Σ ψ(rᵢ) ⊗ x̃ᵢ per output row.
     *
@@ -81,7 +76,7 @@ object Trainer {
         val pred = w * x
         var i = 0
         while (i < dim) {
-          val (rho, psi) = huber(pred(i) - ys(i), delta)
+          val (rho, psi) = Optimizer.huber(pred(i) - ys(i), delta)
           l += rho
           if (withGrad) {
             var j = 0
@@ -115,44 +110,23 @@ object Trainer {
     val valid = rowsOf("val").persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val k = 1 + dim * p
-      var w = DenseMatrix.zeros[Double](dim, k)
-      // Adam moments live on the driver — O(dim·k), like the weights.
-      val m = DenseMatrix.zeros[Double](dim, k)
-      val v = DenseMatrix.zeros[Double](dim, k)
-      var lr = cfg.lr
-      var best = w.copy
-      var bestVal = Double.MaxValue
-      var bestEpoch = 0
-      var sincePatience = 0
-      var sincePlateau = 0
-      var stopped = false
-      val history = scala.collection.mutable.ArrayBuffer.empty[EpochLog]
-      var epoch = 1
-      while (epoch <= cfg.maxEpochs && !stopped) {
-        val (trainLoss, grad, _) = lossGrad(train, w, cfg.huberDelta, withGrad = true)
-        // Adam (bias-corrected), t = epoch.
-        m := m * cfg.beta1 + grad * (1 - cfg.beta1)
-        v := v * cfg.beta2 + (grad *:* grad) * (1 - cfg.beta2)
-        val mh = m / (1 - math.pow(cfg.beta1, epoch))
-        val vh = v / (1 - math.pow(cfg.beta2, epoch))
-        w = w - (mh /:/ (breeze.numerics.sqrt(vh) + cfg.adamEps)) * lr
-        val (valLoss, _, _) = lossGrad(valid, w, cfg.huberDelta, withGrad = false)
-        history += EpochLog(epoch, trainLoss, valLoss, lr)
-        if (valLoss < bestVal - cfg.minDelta) {
-          bestVal = valLoss; best = w.copy; bestEpoch = epoch
-          sincePatience = 0; sincePlateau = 0
-        } else {
-          sincePatience += 1; sincePlateau += 1
-          if (sincePlateau >= cfg.plateauPatience && lr > cfg.minLr) {
-            lr = math.max(lr * cfg.plateauFactor, cfg.minLr) // ReduceLROnPlateau
-            sincePlateau = 0
-          }
-          if (sincePatience >= cfg.patience) stopped = true // EarlyStopping
-        }
-        epoch += 1
+      // Flatten column-major (breeze's own layout) so the shared Adam loop
+      // walks parameters in a fixed order.
+      def flat(mat: DenseMatrix[Double]): Array[Double] = {
+        val a = new Array[Double](dim * k)
+        var j = 0
+        while (j < k) { var i = 0; while (i < dim) { a(j * dim + i) = mat(i, j); i += 1 }; j += 1 }
+        a
       }
-      Trained(TimeSeries.VarModel(p, dim, best), history.toSeq, stopped,
-        bestEpoch, bestVal)
+      def unflat(a: Array[Double]) = new DenseMatrix(dim, k, a.clone())
+      val ff = Optimizer.adamLoop(new Array[Double](dim * k), cfg)(
+        wf => {
+          val (l, g, _) = lossGrad(train, unflat(wf), cfg.huberDelta, withGrad = true)
+          (l, flat(g))
+        },
+        wf => lossGrad(valid, unflat(wf), cfg.huberDelta, withGrad = false)._1)
+      Trained(TimeSeries.VarModel(p, dim, unflat(ff.weights)), ff.history,
+        ff.stoppedEarly, ff.bestEpoch, ff.bestValLoss)
     } finally {
       train.unpersist(blocking = false)
       valid.unpersist(blocking = false)
