@@ -28,6 +28,16 @@ object MlQueries {
 
   private def finite(v: Double): Boolean = !v.isNaN && !v.isInfinite
 
+  /** The score contract shared by the hybrid queries: every RMSE present,
+    * finite, non-negative. */
+  private def rmseInvariants(rows: Seq[org.apache.spark.sql.Row]): Seq[(String, Boolean)] = {
+    val vals = rows.flatMap(r => (1 until r.length).map(i =>
+      if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+    Seq(
+      "rmse_finite" -> vals.forall(finite),
+      "rmse_nonnegative" -> vals.forall(v => finite(v) && v >= 0.0))
+  }
+
   /** The training-loop contract shared by ml_train and ml_train_gru
     * (measured engine-side; the oracle asserts each as literal true). */
   private def loopInvariants(
@@ -280,13 +290,62 @@ object MlQueries {
         sqrt(avg(col(s"ev_$i") * col(s"ev_$i"))).as(s"rmse_var_$i"),
         sqrt(avg(col(s"eh_$i") * col(s"eh_$i"))).as(s"rmse_hybrid_$i")))
       val scored = test.groupBy("slice").agg(metricCols.head, metricCols.tail: _*)
-      dumpWithInvariants(s, "ml_var_hybrid", scored) { rows =>
-        val vals = rows.flatMap(r => (1 until r.length).map(i =>
-          if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
-        Seq(
-          "rmse_finite" -> vals.forall(finite),
-          "rmse_nonnegative" -> vals.forall(v => finite(v) && v >= 0.0))
+      dumpWithInvariants(s, "ml_var_hybrid", scored)(rmseInvariants)
+    },
+
+    // The reference's FULL Phase-4 lifecycle with a residual model that is
+    // actually TRAINED (train.py:199-261 end-to-end): scale → VAR(2) fit →
+    // 1-step forecasts → residuals → GruNet fitted by BPTT on STRICTLY-
+    // PAST 12-step residual windows (so the hybrid is a usable 1-step
+    // forecast, no target leakage) → hybrid = VAR + trained-GRU residual
+    // prediction → RMSE per feature on the test split, against the
+    // VAR-only baseline. ml_var_hybrid above keeps the fixed-weight
+    // NeuralStub (pinning the full GRN/attention stack's inference);
+    // this query is the trained counterpart. Same dump-echo property
+    // oracle.
+    checked("ml_hybrid_trained",
+      s"""SELECT slice,
+         |${(0 until TimeSeries.FeatCols.length).flatMap(i =>
+        Seq(s"  rmse_var_$i", s"  rmse_hybrid_$i")).mkString(",\n")},
+         |  true AS rmse_finite, true AS rmse_nonnegative
+         |FROM read_parquet('$DumpRoot/ml_hybrid_trained/*.parquet')""".stripMargin) { (s, d) =>
+      val p = 2
+      val dim = TimeSeries.FeatCols.length
+      val steps = 12
+      val (scaled, _) = scaledLocalSeries(s, d)
+      val lagged = TimeSeries.lagDesign(scaled, TimeSeries.FeatCols, p)
+      val varModel = TimeSeries.fitVar(lagged.filter(col("split") === "train"), p, dim)
+      val w = Window.partitionBy("slice").orderBy("t")
+      val fc = lagged.select(
+        Seq(col("slice"), col("t"), col("split"), col("y")) ++
+          TimeSeries.forecastCols(varModel): _*)
+        .withColumn("resid", array((0 until dim).map(i =>
+          element_at(col("y"), i + 1) - col(s"fc_$i")): _*))
+        .withColumn("rhist", collect_list(col("resid")).over(
+          w.rowsBetween(-steps, -1)))
+        .filter(size(col("rhist")) === steps)
+      val net = graft.ml.GruNet.fit(
+        fc.select(col("rhist").as("x"), col("resid").as("y"), col("split")),
+        graft.ml.GruNet.Dims(n = dim, d = 8, m = dim),
+        graft.ml.Trainer.Config(lr = 0.02, maxEpochs = 30, patience = 8,
+          minDelta = 1e-6, plateauPatience = 6))
+      val dims = net.dims
+      val weights = net.weights
+      val nnUdf = udf((hist: Seq[Seq[Double]]) =>
+        graft.ml.GruNet.predict(hist.map(_.toArray).toArray, weights, dims).toSeq)
+      val withNn = fc.withColumn("nn", nnUdf(col("rhist")))
+      val errCols = (0 until dim).flatMap { i =>
+        val hybrid = col(s"fc_$i") + element_at(col("nn"), i + 1)
+        Seq((element_at(col("y"), i + 1) - hybrid).as(s"eh_$i"),
+          (element_at(col("y"), i + 1) - col(s"fc_$i")).as(s"ev_$i"))
       }
+      val test = withNn.filter(col("split") === "test")
+        .select(Seq(col("slice")) ++ errCols: _*)
+      val metricCols = (0 until dim).flatMap(i => Seq(
+        sqrt(avg(col(s"ev_$i") * col(s"ev_$i"))).as(s"rmse_var_$i"),
+        sqrt(avg(col(s"eh_$i") * col(s"eh_$i"))).as(s"rmse_hybrid_$i")))
+      val scored = test.groupBy("slice").agg(metricCols.head, metricCols.tail: _*)
+      dumpWithInvariants(s, "ml_hybrid_trained", scored)(rmseInvariants)
     },
 
     // M6/M7 direct surface: hybrid-network forward pass over feature
