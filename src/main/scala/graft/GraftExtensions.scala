@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 
-import graft.functions.expr.{CosTopK, DotLong, ShingleExplode}
+import graft.functions.expr.{CosTopK, DotLong, FreqSketch, ShingleExplode}
 
 /** SQL-surface registration for the engine's native Catalyst expressions
   * (SURVEY §4.3 path (c): `SparkSessionExtensions`). Column-API users get
@@ -16,6 +16,7 @@ import graft.functions.expr.{CosTopK, DotLong, ShingleExplode}
   *  - `dot_long(a, b)`             exact BIGINT-array dot product
   *  - `shingle_explode(toks, n)`   generator: one row per n-token shingle
   *  - `cos_top_k(score, id, k)`    bounded-heap per-group top-k aggregate
+  *  - `freq_sketch(item, k)`       Misra-Gries frequent-items aggregate
   *
   * Two entry points, same registrations:
   *  - config `spark.sql.extensions=graft.GraftExtensions` at session build
@@ -67,6 +68,14 @@ object GraftExtensions {
             Cast(id, org.apache.spark.sql.types.LongType),
             intArg(k, "cos_top_k", 3))
           case _ => throw new IllegalArgumentException("cos_top_k(score, id, k)")
+        }),
+      "freq_sketch" -> (
+        new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+        (args: Seq[Expression]) => args match {
+          case Seq(item, k) => FreqSketch(
+            Cast(item, org.apache.spark.sql.types.StringType),
+            intArg(k, "freq_sketch", 2))
+          case _ => throw new IllegalArgumentException("freq_sketch(item, k)")
         }))
 
   /** Register on a LIVE session (no `spark.sql.extensions` needed): the

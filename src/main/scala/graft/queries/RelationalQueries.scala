@@ -268,6 +268,41 @@ object RelationalQueries {
           r6(dsumRaw(col("value") / col("grp_total"))).as("share_sum"))
     },
 
+    // Runtime bloom-filter join pruning — the third runtime-optimization
+    // pin alongside join_skew_aqe and join_dpp: when a selective dim
+    // filter can't prune PARTITIONS (the fact isn't partitioned by the
+    // join key), Catalyst's InjectRuntimeFilter builds a bloom filter
+    // from the filtered creation side and applies might_contain() on the
+    // fact scan — rows for never-matching keys die before the shuffle,
+    // which at 100 TB is the difference between shuffling the whole fact
+    // and shuffling the ~20 % that can match. Child session: the
+    // application-side size threshold defaults to 10 GB (production
+    // scale); test scale lowers it so the rule fires on the same code
+    // path. PlanShapeSpec pins might_contain on the executed plan.
+    checked("join_bloom",
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // Force a shuffle join: against a broadcast join the row filter is
+      // moot (the fact rows never cross an exchange).
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      Tables.lineitem(ss, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+        .join(Tables.orders(ss, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+    },
+
     // Grouping sets via ROLLUP over the region→nation hierarchy.
     checked("rollup_geo",
       """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,

@@ -136,5 +136,29 @@ object TextQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tokens"),
           r6(graft.functions.ShannonEntropy.ofLong(col("th"))).as("token_entropy"))
+    },
+
+    // Heavy hitters via the Misra-Gries sketch (native
+    // TypedImperativeAggregate, graft.functions.expr.FreqSketch): frequent
+    // tokens per language with at most k counters per group — partials
+    // reduce map-side, O(groups × k) entries cross the exchange, where the
+    // exact GROUP BY shuffles one row per distinct token (unbounded on a
+    // 100 TB web corpus). Operating point: the corpus vocabulary (31
+    // whitespace tokens) is below k = 48, where MG provably never
+    // decrements and estimates are EXACT — so the oracle is the full
+    // bit-exact DuckDB GROUP BY while the sketch machinery (per-partition
+    // partials, serialize, merge) still runs for real. The
+    // more-distinct-than-k regime (decrements, merge compression, the
+    // n/(k+1) error and coverage bounds) is pinned by FreqSketchSpec.
+    checked("text_heavy_hitters",
+      s"""SELECT lang, tok AS item, count(*) AS est
+         |FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents)
+         |GROUP BY lang, tok""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("item"))
+        .groupBy("lang")
+        .agg(graft.functions.expr.FreqSketch.sketch(col("item"), 48).as("sk"))
+        .select(col("lang"), explode(col("sk")).as("e"))
+        .select(col("lang"), col("e.item").as("item"), col("e.est").as("est"))
     })
 }

@@ -97,6 +97,19 @@ class PlanShapeSpec extends SparkSpec {
       "the fact-side shuffle read must carry skew splits")
   }
 
+  test("join_bloom injects a runtime bloom filter on the fact side") {
+    val q = SparkEntry.allQueries.find(_.name == "join_bloom").get
+    val df = try {
+      val df = q.fn(spark, "/root/testdata/sf0.01")
+      df.collect()
+      df
+    } finally QuerySpec.releaseStaged()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"the fact scan must be filtered by BloomFilterMightContain built " +
+        s"from the selective dim side; got plan:\n$p")
+  }
+
   test("join_dpp prunes fact partitions at runtime from the dim filter") {
     val p = plan("join_dpp")
     assert(p.contains("dynamicpruning"),
