@@ -509,6 +509,87 @@ object DedupQueries {
     },
 
     // ------------------------------------------------------------------
+    // Connected components via alternating LARGE-STAR / SMALL-STAR
+    // contraction (Kiveris et al., "Connected Components in MapReduce and
+    // Beyond", SoCC 2014) — the O(log n)-round algorithm min-label
+    // propagation's O(diameter) loop defers to on long-chain graphs:
+    //   large-star(u): m = min(Γ(u) ∪ {u});      emit (v, m) ∀ v ∈ Γ(u), v > u
+    //   small-star(u): m = min(Γ<(u) ∪ {u});     emit (v, m) ∀ v ∈ Γ<(u) ∪ {u}, v ≠ m
+    // Both phases are one groupBy(min) + one equi join over the adjacency
+    // — no neighbor lists are materialized, so a high-degree hub costs a
+    // shuffle fan-out, not a collect. Each phase's edge set is staged
+    // (localCheckpoint) like dedup_components' rounds. Convergence: an
+    // observe() checksum (count + xxhash sum) rides the phase action as a
+    // fast-path; equality triggers ONE exact symmetric-difference check
+    // before exiting, so a hash collision can never return early-wrong.
+    // At the fixpoint the edges form stars, and every node's min incident
+    // endpoint IS its component representative — same oracle as
+    // dedup_components (DuckDB recursive transitive closure).
+    checked("dedup_components_star",
+      s"""WITH RECURSIVE $pairsCtesSql,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |walk AS (SELECT n AS node, n AS reach FROM nodes
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+         |SELECT node AS doc_id, min(reach) AS component
+         |FROM walk GROUP BY node""".stripMargin) { (s, d) =>
+      def adjOf(edges: DataFrame) = edges
+        .select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      def largeStar(edges: DataFrame): DataFrame = {
+        val adj = adjOf(edges)
+        val mins = adj.groupBy("u").agg(min(col("v")).as("mv"))
+          .select(col("u"), least(col("mv"), col("u")).as("m"))
+        adj.filter(col("v") > col("u"))
+          .join(mins, "u")
+          .select(col("v").as("a"), col("m").as("b"))
+          .distinct()
+      }
+      def smallStar(edges: DataFrame): DataFrame = {
+        val adjLt = adjOf(edges).filter(col("v") < col("u"))
+        val mins = adjLt.groupBy("u").agg(min(col("v")).as("m"))
+        adjLt.join(mins, "u")
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .unionAll(mins.select(col("u").as("a"), col("m").as("b")))
+          .distinct()
+      }
+      val pairs = staged(nearDupPairs(s, d))
+      var edges = staged(pairs
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct())
+      var prevSum = (-1L, -1L)
+      var converged = false
+      var round = 0
+      while (!converged && round < 25) {
+        val obs = org.apache.spark.sql.Observation()
+        val next = staged(smallStar(largeStar(edges))
+          .observe(obs,
+            count(lit(1)).as("n_edges"),
+            // mod keeps each addend within ±1e9: the raw 64-bit hashes
+            // would overflow the ANSI sum after a handful of edges.
+            coalesce(sum(xxhash64(col("a"), col("b")) % 1000000007L), lit(0L))
+              .as("h_edges")))
+        val m = obs.get
+        val sum2 = (m("n_edges").asInstanceOf[Long], m("h_edges").asInstanceOf[Long])
+        if (sum2 == prevSum) {
+          // Checksum says stable — confirm exactly once before exiting.
+          converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+        }
+        prevSum = sum2
+        edges = next
+        round += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"dedup_components_star: not converged after $round rounds")
+      adjOf(edges).groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u").as("doc_id"), least(col("mv"), col("u")).as("component"))
+    },
+
+    // ------------------------------------------------------------------
     // Incremental corpus cleaning — the shape the nightly pipeline
     // actually runs: yesterday's keeper STORE (exact fingerprints +
     // df-capped shingle rows + shingle doc-frequencies) is persisted
