@@ -239,33 +239,16 @@ object GruNet {
   }
 
   /** One distributed pass over `rows`: mean Huber loss (per sample×output)
-    * and its gradient. Partition-ordered fold, like Trainer.lossGrad. */
+    * and its gradient — the [[DistGrad]] partition-ordered fold shared
+    * with [[TftNet]]. */
   private def lossGrad(
       rows: org.apache.spark.rdd.RDD[(Array[Array[Double]], Array[Double])],
       w: Array[Double], dims: Dims, delta: Double,
-      withGrad: Boolean): (Double, Array[Double]) = {
-    val partials = rows.mapPartitionsWithIndex { (pid, it) =>
-      val g = new Array[Double](dims.size)
-      var l = 0.0
-      var c = 0L
-      it.foreach { case (xs, ys) =>
-        l += (if (withGrad) lossGradSample(xs, ys, w, dims, delta, g)
-              else lossSample(xs, ys, w, dims, delta))
-        c += 1
-      }
-      Iterator.single((pid, l, g, c))
-    }.collect().sortBy(_._1)
-    var loss = 0.0
-    var cnt = 0L
-    val grad = new Array[Double](dims.size)
-    partials.foreach { case (_, l, g, c) =>
-      loss += l; cnt += c
-      var i = 0; while (i < dims.size) { grad(i) += g(i); i += 1 }
+      withGrad: Boolean): (Double, Array[Double]) =
+    DistGrad.meanLossGrad(rows, dims.size, dims.m) { (xs, ys, g) =>
+      if (withGrad) lossGradSample(xs, ys, w, dims, delta, g)
+      else lossSample(xs, ys, w, dims, delta)
     }
-    val denom = math.max(cnt, 1L).toDouble * dims.m
-    var i = 0; while (i < dims.size) { grad(i) /= denom; i += 1 }
-    (loss / denom, grad)
-  }
 
   /** Fit result: best weights (restore_best semantics) + history. */
   final case class TrainedGru(

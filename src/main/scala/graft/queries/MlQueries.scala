@@ -84,6 +84,20 @@ object MlQueries {
     }
   }
 
+  /** Rebalance training windows across the full core count. The window
+    * function that builds them shuffles BY SLICE, so the epoch jobs would
+    * otherwise run on (#slices) non-empty partitions — parallelism 5 on a
+    * 32-core bench, and the same cliff on a real cluster whenever slices ≪
+    * executors. Range-partition on (slice, t) with an in-partition sort:
+    * unlike round-robin `repartition`, both the row→partition mapping and
+    * the within-partition order are deterministic, so the trainers'
+    * partition-ordered gradient folds stay bit-identical run to run. */
+  private def spreadWindows(windows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    windows
+      .repartitionByRange(32, col("slice"), col("t"))
+      .sortWithinPartitions("slice", "t")
+
   /** Shared model-input prep (ml_var_hybrid, ml_train): hourly feature
     * frame → chronological split → MLlib RobustScaler fitted on train only
     * (train.py:193-196). The hourly frame is bounded by slices × hours —
@@ -325,7 +339,8 @@ object MlQueries {
           w.rowsBetween(-steps, -1)))
         .filter(size(col("rhist")) === steps)
       val net = graft.ml.GruNet.fit(
-        fc.select(col("rhist").as("x"), col("resid").as("y"), col("split")),
+        fc.select(col("slice"), col("t"), col("rhist").as("x"),
+          col("resid").as("y"), col("split")).transform(spreadWindows),
         graft.ml.GruNet.Dims(n = dim, d = 8, m = dim),
         graft.ml.Trainer.Config(lr = 0.02, maxEpochs = 30, patience = 8,
           minDelta = 1e-6, plateauPatience = 6))
@@ -444,7 +459,8 @@ object MlQueries {
           w.rowsBetween(-steps, -1))) // strictly-past history
         .withColumn("y", col("fv"))
         .filter(size(col("x")) === steps)
-        .select(col("x"), col("y"), col("split"))
+        .select(col("slice"), col("t"), col("x"), col("y"), col("split"))
+        .transform(spreadWindows)
       val trained = graft.ml.GruNet.fit(windows,
         graft.ml.GruNet.Dims(n = dim, d = 8, m = dim),
         graft.ml.Trainer.Config(lr = 0.02, maxEpochs = maxEpochs,
@@ -458,6 +474,52 @@ object MlQueries {
           lit(trained.bestEpoch).as("best_epoch"),
           lit(trained.stoppedEarly).as("stopped_early"))
       dumpWithInvariants(s, "ml_train_gru", hist) { _ =>
+        loopInvariants(trained.history, trained.bestEpoch, trained.bestValLoss,
+          trained.stoppedEarly, maxEpochs, minDelta)
+      }
+    },
+
+    // The reference's ENTIRE architecture trained end-to-end — per-step
+    // GRN → GRU → GRU → 4-head attention → residual LayerNorm → global
+    // mean-pool → GRN → Dense (train.py:147-173), every layer's gradient
+    // derived analytically and finite-difference-pinned in TftNetSpec.
+    // ml_train_gru isolates the recurrence; this closes the rest (GLU
+    // gates, softmax attention, learnable LayerNorms). Same strictly-past
+    // window shape, same distributed gradient loop, same loop-contract
+    // property oracle.
+    checked("ml_train_tft",
+      s"""SELECT epoch, train_loss, val_loss, lr, best_epoch, stopped_early,
+         |  true AS losses_finite, true AS lr_nonincreasing,
+         |  true AS best_is_min, true AS exit_consistent
+         |FROM read_parquet('$DumpRoot/ml_train_tft/*.parquet')""".stripMargin) { (s, d) =>
+      val dim = TimeSeries.FeatCols.length
+      val steps = 12
+      val maxEpochs = 25
+      val minDelta = 1e-6
+      val (scaled, _) = scaledLocalSeries(s, d)
+      val w = Window.partitionBy("slice").orderBy("t")
+      val windows = scaled
+        .withColumn("fv", array(TimeSeries.FeatCols.map(col): _*))
+        .withColumn("x", collect_list(col("fv")).over(
+          w.rowsBetween(-steps, -1))) // strictly-past history
+        .withColumn("y", col("fv"))
+        .filter(size(col("x")) === steps)
+        .select(col("slice"), col("t"), col("x"), col("y"), col("split"))
+        .transform(spreadWindows)
+      val trained = graft.ml.TftNet.fit(windows,
+        graft.ml.TftNet.Dims(n = dim, g1 = 8, d1 = 12, d2 = 8, heads = 4,
+          g2 = 8, m = dim),
+        graft.ml.Trainer.Config(lr = 0.02, maxEpochs = maxEpochs,
+          patience = 8, minDelta = minDelta, plateauPatience = 6))
+      import s.implicits._
+      val hist = trained.history.toDF()
+        .select(col("epoch"),
+          col("trainLoss").as("train_loss"),
+          col("valLoss").as("val_loss"),
+          col("lr"),
+          lit(trained.bestEpoch).as("best_epoch"),
+          lit(trained.stoppedEarly).as("stopped_early"))
+      dumpWithInvariants(s, "ml_train_tft", hist) { _ =>
         loopInvariants(trained.history, trained.bestEpoch, trained.bestValLoss,
           trained.stoppedEarly, maxEpochs, minDelta)
       }
