@@ -118,6 +118,66 @@ object DedupQueries {
     },
 
     // ------------------------------------------------------------------
+    // Paragraph-level exact dedup — the C4/RefinedWeb pretraining op:
+    // drop REPEATED PASSAGES across the whole corpus (boilerplate,
+    // mirrored pages) while keeping each document's first occurrence,
+    // then reassemble the cleaned text in passage order. This corpus has
+    // no newline paragraph marks, so the passage unit is a fixed 20-token
+    // chunk — identical machinery, different segmenter.
+    //
+    // Scale shape: chunks are STAGED once; the first-occurrence pass runs
+    // on a NARROW (h60, doc_id, chunk_idx) projection — one shuffle of
+    // 24 bytes/chunk, not of the text — and only the keep-flag join and
+    // doc-side reassembly move chunk text, keyed by doc_id. Global
+    // first-occurrence = row_number over the 60-bit chunk fingerprint
+    // (same fingerprint contract as dedup_exact).
+    checked("dedup_paragraph", {
+      val C = 20
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents WHERE len(${sqlTokens("text")}) > 0),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(range(0, CAST(ceil(len(toks) / $C.0) AS BIGINT))) AS chunk_idx
+         |  FROM t),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |    array_to_string(toks[chunk_idx * $C + 1 : chunk_idx * $C + $C], ' ') AS chunk
+         |  FROM c),
+         |k AS (SELECT doc_id, chunk_idx, chunk,
+         |    row_number() OVER (PARTITION BY ${sqlH60("chunk")}
+         |      ORDER BY doc_id, chunk_idx) = 1 AS keep
+         |  FROM ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  count(CASE WHEN keep THEN 1 END) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN keep THEN chunk END, ' '
+         |    ORDER BY chunk_idx), '') AS clean_text
+         |FROM k GROUP BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val C = 20
+      val chunks = staged(Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0),
+            ceil(size(col("toks")) / lit(C.toDouble)).cast("int") - 1),
+            i => concat_ws(" ", slice(col("toks"), i * C + 1, lit(C)))))
+          .as(Seq("pos", "chunk")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("chunk")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id", "chunk_idx")
+      val keepers = chunks
+        .select(col("doc_id"), col("chunk_idx"), h60(col("chunk")).as("h"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .drop("h")
+      chunks.join(keepers, Seq("doc_id", "chunk_idx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("keep"), lit(1))).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            x => x("chunk")), " ").as("clean_text"))
+    },
+
+    // ------------------------------------------------------------------
     // N-gram Jaccard via inverted shingle index: explode the (distinct)
     // shingle sets, equi-join on shingle hash, count shared shingles per
     // pair, |A∪B| = |A|+|B|−|A∩B|. Identical result set to the naive

@@ -160,5 +160,57 @@ object TextQueries {
         .agg(graft.functions.expr.FreqSketch.sketch(col("item"), 48).as("sk"))
         .select(col("lang"), explode(col("sk")).as("e"))
         .select(col("lang"), col("e.item").as("item"), col("e.est").as("est"))
+    },
+
+    // PII scrubbing — the redaction pass every pretraining pipeline runs
+    // before text ships: emails → <EMAIL>, IPv4 → <IP>, phone-shaped
+    // digit groups → <PHONE>, with per-class match counts. Pure per-row
+    // projection: at 100 TB this is a codegen'd map over the corpus scan,
+    // no shuffle at all. Patterns stay in the Java∩RE2 common subset
+    // (character classes, bounded repeats — no lookaround/backrefs) so
+    // both engines implement identical semantics, and the hash compare
+    // across every row IS the dialect-parity pin. The synthetic corpus
+    // carries no PII (zero digits), so the demo PLANTS deterministic
+    // PII derived from each row's own values (doc_id, source) before
+    // redacting — the counts then assert every planted item is found.
+    checked("pii_redact", {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+         |      || '.org ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+         |      || CAST(doc_id % 97 AS VARCHAR) || '.7 tel 555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$email')) AS n_email,
+         |  len(regexp_extract_all(t, '$ip')) AS n_ip,
+         |  len(regexp_extract_all(regexp_replace(t, '$ip', '<IP>', 'g'),
+         |    '$phone')) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS clean_text
+         |FROM aug""".stripMargin
+    }) { (s, d) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      Tables.documents(s, d)
+        .withColumn("t", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@"), col("source"), lit(".org ip 10."),
+          (col("doc_id") % 200).cast("string"), lit("."),
+          (col("doc_id") % 97).cast("string"), lit(".7 tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(email)).as("n_email"),
+          regexp_count(col("t"), lit(ip)).as("n_ip"),
+          // phone counted after IP masking: the IP's trailing octets would
+          // otherwise alias into phone-shaped digit runs.
+          regexp_count(regexp_replace(col("t"), ip, "<IP>"), lit(phone)).as("n_phone"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("clean_text"))
     })
 }
