@@ -150,5 +150,89 @@ object FormatQueries {
         .filter(col("event_type") === "click") // → partition pruning
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    },
+
+    // Z-ORDER layout — the lakehouse multi-dimensional clustering op: sort
+    // the fact table by the Morton interleave of two filter dimensions
+    // (graft.functions.ZOrder, pure codegen'd bit-ops) so a rectangle
+    // predicate on BOTH dimensions maps to few contiguous key ranges and
+    // parquet row-group min/max stats prune most of the layout. A
+    // single-column sort can only cluster one dimension; at 100 TB this is
+    // the difference between scanning ~3 % and ~100 % of a table for 2-D
+    // selective queries. Both a z-ordered and a linearly-sorted control
+    // layout are written once per (JVM, sf dir); the query MEASURES the
+    // pruning (rows actually delivered by each scan, via task input
+    // metrics) and returns `zorder_effective` = z-scan ≤ half the linear
+    // scan, which the oracle asserts as literal true — the sketch_rollup
+    // measured-invariant pattern. The aggregate itself is layout-
+    // independent and bit-exact against DuckDB over the raw table.
+    checked("zorder_scan",
+      s"""WITH b AS (SELECT
+         |    CAST(floor(0.40 * max(l_partkey)) AS BIGINT) AS plo,
+         |    CAST(floor(0.55 * max(l_partkey)) AS BIGINT) AS phi,
+         |    CAST(floor(0.40 * max(l_suppkey)) AS BIGINT) AS slo,
+         |    CAST(floor(0.55 * max(l_suppkey)) AS BIGINT) AS shi
+         |  FROM lineitem)
+         |SELECT count(*) AS n, ${sqlSum("l_quantity")} AS total_qty,
+         |  ${sqlSum("l_extendedprice")} AS revenue, true AS zorder_effective
+         |FROM lineitem, b
+         |WHERE l_partkey BETWEEN b.plo AND b.phi
+         |  AND l_suppkey BETWEEN b.slo AND b.shi""".stripMargin) { (s, d) =>
+      import graft.functions.ZOrder
+      val sfKey = QuerySpec.jvmScopedKey(d)
+      def ensure(tag: String)(keyed: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame): String = {
+        val dir = TmpDirs.scoped(s"graft_${tag}_$sfKey")
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          keyed(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"), col("l_extendedprice")))
+            .write.mode("overwrite").parquet(dir.getAbsolutePath)
+        }
+        dir.getAbsolutePath
+      }
+      val zDir = ensure("zord")(df => df
+        .withColumn("zkey", ZOrder.morton2(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(32, col("zkey"))
+        .sortWithinPartitions("zkey"))
+      val linDir = ensure("zlin")(df => df
+        .repartitionByRange(32, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"))
+      val mx = s.read.parquet(zDir)
+        .agg(max(col("l_partkey")), max(col("l_suppkey"))).head
+      def bounds(m: Long) = (math.floor(0.40 * m).toLong, math.floor(0.55 * m).toLong)
+      val (pLo, pHi) = bounds(mx.getLong(0))
+      val (sLo, sHi) = bounds(mx.getLong(1))
+      def cond = col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi)
+      // Rows DELIVERED by the pruned scan (surviving row groups), summed
+      // from task input metrics around a probe count; the async listener
+      // bus is drained ShuffleMeter-style before reading the counter.
+      def scanned(dir: String): Long = {
+        val recs = new java.util.concurrent.atomic.AtomicLong
+        val lst = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) recs.addAndGet(m.inputMetrics.recordsRead): Unit
+          }
+        }
+        s.sparkContext.addSparkListener(lst)
+        try {
+          s.read.parquet(dir).filter(cond).count()
+          var prev = -1L
+          var cur = recs.get
+          val deadline = System.nanoTime() + 2000000000L
+          while (cur != prev && System.nanoTime() < deadline) {
+            prev = cur; Thread.sleep(50); cur = recs.get
+          }
+        } finally s.sparkContext.removeSparkListener(lst)
+        recs.get
+      }
+      val zScan = scanned(zDir)
+      val linScan = scanned(linDir)
+      s.read.parquet(zDir).filter(cond)
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .withColumn("zorder_effective", lit(zScan * 2 <= linScan))
     })
 }
