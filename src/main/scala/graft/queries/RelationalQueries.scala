@@ -127,6 +127,49 @@ object RelationalQueries {
         .select(col("l_orderkey").as("okey"), col("ln_a"), col("ln_b"))
     },
 
+    // Binned interval (range) join — the optimization Spark's planner
+    // lacks natively: a pure time-range predicate plans as
+    // BroadcastNestedLoopJoin, O(|A|·|B|) and a scale-killer the moment
+    // neither side broadcasts. Standard fix, done declaratively: quantize
+    // time into interval-width bins, EXPLODE each interval into the ≤ 2
+    // bins it overlaps (bounded fan-out — bin width = interval length),
+    // equi-join on (type, bin), and re-apply the exact range predicate as
+    // a residual filter. The pair count is exact with no dedup pass: a
+    // probe event lives in exactly one bin, so each qualifying pair
+    // matches exactly once. One hash-partitioned shuffle instead of a
+    // nested loop; PlanShapeSpec pins the executed join is NOT a BNLJ.
+    // Semantics: 6-hour impact windows after each high-value anchor event
+    // (value > 300), per event type — events counted into every window
+    // they fall in. Bin arithmetic stays in exact integer µs (`div`, no
+    // FP division) on both engines.
+    checked("join_range_binned", {
+      val wUs = 21600L * 1000000L
+      s"""SELECT a.event_id AS anchor_id, count(*) AS n,
+         |  ${sqlSum("e.value")} AS total_value,
+         |  count(DISTINCT e.user_id) AS n_users
+         |FROM (SELECT * FROM events WHERE value > 300) a
+         |JOIN events e ON a.event_type = e.event_type
+         |  AND e.ts >= a.ts AND epoch_us(e.ts) < epoch_us(a.ts) + $wUs
+         |GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val wUs = 21600L * 1000000L
+      val ev = Tables.events(s, d)
+      val anchors = ev.filter(col("value") > 300)
+        .select(col("event_id").as("anchor_id"), col("event_type").as("a_type"),
+          unix_micros(col("ts")).as("a_us"))
+        .withColumn("bin", explode(sequence(
+          expr(s"a_us div $wUs"), expr(s"(a_us + $wUs - 1) div $wUs"))))
+      val probe = ev.select(col("event_type").as("e_type"),
+        unix_micros(col("ts")).as("e_us"), col("value"), col("user_id"))
+        .withColumn("bin", expr(s"e_us div $wUs"))
+      anchors.join(probe,
+          col("a_type") === col("e_type") && anchors("bin") === probe("bin"))
+        .filter(col("e_us") >= col("a_us") && col("e_us") < col("a_us") + wUs)
+        .groupBy("anchor_id")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"),
+          count_distinct(col("user_id")).as("n_users"))
+    },
+
     // Salted skew join: event_type is the corpus's hottest key (5 values
     // over every event row), so a plain shuffle join lands each key's
     // ENTIRE volume on one reducer — the canonical straggler at 100 TB.

@@ -73,6 +73,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("join_range_binned plans as an equi join, not a nested loop") {
+    val p = plan("join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the binned interval join must hash/merge on (type, bin) — a pure " +
+        s"range predicate would fall back to BNLJ; got plan:\n$p")
+  }
+
   test("exists_correlated plans as left-semi + left-anti joins") {
     val p = plan("exists_correlated")
     assert(p.contains("LeftSemi"), "EXISTS must become a left-semi join")
