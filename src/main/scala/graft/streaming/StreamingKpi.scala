@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQueryListener, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQueryListener, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming restatement of the reference's KPI pipeline
@@ -259,5 +259,75 @@ object StreamingKpi {
     flowEvents(events)
       .groupByKey(e => FlowKey(e.slice, e.flow))
       .transformWithState(new IatProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  // ---------------------------------------------------------------------
+  // Event-time TIMER eviction — the transformWithState feature the IAT
+  // twin doesn't touch.
+  // ---------------------------------------------------------------------
+
+  case class SessionEvent(slice: String, flow: Long, ts: java.sql.Timestamp)
+  case class SessionOut(slice: String, flow: Long, n_events: Long,
+                        start_sec6: Double, end_sec6: Double)
+
+  /** Gap-closed session assembly with explicit, watermark-driven state
+    * eviction: each flow's open session lives in one ValueState; every
+    * batch extends it and re-registers an EVENT-TIME timer at
+    * (session end + gap). When the watermark passes that instant the
+    * session provably cannot grow any more — the timer fires,
+    * [[handleExpiredTimer]] emits the closed session, and the state is
+    * cleared. Bounded state with deterministic eviction is the 100 TB
+    * sessionization shape; `stream_kpi_session` covers the
+    * aggregation-only `session_window` form, this is the arbitrary-state
+    * form (e.g. the reference's per-flow KPI accumulators,
+    * `KafkaKpiPipeline.scala:86-96`, closed at flow end). */
+  final class SessionProcessor(gapSec: Long)
+      extends StatefulProcessor[FlowKey, SessionEvent, SessionOut] {
+    @transient private var sess: ValueState[(Double, Double, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Double, Double, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Double, Double, Long)],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: FlowKey, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val ts = rows.map(_.ts.getTime / 1000.0).toSeq
+      if (ts.nonEmpty) {
+        val (start, end, n) =
+          if (sess.exists()) sess.get() else (ts.min, ts.min, 0L)
+        val newEnd = math.max(end, ts.max)
+        sess.update((math.min(start, ts.min), newEnd, n + ts.size))
+        // One live timer per key: re-arm at the new session end + gap.
+        getHandle.listTimers().foreach(getHandle.deleteTimer _)
+        getHandle.registerTimer(((newEnd + gapSec) * 1000).toLong)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: FlowKey, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val (start, end, n) = sess.get()
+        sess.clear()
+        Iterator.single(SessionOut(key.slice, key.flow, n,
+          math.floor(start * 1e6 + 0.5) / 1e6,
+          math.floor(end * 1e6 + 0.5) / 1e6))
+      }
+    }
+  }
+
+  /** Timer-evicted sessions over a streaming events frame (must carry a
+    * watermark on `ts` — event-time timers fire off the watermark). */
+  def sessionsTws(spark: SparkSession, events: DataFrame,
+                  gapSec: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .select(col("event_type").as("slice"), col("user_id").as("flow"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(e => FlowKey(e.slice, e.flow))
+      .transformWithState(new SessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -212,6 +212,51 @@ class StreamingKpiSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState timers: sessions evicted when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, String, Long)]
+      val events = mem.toDF().toDF("ts", "event_type", "user_id")
+        .withWatermark("ts", "0 seconds")
+      val sessions = StreamingKpi.sessionsTws(spark, events, gapSec = 30L)
+      val q = sessions.toDF().writeStream.format("memory").queryName("tws_sessions")
+        .outputMode(OutputMode.Append).start()
+      try {
+        def ts(sec: Long) = new Timestamp(sec * 1000L)
+        // batch 1: two events of flow A within the gap — open session,
+        // timer armed at 120+30; nothing may be emitted yet.
+        mem.addData((ts(100), "s", 1L), (ts(120), "s", 1L))
+        q.processAllAvailable()
+        assert(spark.table("tws_sessions").isEmpty,
+          "no eviction before the watermark reaches end+gap")
+        // batch 2: flow A again at 140 (same session: 140 < 120+30 and the
+        // watermark only now advances to 140) — the timer must RE-ARM to
+        // 140+30, not fire at the stale 120+30.
+        mem.addData((ts(140), "s", 1L))
+        q.processAllAvailable()
+        assert(spark.table("tws_sessions").isEmpty,
+          "re-armed timer must not fire while the session can still grow")
+        // batch 3: unrelated flow far in the future pushes the watermark
+        // past 170 → flow A's timer fires, session evicted exactly once.
+        mem.addData((ts(1000), "s", 2L))
+        q.processAllAvailable()
+        val got = spark.table("tws_sessions")
+          .select("flow", "n_events", "start_sec6", "end_sec6")
+          .as[(Long, Long, Double, Double)].collect().toSet
+        assert(got == Set((1L, 3L, 100.0, 140.0)),
+          s"expected flow 1's closed 3-event session [100,140], got $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("streaming tumbling aggregation equals the batch group-by") {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = StreamingKpi.runBounded(spark,
