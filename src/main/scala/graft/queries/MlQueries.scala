@@ -291,6 +291,9 @@ object MlQueries {
       val withNn = fc
         .withColumn("rhist", collect_list(col("resid")).over(w.rowsBetween(-11, Window.currentRow)))
         .filter(size(col("rhist")) === 12)
+        // Spread the residual-net forward pass past the by-slice window's
+        // (#slices)-partition shape (deterministic range partitioning).
+        .repartitionByRange(32, col("slice"), col("t"))
         .withColumn("nn", nnUdf(col("rhist")))
       // hybrid recombination + clip (train.py:251-261), scored on test (M9)
       val errCols = (0 until dim).flatMap { i =>
@@ -348,7 +351,9 @@ object MlQueries {
       val weights = net.weights
       val nnUdf = udf((hist: Seq[Seq[Double]]) =>
         graft.ml.GruNet.predict(hist.map(_.toArray).toArray, weights, dims).toSeq)
-      val withNn = fc.withColumn("nn", nnUdf(col("rhist")))
+      val withNn = fc
+        .repartitionByRange(32, col("slice"), col("t")) // spread the scoring UDF
+        .withColumn("nn", nnUdf(col("rhist")))
       val errCols = (0 until dim).flatMap { i =>
         val hybrid = col(s"fc_$i") + element_at(col("nn"), i + 1)
         Seq((element_at(col("y"), i + 1) - hybrid).as(s"eh_$i"),
@@ -383,6 +388,10 @@ object MlQueries {
         .withColumn("fv", array(TimeSeries.FeatCols.map(col): _*))
         .withColumn("hist", collect_list(col("fv")).over(w.rowsBetween(-11, Window.currentRow)))
         .filter(size(col("hist")) === 12)
+        // The by-slice window leaves (#slices) partitions; spread the
+        // per-row forward pass across the full core count (deterministic
+        // range partitioning — see spreadWindows).
+        .repartitionByRange(32, col("slice"), col("t"))
         .withColumn("pred", nnUdf(col("hist")))
         .select(Seq(col("slice"), col("t")) ++
           (0 until dim).map(i => element_at(col("pred"), i + 1).as(s"pred_$i")): _*)
