@@ -143,6 +143,7 @@ class PlanShapeSpec extends SparkSpec {
     // minhash 576k, stopshingle 642k.
     val ceilings = Map(
       "dedup_components" -> 1300000L,
+      "dedup_components_star" -> 1400000L,
       "corpus_clean_incremental" -> 900000L,
       "dedup_minhash" -> 1200000L,
       "dedup_stopshingle" -> 1300000L,
