@@ -162,6 +162,44 @@ object TextQueries {
         .select(col("lang"), col("e.item").as("item"), col("e.est").as("est"))
     },
 
+    // Sequence packing — the sample-packing step between a cleaned corpus
+    // and a trainer: assign documents to fixed-token-budget bins (2048
+    // here) so each training example concatenates whole documents with
+    // minimal padding. Greedy start-offset packing, made distributed: a
+    // running token count over each LANGUAGE SHARD (cumulative window,
+    // exact integers) gives every document its start offset, and
+    // bin = start_offset div budget — a document belongs to the bin its
+    // first token lands in (straddlers continue into the next bin, the
+    // usual packed-pretraining convention). Per-shard windows are the
+    // production shape: packing is inherently sequential WITHIN a stream,
+    // so at 100 TB you pack within bounded shards (language × source ×
+    // date), each an independent window partition — never one global
+    // ordering. Output: per-bin document count, token total (can overrun
+    // the budget by at most one straddling document), and id range.
+    checked("corpus_pack",
+      s"""WITH t AS (SELECT lang, doc_id, len(${sqlTokens("text")}) AS n_tok
+         |  FROM documents),
+         |o AS (SELECT lang, doc_id, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM t)
+         |SELECT lang, CAST(off // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS toks,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM o GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", expr("off div 2048"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("toks"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    },
+
     // PII scrubbing — the redaction pass every pretraining pipeline runs
     // before text ships: emails → <EMAIL>, IPv4 → <IP>, phone-shaped
     // digit groups → <PHONE>, with per-class match counts. Pure per-row
