@@ -17,6 +17,8 @@ import graft.functions.expr.{CosTopK, DotLong, FreqSketch, ShingleExplode}
   *  - `shingle_explode(toks, n)`   generator: one row per n-token shingle
   *  - `cos_top_k(score, id, k)`    bounded-heap per-group top-k aggregate
   *  - `freq_sketch(item, k)`       Misra-Gries frequent-items aggregate
+  *  - `morton2(a, b)`              Z-order key of two 21-bit dimensions
+  *                                 (expands to the codegen'd bit-op tree)
   *
   * Two entry points, same registrations:
   *  - config `spark.sql.extensions=graft.GraftExtensions` at session build
@@ -76,6 +78,15 @@ object GraftExtensions {
             Cast(item, org.apache.spark.sql.types.StringType),
             intArg(k, "freq_sketch", 2))
           case _ => throw new IllegalArgumentException("freq_sketch(item, k)")
+        }),
+      "morton2" -> (
+        new ExpressionInfo(graft.functions.ZOrder.getClass.getName, "morton2"),
+        (args: Seq[Expression]) => args match {
+          // Not a custom Expression — the builder expands to the same
+          // shiftleft/and/or tree the Column helper builds, so SQL
+          // callers get the identical whole-stage-codegen'd form.
+          case Seq(a, b) => graft.functions.ZOrder.morton2Expr(a, b)
+          case _ => throw new IllegalArgumentException("morton2(a, b)")
         }))
 
   /** Register on a LIVE session (no `spark.sql.extensions` needed): the

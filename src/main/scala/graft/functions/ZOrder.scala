@@ -36,6 +36,23 @@ object ZOrder {
   def morton2(a: Column, b: Column): Column =
     spread21(a).bitwiseOR(shiftleft(spread21(b), 1))
 
+  /** The same tree as raw Catalyst expressions — for the SQL function
+    * builder (`morton2(a, b)` in GraftExtensions), where composed Columns
+    * can't be injected (their inner functions would bypass resolution). */
+  def morton2Expr(a: org.apache.spark.sql.catalyst.expressions.Expression,
+                  b: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft}
+    import org.apache.spark.sql.types.LongType
+    def spread(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      Masks.foldLeft[org.apache.spark.sql.catalyst.expressions.Expression](
+        BitwiseAnd(Cast(e, LongType), Literal(0x1FFFFFL))) {
+        case (x, (sh, mask)) =>
+          BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(sh))), Literal(mask))
+      }
+    BitwiseOr(spread(a), ShiftLeft(spread(b), Literal(1)))
+  }
+
   /** Reference single-bit interleave loop — the spec oracle for the
     * magic-mask version. */
   def morton2Ref(a: Long, b: Long): Long = {

@@ -33,6 +33,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got == Seq((0, 1, 7L, 0.9), (0, 2, 11L, 0.9), (1, 1, 1L, 0.2)))
   }
 
+  test("morton2 from SQL equals the reference interleave and the Column form") {
+    val r = spark.sql("SELECT morton2(5L, 9L) AS m, morton2(1234L, 56789L) AS n").head()
+    assert(r.getLong(0) == graft.functions.ZOrder.morton2Ref(5L, 9L))
+    assert(r.getLong(1) == graft.functions.ZOrder.morton2Ref(1234L, 56789L))
+  }
+
   test("shannon_entropy from SQL matches the Column-API UDAF") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
