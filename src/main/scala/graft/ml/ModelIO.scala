@@ -72,6 +72,41 @@ object ModelIO {
     out
   }
 
+  /** Persist a trained neural net as (architecture dims, flat weight
+    * vector) — the engine's counterpart of the reference's `.h5` save for
+    * the GRU/TFT models. Same exactness contract as the VAR path:
+    * shortest-repr doubles, atomic move, bit-identical reload. */
+  def saveNet(dims: Seq[Int], weights: Array[Double], kind: String,
+              path: String): Unit = {
+    val json =
+      s"""{"format":"graft-net","version":1,"kind":"$kind",""" +
+        s""""dims":${dims.mkString("[", ",", "]")},""" +
+        s""""weights":${jsArr(weights.iterator)}}"""
+    val target = Paths.get(path)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(
+      if (target.getParent != null) target.getParent else Paths.get("."),
+      target.getFileName.toString, ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Reload a [[saveNet]] bundle; validates the kind tag and that the
+    * weight count matches the declared architecture's expectation when
+    * the caller re-derives it from `dims`. */
+  def loadNet(path: String, kind: String): (Seq[Int], Array[Double]) = {
+    val root = new ObjectMapper()
+      .readTree(Files.readAllBytes(Paths.get(path)))
+    require(root.path("format").asText() == "graft-net",
+      s"$path is not a graft net model file")
+    require(root.path("kind").asText() == kind,
+      s"$path holds a '${root.path("kind").asText()}' net, expected '$kind'")
+    val dimsNode = root.get("dims")
+    val dims = (0 until dimsNode.size()).map(dimsNode.get(_).asInt())
+    (dims, doubles(root.get("weights")))
+  }
+
   def load(path: String): Bundle = {
     val root = new ObjectMapper()
       .readTree(Files.readAllBytes(Paths.get(path)))

@@ -404,8 +404,19 @@ object MlQueries {
           g2 = 8, m = dim),
         graft.ml.Trainer.Config(lr = 0.02, maxEpochs = 10, patience = 5,
           minDelta = 1e-6, plateauPatience = 4))
-      val dims = net.dims
-      val weights = net.weights
+      // S11 for the NEURAL model too (train.py:271 saves model.h5): score
+      // with the save→load round-tripped weights — ModelIO preserves
+      // doubles bit-exactly, so the output is unchanged while every run
+      // exercises neural persistence end-to-end.
+      val d0 = net.dims
+      val mpath = java.nio.file.Files.createTempFile("graft-tft-model", ".json")
+      val weights = try {
+        graft.ml.ModelIO.saveNet(
+          Seq(d0.n, d0.g1, d0.d1, d0.d2, d0.heads, d0.g2, d0.m),
+          net.weights, "tft", mpath.toString)
+        graft.ml.ModelIO.loadNet(mpath.toString, "tft")._2
+      } finally java.nio.file.Files.deleteIfExists(mpath)
+      val dims = d0
       val nnUdf = udf((hist: Seq[Seq[Double]]) =>
         graft.ml.TftNet.predict(hist.map(_.toArray).toArray, weights, dims).toSeq)
       val withNn = fc

@@ -50,6 +50,30 @@ class ModelIOSpec extends SparkSpec {
       java.lang.Double.doubleToRawLongBits(x) == java.lang.Double.doubleToRawLongBits(y) })
   }
 
+  test("neural weight bundles round-trip bit-exactly and check their kind tag") {
+    val dims = graft.ml.TftNet.Dims(n = 3, g1 = 4, d1 = 4, d2 = 4, heads = 2,
+      g2 = 4, m = 2)
+    val w = graft.ml.TftNet.init(dims, 99L)
+      .map(v => v * 1.7e-300 + v) // exercise subnormal-adjacent magnitudes too
+    val path = Files.createTempFile("net-io", ".json")
+    try {
+      ModelIO.saveNet(Seq(dims.n, dims.g1, dims.d1, dims.d2, dims.heads,
+        dims.g2, dims.m), w, "tft", path.toString)
+      val (d2, w2) = ModelIO.loadNet(path.toString, "tft")
+      assert(d2 == Seq(3, 4, 4, 4, 2, 4, 2))
+      assert(w2.length == w.length && w.indices.forall { i =>
+        java.lang.Double.doubleToRawLongBits(w(i)) ==
+          java.lang.Double.doubleToRawLongBits(w2(i))
+      })
+      // A reloaded net must predict bit-identically.
+      val seq = Array.fill(4)(Array.tabulate(3)(i => 0.3 * i - 0.2))
+      val a = graft.ml.TftNet.predict(seq, w, dims)
+      val b = graft.ml.TftNet.predict(seq, w2, dims)
+      assert(a.sameElements(b))
+      intercept[IllegalArgumentException](ModelIO.loadNet(path.toString, "gru"))
+    } finally Files.deleteIfExists(path)
+  }
+
   test("save overwrites atomically and load rejects foreign files") {
     val m = fitSmall()
     val path = Files.createTempFile("model-io", ".json")
