@@ -120,7 +120,15 @@ object Bench {
         ",\"spill\":" + v.shuffle.spill + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_flagged":$flagged,"shuffle_bytes":$sh}""")
+    // Artifact contract (round-6 verdict #1): the driver keeps only a ~2000
+    // char tail of stdout. With 90+ queries the single full line exceeds
+    // that, and r06's committed bench record lost its wall-times entirely.
+    // So: full per-query detail FIRST (survives in complete logs), then a
+    // compact final summary line with no per-query maps — whatever tail
+    // window the driver applies, the LAST line always parses to the
+    // headline total.
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_flagged":$flagged,"shuffle_bytes":$sh}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"steal_flagged":$flagged}""")
     spark.stop()
   }
 }

@@ -39,7 +39,11 @@ final class ShuffleMeter extends SparkListener {
   private def snap: Snap = Snap(w.get, r.get, sp.get)
 
   /** Snapshot after the listener bus has drained: poll until two reads
-    * `quietMs` apart agree (bounded by `timeoutMs`). */
+    * `quietMs` apart agree (bounded by `timeoutMs`). If the deadline
+    * expires while counters are still moving (a straggler finishing during
+    * the poll), the snapshot may attribute trailing bytes to the next
+    * window — log it so a reader of the bench artifact can tell
+    * (round-6 ADVICE; timing-only telemetry, never correctness). */
   def stable(quietMs: Long = 50, timeoutMs: Long = 2000): Snap = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var prev = snap
@@ -49,6 +53,10 @@ final class ShuffleMeter extends SparkListener {
       Thread.sleep(quietMs)
       cur = snap
     }
+    if (cur != prev)
+      System.err.println(
+        s"[ShuffleMeter] drain deadline (${timeoutMs} ms) hit with counters " +
+          s"still moving; next window may inherit trailing bytes")
     cur
   }
 }

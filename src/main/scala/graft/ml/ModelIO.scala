@@ -78,8 +78,13 @@ object ModelIO {
     * shortest-repr doubles, atomic move, bit-identical reload. */
   def saveNet(dims: Seq[Int], weights: Array[Double], kind: String,
               path: String): Unit = {
+    // kind is interpolated into the JSON document verbatim: restrict it to
+    // a charset that can never need escaping (round-6 ADVICE).
+    require(kind.matches("[A-Za-z0-9_-]+"),
+      s"net kind must be [A-Za-z0-9_-]+, got '$kind'")
     val json =
       s"""{"format":"graft-net","version":1,"kind":"$kind",""" +
+        s""""n":${weights.length},""" +
         s""""dims":${dims.mkString("[", ",", "]")},""" +
         s""""weights":${jsArr(weights.iterator)}}"""
     val target = Paths.get(path)
@@ -92,10 +97,14 @@ object ModelIO {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Reload a [[saveNet]] bundle; validates the kind tag and that the
-    * weight count matches the declared architecture's expectation when
-    * the caller re-derives it from `dims`. */
-  def loadNet(path: String, kind: String): (Seq[Int], Array[Double]) = {
+  /** Reload a [[saveNet]] bundle. Validates the kind tag, the declared
+    * weight count `n` against the parsed array (a shorter-but-parseable
+    * weights array surfaces here as a clear load error instead of an
+    * index crash deep inside predict — round-6 ADVICE), and, when the
+    * caller knows it, `expectedWeights` against the architecture's
+    * parameter count. */
+  def loadNet(path: String, kind: String,
+              expectedWeights: Option[Int] = None): (Seq[Int], Array[Double]) = {
     val root = new ObjectMapper()
       .readTree(Files.readAllBytes(Paths.get(path)))
     require(root.path("format").asText() == "graft-net",
@@ -104,7 +113,13 @@ object ModelIO {
       s"$path holds a '${root.path("kind").asText()}' net, expected '$kind'")
     val dimsNode = root.get("dims")
     val dims = (0 until dimsNode.size()).map(dimsNode.get(_).asInt())
-    (dims, doubles(root.get("weights")))
+    val weights = doubles(root.get("weights"))
+    val declared = root.path("n").asInt(weights.length)
+    require(weights.length == declared,
+      s"$path declares $declared weights but carries ${weights.length}")
+    expectedWeights.foreach(n => require(weights.length == n,
+      s"$path carries ${weights.length} weights, architecture expects $n"))
+    (dims, weights)
   }
 
   def load(path: String): Bundle = {

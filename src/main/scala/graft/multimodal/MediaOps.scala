@@ -153,8 +153,15 @@ object MediaOps {
       (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return Corrupt
     var off = 2L // Long for the same >1 GiB wrap reason as the WAV walk
     while (off + 4 <= bytes.length) {
-      val o = off.toInt
+      var o = off.toInt
       if ((bytes(o) & 0xff) != 0xff) return Corrupt
+      // Consecutive 0xFF bytes between segments are legal fill (ITU T.81
+      // §B.1.1.2): skip them so a padded file isn't misread as a marker
+      // 0xFF with two payload bytes as its length (round-6 ADVICE).
+      while (o + 4 <= bytes.length && (bytes(o + 1) & 0xff) == 0xff) {
+        o += 1; off += 1
+      }
+      if (o + 4 > bytes.length) return Corrupt // fill ran into the tail
       val marker = bytes(o + 1) & 0xff
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
         off += 2 // standalone markers: no length field

@@ -578,10 +578,14 @@ object DedupQueries {
     // Both phases are one groupBy(min) + one equi join over the adjacency
     // — no neighbor lists are materialized, so a high-degree hub costs a
     // shuffle fan-out, not a collect. Each phase's edge set is staged
-    // (localCheckpoint) like dedup_components' rounds. Convergence: an
-    // observe() checksum (count + xxhash sum) rides the phase action as a
-    // fast-path; equality triggers ONE exact symmetric-difference check
-    // before exiting, so a hash collision can never return early-wrong.
+    // (localCheckpoint) like dedup_components' rounds. Convergence: TWO
+    // independent observe() checksums (count + two differently-salted
+    // xxhash sums, each mod a distinct ~2^30 prime) ride the phase action
+    // — a false convergence needs a simultaneous collision in both,
+    // ~2^-60 per round pair, and costs zero extra actions; at 100 TB the
+    // former exact symmetric-difference confirmation was two full-edge-set
+    // joins at the fixpoint (round-6 verdict #7). The exact check remains
+    // available behind spark.graft.cc.exactConfirm=true for audits.
     // At the fixpoint the edges form stars, and every node's min incident
     // endpoint IS its component representative — same oracle as
     // dedup_components (DuckDB recursive transitive closure).
@@ -620,7 +624,9 @@ object DedupQueries {
       var edges = staged(pairs
         .filter(col("doc_a") =!= col("doc_b"))
         .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct())
-      var prevSum = (-1L, -1L)
+      val exactConfirm =
+        s.conf.getOption("spark.graft.cc.exactConfirm").exists(_.toBoolean)
+      var prevSum = (-1L, -1L, -1L)
       var converged = false
       var round = 0
       while (!converged && round < 25) {
@@ -629,16 +635,23 @@ object DedupQueries {
           .observe(obs,
             count(lit(1)).as("n_edges"),
             // mod keeps each addend within ±1e9: the raw 64-bit hashes
-            // would overflow the ANSI sum after a handful of edges.
+            // would overflow the ANSI sum after a handful of edges. The
+            // second sum salts the hash input with a literal — an
+            // independent permutation of the edge space — and reduces mod
+            // a different prime; both matching across rounds while the
+            // sets differ needs a double collision (~2^-60).
             coalesce(sum(xxhash64(col("a"), col("b")) % 1000000007L), lit(0L))
-              .as("h_edges")))
+              .as("h_edges"),
+            coalesce(sum(xxhash64(lit(7919), col("a"), col("b")) % 998244353L),
+              lit(0L)).as("h_edges2")))
         val m = obs.get
-        val sum2 = (m("n_edges").asInstanceOf[Long], m("h_edges").asInstanceOf[Long])
-        if (sum2 == prevSum) {
-          // Checksum says stable — confirm exactly once before exiting.
-          converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+        val sum3 = (m("n_edges").asInstanceOf[Long],
+          m("h_edges").asInstanceOf[Long], m("h_edges2").asInstanceOf[Long])
+        if (sum3 == prevSum) {
+          converged = !exactConfirm ||
+            (next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty)
         }
-        prevSum = sum2
+        prevSum = sum3
         edges = next
         round += 1
       }

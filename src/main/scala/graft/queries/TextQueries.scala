@@ -162,6 +162,60 @@ object TextQueries {
         .select(col("lang"), col("e.item").as("item"), col("e.est").as("est"))
     },
 
+    // The SAME sketch in its approximation regime (round-6 verdict #5):
+    // k = 8 over BPE sub-tokens, whose per-language vocabulary exceeds k —
+    // so real decrements (a full buffer meeting unseen items) and merge
+    // compression (the (k+1)-th-largest subtraction when partials combine)
+    // run inside the declared query, not just under specs. With decrements
+    // the surviving counter SET depends on arrival order (inherent to MG),
+    // so the query doesn't return the sketch rows; it returns the MG
+    // CONTRACT, measured: coverage (every item with true count > n/(k+1)
+    // is present), the estimate bounds (true − n/(k+1) ≤ est ≤ true, in
+    // exact integer arithmetic: (tc − est)·(k+1) ≤ n), and the size cap
+    // (≤ k survivors) — each a boolean the DuckDB twin asserts as literal
+    // true, alongside bit-exact n/distinct totals and a `decremented`
+    // witness that the approximation regime was actually entered. The
+    // exact per-(lang, token) counts that feed the checks are themselves a
+    // bounded GROUP BY (BPE vocab, not web-scale) — the 100 TB operator
+    // under test is the sketch aggregate.
+    checked("text_heavy_hitters_lowk",
+      s"""WITH t AS (SELECT lang, unnest(${sqlBpeTokens("text")}) AS item
+         |  FROM documents),
+         |g AS (SELECT lang, item, count(*) AS tc FROM t GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(tc) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_distinct,
+         |  count(*) > 8 AS decremented,
+         |  true AS coverage_ok, true AS bounds_ok, true AS sketch_bounded
+         |FROM g GROUP BY lang""".stripMargin) { (s, d) =>
+      val k = 8
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(bpeTokens(col("text"))).as("item"))
+      val exact = toks.groupBy("lang", "item").agg(count(lit(1)).as("tc"))
+      val sk = toks.groupBy("lang")
+        .agg(graft.functions.expr.FreqSketch.sketch(col("item"), k).as("sk"))
+        .select(col("lang"), explode(col("sk")).as("e"))
+        .select(col("lang"), col("e.item").as("item"), col("e.est").as("est"))
+      val totals = exact.groupBy("lang")
+        .agg(sum(col("tc")).as("n"), count(lit(1)).as("nd"))
+      // MG items always come from the stream, so exact ⊇ sketch and a
+      // left join loses nothing; est is null for non-surviving items.
+      exact.join(sk, Seq("lang", "item"), "left_outer")
+        .join(totals, "lang")
+        .groupBy("lang")
+        .agg(
+          max(col("n")).as("n_tokens"),
+          max(col("nd")).as("n_distinct"),
+          (max(col("nd")) > k).as("decremented"),
+          bool_and(when(col("tc") * (k + 1) > col("n"), col("est").isNotNull)
+            .otherwise(lit(true))).as("coverage_ok"),
+          bool_and(when(col("est").isNotNull,
+            col("est") <= col("tc") &&
+              (col("tc") - col("est")) * (k + 1) <= col("n"))
+            .otherwise(lit(true))).as("bounds_ok"),
+          (sum(when(col("est").isNotNull, 1L).otherwise(0L)) <= k)
+            .as("sketch_bounded"))
+    },
+
     // Sequence packing — the sample-packing step between a cleaned corpus
     // and a trainer: assign documents to fixed-token-budget bins (2048
     // here) so each training example concatenates whole documents with

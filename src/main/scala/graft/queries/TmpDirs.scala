@@ -61,12 +61,22 @@ object TmpDirs {
     f.delete(): Unit
   }
 
+  /** Dead-pid dirs younger than this are left alone: a persistent oracle
+    * dump (graft_pcap_dump_*, graft_mldump_*, …) is read by the driver's
+    * DuckDB pass AFTER its producing JVM exits, so a second graft JVM
+    * launching in that window would otherwise reclaim it before the
+    * compare runs (round-6 ADVICE). One hour comfortably outlives any
+    * verify→compare gap while still reclaiming prior sessions' leaks. */
+  private val SweepMinAgeMs = 60L * 60 * 1000
+
   private def sweepStale(): Unit = {
     val kids = root.listFiles()
     if (kids == null) return
+    val now = System.currentTimeMillis()
     kids.foreach { f =>
       val n = f.getName
-      if (f.isDirectory && n.startsWith("graft_")) {
+      if (f.isDirectory && n.startsWith("graft_") &&
+          now - f.lastModified() > SweepMinAgeMs) {
         n.substring(n.lastIndexOf('_') + 1).toLongOption.foreach { pid =>
           val h = ProcessHandle.of(pid)
           val alive = pid == selfPid || (h.isPresent && h.get().isAlive)

@@ -330,4 +330,115 @@ object StreamingKpi {
       .transformWithState(new SessionProcessor(gapSec),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ---------------------------------------------------------------------
+  // Full session KPI through the timer path (round-6 verdict #6):
+  // stream_kpi_session's gap-merge + value aggregation re-stated on the
+  // timer-evicting processor, so the DECLARED query exercises the state-
+  // cleanup path a 100 TB session workload lives on — not just the
+  // built-in session_window aggregation.
+  // ---------------------------------------------------------------------
+
+  case class SessEvent(slice: String, ts: java.sql.Timestamp,
+                       ts_us: Long, value: Double)
+
+  /** One open (not yet watermark-closed) session. `sum` is the EXACT
+    * decimal value total as a plain string: each event's double is
+    * quantized exactly like `DetAgg.dsum`'s DECIMAL(38,10) cast (shortest
+    * decimal repr, scale 10, HALF_UP) and added exactly, so the final
+    * string→double parse lands on the identical bits the batch decimal
+    * aggregate (and the DuckDB twin) produce — regardless of batch
+    * boundaries or arrival order (decimal addition is exact, hence
+    * order-free). */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: String)
+  case class OpenSessions(sessions: Seq[OpenSession])
+  case class SessionKpiOut(slice: String, start_us: Long, end_us: Long,
+                           n_events: Long, total_raw: String)
+
+  /** Gap-merged per-slice sessions with watermark-driven eviction: state
+    * holds the open sessions; every batch folds its rows in (interval
+    * merge at gap granularity — the same islands the batch gaps-and-
+    * islands oracle builds) and re-arms ONE event-time timer at the
+    * earliest still-open (end + gap). When the watermark passes that
+    * instant the session provably cannot grow or merge any more — the
+    * timer fires, every closed session is emitted and dropped from state,
+    * and the timer re-arms for the rest. State is bounded by the number
+    * of concurrently-open sessions per key, never by stream length. */
+  final class SessionKpiProcessor(gapUs: Long)
+      extends StatefulProcessor[String, SessEvent, SessionKpiOut] {
+    @transient private var open: ValueState[OpenSessions] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSessions]("open",
+        org.apache.spark.sql.Encoders.product[OpenSessions], TTLConfig.NONE)
+
+    private def dec(s: String) = new java.math.BigDecimal(s)
+
+    /** Sort by start and merge every pair closer than the gap — points
+      * and carried intervals alike (a point is a width-0 interval). */
+    private def merge(all: Seq[OpenSession]): Seq[OpenSession] = {
+      val sorted = all.sortBy(o => (o.startUs, o.endUs))
+      val out = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+      sorted.foreach { o =>
+        if (out.nonEmpty && o.startUs - out.last.endUs < gapUs) {
+          val p = out.remove(out.length - 1)
+          out += OpenSession(p.startUs, math.max(p.endUs, o.endUs), p.n + o.n,
+            dec(p.sum).add(dec(o.sum)).toPlainString)
+        } else out += o
+      }
+      out.toSeq
+    }
+
+    /** Timer instant for a session: ceil((end+gap) µs → ms), so firing
+      * (watermark ≥ timer) implies watermark µs ≥ end + gap — never a
+      * sub-millisecond-early close. */
+    private def closeMs(endUs: Long): Long = (endUs + gapUs + 999) / 1000
+
+    private def rearm(sessions: Seq[OpenSession]): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer _)
+      if (sessions.nonEmpty)
+        getHandle.registerTimer(closeMs(sessions.map(_.endUs).min))
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[SessEvent],
+        timerValues: TimerValues): Iterator[SessionKpiOut] = {
+      val pts = rows.map { e =>
+        OpenSession(e.ts_us, e.ts_us, 1L,
+          new java.math.BigDecimal(java.lang.Double.toString(e.value))
+            .setScale(10, java.math.RoundingMode.HALF_UP).toPlainString)
+      }.toSeq
+      if (pts.nonEmpty) {
+        val prev = if (open.exists()) open.get().sessions else Seq.empty
+        val merged = merge(prev ++ pts)
+        open.update(OpenSessions(merged))
+        rearm(merged)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionKpiOut] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
+      val ss = if (open.exists()) open.get().sessions else Seq.empty
+      val (closed, still) = ss.partition(o => o.endUs + gapUs <= wmUs)
+      if (still.isEmpty) open.clear() else open.update(OpenSessions(still))
+      rearm(still)
+      closed.iterator.map(o =>
+        SessionKpiOut(key, o.startUs, o.endUs, o.n, o.sum))
+    }
+  }
+
+  /** Timer-evicted session KPIs over a streaming events frame (must carry
+    * a watermark on `ts`). */
+  def sessionKpiTws(spark: SparkSession, events: DataFrame,
+                    gapUs: Long): Dataset[SessionKpiOut] = {
+    import spark.implicits._
+    events
+      .select(col("event_type").as("slice"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[SessEvent]
+      .groupByKey(_.slice)
+      .transformWithState(new SessionKpiProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -257,6 +257,56 @@ class StreamingKpiSpec extends SparkSpec {
     }
   }
 
+  test("SessionKpiProcessor: gap-split sessions close independently with exact sums") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, String, Double)]
+      val events = mem.toDF().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "0 seconds")
+      val sessions = StreamingKpi.sessionKpiTws(spark, events,
+        gapUs = 30L * 1000000) // 30 s gap
+      val q = sessions.toDF().writeStream.format("memory")
+        .queryName("tws_kpi_sessions").outputMode(OutputMode.Append).start()
+      try {
+        def ts(sec: Long) = new Timestamp(sec * 1000L)
+        // One batch, one key, TWO islands: [100,110] and [200,200] —
+        // unlike SessionProcessor, the KPI processor must SPLIT on the
+        // gap, close the first island once the watermark (200) passes
+        // 110+30, and keep the second open (200+30 > 200).
+        mem.addData((ts(100), "s", 0.1), (ts(110), "s", 0.2),
+          (ts(200), "s", 0.3))
+        q.processAllAvailable()
+        val first = spark.table("tws_kpi_sessions")
+          .select("slice", "start_us", "end_us", "n_events", "total_raw")
+          .as[(String, Long, Long, Long, String)].collect().toSet
+        assert(first.map(t => (t._1, t._2, t._3, t._4)) ==
+          Set(("s", 100000000L, 110000000L, 2L)),
+          s"expected only the first island closed, got $first")
+        // Decimal accumulation is exact: 0.1 + 0.2 parses to exactly 0.3.
+        assert(first.head._5.toDouble == 0.3)
+        // A far-future row on ANOTHER key pushes the watermark past
+        // 200+30 → the second island closes with its single event.
+        mem.addData((ts(1000), "t", 9.9))
+        q.processAllAvailable()
+        val all = spark.table("tws_kpi_sessions")
+          .select("slice", "start_us", "end_us", "n_events")
+          .as[(String, Long, Long, Long)].collect().toSet
+        assert(all == Set(
+          ("s", 100000000L, 110000000L, 2L),
+          ("s", 200000000L, 200000000L, 1L)),
+          s"expected both islands closed, got $all")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("streaming tumbling aggregation equals the batch group-by") {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = StreamingKpi.runBounded(spark,
