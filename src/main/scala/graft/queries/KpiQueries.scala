@@ -129,6 +129,50 @@ object KpiQueries {
             lit(0.02) * col("users_exact")).as("merge_close"))
     },
 
+    // Mergeable QUANTILE sketch — the 100 TB percentile path the suite
+    // previously only documented as a divergence: exact percentile
+    // (sort/exact-rank) doesn't scale past a single aggregate's memory,
+    // while percentile_approx (GK-style summaries) merges map-side and
+    // ships O(accuracy) state per group. The sketch's returned value is
+    // merge-order-dependent, so the query doesn't compare it directly;
+    // it asserts the sketch's RANK-ERROR contract, measured in exact
+    // integer arithmetic: with accuracy = 1000 (relative rank error
+    // 1/accuracy), the count of values ≤/< the approx quantile must
+    // bracket the target rank within 1 % of n — ties only widen the
+    // margin (they lower the strict count and raise the non-strict one).
+    // Shape: two aggregates over one scan + a broadcast-sized join of
+    // 5 sketch rows back onto the events; the exact quantile columns are
+    // the oracle's job at test scale (at 100 TB you keep only the
+    // sketch). DuckDB's twin computes the exact quantiles and asserts
+    // the measured contract booleans as literal true — the
+    // sketch_rollup pattern.
+    checked("sketch_quantiles",
+      s"""SELECT event_type AS slice, count(*) AS n,
+         |  ${sqlR6("quantile_cont(value, 0.5)")} AS p50_exact,
+         |  ${sqlR6("quantile_cont(value, 0.95)")} AS p95_exact,
+         |  true AS p50_ok, true AS p95_ok
+         |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val sk = ev.groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95)), lit(1000)).as("ap"))
+      def rankOk(a: org.apache.spark.sql.Column, pctX100: Int) = {
+        val le = sum(when(col("value") <= a, 1L).otherwise(0L))
+        val lt = sum(when(col("value") < a, 1L).otherwise(0L))
+        // (p − 1%)·n ≤ #{v ≤ a} and #{v < a} ≤ (p + 1%)·n, integer-exact.
+        le * 100 >= lit(pctX100.toLong - 1) * count(lit(1)) &&
+          lt * 100 <= lit(pctX100.toLong + 1) * count(lit(1))
+      }
+      ev.join(broadcast(sk), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          dpercentile(col("value"), 0.5).as("p50_exact"),
+          dpercentile(col("value"), 0.95).as("p95_exact"),
+          rankOk(element_at(col("ap"), 1), 50).as("p50_ok"),
+          rankOk(element_at(col("ap"), 2), 95).as("p95_ok"))
+        .withColumnRenamed("event_type", "slice")
+    },
+
     // Sliding windows (T3 declared addition): 2-hour windows every hour —
     // each event lands in 2 windows. Spark plans this as a generate+agg;
     // the DuckDB twin spells out the same 2-window expansion.
