@@ -130,6 +130,23 @@ class PlanShapeSpec extends SparkSpec {
       "band self-join must stay an equi join")
   }
 
+  test("sketch_quantiles broadcasts the 5-row sketch side and keeps partial aggregation") {
+    val p = plan("sketch_quantiles")
+    assert(p.contains("BroadcastHashJoin"),
+      s"joining 5 sketch rows back onto events must broadcast, not " +
+        s"shuffle the events; got plan:\n$p")
+    assert(p.contains("partial_percentile_approx"),
+      "the quantile sketch must reduce map-side (partial aggregation) — " +
+        "that mergeability IS the 100 TB story")
+  }
+
+  test("text_heavy_hitters_lowk reduces the MG sketch map-side") {
+    val p = plan("text_heavy_hitters_lowk")
+    assert(p.contains("partial_freq_sketch"),
+      s"the Misra-Gries aggregate must run in partial mode before the " +
+        s"exchange — O(groups x k) crossing, not one row per token; got plan:\n$p")
+  }
+
   test("shuffle-volume ceilings hold for the heaviest queries") {
     // Wall time only tells you a regression happened on THIS machine;
     // bytes crossing the exchanges tell you the plan itself regressed — a
