@@ -34,6 +34,60 @@ object StreamingQueries {
        |  count(*) AS n_events, ${sqlSum("value")} AS total_value
        |FROM g GROUP BY slice, sid""".stripMargin
 
+  /** Stream layout with a watermark sentinel (write-once per JVM/sf): two
+    * FLAT files so the file source (maxFilesPerTrigger=1) sees two
+    * micro-batches — the events copy, then one far-future `__wm__` row
+    * whose only job is to advance the watermark past every real window/
+    * session close instant in a BOUNDED drain (an unbounded production
+    * feed needs no sentinel — the watermark advances naturally). Staged
+    * under dot-dirs (hidden from source listing) and moved into place;
+    * wm.parquet is written last, so its presence marks the layout
+    * complete. Shared by every append-mode/timer-path streaming query. */
+  private def sentinelStreamDir(s: org.apache.spark.sql.SparkSession,
+                                d: String): java.io.File = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = TmpDirs.scoped(s"graft_wmstream_${QuerySpec.jvmScopedKey(d)}")
+    val realFile = new java.io.File(dir, "real.parquet")
+    val wmFile = new java.io.File(dir, "wm.parquet")
+    if (!(realFile.exists() && wmFile.exists())) {
+      dir.mkdirs()
+      def writeOne(df: org.apache.spark.sql.DataFrame,
+                   target: java.io.File): Unit = {
+        val stage = new java.io.File(dir, s".stage_${target.getName}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+        val part = stage.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val raw = s.read.schema(StreamingKpi.eventsRawSchema)
+        .parquet(s"$d/events.parquet")
+      writeOne(raw, realFile)
+      val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+      // Past every real close instant plus the 10 s watermark delay, with
+      // slack: a window's end can trail the last event by up to the
+      // window length (2 h for the sliding windows), a session's close by
+      // the 30-minute gap.
+      val sentinelNs = maxNs + (2L * 3600 + 1800 + 10 + 60) * 1000000000L
+      writeOne(s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          -1L, sentinelNs, -1L, "__wm__", 0.0, "{}")),
+        StreamingKpi.eventsRawSchema), wmFile)
+    }
+    dir
+  }
+
+  /** Watermarked stream over a [[sentinelStreamDir]] layout. */
+  private def sentinelStream(s2: org.apache.spark.sql.SparkSession,
+                             dir: java.io.File): org.apache.spark.sql.DataFrame = {
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.readStream.schema(StreamingKpi.eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "10 seconds")
+  }
+
   /** Batch-lag oracle shared by both keyed-state IAT routes (legacy
     * flatMapGroupsWithState and Spark 4 transformWithState): the streaming
     * result must equal the batch window exactly. */
@@ -88,6 +142,37 @@ object StreamingQueries {
         "kpi_sliding_stream", OutputMode.Complete)
     },
 
+    // The tumbling KPI in APPEND mode — the production output mode (a
+    // window row is emitted ONCE, when the watermark proves it final,
+    // then its state is dropped; Complete mode re-emits the whole result
+    // table every batch and can never shed state — fine for a bounded
+    // harness drain, unusable on an unbounded feed). The sentinel layout
+    // advances the watermark past the last real window so the bounded
+    // drain finalizes everything. The sentinel must NOT be filtered
+    // inside the streaming plan: a predicate on the group key pushes
+    // through the aggregation AND the EventTimeWatermark node (verified —
+    // Catalyst drops the sentinel before it can advance the clock, and
+    // the last real window never finalizes). It can't appear in the
+    // output regardless — its own window is never final and append emits
+    // only final windows — so the exclusion filter runs on the DRAINED
+    // batch result, where it can't touch the stream. Same oracle as the
+    // Complete-mode twin: append emits each final window exactly once.
+    checked("stream_kpi_tumbling_append",
+      s"""SELECT event_type AS slice, date_trunc('hour', ts) AS window_start,
+         |  count(*) AS n_events,
+         |  ${sqlSum("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val dir = sentinelStreamDir(s, d)
+      StreamingKpi.runBounded(s, s2 => sentinelStream(s2, dir)
+        .groupBy(col("event_type").as("slice"),
+          window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("slice"), col("window.start").as("window_start"),
+          col("n_events"), col("total_value")),
+        "kpi_tumbling_append", OutputMode.Append)
+        .filter(col("slice") =!= "__wm__")
+    },
+
     // Session-window streaming aggregation (T3): 30-minute-gap sessions
     // merged by the streaming state store as batches arrive — the
     // stateful-merge semantics batch mode gets for free. Complete-mode
@@ -120,46 +205,9 @@ object StreamingQueries {
     // sessions close as the watermark advances naturally.
     checked("stream_kpi_session_tws", sessionKpiSql) { (s, d) =>
       val gapUs = 30L * 60 * 1000000
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Stream layout (write-once per JVM/sf): two FLAT files so the file
-      // source (maxFilesPerTrigger=1) sees two micro-batches — the events
-      // copy, then the watermark sentinel. Staged under dot-dirs (hidden
-      // from source listing) and moved into place; wm.parquet is written
-      // last, so its presence marks the layout complete.
-      val dir = TmpDirs.scoped(s"graft_sesstws_${QuerySpec.jvmScopedKey(d)}")
-      val realFile = new java.io.File(dir, "real.parquet")
-      val wmFile = new java.io.File(dir, "wm.parquet")
-      if (!(realFile.exists() && wmFile.exists())) {
-        dir.mkdirs()
-        def writeOne(df: org.apache.spark.sql.DataFrame,
-                     target: java.io.File): Unit = {
-          val stage = new java.io.File(dir, s".stage_${target.getName}")
-          df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-          val part = stage.listFiles().find(f =>
-            f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-          java.nio.file.Files.move(part.toPath, target.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-        val raw = s.read.schema(StreamingKpi.eventsRawSchema)
-          .parquet(s"$d/events.parquet")
-        writeOne(raw, realFile)
-        val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
-        // Past every real close instant (max + gap) plus the 10 s
-        // watermark delay, with slack.
-        val sentinelNs = maxNs + (1800L + 10L + 60L) * 1000000000L
-        writeOne(s.createDataFrame(
-          java.util.Arrays.asList(org.apache.spark.sql.Row(
-            -1L, sentinelNs, -1L, "__wm__", 0.0, "{}")),
-          StreamingKpi.eventsRawSchema), wmFile)
-      }
+      val dir = sentinelStreamDir(s, d)
       StreamingKpi.runBounded(s, s2 => {
-        s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val stream = s2.readStream.schema(StreamingKpi.eventsRawSchema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(dir.getAbsolutePath)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          .withWatermark("ts", "10 seconds")
-        StreamingKpi.sessionKpiTws(s2, stream, gapUs)
+        StreamingKpi.sessionKpiTws(s2, sentinelStream(s2, dir), gapUs)
           .toDF()
           .filter(col("slice") =!= "__wm__")
           .select(col("slice"),
