@@ -96,13 +96,22 @@ object Bench {
     val p2 = fullPass()
 
     val results = ordered.map { case (name, fn) =>
-      var best = if (p1(name).sec <= p2(name).sec) p1(name) else p2(name)
-      // Targeted repair: slow or storm-tainted best → wait out the storm and
-      // re-measure, up to 4 attempts with 10 s gaps.
+      val (a, b) = (p1(name), p2(name))
+      var best = if (a.sec <= b.sec) a else b
+      // Targeted repair — for STORM suspicion only, not intrinsic cost: a
+      // query whose two time-separated samples agree within 1.5× and read
+      // clean steal counters was measured fine; re-running it with 10 s
+      // waits would just stretch the bench (at 90+ queries the old
+      // unconditional slow-query repair cost minutes per run). Disagreeing
+      // slow samples or a steal-tainted best still get up to 4 waited
+      // re-measures.
+      var agree = math.max(a.sec, b.sec) <= 1.5 * math.min(a.sec, b.sec)
       var extra = 0
-      while ((best.sec > 2.5 || best.contaminated) && extra < 4) {
+      while ((best.contaminated || (best.sec > 2.5 && !agree)) && extra < 4) {
         Thread.sleep(10000)
         val s = once(fn)
+        agree = agree ||
+          math.max(s.sec, best.sec) <= 1.5 * math.min(s.sec, best.sec)
         if (s.sec < best.sec) best = s
         extra += 1
       }
