@@ -173,6 +173,49 @@ object StreamingQueries {
         .filter(col("slice") =!= "__wm__")
     },
 
+    // Sliding windows in append mode: every event lives in TWO 2-hour
+    // windows, so append finalization must handle overlapping window
+    // state — each of the two windows closes independently as the
+    // watermark passes its own end (the sentinel lead covers the full
+    // 2-hour trailing window). Same oracle as the Complete-mode twin.
+    checked("stream_kpi_sliding_append",
+      s"""SELECT slice, ws AS window_start, count(*) AS n_events,
+         |  ${sqlSum("value")} AS total_value
+         |FROM (SELECT event_type AS slice, value,
+         |    unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
+         |  FROM events)
+         |GROUP BY slice, ws""".stripMargin) { (s, d) =>
+      val dir = sentinelStreamDir(s, d)
+      StreamingKpi.runBounded(s, s2 => sentinelStream(s2, dir)
+        .groupBy(col("event_type").as("slice"),
+          window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("slice"), col("window.start").as("window_start"),
+          col("n_events"), col("total_value")),
+        "kpi_sliding_append", OutputMode.Append)
+        .filter(col("slice") =!= "__wm__")
+    },
+
+    // Session windows in append mode: the state-store session MERGE (two
+    // open sessions bridged by a late-but-in-watermark event collapse
+    // into one) composed with append finalization — a session row is
+    // emitted only when the watermark passes its end (= last event +
+    // gap), which the sentinel lead covers. Same gaps-and-islands oracle
+    // as the Complete-mode twin and the timer-path restatement.
+    checked("stream_kpi_session_append", sessionKpiSql) { (s, d) =>
+      val dir = sentinelStreamDir(s, d)
+      StreamingKpi.runBounded(s, s2 => sentinelStream(s2, dir)
+        .groupBy(col("event_type").as("slice"),
+          session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("slice"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total_value")),
+        "kpi_session_append", OutputMode.Append)
+        .filter(col("slice") =!= "__wm__")
+    },
+
     // Session-window streaming aggregation (T3): 30-minute-gap sessions
     // merged by the streaming state store as batches arrive — the
     // stateful-merge semantics batch mode gets for free. Complete-mode
