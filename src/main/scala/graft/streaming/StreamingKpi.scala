@@ -355,11 +355,14 @@ object StreamingKpi {
   case class SessionKpiOut(slice: String, start_us: Long, end_us: Long,
                            n_events: Long, total_raw: String)
 
-  /** Gap-merged per-slice sessions with watermark-driven eviction: state
-    * holds the open sessions; every batch folds its rows in (interval
-    * merge at gap granularity — the same islands the batch gaps-and-
-    * islands oracle builds) and re-arms ONE event-time timer at the
-    * earliest still-open (end + gap). When the watermark passes that
+  /** Gap-merged per-slice sessions with watermark-driven eviction — the
+    * arbitrary-state form of the reference's windowed KPI accumulation
+    * (reference `KafkaKpiPipeline.scala:99-165` aggregates per watermarked
+    * window; here the "window" is a data-driven session and its state is
+    * explicitly closed). State holds the open sessions; every batch folds
+    * its rows in (interval merge at gap granularity — the same islands
+    * the batch gaps-and-islands oracle builds) and re-arms ONE event-time
+    * timer at the earliest still-open (end + gap). When the watermark passes that
     * instant the session provably cannot grow or merge any more — the
     * timer fires, every closed session is emitted and dropped from state,
     * and the timer re-arms for the rest. State is bounded by the number
