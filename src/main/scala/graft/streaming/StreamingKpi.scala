@@ -375,22 +375,8 @@ object StreamingKpi {
       open = getHandle.getValueState[OpenSessions]("open",
         org.apache.spark.sql.Encoders.product[OpenSessions], TTLConfig.NONE)
 
-    private def dec(s: String) = new java.math.BigDecimal(s)
-
-    /** Sort by start and merge every pair closer than the gap — points
-      * and carried intervals alike (a point is a width-0 interval). */
-    private def merge(all: Seq[OpenSession]): Seq[OpenSession] = {
-      val sorted = all.sortBy(o => (o.startUs, o.endUs))
-      val out = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
-      sorted.foreach { o =>
-        if (out.nonEmpty && o.startUs - out.last.endUs < gapUs) {
-          val p = out.remove(out.length - 1)
-          out += OpenSession(p.startUs, math.max(p.endUs, o.endUs), p.n + o.n,
-            dec(p.sum).add(dec(o.sum)).toPlainString)
-        } else out += o
-      }
-      out.toSeq
-    }
+    private def merge(all: Seq[OpenSession]): Seq[OpenSession] =
+      mergeSessions(all, gapUs)
 
     /** Timer instant for a session: ceil((end+gap) µs → ms), so firing
       * (watermark ≥ timer) implies watermark µs ≥ end + gap — never a
@@ -429,6 +415,27 @@ object StreamingKpi {
       closed.iterator.map(o =>
         SessionKpiOut(key, o.startUs, o.endUs, o.n, o.sum))
     }
+  }
+
+  /** Sort by start and merge every pair closer than the gap — points and
+    * carried intervals alike (a point is a width-0 interval). Pure and
+    * order-insensitive (decimal sums are exact, min/max/count are
+    * commutative), which is what makes the processor's output independent
+    * of batch boundaries; pinned against a reference gaps-and-islands
+    * implementation in StreamingKpiSpec. */
+  private[graft] def mergeSessions(all: Seq[OpenSession],
+                                   gapUs: Long): Seq[OpenSession] = {
+    def dec(s: String) = new java.math.BigDecimal(s)
+    val sorted = all.sortBy(o => (o.startUs, o.endUs))
+    val out = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+    sorted.foreach { o =>
+      if (out.nonEmpty && o.startUs - out.last.endUs < gapUs) {
+        val p = out.remove(out.length - 1)
+        out += OpenSession(p.startUs, math.max(p.endUs, o.endUs), p.n + o.n,
+          dec(p.sum).add(dec(o.sum)).toPlainString)
+      } else out += o
+    }
+    out.toSeq
   }
 
   /** Timer-evicted session KPIs over a streaming events frame (must carry

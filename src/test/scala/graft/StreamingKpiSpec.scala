@@ -257,6 +257,53 @@ class StreamingKpiSpec extends SparkSpec {
     }
   }
 
+  test("mergeSessions equals reference gaps-and-islands for random point sets") {
+    // The processor folds arbitrary batch slices of a key's points into
+    // its open-session state; correctness requires the fold to land on
+    // the SAME islands a one-shot batch pass builds, for any slicing and
+    // any arrival order. Property: merging randomly-shuffled singleton
+    // points — in one shot AND incrementally over random batch splits —
+    // equals the sorted-scan reference split at gap boundaries.
+    val rnd = new scala.util.Random(20260813)
+    val gapUs = 1000L
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(60)
+      val ts = Seq.fill(n)(rnd.nextInt(20000).toLong).distinct
+      def point(t: Long) = StreamingKpi.OpenSession(t, t, 1L,
+        new java.math.BigDecimal(java.lang.Double.toString(t * 0.25))
+          .setScale(10, java.math.RoundingMode.HALF_UP).toPlainString)
+      // reference: sort, split where the gap is >= gapUs
+      val sorted = ts.sorted
+      val islands = sorted.tail.foldLeft(Seq(Seq(sorted.head))) { (acc, t) =>
+        if (t - acc.last.last < gapUs) acc.init :+ (acc.last :+ t)
+        else acc :+ Seq(t)
+      }.map { pts =>
+        val sum = pts.map(t => new java.math.BigDecimal(
+          java.lang.Double.toString(t * 0.25))
+          .setScale(10, java.math.RoundingMode.HALF_UP))
+          .reduce(_ add _)
+        StreamingKpi.OpenSession(pts.min, pts.max, pts.size.toLong,
+          sum.toPlainString)
+      }
+      val shuffled = rnd.shuffle(ts).map(point)
+      // one-shot merge over an arbitrary arrival order
+      val oneShot = StreamingKpi.mergeSessions(shuffled, gapUs)
+      assert(oneShot.map(o => (o.startUs, o.endUs, o.n,
+        new java.math.BigDecimal(o.sum))) ==
+        islands.map(o => (o.startUs, o.endUs, o.n,
+          new java.math.BigDecimal(o.sum))))
+      // incremental merge over random batch splits (the streaming shape)
+      val batches = shuffled.grouped(1 + rnd.nextInt(7)).toSeq
+      val folded = batches.foldLeft(Seq.empty[StreamingKpi.OpenSession]) {
+        (state, batch) => StreamingKpi.mergeSessions(state ++ batch, gapUs)
+      }
+      assert(folded.map(o => (o.startUs, o.endUs, o.n,
+        new java.math.BigDecimal(o.sum))) ==
+        islands.map(o => (o.startUs, o.endUs, o.n,
+          new java.math.BigDecimal(o.sum))))
+    }
+  }
+
   test("SessionKpiProcessor: gap-split sessions close independently with exact sums") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
