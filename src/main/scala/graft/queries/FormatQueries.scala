@@ -43,6 +43,30 @@ object FormatQueries {
           min(col("ts_us")).as("first_us"))
     },
 
+    // S10 breadth: ORC round-trip — the other columnar format shipped in
+    // the Spark distribution (no spark-avro module on this classpath).
+    // Same lossless contract as csv_roundtrip (the oracle reads the
+    // ORIGINAL table): timestamps carried as exact µs longs, and the
+    // read-back carries a predicate ORC's stripe/row-group stats can
+    // skip on — format breadth with the same pushdown story as parquet.
+    checked("orc_roundtrip",
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sqlSum("value")} AS total_value,
+         |  CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+         |FROM events WHERE value > 100 GROUP BY event_type""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_orc_${QuerySpec.jvmScopedKey(d)}")
+        .getAbsolutePath
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("value") > 100)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"),
+          max(col("ts_us")).as("last_us"))
+    },
+
     // Bucketed co-located join: both sides written bucketBy(8, key) +
     // sortBy, then joined WITHOUT a shuffle — the bucketed scan satisfies
     // the join's hash-partitioning requirement, so neither side crosses an
