@@ -115,20 +115,30 @@ object Bench {
         if (s.sec < best.sec) best = s
         extra += 1
       }
-      name -> best
+      // Known blind spot of the agree gate (round-7 ADVICE): sustained
+      // contention that never shows in steal counters (memory-bandwidth /
+      // IO noisy neighbors) inflates both passes consistently, so a slow
+      // "agreed" number may be an upper bound rather than intrinsic cost.
+      // Flag it so artifact readers can tell measured-fast from
+      // agreed-slow.
+      name -> (best, best.sec > 2.5 && agree && !best.contaminated)
     }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    val flagged = results.collect { case (k, v) if v.contaminated => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val flagged = results.collect {
+      case (k, (v, _)) if v.contaminated => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val agreedSlow = results.collect {
+      case (k, (_, true)) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     // Per-query shuffle volume from the reported (best) sample — layouts
     // and stores are warm by then, so these are steady-state bytes.
-    val sh = results.map { case (k, v) =>
+    val sh = results.map { case (k, (v, _)) =>
       s"\"" + k + "\":{\"w\":" + v.shuffle.write + ",\"r\":" + v.shuffle.read +
         ",\"spill\":" + v.shuffle.spill + "}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2.sec).sum
+    val total = results.map(_._2._1.sec).sum
     // Artifact contract (round-6 verdict #1): the driver keeps only a ~2000
     // char tail of stdout. With 90+ queries the single full line exceeds
     // that, and r06's committed bench record lost its wall-times entirely.
@@ -136,7 +146,7 @@ object Bench {
     // compact final summary line with no per-query maps — whatever tail
     // window the driver applies, the LAST line always parses to the
     // headline total.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_flagged":$flagged,"shuffle_bytes":$sh}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_flagged":$flagged,"agreed_slow":$agreedSlow,"shuffle_bytes":$sh}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"steal_flagged":$flagged}""")
     spark.stop()
   }

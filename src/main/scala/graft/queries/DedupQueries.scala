@@ -624,8 +624,11 @@ object DedupQueries {
       var edges = staged(pairs
         .filter(col("doc_a") =!= col("doc_b"))
         .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct())
-      val exactConfirm =
-        s.conf.getOption("spark.graft.cc.exactConfirm").exists(_.toBoolean)
+      // Tolerant parse: a malformed conf value degrades to the default
+      // (checksum-only) path instead of crashing the query (round-7
+      // ADVICE — `toBoolean` throws on anything but literal true/false).
+      val exactConfirm = s.conf.getOption("spark.graft.cc.exactConfirm")
+        .exists(_.trim.equalsIgnoreCase("true"))
       var prevSum = (-1L, -1L, -1L)
       var converged = false
       var round = 0

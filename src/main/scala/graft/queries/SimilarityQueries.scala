@@ -330,7 +330,8 @@ object SimilarityQueries {
          |  CROSS JOIN (SELECT q_id FROM qt) q)
          |SELECT pairs.method, pairs.q_id,
          |  COALESCE(n_hits, 0) AS n_hits,
-         |  COALESCE(n_hits, 0) / 5.0 AS recall_at_5
+         |  COALESCE(n_hits, 0) / 5.0 AS recall_at_5,
+         |  true AS ladder_srp_lt_mp, true AS ladder_mp_lt_ivf
          |FROM pairs LEFT JOIN hits
          |  ON pairs.method = hits.method AND pairs.q_id = hits.q_id""".stripMargin) { (s, d) =>
       val sv = svSpark(s, d)
@@ -354,9 +355,26 @@ object SimilarityQueries {
       val pairs = sv.filter(col("vec_id") < RecallQueries)
         .select(col("vec_id").as("q_id"))
         .crossJoin(broadcast(methodsDf))
-      pairs.join(hits, Seq("method", "q_id"), "left")
-        .select(col("method"), col("q_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) / 5.0).as("recall_at_5"))
+      val out = QuerySpec.staged(
+        pairs.join(hits, Seq("method", "q_id"), "left")
+          .select(col("method"), col("q_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) / 5.0).as("recall_at_5")))
+      // The recall LADDER (each probe/list knob buys recall) asserted as
+      // literal-true booleans the oracle pins (round-7 verdict #5, the
+      // zorder_effective pattern): a knob regression that flips the
+      // srp < multiprobe < ivf ordering now FAILS the oracle hash instead
+      // of silently shifting a number. Bounded 3-row aggregate to the
+      // driver over the staged result (the IVF-quantizer collect
+      // contract); the comparison is on exact hit COUNTS (integers), not
+      // float means.
+      val hitsByMethod = out.groupBy("method")
+        .agg(sum(col("n_hits")).as("h")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      out
+        .withColumn("ladder_srp_lt_mp",
+          lit(hitsByMethod("srp") < hitsByMethod("srp_mp")))
+        .withColumn("ladder_mp_lt_ivf",
+          lit(hitsByMethod("srp_mp") < hitsByMethod("ivf")))
     })
 }
