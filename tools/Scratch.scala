@@ -2,7 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway profiling main (not part of the library surface). */
+/** Throwaway profiling main (NOT part of the library surface, and not on
+  * sbt's source path — lives in tools/ so the shipped artifact contains
+  * only engine code; round-7 verdict #6). To run: copy into
+  * src/main/scala/graft/ (the cc-stages mode additionally needs a
+  * `private[graft]` alias for DedupQueries.nearDupPairs, removed with the
+  * move), `sbt "runMain graft.Scratch <mode|query names...>"`, delete. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,6 +74,41 @@ object Scratch {
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
           .count())
+      }
+    } else if (args.headOption.contains("cc-stages")) {
+      import org.apache.spark.sql.functions._
+      for (i <- 1 to 3) {
+        val pairs = t(s"pairs build #$i")(graft.queries.QuerySpec.staged(
+          graft.queries.DedupQueries.nearDupPairsProbe(spark, sfDir)))
+        val edges = t(s"edges #$i")(graft.queries.QuerySpec.staged(
+          pairs.unionAll(
+            pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))))
+        var labels = t(s"labels0 #$i")(graft.queries.QuerySpec.staged(
+          edges.select(col("doc_a").as("doc_id")).distinct()
+            .withColumn("label", col("doc_id"))))
+        var changed = 1L
+        var round = 0
+        while (changed > 0 && round < 50) {
+          val nbrMin = edges
+            .join(labels.select(col("doc_id").as("nbr"), col("label")),
+              col("doc_b") === col("nbr"))
+            .groupBy(col("doc_a").as("doc_id"))
+            .agg(min(col("label")).as("nbr_min"))
+          val upd = least(col("label"), coalesce(col("nbr_min"), col("label")))
+          val obs = org.apache.spark.sql.Observation()
+          val next = t(s"round $round #$i")(graft.queries.QuerySpec.staged(labels
+            .join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"), upd.as("label"),
+              (upd =!= col("label")).cast("long").as("chg"))
+            .observe(obs, sum(col("chg")).as("n_changed"))))
+          changed = obs.get.get("n_changed") match {
+            case Some(l: Long) => l
+            case _ => 0L
+          }
+          labels = next.select("doc_id", "label")
+          round += 1
+        }
+        graft.queries.QuerySpec.releaseStaged()
       }
     } else {
     val qs = if (args.nonEmpty) args.toSeq
