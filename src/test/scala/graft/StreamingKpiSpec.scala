@@ -429,6 +429,40 @@ class StreamingKpiSpec extends SparkSpec {
     }
   }
 
+  test("legacy flatMapGroupsWithState GroupState survives a checkpoint restart") {
+    // Same durability property as the IatProcessor test, on the LEGACY
+    // keyed-state API and the default (HDFS-backed) state store — the two
+    // IAT routes must be interchangeable in a checkpointed deployment.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_iat_legacy_ckpt_")
+      .toFile.getAbsolutePath
+    val mem = MemoryStream[(Long, String, Long, Double)]
+    def start() = mem.toDF().toDF("event_id", "slice", "flow", "ts_sec")
+      .as[StreamingKpi.FlowEvent]
+      .groupByKey(e => StreamingKpi.FlowKey(e.slice, e.flow))
+      .flatMapGroupsWithState(OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        StreamingKpi.iatFlatMap)
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    try {
+      mem.addData((1L, "s", 7L, 10.0), (2L, "s", 7L, 12.5))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      mem.addData((3L, "s", 7L, 16.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val iats = spark.read.parquet(s"$root/out")
+      .select("event_id", "iat6").as[(Long, Double)].collect().toMap
+    assert(iats == Map(1L -> 0.0, 2L -> 2.5, 3L -> 3.5),
+      s"GroupState must carry last-ts across the restart, got $iats")
+  }
+
   test("SessionKpiProcessor: timer registered before stop fires after restart") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDb {
