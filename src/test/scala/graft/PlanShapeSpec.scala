@@ -156,15 +156,19 @@ class PlanShapeSpec extends SparkSpec {
     // warm), loose enough for partition-count jitter, tight enough that a
     // reintroduced corpus-wide shuffle (the failure mode these plans
     // dodged by df-capping/banding) blows straight through.
-    // Measured (round 6): components 650k, clean 663k, incremental 449k,
-    // minhash 576k, stopshingle 642k.
+    // Measured (round 8, after the shared nearDupPairsShared layout):
+    // components 3.4k, star 6.5k, clean 21k — the pair-graph build's
+    // ~650k no longer recurs per invocation, and these three ceilings are
+    // deliberately tight so a regression that re-derives the pair graph
+    // inside a consumer blows through them. incremental 449k, minhash
+    // 576k, stopshingle 642k still measure their full declared builds.
     val ceilings = Map(
-      "dedup_components" -> 1300000L,
-      "dedup_components_star" -> 1400000L,
+      "dedup_components" -> 10000L,
+      "dedup_components_star" -> 20000L,
+      "corpus_clean" -> 60000L,
       "corpus_clean_incremental" -> 900000L,
       "dedup_minhash" -> 1200000L,
-      "dedup_stopshingle" -> 1300000L,
-      "corpus_clean" -> 1350000L)
+      "dedup_stopshingle" -> 1300000L)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     try {
