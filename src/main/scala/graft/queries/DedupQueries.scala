@@ -825,10 +825,6 @@ object DedupQueries {
        |WHERE n_tokens >= $MinTokens AND lang_pred = '$CleanLang'
        |  AND t.doc_id NOT IN (SELECT doc_b FROM dupb)$extraWhere""".stripMargin
 
-  /** Stop-shingle near-dup pairs over the full corpus (doc_a < doc_b,
-    * Jaccard ≥ NgramThr) — the edge set shared by corpus_clean's victim
-    * drop and dedup_components' clustering. Same plan as dedup_stopshingle:
-    * df-capped inverted index, equi self-join, count-based Jaccard. */
   /** The near-dup pair GRAPH as a per-(JVM, sf) parquet layout, written
     * once and read thereafter — the bucketed_join/zorder layout pattern
     * (round-7 verdict #2). Profiling the dedup_components "uptick" showed
@@ -849,6 +845,10 @@ object DedupQueries {
     s.read.parquet(dir.getAbsolutePath)
   }
 
+  /** Stop-shingle near-dup pairs over the full corpus (doc_a < doc_b,
+    * Jaccard ≥ NgramThr) — the edge set shared by corpus_clean's victim
+    * drop and dedup_components' clustering. Same plan as dedup_stopshingle:
+    * df-capped inverted index, equi self-join, count-based Jaccard. */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val ex = staged(shingleRows(s, d))
     val dfq = ex.groupBy("h").agg(count(lit(1)).as("df"))

@@ -148,9 +148,10 @@ object StreamingQueries {
           // The sentinel can't appear in append output (its own window is
           // never final) — but filter the DRAINED rows anyway so the
           // contract doesn't ride that reasoning alone. Never filter
-          // inside the streaming plan: a predicate on the group key pushes
-          // below EventTimeWatermark and freezes the clock (verified —
-          // comment on the append twins' history in git).
+          // inside the streaming plan: a predicate on the group key
+          // pushes below EventTimeWatermark and freezes the clock
+          // (verified in round 7 — the last real window never finalizes;
+          // SURVEY §8 round-7 deltas).
           .filter(col("slice") =!= "__wm__")
         (drained.collect(), drained.schema)
       })
