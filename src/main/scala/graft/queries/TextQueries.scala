@@ -15,6 +15,22 @@ import graft.functions.TextFns._
 object TextQueries {
   import QuerySpec._
 
+  /** Duplicate-trigram threshold, in integer percent so the keep/drop
+    * flag needs no float compare: repetitive ⇔ dup_frac > 2 %. A web
+    * deployment tunes this per corpus (Gopher's published dup-n-gram
+    * cut-offs sit around 10-18 %); 2 % here because the synthetic corpus
+    * tops out at ~7.7 % dup_frac — the threshold must sit BELOW the data
+    * so both branches of the flag are exercised and hash-pinned at both
+    * verify SFs (the text_heavy_hitters_lowk lesson: a contract only
+    * counts in the regime where it decides something). */
+  val RepThrPct = 2
+
+  /** Decontamination n-gram width (the GPT-3 convention) and the
+    * deterministic benchmark slice modulus (≈14 % of docs — large enough
+    * that the planted near-dup families straddle the split). */
+  val ContamGram = 13
+  val ContamMod = 7
+
   val all: Seq[QuerySpec] = Seq(
 
     // Token counting + quality stats. Integer counts are trivially exact;
@@ -304,5 +320,88 @@ object TextQueries {
           regexp_count(regexp_replace(col("t"), ip, "<IP>"), lit(phone)).as("n_phone"),
           regexp_replace(regexp_replace(regexp_replace(col("t"),
             email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("clean_text"))
+    },
+
+    // Intra-document repetition (the Gopher repetition rule family, Rae
+    // et al. 2021 §A1.1.1): the fraction of a document's word trigrams
+    // that are duplicates — boilerplate/spam pages score high and get
+    // dropped before pretraining. Pure per-row projection over the scan
+    // (size/array_distinct on the shingle array — no shuffle at all at
+    // any scale); the keep/drop FLAG is computed in exact integer
+    // arithmetic on both engines ((T − D)·100 > T·thr%), so the decision
+    // itself is hash-pinned, not just the rounded ratio.
+    checked("text_repetition",
+      s"""WITH t AS (SELECT doc_id,
+         |    ${sqlShingles(sqlTokens("text"), 3)} AS tri
+         |  FROM documents)
+         |SELECT doc_id, len(tri) AS n_tri,
+         |  len(list_distinct(tri)) AS n_distinct_tri,
+         |  CASE WHEN len(tri) = 0 THEN 0.0 ELSE
+         |    ${sqlR6("CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)")}
+         |  END AS dup_frac6,
+         |  (len(tri) - len(list_distinct(tri))) * 100 > len(tri) * $RepThrPct
+         |    AS repetitive
+         |FROM t""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tri", shingles(tokens(col("text")), 3))
+        .select(col("doc_id"),
+          size(col("tri")).as("n_tri"),
+          size(array_distinct(col("tri"))).as("n_distinct_tri"),
+          when(size(col("tri")) === 0, lit(0.0)).otherwise(
+            r6((size(col("tri")) - size(array_distinct(col("tri"))))
+              .cast("double") / size(col("tri")))).as("dup_frac6"),
+          ((size(col("tri")) - size(array_distinct(col("tri")))) * 100 >
+            size(col("tri")) * RepThrPct).as("repetitive"))
+    },
+
+    // Benchmark decontamination (the GPT-3 appendix-C / standard eval-
+    // hygiene pass): flag every training document sharing a 13-gram with
+    // the held-out benchmark set, so eval answers can't leak into
+    // training. Benchmark here = the deterministic doc_id % $ContamMod
+    // slice (a stand-in for MMLU/GSM8K text; the planted near-dup
+    // families make the overlap non-trivial). Plan shape: one distinct
+    // (doc_id, 13-gram-h60) inverted index feeds both sides — the
+    // benchmark gram SET and the per-doc totals — then one semi join +
+    // two aggregates. At 100 TB the benchmark side is a few MB of
+    // hashes: it broadcasts, and the pass costs one corpus scan + a
+    // map-side semi join (no corpus-wide pair shuffle); contamination is
+    // decided on exact integer hit counts, hash-pinned by the oracle.
+    checked("text_contamination",
+      s"""WITH sh AS (SELECT doc_id,
+         |    list_distinct(${sqlH60All(sqlShingles(sqlTokens("text"), ContamGram))}) AS g
+         |  FROM documents),
+         |e AS (SELECT doc_id, unnest(g) AS h FROM sh),
+         |b AS (SELECT DISTINCT h FROM e WHERE doc_id % $ContamMod = 0),
+         |c AS (SELECT doc_id, h FROM e WHERE doc_id % $ContamMod <> 0),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM c GROUP BY doc_id),
+         |hits AS (SELECT c.doc_id, count(*) AS n_hits
+         |  FROM c JOIN b USING (h) GROUP BY c.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_grams, 0) AS n_grams,
+         |  COALESCE(n_hits, 0) AS n_hits,
+         |  COALESCE(n_hits, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $ContamMod <> 0) d
+         |LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin) { (s, d) =>
+      val grams = staged(Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.expr.ShingleExplode(
+            tokens(col("text")), ContamGram).as("sstr"))
+        .select(col("doc_id"), h60(col("sstr")).as("h"))
+        .distinct())
+      val bench = grams.filter(col("doc_id") % ContamMod === 0)
+        .select("h").distinct()
+      val corpus = grams.filter(col("doc_id") % ContamMod =!= 0)
+      val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = corpus.join(bench, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      Tables.documents(s, d).filter(col("doc_id") % ContamMod =!= 0)
+        .select("doc_id")
+        .join(tot, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
     })
 }
