@@ -147,6 +147,24 @@ class PlanShapeSpec extends SparkSpec {
         s"exchange — O(groups x k) crossing, not one row per token; got plan:\n$p")
   }
 
+  test("text_repetition is a pure projection — zero exchanges at any scale") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange"),
+      s"the repetition gate is per-row (size/array_distinct over the " +
+        s"shingle array) and must compile to scan+project with no " +
+        s"shuffle; got plan:\n$p")
+    assert(!p.contains("Sort"), "no sort may sneak into the projection")
+  }
+
+  test("text_contamination joins stay equi; benchmark hit join is left-semi") {
+    val p = plan("text_contamination")
+    assert(p.contains("LeftSemi"),
+      s"corpus-gram vs benchmark-gram matching must be a semi join on the " +
+        s"hash (at 100 TB the few-MB benchmark set broadcasts); got plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "no nested-loop/cartesian join may survive in the decontamination plan")
+  }
+
   test("shuffle-volume ceilings hold for the heaviest queries") {
     // Wall time only tells you a regression happened on THIS machine;
     // bytes crossing the exchanges tell you the plan itself regressed — a
