@@ -31,6 +31,25 @@ object TextQueries {
   val ContamGram = 13
   val ContamMod = 7
 
+  /** Mixture target weights in integer percent (sum 100) for the
+    * `corpus_mixture` rebalancing pass. Chosen against the synthetic
+    * corpus's measured token shares (en ≈ 41 %, others ≈ 15 % each) so
+    * both regimes of the sampling rate are exercised at both verify SFs:
+    * en and zh cap at keep-everything (target share ≥ natural share,
+    * rate clamps to 10000/10000) while de/es/fr land mid-range
+    * (~33 %/66 %/66 % keep rates) — the clamp branch AND the fractional
+    * branch both decide real rows. Unknown languages get weight 0 (drop):
+    * a mixture spec is a whitelist. */
+  val MixWeights: Seq[(String, Long)] =
+    Seq("en" -> 60L, "de" -> 5L, "es" -> 10L, "fr" -> 10L, "zh" -> 15L)
+
+  /** The weight table rendered as a SQL CASE so both engines decide from
+    * the same literals. */
+  private def sqlMixW: String =
+    "CASE lang " +
+      MixWeights.map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ") +
+      " ELSE 0 END"
+
   val all: Seq[QuerySpec] = Seq(
 
     // Token counting + quality stats. Integer counts are trivially exact;
@@ -403,5 +422,53 @@ object TextQueries {
           coalesce(col("n_grams"), lit(0L)).as("n_grams"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+    },
+
+    // Mixture rebalancing (the Pile/Dolma-style data-mixing pass): given
+    // per-language target weights, derive the deterministic per-language
+    // sampling rate that reshapes the corpus toward the target token
+    // proportions — rate_l = min(1, w_l·T / (100·T_l)) as an integer
+    // threshold in 0..10000 — then decide every document by hash.
+    // Integer arithmetic end-to-end: the threshold is an exact integral
+    // divide (DECIMAL(38)/HUGEINT intermediate so w·T·10⁴ cannot
+    // overflow at real corpus sizes) and the keep decision is
+    // h60(doc_id) % 10000 < thr, so every per-doc decision is hash-pinned
+    // by the oracle, not just the aggregate counts. Plan shape: one
+    // narrow (doc_id, lang, n_tok) projection staged once feeds the
+    // per-lang totals (5 rows), the grand total (1 row), and the decision
+    // pass; the 5-row threshold table broadcasts back onto the corpus.
+    // At 100 TB: two columnar scans of 3 pruned columns (or one +
+    // persist), tiny aggregates, zero corpus-wide shuffles.
+    checked("corpus_mixture",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |lt AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lt
+         |  FROM t GROUP BY lang),
+         |g AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt FROM t),
+         |thr AS (SELECT lang,
+         |    CAST(LEAST(10000, (w * CAST(tt AS HUGEINT) * 10000)
+         |      // (lt * 100)) AS BIGINT) AS mix_thr
+         |  FROM (SELECT lang, lt, $sqlMixW AS w FROM lt) x, g)
+         |SELECT t.doc_id, t.lang, t.n_tok, thr.mix_thr,
+         |  ${sqlH60("CAST(t.doc_id AS VARCHAR)")} % 10000 < thr.mix_thr
+         |    AS kept
+         |FROM t JOIN thr USING (lang)""".stripMargin) { (s, d) =>
+      val t = staged(Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok")))
+      val lt = t.groupBy("lang").agg(sum("n_tok").as("lt"))
+      val g = t.agg(sum("n_tok").as("tt"))
+      val w = MixWeights.tail.foldLeft(
+        when(col("lang") === MixWeights.head._1, lit(MixWeights.head._2))) {
+        case (acc, (l, wt)) => acc.when(col("lang") === l, lit(wt))
+      }.otherwise(lit(0L))
+      val thr = lt.crossJoin(broadcast(g))
+        .withColumn("w", w)
+        .selectExpr("lang",
+          "least(10000L, (CAST(w AS DECIMAL(38,0)) * tt * 10000) div (lt * 100)) AS mix_thr")
+      t.join(broadcast(thr), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("mix_thr"),
+          (h60(col("doc_id").cast("string")) % 10000 < col("mix_thr"))
+            .as("kept"))
     })
 }

@@ -165,6 +165,16 @@ class PlanShapeSpec extends SparkSpec {
       "no nested-loop/cartesian join may survive in the decontamination plan")
   }
 
+  test("corpus_mixture broadcasts the threshold table onto the corpus") {
+    val p = plan("corpus_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row per-language threshold table must broadcast back onto " +
+        s"the corpus projection; got plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-side shuffle join may decide the mixture — the decision " +
+        "pass is a map-side broadcast join at any scale")
+  }
+
   test("shuffle-volume ceilings hold for the heaviest queries") {
     // Wall time only tells you a regression happened on THIS machine;
     // bytes crossing the exchanges tell you the plan itself regressed — a
