@@ -42,6 +42,8 @@ object TextQueries {
     * a mixture spec is a whitelist. */
   val MixWeights: Seq[(String, Long)] =
     Seq("en" -> 60L, "de" -> 5L, "es" -> 10L, "fr" -> 10L, "zh" -> 15L)
+  require(MixWeights.map(_._2).sum == 100L,
+    s"mixture weights must sum to 100 (a share spec), got $MixWeights")
 
   /** The weight table rendered as a SQL CASE so both engines decide from
     * the same literals. */
