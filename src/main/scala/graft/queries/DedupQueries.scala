@@ -70,6 +70,14 @@ object DedupQueries {
   val MinTokens = 20
   val CleanLang = "en"
 
+  /** ExactSubstr window width in tokens (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better", use
+    * 50-token windows on web-scale corpora; 8 here because the synthetic
+    * docs average ~50 tokens, so the window must sit well below doc
+    * length for the span merge/adjacency machinery to be exercised at
+    * both verify SFs). */
+  val SpanGram = 8
+
   /** Normalized-text key for exact dedup. */
   private def normSql = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
@@ -777,6 +785,77 @@ object DedupQueries {
         .join(keepers, Seq("doc_id"), "left_semi")
         .join(dupB, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+    },
+
+    // ExactSubstr dedup (Lee et al. 2021): find every token SPAN that
+    // occurs more than once in the corpus (across docs or repeated
+    // within one) and emit the merged cut-intervals per document — the
+    // span-level complement of the doc-level near-dup family above
+    // (production cuts the spans; the intervals are the algorithm's
+    // whole output). Scale story is the best of the dedup suite: NO
+    // pair generation at all — one position-tagged inverted index
+    // (linear in corpus tokens), one count aggregate on the gram hash,
+    // one semi join back, one per-doc window for the classic
+    // gaps-and-islands interval merge. Every shuffle is linear; this is
+    // why ExactSubstr runs at trillion-token scale in practice while
+    // pair-based MinHash needs banding. (At 100 TB the window's
+    // doc-partitioned sort is the only wide op beyond the index build,
+    // and spans per doc are few — the hits relation is a small fraction
+    // of the token count.)
+    checked("dedup_exact_substr",
+      s"""WITH sh AS (SELECT doc_id,
+         |    ${sqlShingles(sqlTokens("text"), SpanGram)} AS g
+         |  FROM documents),
+         |p AS (SELECT doc_id, UNNEST(range(len(g))) AS pos,
+         |    UNNEST(list_transform(g, t -> ${sqlH60("t")})) AS h
+         |  FROM sh),
+         |dup AS (SELECT h FROM p GROUP BY h HAVING count(*) > 1),
+         |hits AS (SELECT doc_id, pos, pos + ${SpanGram - 1} AS endp
+         |  FROM p WHERE h IN (SELECT h FROM dup)),
+         |m AS (SELECT doc_id, pos, endp,
+         |    max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM hits),
+         |f AS (SELECT doc_id, pos, endp,
+         |    CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END
+         |      AS newisl
+         |  FROM m),
+         |i AS (SELECT doc_id, pos, endp,
+         |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM f)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(endp) AS BIGINT) AS span_end,
+         |  CAST(max(endp) - min(pos) + 1 AS BIGINT) AS span_tokens
+         |FROM i GROUP BY doc_id, isl""".stripMargin) { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      // Position-tagged gram hashes: h60 runs codegen'd AFTER the
+      // generator (the shingleRows lesson — hashing inside the HOF
+      // lambda is interpreted and ~7× slower).
+      val pos = staged(Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(shingles(tokens(col("text")), SpanGram))
+            .as(Seq("pos", "sstr")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          h60(col("sstr")).as("h")))
+      val dup = pos.groupBy("h").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select("h")
+      val hits = pos.join(dup, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("pos"),
+          (col("pos") + (SpanGram - 1)).as("endp"))
+      val flagged = hits
+        .withColumn("pmax", max("endp").over(W.partitionBy("doc_id")
+          .orderBy("pos").rowsBetween(W.unboundedPreceding, -1)))
+        .withColumn("newisl",
+          when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L)
+            .otherwise(0L))
+      flagged
+        .withColumn("isl", sum("newisl").over(W.partitionBy("doc_id")
+          .orderBy("pos").rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("doc_id", "isl")
+        .agg(min("pos").as("span_start"), max("endp").as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_tokens"))
     })
 
   // ------------------------------------------------------------------

@@ -165,6 +165,16 @@ class PlanShapeSpec extends SparkSpec {
       "no nested-loop/cartesian join may survive in the decontamination plan")
   }
 
+  test("dedup_exact_substr generates no pairs: semi join + linear shuffles only") {
+    val p = plan("dedup_exact_substr")
+    assert(p.contains("LeftSemi"),
+      s"positions must rejoin the duplicated-gram set as a semi join — " +
+        s"the whole point of ExactSubstr is that no pair relation ever " +
+        s"exists; got plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "no nested-loop/cartesian join may appear in the span plan")
+  }
+
   test("corpus_mixture broadcasts the threshold table onto the corpus") {
     val p = plan("corpus_mixture")
     assert(p.contains("BroadcastHashJoin"),
