@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.GraftExpressionBridge
-import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Explode the word n-gram shingles of a token array as a native Catalyst
@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the codegen path. The DuckDB oracle twin (`TextFns.sqlShingles`) is
   * unchanged; cross-engine equality is pinned by the dedup query hashes.
   */
-case class ShingleExplode(child: Expression, n: Int)
+case class ShingleExplode(child: Expression, n: Int, withPos: Boolean = false)
   extends UnaryExpression with Generator with CodegenFallback {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
@@ -41,7 +41,13 @@ case class ShingleExplode(child: Expression, n: Int)
   }
 
   override def elementSchema: StructType =
-    new StructType().add("shingle", StringType, nullable = true)
+    if (withPos)
+      // 0-based window start as BIGINT — byte-identical to the rows of
+      // posexplode(shingles(toks, n)) with the pos cast to long (and to
+      // DuckDB's zipped UNNEST(range(len(g))) twin).
+      new StructType().add("pos", LongType, nullable = false)
+        .add("shingle", StringType, nullable = true)
+    else new StructType().add("shingle", StringType, nullable = true)
 
   private lazy val sep = UTF8String.fromString(" ")
 
@@ -60,7 +66,8 @@ case class ShingleExplode(child: Expression, n: Int)
     (0 to m - n).iterator.map { s =>
       // concatWs skips NULL parts — same as the concat_ws expression in
       // the HOF reference form.
-      InternalRow(UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(toks, s, s + n): _*))
+      val sh = UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(toks, s, s + n): _*)
+      if (withPos) InternalRow(s.toLong, sh) else InternalRow(sh)
     }
   }
 
@@ -75,4 +82,10 @@ object ShingleExplode {
   def apply(toks: Column, n: Int): Column =
     GraftExpressionBridge.column(
       ShingleExplode(GraftExpressionBridge.expression(toks), n))
+
+  /** Position-tagged variant: rows of (pos, shingle), the native form of
+    * `posexplode(shingles(toks, n))` for span-level consumers. */
+  def withPos(toks: Column, n: Int): Column =
+    GraftExpressionBridge.column(
+      ShingleExplode(GraftExpressionBridge.expression(toks), n, withPos = true))
 }

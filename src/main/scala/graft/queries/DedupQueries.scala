@@ -829,15 +829,16 @@ object DedupQueries {
          |  CAST(max(endp) - min(pos) + 1 AS BIGINT) AS span_tokens
          |FROM i GROUP BY doc_id, isl""".stripMargin) { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
-      // Position-tagged gram hashes: h60 runs codegen'd AFTER the
-      // generator (the shingleRows lesson — hashing inside the HOF
-      // lambda is interpreted and ~7× slower).
+      // Position-tagged gram hashes via the native generator (the
+      // shingleRows lesson: the composed posexplode(shingles(...)) form
+      // evals an interpreted HOF lambda per window — measured ~3.5 s of
+      // this query's 4.9 s wall at sf0.1); h60 runs codegen'd AFTER the
+      // generator.
       val pos = staged(Tables.documents(s, d)
         .select(col("doc_id"),
-          posexplode(shingles(tokens(col("text")), SpanGram))
-            .as(Seq("pos", "sstr")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          h60(col("sstr")).as("h")))
+          graft.functions.expr.ShingleExplode.withPos(
+            tokens(col("text")), SpanGram).as(Seq("pos", "sstr")))
+        .select(col("doc_id"), col("pos"), h60(col("sstr")).as("h")))
       val dup = pos.groupBy("h").agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).select("h")
       val hits = pos.join(dup, Seq("h"), "left_semi")

@@ -126,6 +126,21 @@ class TextFnsSpec extends SparkSpec {
       val h = viaHof.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
       val g = viaGen.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
       assert(g == h, s"n=$n")
+      // The position-tagged variant must match posexplode of the HOF form
+      // (pos as long) — the span-dedup consumer depends on the 0-based
+      // window starts being byte-identical across the two forms.
+      val viaHofPos = df.select(col("doc_id"),
+        posexplode(TextFns.shingles(TextFns.tokens(col("text")), n))
+          .as(Seq("pos", "s")))
+        .select(col("doc_id"), col("pos").cast("long"), col("s"))
+      val viaGenPos = df.select(col("doc_id"),
+        ShingleExplode.withPos(TextFns.tokens(col("text")), n)
+          .as(Seq("pos", "s")))
+      val hp = viaHofPos.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      val gp = viaGenPos.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(gp == hp, s"withPos n=$n")
     }
   }
 
