@@ -58,6 +58,13 @@ object GraftExtensions {
           case Seq(toks, n) => ShingleExplode(toks, intArg(n, "shingle_explode", 2))
           case _ => throw new IllegalArgumentException("shingle_explode(tokens, n)")
         }),
+      "shingle_explode_pos" -> (
+        new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode_pos"),
+        (args: Seq[Expression]) => args match {
+          case Seq(toks, n) =>
+            ShingleExplode(toks, intArg(n, "shingle_explode_pos", 2), withPos = true)
+          case _ => throw new IllegalArgumentException("shingle_explode_pos(tokens, n)")
+        }),
       "cos_top_k" -> (
         new ExpressionInfo(classOf[CosTopK].getName, "cos_top_k"),
         (args: Seq[Expression]) => args match {

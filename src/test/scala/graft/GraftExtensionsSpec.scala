@@ -23,6 +23,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows == Seq("a b", "b c", "c d"))
   }
 
+  test("shingle_explode_pos from SQL yields (pos, shingle) rows") {
+    val rows = spark.sql(
+      """SELECT pos, s FROM (SELECT array('a','b','c','d') AS t)
+        |LATERAL VIEW shingle_explode_pos(t, 2) AS pos, s""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((0L, "a b"), (1L, "b c"), (2L, "c d")))
+  }
+
   test("cos_top_k from SQL ranks (score desc, id asc) per group") {
     val rows = spark.sql(
       """SELECT g, inline(cos_top_k(c, i, 2))
