@@ -52,6 +52,20 @@ object TextQueries {
       MixWeights.map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ") +
       " ELSE 0 END"
 
+  /** LM-scoring reference slice modulus (doc_id % 5 = 0 → 20 % of docs
+    * train the bigram LM; the rest are "incoming" text, though every doc
+    * gets scored) and the log quantization grid for cross-engine-exact
+    * log-prob sums: ln() of the SAME integer input can differ by 1 ulp
+    * (~2e-15) between libm implementations, so per-term values are
+    * quantized to a 1e-4 grid — the ulp sits ~11 orders of magnitude
+    * below the rounding boundary, making the scaled-integer term (and
+    * hence the exact integer SUM, in any accumulation order) engine- and
+    * partitioning-identical. The dsum(DECIMAL) path can't be used here:
+    * its 1e-10 grid leaves ~2e-5 boundary-hit odds per term, which at
+    * millions of scored tokens means expected hash mismatches. */
+  val LmRefMod = 5
+  val LmLogScale = 10000
+
   val all: Seq[QuerySpec] = Seq(
 
     // Token counting + quality stats. Integer counts are trivially exact;
@@ -472,5 +486,74 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("n_tok"), col("mix_thr"),
           (h60(col("doc_id").cast("string")) % 10000 < col("mix_thr"))
             .as("kept"))
+    },
+
+    // LM quality scoring (the CCNet/KenLM shape: score text against an
+    // n-gram LM trained on reference text; high perplexity → drop or
+    // down-bucket). Bigram LM with add-one smoothing trained on the
+    // deterministic 20 % reference slice; every doc with ≥1 bigram gets
+    // avg negative log P(w_i | w_{i-1}) = -Σ [ln(c2+1) − ln(c1+V)] / n.
+    // Each log term is quantized to the LmLogScale integer grid (see the
+    // constant's doc) so the per-doc sum is an exact BIGINT in both
+    // engines regardless of accumulation order — the one float divide
+    // happens once per doc on identical integers, then r6. Plan shape:
+    // bigram rows (linear, native generator) left-join the two ref count
+    // tables on their hashes and the 1-row vocab size broadcasts; per-doc
+    // sums are a hash aggregate. At 100 TB the LM is a fixed-size
+    // artifact (CCNet ships one) and both count joins become broadcasts;
+    // nothing here is quadratic — the joins and aggregates are linear in
+    // corpus tokens.
+    checked("text_lm_score", {
+      def ilog(x: String) =
+        s"CAST(floor(ln($x) * $LmLogScale + 0.5) AS BIGINT)"
+      s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS tk
+         |  FROM documents),
+         |b AS (SELECT doc_id, unnest(${sqlShingles("tk", 2)}) AS s
+         |  FROM toks),
+         |e AS (SELECT doc_id, ${sqlH60("s")} AS h2,
+         |    ${sqlH60("split_part(s, ' ', 1)")} AS h1 FROM b),
+         |r2 AS (SELECT h2, count(*) AS c2 FROM e
+         |  WHERE doc_id % $LmRefMod = 0 GROUP BY h2),
+         |r1 AS (SELECT h1, count(*) AS c1 FROM e
+         |  WHERE doc_id % $LmRefMod = 0 GROUP BY h1),
+         |v AS (SELECT count(DISTINCT ${sqlH60("t")}) AS vsz
+         |  FROM (SELECT unnest(tk) AS t FROM toks
+         |        WHERE doc_id % $LmRefMod = 0) u),
+         |sc AS (SELECT e.doc_id,
+         |    ${ilog("COALESCE(c2, 0) + 1")}
+         |      - ${ilog("COALESCE(c1, 0) + vsz")} AS lp
+         |  FROM e LEFT JOIN r2 USING (h2) LEFT JOIN r1 USING (h1), v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(-sum(lp) AS BIGINT) AS nll_scaled,
+         |  ${sqlR6(s"CAST(-sum(lp) AS DOUBLE) / $LmLogScale.0 / count(*)")}
+         |    AS avg_nll6
+         |FROM sc GROUP BY doc_id""".stripMargin
+    }) { (s, d) =>
+      def ilog(c: org.apache.spark.sql.Column) =
+        floor(log(c) * LmLogScale + 0.5).cast("long")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val e = staged(toks
+        .select(col("doc_id"),
+          graft.functions.expr.ShingleExplode(col("tk"), 2).as("sstr"))
+        .select(col("doc_id"), h60(col("sstr")).as("h2"),
+          h60(substring_index(col("sstr"), " ", 1)).as("h1")))
+      val ref = e.filter(col("doc_id") % LmRefMod === 0)
+      val r2 = ref.groupBy("h2").agg(count(lit(1)).as("c2"))
+      val r1 = ref.groupBy("h1").agg(count(lit(1)).as("c1"))
+      val v = toks.filter(col("doc_id") % LmRefMod === 0)
+        .select(explode(col("tk")).as("t"))
+        .agg(countDistinct(h60(col("t"))).as("vsz"))
+      e.join(r2, Seq("h2"), "left")
+        .join(r1, Seq("h1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          (ilog(coalesce(col("c2"), lit(0L)) + 1) -
+            ilog(coalesce(col("c1"), lit(0L)) + col("vsz"))).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (-sum(col("lp"))).as("nll_scaled"),
+          r6((-sum(col("lp"))).cast("double") / LmLogScale / count(lit(1)))
+            .as("avg_nll6"))
     })
 }

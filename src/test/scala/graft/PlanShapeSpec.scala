@@ -175,6 +175,16 @@ class PlanShapeSpec extends SparkSpec {
       "no nested-loop/cartesian join may appear in the span plan")
   }
 
+  test("text_lm_score joins stay linear: only the 1-row vocab crosses as BNLJ") {
+    val p = plan("text_lm_score")
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian product may appear in the LM scoring plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1,
+      s"only the single-row vocab-size broadcast may be a nested-loop " +
+        s"join; found $bnlj in plan:\n$p")
+  }
+
   test("corpus_mixture broadcasts the threshold table onto the corpus") {
     val p = plan("corpus_mixture")
     assert(p.contains("BroadcastHashJoin"),
