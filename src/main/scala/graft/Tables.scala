@@ -25,17 +25,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects. Read it as raw Long ns (`nanosAsLong`) and convert with
-    * *integer* division to µs (a ns epoch ≈ 1.7e18 exceeds double's 2^53
-    * mantissa — float division would corrupt the low digits). DuckDB reads
-    * the same file as µs TIMESTAMP by truncation, so `ts DIV 1000` keeps the
-    * two engines bit-identical. */
+  /** `events.ts` normalized to a µs TIMESTAMP regardless of the physical
+    * layout the data generator shipped — the driver has produced both:
+    *
+    *  - ns-precision INT64 (rounds ≤7), which Spark's vectorized reader
+    *    rejects natively; read as raw Long ns (`nanosAsLong`) and convert
+    *    with *integer* division to µs (a ns epoch ≈ 1.7e18 exceeds
+    *    double's 2^53 mantissa — float division would corrupt low digits);
+    *  - µs TIMESTAMP with isAdjustedToUTC=false (round 8+), which Spark 4
+    *    infers as TIMESTAMP_NTZ; cast to TIMESTAMP — value-preserving
+    *    under the UTC session zone every entry point pins.
+    *
+    * DuckDB reads either layout as a µs TIMESTAMP (truncating in the ns
+    * case, exactly like `DIV 1000`), so both engines stay bit-identical. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normEventsTs(table(s, d, "events"))
+  }
+
+  /** The ts-normalization rule above, applied to an already-loaded frame
+    * (batch or streaming) whose `ts` is Long ns, TIMESTAMP_NTZ, or already
+    * a TIMESTAMP. */
+  def normEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -68,8 +68,14 @@ object StreamingQueries {
         }
         rm(stage)
       }
-      val raw = s.read.schema(StreamingKpi.eventsRawSchema)
-        .parquet(s"$d/events.parquet")
+      // Normalize the generator's events file (ns-int64 or TIMESTAMP_NTZ
+      // across rounds — `Tables.events`) and write the layout in the
+      // CANONICAL int64-ns form, so the streaming schema below never
+      // depends on the upstream physical layout. unix_micros is exact
+      // integer arithmetic; ×1000 stays far below Long.MaxValue.
+      val raw = Tables.events(s, d)
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
       writeOne(raw, realFile)
       val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
       // Past every real close instant plus the 10 s watermark delay, with

@@ -23,9 +23,12 @@ import org.apache.spark.sql.types._
   */
 object StreamingKpi {
 
-  /** Declared source schema — `events.parquet` carries ns-precision int64
-    * timestamps (read raw, converted with exact integer µs division;
-    * `graft.Tables.events` rationale). */
+  /** Canonical schema for graft-WRITTEN event stream layouts (the sentinel
+    * dirs in StreamingQueries): ts pinned to int64 ns so the streaming
+    * source schema never depends on which physical layout the upstream
+    * generator shipped (`graft.Tables.events` normalizes reads of the
+    * generator's own file, which has carried both ns-int64 and µs
+    * TIMESTAMP_NTZ across rounds). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // ns epoch
@@ -36,17 +39,21 @@ object StreamingKpi {
 
   /** File-source streaming scan of the events table. One file = one
     * micro-batch here; `maxFilesPerTrigger` is the file-source analogue of
-    * the reference's `maxOffsetsPerTrigger` rate limit (:233). */
+    * the reference's `maxOffsetsPerTrigger` rate limit (:233). The
+    * streaming source needs a declared schema; take the file's own footer
+    * schema (one cheap batch footer read) so either physical ts layout
+    * streams, then normalize exactly like the batch path. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // The streaming file source wants a directory; the sf dirs hold one
     // flat file per table, so scan the dir with a glob pinned to events.
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normEventsTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** One micro-batch's progress snapshot (SURVEY §2.9 T7) — the fields the
