@@ -58,6 +58,17 @@ object DedupQueries {
     * ≈0.87 — the index-size/recall knob of any multi-table LSH. */
   val SrpDedupBits = 6
   val SrpTables = 4
+
+  /** SemDeDup quantizer: SemLists sampled-centroid clusters (fixed vec_ids
+    * — the ann_ivf init) and the within-cluster prune threshold. 0.4 sits
+    * where the synthetic corpus's within-cluster cosine tail actually
+    * splits (victims ≈ 4 % of vectors at sf0.01, ≈ 12 % at sf0.1 — both
+    * keep AND drop branches decide real rows at both verify SFs; the
+    * paper's 0.95+ operating point on web data would fire on nothing
+    * here). */
+  val SemLists = 8
+  val SemCentroidBase = 60L
+  val SemThr = 0.4
   /** Embedding dimension — one constant with the ANN suite: the two
     * suites share TextFns.hyperplanes, and a dim drift would silently
     * truncate the shared dot products. */
@@ -488,6 +499,82 @@ object DedupQueries {
           col("n2").as("n2b")), "vec_b")
         .filter(cos >= CosineThr)
         .select(col("vec_a"), col("vec_b"), graft.functions.DetAgg.r6(cos).as("cos"))
+    },
+
+    // ------------------------------------------------------------------
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // cluster the embedding corpus with a coarse quantizer, then prune
+    // near-duplicate pairs ONLY within each cluster — the paper's answer
+    // to all-pairs cost at web scale (their runs use ~10^5 k-means
+    // clusters so per-cluster pairwise stays bounded). Here the quantizer
+    // is the same fixed-id sampled-centroid init as ann_ivf
+    // (SimilarityQueries.scoredIvf): SemLists corpus vectors collected to
+    // the driver (bounded by construction — precisely the centroid set a
+    // production SemDeDup trains centrally and ships to every worker) and
+    // inlined as literals, so cluster assignment is a pure codegen'd
+    // argmin projection over the scan — zero shuffle. Exact scaled-integer
+    // L2 (ties to the lowest c_id) keeps the assignment bit-identical to
+    // the oracle's window-rank form. The ONLY data-dependent shuffle is
+    // the within-cluster equi self-join on c_id; keep/drop is the suite's
+    // greedy keep-lowest-id convention (drop b iff some a<b in its
+    // cluster has cos ≥ SemThr). At 100 TB, SemLists grows with the
+    // corpus to hold cluster size constant, which bounds the per-key
+    // fan-out of the self-join exactly like StopDf/BandCap bound the
+    // shingle paths.
+    checked("dedup_semantic",
+      s"""WITH sv AS (SELECT vec_id, ${sqlScaledVec("embedding")} AS v FROM embeddings),
+         |svn AS (SELECT vec_id, v, ${sqlDotInt("v", "v", EmbDim)} AS n2 FROM sv),
+         |cent AS (SELECT vec_id - $SemCentroidBase AS c_id, v AS cv, n2 AS cn2
+         |  FROM svn WHERE vec_id >= $SemCentroidBase
+         |    AND vec_id < ${SemCentroidBase + SemLists}),
+         |dist AS (SELECT s.vec_id, c.c_id,
+         |    s.n2 - 2 * ${sqlDotInt("s.v", "c.cv", EmbDim)} + c.cn2 AS d
+         |  FROM svn s CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, c_id FROM (
+         |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+         |    FROM dist) t WHERE rn = 1),
+         |j AS (SELECT s.vec_id, s.v, s.n2, g.c_id FROM svn s JOIN asg g USING (vec_id)),
+         |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    ${sqlDotInt("a.v", "b.v", EmbDim)} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+         |  FROM j a JOIN j b ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+         |victims AS (SELECT DISTINCT vb AS vec_id FROM pairs WHERE cos >= $SemThr)
+         |SELECT g.vec_id, g.c_id, w.vec_id IS NULL AS keep
+         |FROM asg g LEFT JOIN victims w USING (vec_id)""".stripMargin) { (s, d) =>
+      val sv = staged(Tables.embeddings(s, d)
+        .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
+        .withColumn("n2", dotInt(col("v"), col("v"))))
+      // Quantizer to the driver (SemLists rows, bounded by construction).
+      val cent = sv
+        .filter(col("vec_id") >= SemCentroidBase &&
+          col("vec_id") < SemCentroidBase + SemLists)
+        .select((col("vec_id") - SemCentroidBase).as("c_id"),
+          col("v").as("cv"), col("n2").as("cn2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+        .sortBy(_._1)
+      // ‖x−c‖² = n2 − 2·x·c + cn2 per centroid: integer-valued doubles,
+      // argmin by array_position = FIRST index holding the min, i.e. ties
+      // to the lowest c_id — the oracle's ORDER BY d, c_id with rn = 1.
+      val dists = cent.map { case (cid, cv, cn2) =>
+        (cid, col("n2") - lit(2) * dotInt(array(cv.map(lit): _*), col("v")) + lit(cn2))
+      }
+      val dArr = array(dists.map(_._2): _*)
+      val cidArr = array(dists.map(d0 => lit(d0._1)): _*)
+      val asg = staged(sv.select(col("vec_id"), col("v"), col("n2"),
+        element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int"))
+          .as("c_id")))
+      val cos = dotInt(col("va2"), col("vb2")) / (sqrt(col("n2a")) * sqrt(col("n2b")))
+      val victims = asg.as("a")
+        .join(asg.as("b"), col("a.c_id") === col("b.c_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.v").as("va2"), col("b.v").as("vb2"),
+          col("a.n2").as("n2a"), col("b.n2").as("n2b"),
+          col("b.vec_id").as("vec_id"))
+        .filter(cos >= SemThr)
+        .select(col("vec_id")).distinct()
+      asg.select(col("vec_id"), col("c_id"))
+        .join(victims.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c_id"), col("hit").isNull.as("keep"))
     },
 
     // ------------------------------------------------------------------

@@ -33,6 +33,16 @@ class PlanShapeSpec extends SparkSpec {
       "no nested-loop/cartesian join may survive in the IVF plan")
   }
 
+  test("dedup_semantic assigns clusters as a projection; pairs only within clusters") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("Window"),
+      "centroid assignment must be the literal-array argmin projection, " +
+        "not a per-vector window rank")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the only pair generator allowed is the within-cluster equi " +
+        s"self-join on c_id; got plan:\n$p")
+  }
+
   test("topk_orders compiles to TakeOrderedAndProject") {
     assert(plan("topk_orders").contains("TakeOrderedAndProject"))
   }
