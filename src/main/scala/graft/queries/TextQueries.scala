@@ -66,6 +66,19 @@ object TextQueries {
   val LmRefMod = 5
   val LmLogScale = 10000
 
+  /** BM25 query set (k1 = 1.2, b = 0.75 — the Okapi defaults, written as
+    * literals in both engines). Queries mix the corpus's one genuinely
+    * rare term (`dup`, df ≈ 5 % — the planted-duplicate marker, so its
+    * idf dominates any common term's) with near-ubiquitous terms
+    * (df ≈ 76 %), so the ranking exercises both idf regimes and real
+    * tf/length variation rather than a flat score. */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("dup", "scan"),
+    1 -> Seq("spark", "join", "stream"),
+    2 -> Seq("customer", "order", "query"),
+    3 -> Seq("dup", "vector", "hash"))
+  val Bm25TopK = 10
+
   val all: Seq[QuerySpec] = Seq(
 
     // Token counting + quality stats. Integer counts are trivially exact;
@@ -555,5 +568,97 @@ object TextQueries {
           (-sum(col("lp"))).as("nll_scaled"),
           r6((-sum(col("lp"))).cast("double") / LmLogScale / count(lit(1)))
             .as("avg_nll6"))
+    },
+
+    // ------------------------------------------------------------------
+    // BM25 lexical retrieval — the inverted-index/search-scoring regime
+    // the suite otherwise lacks (ann_* is vector retrieval; this is the
+    // Okapi tf·idf path every corpus-search and retrieval-augmented
+    // pipeline runs). Shape at 100 TB: the query set is a literal
+    // broadcast; the ONLY corpus-wide work is one scan whose explode is
+    // pre-filtered to query vocabulary BEFORE the tf aggregation (so the
+    // inverted index materializes just the queried posting lists — a few
+    // rows per matching doc, not per token); df/idf and the N/avgdl
+    // corpus stats are single-row/tiny broadcasts back onto that small
+    // matched set. Cross-engine exactness: idf is the only libm term
+    // (ln), quantized to the text_lm_score 1e-4 grid; every other float
+    // op (the tf normalization chain) is the same IEEE tree on both
+    // engines, and per-(query, doc) term contributions are re-quantized
+    // to the grid so the SUM is exact integer arithmetic in any
+    // accumulation order. Ranking is a per-query window over the matched
+    // set (ties → lowest doc_id); a deployment with huge posting lists
+    // swaps in the partial_cos_top_k bounded-heap pattern.
+    checked("text_bm25", {
+      val sqlQ = Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+         |stats AS (SELECT count(*) AS n,
+         |    CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+         |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+         |q AS (SELECT * FROM (VALUES $sqlQ) v(query_id, t)),
+         |tf AS (SELECT doc_id, t, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) u
+         |  WHERE t IN (SELECT DISTINCT t FROM q) GROUP BY doc_id, t),
+         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |idf AS (SELECT t,
+         |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * $LmLogScale + 0.5)
+         |      AS BIGINT) AS iidf
+         |  FROM df, stats),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |    CAST(floor(iidf * ((CAST(tf AS DOUBLE) * 2.2)
+         |        / (CAST(tf AS DOUBLE)
+         |           + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |      + 0.5) AS BIGINT) AS ic
+         |  FROM q JOIN tf USING (t) JOIN idf USING (t) JOIN dl USING (doc_id), stats),
+         |agg AS (SELECT query_id, doc_id, CAST(sum(ic) AS BIGINT) AS score_scaled
+         |  FROM sc GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, score_scaled,
+         |  ${sqlR6(s"CAST(score_scaled AS DOUBLE) / $LmLogScale.0")} AS score6,
+         |  CAST(rn AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_scaled DESC, doc_id) AS rn FROM agg) r
+         |WHERE rn <= $Bm25TopK""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val qdf = broadcast(
+        Bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+          .toDF("query_id", "t"))
+      val qVocab = Bm25Queries.flatMap(_._2).distinct
+      val toks = staged(Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk")))
+      val stats = broadcast(toks.agg(
+        count(lit(1)).as("n"),
+        (sum(size(col("tk"))).cast("double") / count(lit(1))).as("avgdl")))
+      val dl = toks.select(col("doc_id"), size(col("tk")).as("dl"))
+      // Vocabulary filter BEFORE the aggregation: the per-token stream is
+      // cut to query terms in the scan projection, so the tf groupBy
+      // shuffles O(matched docs × query terms), not O(corpus tokens).
+      val tf = staged(toks
+        .select(col("doc_id"), explode(col("tk")).as("t"))
+        .filter(col("t").isInCollection(qVocab))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
+      val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val idf = broadcast(dfT.crossJoin(stats)
+        .select(col("t"),
+          floor(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)) * LmLogScale + lit(0.5)).as("iidf")))
+      val tfn = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+      val sc = qdf.join(tf, "t").join(idf, "t").join(dl, "doc_id")
+        .crossJoin(stats)
+        .select(col("query_id"), col("doc_id"),
+          floor(col("iidf").cast("double") * tfn + lit(0.5)).as("ic"))
+      val agg = sc.groupBy("query_id", "doc_id")
+        .agg(sum(col("ic")).as("score_scaled"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score_scaled").desc, col("doc_id"))
+      agg.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= Bm25TopK)
+        .select(col("query_id"), col("doc_id"), col("score_scaled"),
+          r6(col("score_scaled").cast("double") / LmLogScale).as("score6"),
+          col("rank"))
     })
 }

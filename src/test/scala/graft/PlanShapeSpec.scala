@@ -195,6 +195,19 @@ class PlanShapeSpec extends SparkSpec {
         s"join; found $bnlj in plan:\n$p")
   }
 
+  test("text_bm25 joins broadcast; only the 1-row stats rows cross as BNLJ") {
+    val p = plan("text_bm25")
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian product may appear in the BM25 plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2,
+      s"only the single-row N/avgdl stats broadcasts (idf build + scoring) " +
+        s"may be nested-loop joins; found $bnlj in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query set / idf / posting joins must broadcast onto the " +
+        s"matched set, not sort-merge the corpus; got plan:\n$p")
+  }
+
   test("corpus_mixture broadcasts the threshold table onto the corpus") {
     val p = plan("corpus_mixture")
     assert(p.contains("BroadcastHashJoin"),
