@@ -16,6 +16,7 @@ object SparkEntry {
     KpiQueries.all ++
       RelationalQueries.all ++
       DedupQueries.all ++
+      GraphQueries.all ++
       SimilarityQueries.all ++
       TextQueries.all ++
       ScalarQueries.all ++

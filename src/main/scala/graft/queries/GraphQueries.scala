@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over the TPC-H transaction graph — the
+  * power-iteration-as-joins regime (the canonical Pregel-on-DataFrames
+  * workload) that complements the dedup suite's connected components.
+  *
+  * The graph: customers and suppliers are nodes (suppliers offset into
+  * their own id space), with a symmetric edge for every realized
+  * who-buys-from-whom relationship (distinct (o_custkey, l_suppkey)
+  * through orders ⋈ lineitem). Degrees genuinely vary (~40 distinct
+  * suppliers per customer vs ~600 distinct customers per supplier at
+  * sf0.1), so importance scores spread instead of collapsing to the
+  * uniform fixpoint a near-clique graph would give.
+  */
+object GraphQueries {
+  import QuerySpec._
+
+  /** Fixed power-iteration count and the integer score grid: scores live
+    * on a 1e12 scale so `pr div deg` keeps ~6 significant digits through
+    * PrIters rounds of floor division even at the ~600-edge degrees the
+    * supplier side carries. */
+  val PrIters = 5
+  val PrScale = 1000000000000L
+
+  /** Supplier node-id offset — keeps the two entity keyspaces disjoint in
+    * one node id space (far above any c_custkey at any SF this runs). */
+  val SuppOffset = 10000000L
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // PageRank, damping 85/100, defined ENTIRELY in integer arithmetic:
+    // init u0 = S div n, per-step contribution pr div deg, damped inflow
+    // (85·inflow) div 100 — zero float ops, so bit-exactness needs no
+    // grid-boundary argument at all (compare text_lm_score's quantized
+    // ln). Dangling mass is NOT redistributed (nodes without edges keep
+    // the base term) — the common simplification, declared as the op's
+    // semantics. Scale shape: each iteration is ONE equi join of the
+    // (src, dst, out-degree) edge relation — built and staged once —
+    // against the current scores, plus one aggregate on dst; at 100 TB
+    // you bucket that relation by src so every iteration's join is
+    // shuffle-free on the edge side (the bucketed_join layout), leaving
+    // the dst aggregate as the only wide op per step.
+    checked("graph_pagerank", {
+      val prm = s"prm AS (SELECT $PrScale // count(*) AS u0, " +
+        s"(15 * ($PrScale // count(*))) // 100 AS b " +
+        s"FROM (SELECT c_custkey FROM customer " +
+        s"      UNION ALL SELECT s_suppkey FROM supplier) u)"
+      val iterCtes = (1 to PrIters).map { k =>
+        s"""s$k AS (SELECT n0.node_id,
+           |    b + (85 * COALESCE(i.infl, 0)) // 100 AS pr
+           |  FROM nodes n0 CROSS JOIN prm LEFT JOIN (
+           |    SELECT e.dst AS node_id, CAST(sum(s.pr // d.deg) AS BIGINT) AS infl
+           |    FROM edges e JOIN s${k - 1} s ON e.src = s.node_id
+           |                 JOIN deg d ON e.src = d.src
+           |    GROUP BY e.dst) i ON n0.node_id = i.node_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rel AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |edges AS (SELECT c AS src, $SuppOffset + sp AS dst FROM rel
+         |  UNION ALL SELECT $SuppOffset + sp, c FROM rel),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodes AS (SELECT c_custkey AS node_id FROM customer
+         |  UNION ALL SELECT $SuppOffset + s_suppkey FROM supplier),
+         |$prm,
+         |s0 AS (SELECT node_id, u0 AS pr FROM nodes CROSS JOIN prm),
+         |$iterCtes
+         |SELECT s.node_id, COALESCE(d.deg, 0) AS deg,
+         |  CAST(s.pr AS BIGINT) AS pr_scaled
+         |FROM s$PrIters s LEFT JOIN deg d ON s.node_id = d.src""".stripMargin
+    }) { (s, d) =>
+      val rel = staged(Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct())
+      val edges = rel.select(col("c").as("src"), (lit(SuppOffset) + col("sp")).as("dst"))
+        .unionAll(rel.select((lit(SuppOffset) + col("sp")).as("src"), col("c").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // The loop's reusable relation: (src, dst, out-degree), staged once.
+      val ewd = staged(edges.join(deg, "src"))
+      val nodes = staged(Tables.customer(s, d).select(col("c_custkey").as("node_id"))
+        .unionAll(Tables.supplier(s, d)
+          .select((lit(SuppOffset) + col("s_suppkey")).as("node_id"))))
+      // One bounded scalar action (the corpus_clean_incremental contract):
+      // n as a literal keeps the init/base terms constant-folded instead
+      // of crossJoin'd into every iteration.
+      val n = nodes.count()
+      val u0 = PrScale / n
+      val base = (15L * u0) / 100L
+      var pr = nodes.select(col("node_id"), lit(u0).as("pr"))
+      for (_ <- 1 to PrIters) {
+        val infl = ewd.join(pr.withColumnRenamed("node_id", "src"), "src")
+          .select(col("dst"), expr("pr DIV deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("infl"))
+        pr = staged(nodes
+          .join(infl.withColumnRenamed("dst", "node_id"), Seq("node_id"), "left")
+          .select(col("node_id"),
+            (lit(base) + expr("(85 * coalesce(infl, 0L)) DIV 100")).as("pr")))
+      }
+      pr.join(deg.withColumnRenamed("src", "node_id"), Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          col("pr").as("pr_scaled"))
+    })
+}
