@@ -950,7 +950,7 @@ object DedupQueries {
 
   /** DuckDB CTE chain producing the stop-shingle near-dup `pairs` relation
     * (the SQL twin of [[nearDupPairs]]). */
-  private def pairsCtesSql: String =
+  private[queries] def pairsCtesSql: String =
     s"""sh AS ($shingleSetsSql),
        |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
        |dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
@@ -1005,7 +1005,7 @@ object DedupQueries {
     * exactly as a production pipeline persists its pair graph before the
     * component pass (the parquet hop is also what a multi-stage 100 TB
     * job does — localCheckpoint blocks die with their executors). */
-  private def nearDupPairsShared(s: SparkSession, d: String): DataFrame = {
+  private[queries] def nearDupPairsShared(s: SparkSession, d: String): DataFrame = {
     val dir = TmpDirs.scoped(s"graft_ccpairs_${QuerySpec.jvmScopedKey(d)}")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       nearDupPairs(s, d).write.mode("overwrite").parquet(dir.getAbsolutePath)

@@ -104,5 +104,60 @@ object GraphQueries {
       pr.join(deg.withColumnRenamed("src", "node_id"), Seq("node_id"), "left")
         .select(col("node_id"), coalesce(col("deg"), lit(0L)).as("deg"),
           col("pr").as("pr_scaled"))
+    },
+
+    // ------------------------------------------------------------------
+    // Triangle counting over the document near-dup graph (the duplicate
+    // FAMILIES are near-cliques, so triangles exist and measure family
+    // density — the transaction graph above is bipartite and has none).
+    // The degree-orientation algorithm — THE textbook bound for
+    // distributed triangle enumeration: orient every undirected edge
+    // from its lower-(degree, id) endpoint to its higher one; every
+    // triangle then has exactly one source vertex with two out-edges, so
+    // enumerating wedges from out-adjacency and closing them with a
+    // semi join counts each triangle exactly once, and out-degrees are
+    // bounded by O(√m) — the per-key fan-out cap that makes the wedge
+    // self-join survive skew at 100 TB where an id-ordered orientation
+    // can degrade to max-degree² on a hub vertex. Two shuffles total
+    // beyond the shared pair-graph build: the wedge self-join on the
+    // source and the closing semi join on the (x, y) pair.
+    checked("graph_triangles",
+      s"""WITH ${DedupQueries.pairsCtesSql},
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |dg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+         |o AS (SELECT e.u AS src, e.v AS dst, dv.deg AS ddst
+         |  FROM und e JOIN dg du ON e.u = du.u JOIN dg dv ON e.v = dv.u
+         |  WHERE (du.deg, e.u) < (dv.deg, e.v)),
+         |w AS (SELECT a.src,
+         |    CASE WHEN (a.ddst, a.dst) < (b.ddst, b.dst)
+         |      THEN a.dst ELSE b.dst END AS x,
+         |    CASE WHEN (a.ddst, a.dst) < (b.ddst, b.dst)
+         |      THEN b.dst ELSE a.dst END AS y
+         |  FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst),
+         |tri AS (SELECT w.src, w.x, w.y
+         |  FROM w JOIN o ON w.x = o.src AND w.y = o.dst),
+         |m AS (SELECT unnest([src, x, y]) AS doc_id FROM tri)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+         |FROM m GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = staged(DedupQueries.nearDupPairsShared(s, d))
+      val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      val o = staged(und
+        .join(dg.withColumnRenamed("deg", "dsrc"), "u")
+        .join(dg.select(col("u").as("v"), col("deg").as("ddst")), "v")
+        .filter(struct(col("dsrc"), col("u")) < struct(col("ddst"), col("v")))
+        .select(col("u").as("src"), col("v").as("dst"), col("ddst")))
+      val aLtB = struct(col("a.ddst"), col("a.dst")) < struct(col("b.ddst"), col("b.dst"))
+      val w = o.as("a").join(o.as("b"),
+          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+        .select(col("a.src").as("src"),
+          when(aLtB, col("a.dst")).otherwise(col("b.dst")).as("x"),
+          when(aLtB, col("b.dst")).otherwise(col("a.dst")).as("y"))
+      val tri = w.join(o.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"), "left_semi")
+      tri.select(explode(array(col("src"), col("x"), col("y"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
     })
 }
