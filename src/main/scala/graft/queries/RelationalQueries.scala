@@ -544,5 +544,41 @@ object RelationalQueries {
         r6(coalesce(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), lit(0.0))).as("delta_prev"),
         r6(sum(col("o_totalprice").cast(DecimalType(38, 10))).over(wRun)
           .cast("string").cast("double")).as("running_spend"))
+    },
+
+    // The full ANSI ranking-function family in one declared query —
+    // rank/dense_rank/percent_rank/cume_dist share a TIE-BEARING sort key
+    // (o_orderdate: many orders per day per priority, so rank gaps,
+    // dense-rank compression, and peer-group cume_dist all actually
+    // differ), while row_number/ntile ride the tie-broken total order.
+    // percent_rank and cume_dist are integer-derived single divisions —
+    // the identical IEEE quotient on both engines, no rounding grid
+    // needed (and k·10⁶/(n−1) can never land exactly on a .5 ulp-free
+    // boundary since odd·odd ≠ even). One window partition family =
+    // one shuffle; all six functions evaluate in a single Window
+    // operator pass.
+    checked("window_rank_family",
+      s"""SELECT o_orderkey, o_orderpriority,
+         |  rank() OVER wt AS rnk,
+         |  dense_rank() OVER wt AS drnk,
+         |  percent_rank() OVER wt AS prnk,
+         |  cume_dist() OVER wt AS cdist,
+         |  row_number() OVER wo AS rn,
+         |  CAST(ntile(4) OVER wo AS BIGINT) AS quartile
+         |FROM orders
+         |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
+         |       wo AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wt = Window.partitionBy("o_orderpriority").orderBy(col("o_orderdate"))
+      val wo = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        rank().over(wt).as("rnk"),
+        dense_rank().over(wt).as("drnk"),
+        percent_rank().over(wt).as("prnk"),
+        cume_dist().over(wt).as("cdist"),
+        row_number().over(wo).as("rn"),
+        ntile(4).over(wo).cast("long").as("quartile"))
     })
 }
