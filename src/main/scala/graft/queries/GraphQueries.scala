@@ -91,15 +91,22 @@ object GraphQueries {
       val n = nodes.count()
       val u0 = PrScale / n
       val base = (15L * u0) / 100L
+      // PrIters is FIXED, so the whole power iteration is ONE lazy plan —
+      // no per-round materialization (the CC queries checkpoint per round
+      // because their round count is data-dependent; here 5 chained
+      // broadcast-join + aggregate stages execute as a single job). The
+      // score vector is node-sized (tiny next to the edge list), so each
+      // iteration's join broadcasts it and the edge relation never
+      // shuffles — per step only the dst aggregate is wide.
       var pr = nodes.select(col("node_id"), lit(u0).as("pr"))
       for (_ <- 1 to PrIters) {
-        val infl = ewd.join(pr.withColumnRenamed("node_id", "src"), "src")
+        val infl = ewd.join(broadcast(pr.withColumnRenamed("node_id", "src")), "src")
           .select(col("dst"), expr("pr DIV deg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("infl"))
-        pr = staged(nodes
+        pr = nodes
           .join(infl.withColumnRenamed("dst", "node_id"), Seq("node_id"), "left")
           .select(col("node_id"),
-            (lit(base) + expr("(85 * coalesce(infl, 0L)) DIV 100")).as("pr")))
+            (lit(base) + expr("(85 * coalesce(infl, 0L)) DIV 100")).as("pr"))
       }
       pr.join(deg.withColumnRenamed("src", "node_id"), Seq("node_id"), "left")
         .select(col("node_id"), coalesce(col("deg"), lit(0L)).as("deg"),

@@ -41,6 +41,13 @@ object SimilarityQueries {
   /** Query set for the approximate operators and the recall measurement. */
   val RecallQueries = 50L
 
+  /** k-means training: cluster count, fixed Lloyd iterations, and the
+    * fixed-id init sample base (disjoint from the IVF centroid range so
+    * the two quantizers stay independent). */
+  val KmK = 4
+  val KmIters = 3
+  val KmInitBase = 20L
+
   // Squared norms precomputed once per vector: each scored pair costs one
   // dot product, and the identical integers reach the same sqrt/divide.
   private val svSql =
@@ -376,5 +383,98 @@ object SimilarityQueries {
           lit(hitsByMethod("srp") < hitsByMethod("srp_mp")))
         .withColumn("ladder_mp_lt_ivf",
           lit(hitsByMethod("srp_mp") < hitsByMethod("ivf")))
+    },
+
+    // ------------------------------------------------------------------
+    // Distributed k-means TRAINING (Lloyd's algorithm) — the step the
+    // IVF/SemDeDup quantizers above deliberately skip by sampling fixed
+    // vec_ids; this query closes that loop and trains the coarse
+    // quantizer itself. KmIters fixed Lloyd iterations, every step in
+    // exact integer arithmetic: assignment by scaled-integer L2
+    // (integer-valued doubles, ties → lowest c_id, the ann_ivf argmin),
+    // centroid update as component-wise `sum div count` (trunc-toward-
+    // zero division — identical on both engines for either sign), and
+    // an empty cluster KEEPS its previous centroid (declared
+    // semantics). The distributed shape per iteration: one assignment
+    // projection over the corpus scan (centroids are literals — the
+    // k·dim model state every production k-means broadcasts), one
+    // posexplode + (c_id, pos) aggregate for the sums, and one BOUNDED
+    // k·dim collect to refresh the literals — exactly MLlib's
+    // aggregate-then-broadcast loop, with the argmin in codegen rather
+    // than a UDF. Output pins the final assignment and its distortion
+    // per vector, so any drift in any round flips the hash.
+    checked("ann_kmeans_train", {
+      val cents0 = s"SELECT vec_id - $KmInitBase AS c_id, v AS cv FROM sv0 " +
+        s"WHERE vec_id >= $KmInitBase AND vec_id < ${KmInitBase + KmK}"
+      def assignCte(k: Int): String =
+        s"""d$k AS (SELECT s.vec_id, c.c_id,
+           |    s.n2 - 2 * ${sqlDotInt("s.v", "c.cv", Dim)}
+           |      + ${sqlDotInt("c.cv", "c.cv", Dim)} AS d
+           |  FROM svn s CROSS JOIN c${k - 1} c),
+           |a$k AS (SELECT vec_id, c_id, d FROM (
+           |    SELECT vec_id, c_id, d,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+           |    FROM d$k) t WHERE rn = 1)""".stripMargin
+      def updateCte(k: Int): String =
+        s"""e$k AS (SELECT a.c_id, i AS pos, sum(s.v[i]) AS sm, count(*) AS n
+           |  FROM a$k a JOIN svn s USING (vec_id)
+           |    CROSS JOIN range(1, ${Dim + 1}) t(i)
+           |  GROUP BY a.c_id, i),
+           |u$k AS (SELECT c_id, list(sm // n ORDER BY pos) AS cv
+           |  FROM e$k GROUP BY c_id),
+           |c$k AS (SELECT c.c_id, COALESCE(u.cv, c.cv) AS cv
+           |  FROM c${k - 1} c LEFT JOIN u$k u USING (c_id))""".stripMargin
+      val iters = (1 to KmIters).map { k =>
+        if (k < KmIters) s"${assignCte(k)},\n${updateCte(k)}" else assignCte(k)
+      }.mkString(",\n")
+      s"""WITH sv0 AS (SELECT vec_id, ${sqlScaledVec("embedding")} AS v FROM embeddings),
+         |svn AS (SELECT vec_id, v, ${sqlDotInt("v", "v", Dim)} AS n2 FROM sv0),
+         |c0 AS ($cents0),
+         |$iters
+         |SELECT vec_id, c_id, CAST(d AS BIGINT) AS d
+         |FROM a$KmIters""".stripMargin
+    }) { (s, d) =>
+      val sv = svSpark(s, d)
+      def assign(cents: Array[(Long, IndexedSeq[Long])]): DataFrame = {
+        val dists = cents.map { case (cid, cv) =>
+          val cn2 = cv.map(x => x * x).sum
+          (cid, col("n2") - lit(2) * dotInt(array(cv.map(lit): _*), col("v")) + lit(cn2.toDouble))
+        }
+        val dArr = array(dists.map(_._2): _*)
+        val cidArr = array(dists.map(x => lit(x._1)): _*)
+        sv.select(col("vec_id"), col("v"),
+          element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int"))
+            .as("c_id"),
+          element_at(dArr, array_position(dArr, array_min(dArr)).cast("int"))
+            .as("d"))
+      }
+      // Init: the same fixed-id sample the IVF quantizer uses (bounded
+      // k-row collect — the model state a production trainer broadcasts).
+      var cents: Array[(Long, IndexedSeq[Long])] = sv
+        .filter(col("vec_id") >= KmInitBase && col("vec_id") < KmInitBase + KmK)
+        .select((col("vec_id") - KmInitBase).as("c_id"), col("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+        .sortBy(_._1)
+      for (k <- 1 to KmIters) {
+        val a = assign(cents)
+        if (k < KmIters) {
+          // Component sums via posexplode → (c_id, pos) aggregate; the
+          // k·dim result is the next round's literal centroid state.
+          val upd = a.select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy("c_id", "pos")
+            .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+            .select(col("c_id"), col("pos"), expr("sm DIV n").as("comp"))
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+            .groupBy(_._1)
+            .map { case (cid, rows) =>
+              cid -> rows.sortBy(_._2).map(_._3).toIndexedSeq
+            }
+          cents = cents.map { case (cid, cv) => (cid, upd.getOrElse(cid, cv)) }
+        }
+      }
+      assign(cents)
+        .select(col("vec_id"), col("c_id"), col("d").cast("long").as("d"))
     })
 }
