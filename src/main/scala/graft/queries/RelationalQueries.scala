@@ -383,6 +383,30 @@ object RelationalQueries {
           col("n"), col("total"))
     },
 
+    // Explicit GROUPING SETS — the general form rollup/cube specialize
+    // (an arbitrary, non-hierarchical subset of grouping combinations)
+    // plus grouping_id disambiguation, whose bit order (leftmost grouping
+    // column = most significant bit) both engines share. One Expand +
+    // one aggregate — the same single-shuffle shape as rollup_geo.
+    checked("agg_grouping_sets",
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+         |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  count(*) AS n, ${sqlSum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("gid"), col("n"), col("qty"))
+    },
+
     // Set ops: high-balance ∪/∩/− mid-balance customer keys, tagged.
     checked("set_ops",
       """SELECT 'union' AS op, k FROM (
