@@ -611,5 +611,62 @@ object MlQueries {
         loopInvariants(trained.history, trained.bestEpoch, trained.bestValLoss,
           trained.stoppedEarly, maxEpochs, minDelta)
       }
+    },
+
+    // The CLASSIFICATION trainer — distributed logistic regression (the
+    // quality-classifier shape of a data pipeline: CCNet/GPT-3 filters
+    // are linear classifiers over cheap features), the one objective
+    // family (sigmoid + BCE) the three regression trainers above don't
+    // exercise. Task: embeddings label 0-vs-rest from the raw 64-d
+    // vector + bias. The synthetic labels carry only WEAK linear signal
+    // (class-mean separation ≈ 0.5 σ), so the pinned contract is honest
+    // about what it claims: the standard training-loop invariants plus
+    // `beats_uninformed` — best val BCE strictly below ln 2, the
+    // zero-weight model's loss; learning the bias term alone guarantees
+    // it on the imbalanced label (base-rate calibration ≈ 0.33 nats),
+    // so the gate is robust while still failing if the loop stops
+    // optimizing. Same scale contract as every trainer here: one
+    // O(|θ|) partial per partition, value-deterministic partitioning,
+    // model-sized driver state.
+    checked("ml_train_logreg",
+      s"""SELECT epoch, train_loss, val_loss, lr, best_epoch, stopped_early,
+         |  val_accuracy, val_majority_share,
+         |  true AS losses_finite, true AS lr_nonincreasing,
+         |  true AS best_is_min, true AS exit_consistent,
+         |  true AS beats_uninformed
+         |FROM read_parquet('$DumpRoot/ml_train_logreg/*.parquet')""".stripMargin) { (s, d) =>
+      val maxEpochs = 60
+      val minDelta = 1e-6
+      val nFeat = 65 // bias + 64 dims
+      val rows = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          concat(array(lit(1.0)),
+            transform(col("embedding"), x => x.cast("double"))).as("x"),
+          when(col("label") === 0, 1.0).otherwise(0.0).as("y"),
+          when(col("vec_id") % 5 === 4, "val").otherwise("train").as("split"))
+      // Value-deterministic layout (the spreadWindows rationale): the
+      // partition-ordered gradient fold must see the same rows in the
+      // same partitions every run.
+      val width = math.max(1, s.sparkContext.defaultParallelism)
+      val spread = rows.repartition(width, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+      val trained = graft.ml.LogReg.fit(spread, nFeat,
+        graft.ml.Trainer.Config(lr = 0.3, maxEpochs = maxEpochs,
+          patience = 10, minDelta = minDelta))
+      import s.implicits._
+      val hist = trained.history.toDF()
+        .select(col("epoch"),
+          col("trainLoss").as("train_loss"),
+          col("valLoss").as("val_loss"),
+          col("lr"),
+          lit(trained.bestEpoch).as("best_epoch"),
+          lit(trained.stoppedEarly).as("stopped_early"),
+          lit(trained.valAccuracy).as("val_accuracy"),
+          lit(trained.valMajorityShare).as("val_majority_share"))
+      dumpWithInvariants(s, "ml_train_logreg", hist) { _ =>
+        loopInvariants(trained.history, trained.bestEpoch, trained.bestValLoss,
+          trained.stoppedEarly, maxEpochs, minDelta) :+
+          ("beats_uninformed" -> (trained.bestValLoss < math.log(2.0)))
+      }
     })
 }
