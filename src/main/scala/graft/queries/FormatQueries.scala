@@ -67,6 +67,35 @@ object FormatQueries {
           max(col("ts_us")).as("last_us"))
     },
 
+    // S10 breadth: JSON-lines round-trip — the interchange format every
+    // ingest pipeline meets (logs, API dumps, crawl manifests). Same
+    // lossless contract as csv/orc_roundtrip (the oracle reads the
+    // ORIGINAL table): timestamps carried as exact µs longs so the trip
+    // never rides JSON's stringly date formats, doubles survive via
+    // Spark's shortest-roundtrip serialization, and the read-back
+    // declares the schema explicitly — schema inference over 100 TB of
+    // JSON is a full extra scan and a correctness lottery (type
+    // widening per partition), so production reads always pin it.
+    checked("json_roundtrip",
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sqlSum("value")} AS total_value,
+         |  CAST(min(user_id) AS BIGINT) AS min_user
+         |FROM events WHERE user_id % 3 = 0 GROUP BY event_type""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_json_${QuerySpec.jvmScopedKey(d)}")
+        .getAbsolutePath
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(dir)
+      val schema = StructType.fromDDL(
+        "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE")
+      s.read.schema(schema).json(dir)
+        .filter(col("user_id") % 3 === 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"),
+          min(col("user_id")).as("min_user"))
+    },
+
     // Bucketed co-located join: both sides written bucketBy(8, key) +
     // sortBy, then joined WITHOUT a shuffle — the bucketed scan satisfies
     // the join's hash-partitioning requirement, so neither side crosses an
