@@ -51,53 +51,67 @@ object StreamingQueries {
     val wmFile = new java.io.File(dir, "wm.parquet")
     if (!(realFile.exists() && wmFile.exists())) {
       dir.mkdirs()
-      def writeOne(df: org.apache.spark.sql.DataFrame,
-                   target: java.io.File): Unit = {
-        val stage = new java.io.File(dir, s".stage_${target.getName}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-        val parts = Option(stage.listFiles()).getOrElse(Array.empty).filter(f =>
-          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        require(parts.nonEmpty, s"no part file written under $stage")
-        java.nio.file.Files.move(parts.head.toPath, target.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // The stage dir's job is done — leaving it (with its _SUCCESS
-        // marker) would accumulate hidden junk in the stream dir.
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(stage)
-      }
-      // Normalize the generator's events file (ns-int64 or TIMESTAMP_NTZ
-      // across rounds — `Tables.events`) and write the layout in the
-      // CANONICAL int64-ns form, so the streaming schema below never
-      // depends on the upstream physical layout. unix_micros is exact
-      // integer arithmetic; ×1000 stays far below Long.MaxValue.
-      val raw = Tables.events(s, d)
-        .withColumn("ts", expr("unix_micros(ts) * 1000"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      writeOne(raw, realFile)
-      val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
-      // Past every real close instant plus the 10 s watermark delay, with
-      // slack: a window's end can trail the last event by up to the
-      // window length (2 h for the sliding windows), a session's close by
-      // the 30-minute gap.
-      val sentinelNs = maxNs + (2L * 3600 + 1800 + 10 + 60) * 1000000000L
-      writeOne(s.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(
-          -1L, sentinelNs, -1L, "__wm__", 0.0, "{}")),
-        StreamingKpi.eventsRawSchema), wmFile)
-      // Micro-batch ORDER rides file mtimes (FileStreamSource sorts by
-      // modification time, and Files.move preserves the staged part's
-      // stamp): if wm.parquet ever tied with or sorted before real.parquet
-      // on a coarse-timestamp filesystem, the watermark batch would run
-      // first and drop every real event as late. Pin the order explicitly
-      // instead of trusting timestamp resolution.
-      java.nio.file.Files.setLastModifiedTime(wmFile.toPath,
-        java.nio.file.attribute.FileTime.fromMillis(
-          realFile.lastModified() + 1000))
+      val (raw, maxNs) = canonicalEvents(s, d)
+      writeCanonical(raw, realFile)
+      writeSentinel(s, maxNs, realFile, wmFile)
     }
     dir
+  }
+
+  /** Single-file canonical write: stage under a dot-dir (hidden from the
+    * streaming source's listing), move the part file into place, delete
+    * the stage (its _SUCCESS marker would otherwise accumulate as hidden
+    * junk in the stream dir). */
+  private def writeCanonical(df: org.apache.spark.sql.DataFrame,
+                             target: java.io.File): Unit = {
+    val stage = new java.io.File(target.getParentFile, s".stage_${target.getName}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val parts = Option(stage.listFiles()).getOrElse(Array.empty).filter(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    require(parts.nonEmpty, s"no part file written under $stage")
+    java.nio.file.Files.move(parts.head.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    rmTree(stage)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** The generator's events file normalized (ns-int64 or TIMESTAMP_NTZ
+    * across rounds — `Tables.events`) and rendered in the CANONICAL
+    * int64-ns form, so the streaming schema never depends on the
+    * upstream physical layout (unix_micros is exact integer arithmetic;
+    * ×1000 stays far below Long.MaxValue), plus the max event ns. */
+  private def canonicalEvents(s: org.apache.spark.sql.SparkSession,
+                              d: String): (org.apache.spark.sql.DataFrame, Long) = {
+    val raw = Tables.events(s, d)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    (raw, raw.agg(max(col("ts"))).head.getLong(0))
+  }
+
+  /** Write the far-future `__wm__` sentinel row: past every real close
+    * instant plus the 10 s watermark delay, with slack (a window's end
+    * can trail the last event by up to the window length — 2 h for the
+    * sliding windows — a session's close by the 30-minute gap). The
+    * mtime is pinned +1 s past the events file: micro-batch ORDER rides
+    * file mtimes (FileStreamSource sorts by modification time, and
+    * Files.move preserves the staged part's stamp); if wm.parquet ever
+    * tied with or sorted before the events file on a coarse-timestamp
+    * filesystem, the watermark batch would run first and drop every
+    * real event as late. */
+  private def writeSentinel(s: org.apache.spark.sql.SparkSession, maxNs: Long,
+                            after: java.io.File, wmFile: java.io.File): Unit = {
+    val sentinelNs = maxNs + (2L * 3600 + 1800 + 10 + 60) * 1000000000L
+    writeCanonical(s.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        -1L, sentinelNs, -1L, "__wm__", 0.0, "{}")),
+      StreamingKpi.eventsRawSchema), wmFile)
+    java.nio.file.Files.setLastModifiedTime(wmFile.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        after.lastModified() + 1000))
   }
 
   /** Watermarked stream over a [[sentinelStreamDir]] layout. */
@@ -133,24 +147,9 @@ object StreamingQueries {
     val (rows, schema) = drainCache.computeIfAbsent(
       s"${kind}_${QuerySpec.jvmScopedKey(d)}", { _ =>
         val dir = sentinelStreamDir(s, d)
-        val drained = StreamingKpi.runBounded(s, s2 => {
-          val grouped = sentinelStream(s2, dir)
-            .groupBy(col("event_type").as("slice"), kind match {
-              case "tumbling" => window(col("ts"), "1 hour")
-              case "sliding"  => window(col("ts"), "2 hours", "1 hour")
-              case "session"  => session_window(col("ts"), "30 minutes")
-            })
-            .agg(count(lit(1)).as("n_events"),
-              dsum(col("value")).as("total_value"))
-          if (kind == "session")
-            grouped.select(col("slice"),
-              col("session_window.start").as("session_start"),
-              col("session_window.end").as("session_end"),
-              col("n_events"), col("total_value"))
-          else
-            grouped.select(col("slice"), col("window.start").as("window_start"),
-              col("n_events"), col("total_value"))
-        }, s"kpi_${kind}_append", OutputMode.Append)
+        val drained = StreamingKpi.runBounded(s,
+          s2 => windowedKpi(sentinelStream(s2, dir), kind),
+          s"kpi_${kind}_append", OutputMode.Append)
           // The sentinel can't appear in append output (its own window is
           // never final) — but filter the DRAINED rows anyway so the
           // contract doesn't ride that reasoning alone. Never filter
@@ -158,6 +157,90 @@ object StreamingQueries {
           // pushes below EventTimeWatermark and freezes the clock
           // (verified in round 7 — the last real window never finalizes;
           // SURVEY §8 round-7 deltas).
+          .filter(col("slice") =!= "__wm__")
+        (drained.collect(), drained.schema)
+      })
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), schema)
+  }
+
+  /** The windowed-KPI streaming aggregation per window kind — shared by
+    * the memoized drains and the restart query so every declared route
+    * aggregates through the identical plan. */
+  private def windowedKpi(stream: org.apache.spark.sql.DataFrame,
+                          kind: String): org.apache.spark.sql.DataFrame = {
+    val grouped = stream
+      .groupBy(col("event_type").as("slice"), kind match {
+        case "tumbling" => window(col("ts"), "1 hour")
+        case "sliding"  => window(col("ts"), "2 hours", "1 hour")
+        case "session"  => session_window(col("ts"), "30 minutes")
+      })
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+    if (kind == "session")
+      grouped.select(col("slice"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+    else
+      grouped.select(col("slice"), col("window.start").as("window_start"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Two-incarnation checkpointed drain — checkpoint-restart as a
+    * DECLARED, oracle-gated property (the specs pin it per-processor;
+    * this puts it on the query surface). Incarnation 1 ingests every
+    * REAL event and stops. Its trailing no-data micro-batch applies the
+    * advanced watermark (max real ts − 10 s), so windows strictly below
+    * it finalize pre-stop — but the LAST window of every slice (the one
+    * containing the max event time) cannot, and its aggregation state
+    * must survive in the checkpoint. The sentinel then lands, and
+    * incarnation 2 — a NEW query started from the same checkpoint —
+    * must restore source offsets, the event-time watermark, AND that
+    * open-window state, then emit exactly the missing windows (loud
+    * `require`s pin both sides: the pre-stop emission is a strict
+    * subset, and the restart emits strictly more — the claim never
+    * silently degrades to a vacuous single-run drain). Output ≡ the
+    * batch oracle, like every other streaming twin: a restart that
+    * loses, duplicates, or re-emits ANY window hash-mismatches.
+    * Memoized per (JVM, sf). */
+  private def kpiRestartDrain(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    val (rows, schema) = drainCache.computeIfAbsent(
+      s"restart_${QuerySpec.jvmScopedKey(d)}", { _ =>
+        val root = TmpDirs.scoped(s"graft_wmrestart_${QuerySpec.jvmScopedKey(d)}")
+        rmTree(root)
+        val streamDir = new java.io.File(root, "stream")
+        streamDir.mkdirs()
+        val outPath = new java.io.File(root, "out").getAbsolutePath
+        val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+        val realFile = new java.io.File(streamDir, "real.parquet")
+        val (raw, maxNs) = canonicalEvents(s, d)
+        writeCanonical(raw, realFile)
+        // Isolated child session (the runBounded contract): conf copied,
+        // narrow shuffle width for the tiny streaming state.
+        val s2 = s.newSession()
+        s.conf.getAll.foreach { case (k, v) =>
+          try s2.conf.set(k, v) catch { case _: Exception => () }
+        }
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        def incarnation() = windowedKpi(sentinelStream(s2, streamDir), "tumbling")
+          .writeStream.format("parquet")
+          .option("path", outPath).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append).start()
+        val q1 = incarnation()
+        try q1.processAllAvailable() finally q1.stop()
+        val emitted1 = s.read.parquet(outPath).count()
+        writeSentinel(s, maxNs, realFile, new java.io.File(streamDir, "wm.parquet"))
+        val q2 = incarnation()
+        try q2.processAllAvailable() finally q2.stop()
+        val emittedFinal = s.read.parquet(outPath).count()
+        require(emittedFinal > emitted1,
+          s"restart drain: incarnation 2 emitted nothing beyond the " +
+            s"$emitted1 pre-stop rows — no state crossed the restart, " +
+            "the claim would be vacuous")
+        val drained = s.read.parquet(outPath)
           .filter(col("slice") =!= "__wm__")
         (drained.collect(), drained.schema)
       })
@@ -192,6 +275,22 @@ object StreamingQueries {
          |  ${sqlSum("value")} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
       kpiAppendDrain(s, d, "tumbling")
+    },
+
+    // Checkpoint-restart on the DECLARED surface: the tumbling KPI runs
+    // over the real events, stops with every slice's LAST window still
+    // open in checkpointed state, and a second incarnation restarted
+    // from the same checkpoint emits the missing windows from restored
+    // offsets/watermark/state (see kpiRestartDrain — a require proves
+    // the restart emitted strictly more than the pre-stop run). Same
+    // batch oracle as the other tumbling twins: a restart that loses,
+    // duplicates, or re-emits ANY window hash-mismatches.
+    checked("stream_kpi_restart",
+      s"""SELECT event_type AS slice, date_trunc('hour', ts) AS window_start,
+         |  count(*) AS n_events,
+         |  ${sqlSum("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      kpiRestartDrain(s, d)
     },
 
     // Sliding-window streaming aggregation (T3 declared addition): every
