@@ -23,7 +23,9 @@ object SparkEntry {
       StreamingQueries.all ++
       MlQueries.all ++
       SourceQueries.all ++
-      FormatQueries.all
+      FormatQueries.all ++
+      WarehouseQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

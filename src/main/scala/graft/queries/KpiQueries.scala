@@ -213,6 +213,136 @@ object KpiQueries {
           col("n_events"), col("total_value"))
     },
 
+    // Count-min sketch — the 100 TB per-key frequency path that
+    // complements sketch_rollup's HLL (distinct) and sketch_quantiles'
+    // GK (rank): CMS counters are mergeable by plain element-wise
+    // addition, so a union of per-day sketches equals the one-pass
+    // direct sketch EXACTLY (same seed → same hash grid → identical
+    // counter arrays) — asserted as merge_exact, a property neither HLL
+    // nor GK gives. The other two gates are the CMS contract measured
+    // in exact integer arithmetic: est ≥ exact always (counters only
+    // over-count), and est ≤ exact + ⌈eps·N⌉ (deterministic here for
+    // fixed seed + fixed input). Shape: two sketch aggregates over one
+    // scan (per-day partials merge map-side) plus one exact per-key
+    // count; only O(days) sketch blobs and O(keys) counts reach the
+    // driver — bounded state, the IVF-quantizer precedent. DuckDB has
+    // no CMS, so its twin computes the exact counts and asserts the
+    // measured contract booleans as literal true (sketch_rollup
+    // pattern).
+    checked("sketch_cms",
+      """SELECT event_type AS slice, CAST(count(*) AS BIGINT) AS n_exact,
+        |  true AS cms_ge_exact, true AS cms_within_eps, true AS merge_exact
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val CmsEps = 0.001
+      val ev = Tables.events(s, d).select(col("event_type"), col("ts"))
+      def cms(c: org.apache.spark.sql.Column) =
+        count_min_sketch(c, lit(CmsEps), lit(0.99), lit(42))
+      val direct = ev.agg(cms(col("event_type")).as("sk"),
+        count(lit(1)).as("n")).head()
+      val total = direct.getLong(1)
+      val directSk = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(direct.getAs[Array[Byte]](0))
+      // Daily partial sketches (bounded: one blob per day) merged on
+      // the driver — at 100 TB these are the persisted nightly blobs.
+      val daily = ev.groupBy(date_trunc("day", col("ts")))
+        .agg(cms(col("event_type")).as("sk"))
+        .collect().map(r => org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(r.getAs[Array[Byte]]("sk")))
+      val mergedSk = daily.reduce((a, b) => a.mergeInPlace(b))
+      val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val slack = math.ceil(CmsEps * total).toLong
+      import s.implicits._
+      exact.toSeq.map { case (k, n) =>
+        val est = directSk.estimateCount(k)
+        (k, n, est >= n, est <= n + slack, est == mergedSk.estimateCount(k))
+      }.toDF("slice", "n_exact", "cms_ge_exact", "cms_within_eps",
+        "merge_exact")
+    },
+
+    // Integer-exact exponential smoothing (EWMA, α = 1/2) per user —
+    // the recurrence e_t = (e_{t−1} + v_t) div 2 on the 1e3-scaled
+    // value grid, a genuinely ORDER-DEPENDENT sequential fold that no
+    // plain aggregate expresses: Spark runs it as one shuffle to the
+    // user key, an in-group sort (sort_array over (ts, event_id)-keyed
+    // structs — event_id makes the order total), and a codegen'd
+    // aggregate() HOF fold (shiftright = div 2 on the nonnegative
+    // grid); per-group state is one user's history (bounded ≤ ~hundreds
+    // of events per user at every SF — the ml_seq_windows per-key
+    // contract; an unbounded key would stream through
+    // flatMapGroups instead). DuckDB has no fold HOF, so the twin runs
+    // the IDENTICAL recurrence as a recursive CTE stepping rn → rn+1.
+    checked("ts_ewma",
+      """WITH RECURSIVE ord AS (
+        |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, v AS e FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, (r.e + o.v) // 2
+        |  FROM r JOIN ord o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+        |  arg_max(e, rn) AS ewma_final
+        |FROM r GROUP BY user_id""".stripMargin) { (s, d) =>
+      val seq = Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("v")).as("x"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("x"))).as("seq"),
+          count(lit(1)).as("n_events"))
+      seq.select(col("user_id"), col("n_events"),
+        aggregate(
+          slice(col("seq"), lit(2), greatest(size(col("seq")) - 1, lit(0))),
+          element_at(col("seq"), 1).getField("v"),
+          (acc, x) => shiftright(acc + x.getField("v"), 1)).as("ewma_final"))
+    },
+
+    // Trailing-window z-score anomaly flags — the monitoring pass a KPI
+    // pipeline hangs alerts on, stated entirely in integer arithmetic so
+    // the flag is bit-deterministic: over each slice's (ts, event_id)-
+    // ordered stream, a 10-row trailing frame carries S = Σv and
+    // Q = Σv² on the 1e3-scaled grid, and |v − μ| > 3σ is cleared of
+    // divisions as (v·n − S)² > 9·(n·Q − S²) (all terms ≤ ~1e14 — long-
+    // safe; a constant window makes both sides 0 → no flag, no ÷0 to
+    // guard). One window pass + one aggregate, partitioned by slice —
+    // embarrassingly scalable; n ≥ 5 warms up the frame.
+    checked("anomaly_zscore",
+      """WITH sv AS (SELECT event_type AS slice, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v, ts FROM events),
+        |w AS (SELECT slice, event_id, v,
+        |    sum(v) OVER tw AS sw, sum(v * v) OVER tw AS q,
+        |    count(*) OVER tw AS n
+        |  FROM sv WINDOW tw AS (PARTITION BY slice ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT slice, event_id,
+        |    n >= 5 AND (v * n - sw) * (v * n - sw) > 9 * (n * q - sw * sw)
+        |      AS is_anom
+        |  FROM w)
+        |SELECT slice, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (WHERE is_anom) AS BIGINT) AS n_anomalies,
+        |  CAST(COALESCE(sum(event_id) FILTER (WHERE is_anom), 0) AS BIGINT)
+        |    AS anomaly_id_sum
+        |FROM f GROUP BY slice""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tw = Window.partitionBy("slice").orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+      val w = Tables.events(s, d)
+        .select(col("event_type").as("slice"), col("event_id"), col("ts"),
+          floor(col("value") * 1000).cast("long").as("v"))
+        .withColumn("sw", sum(col("v")).over(tw))
+        .withColumn("q", sum(col("v") * col("v")).over(tw))
+        .withColumn("n", count(lit(1)).over(tw))
+      val isAnom = col("n") >= 5 &&
+        (col("v") * col("n") - col("sw")) * (col("v") * col("n") - col("sw")) >
+          lit(9) * (col("n") * col("q") - col("sw") * col("sw"))
+      w.groupBy("slice").agg(
+        count(lit(1)).as("n_events"),
+        sum(when(isAnom, 1L).otherwise(0L)).as("n_anomalies"),
+        sum(when(isAnom, col("event_id")).otherwise(0L)).as("anomaly_id_sum"))
+    },
+
     // Per-flow sequencing exposed directly (reference :407-417): IAT rows.
     checked("flow_iat",
       s"""WITH pkt AS (${FlowOps.packetViewSql}),

@@ -249,6 +249,53 @@ object StreamingQueries {
         java.util.Arrays.asList(rows: _*)), schema)
   }
 
+  /** Trigger.AvailableNow drain — the production BATCH-OF-A-STREAM
+    * trigger: the query plans all data available at start, processes it
+    * through the source's own rate limit (maxFilesPerTrigger — each file
+    * is still its own micro-batch, so the watermark advances BETWEEN
+    * batches exactly as in a live feed), runs the trailing no-data batch
+    * that applies the final watermark and flushes finalized windows, and
+    * then TERMINATES ITSELF — no processAllAvailable/stop() harness
+    * control; a loud require pins the self-termination so the claim
+    * never degrades to a harness-stopped drain. This is the nightly
+    * catch-up shape at 100 TB: the same checkpointed query alternates
+    * AvailableNow catch-up runs and idle windows without code changes.
+    * Memoized per (JVM, sf). */
+  private def kpiAvailableNowDrain(s: org.apache.spark.sql.SparkSession,
+                                   d: String): org.apache.spark.sql.DataFrame = {
+    val (rows, schema) = drainCache.computeIfAbsent(
+      s"availnow_${QuerySpec.jvmScopedKey(d)}", { _ =>
+        val dir = sentinelStreamDir(s, d)
+        val root = TmpDirs.scoped(s"graft_availnow_${QuerySpec.jvmScopedKey(d)}")
+        rmTree(root)
+        root.mkdirs()
+        val outPath = new java.io.File(root, "out").getAbsolutePath
+        val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+        val s2 = s.newSession()
+        s.conf.getAll.foreach { case (k, v) =>
+          try s2.conf.set(k, v) catch { case _: Exception => () }
+        }
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = windowedKpi(sentinelStream(s2, dir), "tumbling")
+          .writeStream.format("parquet")
+          .option("path", outPath).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val selfStopped = q.awaitTermination(180000)
+        if (!selfStopped) q.stop()
+        require(selfStopped,
+          "AvailableNow drain did not self-terminate within 180 s — the " +
+            "trigger contract (process available data, then stop) failed")
+        val drained = s.read.parquet(outPath)
+          .filter(col("slice") =!= "__wm__")
+        (drained.collect(), drained.schema)
+      })
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), schema)
+  }
+
   /** Batch-lag oracle shared by both keyed-state IAT routes (legacy
     * flatMapGroupsWithState and Spark 4 transformWithState): the streaming
     * result must equal the batch window exactly. */
@@ -291,6 +338,24 @@ object StreamingQueries {
          |  ${sqlSum("value")} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
       kpiRestartDrain(s, d)
+    },
+
+    // Trigger.AvailableNow on the declared surface — the tumbling KPI
+    // drained by the trigger a production catch-up/backfill run uses:
+    // all-available data processed through the source rate limit in
+    // real micro-batches (watermark advancing between them), the
+    // trailing no-data batch flushing the final windows, and the query
+    // terminating ITSELF (pinned by a require — see
+    // kpiAvailableNowDrain). Same batch oracle as every tumbling twin:
+    // a trigger that stopped early, skipped the finalization batch, or
+    // re-planned files would lose or duplicate windows and
+    // hash-mismatch.
+    checked("stream_kpi_availablenow",
+      s"""SELECT event_type AS slice, date_trunc('hour', ts) AS window_start,
+         |  count(*) AS n_events,
+         |  ${sqlSum("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      kpiAvailableNowDrain(s, d)
     },
 
     // Sliding-window streaming aggregation (T3 declared addition): every
@@ -336,6 +401,39 @@ object StreamingQueries {
          |  FROM events)
          |GROUP BY slice, ws""".stripMargin) { (s, d) =>
       kpiAppendDrain(s, d, "sliding")
+    },
+
+    // Stream-static enrichment — the missing join regime beside the
+    // stream-stream funnel: the event stream inner-joins a STATIC
+    // dimension (customer segment keyed by user id) inside the streaming
+    // query, then aggregates per (segment, hour) under the watermark.
+    // The static side is planned as a broadcast against every
+    // micro-batch — the canonical enrichment shape (at 100 TB the dim
+    // broadcast is built once and reused across batches; a mutable dim
+    // would swap in via foreachBatch re-resolution). The sentinel row's
+    // user id (-1) matches no customer, so the inner join itself retires
+    // it from the output while its event time still drives the final
+    // watermark — the enrichment path must not sever the watermark
+    // column, which this query proves. Oracle: the batch join+rollup.
+    checked("stream_enrich_static",
+      s"""SELECT c.c_mktsegment AS segment, date_trunc('hour', e.ts) AS window_start,
+         |  count(*) AS n_events,
+         |  ${sqlSum("e.value")} AS total_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val dir = sentinelStreamDir(s, d)
+      StreamingKpi.runBounded(s, s2 => {
+        val dim = Tables.customer(s2, d)
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment"))
+        sentinelStream(s2, dir)
+          .join(broadcast(dim), "user_id")
+          .groupBy(col("segment"), window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("total_value"))
+          .select(col("segment"), col("window.start").as("window_start"),
+            col("n_events"), col("total_value"))
+      }, "enrich_static", OutputMode.Append)
     },
 
     // Session windows in append mode: the state-store session MERGE (two

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Warehouse-maintenance and advanced-SQL-surface operators — the table
+  * upkeep half of a production lakehouse (the reference pipeline feeds a
+  * nightly analytics store, `KafkaKpiPipeline.scala:296`): slowly-changing-
+  * dimension MERGE, recursive hierarchy walks, and correlated LATERAL
+  * top-n — each expressed on the engine surface a 100 TB deployment would
+  * actually use (one windowed pass over co-partitioned history, Spark 4's
+  * native recursive CTE, decorrelated lateral subqueries), and each checked
+  * bit-exact against the equivalent DuckDB SQL.
+  */
+object WarehouseQueries {
+  import QuerySpec._
+
+  /** SCD2 epoch / split / open-row sentinel timestamps. The split sits
+    * mid-range of the generator's o_orderdate span (1995..2001) so both
+    * the initial store build and the incremental batch carry real
+    * version chains. */
+  val Scd2Epoch = "1990-01-01 00:00:00"
+  val Scd2Split = "1999-01-01 00:00:00"
+  val Scd2High = "9999-12-31 00:00:00"
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // SCD2 MERGE — the nightly warehouse upsert: a change feed (one
+    // priority observation per (custkey, orderdate), deduplicated by
+    // max-orderkey) is folded into a versioned dimension with
+    // valid_from/valid_to/is_current. The query runs the INCREMENTAL
+    // path — build the store from pre-split history, then MERGE the
+    // post-split batch (close each touched key's open row at the batch's
+    // first change, append the batch's own version chain) — and the
+    // DuckDB twin builds the same table in ONE windowed pass over the
+    // full history: the gate proves merge-then-read ≡ rebuild, the
+    // correctness statement an incremental pipeline actually needs.
+    // Every change row opens a version (no collapse-on-equal-attr) —
+    // declared semantics, identical on both paths. Scale shape: the
+    // store build is one lead() window per key; the merge is two joins
+    // of the store against the batch's first-change frame (broadcast —
+    // a nightly batch's touched-key set is dwarfed by the full
+    // dimension) plus a window over the batch alone. At 100 TB both
+    // store and feed are bucketed by custkey, making the joins
+    // co-located and the windows shuffle-free.
+    checked("scd2_upsert",
+      s"""WITH chg AS (
+         |  SELECT o_custkey AS custkey, o_orderdate AS vf,
+         |    arg_max(o_orderpriority, o_orderkey) AS attr
+         |  FROM orders GROUP BY 1, 2),
+         |hist AS (
+         |  SELECT c_custkey AS custkey, TIMESTAMP '$Scd2Epoch' AS vf,
+         |    c_mktsegment AS attr
+         |  FROM customer
+         |  UNION ALL SELECT custkey, vf, attr FROM chg),
+         |v AS (SELECT custkey, vf, attr,
+         |  lead(vf) OVER (PARTITION BY custkey ORDER BY vf) AS vt FROM hist)
+         |SELECT custkey, attr, vf AS valid_from,
+         |  COALESCE(vt, TIMESTAMP '$Scd2High') AS valid_to,
+         |  vt IS NULL AS is_current
+         |FROM v""".stripMargin) { (s, d) =>
+      val high = expr(s"TIMESTAMP '$Scd2High'")
+      val chg = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"), col("o_orderdate").as("vf"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("attr"))
+      val init = Tables.customer(s, d).select(
+        col("c_custkey").as("custkey"),
+        expr(s"TIMESTAMP '$Scd2Epoch'").as("vf"),
+        col("c_mktsegment").as("attr"))
+      val perKey = Window.partitionBy("custkey").orderBy("vf")
+      // Phase 1: the standing store from pre-split history (open rows
+      // keep a null vt until finalization).
+      val split = expr(s"TIMESTAMP '$Scd2Split'")
+      val store = init.unionByName(chg.filter(col("vf") < split))
+        .withColumn("vt", lead(col("vf"), 1).over(perKey))
+      // Phase 2: MERGE the post-split batch.
+      val batch = chg.filter(col("vf") >= split)
+      val firstB = batch.groupBy("custkey").agg(min(col("vf")).as("b0"))
+      val merged = store.join(broadcast(firstB), Seq("custkey"), "left")
+        .withColumn("vt",
+          when(col("vt").isNull && col("b0").isNotNull, col("b0"))
+            .otherwise(col("vt")))
+        .drop("b0")
+      val newVers = batch
+        .withColumn("vt", lead(col("vf"), 1).over(perKey))
+      merged.unionByName(newVers)
+        .select(col("custkey"), col("attr"), col("vf").as("valid_from"),
+          coalesce(col("vt"), high).as("valid_to"),
+          col("vt").isNull.as("is_current"))
+    },
+
+    // Snapshot CDC — the change-data-capture diff between two point-in-
+    // time states of the mutable dimension scd2_upsert maintains: the
+    // latest attribute per key as of the split vs as of now, full-outer
+    // joined on the key, emitting I (key newly appeared) and U
+    // (attribute changed) rows — the delta a downstream consumer
+    // replays. The feed is append-only so D rows can't occur (declared).
+    // Both snapshots are arg_max aggregates keyed on custkey, so the
+    // diff join is co-partitioned with zero extra exchanges; at 100 TB
+    // this is the storage-efficient CDC shape: two snapshot scans and
+    // one narrow join, no row-level history needed.
+    checked("snapshot_cdc",
+      s"""WITH chg AS (
+         |  SELECT o_custkey AS custkey, o_orderdate AS vf,
+         |    arg_max(o_orderpriority, o_orderkey) AS attr
+         |  FROM orders GROUP BY 1, 2),
+         |s1 AS (SELECT custkey, arg_max(attr, vf) AS attr FROM chg
+         |  WHERE vf < TIMESTAMP '$Scd2Split' GROUP BY 1),
+         |s2 AS (SELECT custkey, arg_max(attr, vf) AS attr FROM chg GROUP BY 1)
+         |SELECT s2.custkey,
+         |  CASE WHEN s1.custkey IS NULL THEN 'I' ELSE 'U' END AS op,
+         |  s1.attr AS old_attr, s2.attr AS new_attr
+         |FROM s2 LEFT JOIN s1 USING (custkey)
+         |WHERE s1.custkey IS NULL OR s1.attr <> s2.attr""".stripMargin) {
+      (s, d) =>
+        val chg = staged(Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("custkey"),
+            col("o_orderdate").as("vf"))
+          .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("attr")))
+        def snap(df: DataFrame): DataFrame =
+          df.groupBy("custkey").agg(max_by(col("attr"), col("vf")).as("attr"))
+        val s1 = snap(chg.filter(col("vf") < expr(s"TIMESTAMP '$Scd2Split'")))
+          .withColumnsRenamed(Map("attr" -> "old_attr", "custkey" -> "k1"))
+        val s2 = snap(chg)
+        s2.join(s1, s2("custkey") === s1("k1"), "left")
+          .filter(col("k1").isNull || col("old_attr") =!= col("attr"))
+          .select(col("custkey"),
+            when(col("k1").isNull, "I").otherwise("U").as("op"),
+            col("old_attr"), col("attr").as("new_attr"))
+    },
+
+    // Recursive CTE — Spark 4's native WITH RECURSIVE (resolved by
+    // ResolveWithCTE, executed as an iterative union loop) walking the
+    // implicit binary-tree hierarchy parent(k) = k div 2 over the
+    // supplier keyspace: each supplier emits its full ancestor chain up
+    // to key 1 (or stops immediately at key 0), then aggregates chain
+    // depth, length, and an ancestor-key checksum. Depth is
+    // O(log2 max_key) (~10 at sf0.1), far under Spark's default
+    // cteRecursionLevelLimit of 100 — the recursion ships one narrow
+    // (k, a, d) relation per level and each level is a single
+    // whole-stage-codegen'd projection+filter, so at 100 TB the cost is
+    // levels × one map pass, no shuffle until the final aggregate.
+    // DuckDB runs the IDENTICAL recursion (spelled //) natively.
+    checked("recursive_cte",
+      """WITH RECURSIVE anc AS (
+        |  SELECT s_suppkey AS k, s_suppkey AS a, 0 AS d FROM supplier
+        |  UNION ALL
+        |  SELECT k, a // 2, d + 1 FROM anc WHERE a > 1)
+        |SELECT k AS suppkey, max(d) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_anc,
+        |  CAST(sum(a) AS BIGINT) AS anc_sum
+        |FROM anc GROUP BY k""".stripMargin) { (s, d) =>
+      s.sql(
+        s"""WITH RECURSIVE anc AS (
+           |  SELECT s_suppkey AS k, s_suppkey AS a, 0 AS d
+           |  FROM parquet.`$d/supplier.parquet`
+           |  UNION ALL
+           |  SELECT k, a DIV 2, d + 1 FROM anc WHERE a > 1)
+           |SELECT k AS suppkey, max(d) AS depth,
+           |  CAST(count(*) AS BIGINT) AS n_anc,
+           |  CAST(sum(a) AS BIGINT) AS anc_sum
+           |FROM anc GROUP BY k""".stripMargin)
+    },
+
+    // Correlated LATERAL top-n — the per-group-limit surface as a LATERAL
+    // subquery with ORDER BY + LIMIT (Spark decorrelates it into a
+    // ranked window join; DuckDB executes the lateral natively): the
+    // top-3 customers by account balance per nation, balances on the
+    // exact cent grid and ties broken by key so the selection is total-
+    // ordered on both engines. The decorrelated plan is the scalable
+    // shape — one rank window partitioned by nationkey over the
+    // customer scan, no per-nation re-scan — which is exactly what a
+    // hand-written top-n-per-group would build.
+    checked("lateral_topn",
+      """SELECT n.n_nationkey, n.n_name, l.c_custkey, l.bal_cents
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY bal_cents DESC, c_custkey LIMIT 3) l""".stripMargin) {
+      (s, d) =>
+        s.sql(
+          s"""SELECT n.n_nationkey, n.n_name, l.c_custkey, l.bal_cents
+             |FROM parquet.`$d/nation.parquet` n,
+             |LATERAL (SELECT c_custkey,
+             |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+             |  FROM parquet.`$d/customer.parquet` c
+             |  WHERE c.c_nationkey = n.n_nationkey
+             |  ORDER BY bal_cents DESC, c_custkey LIMIT 3) l""".stripMargin)
+    }
+  )
+}

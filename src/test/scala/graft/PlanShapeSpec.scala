@@ -218,6 +218,27 @@ class PlanShapeSpec extends SparkSpec {
         "pass is a map-side broadcast join at any scale")
   }
 
+  test("scd2_upsert broadcasts the batch first-change frame; date splits push to scan") {
+    val p = plan("scd2_upsert")
+    assert(p.contains("BroadcastHashJoin"),
+      "the store-vs-firstB merge join must broadcast the touched-key frame")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LessThan(o_orderdate") || p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"the split-date predicate must reach the orders scan; got plan:\n$p")
+  }
+
+  test("lateral_topn decorrelates to a group-limit window, not a per-nation rescan") {
+    val p = plan("lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      s"the LATERAL ORDER BY/LIMIT must become a WindowGroupLimit " +
+        s"(map-side top-k before the exchange); got plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("recursive_cte executes as a native UnionLoop") {
+    assert(plan("recursive_cte").contains("UnionLoop"))
+  }
+
   test("shuffle-volume ceilings hold for the heaviest queries") {
     // Wall time only tells you a regression happened on THIS machine;
     // bytes crossing the exchanges tell you the plan itself regressed — a
