@@ -296,6 +296,66 @@ object StreamingQueries {
         java.util.Arrays.asList(rows: _*)), schema)
   }
 
+  /** foreachBatch keyed-upsert drain — the Update-mode MERGE-sink
+    * pattern: the tumbling KPI emits REFRESHED (slice, window) rows
+    * every micro-batch they change (no watermark-finalization wait), and
+    * the foreachBatch callback upserts them into a keyed parquet store —
+    * survivors = store rows whose key is absent from the batch, plus the
+    * batch (each emission carries the key's complete new aggregate, so
+    * replaying a batch writes the same keyed values: idempotent by
+    * construction, the exactly-once story every foreachBatch MERGE sink
+    * relies on). The swap is write-to-tmp + atomic rename, the
+    * transactional-commit shape of a real lakehouse MERGE (at 100 TB the
+    * store is a keyed table and this callback is a MERGE INTO — update
+    * mode is what lets results go live per batch instead of per
+    * watermark). Final store ≡ the batch oracle. Memoized per (JVM, sf). */
+  private def kpiForeachBatchUpsert(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
+    val (rows, schema) = drainCache.computeIfAbsent(
+      s"febupsert_${QuerySpec.jvmScopedKey(d)}", { _ =>
+        val dir = sentinelStreamDir(s, d)
+        val root = TmpDirs.scoped(s"graft_febu_${QuerySpec.jvmScopedKey(d)}")
+        rmTree(root)
+        root.mkdirs()
+        val store = new java.io.File(root, "store")
+        val s2 = s.newSession()
+        s.conf.getAll.foreach { case (k, v) =>
+          try s2.conf.set(k, v) catch { case _: Exception => () }
+        }
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = windowedKpi(sentinelStream(s2, dir), "tumbling")
+          .writeStream
+          .option("checkpointLocation",
+            new java.io.File(root, "ckpt").getAbsolutePath)
+          .outputMode(OutputMode.Update)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // batch is a STATIC frame here — filtering the group key is
+            // safe (no watermark operator to push below).
+            val fresh = batch.filter(col("slice") =!= "__wm__")
+            val merged =
+              if (store.exists()) {
+                val prev = fresh.sparkSession.read.parquet(store.getAbsolutePath)
+                prev.join(fresh.select("slice", "window_start"),
+                  Seq("slice", "window_start"), "left_anti")
+                  .unionByName(fresh)
+              } else fresh
+            val tmp = new java.io.File(root, "store_tmp")
+            merged.coalesce(1).write.mode("overwrite")
+              .parquet(tmp.getAbsolutePath)
+            rmTree(store)
+            java.nio.file.Files.move(tmp.toPath, store.toPath)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val drained = s.read.parquet(store.getAbsolutePath)
+        (drained.collect(), drained.schema)
+      })
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), schema)
+  }
+
   /** Batch-lag oracle shared by both keyed-state IAT routes (legacy
     * flatMapGroupsWithState and Spark 4 transformWithState): the streaming
     * result must equal the batch window exactly. */
@@ -401,6 +461,20 @@ object StreamingQueries {
          |  FROM events)
          |GROUP BY slice, ws""".stripMargin) { (s, d) =>
       kpiAppendDrain(s, d, "sliding")
+    },
+
+    // Update-mode foreachBatch MERGE sink — the per-batch go-live path
+    // beside append's finalize-at-watermark: every micro-batch upserts
+    // its refreshed (slice, window) aggregates into a keyed store
+    // through an atomic tmp+rename swap (see kpiForeachBatchUpsert).
+    // Same batch oracle: an upsert that dropped a key, kept a stale
+    // aggregate, or double-applied a batch hash-mismatches.
+    checked("stream_foreachbatch_upsert",
+      s"""SELECT event_type AS slice, date_trunc('hour', ts) AS window_start,
+         |  count(*) AS n_events,
+         |  ${sqlSum("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      kpiForeachBatchUpsert(s, d)
     },
 
     // Stream-static enrichment — the missing join regime beside the

@@ -81,6 +81,30 @@ object TextQueries {
 
   val all: Seq[QuerySpec] = Seq(
 
+    // One BPE training round — the corpus-wide adjacent-pair count that
+    // picks the next merge (Sennrich et al. 2016): sub-tokens via the
+    // BPE-ish regex split, adjacent pairs via the native 2-shingle
+    // generator, counts partially aggregated map-side (pair vocabulary
+    // is bounded, not corpus-sized), and the 20 best merge candidates
+    // selected by the total order (count DESC, pair ASC) through
+    // TakeOrderedAndProject — O(k) driver state. A full tokenizer
+    // trainer iterates this exact pass, re-splitting on the chosen
+    // merge each round; at 100 TB each round is one scan + one bounded
+    // shuffle, which is how production BPE training actually runs.
+    checked("text_bpe_pairs",
+      s"""WITH toks AS (SELECT ${sqlBpeTokens("text")} AS tk FROM documents),
+         |pairs AS (SELECT UNNEST(${sqlShingles("tk", 2)}) AS pair FROM toks)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n_pair
+         |FROM pairs GROUP BY 1
+         |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(graft.functions.expr.ShingleExplode(
+          bpeTokens(col("text")), 2).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair"))
+        .limit(20)
+    },
+
     // Token counting + quality stats. Integer counts are trivially exact;
     // the two ratios are single-divide doubles rounded at the end.
     checked("text_stats",
