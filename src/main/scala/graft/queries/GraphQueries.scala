@@ -30,6 +30,32 @@ object GraphQueries {
     * one node id space (far above any c_custkey at any SF this runs). */
   val SuppOffset = 10000000L
 
+  /** BFS: fixed hop cap and the source nation (GERMANY's nationkey in the
+    * generator's standard nation table). */
+  val BfsMaxHops = 3
+  val BfsNation = 7
+
+  /** The symmetric transaction edge list (distinct (customer, supplier)
+    * pairs through orders ⋈ lineitem, supplier ids offset, both
+    * directions), with the distinct pair relation staged once — shared by
+    * every query iterating over this graph. */
+  private def transactionEdges(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    val rel = QuerySpec.staged(Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct())
+    rel.select(col("c").as("src"), (lit(SuppOffset) + col("sp")).as("dst"))
+      .unionAll(rel.select((lit(SuppOffset) + col("sp")).as("src"),
+        col("c").as("dst")))
+  }
+
+  private val edgesSql =
+    s"""rel AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (SELECT c AS src, $SuppOffset + sp AS dst FROM rel
+       |  UNION ALL SELECT $SuppOffset + sp, c FROM rel)""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // PageRank, damping 85/100, defined ENTIRELY in integer arithmetic:
@@ -58,10 +84,7 @@ object GraphQueries {
            |                 JOIN deg d ON e.src = d.src
            |    GROUP BY e.dst) i ON n0.node_id = i.node_id)""".stripMargin
       }.mkString(",\n")
-      s"""WITH rel AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
-         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-         |edges AS (SELECT c AS src, $SuppOffset + sp AS dst FROM rel
-         |  UNION ALL SELECT $SuppOffset + sp, c FROM rel),
+      s"""WITH $edgesSql,
          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
          |nodes AS (SELECT c_custkey AS node_id FROM customer
          |  UNION ALL SELECT $SuppOffset + s_suppkey FROM supplier),
@@ -72,13 +95,7 @@ object GraphQueries {
          |  CAST(s.pr AS BIGINT) AS pr_scaled
          |FROM s$PrIters s LEFT JOIN deg d ON s.node_id = d.src""".stripMargin
     }) { (s, d) =>
-      val rel = staged(Tables.orders(s, d)
-        .join(Tables.lineitem(s, d),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct())
-      val edges = rel.select(col("c").as("src"), (lit(SuppOffset) + col("sp")).as("dst"))
-        .unionAll(rel.select((lit(SuppOffset) + col("sp")).as("src"), col("c").as("dst")))
+      val edges = transactionEdges(s, d)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       // The loop's reusable relation: (src, dst, out-degree), staged once.
       val ewd = staged(edges.join(deg, "src"))
@@ -166,5 +183,57 @@ object GraphQueries {
         Seq("x", "y"), "left_semi")
       tri.select(explode(array(col("src"), col("x"), col("y"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    },
+
+    // ------------------------------------------------------------------
+    // Multi-source BFS (shortest hop distance) — the frontier-expansion
+    // regime the two queries above don't touch: pagerank pushes mass
+    // along EVERY edge every round; BFS expands a monotonically
+    // SHRINKING frontier (exactly the nodes first reached last round,
+    // anti-joined against everything already visited). Sources are the
+    // suppliers of one nation; the transaction graph is bipartite, so
+    // hops alternate supplier/customer sides. The hop cap is FIXED
+    // (BfsMaxHops), so like pagerank the whole expansion is ONE lazy
+    // plan: per hop one equi join frontier ⋈ edges (frontier broadcast —
+    // it is node-bounded and shrinks; at 100 TB bucket edges by src and
+    // the join is shuffle-free on the edge side) + one distinct + one
+    // anti join against the visited set. Distances are exact by
+    // construction: level k is reachable-in-k minus reachable-in-<k, so
+    // no min-aggregate over path multiplicities is ever materialized —
+    // the fan-out stays |frontier|·deg per hop instead of #paths (the
+    // reason a naive path-enumeration BFS dies on dense graphs). The
+    // DuckDB oracle uses the recursive-UNION form (per-(node, dist)
+    // dedup) + min(dist), which is semantically identical.
+    checked("graph_bfs",
+      s"""WITH RECURSIVE $edgesSql,
+         |bfs(node_id, dist) AS (
+         |  SELECT $SuppOffset + s_suppkey, 0 FROM supplier
+         |  WHERE s_nationkey = $BfsNation
+         |  UNION
+         |  SELECT e.dst, b.dist + 1 FROM bfs b
+         |  JOIN edges e ON e.src = b.node_id WHERE b.dist < $BfsMaxHops)
+         |SELECT node_id, CAST(min(dist) AS BIGINT) AS dist
+         |FROM bfs GROUP BY node_id""".stripMargin) { (s, d) =>
+      val edges = staged(transactionEdges(s, d))
+      val sources = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === BfsNation)
+        .select((lit(SuppOffset) + col("s_suppkey")).as("node_id"))
+      var visited = sources.select(col("node_id"), lit(0L).as("dist"))
+      var frontier = sources
+      for (k <- 1 to BfsMaxHops) {
+        val reached = edges
+          .join(broadcast(frontier.withColumnRenamed("node_id", "src")), "src")
+          .select(col("dst").as("node_id"))
+          .distinct()
+        // Materialize each frontier (staged, like a real BFS engine's
+        // per-round frontier structure): every frontier is consumed by
+        // three plan branches (next expansion, the anti join, the final
+        // union) and Catalyst would otherwise replay the whole expansion
+        // subtree per branch.
+        frontier = staged(
+          reached.join(visited.select("node_id"), Seq("node_id"), "left_anti"))
+        visited = visited.unionAll(frontier.select(col("node_id"), lit(k.toLong).as("dist")))
+      }
+      visited
     })
 }

@@ -343,6 +343,60 @@ object KpiQueries {
         sum(when(isAnom, col("event_id")).otherwise(0L)).as("anomaly_id_sum"))
     },
 
+    // Time-series resample + gap-fill — the regime window_fill (ffill over
+    // EXISTING rows) doesn't touch: the missing rows themselves are
+    // GENERATED. Each slice's event stream is bucketed to a 15-minute
+    // grid (gaps exist at every shipped SF: 1 400+/slice at sf0.01,
+    // single digits at sf0.1), the full dense grid is produced per key
+    // with sequence()+explode (generate_series in the twin — both
+    // inclusive), actuals land on it via a left equi join, and empty
+    // buckets carry the last observed bucket total forward (ffill) with
+    // an is_gap marker. All integer: bucket ids are µs-epoch divs,
+    // totals live on the 1e3 value grid. Scale shape: grid size is
+    // span/900 s rows per key — generation is a per-key projection, the
+    // join is equi on (slice, bucket), and the ffill window partitions
+    // by slice; keys are the parallel unit (one multi-year series is
+    // ~100k rows — trivial); a SINGLE series too long for one partition
+    // would range-partition by time and carry one boundary value per
+    // split, the flow_iat repartition-ffill pattern. The bucket
+    // aggregate is staged: both the span computation and the join probe
+    // consume it.
+    checked("ts_gapfill",
+      """WITH b AS (SELECT event_type AS slice,
+        |    epoch_us(ts) // 900000000 AS bkt, count(*) AS n,
+        |    sum(CAST(floor(value * 1000) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT slice, min(bkt) AS mn, max(bkt) AS mx
+        |  FROM b GROUP BY slice),
+        |grid AS (SELECT slice, unnest(generate_series(mn, mx)) AS bkt FROM sp),
+        |j AS (SELECT g.slice, g.bkt, b.n, b.v
+        |  FROM grid g LEFT JOIN b ON g.slice = b.slice AND g.bkt = b.bkt)
+        |SELECT slice, bkt, CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+        |  CAST(COALESCE(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY slice ORDER BY bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+        |    AS v_fill,
+        |  n IS NULL AS is_gap
+        |FROM j""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = staged(Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"),
+          expr("unix_micros(ts) DIV 900000000").as("bkt"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("v")))
+      val grid = b.groupBy("slice")
+        .agg(min(col("bkt")).as("mn"), max(col("bkt")).as("mx"))
+        .select(col("slice"), explode(sequence(col("mn"), col("mx"))).as("bkt"))
+      val w = Window.partitionBy("slice").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(b, Seq("slice", "bkt"), "left")
+        .select(col("slice"), col("bkt"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0L))
+            .as("v_fill"),
+          col("n").isNull.as("is_gap"))
+    },
+
     // Per-flow sequencing exposed directly (reference :407-417): IAT rows.
     checked("flow_iat",
       s"""WITH pkt AS (${FlowOps.packetViewSql}),

@@ -611,6 +611,51 @@ object StreamingQueries {
       }, "join_funnel", OutputMode.Append)
     },
 
+    // Stream-stream LEFT OUTER join — the regime the inner funnel above
+    // cannot pin: a null-extended row exists ONLY because the watermark
+    // passed the left row's join-window upper bound and the state store
+    // evicted it unmatched. Matched rows emit immediately (inner
+    // semantics); the outer rows emit in the trailing no-data batch after
+    // the sentinel advances the clock past every real click's expiry —
+    // i.e. the drained output is a direct probe of eviction-time
+    // semantics, and a state store that dropped a click early (spurious
+    // null row) or held it past expiry (missing null row) hash-mismatches
+    // the batch LEFT JOIN oracle. Both sides keep the `__wm__` sentinel
+    // through their pre-watermark filters (an event_type predicate that
+    // EXCLUDED it would push below EventTimeWatermark and freeze the
+    // clock — the round-7 hazard); the sentinel rows themselves can never
+    // match (same ts on both sides fails p_ts > click_ts) and never
+    // expire (their window end sits past the final watermark), so they
+    // die silently in state — the drained rows are filtered on user_id
+    // anyway so the contract doesn't ride that reasoning alone.
+    checked("stream_join_left_outer",
+      s"""SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+         |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+         |FROM events a LEFT JOIN events b
+         |  ON a.user_id = b.user_id AND b.event_type = 'purchase'
+         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         |WHERE a.event_type = 'click'""".stripMargin) { (s, d) =>
+      val dir = sentinelStreamDir(s, d)
+      StreamingKpi.runBounded(s, s2 => {
+        val clicks = sentinelStream(s2, dir)
+          .filter(col("event_type").isin("click", "__wm__"))
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val purchases = sentinelStream(s2, dir)
+          .filter(col("event_type").isin("purchase", "__wm__"))
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+      }, "join_left_outer", OutputMode.Append)
+        .filter(col("user_id") =!= -1L)
+    },
+
     // Streaming deduplication — the event-stream analogue of the batch
     // dedup suite: dropDuplicates carries the exact seen-key set in the
     // state store, so the drained output equals batch DISTINCT (the
