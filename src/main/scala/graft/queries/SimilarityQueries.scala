@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns._
+import graft.functions.expr.DotLong
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (64-d float vectors) — north-star similarity-search operators.
@@ -47,6 +48,15 @@ object SimilarityQueries {
   val KmK = 4
   val KmIters = 3
   val KmInitBase = 20L
+
+  /** Product quantization: M subspaces × Sub dims each (M·Sub = Dim), Ks
+    * codewords per subspace, sampled from a fixed vec_id range disjoint
+    * from the IVF/k-means init ranges. Code size = M·log2(Ks) bits per
+    * vector. */
+  val PqM = 4
+  val PqSub = Dim / PqM
+  val PqKs = 8
+  val PqBase = 30L
 
   // Squared norms precomputed once per vector: each scored pair costs one
   // dot product, and the identical integers reach the same sqrt/divide.
@@ -275,6 +285,105 @@ object SimilarityQueries {
          |$ivfScoredSql,
          |${rankedTailSql(5)}""".stripMargin) { (s, d) =>
       topK(scoredIvf(svSpark(s, d)), 5)
+    },
+
+    // Product quantization (the compression half of a production IVF-PQ
+    // index) with asymmetric-distance (ADC) search. The corpus is
+    // ENCODED: each vector becomes PqM 3-bit codes (argmin codeword per
+    // subspace, exact scaled-integer L2, ties to the lowest code) — a
+    // 170× reduction vs the 64×4-byte float vector, which is the entire
+    // point at 100 TB: the encoded corpus rides in executor memory while
+    // the raw vectors stay on disk. A query never decodes anything:
+    // its per-subspace lookup table (PqKs exact distances q_sub →
+    // codeword) is computed once in the projection and carried through
+    // the broadcast, so the scan cost per (query, vector) pair is PqM
+    // array lookups + adds — all BIGINT, so the ADC scores (and the
+    // ranking) are bit-exact with zero float ops. Plan: codebook =
+    // bounded driver state inlined as literals (the ann_ivf quantizer
+    // contract); encode and LUT build are zero-shuffle projections; the
+    // scan is a broadcast nested-loop over the ENCODED rows only; the
+    // top-k reduces map-side through the bounded heap (O(q·k) crosses
+    // the exchange). Ranking quality is intrinsically below exact search
+    // (quantization error) — the contract here is the exact integer ADC
+    // semantics; the recall ladder economics live in ann_recall.
+    checked("ann_pq",
+      s"""WITH sv AS ($svSql),
+         |ms AS (SELECT range AS m FROM range(0, $PqM)),
+         |cw AS (SELECT e.vec_id - $PqBase AS c, m.m,
+         |    e.v[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS cv
+         |  FROM sv e, ms m
+         |  WHERE e.vec_id >= $PqBase AND e.vec_id < ${PqBase + PqKs}),
+         |sub AS (SELECT vec_id, m.m,
+         |    v[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS xv FROM sv, ms m),
+         |d AS (SELECT s.vec_id, s.m, c.c,
+         |    CAST(list_aggregate(list_transform(range(1, ${PqSub + 1}),
+         |      i -> (s.xv[i] - c.cv[i]) * (s.xv[i] - c.cv[i])), 'sum')
+         |      AS BIGINT) AS dd
+         |  FROM sub s JOIN cw c ON s.m = c.m),
+         |code AS (SELECT vec_id, m, c FROM (SELECT vec_id, m, c,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c) AS rn
+         |  FROM d) WHERE rn = 1),
+         |adc AS (SELECT qd.vec_id AS q_id, x.vec_id AS vec_id,
+         |    CAST(sum(qd.dd) AS BIGINT) AS adc
+         |  FROM code x JOIN d qd ON qd.m = x.m AND qd.c = x.c
+         |  WHERE qd.vec_id < $RecallQueries AND x.vec_id <> qd.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (SELECT q_id, vec_id, adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+         |  FROM adc)
+         |SELECT q_id, rnk, vec_id, adc FROM ranked
+         |WHERE rnk <= $TopK""".stripMargin) { (s, d) =>
+      val sv = svSpark(s, d)
+      // Codebook to the driver: PqKs bounded rows (trained centrally and
+      // shipped to workers in any production PQ index), split into
+      // per-subspace codewords.
+      val cwRows = sv
+        .filter(col("vec_id") >= PqBase && col("vec_id") < PqBase + PqKs)
+        .select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Long](1).toIndexedSeq)
+      def cv(c: Int, m: Int): IndexedSeq[Long] =
+        cwRows(c).slice(m * PqSub, (m + 1) * PqSub)
+      val subCol = (0 until PqM).map(m => slice(col("v"), m * PqSub + 1, PqSub))
+      // Exact per-subspace squared distance of this row's m-th subvector
+      // to codeword c: ‖x_m‖² − 2·x_m·c + ‖c‖², every term a BIGINT.
+      def dCols(m: Int): IndexedSeq[Column] = {
+        val xn2 = DotLong(subCol(m), subCol(m))
+        (0 until PqKs).map { c =>
+          val cvm = cv(c, m)
+          xn2 - lit(2L) * DotLong(subCol(m), array(cvm.map(lit): _*)) +
+            lit(cvm.map(x => x * x).sum)
+        }
+      }
+      // Corpus encode: argmin over the distance array; array_position
+      // finds the FIRST min = lowest code id on ties (the oracle's
+      // ORDER BY dd, c).
+      val codeCols = (0 until PqM).map { m =>
+        val dArr = array(dCols(m): _*)
+        (array_position(dArr, array_min(dArr)) - 1L).cast("int").as(s"code$m")
+      }
+      val enc = sv.select(col("vec_id") +: codeCols: _*)
+      // Query LUTs: the same distance arrays, kept whole (indexed by the
+      // corpus side's code at scan time).
+      val q = sv.filter(col("vec_id") < RecallQueries)
+        .select(col("vec_id").as("q_id") +:
+          (0 until PqM).map(m => array(dCols(m): _*).as(s"lut$m")): _*)
+      val adcCol = (0 until PqM).map(m =>
+        element_at(col(s"lut$m"), col(s"code$m") + 1)).reduce(_ + _)
+      // Negate into the (cos DESC, vec_id ASC) heap order so the shared
+      // bounded-heap top-k ranks ascending ADC distance; the values are
+      // integers (exact in double), restored on output.
+      val scored = broadcast(q).join(enc, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), (-adcCol).cast("double").as("cos"))
+      // topK's r6 display rounding multiplies by 1e6 first — fine for
+      // cosines in [-1, 1], but at ~1e12 ADC magnitudes that leaves
+      // double's exact-integer range; rank through the same bounded heap
+      // and restore the raw integer instead.
+      scored.groupBy("q_id")
+        .agg(graft.functions.expr.CosTopK.topk(col("cos"), col("vec_id"), TopK).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("t"))
+        .select(col("q_id"), col("t.rnk").as("rnk"), col("t.vec_id").as("vec_id"),
+          (-col("t.cos")).cast("long").as("adc"))
     },
 
     // Recall@5 of each approximate operator against the brute-force truth,
