@@ -26,6 +26,14 @@ class PlanShapeSpec extends SparkSpec {
       "no window operator may rank the full scored candidate set")
   }
 
+  test("ann_pq encode/LUT are projections; ranking reduces map-side, no window") {
+    val p = plan("ann_pq")
+    assert(p.contains("partial_cos_top_k"),
+      "ADC top-k must aggregate partially before the exchange")
+    assert(!p.contains("Window"),
+      "no window operator may rank the scored set or pick codes")
+  }
+
   test("ann_ivf assignment and probing are pure projections (no window, no BNLJ)") {
     val p = plan("ann_ivf")
     assert(!p.contains("Window"), "centroid assignment must not rank through a window")

@@ -648,4 +648,44 @@ class StreamingKpiSpec extends SparkSpec {
     assert(restarted == Set((1L, 10L, 7L), (1L, 12L, 7L), (2L, 11L, 8L)),
       "both post-restart purchases must join pre-stop buffered clicks")
   }
+
+  test("left-outer stream-stream join: null rows only at watermark expiry") {
+    // The timing property the batch oracle can't see: an unmatched left
+    // row's null-extended output must NOT exist before the watermark
+    // passes its join-window upper bound, and must exist exactly once
+    // after — and a matched row must never ALSO produce a null twin.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purch = MemoryStream[(Long, Long, Long)]
+    val c = clicks.toDF().toDF("click_id", "user_id", "c_sec")
+      .withColumn("c_ts", timestamp_seconds(col("c_sec")))
+      .withWatermark("c_ts", "10 seconds")
+    val p = purch.toDF().toDF("purchase_id", "p_user", "p_sec")
+      .withColumn("p_ts", timestamp_seconds(col("p_sec")))
+      .withWatermark("p_ts", "10 seconds")
+    val joined = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("lo_expiry")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((1L, 7L, 100L), (2L, 8L, 110L))
+      purch.addData((10L, 7L, 150L)) // matches click 1; click 2 unmatched
+      q.processAllAvailable()
+      val mid = spark.table("lo_expiry")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(mid == Set((1L, Some(10L))),
+        s"pre-expiry output must hold only the matched pair, got $mid")
+      // Advance both watermarks past click 2's expiry (110 + 3600 + 10).
+      clicks.addData((99L, 999L, 10000L))
+      purch.addData((98L, 998L, 10000L))
+      q.processAllAvailable()
+      val fin = spark.table("lo_expiry")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(fin == Set((1L, Some(10L)), (2L, None)),
+        s"expiry must add exactly click 2's null row, got $fin")
+    } finally q.stop()
+  }
 }
