@@ -175,6 +175,74 @@ object AnalyticsQueries {
             coalesce(col("dvmin"), col("vmin"))).as("vmin"),
           greatest(coalesce(col("vmax"), col("dvmax")),
             coalesce(col("dvmax"), col("vmax"))).as("vmax"))
+    },
+
+    // Pearson correlation across per-user behavioral metrics — the
+    // feature-screening pass before any model training, stated as the
+    // integer-moment identity corr = (n·Σxy − Σx·Σy) /
+    // (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) instead of Spark's corr()/DuckDB's
+    // corr(), whose streaming float accumulation is
+    // partition-order-dependent and can never hash-match cross-engine.
+    // Every moment is an exact BIGINT on deliberately coarse grids
+    // (value 1e0, span in hours) chosen so the largest term n·Σx² stays
+    // ≤ ~1e17 < 2^63 at any shipped SF; the single float step per pair
+    // (two casts, two sqrts, one divide — the same IEEE tree both
+    // engines) happens after all accumulation. Two shuffles total at any
+    // scale: the per-user aggregate (map-side combined) and the
+    // all-moments reduction to ONE row; the 3×3 pair matrix is a
+    // projection of that row.
+    checked("stats_corr", {
+      def corrSql(x: String, y: String) =
+        s"CAST(n * s_$x$y - s_$x * s_$y AS DOUBLE) / " +
+          s"(sqrt(CAST(n * s_$x$x - s_$x * s_$x AS DOUBLE)) * " +
+          s"sqrt(CAST(n * s_$y$y - s_$y * s_$y AS DOUBLE)))"
+      s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v,
+         |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS sp
+         |  FROM events GROUP BY user_id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(c) AS BIGINT) AS s_c, CAST(sum(v) AS BIGINT) AS s_v,
+         |    CAST(sum(sp) AS BIGINT) AS s_sp,
+         |    CAST(sum(c * c) AS BIGINT) AS s_cc,
+         |    CAST(sum(v * v) AS BIGINT) AS s_vv,
+         |    CAST(sum(sp * sp) AS BIGINT) AS s_spsp,
+         |    CAST(sum(c * v) AS BIGINT) AS s_cv,
+         |    CAST(sum(c * sp) AS BIGINT) AS s_csp,
+         |    CAST(sum(v * sp) AS BIGINT) AS s_vsp
+         |  FROM u)
+         |SELECT 'events_vs_value' AS pair,
+         |  ${graft.functions.DetAgg.sqlR6(corrSql("c", "v"))} AS corr FROM m
+         |UNION ALL SELECT 'events_vs_span',
+         |  ${graft.functions.DetAgg.sqlR6(corrSql("c", "sp"))} FROM m
+         |UNION ALL SELECT 'value_vs_span',
+         |  ${graft.functions.DetAgg.sqlR6(corrSql("v", "sp"))} FROM m""".stripMargin
+    }) { (s, d) =>
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("c"),
+          sum(floor(col("value")).cast("long")).as("v"),
+          expr("(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 3600000000")
+            .as("sp"))
+      val m = staged(u.agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s_c"), sum(col("v")).as("s_v"),
+        sum(col("sp")).as("s_sp"),
+        sum(col("c") * col("c")).as("s_cc"),
+        sum(col("v") * col("v")).as("s_vv"),
+        sum(col("sp") * col("sp")).as("s_spsp"),
+        sum(col("c") * col("v")).as("s_cv"),
+        sum(col("c") * col("sp")).as("s_csp"),
+        sum(col("v") * col("sp")).as("s_vsp")))
+      def corrOf(x: String, y: String, xy: String): Column =
+        graft.functions.DetAgg.r6(
+          (col("n") * col(s"s_$xy") - col(s"s_$x") * col(s"s_$y"))
+            .cast("double") /
+            (sqrt((col("n") * col(s"s_$x$x") -
+              col(s"s_$x") * col(s"s_$x")).cast("double")) *
+              sqrt((col("n") * col(s"s_$y$y") -
+                col(s"s_$y") * col(s"s_$y")).cast("double"))))
+      m.select(lit("events_vs_value").as("pair"),
+          corrOf("c", "v", "cv").as("corr"))
+        .unionAll(m.select(lit("events_vs_span"), corrOf("c", "sp", "csp")))
+        .unionAll(m.select(lit("value_vs_span"), corrOf("v", "sp", "vsp")))
     }
   )
 }

@@ -15,6 +15,10 @@ import graft.functions.TextFns._
 object TextQueries {
   import QuerySpec._
 
+  /** Feature-hashing width (power of two: the sign bit is hash bit 6 =
+    * log2(FhDim), so the index and sign draw on disjoint bits). */
+  val FhDim = 64
+
   /** Duplicate-trigram threshold, in integer percent so the keep/drop
     * flag needs no float compare: repetitive ⇔ dup_frac > 2 %. A web
     * deployment tunes this per corpus (Gopher's published dup-n-gram
@@ -684,5 +688,52 @@ object TextQueries {
         .select(col("query_id"), col("doc_id"), col("score_scaled"),
           r6(col("score_scaled").cast("double") / LmLogScale).as("score6"),
           col("rank"))
+    },
+
+    // Feature hashing (the "hashing trick" vectorizer): every document
+    // becomes a fixed FhDim-wide signed count vector — index h mod
+    // FhDim, sign from the next hash bit — with no vocabulary pass at
+    // all, which is the entire point at 100 TB: a count-vectorizer
+    // needs a corpus-wide vocab build + broadcast; the hashed projection
+    // needs nothing but the row. Kept exact: h60 token hashes, integer
+    // signs, BIGINT sums — bit-identical vectors cross-engine (vs
+    // MLlib's HashingTF, whose murmur3 has no DuckDB twin). Shape: the
+    // per-(doc, index) partial aggregate map-side-combines the token
+    // explosion down to ≤ FhDim rows per doc before anything crosses the
+    // wire, then one per-doc collect assembles the dense vector (a
+    // native accumulating Expression would fuse both into the scan
+    // projection; the two-level aggregate is the compose-built-ins
+    // answer and keeps every op codegen'd, where the interpreted-HOF
+    // projection form would eval FhDim lambdas per TOKEN).
+    checked("ml_feature_hash", {
+      val sign = s"CASE WHEN (h // $FhDim) % 2 = 0 THEN 1 ELSE -1 END"
+      s"""WITH th AS (SELECT doc_id, ${sqlH60All(sqlTokens("text"))} AS th
+         |  FROM documents)
+         |SELECT doc_id,
+         |  list_transform(range(1, ${FhDim + 1}), i ->
+         |    CAST(COALESCE(list_aggregate(list_transform(th, h ->
+         |      CASE WHEN h % $FhDim = i - 1 THEN $sign ELSE 0 END), 'sum'), 0)
+         |      AS BIGINT)) AS fvec,
+         |  CAST(list_aggregate(list_transform(range(1, ${FhDim + 1}), i ->
+         |    abs(COALESCE(list_aggregate(list_transform(th, h ->
+         |      CASE WHEN h % $FhDim = i - 1 THEN $sign ELSE 0 END), 'sum'), 0))),
+         |    'sum') AS BIGINT) AS l1
+         |FROM th""".stripMargin
+    }) { (s, d) =>
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"), explode_outer(h60All(tokens(col("text")))).as("h"))
+        .select(col("doc_id"), pmod(col("h"), lit(FhDim.toLong)).as("idx"),
+          when(shiftright(col("h"), 6) % 2 === 0, 1L).otherwise(-1L).as("sg"))
+      val cell = ex.groupBy("doc_id", "idx")
+        .agg(sum(col("sg")).as("f"))
+      cell.groupBy("doc_id")
+        .agg(map_from_entries(collect_list(
+          when(col("idx").isNotNull, struct(col("idx"), col("f"))))).as("mp"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0L), lit(FhDim - 1L)),
+            i => coalesce(element_at(col("mp"), i), lit(0L))).as("fvec"),
+          aggregate(transform(sequence(lit(0L), lit(FhDim - 1L)),
+            i => abs(coalesce(element_at(col("mp"), i), lit(0L)))),
+            lit(0L), (a, x) => a + x).as("l1"))
     })
 }
