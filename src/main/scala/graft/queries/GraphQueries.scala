@@ -214,7 +214,10 @@ object GraphQueries {
          |  JOIN edges e ON e.src = b.node_id WHERE b.dist < $BfsMaxHops)
          |SELECT node_id, CAST(min(dist) AS BIGINT) AS dist
          |FROM bfs GROUP BY node_id""".stripMargin) { (s, d) =>
-      val edges = staged(transactionEdges(s, d))
+      // transactionEdges already stages the distinct pair relation; the
+      // two-projection union on top is cheap per consumer — re-staging
+      // the doubled edge list would just write the blocks twice.
+      val edges = transactionEdges(s, d)
       val sources = Tables.supplier(s, d)
         .filter(col("s_nationkey") === BfsNation)
         .select((lit(SuppOffset) + col("s_suppkey")).as("node_id"))
