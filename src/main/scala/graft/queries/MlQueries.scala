@@ -20,6 +20,15 @@ object MlQueries {
 
   private val seriesSql = TimeSeries.featureSeriesSql
 
+  /** ml_pca_power: embedding dim, fixed power iterations, the Gram
+    * coarsening grid (divisor on the exact Σx·xᵀ cells) and the vector
+    * renorm scale — sized so every product stays far inside BIGINT (see
+    * the query comment). */
+  val PcaDim = 64
+  val PcaIters = 3
+  val PcaAScale = 1000000000L
+  val PcaVScale = 1000000L
+
   /** Oracle-dump root for the model-fit queries (pid-keyed like the pcap
     * dump: the driver's DuckDB pass reads it after this JVM exits; a later
     * JVM's dead-pid sweep reclaims it). */
@@ -668,5 +677,79 @@ object MlQueries {
           trained.stoppedEarly, maxEpochs, minDelta) :+
           ("beats_uninformed" -> (trained.bestValLoss < math.log(2.0)))
       }
+    },
+
+    // Dominant principal direction of the embedding corpus — power
+    // iteration on the (uncentered) second-moment matrix A = Σ x·xᵀ, the
+    // dimensionality-reduction primitive behind randomized SVD / spectral
+    // dedup. Declared semantics: PcaIters fixed iterations from the
+    // all-ones vector, every step integer-exact — A is exact BIGINT sums
+    // (≤ n·1e12 per cell), coarsened once to a 1e9 grid so each
+    // matrix-vector product stays ≤ ~64·5e6·1e6 ≈ 3e14 ≪ 2^63, and
+    // renormalization is the double-truncating w div (max|w| div 1e6)
+    // (divisor-first so w·1e6 never materializes; trunc division matches
+    // // on both engines for either sign). Distributed shape: the Gram
+    // accumulates via mapPartitions carrying ONE 64×64 long array per
+    // partition — the documented last-resort imperative case (SURVEY
+    // §4.3d), because the declarative form (posexplode²) multiplies the
+    // corpus 4 096× BEFORE its shuffle while this emits exactly 4 096
+    // longs per partition (MLlib RowMatrix.computeGramianMatrix's
+    // treeAggregate shape; at 100 TB only partials cross the wire). The
+    // 64×64 driver solve is bounded model state, the quantizer contract.
+    checked("ml_pca_power", {
+      val vCtes = (1 to PcaIters).map { k =>
+        s"""w$k AS (SELECT g.i, CAST(sum(g.a * v${k - 1}.c) AS BIGINT) AS w
+           |  FROM g JOIN v${k - 1} ON g.j = v${k - 1}.i GROUP BY g.i),
+           |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+           |v$k AS (SELECT i, w // (m // $PcaVScale) AS c FROM w$k, m$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH sv0 AS (SELECT vec_id, ${graft.functions.TextFns.sqlScaledVec(
+            "embedding")} AS v FROM embeddings),
+         |g AS (SELECT i.range AS i, j.range AS j,
+         |    CAST(sum(v[i.range] * v[j.range]) AS BIGINT) // $PcaAScale AS a
+         |  FROM sv0, range(1, ${PcaDim + 1}) i, range(1, ${PcaDim + 1}) j
+         |  GROUP BY 1, 2),
+         |v0 AS (SELECT range AS i, CAST($PcaVScale AS BIGINT) AS c
+         |  FROM range(1, ${PcaDim + 1})),
+         |$vCtes
+         |SELECT v.i AS idx, v.c AS comp, m.m AS lam_scaled
+         |FROM v$PcaIters v, m$PcaIters m""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val dim = PcaDim
+      val partials = Tables.embeddings(s, d)
+        .select(graft.functions.TextFns.scaledVec(col("embedding")).as("v"))
+        .as[Seq[Long]]
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val acc = Array.ofDim[Long](dim * dim)
+            it.foreach { v =>
+              var i = 0
+              while (i < dim) {
+                val vi = v(i); var j = 0
+                while (j < dim) { acc(i * dim + j) += vi * v(j); j += 1 }
+                i += 1
+              }
+            }
+            Iterator.tabulate(dim * dim)(k => (k, acc(k)))
+          }
+        }
+        .toDF("k", "partial")
+      val a = partials.groupBy("k").agg(sum(col("partial")).as("cell"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1) / PcaAScale).toMap
+      var vv = Array.fill(dim)(PcaVScale)
+      var m = 0L
+      for (_ <- 1 to PcaIters) {
+        val w = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => a(i * dim + j) * vv(j)).sum)
+        m = w.map(math.abs).max
+        require(m >= PcaVScale,
+          s"power iteration collapsed: max|w| = $m below the renorm grid")
+        vv = w.map(_ / (m / PcaVScale))
+      }
+      val rows = (0 until dim).map(i => (i + 1L, vv(i), m))
+      rows.toDF("idx", "comp", "lam_scaled")
     })
 }
