@@ -190,6 +190,47 @@ object WarehouseQueries {
              |  FROM parquet.`$d/customer.parquet` c
              |  WHERE c.c_nationkey = n.n_nationkey
              |  ORDER BY bal_cents DESC, c_custkey LIMIT 3) l""".stripMargin)
+    },
+
+    // Bitmap (bitset) aggregation — the activity-mask idiom behind
+    // roaring-bitmap warehouse columns: each user's hour-of-day and
+    // day-index activity collapse to single BIGINTs via bit_or of
+    // 1 << position, so "active hours" is bit_count and cohort overlap
+    // questions become bitwise ANDs on fixed-width integers instead of
+    // joins over exploded rows — at 100 TB the mask column is one long
+    // per entity where the distinct-(user, hour) table is 24× the rows.
+    // Day positions come from epoch-day DIV arithmetic (engine-neutral;
+    // Spark's dayofweek/DuckDB's dayofweek disagree on week origin), and
+    // the 30-day event span means day indexes are rebased to the
+    // corpus-wide min so every position fits one BIGINT. Everything is
+    // integer; one shuffle on user_id.
+    checked("agg_bitmap",
+      """WITH base AS (SELECT user_id, hour(ts) AS hr,
+        |    epoch_us(ts) // 86400000000 AS dayno FROM events),
+        |mn AS (SELECT min(dayno) AS d0 FROM base)
+        |SELECT user_id,
+        |  bit_or(CAST(1 AS BIGINT) << hr) AS hours_mask,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << hr)) AS BIGINT)
+        |    AS n_hours,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(dayno - d0 AS INTEGER))
+        |    AS days_mask,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(dayno - d0 AS INTEGER)))
+        |    AS BIGINT) AS n_days
+        |FROM base, mn GROUP BY user_id""".stripMargin) { (s, d) =>
+      val base = Tables.events(s, d)
+        .select(col("user_id"), hour(col("ts")).as("hr"),
+          expr("unix_micros(ts) DIV 86400000000").as("dayno"))
+      // Corpus-wide min day: one bounded scalar action (the pagerank n
+      // contract) so the rebase is a constant-folded literal, not a
+      // cross-joined subquery re-evaluated per row.
+      val d0 = base.agg(min(col("dayno"))).head.getLong(0)
+      val hBit = s"shiftleft(CAST(1 AS BIGINT), hr)"
+      val dBit = s"shiftleft(CAST(1 AS BIGINT), CAST(dayno - $d0 AS INT))"
+      base.groupBy("user_id")
+        .agg(expr(s"bit_or($hBit)").as("hours_mask"),
+          expr(s"CAST(bit_count(bit_or($hBit)) AS BIGINT)").as("n_hours"),
+          expr(s"bit_or($dBit)").as("days_mask"),
+          expr(s"CAST(bit_count(bit_or($dBit)) AS BIGINT)").as("n_days"))
     }
   )
 }
