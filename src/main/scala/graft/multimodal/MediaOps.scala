@@ -48,11 +48,28 @@ object MediaOps {
       frame_offsets: Seq[Int],
       embedding: Seq[Double])
 
+  /** One sampled frame's feature row (the per-frame table a video
+    * pipeline lands): the byte window at the sampled offset summarized as
+    * an exact unsigned-byte sum — a STUB for the codec's frame decode;
+    * the Spark-side plumbing (flatMap explosion, schema, bounds) is
+    * real. `media_bytes` rides along so the offset contract is checkable
+    * downstream without rejoining the blob table. */
+  final case class FrameFeature(
+      media_id: Long,
+      kind: String,
+      frame_idx: Int,
+      frame_off: Int,
+      media_bytes: Int,
+      win_len: Int,
+      byte_sum: Long)
+
   val Magic: Array[Byte] = "GRFT".getBytes("US-ASCII")
   val PngSig: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
   val EmbDim = 16
   val ThumbMax = 64
+  /** Per-frame summarization window, bytes. */
+  val FrameWin = 64
 
   private def u32be(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
@@ -247,6 +264,26 @@ object MediaOps {
         val (tw, th) = thumbDims(w, h)
         MediaFeatures(r.media_id, r.kind, w, h, ch, r.bytes.length, tw, th,
           fr, sampleFrames(fr, r.bytes.length), embed(r.bytes))
+      }
+    }
+  }
+
+  /** Frame explosion: one row per sampled frame of every DECODABLE blob
+    * (corrupt rows contribute none — they are the metadata pass's
+    * `media_features` n_corrupt problem, not the frame table's). The
+    * shape is the scale contract: a flatMap over the blob scan whose
+    * output is rows-per-frame, never a collected frame list — at 100 TB
+    * the frame table is written directly from this pass, partitioned
+    * like its source. */
+  def frameFeatures(media: Dataset[MediaRow]): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val (w, _, _, fr) = decode(r.bytes)
+      if (w == -1) Seq.empty
+      else sampleFrames(fr, r.bytes.length).zipWithIndex.map { case (off, i) =>
+        val win = r.bytes.slice(off, math.min(off + FrameWin, r.bytes.length))
+        FrameFeature(r.media_id, r.kind, i, off, r.bytes.length, win.length,
+          win.map(b => (b & 0xff).toLong).sum)
       }
     }
   }

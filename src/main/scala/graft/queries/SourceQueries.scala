@@ -72,6 +72,10 @@ object SourceQueries {
   /** Oracle-dump dir for the decoded media feature rows (same lifecycle). */
   private val MediaDumpDir = TmpDirs.persistent(
     s"graft_media_dump_${ProcessHandle.current().pid()}").getAbsolutePath
+
+  /** Oracle-dump dir for the per-frame feature rows (same lifecycle). */
+  private val FrameDumpDir = TmpDirs.persistent(
+    s"graft_frame_dump_${ProcessHandle.current().pid()}").getAbsolutePath
   @volatile private var dumped = false
   private def packetDump(s: SparkSession): String = {
     if (!dumped) synchronized {
@@ -250,5 +254,52 @@ object SourceQueries {
               col("channels").between(1, 4)).otherwise(lit(true)))
             .as("image_dims_ok"))
         .withColumn("corrupt_rate_ok", col("n_corrupt") * 50 === col("n_media"))
+    },
+
+    // Per-FRAME feature table — the video-pipeline explosion shape the
+    // per-media metadata pass above summarizes away: every decodable blob
+    // flatMaps to one row per sampled frame (offset + exact byte-window
+    // sum; the window summarization stubs the codec's frame decode, the
+    // explosion/schema/bounds plumbing is real). Dumped like the other
+    // binary pipelines, and DuckDB recomputes the whole per-kind rollup
+    // from the dump; the sampling CONTRACT rides as measured booleans —
+    // ≤ 8 frames per media, offsets past the 10-byte header and inside
+    // the blob, windows non-empty and capped — so a sampler or slicing
+    // regression flips a boolean and fails the hash.
+    checked("media_frames",
+      s"""WITH f AS (SELECT * FROM read_parquet('$FrameDumpDir/*.parquet')),
+         |pm AS (SELECT kind, media_id, count(*) AS nf FROM f GROUP BY 1, 2)
+         |SELECT f.kind, CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(count(DISTINCT f.media_id) AS BIGINT) AS n_media,
+         |  CAST(sum(f.byte_sum) AS BIGINT) AS byte_sum_total,
+         |  ${graft.functions.DetAgg.sqlAvg("f.byte_sum")} AS avg_byte_sum,
+         |  (SELECT max(nf) FROM pm p WHERE p.kind = f.kind) <= 8
+         |    AS frames_capped,
+         |  bool_and(f.frame_off >= 10 AND f.frame_off < f.media_bytes) AS offsets_ok,
+         |  bool_and(f.win_len BETWEEN 1 AND ${MediaOps.FrameWin}) AS windows_ok
+         |FROM f GROUP BY f.kind""".stripMargin) { (s, _) =>
+      import graft.functions.DetAgg.davg
+      val frames = MediaOps.frameFeatures(MediaOps.corpus(s, 3000)).toDF()
+      val rows = frames.collect() // bounded: ≤ 8 × 3 000 feature rows
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), frames.schema)
+      local.coalesce(1).write.mode("overwrite").parquet(FrameDumpDir)
+      val perMedia = local.groupBy("kind", "media_id")
+        .agg(count(lit(1)).as("nf"))
+        .groupBy("kind").agg(max(col("nf")).as("max_nf"))
+      local.groupBy("kind")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("media_id")).as("n_media"),
+          sum(col("byte_sum")).as("byte_sum_total"),
+          davg(col("byte_sum")).as("avg_byte_sum"),
+          bool_and(col("frame_off") >= 10 && col("frame_off") < col("media_bytes"))
+            .as("offsets_ok"),
+          bool_and(col("win_len").between(1, MediaOps.FrameWin))
+            .as("windows_ok"))
+        .join(broadcast(perMedia), "kind")
+        .select(col("kind"), col("n_frames"), col("n_media"),
+          col("byte_sum_total"), col("avg_byte_sum"),
+          (col("max_nf") <= 8).as("frames_capped"),
+          col("offsets_ok"), col("windows_ok"))
     })
 }
