@@ -127,6 +127,48 @@ object RelationalQueries {
         .select(col("l_orderkey").as("okey"), col("ln_a"), col("ln_b"))
     },
 
+    // Null-safe equi join (<=> / IS NOT DISTINCT FROM) — the surface gap
+    // between "join on a key" and "join on a key that is sometimes
+    // absent": plain `=` silently drops every null-keyed row from both
+    // sides, while the null-safe form matches the null groups to each
+    // other (one NULL bucket, the SQL-standard DISTINCT predicate).
+    // The full-outer join over per-key click/purchase profiles keeps
+    // the unmatched sides too, so all three regimes (matched value,
+    // matched NULL-to-NULL, unmatched) decide rows.
+    // EqualNullSafe is a legal hash-join key in Catalyst:
+    // this still plans as a shuffled hash/sort-merge equi join, not a
+    // nested loop — same cost model as `=` at any scale. The key is
+    // MADE nullable deterministically (NULLIF(k % 10, 0): the
+    // generator's current events data carries `$.k` on every row, so a
+    // raw extract would leave the null bucket empty at every SF and the
+    // null-to-null match would be pinned by nothing).
+    checked("join_null_safe",
+      """WITH e AS (SELECT event_type,
+        |    NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10, 0)
+        |      AS k
+        |  FROM events),
+        |c AS (SELECT k, count(*) AS click_n FROM e
+        |  WHERE event_type = 'click' GROUP BY k),
+        |p AS (SELECT k, count(*) AS purchase_n FROM e
+        |  WHERE event_type = 'purchase' GROUP BY k)
+        |SELECT COALESCE(c.k, p.k) AS k, c.click_n, p.purchase_n,
+        |  c.k IS NULL AND p.k IS NULL AS null_group
+        |FROM c FULL JOIN p ON c.k IS NOT DISTINCT FROM p.k""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+        val e = Tables.events(s, d).select(col("event_type"),
+          nullif(pmod(from_json(col("props"), MapType(StringType, IntegerType))
+            .getItem("k"), lit(10)), lit(0)).as("k"))
+        val c = e.filter(col("event_type") === "click")
+          .groupBy("k").agg(count(lit(1)).as("click_n"))
+        val p = e.filter(col("event_type") === "purchase")
+          .groupBy(col("k").as("pk")).agg(count(lit(1)).as("purchase_n"))
+        c.join(p, col("k") <=> col("pk"), "full_outer")
+          .select(coalesce(col("k"), col("pk")).as("k"),
+            col("click_n"), col("purchase_n"),
+            (col("k").isNull && col("pk").isNull).as("null_group"))
+    },
+
     // Binned interval (range) join — the optimization Spark's planner
     // lacks natively: a pure time-range predicate plans as
     // BroadcastNestedLoopJoin, O(|A|·|B|) and a scale-killer the moment
