@@ -268,7 +268,16 @@ class PlanShapeSpec extends SparkSpec {
       "corpus_clean" -> 60000L,
       "corpus_clean_incremental" -> 900000L,
       "dedup_minhash" -> 1200000L,
-      "dedup_stopshingle" -> 1300000L)
+      "dedup_stopshingle" -> 1300000L,
+      // ml_pca_power's ceiling is the load-bearing one: the mapPartitions
+      // Gram ships only 4 096-cell partials, so a refactor to the
+      // declarative posexplode² form (corpus × 4 096 rows into the
+      // shuffle) blows straight through. graph_bfs pins the
+      // frontier-expansion volume; ml_feature_hash pins that the token
+      // explosion map-side-combines to ≤ FhDim cells per doc.
+      "ml_pca_power" -> 100000L,
+      "graph_bfs" -> 900000L,
+      "ml_feature_hash" -> 10000L)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     try {
