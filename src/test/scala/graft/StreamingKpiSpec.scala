@@ -649,6 +649,57 @@ class StreamingKpiSpec extends SparkSpec {
       "both post-restart purchases must join pre-stop buffered clicks")
   }
 
+  test("left-outer join emits buffered clicks' null rows after a restart") {
+    // The outer-specific restart property: a click buffered UNMATCHED
+    // before the stop must produce its null-extended row from restored
+    // state when the post-restart watermark passes its expiry — an
+    // implementation that rebuilt join state from scratch on restart
+    // would lose the click entirely (no output row at all), and one
+    // that emitted eagerly at stop would produce it too early.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lo_ckpt_")
+      .toFile.getAbsolutePath
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purch = MemoryStream[(Long, Long, Long)]
+    def start() = {
+      val c = clicks.toDF().toDF("click_id", "user_id", "c_sec")
+        .withColumn("c_ts", timestamp_seconds(col("c_sec")))
+        .withWatermark("c_ts", "10 seconds")
+      val p = purch.toDF().toDF("purchase_id", "p_user", "p_sec")
+        .withColumn("p_ts", timestamp_seconds(col("p_sec")))
+        .withWatermark("p_ts", "10 seconds")
+      c.join(p, col("user_id") === col("p_user") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+        .select(col("click_id"), col("purchase_id"))
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .outputMode(OutputMode.Append).start()
+    }
+    val q1 = start()
+    try {
+      clicks.addData((1L, 7L, 100L), (2L, 8L, 110L))
+      purch.addData((10L, 7L, 150L)) // click 1 matches; click 2 stays buffered
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val pre = spark.read.parquet(s"$root/out")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(!pre.contains((2L, None)),
+      s"click 2's null row must not exist before its expiry, got $pre")
+    val q2 = start()
+    try {
+      clicks.addData((99L, 999L, 10000L))
+      purch.addData((98L, 998L, 10000L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val fin = spark.read.parquet(s"$root/out")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(fin == Set((1L, Some(10L)), (2L, None)),
+      s"restart must emit exactly click 2's null row from restored " +
+        s"buffered state, got $fin")
+  }
+
   test("left-outer stream-stream join: null rows only at watermark expiry") {
     // The timing property the batch oracle can't see: an unmatched left
     // row's null-extended output must NOT exist before the watermark
