@@ -212,6 +212,43 @@ object TextFns {
   }
 
   // ---------------------------------------------------------------------
+  // BPE merge application
+  // ---------------------------------------------------------------------
+
+  /** Apply an ordered merge table to a token sequence — the tokenizer's
+    * ENCODE loop (the training half is text_bpe_pairs' pair count).
+    * Declared semantics, deterministic by construction: repeatedly take
+    * the highest-priority merge that occurs anywhere in the sequence,
+    * merge ALL its non-overlapping occurrences left-to-right, and restart
+    * from the top of the table (a merge can create new occurrences of
+    * higher-priority pairs); stop at the fixpoint. The fixpoint is the
+    * checkable contract: NO adjacent pair of the output may appear in the
+    * merge table. Terminates because every merge strictly shortens the
+    * sequence. */
+  def bpeApply(toks: IndexedSeq[String],
+               merges: Seq[(String, String)]): IndexedSeq[String] = {
+    var cur = toks
+    var changed = true
+    while (changed) {
+      changed = false
+      val it = merges.iterator
+      while (!changed && it.hasNext) {
+        val (a, b) = it.next()
+        var i = 0
+        val out = IndexedSeq.newBuilder[String]
+        var hit = false
+        while (i < cur.length) {
+          if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+            out += a + b; hit = true; i += 2
+          } else { out += cur(i); i += 1 }
+        }
+        if (hit) { cur = out.result(); changed = true }
+      }
+    }
+    cur
+  }
+
+  // ---------------------------------------------------------------------
   // Language-ID (marker-stopword heuristic)
   // ---------------------------------------------------------------------
 

@@ -573,6 +573,37 @@ object RelationalQueries {
             .cast("string").cast("double")).as("trail_value"))
     },
 
+    // VALUE-range frame — the RANGE-frame regime window_range (time
+    // bounds) doesn't touch: the frame is defined by the ORDERING
+    // COLUMN'S VALUE (all events within 50 value-grid units below the
+    // current row's), so rows with equal order values are peers and get
+    // identical frames — which is exactly why this is deterministic
+    // under ties where a ROWS frame would not be (a ROWS frame's
+    // content depends on the tie order; a RANGE frame's only on the
+    // value bounds). Integer grid (floor(value), 0..1000), integer
+    // aggregates. Same scale shape as every per-slice window: one
+    // shuffle on the partition key, sort within, single pass with a
+    // sliding endpoint.
+    checked("window_range_value",
+      """SELECT event_id,
+        |  count(*) OVER w AS n_near,
+        |  CAST(sum(v) OVER w AS BIGINT) AS sum_near
+        |FROM (SELECT event_id, event_type,
+        |    CAST(floor(value) AS BIGINT) AS v FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY v
+        |  RANGE BETWEEN 50 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy(col("v"))
+          .rangeBetween(-50L, 0L)
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value")).cast("long").as("v"))
+          .select(col("event_id"),
+            count(lit(1)).over(w).as("n_near"),
+            sum(col("v")).over(w).as("sum_near"))
+    },
+
     // Union-by-name with missing columns (SURVEY §2.7 U2 — the py
     // pd.concat of heterogeneous frames): two different projections of
     // customer, aligned by column name.

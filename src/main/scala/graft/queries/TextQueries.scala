@@ -83,7 +83,100 @@ object TextQueries {
     3 -> Seq("dup", "vector", "hash"))
   val Bm25TopK = 10
 
+  /** BPE merge-table size for text_bpe_apply (the text_bpe_pairs top-k). */
+  val BpeMerges = 20
+
+  /** Oracle-dump dir for the applied-BPE token rows (the media/pcap dump
+    * lifecycle: pid-keyed, written once per JVM by the query itself). */
+  private val BpeDumpDir = TmpDirs.persistent(
+    s"graft_bpe_dump_${ProcessHandle.current().pid()}").getAbsolutePath
+
   val all: Seq[QuerySpec] = Seq(
+
+    // BPE ENCODE — the tokenizer's apply loop, closing text_bpe_pairs'
+    // training half: the top-BpeMerges merge table (count DESC, pair ASC
+    // — the exact order text_bpe_pairs already proves bit-equal
+    // cross-engine) is collected to the driver (bounded model state, the
+    // quantizer contract) and applied per doc to fixpoint — repeatedly
+    // merge all non-overlapping occurrences of the highest-priority pair
+    // present, restarting from the table top since a merge can enable a
+    // higher-priority one. The per-doc loop is genuinely imperative
+    // (data-dependent trip count) — a Dataset.map with the merge table in
+    // the closure, the §4.3(d) shape a real tokenizer encode uses; at
+    // 100 TB it stays a zero-shuffle map over the corpus scan. The
+    // merged rows are dumped, and DuckDB re-derives the merge table from
+    // the corpus ITSELF and recomputes everything from the dump: token
+    // conservation (merged ≤ original), a position-weighted h60 checksum
+    // (pins content AND order of every output token), and the fixpoint
+    // CONTRACT — no adjacent output pair may appear in the merge table
+    // (if one did, the loop would have merged it). A wrong merge order,
+    // a missed occurrence, or an overlap bug flips checksum or fixpoint.
+    checked("text_bpe_apply", {
+      val ck = s"CAST(COALESCE(list_aggregate(list_transform(" +
+        s"range(1, len(toks) + 1), i -> i * (${sqlH60("toks[i]")} % 1000000))," +
+        s" 'sum'), 0) AS BIGINT)"
+      s"""WITH toks0 AS (SELECT ${sqlBpeTokens("text")} AS tk FROM documents),
+         |mp AS (SELECT pair FROM (
+         |    SELECT unnest(${sqlShingles("tk", 2)}) AS pair FROM toks0) u
+         |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT $BpeMerges),
+         |ml AS (SELECT list(pair) AS ms FROM mp),
+         |f AS (SELECT * FROM read_parquet('$BpeDumpDir/*.parquet')),
+         |adj AS (SELECT lang, n_orig, toks,
+         |    list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i + 1]) AS prs
+         |  FROM f),
+         |per AS (SELECT lang, n_orig, len(toks) AS n_merged, $ck AS ck,
+         |    len(list_filter(prs, p -> list_contains(ms, p))) = 0 AS fp
+         |  FROM adj, ml)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_orig) AS BIGINT) AS n_orig_total,
+         |  CAST(sum(n_merged) AS BIGINT) AS n_merged_total,
+         |  CAST(sum(ck) AS BIGINT) AS checksum_total,
+         |  bool_and(n_merged <= n_orig) AS merges_reduce,
+         |  bool_and(fp) AS fixpoint
+         |FROM per GROUP BY lang""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      // Merge table to the driver: BpeMerges rows by the total order the
+      // text_bpe_pairs oracle already pins bit-exact.
+      val merges: Seq[(String, String)] = Tables.documents(s, d)
+        .select(graft.functions.expr.ShingleExplode(
+          bpeTokens(col("text")), 2).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(BpeMerges)
+        .collect().map { r =>
+          val Array(a, b) = r.getString(0).split(" ", 2); (a, b)
+        }.toSeq
+      val applied = staged(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), bpeTokens(col("text")).as("tk"))
+        .as[(Long, String, Seq[String])]
+        .map { case (id, lang, tk) =>
+          (id, lang, tk.size,
+            graft.functions.TextFns.bpeApply(tk.toIndexedSeq, merges))
+        }
+        .toDF("doc_id", "lang", "n_orig", "toks"))
+      applied.coalesce(1).write.mode("overwrite").parquet(BpeDumpDir)
+      val mergesLit = array(merges.map(m => lit(s"${m._1} ${m._2}")): _*)
+      val prs = when(size(col("toks")) < 2,
+        array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1))))
+      val ck = aggregate(
+        transform(col("toks"), (x, i) => (i + 1) * pmod(h60(x), lit(1000000L))),
+        lit(0L), (a, x) => a + x)
+      applied
+        .select(col("lang"), col("n_orig"), size(col("toks")).as("n_merged"),
+          ck.as("ck"),
+          (size(filter(prs, p => array_contains(mergesLit, p))) === 0).as("fp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_orig")).as("n_orig_total"),
+          sum(col("n_merged")).as("n_merged_total"),
+          sum(col("ck")).as("checksum_total"),
+          bool_and(col("n_merged") <= col("n_orig")).as("merges_reduce"),
+          bool_and(col("fp")).as("fixpoint"))
+    },
 
     // One BPE training round — the corpus-wide adjacent-pair count that
     // picks the next merge (Sennrich et al. 2016): sub-tokens via the
