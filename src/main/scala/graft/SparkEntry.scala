@@ -25,7 +25,8 @@ object SparkEntry {
       SourceQueries.all ++
       FormatQueries.all ++
       WarehouseQueries.all ++
-      AnalyticsQueries.all
+      AnalyticsQueries.all ++
+      StatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

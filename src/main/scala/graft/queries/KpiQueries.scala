@@ -397,6 +397,117 @@ object KpiQueries {
           col("n").isNull.as("is_gap"))
     },
 
+    // Holt double-exponential smoothing (α = β = 1/2) per user — the
+    // trend-aware sibling of ts_ewma, and the regime its scalar fold
+    // can't express: the recurrence carries TWO coupled state variables
+    // (level lₜ = (vₜ + lₜ₋₁ + bₜ₋₁) div 2, trend
+    // bₜ = (lₜ − lₜ₋₁ + bₜ₋₁) div 2), so the aggregate() HOF folds a
+    // STRUCT accumulator. The trend can go negative, so the halving is
+    // spelled truncate-toward-zero on both engines (Spark: exact
+    // double-divide-by-2 then long cast — |state| ≤ ~5.6e5 ≪ 2^53;
+    // DuckDB: integer `//`): shiftright's floor semantics would diverge
+    // on odd negative trends. Same single-shuffle/bounded-group contract
+    // as ts_ewma; DuckDB steps the identical recurrence as a recursive
+    // CTE. Forecast is the 1-step-ahead l + b, exact.
+    checked("ts_holt",
+      """WITH RECURSIVE ord AS (
+        |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, v AS l, CAST(0 AS BIGINT) AS b
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, (o.v + r.l + r.b) // 2,
+        |    (((o.v + r.l + r.b) // 2) - r.l + r.b) // 2
+        |  FROM r JOIN ord o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+        |  arg_max(l, rn) AS level_final, arg_max(b, rn) AS trend_final,
+        |  arg_max(l + b, rn) AS forecast1
+        |FROM r GROUP BY user_id""".stripMargin) { (s, d) =>
+      def div2(c: org.apache.spark.sql.Column) =
+        (c / lit(2.0)).cast("long") // truncates toward zero, like `//`
+      val seq = Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("v")).as("x"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("x"))).as("seq"),
+          count(lit(1)).as("n_events"))
+      seq.select(col("user_id"), col("n_events"),
+        aggregate(
+          slice(col("seq"), lit(2), greatest(size(col("seq")) - 1, lit(0))),
+          struct(element_at(col("seq"), 1).getField("v").as("l"),
+            lit(0L).as("b")),
+          (acc, x) => {
+            val l2 = div2(x.getField("v") + acc.getField("l") + acc.getField("b"))
+            struct(l2.as("l"),
+              div2(l2 - acc.getField("l") + acc.getField("b")).as("b"))
+          }).as("hb"))
+        .select(col("user_id"), col("n_events"),
+          col("hb").getField("l").as("level_final"),
+          col("hb").getField("b").as("trend_final"),
+          (col("hb").getField("l") + col("hb").getField("b")).as("forecast1"))
+    },
+
+    // Bloom-filter membership with its contract MEASURED, beside the
+    // HLL/GK/CMS/MG sketches: build the filter over the distinct user
+    // set (df.stat.bloomFilter — Spark's distributed treeAggregate
+    // build), then probe DISTRIBUTEDLY through the same codegen'd
+    // `BloomFilterMightContain` expression the runtime join filter
+    // injects, with the serialized sketch inlined as a literal. Probes
+    // are every present key plus an equal-size disjoint absent set
+    // (+1e7 — user ids are ≪ 1e7); the contract rows assert (a) zero
+    // false negatives — the bloom guarantee, (b) measured FPR within 3×
+    // the configured 3 %, (c) a split-build (pre/post the IVM date)
+    // merged via mergeInPlace answers every probe identically to the
+    // whole-corpus build — the partition-merge identity a nightly
+    // pipeline relies on (bit-OR of same-shape arrays, insertion
+    // idempotent). Driver state: three ~2 kB blobs. DuckDB has no
+    // bloom, so the twin computes the exact key count and asserts the
+    // measured booleans literally (sketch_cms pattern).
+    checked("sketch_bloom",
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+        |  true AS no_false_negatives, true AS fpr_within_bound,
+        |  true AS merge_exact
+        |FROM events""".stripMargin) { (s, d) =>
+      val Fpp = 0.03
+      val Expected = 2048L
+      val split = expr(s"TIMESTAMP '${AnalyticsQueries.IvmSplit}'")
+      val ev = staged(Tables.events(s, d).select(col("user_id"), col("ts")))
+      def build(df: org.apache.spark.sql.DataFrame) =
+        df.stat.bloomFilter("user_id", Expected, Fpp)
+      def bytesOf(b: org.apache.spark.util.sketch.BloomFilter) = {
+        val bos = new java.io.ByteArrayOutputStream()
+        b.writeTo(bos); bos.toByteArray
+      }
+      val whole = bytesOf(build(ev))
+      val merged = bytesOf(build(ev.filter(col("ts") < split))
+        .mergeInPlace(build(ev.filter(col("ts") >= split))))
+      import org.apache.spark.sql.classic.GraftExpressionBridge
+      def mightContain(blob: Array[Byte], key: org.apache.spark.sql.Column) =
+        GraftExpressionBridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            GraftExpressionBridge.expression(lit(blob)),
+            GraftExpressionBridge.expression(key)))
+      val keys = ev.select("user_id").distinct()
+      val probes = keys.select(col("user_id").as("k"), lit(true).as("present"))
+        .unionAll(keys.select((col("user_id") + 10000000L).as("k"),
+          lit(false).as("present")))
+      probes
+        .select(col("present"),
+          mightContain(whole, col("k")).as("hd"),
+          mightContain(merged, col("k")).as("hm"))
+        .agg(sum(when(col("present"), 1L).otherwise(0L)).as("n_keys"),
+          min(when(col("present"), col("hd")).otherwise(lit(true)))
+            .as("no_false_negatives"),
+          (sum(when(!col("present") && col("hd"), 1L).otherwise(0L)) <=
+            ceil(lit(3 * Fpp) *
+              sum(when(!col("present"), 1L).otherwise(0L))))
+            .as("fpr_within_bound"),
+          min(col("hd") === col("hm")).as("merge_exact"))
+    },
+
     // Per-flow sequencing exposed directly (reference :407-417): IAT rows.
     checked("flow_iat",
       s"""WITH pkt AS (${FlowOps.packetViewSql}),

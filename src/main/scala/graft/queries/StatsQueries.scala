@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Statistical aggregation regimes the KPI/analytics families don't touch:
+  * exact multi-distinct counting, exact per-group order statistics
+  * (percentile / mode), OHLC bar resampling, and a contingency-table test.
+  *
+  * All five are integer-exact end to end (the events `value` rides the
+  * 1e3 "millivalue" grid used throughout the suite); the one float op in
+  * the family (the chi-squared cell ratio) is a fixed IEEE tree over exact
+  * integers, quantized per cell BEFORE the sum so accumulation order can
+  * never leak in — the `text_lm_score` argument.
+  */
+object StatsQueries {
+  import QuerySpec._
+
+  /** `value` → exact BIGINT millivalue. */
+  private def mv(c: org.apache.spark.sql.Column) =
+    floor(c * 1000).cast("long")
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Exact multi-distinct aggregation, spelled as the two-phase shape a
+    // 100 TB warehouse actually runs. `count(DISTINCT user_id),
+    // count(DISTINCT day)` in ONE aggregate makes Catalyst plan an Expand
+    // that replicates every input row once per distinct group (3× the
+    // corpus through the first shuffle at this query's two groups + the
+    // plain count). The manual form — one narrow staged projection, one
+    // pre-dedup aggregate per distinct dimension, tiny per-slice frames
+    // broadcast back together — never multiplies the corpus: each
+    // dedup is a map-side-combinable aggregate on its own (slice, dim)
+    // key. PlanShapeSpec pins Expand out of the plan.
+    checked("agg_multi_distinct",
+      """SELECT event_type AS slice, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = staged(Tables.events(s, d)
+        .select(col("event_type").as("slice"), col("user_id"),
+          date_trunc("day", col("ts")).as("day")))
+      val tot = ev.groupBy("slice").agg(count(lit(1)).as("n_events"))
+      val users = ev.select("slice", "user_id").distinct()
+        .groupBy("slice").agg(count(lit(1)).as("n_users"))
+      val days = ev.select("slice", "day").distinct()
+        .groupBy("slice").agg(count(lit(1)).as("n_days"))
+      tot.join(broadcast(users), "slice").join(broadcast(days), "slice")
+        .select("slice", "n_events", "n_users", "n_days")
+    },
+
+    // Exact per-group percentiles by rank selection — the honest exact
+    // path next to the mergeable-sketch one (`sketch_quantiles`): at any
+    // scale, an EXACT percentile requires a per-group sort; this states it
+    // as ONE window pass (rank + group size in the same (slice, v)-sorted
+    // frame) and a conditional aggregate, so the whole query is a single
+    // shuffle on the group key. Ranks are the integral form
+    // ceil(p·n/100) = (p·n + 99) div 100 — no float ceil misrounding —
+    // and the selected millivalues are exact BIGINTs. Equal-value ties
+    // make row_number's choice among peers arbitrary but the SELECTED
+    // value at a fixed rank is unique, so the result is deterministic.
+    checked("percentile_groups",
+      """WITH sv AS (SELECT event_type AS slice,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |w AS (SELECT slice, v,
+        |    row_number() OVER (PARTITION BY slice ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY slice) AS n FROM sv)
+        |SELECT slice, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS BIGINT)
+        |    AS p50_mv,
+        |  CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS BIGINT)
+        |    AS p90_mv,
+        |  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS BIGINT)
+        |    AS p99_mv
+        |FROM w GROUP BY slice""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("slice").orderBy("v")
+      val sv = Tables.events(s, d)
+        .select(col("event_type").as("slice"), mv(col("value")).as("v"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("slice")))
+      def pick(p: Int) =
+        max(when(col("rn") === expr(s"($p * n + 99) DIV 100"), col("v")))
+      sv.groupBy("slice").agg(max(col("n")).as("n_events"),
+        pick(50).as("p50_mv"), pick(90).as("p90_mv"), pick(99).as("p99_mv"))
+    },
+
+    // Per-group MODE with a deterministic tie-break (highest count, then
+    // lowest value) — the categorical summary statistic none of the
+    // existing aggregates produce. Shape: one (slice, v) count aggregate
+    // (map-side combined — the corpus-wide shuffle is |distinct values|,
+    // not |rows|), then a max-count window over the per-slice count frame
+    // and a min over the argmax peers. At 100 TB the count frame is the
+    // only big intermediate and it's already the smallest possible one.
+    checked("agg_mode",
+      """WITH c AS (SELECT event_type AS slice,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT slice, v, cnt, max(cnt) OVER (PARTITION BY slice) AS mx
+        |  FROM c)
+        |SELECT slice, CAST(min(v) AS BIGINT) AS mode_mv,
+        |  CAST(max(mx) AS BIGINT) AS mode_n
+        |FROM m WHERE cnt = mx GROUP BY slice""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"), mv(col("value")).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("mx", max(col("cnt")).over(Window.partitionBy("slice")))
+      c.filter(col("cnt") === col("mx")).groupBy("slice")
+        .agg(min(col("v")).as("mode_mv"), max(col("mx")).as("mode_n"))
+    },
+
+    // OHLC bar resampling — the financial/telemetry downsample the ts
+    // family lacks: per (slice, 15-minute bucket), the first (open) and
+    // last (close) observation under the total (ts, event_id) order plus
+    // the extrema and count. One shuffle on the bar key; both edge picks
+    // ride row_number in the SAME partitioning (two sorts, no second
+    // exchange), values stay exact millivalue BIGINTs and the bar
+    // timestamp is rebuilt from the integral bucket id. The generated
+    // column names come out in OHLC order so the bar table reads like the
+    // convention.
+    checked("ohlc_resample",
+      """WITH sv AS (SELECT event_type AS slice,
+        |    epoch_us(ts) // 900000000 AS b, ts, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |w AS (SELECT slice, b, v,
+        |    row_number() OVER (PARTITION BY slice, b ORDER BY ts, event_id)
+        |      AS ra,
+        |    row_number() OVER (PARTITION BY slice, b
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM sv)
+        |SELECT slice, make_timestamp(b * 900000000) AS bar_ts,
+        |  CAST(max(CASE WHEN ra = 1 THEN v END) AS BIGINT) AS open_mv,
+        |  CAST(max(v) AS BIGINT) AS high_mv,
+        |  CAST(min(v) AS BIGINT) AS low_mv,
+        |  CAST(max(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS close_mv,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val wa = Window.partitionBy("slice", "b").orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("slice", "b")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("event_type").as("slice"),
+          expr("unix_micros(ts) DIV 900000000").as("b"),
+          col("ts"), col("event_id"), mv(col("value")).as("v"))
+        .withColumn("ra", row_number().over(wa))
+        .withColumn("rd", row_number().over(wd))
+        .groupBy(col("slice"), timestamp_micros(col("b") * 900000000L).as("bar_ts"))
+        .agg(max(when(col("ra") === 1, col("v"))).as("open_mv"),
+          max(col("v")).as("high_mv"), min(col("v")).as("low_mv"),
+          max(when(col("rd") === 1, col("v"))).as("close_mv"),
+          count(lit(1)).as("n_events"))
+    },
+
+    // ROC AUC by the rank-sum (Mann-Whitney) identity over the score
+    // HISTOGRAM — the classification-eval metric ml_metrics'
+    // regression pair lacks, in the form production actually computes
+    // it at scale: scores aggregate to (score → n, n_pos) counts first
+    // (map-side combined; the distributed pass), and the ordered
+    // cumulative + rank arithmetic runs over that bounded histogram
+    // (|distinct scores| rows — here exact integer dot-product scores,
+    // at 100 TB a binned score grid; never the corpus). Tie groups get
+    // the average rank exactly: 2·rank_avg = 2·below + n_g + 1 keeps
+    // every term integral, so AUC = (Σ 2R⁺ − n₁(n₁+1)) / (2·n₁·n₀) is
+    // one exact-integer ratio with a single shared IEEE division.
+    // Score = ⟨scaled embedding, alternating ±1⟩ (exact BIGINT via the
+    // native DotLong); label ≥ 5 splits the 0..9 labels evenly.
+    checked("ml_auc", {
+      import graft.functions.TextFns.sqlScaledVec
+      s"""WITH sv0 AS (SELECT label, ${sqlScaledVec("embedding")} AS v
+         |  FROM embeddings),
+         |sv AS (SELECT label >= 5 AS pos,
+         |    list_aggregate(list_transform(range(1, 65),
+         |      i -> v[i] * (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END)), 'sum')
+         |      AS score
+         |  FROM sv0),
+         |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS p
+         |  FROM sv GROUP BY 1),
+         |w AS (SELECT n, p, CAST(COALESCE(sum(n) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS below FROM g),
+         |m AS (SELECT CAST(sum(p) AS BIGINT) AS n1,
+         |    CAST(sum(n - p) AS BIGINT) AS n0,
+         |    CAST(sum(p * (2 * below + n + 1)) AS BIGINT) AS r2 FROM w)
+         |SELECT n1 AS n_pos, n0 AS n_neg,
+         |  ${graft.functions.DetAgg.sqlR6(
+             "CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE)")}
+         |  AS auc
+         |FROM m""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextFns.scaledVec
+      val weights = typedLit(Seq.tabulate(64)(i => if (i % 2 == 0) 1L else -1L))
+      val g = Tables.embeddings(s, d)
+        .select((col("label") >= 5).as("pos"),
+          graft.functions.expr.DotLong(scaledVec(col("embedding")), weights)
+            .as("score"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("n"), sum(when(col("pos"), 1L).otherwise(0L)).as("p"))
+      val below = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val m = g
+        .withColumn("below", coalesce(sum(col("n")).over(below), lit(0L)))
+        .agg(sum(col("p")).as("n1"), sum(col("n") - col("p")).as("n0"),
+          sum(col("p") * (lit(2) * col("below") + col("n") + 1)).as("r2"))
+      m.select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+        graft.functions.DetAgg.r6(
+          (col("r2") - col("n1") * (col("n1") + 1)).cast("double") /
+            (lit(2) * col("n1") * col("n0")).cast("double")).as("auc"))
+    },
+
+    // Chi-squared independence test over the event_type × user-segment
+    // contingency table — the experiment-analysis pass next to
+    // stats_corr. Observed counts, row/column/grand totals, and the
+    // numerator (O·N − R·C) are all exact BIGINTs (≤ ~5e13 at any shipped
+    // SF); each cell's contribution (O·N−R·C)²/(R·C·N) is one fixed IEEE
+    // mul/div tree over those exact integers — bit-identical in both
+    // engines — quantized to a 1e-4 grid per CELL so the final statistic
+    // is an exact integer sum in any accumulation order. After the first
+    // (20-row) aggregate everything is frame-local; at 100 TB this costs
+    // exactly one map-side-combined corpus shuffle.
+    checked("stats_chi2",
+      """WITH cell AS (SELECT event_type AS et, user_id % 4 AS seg,
+        |    CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+        |t AS (SELECT et, seg, o,
+        |    sum(o) OVER (PARTITION BY et) AS r,
+        |    sum(o) OVER (PARTITION BY seg) AS c,
+        |    sum(o) OVER () AS n FROM cell),
+        |q AS (SELECT et, seg,
+        |    CAST(floor(CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+        |      / CAST(r * c * n AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS contrib
+        |  FROM t)
+        |SELECT CAST(sum(contrib) AS DOUBLE) / 1e4 AS chi2,
+        |  CAST((count(DISTINCT et) - 1) * (count(DISTINCT seg) - 1) AS BIGINT)
+        |    AS dof,
+        |  (SELECT CAST(sum(o) AS BIGINT) FROM cell) AS n_obs
+        |FROM q""".stripMargin) { (s, d) =>
+      val cell = Tables.events(s, d)
+        .groupBy(col("event_type").as("et"), expr("user_id % 4").as("seg"))
+        .agg(count(lit(1)).as("o"))
+      val t = cell
+        .withColumn("r", sum(col("o")).over(Window.partitionBy("et")))
+        .withColumn("c", sum(col("o")).over(Window.partitionBy("seg")))
+        .withColumn("n", sum(col("o")).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      val dNum = (col("o") * col("n") - col("r") * col("c")).cast("double")
+      val q = t.withColumn("contrib",
+        floor(dNum * dNum / (col("r") * col("c") * col("n")).cast("double")
+          * 1e4 + 0.5).cast("long"))
+      q.agg((sum(col("contrib")).cast("double") / 1e4).as("chi2"),
+        ((countDistinct(col("et")) - 1) *
+          (countDistinct(col("seg")) - 1)).as("dof"),
+        sum(col("o")).as("n_obs"))
+    }
+  )
+}

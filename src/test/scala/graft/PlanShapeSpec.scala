@@ -247,6 +247,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("recursive_cte").contains("UnionLoop"))
   }
 
+  test("agg_multi_distinct: two-phase dedup aggregates, never an Expand") {
+    val p = plan("agg_multi_distinct")
+    assert(!p.contains("Expand"),
+      "multi-distinct must run as separate pre-dedup aggregates — the " +
+        "built-in count(DISTINCT a), count(DISTINCT b) plan replicates " +
+        s"every corpus row once per distinct group via Expand; got:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-slice distinct frames must broadcast back onto the totals")
+  }
+
+  test("percentile_groups: rank + size share one shuffle on the group key") {
+    val p = plan("percentile_groups")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"row_number, the partition count, and the final aggregate must all " +
+        s"ride ONE hash partitioning on slice; got $exchanges exchanges:\n$p")
+  }
+
+  test("ohlc_resample: both edge picks ride the bar-key partitioning") {
+    val p = plan("ohlc_resample")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    // one corpus shuffle on (slice, bucket) for the two window sorts; the
+    // final aggregate may re-key on (slice, bar_ts) but only bar rows —
+    // never corpus rows — cross it.
+    assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("agg_mode and stats_chi2 reduce the corpus map-side in their first aggregate") {
+    Seq("agg_mode", "stats_chi2").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("partial_count"),
+        s"$name's first aggregate must map-side combine so only distinct " +
+          s"cells — not corpus rows — cross the shuffle; got:\n$p")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
   test("shuffle-volume ceilings hold for the heaviest queries") {
     // Wall time only tells you a regression happened on THIS machine;
     // bytes crossing the exchanges tell you the plan itself regressed — a
