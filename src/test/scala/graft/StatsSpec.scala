@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.QuerySpec
+
+/** Behavioral pins for the stats family beyond the DuckDB twins: the
+  * oracle proves Spark and DuckDB agree; these prove the shared spelling
+  * means what the query names claim (Holt recurrence, Mann-Whitney
+  * pairwise identity, order-statistic coverage). */
+class StatsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    try {
+      SparkEntry.allQueries.find(_.name == name)
+        .getOrElse(fail(s"no query named $name")).fn(spark, sf).collect()
+    } finally QuerySpec.releaseStaged()
+
+  test("ts_holt equals a driver-side replay of the recurrence per user") {
+    val rows = run("ts_holt").map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(rows.keySet == raw.keySet)
+    raw.foreach { case (user, evs) =>
+      val vs = evs.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).map(_._4)
+      var l = vs.head
+      var b = 0L
+      vs.tail.foreach { v =>
+        val l2 = (v + l + b) / 2 // Scala Long /: truncate toward zero
+        b = (l2 - l + b) / 2
+        l = l2
+      }
+      assert(rows(user) == ((l, b, l + b)), s"user $user")
+    }
+  }
+
+  test("ml_auc equals the naive pairwise Mann-Whitney count") {
+    val Array(r) = run("ml_auc")
+    val auc = r.getAs[Double]("auc")
+    import graft.functions.TextFns.scaledVec
+    val weights = typedLit(Seq.tabulate(64)(i => if (i % 2 == 0) 1L else -1L))
+    val scored = Tables.embeddings(spark, sf)
+      .select((col("label") >= 5).as("pos"),
+        graft.functions.expr.DotLong(scaledVec(col("embedding")), weights)
+          .as("score"))
+      .collect().map(x => (x.getBoolean(0), x.getLong(1)))
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filterNot(_._1).map(_._2)
+    assert(pos.length == r.getAs[Long]("n_pos") &&
+      neg.length == r.getAs[Long]("n_neg"))
+    // Σ over (pos, neg) pairs: 1 per win, 0.5 per tie — kept integral ×2.
+    var twice = 0L
+    for (p <- pos; n <- neg)
+      twice += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val naive = twice.toDouble / (2.0 * pos.length * neg.length)
+    assert(auc == math.floor(naive * 1e6 + 0.5) / 1e6,
+      s"histogram rank-sum $auc vs pairwise $naive")
+  }
+
+  test("percentile_groups picks real order statistics (coverage bounds)") {
+    val by = run("percentile_groups")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value") * 1000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    vals.foreach { case (slice, vs) =>
+      val (n, p50, p90, p99) = by(slice)
+      assert(n == vs.length)
+      Seq(50 -> p50, 90 -> p90, 99 -> p99).foreach { case (p, v) =>
+        assert(vs.contains(v), s"$slice p$p must be an observed value")
+        // rank-selection definition: at least ⌈p·n/100⌉ values ≤ v and the
+        // value strictly below rank ⌈p·n/100⌉ values can't cover p%.
+        val rank = (p * n + 99) / 100
+        assert(vs.count(_ <= v) >= rank, s"$slice p$p covers")
+        assert(vs.count(_ < v) < rank, s"$slice p$p minimal")
+      }
+      assert(p50 <= p90 && p90 <= p99, s"$slice monotone")
+    }
+  }
+
+  test("sketch_bloom probes through the codegen'd native expression") {
+    val q = SparkEntry.allQueries.find(_.name == "sketch_bloom").get
+    val p =
+      try q.fn(spark, sf).queryExecution.executedPlan.toString
+      finally QuerySpec.releaseStaged()
+    assert(p.contains("might_contain"),
+      s"probe must be BloomFilterMightContain, not a UDF; got:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), "no scala UDF in the probe")
+  }
+}
