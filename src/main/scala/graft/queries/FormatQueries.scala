@@ -205,6 +205,55 @@ object FormatQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
     },
 
+    // Small-file COMPACTION — the table-maintenance pass every streaming
+    // ingest pipeline owes its readers (a per-trigger sink leaves
+    // hundreds of tiny files per partition; parquet scan cost at 100 TB
+    // is dominated by file-open/footer overhead once files drop below
+    // ~tens of MB). A deliberately fragmented copy of the events table
+    // (48 shards) is compacted by reading it back and COALESCING to a
+    // byte-budget-derived file count — coalesce is the load-bearing
+    // choice: it merges partitions without a shuffle, which is exactly
+    // what OPTIMIZE/rewriteDataFiles does per partition. The declared
+    // result carries the content checksum (count, id-sum, value-sum on
+    // the 1e3 grid) read FROM THE COMPACTED LAYOUT plus three measured
+    // contract booleans: the compaction reduced the file count, hit its
+    // target, and changed nothing (fragment checksum == compacted
+    // checksum). DuckDB recomputes the checksum from the raw table and
+    // asserts the booleans literally.
+    checked("files_compact",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_sum,
+        |  true AS fewer_files, true AS within_target,
+        |  true AS content_identical
+        |FROM events""".stripMargin) { (s, d) =>
+      val key = QuerySpec.jvmScopedKey(d)
+      val frag = TmpDirs.scoped(s"graft_frag_$key").getAbsolutePath
+      val comp = TmpDirs.scoped(s"graft_comp_$key").getAbsolutePath
+      Tables.events(s, d).repartition(48)
+        .write.mode("overwrite").parquet(frag)
+      def parquetFiles(dir: String) = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      val before = parquetFiles(frag)
+      // Target: ~4 MB per output file — the per-partition byte budget a
+      // production OPTIMIZE uses (scaled down to the test corpus).
+      val target = math.max(1, math.ceil(before.map(_.length).sum / 4e6).toInt)
+      s.read.parquet(frag).coalesce(target)
+        .write.mode("overwrite").parquet(comp)
+      val after = parquetFiles(comp).length
+      def checksum(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_sum"))
+      val fragSum = checksum(s.read.parquet(frag)).head()
+      checksum(s.read.parquet(comp))
+        .withColumn("fewer_files", lit(after < before.length))
+        .withColumn("within_target", lit(after <= target))
+        .withColumn("content_identical",
+          col("n_rows") === fragSum.getLong(0) &&
+            col("id_sum") === fragSum.getLong(1) &&
+            col("v_sum") === fragSum.getLong(2))
+    },
+
     // Z-ORDER layout — the lakehouse multi-dimensional clustering op: sort
     // the fact table by the Morton interleave of two filter dimensions
     // (graft.functions.ZOrder, pure codegen'd bit-ops) so a rectangle

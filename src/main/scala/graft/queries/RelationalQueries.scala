@@ -388,6 +388,50 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
     },
 
+    // TPC-H Q5-shaped multiway join — the join-ORDER regime the pairwise
+    // join queries can't exercise: six relations, a selective region
+    // filter that must prune through nation into both customer and
+    // supplier, a date range that pushes into the orders scan, and the
+    // classic local-supplier correlation s_nationkey = c_nationkey that
+    // only binds once both sides are joined. The declarative form lets
+    // Catalyst pick the order; the scale-correct outcome (pinned in
+    // PlanShapeSpec) is region/nation/supplier broadcast (tiny dims),
+    // customer broadcast after its nation prune, and the ONE big fact
+    // (lineitem) flowing through a single shuffle on l_orderkey against
+    // date-pruned orders — never a fact-×-fact shuffle pair beyond it.
+    // Revenue is the Q1 decimal-exact product sum.
+    checked("join_multiway_q5",
+      s"""SELECT n_name AS nation, count(*) AS n,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp")
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+    },
+
     // Grouping sets via ROLLUP over the region→nation hierarchy.
     checked("rollup_geo",
       """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,

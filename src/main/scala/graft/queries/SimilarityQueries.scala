@@ -256,6 +256,52 @@ object SimilarityQueries {
       topK(scoredBrute(svSpark(s, d), NQueries), TopK)
     },
 
+    // kNN CLASSIFICATION on top of the exact top-k machinery — the eval
+    // consumer an ANN index ultimately serves: each of the first 50
+    // vectors is classified by majority vote over its 5 nearest
+    // neighbors (all other vectors, exact cosine; ties in the vote break
+    // to the LOWEST label so the decision is deterministic). Same scale
+    // shape as ann_cosine_topk (query set broadcast, one corpus pass,
+    // CosTopK bounded heaps reduce map-side); the vote itself touches
+    // only queries×k rows, and the 2-column label table broadcasts.
+    checked("ml_knn_classify",
+      s"""WITH sv AS ($svSql),
+         |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv, n2 AS qn2
+         |  FROM sv WHERE vec_id < $RecallQueries),
+         |scored AS (
+         |  SELECT q_id, true_label, vec_id, label,
+         |    ${sqlDotInt("qv", "v", Dim)} / (sqrt(qn2) * sqrt(n2)) AS cos
+         |  FROM q JOIN sv ON vec_id <> q_id),
+         |ranked AS (SELECT q_id, true_label, label,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+         |      AS rnk
+         |  FROM scored),
+         |votes AS (SELECT q_id, true_label, label,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM ranked WHERE rnk <= 5 GROUP BY 1, 2, 3),
+         |best AS (SELECT q_id, true_label, label, c,
+         |    max(c) OVER (PARTITION BY q_id) AS mx FROM votes)
+         |SELECT q_id, true_label, CAST(min(label) AS INT) AS predicted,
+         |  CAST(max(mx) AS BIGINT) AS votes,
+         |  min(label) = true_label AS correct
+         |FROM best WHERE c = mx GROUP BY q_id, true_label""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sv = svSpark(s, d)
+      val nn = topK(scoredBrute(sv, RecallQueries), 5)
+      val labels = graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val votes = nn.join(broadcast(labels), "vec_id")
+        .groupBy("q_id", "label").agg(count(lit(1)).as("c"))
+        .withColumn("mx", max(col("c")).over(Window.partitionBy("q_id")))
+        .filter(col("c") === col("mx"))
+        .groupBy("q_id")
+        .agg(min(col("label")).as("predicted"), max(col("mx")).as("votes"))
+      votes
+        .join(broadcast(labels.select(col("vec_id").as("q_id"),
+          col("label").as("true_label"))), "q_id")
+        .select(col("q_id"), col("true_label"), col("predicted"), col("votes"),
+          (col("predicted") === col("true_label")).as("correct"))
+    },
+
     // SRP-LSH bucketed ANN: candidates = same-bucket vectors only.
     checked("ann_srp_lsh",
       s"""WITH sv AS ($svSql),

@@ -211,6 +211,46 @@ object StatsQueries {
             (lit(2) * col("n1") * col("n0")).cast("double")).as("auc"))
     },
 
+    // Smoothed target encoding — the categorical feature-prep pass a
+    // tabular/ranking pipeline runs before training: each category's
+    // encoding pulls its mean target toward the global mean with prior
+    // weight m = 10, enc = (S_cat + m·ȳ)/(n_cat + m). Stated as ONE
+    // exact rational — (S_cat·N + m·G) / (N·(n_cat + m)) over DECIMAL(38)
+    // products (BIGINT·BIGINT would overflow beyond ~sf1 on the 1e3 value
+    // grid) — then a single shared IEEE division; the decimal→double hops
+    // go through strings (the DetAgg.dsumRaw argument: DuckDB's direct
+    // HUGEINT→DOUBLE is two roundings). Two map-side-combined aggregates
+    // (per-category + global), no joins wider than the 5-row category
+    // frame — at 100 TB the whole fit is one corpus pass.
+    checked("ml_target_encode",
+      """WITH c AS (SELECT event_type AS category,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS BIGINT) AS gg FROM c)
+        |SELECT category, n AS n_rows,
+        |  floor(CAST(CAST(CAST(s AS HUGEINT) * nn + 10 * CAST(gg AS HUGEINT)
+        |      AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(nn AS HUGEINT) * (n + 10) AS VARCHAR) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS enc_mv
+        |FROM c, g""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val c = staged(Tables.events(s, d)
+        .groupBy(col("event_type").as("category"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("s")))
+      val g = c.agg(sum(col("n")).as("nn"), sum(col("s")).as("gg"))
+      def dec(x: org.apache.spark.sql.Column) = x.cast(DecimalType(38, 0))
+      val num = dec(col("s")) * dec(col("nn")) + lit(10) * dec(col("gg"))
+      val den = dec(col("nn")) * dec(col("n") + 10)
+      c.crossJoin(broadcast(g))
+        .select(col("category"), col("n").as("n_rows"),
+          graft.functions.DetAgg.r6(
+            num.cast("string").cast("double") /
+              den.cast("string").cast("double")).as("enc_mv"))
+    },
+
     // Chi-squared independence test over the event_type × user-segment
     // contingency table — the experiment-analysis pass next to
     // stats_corr. Observed counts, row/column/grand totals, and the

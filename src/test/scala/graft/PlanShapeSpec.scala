@@ -247,6 +247,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("recursive_cte").contains("UnionLoop"))
   }
 
+  test("join_multiway_q5: dims broadcast, date filter pushed, no cartesian") {
+    val p = plan("join_multiway_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"region/nation/supplier (at least) must broadcast; got:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the s_nationkey = c_nationkey correlation must bind as an equi key")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"the date range must reach the orders scan; got:\n$p")
+  }
+
+  test("ml_knn_classify scores through the bounded map-side top-k heap") {
+    val p = plan("ml_knn_classify")
+    assert(p.contains("partial_cos_top_k"),
+      "the neighbor search must reduce map-side like ann_cosine_topk")
+  }
+
   test("agg_multi_distinct: two-phase dedup aggregates, never an Expand") {
     val p = plan("agg_multi_distinct")
     assert(!p.contains("Expand"),
