@@ -397,6 +397,38 @@ object KpiQueries {
           col("n").isNull.as("is_gap"))
     },
 
+    // Seasonal decomposition (hour-of-day profile) — the classical-
+    // decomposition half of the ts family: each slice's 24-hour seasonal
+    // profile is the truncated integer mean of its hourly millivalues,
+    // and the residual sum-of-squares per (slice, hour) measures what
+    // the profile fails to explain. Shape: one map-side-combined profile
+    // aggregate (120 cells), profile broadcast back onto a second
+    // corpus pass (no shuffle — the scan-side join every fit-then-
+    // transform pass uses), one final cell aggregate. All BIGINT:
+    // the squared residual sum peaks ~3e16 ≪ 2^63 at any shipped SF.
+    checked("ts_seasonal",
+      """WITH sv AS (SELECT event_type AS slice, CAST(hour(ts) AS INT) AS h,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |prof AS (SELECT slice, h, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) // count(*) AS m
+        |  FROM sv GROUP BY 1, 2)
+        |SELECT sv.slice, sv.h, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(max(m) AS BIGINT) AS seasonal_mv,
+        |  CAST(sum((v - m) * (v - m)) AS BIGINT) AS resid_ss
+        |FROM sv JOIN prof ON sv.slice = prof.slice AND sv.h = prof.h
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val sv = staged(Tables.events(s, d)
+        .select(col("event_type").as("slice"), hour(col("ts")).as("h"),
+          floor(col("value") * 1000).cast("long").as("v")))
+      val prof = sv.groupBy("slice", "h")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(v) DIV count(*)").as("m"))
+      sv.join(broadcast(prof), Seq("slice", "h"))
+        .groupBy("slice", "h")
+        .agg(max(col("n")).as("n_events"), max(col("m")).as("seasonal_mv"),
+          sum((col("v") - col("m")) * (col("v") - col("m"))).as("resid_ss"))
+    },
+
     // Holt double-exponential smoothing (α = β = 1/2) per user — the
     // trend-aware sibling of ts_ewma, and the regime its scalar fold
     // can't express: the recurrence carries TWO coupled state variables

@@ -106,6 +106,42 @@ object RelationalQueries {
         .select("c_custkey", "c_name")
     },
 
+    // NULL-AWARE anti join — the three-valued-logic regime join_anti's
+    // clean NOT IN can't observe: one NULL in the subquery makes
+    // `x NOT IN (...)` UNKNOWN for every non-matching row, so the result
+    // is EMPTY, and a planner that rewrites it as a plain left-anti join
+    // silently returns the wrong rows. Both regimes in one row: the
+    // clean branch (status-'F' custkeys, no NULLs → ordinary anti
+    // semantics) and the poisoned branch (a CASE injects NULL for 'P'
+    // orders → count must be 0). Spark plans the poisoned branch as a
+    // broadcast null-aware anti join (single-column NAAJ); the oracle is
+    // DuckDB's own three-valued NOT IN.
+    checked("join_not_in_null",
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+        |    AS n_clean,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+        |             ELSE o_custkey END FROM orders))
+        |    AS n_null_poisoned""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("nin_customer")
+      Tables.orders(s, d).createOrReplaceTempView("nin_orders")
+      s.sql(
+        """SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM nin_customer
+          |   WHERE c_custkey NOT IN
+          |     (SELECT o_custkey FROM nin_orders WHERE o_orderstatus = 'F'))
+          |    AS n_clean,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM nin_customer
+          |   WHERE c_custkey NOT IN
+          |     (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+          |             ELSE o_custkey END FROM nin_orders))
+          |    AS n_null_poisoned""".stripMargin)
+    },
+
     // Non-equi self join: line-item pairs within one order where the later
     // line is cheaper (equi key + theta condition → sort-merge/shuffle-hash
     // on the equi key, theta as residual — never a nested-loop over the

@@ -211,6 +211,78 @@ object StatsQueries {
             (lit(2) * col("n1") * col("n0")).cast("double")).as("auc"))
     },
 
+    // Poisson bootstrap confidence interval — THE distributed bootstrap
+    // (resampling n rows with replacement needs global coordination;
+    // giving each row an independent Poisson(1) weight per resample
+    // doesn't): every row contributes to each of B = 32 resamples with a
+    // deterministic hash-derived weight (h60(event_id:b) mod 1e6 against
+    // the literal Poisson(1) CDF thresholds — exact integers, engine-
+    // identical), so the whole bootstrap is ONE projection that explodes
+    // ×32 and immediately map-side-combines to 32 (Σwv, Σw) cells — the
+    // explosion never crosses a shuffle. The CI is rank-selected from
+    // the 32 resample means (p5/p95 = ranks 2/31); each mean is one IEEE
+    // division of exact BIGINTs, so ordering and values are
+    // bit-identical cross-engine.
+    checked("ml_bootstrap_ci", {
+      import graft.functions.TextFns.sqlH60
+      val u = sqlH60("CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)") +
+        " % 1000000"
+      s"""WITH r AS (SELECT event_id,
+         |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+         |e AS (SELECT v, b, ($u) AS u
+         |  FROM r CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+         |wt AS (SELECT b, v,
+         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+         |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+         |         WHEN u < 996340 THEN 4 ELSE 5 END AS w
+         |  FROM e),
+         |m AS (SELECT b, CAST(sum(w * v) AS BIGINT) AS sw,
+         |    CAST(sum(w) AS BIGINT) AS n FROM wt GROUP BY b),
+         |rk AS (SELECT CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |    row_number() OVER (
+         |      ORDER BY CAST(sw AS DOUBLE) / CAST(n AS DOUBLE), b) AS rn
+         |  FROM m),
+         |f AS (SELECT CAST(sum(v) AS BIGINT) AS sv,
+         |    CAST(count(*) AS BIGINT) AS nv FROM r)
+         |SELECT CAST(32 AS BIGINT) AS n_resamples,
+         |  ${graft.functions.DetAgg.sqlR6(
+             "CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE)")} AS mean_full,
+         |  ${graft.functions.DetAgg.sqlR6(
+             "max(CASE WHEN rn = 2 THEN mean END)")} AS ci_lo,
+         |  ${graft.functions.DetAgg.sqlR6(
+             "max(CASE WHEN rn = 31 THEN mean END)")} AS ci_hi
+         |FROM rk, f GROUP BY sv, nv""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextFns.h60
+      val r = staged(Tables.events(s, d)
+        .select(col("event_id"), floor(col("value") * 1000).cast("long").as("v")))
+      val e = r.select(col("v"), col("event_id"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("u", h60(concat(col("event_id").cast("string"), lit(":"),
+          col("b").cast("string"))) % 1000000)
+      val m = e.withColumn("w",
+          when(col("u") < 367879, 0).when(col("u") < 735759, 1)
+            .when(col("u") < 919699, 2).when(col("u") < 981012, 3)
+            .when(col("u") < 996340, 4).otherwise(5))
+        .groupBy("b")
+        .agg(sum(col("w") * col("v")).as("sw"), sum(col("w")).as("n"))
+      val rk = m
+        .select(col("b"), (col("sw").cast("double") / col("n").cast("double"))
+          .as("mean"))
+        .withColumn("rn", row_number().over(Window.orderBy("mean", "b")))
+      val f = r.agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
+      rk.crossJoin(broadcast(f)).groupBy("sv", "nv")
+        .agg(graft.functions.DetAgg.r6(
+            max(when(col("rn") === 2, col("mean")))).as("ci_lo"),
+          graft.functions.DetAgg.r6(
+            max(when(col("rn") === 31, col("mean")))).as("ci_hi"))
+        .select(lit(32L).as("n_resamples"),
+          graft.functions.DetAgg.r6(
+            col("sv").cast("double") / col("nv").cast("double"))
+            .as("mean_full"),
+          col("ci_lo"), col("ci_hi"))
+    },
+
     // Smoothed target encoding — the categorical feature-prep pass a
     // tabular/ranking pipeline runs before training: each category's
     // encoding pulls its mean target toward the global mean with prior

@@ -259,6 +259,25 @@ class PlanShapeSpec extends SparkSpec {
       s"the date range must reach the orders scan; got:\n$p")
   }
 
+  test("join_not_in_null: poisoned branch plans as a null-aware anti join") {
+    // The declared query wraps both branches in scalar subqueries, whose
+    // plans don't print in the top-level executedPlan string — pin the
+    // poisoned branch directly.
+    Tables.customer(spark, sf).createOrReplaceTempView("naaj_customer")
+    Tables.orders(spark, sf).createOrReplaceTempView("naaj_orders")
+    val p = spark.sql(
+      """SELECT count(*) FROM naaj_customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+        |          ELSE o_custkey END FROM naaj_orders)""".stripMargin)
+      .queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec.toString prints the isNullAwareAntiJoin flag
+    // as a bare trailing `true` after the build side.
+    assert("LeftAnti, Build(Right|Left), true".r.findFirstIn(p).isDefined,
+      s"NOT IN over a nullable subquery must keep three-valued-logic " +
+        s"semantics via the single-column NAAJ, got:\n$p")
+  }
+
   test("ml_knn_classify scores through the bounded map-side top-k heap") {
     val p = plan("ml_knn_classify")
     assert(p.contains("partial_cos_top_k"),
