@@ -283,6 +283,157 @@ object StatsQueries {
           col("ci_lo"), col("ci_hi"))
     },
 
+    // Two-sample Kolmogorov-Smirnov statistic — the drift test a model-
+    // monitoring pipeline runs between a reference window and current
+    // traffic (split at the IVM date). Exactly integral: per distinct
+    // millivalue, running counts (r1, r2) accumulate over the VALUE
+    // HISTOGRAM (bounded by grid cardinality, never the corpus — the
+    // ml_auc shape), and D = max |F1 − F2| is max |r1·n2 − r2·n1| over
+    // exact BIGINTs with ONE shared IEEE division at the end. A float
+    // CDF comparison could disagree at 1 ulp and move the argmax; the
+    // cross-multiplied form cannot.
+    checked("ml_ks_test",
+      s"""WITH sv AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS v,
+         |    ts < TIMESTAMP '${AnalyticsQueries.IvmSplit}' AS ref FROM events),
+         |g AS (SELECT v, CAST(count(*) FILTER (WHERE ref) AS BIGINT) AS c1,
+         |    CAST(count(*) FILTER (WHERE NOT ref) AS BIGINT) AS c2
+         |  FROM sv GROUP BY v),
+         |c AS (SELECT CAST(sum(c1) OVER w AS BIGINT) AS r1,
+         |    CAST(sum(c2) OVER w AS BIGINT) AS r2 FROM g
+         |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW)),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c2) AS BIGINT) AS n2 FROM g)
+         |SELECT n1 AS n_ref, n2 AS n_cur,
+         |  CAST(max(abs(r1 * n2 - r2 * n1)) AS BIGINT) AS d_num,
+         |  ${graft.functions.DetAgg.sqlR6(
+             "CAST(max(abs(r1 * n2 - r2 * n1)) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)")}
+         |    AS ks_d
+         |FROM c, t GROUP BY n1, n2""".stripMargin) { (s, d) =>
+      val split = lit(AnalyticsQueries.IvmSplit).cast("timestamp")
+      val g = staged(Tables.events(s, d)
+        .select(mv(col("value")).as("v"), (col("ts") < split).as("ref"))
+        .groupBy("v")
+        .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("ref"), 1L).otherwise(0L)).as("c2")))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = g.select(sum(col("c1")).over(w).as("r1"),
+        sum(col("c2")).over(w).as("r2"))
+      val t = g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      c.crossJoin(broadcast(t)).groupBy("n1", "n2")
+        .agg(max(abs(col("r1") * col("n2") - col("r2") * col("n1")))
+          .as("d_num"))
+        .select(col("n1").as("n_ref"), col("n2").as("n_cur"), col("d_num"),
+          graft.functions.DetAgg.r6(col("d_num").cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("ks_d"))
+    },
+
+    // Population Stability Index over fixed equal-width value bins — the
+    // companion drift score (monitoring dashboards report PSI per
+    // feature nightly). Ten literal bins over the value grid make the
+    // assignment a zero-shuffle projection (no data-derived boundaries
+    // to fit); each bin's (p−q)·ln(p/q) term is one fixed IEEE tree
+    // over exact counts, quantized to a 1e-6 grid per BIN before the
+    // 10-term sum — accumulation order can never leak. Scale: one
+    // map-side-combined aggregate to 10×2 cells.
+    checked("ml_psi",
+      s"""WITH sv AS (SELECT
+         |    least(CAST(floor(value * 1000) AS BIGINT) // 11200, 9) AS bin,
+         |    ts < TIMESTAMP '${AnalyticsQueries.IvmSplit}' AS ref FROM events),
+         |g AS (SELECT bin, CAST(count(*) FILTER (WHERE ref) AS BIGINT) AS p,
+         |    CAST(count(*) FILTER (WHERE NOT ref) AS BIGINT) AS q
+         |  FROM sv GROUP BY bin),
+         |t AS (SELECT CAST(sum(p) AS BIGINT) AS n1,
+         |    CAST(sum(q) AS BIGINT) AS n2 FROM g),
+         |c AS (SELECT bin,
+         |    CAST(floor((CAST(p AS DOUBLE) / n1 - CAST(q AS DOUBLE) / n2) *
+         |      ln((CAST(p AS DOUBLE) * n2) / (CAST(q AS DOUBLE) * n1)) * 1e6
+         |      + 0.5) AS BIGINT) AS contrib
+         |  FROM g, t)
+         |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(contrib) AS DOUBLE) / 1e6 AS psi
+         |FROM c""".stripMargin) { (s, d) =>
+      val split = lit(AnalyticsQueries.IvmSplit).cast("timestamp")
+      val g = Tables.events(s, d)
+        .select(least(expr("CAST(floor(value * 1000) AS BIGINT) DIV 11200"),
+          lit(9L)).as("bin"), (col("ts") < split).as("ref"))
+        .groupBy("bin")
+        .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("p"),
+          sum(when(!col("ref"), 1L).otherwise(0L)).as("q"))
+      val t = g.agg(sum(col("p")).as("n1"), sum(col("q")).as("n2"))
+      val c = g.crossJoin(broadcast(t)).select(
+        floor((col("p").cast("double") / col("n1") -
+          col("q").cast("double") / col("n2")) *
+          log((col("p").cast("double") * col("n2")) /
+            (col("q").cast("double") * col("n1"))) * 1e6 + 0.5)
+          .cast("long").as("contrib"))
+      c.agg(count(lit(1)).as("n_bins"),
+        (sum(col("contrib")).cast("double") / 1e6).as("psi"))
+    },
+
+    // Cumulative gains / lift table — the business-facing companion of
+    // ml_auc: the scored population (same exact-integer dot-product
+    // scores) is cut into 10 equal tiles by descending score (ntile
+    // over a TOTAL order — vec_id breaks score ties, so tile membership
+    // is deterministic), and each decile reports its response rate and
+    // cumulative lift vs the base rate as exact-integer rationals with
+    // one shared IEEE division each. The window runs over the scored
+    // frame (the eval set, not the corpus); at training scale the same
+    // cut comes from the percentile_groups rank machinery.
+    checked("ml_lift_curve", {
+      import graft.functions.TextFns.sqlScaledVec
+      s"""WITH sv0 AS (SELECT vec_id, label, ${sqlScaledVec("embedding")} AS v
+         |  FROM embeddings),
+         |sv AS (SELECT vec_id, label >= 5 AS pos,
+         |    list_aggregate(list_transform(range(1, 65),
+         |      i -> v[i] * (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END)), 'sum')
+         |      AS score
+         |  FROM sv0),
+         |tiles AS (SELECT pos,
+         |    ntile(10) OVER (ORDER BY score DESC, vec_id) AS tile FROM sv),
+         |g AS (SELECT tile, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS np
+         |  FROM tiles GROUP BY tile),
+         |c AS (SELECT tile, n, np,
+         |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+         |    CAST(sum(np) OVER w AS BIGINT) AS cnp
+         |  FROM g WINDOW w AS (ORDER BY tile ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+         |    CAST(sum(np) AS BIGINT) AS tnp FROM g)
+         |SELECT tile, n, np,
+         |  ${graft.functions.DetAgg.sqlR6(
+             "CAST(np AS DOUBLE) / CAST(n AS DOUBLE)")} AS response_rate,
+         |  ${graft.functions.DetAgg.sqlR6(
+             "CAST(cnp * tn AS DOUBLE) / CAST(cn * tnp AS DOUBLE)")}
+         |    AS cum_lift
+         |FROM c, t""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextFns.scaledVec
+      val weights = typedLit(Seq.tabulate(64)(i => if (i % 2 == 0) 1L else -1L))
+      val tiles = Tables.embeddings(s, d)
+        .select(col("vec_id"), (col("label") >= 5).as("pos"),
+          graft.functions.expr.DotLong(scaledVec(col("embedding")), weights)
+            .as("score"))
+        .withColumn("tile",
+          ntile(10).over(Window.orderBy(col("score").desc, col("vec_id"))))
+      val g = staged(tiles.groupBy("tile")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("np")))
+      val w = Window.orderBy("tile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = g.select(col("tile"), col("n"), col("np"),
+        sum(col("n")).over(w).as("cn"), sum(col("np")).over(w).as("cnp"))
+      val t = g.agg(sum(col("n")).as("tn"), sum(col("np")).as("tnp"))
+      c.crossJoin(broadcast(t))
+        .select(col("tile"), col("n"), col("np"),
+          graft.functions.DetAgg.r6(col("np").cast("double") /
+            col("n").cast("double")).as("response_rate"),
+          graft.functions.DetAgg.r6((col("cnp") * col("tn")).cast("double") /
+            (col("cn") * col("tnp")).cast("double")).as("cum_lift"))
+    },
+
     // Smoothed target encoding — the categorical feature-prep pass a
     // tabular/ranking pipeline runs before training: each category's
     // encoding pulls its mean target toward the global mean with prior
