@@ -397,6 +397,82 @@ object KpiQueries {
           col("n").isNull.as("is_gap"))
     },
 
+    // Autocorrelation function (lags 1-3) per slice — the diagnostic a
+    // forecasting pipeline runs before choosing model order (the VAR/
+    // GRU trainers' lag hyperparameters come from exactly this plot).
+    // One lead() window pass produces the three lagged columns in the
+    // same (slice, time) partitioning, one aggregate collects every
+    // moment, and each r_k is the mean-centered estimator cleared of
+    // rationals by multiplying through by n²:
+    //   r_k = (n²·L_k − n·S·(Sh_k+St_k) + c_k·S²) / (n²·Q − n·S²)
+    // with every term an exact DECIMAL(38)/HUGEINT product (peak ~5e24
+    // at sf0.1; the 38-digit headroom holds to ~2³¹ rows per slice —
+    // beyond that, center on a pre-pass mean on a coarser grid). The
+    // single IEEE division rides the string-hop double conversion.
+    checked("ts_acf", {
+      def aggK(k: Int) =
+        s"""CAST(count(v$k) AS HUGEINT) AS c$k,
+           |    CAST(sum(CAST(v AS HUGEINT) * v$k) AS HUGEINT) AS l$k,
+           |    CAST(sum(CASE WHEN v$k IS NOT NULL THEN v END) AS HUGEINT)
+           |      AS sh$k,
+           |    CAST(sum(v$k) AS HUGEINT) AS st$k""".stripMargin
+      def rowK(k: Int) = {
+        val num = s"(n * n * l$k - n * s * (sh$k + st$k) + c$k * s * s)"
+        val den = "(n * n * q - n * s * s)"
+        s"""SELECT slice, $k AS lag, CAST(c$k AS BIGINT) AS n_pairs,
+           |  ${graft.functions.DetAgg.sqlR6(
+              s"CAST(CAST($num AS VARCHAR) AS DOUBLE) / " +
+                s"CAST(CAST($den AS VARCHAR) AS DOUBLE)")} AS acf
+           |FROM a""".stripMargin
+      }
+      s"""WITH sv AS (SELECT event_type AS slice, ts, event_id,
+         |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+         |l AS (SELECT slice, v, lead(v, 1) OVER w AS v1,
+         |    lead(v, 2) OVER w AS v2, lead(v, 3) OVER w AS v3
+         |  FROM sv WINDOW w AS (PARTITION BY slice ORDER BY ts, event_id)),
+         |a AS (SELECT slice, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(v) AS HUGEINT) AS s,
+         |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q,
+         |    ${aggK(1)},
+         |    ${aggK(2)},
+         |    ${aggK(3)}
+         |  FROM l GROUP BY slice)
+         |${rowK(1)} UNION ALL ${rowK(2)} UNION ALL ${rowK(3)}""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val w = Window.partitionBy("slice").orderBy("ts", "event_id")
+      val l = Tables.events(s, d)
+        .select(col("event_type").as("slice"), col("ts"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("v"))
+        .withColumn("v1", lead(col("v"), 1).over(w))
+        .withColumn("v2", lead(col("v"), 2).over(w))
+        .withColumn("v3", lead(col("v"), 3).over(w))
+      val aggs = Seq(count(lit(1)).cast("long").as("n"),
+        sum(col("v")).as("s"), sum(dec(col("v")) * dec(col("v"))).as("q")) ++
+        (1 to 3).flatMap { k =>
+          Seq(count(col(s"v$k")).as(s"c$k"),
+            sum(dec(col("v")) * dec(col(s"v$k"))).as(s"l$k"),
+            sum(when(col(s"v$k").isNotNull, col("v"))).as(s"sh$k"),
+            sum(col(s"v$k")).as(s"st$k"))
+        }
+      val a = staged(l.groupBy("slice").agg(aggs.head, aggs.tail: _*))
+      def rowK(k: Int) = {
+        val num = dec(col("n")) * dec(col("n")) * col(s"l$k") -
+          dec(col("n")) * dec(col("s")) *
+            (dec(col(s"sh$k")) + dec(col(s"st$k"))) +
+          dec(col(s"c$k")) * dec(col("s")) * dec(col("s"))
+        val den = dec(col("n")) * dec(col("n")) * col("q") -
+          dec(col("n")) * dec(col("s")) * dec(col("s"))
+        a.select(col("slice"), lit(k).as("lag"),
+          col(s"c$k").cast("long").as("n_pairs"),
+          graft.functions.DetAgg.r6(num.cast("string").cast("double") /
+            den.cast("string").cast("double")).as("acf"))
+      }
+      rowK(1).unionAll(rowK(2)).unionAll(rowK(3))
+    },
+
     // Seasonal decomposition (hour-of-day profile) — the classical-
     // decomposition half of the ts family: each slice's 24-hour seasonal
     // profile is the truncated integer mean of its hourly millivalues,

@@ -310,6 +310,82 @@ object TextQueries {
     // Shannon entropy of the token-hash distribution per language — reuses
     // the ShannonEntropy UDAF (Q7 gap-closer) on text data, vs DuckDB's
     // native entropy().
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    // algorithm) — the position-aware fingerprint selection the rolling
+    // doc_fingerprint hash doesn't do: over each doc's 3-gram h60
+    // sequence, every window of 4 consecutive gram hashes selects its
+    // minimum (ties to the RIGHTMOST position, the paper's rule), and
+    // the distinct (hash, pos) selections are the fingerprints. Spelled
+    // with three lead() columns in ONE (doc, pos) window pass +
+    // least() + a rightmost-match CASE — no self-join, no per-window
+    // explosion; at 100 TB this is a linear scan per doc like every
+    // other text pass. The paper's density guarantee — consecutive
+    // selections within any window ⇒ gaps ≤ w — is MEASURED per doc
+    // and oracle-asserted (gap_ok), not assumed.
+    checked("text_winnowing", {
+      val grams = sqlH60All(sqlShingles(sqlTokens("text"), 3))
+      s"""WITH g0 AS (SELECT doc_id, $grams AS gh FROM documents),
+         |g AS (SELECT doc_id, unnest(gh) AS gh,
+         |    unnest(range(1, len(gh) + 1)) AS pos FROM g0),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM g GROUP BY doc_id),
+         |l AS (SELECT doc_id, gh, pos, lead(gh, 1) OVER w AS g1,
+         |    lead(gh, 2) OVER w AS g2, lead(gh, 3) OVER w AS g3
+         |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |sel AS (SELECT DISTINCT doc_id,
+         |    least(gh, g1, g2, g3) AS fh,
+         |    CASE WHEN g3 = least(gh, g1, g2, g3) THEN pos + 3
+         |         WHEN g2 = least(gh, g1, g2, g3) THEN pos + 2
+         |         WHEN g1 = least(gh, g1, g2, g3) THEN pos + 1
+         |         ELSE pos END AS fpos
+         |  FROM l WHERE g3 IS NOT NULL),
+         |gap AS (SELECT doc_id, fpos - lag(fpos) OVER
+         |    (PARTITION BY doc_id ORDER BY fpos) AS gp FROM sel),
+         |fp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |    CAST(sum(fh % 1000000000) AS BIGINT) AS fp_sum
+         |  FROM sel GROUP BY doc_id),
+         |gk AS (SELECT doc_id, COALESCE(max(gp), 0) <= 4 AS gap_ok
+         |  FROM gap GROUP BY doc_id)
+         |SELECT cnt.doc_id, n_grams,
+         |  COALESCE(n_fp, 0) AS n_fp, COALESCE(fp_sum, 0) AS fp_sum,
+         |  COALESCE(gap_ok, true) AS gap_ok
+         |FROM cnt LEFT JOIN fp ON cnt.doc_id = fp.doc_id
+         |LEFT JOIN gk ON cnt.doc_id = gk.doc_id""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = staged(Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(h60All(shingles(tokens(col("text")), 3)))
+            .as(Seq("pos0", "gh")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh")))
+      val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val mn = least(col("gh"), col("g1"), col("g2"), col("g3"))
+      val sel = g
+        .withColumn("g1", lead(col("gh"), 1).over(w))
+        .withColumn("g2", lead(col("gh"), 2).over(w))
+        .withColumn("g3", lead(col("gh"), 3).over(w))
+        .filter(col("g3").isNotNull)
+        .select(col("doc_id"), mn.as("fh"),
+          when(col("g3") === mn, col("pos") + 3)
+            .when(col("g2") === mn, col("pos") + 2)
+            .when(col("g1") === mn, col("pos") + 1)
+            .otherwise(col("pos")).as("fpos"))
+        .distinct()
+      val fp = sel.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          sum(col("fh") % 1000000000L).as("fp_sum"))
+      val gw = Window.partitionBy("doc_id").orderBy("fpos")
+      val gk = sel.withColumn("gp", col("fpos") - lag(col("fpos"), 1).over(gw))
+        .groupBy("doc_id")
+        .agg((coalesce(max(col("gp")), lit(0L)) <= 4).as("gap_ok"))
+      cnt.join(fp, Seq("doc_id"), "left").join(gk, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          coalesce(col("fp_sum"), lit(0L)).as("fp_sum"),
+          coalesce(col("gap_ok"), lit(true)).as("gap_ok"))
+    },
+
     checked("text_entropy",
       s"""WITH t AS (SELECT lang, unnest(${sqlH60All(sqlTokens("text"))}) AS th
          |  FROM documents)
