@@ -302,6 +302,70 @@ object SimilarityQueries {
           (col("predicted") === col("true_label")).as("correct"))
     },
 
+    // NDCG@10 of the kNN ranking — the graded ranking metric that
+    // closes the eval family (AUC scores the classifier, lift the
+    // targeting, NDCG the RANKER): relevance = neighbor shares the
+    // query's label, DCG discounts by 1/log₂(i+1). The discounts are
+    // PRE-QUANTIZED LITERALS (round(1e6/log₂(i+1)) computed once at
+    // plan build and injected into BOTH engines), so DCG/IDCG are exact
+    // integer sums — no runtime transcendental anywhere — and the ideal
+    // ranking's IDCG is a literal prefix-sum lookup at n_hits. One
+    // shared IEEE division per query, zero-hit queries pinned to 0.
+    checked("ml_ndcg", {
+      val w = (1 to 10).map(i =>
+        math.round(1e6 / (math.log(i + 1) / math.log(2))))
+      val prefix = w.scanLeft(0L)(_ + _) // prefix(k) = ideal DCG of k hits
+      val wCase = (1 to 10).map(i => s"WHEN ${i} THEN ${w(i - 1)}")
+        .mkString("CASE rnk ", " ", " END")
+      val prefixList = prefix.mkString("[", ", ", "]")
+      s"""WITH sv AS ($svSql),
+         |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv, n2 AS qn2
+         |  FROM sv WHERE vec_id < $RecallQueries),
+         |scored AS (
+         |  SELECT q_id, true_label, vec_id, label,
+         |    ${sqlDotInt("qv", "v", Dim)} / (sqrt(qn2) * sqrt(n2)) AS cos
+         |  FROM q JOIN sv ON vec_id <> q_id),
+         |ranked AS (SELECT q_id, true_label, label,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+         |      AS rnk
+         |  FROM scored),
+         |h AS (SELECT q_id, true_label,
+         |    CAST(sum(CASE WHEN label = true_label
+         |      THEN $wCase ELSE 0 END) AS BIGINT) AS dcg_q,
+         |    CAST(count(*) FILTER (WHERE label = true_label) AS BIGINT)
+         |      AS n_hits
+         |  FROM ranked WHERE rnk <= 10 GROUP BY 1, 2)
+         |SELECT q_id, true_label, n_hits,
+         |  CASE WHEN n_hits = 0 THEN 0.0 ELSE
+         |    ${graft.functions.DetAgg.sqlR6(
+             s"CAST(dcg_q AS DOUBLE) / " +
+               s"CAST(($prefixList)[n_hits + 1] AS DOUBLE)")} END AS ndcg
+         |FROM h""".stripMargin
+    }) { (s, d) =>
+      val w = (1 to 10).map(i =>
+        math.round(1e6 / (math.log(i + 1) / math.log(2))))
+      val prefix = w.scanLeft(0L)(_ + _)
+      val sv = svSpark(s, d)
+      val nn = topK(scoredBrute(sv, RecallQueries), 10)
+      val labels = graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val wCol = (1 to 10).foldLeft(lit(0L)) { (acc, i) =>
+        when(col("rnk") === i, lit(w(i - 1))).otherwise(acc)
+      }
+      val h = nn.join(broadcast(labels), "vec_id")
+        .join(broadcast(labels.select(col("vec_id").as("q_id"),
+          col("label").as("true_label"))), "q_id")
+        .groupBy("q_id", "true_label")
+        .agg(sum(when(col("label") === col("true_label"), wCol)
+          .otherwise(0L)).as("dcg_q"),
+          sum(when(col("label") === col("true_label"), 1L).otherwise(0L))
+            .as("n_hits"))
+      h.select(col("q_id"), col("true_label"), col("n_hits"),
+        when(col("n_hits") === 0, lit(0.0)).otherwise(
+          graft.functions.DetAgg.r6(col("dcg_q").cast("double") /
+            element_at(typedLit(prefix), (col("n_hits") + 1).cast("int"))
+              .cast("double"))).as("ndcg"))
+    },
+
     // SRP-LSH bucketed ANN: candidates = same-bucket vectors only.
     checked("ann_srp_lsh",
       s"""WITH sv AS ($svSql),

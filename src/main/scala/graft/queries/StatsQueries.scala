@@ -283,6 +283,86 @@ object StatsQueries {
           col("ci_lo"), col("ci_hi"))
     },
 
+    // Kaplan-Meier survival estimator over inter-event waiting times —
+    // the time-to-event regime (here: "how long until this user acts
+    // again", the churn-risk primitive): each event's waiting time to
+    // the user's next event is an observed "death" at that hour; a
+    // user's LAST event is right-censored at the corpus horizon (the
+    // standard KM treatment of still-open observations). The estimator
+    // runs over the waiting-time HISTOGRAM (≤ ~700 hour cells, the
+    // ml_auc/ml_ks_test shape): at-risk counts from one cumulative
+    // window, each factor ln(1 − d/n) quantized to the 1e-4 grid before
+    // the cumulative sum (the text_lm_score argument — libm's 1-ulp
+    // divergence sits far below the grid), so the log-survival curve is
+    // an exact-integer prefix sum; S(t) = 0 (n = d at the last cell)
+    // carries a documented −9900 sentinel instead of ln 0.
+    checked("ml_survival_km",
+      """WITH seq AS (SELECT user_id, ts, event_id,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS nxt FROM events),
+        |mx AS (SELECT max(ts) AS horizon FROM events),
+        |obs AS (SELECT
+        |    CASE WHEN nxt IS NULL
+        |      THEN (epoch_us(horizon) - epoch_us(ts)) // 3600000000
+        |      ELSE (epoch_us(nxt) - epoch_us(ts)) // 3600000000 END AS t_h,
+        |    nxt IS NULL AS censored
+        |  FROM seq, mx),
+        |g AS (SELECT t_h,
+        |    CAST(count(*) FILTER (WHERE NOT censored) AS BIGINT) AS d,
+        |    CAST(count(*) FILTER (WHERE censored) AS BIGINT) AS c
+        |  FROM obs GROUP BY t_h),
+        |r AS (SELECT t_h, d, c,
+        |    CAST((SELECT sum(d + c) FROM g) -
+        |      COALESCE(sum(d + c) OVER (ORDER BY t_h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM g),
+        |q AS (SELECT t_h, d, c, n_risk,
+        |    CASE WHEN d = 0 THEN 0
+        |         WHEN n_risk > d THEN CAST(floor(ln(
+        |           CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |           * 1e4 + 0.5) AS BIGINT)
+        |         ELSE -99000000 END AS lnq
+        |  FROM r)
+        |SELECT t_h, n_risk, d, c,
+        |  CAST(sum(lnq) OVER (ORDER BY t_h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1e4 AS log_surv
+        |FROM q""".stripMargin) { (s, d) =>
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("ts"), 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      val horizon = Tables.events(s, d).agg(max(col("ts")).as("horizon"))
+      val obs = seq.crossJoin(broadcast(horizon))
+        .select(
+          when(col("nxt").isNull,
+            expr("(unix_micros(horizon) - unix_micros(ts)) DIV 3600000000"))
+            .otherwise(
+              expr("(unix_micros(nxt) - unix_micros(ts)) DIV 3600000000"))
+            .as("t_h"),
+          col("nxt").isNull.as("censored"))
+      val g = staged(obs.groupBy("t_h")
+        .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("censored"), 1L).otherwise(0L)).as("c")))
+      val total = g.agg(sum(col("d") + col("c")).as("tot"))
+      val wPrev = Window.orderBy("t_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.crossJoin(broadcast(total))
+        .withColumn("n_risk",
+          col("tot") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      val q = r.withColumn("lnq",
+        when(col("d") === 0, lit(0L))
+          .when(col("n_risk") > col("d"),
+            floor(log((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double")) * 1e4 + 0.5).cast("long"))
+          .otherwise(lit(-99000000L)))
+      val wCum = Window.orderBy("t_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      q.select(col("t_h"), col("n_risk"), col("d"), col("c"),
+        (sum(col("lnq")).over(wCum).cast("double") / 1e4).as("log_surv"))
+    },
+
     // Two-sample Kolmogorov-Smirnov statistic — the drift test a model-
     // monitoring pipeline runs between a reference window and current
     // traffic (split at the IVM date). Exactly integral: per distinct

@@ -310,6 +310,67 @@ object TextQueries {
     // Shannon entropy of the token-hash distribution per language — reuses
     // the ShannonEntropy UDAF (Q7 gap-closer) on text data, vs DuckDB's
     // native entropy().
+    // Greedy decoding through the corpus bigram model — the INFERENCE
+    // half of the LM family (text_lm_score trains/scores; this
+    // generates): the transition table is per-token argmax over bigram
+    // counts (count DESC, successor ASC — deterministic), seeds are the
+    // 10 most frequent tokens, and each seed greedily decodes 5 steps.
+    // The walk is 5 explicit self-joins of the 10-row frontier against
+    // the transition table — at 100 TB the argmax table is |vocab| rows
+    // (a bounded model artifact; broadcast), so decode cost is
+    // O(seeds·steps), independent of corpus size. A dead-end token
+    // (appears only doc-finally) yields NULL and concat_ws skips the
+    // tail identically on both engines.
+    checked("text_markov_generate", {
+      val toks = sqlTokens("text")
+      s"""WITH bg0 AS (SELECT ${sqlShingles(toks, 2)} AS bgs FROM documents),
+         |bg AS (SELECT unnest(bgs) AS pair FROM bg0),
+         |cnt AS (SELECT string_split(pair, ' ')[1] AS w1,
+         |    string_split(pair, ' ')[2] AS w2, count(*) AS c
+         |  FROM bg GROUP BY 1, 2),
+         |trans AS (SELECT w1, w2 AS nxt FROM (
+         |  SELECT w1, w2, row_number() OVER (PARTITION BY w1
+         |    ORDER BY c DESC, w2) AS rk FROM cnt) WHERE rk = 1),
+         |tok AS (SELECT w1 AS t, CAST(sum(c) AS BIGINT) AS n FROM cnt
+         |  GROUP BY 1),
+         |seed AS (SELECT t AS s0, n FROM (
+         |  SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS rk
+         |  FROM tok) WHERE rk <= 10)
+         |SELECT s0 AS seed, n AS seed_n,
+         |  concat_ws(' ', s0, t1.nxt, t2.nxt, t3.nxt, t4.nxt, t5.nxt)
+         |    AS generated
+         |FROM seed
+         |LEFT JOIN trans t1 ON t1.w1 = s0
+         |LEFT JOIN trans t2 ON t2.w1 = t1.nxt
+         |LEFT JOIN trans t3 ON t3.w1 = t2.nxt
+         |LEFT JOIN trans t4 ON t4.w1 = t3.nxt
+         |LEFT JOIN trans t5 ON t5.w1 = t4.nxt""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cnt = staged(Tables.documents(s, d)
+        .select(explode(shingles(tokens(col("text")), 2)).as("pair"))
+        .select(split(col("pair"), " ").getItem(0).as("w1"),
+          split(col("pair"), " ").getItem(1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+      val trans = cnt
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))))
+        .filter(col("rk") === 1).select(col("w1"), col("w2").as("nxt"))
+      val seed = cnt.groupBy(col("w1").as("t")).agg(sum(col("c")).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("t"))))
+        .filter(col("rk") <= 10).select(col("t").as("s0"), col("n"))
+      def hop(df: org.apache.spark.sql.DataFrame, prev: String, k: Int) =
+        df.join(broadcast(trans.select(col("w1").as(s"w$k"),
+          col("nxt").as(s"t$k"))), col(prev) === col(s"w$k"), "left")
+          .drop(s"w$k")
+      val walked = hop(hop(hop(hop(hop(seed, "s0", 1),
+        "t1", 2), "t2", 3), "t3", 4), "t4", 5)
+      walked.select(col("s0").as("seed"), col("n").as("seed_n"),
+        concat_ws(" ", col("s0"), col("t1"), col("t2"), col("t3"),
+          col("t4"), col("t5")).as("generated"))
+    },
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
     // algorithm) — the position-aware fingerprint selection the rolling
     // doc_fingerprint hash doesn't do: over each doc's 3-gram h60
