@@ -87,6 +87,105 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ml_ks_test equals a naive driver-side two-sample KS") {
+    val Array(r) = run("ml_ks_test")
+    val split = java.sql.Timestamp.valueOf(
+      graft.queries.AnalyticsQueries.IvmSplit)
+    val vs = Tables.events(spark, sf)
+      .select(col("ts"), floor(col("value") * 1000).cast("long"))
+      .collect().map(x => (x.getTimestamp(0), x.getLong(1)))
+    val ref = vs.filter(_._1.before(split)).map(_._2).sorted
+    val cur = vs.filterNot(_._1.before(split)).map(_._2).sorted
+    assert(ref.length == r.getAs[Long]("n_ref") &&
+      cur.length == r.getAs[Long]("n_cur"))
+    val values = (ref ++ cur).distinct.sorted
+    val dNum = values.map { v =>
+      val c1 = ref.count(_ <= v).toLong
+      val c2 = cur.count(_ <= v).toLong
+      math.abs(c1 * cur.length - c2 * ref.length)
+    }.max
+    assert(dNum == r.getAs[Long]("d_num"),
+      s"naive $dNum vs query ${r.getAs[Long]("d_num")}")
+  }
+
+  test("ml_survival_km equals a driver-side Kaplan-Meier replay") {
+    val rows = run("ml_survival_km")
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("log_surv"))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val horizonUs = evs.map(e => tsUs(e._2)).max
+    val obs = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (tsUs(e._2), e._3))
+      val gaps = sorted.sliding(2).collect { case Array(a, b) =>
+        ((tsUs(b._2) - tsUs(a._2)) / 3600000000L, false)
+      }.toSeq
+      gaps :+ ((horizonUs - tsUs(sorted.last._2)) / 3600000000L, true)
+    }.toSeq
+    val byT = obs.groupBy(_._1).view
+      .mapValues(g => (g.count(!_._2).toLong, g.count(_._2).toLong)).toMap
+    assert(byT.keySet == rows.keySet)
+    var atRisk = obs.size.toLong
+    var logQ = 0L
+    byT.keys.toSeq.sorted.foreach { t =>
+      val (d, c) = byT(t)
+      val (qRisk, qd, qc, qls) = rows(t)
+      assert(qRisk == atRisk && qd == d && qc == c, s"t=$t")
+      if (d > 0 && atRisk > d)
+        logQ += math.floor(math.log((atRisk - d).toDouble / atRisk) * 1e4
+          + 0.5).toLong
+      else if (d > 0) logQ += -99000000L
+      assert(qls == logQ.toDouble / 1e4, s"log_surv at t=$t")
+      atRisk -= d + c
+    }
+  }
+
+  private def tsUs(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+
+  test("ml_ndcg is bounded and exact at the endpoints") {
+    val rows = run("ml_ndcg")
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val ndcg = r.getAs[Double]("ndcg")
+      val hits = r.getAs[Long]("n_hits")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"q=${r.getLong(0)}")
+      if (hits == 10) assert(ndcg == 1.0, "all-hit ranking is ideal")
+      if (hits == 0) assert(ndcg == 0.0)
+    }
+  }
+
+  test("ts_acf equals an exact BigInt replay of the moment identity") {
+    val rows = run("ts_acf")
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getAs[Double]("acf"))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 1000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3)))
+    evs.groupBy(_._1).foreach { case (slice, es) =>
+      val vs = es.sortBy(e => (tsUs(e._2), e._3)).map(_._4).map(BigInt(_))
+      val n = BigInt(vs.length)
+      val sSum = vs.sum
+      val q = vs.map(v => v * v).sum
+      (1 to 3).foreach { k =>
+        val pairs = vs.dropRight(k).zip(vs.drop(k))
+        val lk = pairs.map { case (a, b) => a * b }.sum
+        val sh = vs.dropRight(k).sum
+        val st = vs.drop(k).sum
+        val ck = BigInt(pairs.length)
+        val num = n * n * lk - n * sSum * (sh + st) + ck * sSum * sSum
+        val den = n * n * q - n * sSum * sSum
+        val acf = math.floor(num.toDouble / den.toDouble * 1e6 + 0.5) / 1e6
+        val (qPairs, qAcf) = rows((slice, k))
+        assert(qPairs == pairs.length.toLong && qAcf == acf,
+          s"$slice lag $k: replay $acf vs $qAcf")
+      }
+    }
+  }
+
   test("sketch_bloom probes through the codegen'd native expression") {
     val q = SparkEntry.allQueries.find(_.name == "sketch_bloom").get
     val p =
