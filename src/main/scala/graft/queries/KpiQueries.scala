@@ -397,6 +397,56 @@ object KpiQueries {
           col("n").isNull.as("is_gap"))
     },
 
+    // CUSUM changepoint detection per slice — the "when did this KPI
+    // shift" pass next to anomaly_zscore's "which rows are outliers":
+    // the classic statistic argmax_t |Σ_{i≤t}(vᵢ − μ)| is cleared of
+    // the rational mean by scaling through n: C·n = n·P_t − t·S over
+    // exact BIGINTs (P_t prefix sums from ONE ordered window in the
+    // slice partitioning; peak |C·n| ~ 5e15 ≪ 2^63 at sf0.1 — the
+    // 2^63 headroom holds to ~10^9 rows/slice on this grid). The
+    // argmax tie-breaks to the EARLIEST position via one rank window
+    // over the same partitioning; the reported deviation |C| = |C·n|/n
+    // is the single shared IEEE division.
+    checked("ts_changepoint",
+      """WITH sv AS (SELECT event_type AS slice, ts, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |p AS (SELECT slice,
+        |    row_number() OVER w AS t,
+        |    sum(v) OVER (PARTITION BY slice ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    count(*) OVER (PARTITION BY slice) AS n,
+        |    sum(v) OVER (PARTITION BY slice) AS s
+        |  FROM sv WINDOW w AS (PARTITION BY slice ORDER BY ts, event_id)),
+        |c AS (SELECT slice, t, n, abs(n * pt - t * s) AS cn,
+        |    row_number() OVER (PARTITION BY slice
+        |      ORDER BY abs(n * pt - t * s) DESC, t) AS rk
+        |  FROM p)
+        |SELECT slice, CAST(n AS BIGINT) AS n_events,
+        |  CAST(t AS BIGINT) AS cp_pos, CAST(cn AS BIGINT) AS cp_num,
+        |  CAST(floor(CAST(cn AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS DOUBLE)
+        |    AS cp_dev
+        |FROM c WHERE rk = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ws = Window.partitionBy("slice").orderBy("ts", "event_id")
+      val whole = Window.partitionBy("slice")
+      val p = Tables.events(s, d)
+        .select(col("event_type").as("slice"), col("ts"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("v"))
+        .select(col("slice"), row_number().over(ws).as("t"),
+          sum(col("v")).over(ws.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("pt"),
+          count(lit(1)).over(whole).as("n"), sum(col("v")).over(whole).as("s"))
+      val cn = abs(col("n") * col("pt") - col("t") * col("s"))
+      p.select(col("slice"), col("t"), col("n"), cn.as("cn"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("slice").orderBy(col("cn").desc, col("t"))))
+        .filter(col("rk") === 1)
+        .select(col("slice"), col("n").cast("long").as("n_events"),
+          col("t").cast("long").as("cp_pos"), col("cn").as("cp_num"),
+          (floor(col("cn").cast("double") / col("n") * 1e6 + 0.5) / 1e6)
+            .as("cp_dev"))
+    },
+
     // Autocorrelation function (lags 1-3) per slice — the diagnostic a
     // forecasting pipeline runs before choosing model order (the VAR/
     // GRU trainers' lag hyperparameters come from exactly this plot).

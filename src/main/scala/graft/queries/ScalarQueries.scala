@@ -110,6 +110,59 @@ object ScalarQueries {
         .withColumnRenamed("col", "qty")
     },
 
+    // Collection-function family over per-order quantity arrays — the
+    // array surface (sort / distinct / slice / contains / flatten-free
+    // HOF total) exercised as ONE projection over grouped arrays, with
+    // every derived value deterministic: arrays are canonicalized by
+    // sorting (array_distinct's preservation order is engine-specific,
+    // so distinct is always followed by sort), and the HOF total is an
+    // exact integer fold. DuckDB's list_* functions are the twins.
+    checked("scalar_array",
+      """WITH arrs AS (SELECT l_orderkey,
+        |    list(CAST(l_quantity AS BIGINT) ORDER BY CAST(l_quantity AS BIGINT))
+        |      AS qs
+        |  FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey)
+        |SELECT l_orderkey, len(qs) AS n,
+        |  qs AS sorted_qs,
+        |  len(list_sort(list_distinct(qs))) AS n_distinct,
+        |  qs[1:2] AS first2,
+        |  list_contains(qs, 50) AS has50,
+        |  CAST(list_aggregate(qs, 'sum') AS BIGINT) AS total
+        |FROM arrs""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_quantity").cast("long")))
+          .as("qs"))
+        .select(col("l_orderkey"), size(col("qs")).cast("long").as("n"),
+          col("qs").as("sorted_qs"),
+          size(array_sort(array_distinct(col("qs")))).cast("long")
+            .as("n_distinct"),
+          slice(col("qs"), 1, 2).as("first2"),
+          array_contains(col("qs"), 50L).as("has50"),
+          aggregate(col("qs"), lit(0L), (a, x) => a + x).as("total"))
+    },
+
+    // Ordered LISTAGG — Spark 4's native listagg(...) WITHIN GROUP, the
+    // SQL:2016 surface (not a collect_list reshuffle): nation rosters
+    // per region, comma-joined in collation order. The aggregate is
+    // inherently order-sensitive, so the WITHIN GROUP clause is the
+    // whole point — DuckDB's string_agg(... ORDER BY) is the twin.
+    checked("agg_string_agg",
+      """SELECT r_name AS region,
+        |  CAST(count(*) AS BIGINT) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(count(lit(1)).as("n_nations"),
+          expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+            .as("nations_csv"))
+    },
+
     // Pivot (declared addition; no pivot in the reference): order counts by
     // status spread into columns — the oracle is the CASE-aggregation
     // spelling, which is also exactly how Spark plans a pivot.

@@ -183,6 +183,43 @@ object SimilarityQueries {
     * O(queries × k) pairs cross the exchange — for brute-force ANN that is
     * the difference between shuffling the corpus and shuffling the answer.
     * Same (cos DESC, vec_id ASC) total order as the oracle's window. */
+  /** Shared kNN decision rule (ml_knn_classify + ml_confusion_matrix):
+    * 5-NN majority vote, ties to the lowest label. The SQL prefix ends at
+    * the `best` CTE (no trailing comma); the Spark helper returns one row
+    * per query with (q_id, true_label, predicted, votes). */
+  private val knnVotesSql =
+    s"""WITH sv AS ($svSql),
+       |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv, n2 AS qn2
+       |  FROM sv WHERE vec_id < $RecallQueries),
+       |scored AS (
+       |  SELECT q_id, true_label, vec_id, label,
+       |    ${sqlDotInt("qv", "v", Dim)} / (sqrt(qn2) * sqrt(n2)) AS cos
+       |  FROM q JOIN sv ON vec_id <> q_id),
+       |ranked AS (SELECT q_id, true_label, label,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+       |      AS rnk
+       |  FROM scored),
+       |votes AS (SELECT q_id, true_label, label,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM ranked WHERE rnk <= 5 GROUP BY 1, 2, 3),
+       |best AS (SELECT q_id, true_label, label, c,
+       |    max(c) OVER (PARTITION BY q_id) AS mx FROM votes)""".stripMargin
+
+  private def knnPredictions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sv = svSpark(s, d)
+    val nn = topK(scoredBrute(sv, RecallQueries), 5)
+    val labels = graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = nn.join(broadcast(labels), "vec_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("c"))
+      .withColumn("mx", max(col("c")).over(Window.partitionBy("q_id")))
+      .filter(col("c") === col("mx"))
+      .groupBy("q_id")
+      .agg(min(col("label")).as("predicted"), max(col("mx")).as("votes"))
+    votes.join(broadcast(labels.select(col("vec_id").as("q_id"),
+      col("label").as("true_label"))), "q_id")
+  }
+
   private def topK(scored: DataFrame, k: Int) =
     scored.groupBy("q_id")
       .agg(graft.functions.expr.CosTopK.topk(col("cos"), col("vec_id"), k).as("tk"))
@@ -256,6 +293,60 @@ object SimilarityQueries {
       topK(scoredBrute(svSpark(s, d), NQueries), TopK)
     },
 
+    // Confusion matrix + per-class precision/recall/F1 from the SAME kNN
+    // decision rule as ml_knn_classify (one shared SQL prefix / Spark
+    // helper, so the two queries cannot drift apart): per true class,
+    // TP / FP / FN counted over the 50-query eval set, the three
+    // derived metrics as exact-integer rationals with one IEEE division
+    // each (F1 spelled 2TP/(2TP+FP+FN) — no intermediate rounding).
+    // Zero-denominator classes pin the metric to 0, not NULL.
+    checked("ml_confusion_matrix",
+      s"""$knnVotesSql,
+         |pred AS (SELECT q_id, true_label, CAST(min(label) AS INT)
+         |    AS predicted FROM best WHERE c = mx GROUP BY q_id, true_label),
+         |cls AS (SELECT DISTINCT true_label AS cls FROM pred),
+         |m AS (SELECT cls,
+         |    CAST((SELECT count(*) FROM pred
+         |      WHERE true_label = cls AND predicted = cls) AS BIGINT) AS tp,
+         |    CAST((SELECT count(*) FROM pred
+         |      WHERE true_label <> cls AND predicted = cls) AS BIGINT) AS fp,
+         |    CAST((SELECT count(*) FROM pred
+         |      WHERE true_label = cls AND predicted <> cls) AS BIGINT) AS fn
+         |  FROM cls)
+         |SELECT cls, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0 ELSE ${graft.functions.DetAgg
+            .sqlR6("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)")} END
+         |    AS precision,
+         |  CASE WHEN tp + fn = 0 THEN 0.0 ELSE ${graft.functions.DetAgg
+            .sqlR6("CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)")} END
+         |    AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 ELSE ${graft.functions
+            .DetAgg.sqlR6(
+              "CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)")} END
+         |    AS f1
+         |FROM m""".stripMargin) { (s, d) =>
+      val pred = knnPredictions(s, d)
+      val byTrue = pred.groupBy(col("true_label").as("cls"))
+        .agg(sum(when(col("predicted") === col("true_label"), 1L)
+          .otherwise(0L)).as("tp"),
+          sum(when(col("predicted") =!= col("true_label"), 1L).otherwise(0L))
+            .as("fn"))
+      val fps = pred.filter(col("predicted") =!= col("true_label"))
+        .groupBy(col("predicted").as("cls")).agg(count(lit(1)).as("fp"))
+      def safe(num: org.apache.spark.sql.Column,
+               den: org.apache.spark.sql.Column) =
+        when(den === 0, lit(0.0)).otherwise(
+          graft.functions.DetAgg.r6(num.cast("double") / den.cast("double")))
+      byTrue.join(fps, Seq("cls"), "left")
+        .select(col("cls"), col("tp"),
+          coalesce(col("fp"), lit(0L)).as("fp"), col("fn"))
+        .select(col("cls"), col("tp"), col("fp"), col("fn"),
+          safe(col("tp"), col("tp") + col("fp")).as("precision"),
+          safe(col("tp"), col("tp") + col("fn")).as("recall"),
+          safe(lit(2) * col("tp"),
+            lit(2) * col("tp") + col("fp") + col("fn")).as("f1"))
+    },
+
     // kNN CLASSIFICATION on top of the exact top-k machinery — the eval
     // consumer an ANN index ultimately serves: each of the first 50
     // vectors is classified by majority vote over its 5 nearest
@@ -265,39 +356,12 @@ object SimilarityQueries {
     // CosTopK bounded heaps reduce map-side); the vote itself touches
     // only queries×k rows, and the 2-column label table broadcasts.
     checked("ml_knn_classify",
-      s"""WITH sv AS ($svSql),
-         |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv, n2 AS qn2
-         |  FROM sv WHERE vec_id < $RecallQueries),
-         |scored AS (
-         |  SELECT q_id, true_label, vec_id, label,
-         |    ${sqlDotInt("qv", "v", Dim)} / (sqrt(qn2) * sqrt(n2)) AS cos
-         |  FROM q JOIN sv ON vec_id <> q_id),
-         |ranked AS (SELECT q_id, true_label, label,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
-         |      AS rnk
-         |  FROM scored),
-         |votes AS (SELECT q_id, true_label, label,
-         |    CAST(count(*) AS BIGINT) AS c
-         |  FROM ranked WHERE rnk <= 5 GROUP BY 1, 2, 3),
-         |best AS (SELECT q_id, true_label, label, c,
-         |    max(c) OVER (PARTITION BY q_id) AS mx FROM votes)
+      s"""$knnVotesSql
          |SELECT q_id, true_label, CAST(min(label) AS INT) AS predicted,
          |  CAST(max(mx) AS BIGINT) AS votes,
          |  min(label) = true_label AS correct
          |FROM best WHERE c = mx GROUP BY q_id, true_label""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val sv = svSpark(s, d)
-      val nn = topK(scoredBrute(sv, RecallQueries), 5)
-      val labels = graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-      val votes = nn.join(broadcast(labels), "vec_id")
-        .groupBy("q_id", "label").agg(count(lit(1)).as("c"))
-        .withColumn("mx", max(col("c")).over(Window.partitionBy("q_id")))
-        .filter(col("c") === col("mx"))
-        .groupBy("q_id")
-        .agg(min(col("label")).as("predicted"), max(col("mx")).as("votes"))
-      votes
-        .join(broadcast(labels.select(col("vec_id").as("q_id"),
-          col("label").as("true_label"))), "q_id")
+      knnPredictions(s, d)
         .select(col("q_id"), col("true_label"), col("predicted"), col("votes"),
           (col("predicted") === col("true_label")).as("correct"))
     },
