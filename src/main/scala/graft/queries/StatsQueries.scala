@@ -283,6 +283,65 @@ object StatsQueries {
           col("ci_lo"), col("ci_hi"))
     },
 
+    // Welch's two-sample t-test (unequal variances) between the
+    // reference and current windows — the experimentation companion of
+    // stats_chi2 (means instead of proportions): every moment (n, Σv,
+    // Σv²) is an exact BIGINT from ONE map-side-combined aggregate, and
+    // t = (x̄₁−x̄₂)/√(s₁²/n₁+s₂²/n₂) plus the Welch-Satterthwaite df are
+    // one fixed IEEE tree over those integers — identical cross-engine —
+    // r6-rounded at the end. (No p-value: that needs an incomplete-beta
+    // libm call with no cross-engine contract; monitoring thresholds on
+    // |t| directly, which is what the statistic is for.)
+    checked("ml_ab_ttest", {
+      def sqlVar(n: String, sx: String, q: String) =
+        s"(CAST($q AS DOUBLE) - CAST($sx AS DOUBLE) * $sx / $n) / ($n - 1)"
+      val v1 = sqlVar("n1", "s1", "q1")
+      val v2 = sqlVar("n2", "s2", "q2")
+      s"""WITH sv AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS v,
+         |    ts < TIMESTAMP '${AnalyticsQueries.IvmSplit}' AS ref FROM events),
+         |m AS (SELECT
+         |    CAST(count(*) FILTER (WHERE ref) AS BIGINT) AS n1,
+         |    CAST(sum(v) FILTER (WHERE ref) AS BIGINT) AS s1,
+         |    CAST(sum(v * v) FILTER (WHERE ref) AS BIGINT) AS q1,
+         |    CAST(count(*) FILTER (WHERE NOT ref) AS BIGINT) AS n2,
+         |    CAST(sum(v) FILTER (WHERE NOT ref) AS BIGINT) AS s2,
+         |    CAST(sum(v * v) FILTER (WHERE NOT ref) AS BIGINT) AS q2
+         |  FROM sv)
+         |SELECT n1, n2,
+         |  ${graft.functions.DetAgg.sqlR6(
+            s"(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / " +
+              s"sqrt(($v1) / n1 + ($v2) / n2)")} AS t_stat,
+         |  ${graft.functions.DetAgg.sqlR6(
+            s"(($v1) / n1 + ($v2) / n2) * (($v1) / n1 + ($v2) / n2) / " +
+              s"((($v1) / n1) * (($v1) / n1) / (n1 - 1) + " +
+              s"(($v2) / n2) * (($v2) / n2) / (n2 - 1))")} AS welch_df
+         |FROM m""".stripMargin
+    }) { (s, d) =>
+      val split = lit(AnalyticsQueries.IvmSplit).cast("timestamp")
+      val m = Tables.events(s, d)
+        .select(mv(col("value")).as("v"), (col("ts") < split).as("ref"))
+        .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("ref"), col("v")).otherwise(0L)).as("s1"),
+          sum(when(col("ref"), col("v") * col("v")).otherwise(0L)).as("q1"),
+          sum(when(!col("ref"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("ref"), col("v")).otherwise(0L)).as("s2"),
+          sum(when(!col("ref"), col("v") * col("v")).otherwise(0L)).as("q2"))
+      def vr(n: String, sx: String, q: String) =
+        (col(q).cast("double") - col(sx).cast("double") * col(sx) / col(n)) /
+          (col(n) - 1)
+      val se1 = vr("n1", "s1", "q1") / col("n1")
+      val se2 = vr("n2", "s2", "q2") / col("n2")
+      m.select(col("n1"), col("n2"),
+        graft.functions.DetAgg.r6(
+          (col("s1").cast("double") / col("n1") -
+            col("s2").cast("double") / col("n2")) / sqrt(se1 + se2))
+          .as("t_stat"),
+        graft.functions.DetAgg.r6(
+          (se1 + se2) * (se1 + se2) /
+            (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)))
+          .as("welch_df"))
+    },
+
     // Kaplan-Meier survival estimator over inter-event waiting times —
     // the time-to-event regime (here: "how long until this user acts
     // again", the churn-risk primitive): each event's waiting time to
