@@ -283,6 +283,116 @@ object StatsQueries {
           col("ci_lo"), col("ci_hi"))
     },
 
+    // Two boosting rounds of HISTOGRAM-SPLIT decision stumps — the
+    // split-search shape every production GBDT (XGBoost/LightGBM) runs
+    // at scale: per round, ONE map-side-combined histogram aggregate
+    // over the feature (24 hour cells / 16 user-segment cells), prefix
+    // sums over the cell frame, and the best split by the variance-gain
+    // identity argmax S_L²/n_L + S_R²/n_R (computed in DOUBLE from
+    // exact BIGINTs — one fixed IEEE tree, ties to the smallest split).
+    // Leaf values are truncated integer means, so residuals stay exact
+    // BIGINTs and round 2 fits the residual of round 1; each round's
+    // SSE is an exact Σr² and `improved` (SSE strictly falls) is a
+    // measured boolean, not an assumption. The model frames (one row
+    // per round) cross back in as broadcasts — no driver collect, the
+    // whole two-round fit is one declarative plan with two corpus
+    // passes.
+    checked("ml_gbdt_stump", {
+      def fitSql(src: String, yc: String, fc: String, tag: String) =
+        s"""h$tag AS (SELECT $fc AS f, CAST(count(*) AS BIGINT) AS hn,
+           |    CAST(sum($yc) AS BIGINT) AS hs FROM $src GROUP BY 1),
+           |t$tag AS (SELECT CAST(sum(hn) AS BIGINT) AS n,
+           |    CAST(sum(hs) AS BIGINT) AS s FROM h$tag),
+           |p$tag AS (SELECT f AS sp, CAST(sum(hn) OVER w AS BIGINT) AS nl,
+           |    CAST(sum(hs) OVER w AS BIGINT) AS sl FROM h$tag
+           |  WINDOW w AS (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND CURRENT ROW)),
+           |g$tag AS (SELECT sp, nl, sl, t.n - nl AS nr, t.s - sl AS sr
+           |  FROM p$tag, t$tag t WHERE nl > 0 AND t.n - nl > 0),
+           |m$tag AS (SELECT sp, nl, nr, sl // nl AS mul, sr // nr AS mur
+           |  FROM (SELECT g.*, row_number() OVER (ORDER BY
+           |      (CAST(sl AS DOUBLE) * sl / nl + CAST(sr AS DOUBLE) * sr / nr)
+           |      DESC, sp) AS rk FROM g$tag g) WHERE rk = 1)""".stripMargin
+      s"""WITH sv AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS y,
+         |    CAST(hour(ts) AS BIGINT) AS f1, user_id % 16 AS f2 FROM events),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS s FROM sv),
+         |m0 AS (SELECT s // n AS mug FROM tot),
+         |e0 AS (SELECT CAST(sum((y - mug) * (y - mug)) AS BIGINT) AS sse0
+         |  FROM sv, m0),
+         |${fitSql("sv", "y", "f1", "1")},
+         |r1 AS (SELECT sv.y - (CASE WHEN sv.f1 <= m1.sp THEN m1.mul
+         |    ELSE m1.mur END) AS r, sv.f2 FROM sv, m1),
+         |e1 AS (SELECT CAST(sum(r * r) AS BIGINT) AS sse1 FROM r1),
+         |${fitSql("r1", "r", "f2", "2")},
+         |r2 AS (SELECT r1.r - (CASE WHEN r1.f2 <= m2.sp THEN m2.mul
+         |    ELSE m2.mur END) AS rr FROM r1, m2),
+         |e2 AS (SELECT CAST(sum(rr * rr) AS BIGINT) AS sse2 FROM r2)
+         |SELECT 1 AS round, 'hour' AS feature, CAST(m1.sp AS INT) AS split,
+         |  m1.nl AS n_left, m1.nr AS n_right, m1.mul AS mu_left,
+         |  m1.mur AS mu_right, e0.sse0 AS sse_before, e1.sse1 AS sse_after,
+         |  e1.sse1 < e0.sse0 AS improved
+         |FROM m1, e0, e1
+         |UNION ALL
+         |SELECT 2, 'useg', CAST(m2.sp AS INT), m2.nl, m2.nr, m2.mul,
+         |  m2.mur, e1.sse1, e2.sse2, e2.sse2 < e1.sse1
+         |FROM m2, e1, e2""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sv = staged(Tables.events(s, d)
+        .select(mv(col("value")).as("y"), hour(col("ts")).cast("long").as("f1"),
+          expr("user_id % 16").as("f2")))
+      def fit(src: DataFrame, yc: String, fc: String): DataFrame = {
+        val h = src.groupBy(col(fc).as("f"))
+          .agg(count(lit(1)).as("hn"), sum(col(yc)).as("hs"))
+        val t = h.agg(sum(col("hn")).as("n"), sum(col("hs")).as("s"))
+        val w = Window.orderBy("f")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val p = h.select(col("f").as("sp"), sum(col("hn")).over(w).as("nl"),
+          sum(col("hs")).over(w).as("sl"))
+        val g = p.crossJoin(broadcast(t))
+          .withColumn("nr", col("n") - col("nl"))
+          .withColumn("sr", col("s") - col("sl"))
+          .filter(col("nl") > 0 && col("nr") > 0)
+        val gain = col("sl").cast("double") * col("sl") / col("nl") +
+          col("sr").cast("double") * col("sr") / col("nr")
+        g.withColumn("rk", row_number().over(
+            Window.orderBy(gain.desc, col("sp"))))
+          .filter(col("rk") === 1)
+          .select(col("sp"), col("nl"), col("nr"),
+            expr("sl DIV nl").as("mul"), expr("sr DIV nr").as("mur"))
+      }
+      val tot = sv.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val e0 = sv.crossJoin(broadcast(tot.select(expr("s DIV n").as("mug"))))
+        .agg(sum((col("y") - col("mug")) * (col("y") - col("mug")))
+          .as("sse0"))
+      val m1 = fit(sv, "y", "f1")
+      val r1 = staged(sv.crossJoin(broadcast(m1))
+        .select((col("y") - when(col("f1") <= col("sp"), col("mul"))
+          .otherwise(col("mur"))).as("r"), col("f2")))
+      val e1 = r1.agg(sum(col("r") * col("r")).as("sse1"))
+      val m2 = fit(r1, "r", "f2")
+      val e2 = r1.crossJoin(broadcast(m2))
+        .select((col("r") - when(col("f2") <= col("sp"), col("mul"))
+          .otherwise(col("mur"))).as("rr"))
+        .agg(sum(col("rr") * col("rr")).as("sse2"))
+      val row1 = m1.crossJoin(broadcast(e0)).crossJoin(broadcast(e1))
+        .select(lit(1).as("round"), lit("hour").as("feature"),
+          col("sp").cast("int").as("split"), col("nl").as("n_left"),
+          col("nr").as("n_right"), col("mul").as("mu_left"),
+          col("mur").as("mu_right"), col("sse0").as("sse_before"),
+          col("sse1").as("sse_after"),
+          (col("sse1") < col("sse0")).as("improved"))
+      val row2 = m2.crossJoin(broadcast(e1)).crossJoin(broadcast(e2))
+        .select(lit(2).as("round"), lit("useg").as("feature"),
+          col("sp").cast("int").as("split"), col("nl").as("n_left"),
+          col("nr").as("n_right"), col("mul").as("mu_left"),
+          col("mur").as("mu_right"), col("sse1").as("sse_before"),
+          col("sse2").as("sse_after"),
+          (col("sse2") < col("sse1")).as("improved"))
+      row1.unionAll(row2)
+    },
+
     // Welch's two-sample t-test (unequal variances) between the
     // reference and current windows — the experimentation companion of
     // stats_chi2 (means instead of proportions): every moment (n, Σv,
