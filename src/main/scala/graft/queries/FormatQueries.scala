@@ -205,6 +205,47 @@ object FormatQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
     },
 
+    // Parquet SCHEMA EVOLUTION — the reader-level merge a long-lived
+    // table needs when a column is added mid-history (distinct from
+    // union_by_name, which unions two frames the caller already read):
+    // epoch-1 files carry (event_id, user_id, value), epoch-2 files add
+    // `vgrid`; one `mergeSchema` read reconstructs the superset schema
+    // and epoch-1 rows surface NULL vgrid. The declared result pins the
+    // per-epoch row counts, the value checksum across both epochs, and
+    // the vgrid sum over epoch 2 — so a reader that dropped the new
+    // column (or the old files) hash-mismatches. At 100 TB mergeSchema
+    // reads EVERY footer — production pins the merged schema in the
+    // catalog instead; the read here is the semantics being declared.
+    checked("parquet_evolution",
+      s"""WITH e AS (SELECT *,
+         |    ts < TIMESTAMP '${graft.queries.AnalyticsQueries.IvmSplit}'
+         |      AS old FROM events)
+         |SELECT CAST(count(*) FILTER (WHERE old) AS BIGINT) AS n_v1,
+         |  CAST(count(*) FILTER (WHERE NOT old) AS BIGINT) AS n_v2,
+         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+         |    AS v_sum,
+         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT))
+         |    FILTER (WHERE NOT old) AS BIGINT) AS vgrid_sum
+         |FROM e""".stripMargin) { (s, d) =>
+      val key = QuerySpec.jvmScopedKey(d)
+      val dir = TmpDirs.scoped(s"graft_evo_$key").getAbsolutePath
+      val split = expr(
+        s"TIMESTAMP '${graft.queries.AnalyticsQueries.IvmSplit}'")
+      val ev = Tables.events(s, d)
+      ev.filter(col("ts") < split)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.mode("overwrite").parquet(s"$dir/epoch=1")
+      ev.filter(col("ts") >= split)
+        .select(col("event_id"), col("user_id"), col("value"),
+          floor(col("value") * 1000).cast("long").as("vgrid"))
+        .write.mode("overwrite").parquet(s"$dir/epoch=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .agg(sum(when(col("vgrid").isNull, 1L).otherwise(0L)).as("n_v1"),
+          sum(when(col("vgrid").isNotNull, 1L).otherwise(0L)).as("n_v2"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_sum"),
+          sum(col("vgrid")).as("vgrid_sum"))
+    },
+
     // Small-file COMPACTION — the table-maintenance pass every streaming
     // ingest pipeline owes its readers (a per-trigger sink leaves
     // hundreds of tiny files per partition; parquet scan cost at 100 TB

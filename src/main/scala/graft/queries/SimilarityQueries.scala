@@ -293,6 +293,59 @@ object SimilarityQueries {
       topK(scoredBrute(svSpark(s, d), NQueries), TopK)
     },
 
+    // INT8 per-vector quantization — the serving-side compression next
+    // to ann_pq's codebook path (8× smaller embeddings with a per-vector
+    // max-abs scale, the standard symmetric int8 scheme): codes are
+    // round-half-up of v·127/scale (one fixed IEEE tree per component —
+    // deterministic; |code| ≤ 127 by construction and MEASURED), and the
+    // reconstruction L2 error is quantized per component before the sum
+    // so it's an exact integer, with the analytic bound
+    // 64·(scale/254)² (+64 quantization slack) asserted as a measured
+    // boolean. Pure projection — zero shuffles at any scale.
+    checked("ml_embedding_int8", {
+      import graft.functions.TextFns.sqlScaledVec
+      val code = "CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)"
+      s"""WITH sv0 AS (SELECT vec_id, ${sqlScaledVec("embedding")} AS v
+         |  FROM embeddings),
+         |sv AS (SELECT vec_id, v,
+         |    greatest(list_max(list_transform(v, x -> abs(x))), 1) AS scale
+         |  FROM sv0),
+         |q AS (SELECT vec_id, scale,
+         |    list_max(list_transform(v, x -> abs($code))) AS max_code,
+         |    CAST(list_aggregate(list_transform(v, x -> CAST(floor(
+         |      (x - ($code) * scale / 127.0) *
+         |      (x - ($code) * scale / 127.0) + 0.5) AS BIGINT)), 'sum')
+         |      AS BIGINT) AS l2_err_q
+         |  FROM sv)
+         |SELECT vec_id, CAST(scale AS BIGINT) AS scale,
+         |  CAST(max_code AS BIGINT) AS max_code,
+         |  l2_err_q,
+         |  max_code <= 127 AS within_range,
+         |  l2_err_q <= CAST(floor(64.0 * (scale / 254.0) * (scale / 254.0))
+         |    AS BIGINT) + 64 AS err_bound_ok
+         |FROM q""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextFns.scaledVec
+      def codeOf(x: org.apache.spark.sql.Column, scale: org.apache.spark.sql.Column) =
+        floor(x * 127.0 / scale + 0.5).cast("long")
+      val sv = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
+        .withColumn("scale",
+          greatest(array_max(transform(col("v"), x => abs(x))), lit(1L)))
+      sv.select(col("vec_id"), col("scale"),
+          array_max(transform(col("v"),
+            x => abs(codeOf(x, col("scale"))))).as("max_code"),
+          aggregate(col("v"), lit(0L), (acc, x) => {
+            val e = x - codeOf(x, col("scale")) * col("scale") / 127.0
+            acc + floor(e * e + 0.5).cast("long")
+          }).as("l2_err_q"))
+        .select(col("vec_id"), col("scale").cast("long").as("scale"),
+          col("max_code").cast("long").as("max_code"), col("l2_err_q"),
+          (col("max_code") <= 127).as("within_range"),
+          (col("l2_err_q") <= floor(lit(64.0) * (col("scale") / 254.0) *
+            (col("scale") / 254.0)).cast("long") + 64).as("err_bound_ok"))
+    },
+
     // Link prediction on the kNN GRAPH, evaluated the way the literature
     // evaluates it — EDGE HOLDOUT: every vector's top-3 exact-cosine
     // neighbors form a symmetric graph (dense by construction at every

@@ -683,6 +683,68 @@ object StatsQueries {
             (col("cn") * col("tnp")).cast("double")).as("cum_lift"))
     },
 
+    // Mutual information + marginal entropies over the same contingency
+    // table as stats_chi2 — the information-theoretic dependence
+    // measure feature selection actually ranks by (chi² is the
+    // significance view; MI is the effect-size view): every cell's
+    // (n_ij/N)·ln(n_ij·N/(R_i·C_j)) term is one fixed IEEE tree over
+    // exact BIGINT counts, quantized to 1e-8 per cell before the sum
+    // (MI here is tiny — the synthetic table is near-independent — so
+    // the grid sits two orders below the 1e-6 display grid). Marginal
+    // entropies ride the same quantize-then-sum treatment over their
+    // 5- and 4-cell frames.
+    checked("stats_mutual_info",
+      """WITH cell AS (SELECT event_type AS et, user_id % 4 AS seg,
+        |    CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+        |t AS (SELECT et, seg, o,
+        |    sum(o) OVER (PARTITION BY et) AS r,
+        |    sum(o) OVER (PARTITION BY seg) AS c,
+        |    sum(o) OVER () AS n FROM cell),
+        |mi AS (SELECT CAST(sum(CAST(floor(
+        |    CAST(o AS DOUBLE) / n *
+        |    ln(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c)) * 1e8
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS miq FROM t),
+        |hx AS (SELECT CAST(sum(CAST(floor(
+        |    -(CAST(r AS DOUBLE) / n) * ln(CAST(r AS DOUBLE) / n) * 1e8
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS hq
+        |  FROM (SELECT DISTINCT et, r, n FROM t)),
+        |hy AS (SELECT CAST(sum(CAST(floor(
+        |    -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) * 1e8
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS hq
+        |  FROM (SELECT DISTINCT seg, c, n FROM t))
+        |SELECT CAST(mi.miq AS DOUBLE) / 1e8 AS mutual_info,
+        |  CAST(hx.hq AS DOUBLE) / 1e8 AS h_type,
+        |  CAST(hy.hq AS DOUBLE) / 1e8 AS h_segment
+        |FROM mi, hx, hy""".stripMargin) { (s, d) =>
+      val cell = Tables.events(s, d)
+        .groupBy(col("event_type").as("et"), expr("user_id % 4").as("seg"))
+        .agg(count(lit(1)).as("o"))
+      val whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val t = staged(cell
+        .withColumn("r", sum(col("o")).over(Window.partitionBy("et")))
+        .withColumn("c", sum(col("o")).over(Window.partitionBy("seg")))
+        .withColumn("n", sum(col("o")).over(whole)))
+      val miq = t.select(floor(
+          col("o").cast("double") / col("n") *
+            log(col("o").cast("double") * col("n") /
+              (col("r").cast("double") * col("c"))) * 1e8 + 0.5)
+          .cast("long").as("q"))
+        .agg(sum(col("q")).as("miq"))
+      def marg(keys: Seq[String], tot: String, out: String) =
+        t.select((col(tot) +: keys.map(col)): _*).distinct()
+          .select(floor(-(col(tot).cast("double") / col("n")) *
+            log(col(tot).cast("double") / col("n")) * 1e8 + 0.5)
+            .cast("long").as("q"))
+          .agg(sum(col("q")).as(out))
+      val hx = marg(Seq("et", "n"), "r", "hqx")
+      val hy = marg(Seq("seg", "n"), "c", "hqy")
+      miq.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select((col("miq").cast("double") / 1e8).as("mutual_info"),
+          (col("hqx").cast("double") / 1e8).as("h_type"),
+          (col("hqy").cast("double") / 1e8).as("h_segment"))
+    },
+
     // Smoothed target encoding — the categorical feature-prep pass a
     // tabular/ranking pipeline runs before training: each category's
     // encoding pulls its mean target toward the global mean with prior

@@ -204,6 +204,58 @@ object WarehouseQueries {
     // the 30-day event span means day indexes are rebased to the
     // corpus-wide min so every position fits one BIGINT. Everything is
     // integer; one shuffle on user_id.
+    // dbt-style data-quality CONSTRAINT CHECKS — the nightly assertion
+    // pass every warehouse runs before publishing (not-null, unique-key,
+    // referential-integrity, accepted-values, range): one row per check
+    // with its measured violation count. Each check is a single
+    // aggregate or anti-join — the cheapest possible spelling at any
+    // scale (the unique check is count − count distinct, never a
+    // self-join; the FK check is one anti join on the key). The range
+    // check is deliberately TIGHT (value ≤ 300 — the corpus tail runs
+    // past it at every shipped SF), so both the pass and fail regimes
+    // are live in the declared result rather than a wall of zeros.
+    checked("warehouse_constraint_check",
+      """SELECT 'orders_custkey_not_null' AS check_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey IS NULL) AS n_violations
+        |UNION ALL SELECT 'customer_custkey_unique',
+        |  (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+        |   FROM customer)
+        |UNION ALL SELECT 'lineitem_orderkey_fk',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders
+        |     WHERE o_orderkey = l_orderkey))
+        |UNION ALL SELECT 'events_type_accepted',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE event_type NOT IN
+        |     ('click', 'view', 'signup', 'purchase', 'error'))
+        |UNION ALL SELECT 'events_value_range',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE value < 0 OR value > 300)""".stripMargin) { (s, d) =>
+      def row(name: String, n: DataFrame) =
+        n.select(lit(name).as("check_name"),
+          col("n").cast("long").as("n_violations"))
+      row("orders_custkey_not_null",
+        Tables.orders(s, d).filter(col("o_custkey").isNull)
+          .agg(count(lit(1)).as("n")))
+        .unionAll(row("customer_custkey_unique",
+          Tables.customer(s, d).select("c_custkey").agg(
+            (count(lit(1)) - countDistinct(col("c_custkey"))).as("n"))))
+        .unionAll(row("lineitem_orderkey_fk",
+          Tables.lineitem(s, d).select(col("l_orderkey"))
+            .join(Tables.orders(s, d).select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("n"))))
+        .unionAll(row("events_type_accepted",
+          Tables.events(s, d).filter(!col("event_type").isin(
+            "click", "view", "signup", "purchase", "error"))
+            .agg(count(lit(1)).as("n"))))
+        .unionAll(row("events_value_range",
+          Tables.events(s, d)
+            .filter(col("value") < 0 || col("value") > 300)
+            .agg(count(lit(1)).as("n"))))
+    },
+
     checked("agg_bitmap",
       """WITH base AS (SELECT user_id, hour(ts) AS hr,
         |    epoch_us(ts) // 86400000000 AS dayno FROM events),
