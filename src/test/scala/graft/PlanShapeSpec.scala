@@ -322,6 +322,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ml_embedding_int8 is a pure projection — zero exchanges") {
+    val p = plan("ml_embedding_int8")
+    assert(!p.contains("Exchange "),
+      s"int8 quantization must not shuffle at any scale; got:\n$p")
+  }
+
+  test("graph_link_pred joins equi only") {
+    // The kNN edge list is staged (lineage truncated to an ExistingRDD
+    // scan), so its partial_cos_top_k subtree doesn't print here — the
+    // map-side top-k shape is pinned by the ml_knn_classify test over
+    // the same scoredBrute/topK machinery.
+    val p = plan("graph_link_pred")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge/holdout joins must stay equi; got:\n$p")
+  }
+
+  test("ml_gbdt_stump histograms reduce map-side; no cartesian") {
+    val p = plan("ml_gbdt_stump")
+    assert(p.contains("partial_count"),
+      "feature histograms must map-side combine — corpus rows must " +
+        "never cross a shuffle ungrouped")
+    assert(!p.contains("CartesianProduct"),
+      "model frames must come back as broadcasts")
+  }
+
   test("shuffle-volume ceilings hold for the heaviest queries") {
     // Wall time only tells you a regression happened on THIS machine;
     // bytes crossing the exchanges tell you the plan itself regressed — a
