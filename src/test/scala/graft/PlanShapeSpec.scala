@@ -377,7 +377,18 @@ class PlanShapeSpec extends SparkSpec {
       // explosion map-side-combines to ≤ FhDim cells per doc.
       "ml_pca_power" -> 100000L,
       "graph_bfs" -> 900000L,
-      "ml_feature_hash" -> 10000L)
+      "ml_feature_hash" -> 10000L,
+      // round-8 additions (measured at sf0.01, ~2× headroom): the
+      // bootstrap's ×32 explosion must keep map-side-combining to 32
+      // cells; winnowing/ACF/gbdt move only per-doc / histogram frames;
+      // link_pred's wedge join is bounded by the kNN edge list.
+      // (measured: bootstrap 649 — the ×32 explosion combines to 32
+      // cells; winnowing 3.8k, gbdt 3.5k, acf 196k, link_pred 104k)
+      "ml_bootstrap_ci" -> 2000L,
+      "ts_acf" -> 500000L,
+      "text_winnowing" -> 50000L,
+      "ml_gbdt_stump" -> 10000L,
+      "graph_link_pred" -> 250000L)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     try {
