@@ -347,8 +347,10 @@ object TextQueries {
          |LEFT JOIN trans t5 ON t5.w1 = t4.nxt""".stripMargin
     }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // Native generator (not explode(shingles(...)) — interpreted HOF).
       val cnt = staged(Tables.documents(s, d)
-        .select(explode(shingles(tokens(col("text")), 2)).as("pair"))
+        .select(graft.functions.expr.ShingleExplode(
+          tokens(col("text")), 2).as("pair"))
         .select(split(col("pair"), " ").getItem(0).as("w1"),
           split(col("pair"), " ").getItem(1).as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c")))
@@ -414,11 +416,16 @@ object TextQueries {
          |LEFT JOIN gk ON cnt.doc_id = gk.doc_id""".stripMargin
     }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // Native generator + codegen'd h60 AFTER it — the shingleRows
+      // lesson: the composed posexplode(h60All(shingles(...))) form costs
+      // two interpreted HOF lambdas per doc (measured: this query 4.8 s →
+      // 1.3 s at sf0.1 on the generator).
       val g = staged(Tables.documents(s, d)
         .select(col("doc_id"),
-          posexplode(h60All(shingles(tokens(col("text")), 3)))
-            .as(Seq("pos0", "gh")))
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh")))
+          graft.functions.expr.ShingleExplode.withPos(
+            tokens(col("text")), 3).as(Seq("pos0", "sstr")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+          h60(col("sstr")).as("gh")))
       val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val mn = least(col("gh"), col("g1"), col("g2"), col("g3"))
