@@ -397,6 +397,54 @@ object KpiQueries {
           col("n").isNull.as("is_gap"))
     },
 
+    // DFT power at harmonics 1-3 per slice — the frequency-domain
+    // diagnostic beside ts_acf's lag domain (is the KPI periodic, and
+    // at which harmonic of its span): Σ v·cos(2πk(t−1)/n) and the sin
+    // twin, with EVERY term quantized to the integer grid before the
+    // sum — the cos/sin calls are the only libm in the tree and their
+    // 1-ulp cross-engine divergence lands ~1e-10 of a grid step after
+    // the v scaling (the text_lm_score argument, with ~15 orders of
+    // margin), so the accumulated coefficients are exact BIGINTs in any
+    // partition order. One (slice, time) window pass for ranks, one
+    // aggregate; six trig calls per row, all inside whole-stage codegen.
+    checked("ts_dft", {
+      val twoPi = "6.283185307179586"
+      def termSql(k: Int, f: String) =
+        s"CAST(sum(CAST(floor(v * $f($twoPi * $k * (rn - 1) / n) + 0.5) " +
+          s"AS BIGINT)) AS BIGINT)"
+      def rowSql(k: Int) =
+        s"""SELECT slice, $k AS harmonic, ${termSql(k, "cos")} AS c_sum,
+           |  ${termSql(k, "sin")} AS s_sum,
+           |  CAST(max(n) AS BIGINT) AS n_events
+           |FROM w GROUP BY slice""".stripMargin
+      s"""WITH sv AS (SELECT event_type AS slice, ts, event_id,
+         |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+         |w AS (SELECT slice, v,
+         |    row_number() OVER (PARTITION BY slice ORDER BY ts, event_id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY slice) AS n FROM sv)
+         |${rowSql(1)} UNION ALL ${rowSql(2)} UNION ALL ${rowSql(3)}"""
+        .stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val TwoPi = 6.283185307179586
+      val ws = Window.partitionBy("slice").orderBy("ts", "event_id")
+      val w = staged(Tables.events(s, d)
+        .select(col("event_type").as("slice"), col("ts"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("v"))
+        .select(col("slice"), col("v"), row_number().over(ws).as("rn"),
+          count(lit(1)).over(Window.partitionBy("slice")).as("n")))
+      def term(k: Int, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        sum(floor(col("v") * f(lit(TwoPi) * lit(k) * (col("rn") - 1) /
+          col("n")) + 0.5).cast("long"))
+      def rowK(k: Int) =
+        w.groupBy("slice").agg(term(k, cos).as("c_sum"),
+          term(k, sin).as("s_sum"), max(col("n")).cast("long").as("n_events"))
+          .select(col("slice"), lit(k).as("harmonic"), col("c_sum"),
+            col("s_sum"), col("n_events"))
+      rowK(1).unionAll(rowK(2)).unionAll(rowK(3))
+    },
+
     // CUSUM changepoint detection per slice — the "when did this KPI
     // shift" pass next to anomaly_zscore's "which rows are outliers":
     // the classic statistic argmax_t |Σ_{i≤t}(vᵢ − μ)| is cleared of
