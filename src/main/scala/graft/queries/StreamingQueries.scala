@@ -576,6 +576,29 @@ object StreamingQueries {
         "flow_iat_tws", OutputMode.Append, StreamingKpi.TwsConf)
     },
 
+    // MapState + ListState — the two transformWithState surfaces the
+    // ValueState processors (IAT, session KPI) don't touch: per-user
+    // per-type running counts live in a keyed sub-MAP inside one
+    // grouping key's state (the per-entity feature-store shape) and the
+    // rolling last-3 event ids in a LIST. Per-row emission with running
+    // values makes the output batch-boundary independent by
+    // construction; the batch oracle is two windows over the same total
+    // (ts, event_id) order.
+    checked("stream_user_digest_tws",
+      """SELECT event_id, user_id, event_type,
+        |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS BIGINT) AS type_seq,
+        |  CAST(sum(event_id) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS recent3_sum
+        |FROM events""".stripMargin) { (s, d) =>
+      StreamingKpi.runBounded(s,
+        s2 => StreamingKpi.userDigestTws(s2,
+          StreamingKpi.eventsStream(s2, d)).toDF(),
+        "user_digest_tws", OutputMode.Append, StreamingKpi.TwsConf)
+    },
+
     // Stream-stream inner join (T-surface beyond the reference): purchases
     // within one hour of a click by the same user — the classic funnel.
     // Both sides are real file-source streams with watermarks; the

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQueryListener, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQueryListener, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming restatement of the reference's KPI pipeline
@@ -259,6 +259,58 @@ object StreamingKpi {
   val TwsConf: Map[String, String] = Map(
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  case class UEvent(user_id: Long, event_id: Long, event_type: String,
+                    ts_us: Long)
+  case class DigestOut(event_id: Long, user_id: Long, event_type: String,
+                       type_seq: Long, recent3_sum: Long)
+
+  /** The two `transformWithState` state surfaces the Value-state
+    * processors don't touch — MapState (per-user per-event-type running
+    * counts: a keyed sub-map inside one grouping key's state, the shape a
+    * per-entity feature store uses) and ListState (the user's rolling
+    * last-3 event ids). Emission is PER ROW with running values, so the
+    * output is batch-boundary independent by construction: the digest of
+    * an event depends only on the user's event order, never on where a
+    * micro-batch split fell. */
+  final class UserDigestProcessor
+      extends StatefulProcessor[Long, UEvent, DigestOut] {
+    @transient private var typeCounts: MapState[String, Long] = _
+    @transient private var recent: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      typeCounts = getHandle.getMapState[String, Long]("typeCounts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[UEvent],
+        timerValues: TimerValues): Iterator[DigestOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val out = sorted.map { e =>
+        val n = (if (typeCounts.containsKey(e.event_type))
+          typeCounts.getValue(e.event_type) else 0L) + 1L
+        typeCounts.updateValue(e.event_type, n)
+        val upd = (recent.get().toSeq :+ e.event_id).takeRight(3)
+        recent.put(upd.toArray)
+        DigestOut(e.event_id, e.user_id, e.event_type, n, upd.sum)
+      }
+      out.iterator
+    }
+  }
+
+  /** Per-user digest stream via [[UserDigestProcessor]]. */
+  def userDigestTws(spark: SparkSession, events: DataFrame): Dataset[DigestOut] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[UEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserDigestProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
 
   /** Streaming per-flow IAT via [[IatProcessor]]. */
   def flowIatTws(spark: SparkSession, events: DataFrame): Dataset[IatOut] = {

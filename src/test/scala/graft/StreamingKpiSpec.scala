@@ -575,6 +575,65 @@ class StreamingKpiSpec extends SparkSpec {
     }
   }
 
+  test("user digest (MapState+ListState) is batch-boundary independent") {
+    // Per-row emission with running state: counts and the rolling last-3
+    // window must carry across a micro-batch split exactly as they do in
+    // one batch. File b's rows extend file a's users, so both the
+    // MapState counts and the ListState window cross the boundary.
+    withRocksDb {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("graft_dig_bnd_")
+        .toFile
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType)))
+      def write(name: String, mtime: Long,
+                rows: (Long, Long, Long, String)*): Unit = {
+        val f = new java.io.File(dir, name)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(rows.map(r =>
+              org.apache.spark.sql.Row(ts(r._1), r._2, r._3, r._4)): _*)),
+          schema)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${f.getAbsolutePath}.stage")
+        val part = new java.io.File(s"${f.getAbsolutePath}.stage").listFiles()
+          .find(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, f.toPath)
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = System.currentTimeMillis()
+      write("a.parquet", t0,
+        (100L, 1L, 10L, "click"), (110L, 1L, 11L, "view"),
+        (120L, 2L, 12L, "click"))
+      write("b.parquet", t0 + 1000,
+        (130L, 1L, 13L, "click"), (140L, 1L, 14L, "click"),
+        (150L, 2L, 15L, "view"))
+      def run(maxFiles: Int): Seq[(Long, Long, String, Long, Long)] =
+        StreamingKpi.runBounded(spark, s2 =>
+          StreamingKpi.userDigestTws(s2,
+            s2.readStream.schema(schema)
+              .option("maxFilesPerTrigger", maxFiles)
+              .parquet(dir.getAbsolutePath)).toDF(),
+          s"dig_bnd_$maxFiles", OutputMode.Append, StreamingKpi.TwsConf)
+          .as[(Long, Long, String, Long, Long)].collect().toSeq.sorted
+      val perFile = run(1)
+      val allAtOnce = run(100)
+      assert(perFile == allAtOnce,
+        s"batch boundaries changed the digest:\n$perFile\nvs\n$allAtOnce")
+      // Content: user 1's second click (id 13) is type_seq 2 with the
+      // rolling window crossing the file boundary (10+11+13, then
+      // 11+13+14).
+      assert(perFile.toSet == Set(
+        (10L, 1L, "click", 1L, 10L), (11L, 1L, "view", 1L, 21L),
+        (12L, 2L, "click", 1L, 12L), (13L, 1L, "click", 2L, 34L),
+        (14L, 1L, "click", 3L, 38L), (15L, 2L, "view", 1L, 27L)),
+        s"unexpected digests: $perFile")
+    }
+  }
+
   test("streaming tumbling aggregation equals the batch group-by") {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = StreamingKpi.runBounded(spark,
