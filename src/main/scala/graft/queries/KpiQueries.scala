@@ -213,6 +213,47 @@ object KpiQueries {
           col("n_events"), col("total_value"))
     },
 
+    // DYNAMIC-GAP session windows — the session_window surface
+    // kpi_session's fixed 30-minute gap can't reach: each event
+    // proposes its own window [ts, ts+gap) (30 min for small values,
+    // 60 min for the heavy tail — both branches live at every SF) and
+    // sessions are the union of overlapping intervals. The oracle
+    // spells exactly that union: islanding on ts ≥ running-max of all
+    // previous interval ENDS (a plain lag is wrong — an earlier event's
+    // longer gap can bridge past a shorter successor's), session end =
+    // max event end. Same one-shuffle shape as kpi_session.
+    checked("kpi_session_dynamic",
+      s"""WITH e AS (SELECT event_type AS slice, ts, event_id, value,
+         |    CASE WHEN value < 100 THEN 1800000000 ELSE 3600000000 END
+         |      AS gap_us FROM events),
+         |m AS (SELECT slice, ts, event_id, value, gap_us,
+         |    max(epoch_us(ts) + gap_us) OVER (PARTITION BY slice
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pend
+         |  FROM e),
+         |g AS (SELECT *, CASE WHEN pend IS NULL OR epoch_us(ts) >= pend
+         |    THEN 1 ELSE 0 END AS new_s FROM m),
+         |i AS (SELECT *, sum(new_s) OVER (PARTITION BY slice
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM g)
+         |SELECT slice, min(ts) AS session_start,
+         |  make_timestamp(max(epoch_us(ts) + gap_us)) AS session_end,
+         |  count(*) AS n_events, ${sqlSum("value")} AS total_value
+         |FROM i GROUP BY slice, sid""".stripMargin) { (s, d) =>
+      // session_window's dynamic gap must be CalendarIntervalType —
+      // ANSI INTERVAL literals are DayTimeIntervalType and are rejected.
+      val gap = when(col("value") < 100, expr("make_interval(0,0,0,0,0,30,0)"))
+        .otherwise(expr("make_interval(0,0,0,0,0,60,0)"))
+      Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"), session_window(col("ts"), gap))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("slice"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total_value"))
+    },
+
     // Count-min sketch — the 100 TB per-key frequency path that
     // complements sketch_rollup's HLL (distinct) and sketch_quantiles'
     // GK (rank): CMS counters are mergeable by plain element-wise
