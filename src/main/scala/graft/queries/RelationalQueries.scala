@@ -597,6 +597,83 @@ object RelationalQueries {
           (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("gap_us"))
     },
 
+    // NEAREST-direction as-of join (pandas merge_asof direction=
+    // 'nearest') — the matching rule the backward-only ASOF above can't
+    // express: each error matches its temporally CLOSEST click, before
+    // or after, ties to the backward match (declared convention; a
+    // same-timestamp click is a 0-distance backward match). Same
+    // tagged-union shape — one (user, ts)-ordered partition carries the
+    // backward candidate in one frame and the forward candidate in the
+    // mirrored frame, so both directions ride a single shuffle; the
+    // pick is a null-guarded distance compare on exact µs integers.
+    checked("join_asof_nearest",
+      """WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |errs AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |u AS (SELECT user_id, ts, click_id, 0 AS is_left,
+        |    CAST(NULL AS BIGINT) AS event_id FROM clicks
+        |  UNION ALL SELECT user_id, ts, NULL, 1, event_id FROM errs),
+        |c AS (SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER wb AS prev_id,
+        |    last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+        |      OVER wb AS prev_ts,
+        |    first_value(click_id IGNORE NULLS) OVER wf AS next_id,
+        |    first_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+        |      OVER wf AS next_ts
+        |  FROM u WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts, is_left
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts, is_left
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN prev_ts IS NULL THEN next_id
+        |       WHEN next_ts IS NULL THEN prev_id
+        |       WHEN epoch_us(ts) - epoch_us(prev_ts)
+        |         <= epoch_us(next_ts) - epoch_us(ts) THEN prev_id
+        |       ELSE next_id END AS nearest_click_id,
+        |  CASE WHEN prev_ts IS NULL THEN epoch_us(ts) - epoch_us(next_ts)
+        |       WHEN next_ts IS NULL THEN epoch_us(ts) - epoch_us(prev_ts)
+        |       WHEN epoch_us(ts) - epoch_us(prev_ts)
+        |         <= epoch_us(next_ts) - epoch_us(ts)
+        |       THEN epoch_us(ts) - epoch_us(prev_ts)
+        |       ELSE epoch_us(ts) - epoch_us(next_ts) END AS gap_us
+        |FROM c WHERE is_left = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        .select(col("user_id"), col("ts"), col("click_id"),
+          lit(0).as("is_left"), lit(null).cast("long").as("event_id"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"),
+          lit(null).cast("long").as("click_id"), lit(1).as("is_left"),
+          col("event_id"))
+      val wb = Window.partitionBy("user_id").orderBy(col("ts"), col("is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("is_left"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val c = clicks.unionByName(errs)
+        .withColumn("prev_id", last(col("click_id"), ignoreNulls = true).over(wb))
+        .withColumn("prev_ts", last(when(col("is_left") === 0, col("ts")),
+          ignoreNulls = true).over(wb))
+        .withColumn("next_id", first(col("click_id"), ignoreNulls = true).over(wf))
+        .withColumn("next_ts", first(when(col("is_left") === 0, col("ts")),
+          ignoreNulls = true).over(wf))
+        .filter(col("is_left") === 1)
+      val dPrev = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+      val dNext = unix_micros(col("next_ts")) - unix_micros(col("ts"))
+      c.select(col("event_id"), col("user_id"),
+        when(col("prev_ts").isNull, col("next_id"))
+          .when(col("next_ts").isNull, col("prev_id"))
+          .when(dPrev <= dNext, col("prev_id"))
+          .otherwise(col("next_id")).as("nearest_click_id"),
+        when(col("prev_ts").isNull, -dNext)
+          .when(col("next_ts").isNull, dPrev)
+          .when(dPrev <= dNext, dPrev)
+          .otherwise(-dNext).as("gap_us"))
+    },
+
     // Forward/backward fill (SURVEY §2.5 W3 — train.py:110 ffill/bfill):
     // events.props.k is null when absent; ffill = last non-null before me,
     // bfill = first non-null after me, final fillna(0).

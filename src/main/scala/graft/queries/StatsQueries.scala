@@ -683,6 +683,59 @@ object StatsQueries {
             (col("cn") * col("tnp")).cast("double")).as("cum_lift"))
     },
 
+    // Weight-of-Evidence encoding + Information Value — the
+    // credit-scoring/feature-screening standard that PSI's machinery
+    // doesn't cover (PSI compares two time windows; WoE/IV measure how
+    // well a binned feature separates a binary target): target =
+    // purchase events, bins = the PSI value grid. WoE_b =
+    // ln((pos_b/POS)/(neg_b/NEG)) and the IV contribution
+    // (pos_b/POS − neg_b/NEG)·WoE_b are each one fixed IEEE tree over
+    // exact BIGINTs, quantized per bin (1e-6 / 1e-8) before any sum.
+    // One map-side-combined aggregate to 10 cells; every bin holds both
+    // classes at every shipped SF, so no zero-guard smoothing fires.
+    checked("ml_woe_encode",
+      """WITH sv AS (SELECT
+        |    least(CAST(floor(value * 1000) AS BIGINT) // 11200, 9) AS bin,
+        |    event_type = 'purchase' AS pos FROM events),
+        |g AS (SELECT bin,
+        |    CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS p,
+        |    CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS q
+        |  FROM sv GROUP BY bin),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS tp,
+        |    CAST(sum(q) AS BIGINT) AS tq FROM g),
+        |w AS (SELECT bin, p, q,
+        |    CAST(floor(ln((CAST(p AS DOUBLE) * tq) /
+        |      (CAST(q AS DOUBLE) * tp)) * 1e6 + 0.5) AS BIGINT) AS woe_q,
+        |    CAST(floor((CAST(p AS DOUBLE) / tp - CAST(q AS DOUBLE) / tq) *
+        |      ln((CAST(p AS DOUBLE) * tq) / (CAST(q AS DOUBLE) * tp)) * 1e8
+        |      + 0.5) AS BIGINT) AS ivq
+        |  FROM g, t)
+        |SELECT bin, p AS n_pos, q AS n_neg,
+        |  CAST(woe_q AS DOUBLE) / 1e6 AS woe,
+        |  CAST((SELECT sum(ivq) FROM w) AS DOUBLE) / 1e8 AS iv_total
+        |FROM w""".stripMargin) { (s, d) =>
+      val g = staged(Tables.events(s, d)
+        .select(least(expr("CAST(floor(value * 1000) AS BIGINT) DIV 11200"),
+          lit(9L)).as("bin"), (col("event_type") === "purchase").as("pos"))
+        .groupBy("bin")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("q")))
+      val t = g.agg(sum(col("p")).as("tp"), sum(col("q")).as("tq"))
+      val lnOdds = log((col("p").cast("double") * col("tq")) /
+        (col("q").cast("double") * col("tp")))
+      val w = staged(g.crossJoin(broadcast(t))
+        .withColumn("woe_q", floor(lnOdds * 1e6 + 0.5).cast("long"))
+        .withColumn("ivq",
+          floor((col("p").cast("double") / col("tp") -
+            col("q").cast("double") / col("tq")) * lnOdds * 1e8 + 0.5)
+            .cast("long")))
+      val iv = w.agg(sum(col("ivq")).as("ivt"))
+      w.crossJoin(broadcast(iv))
+        .select(col("bin"), col("p").as("n_pos"), col("q").as("n_neg"),
+          (col("woe_q").cast("double") / 1e6).as("woe"),
+          (col("ivt").cast("double") / 1e8).as("iv_total"))
+    },
+
     // Mutual information + marginal entropies over the same contingency
     // table as stats_chi2 — the information-theoretic dependence
     // measure feature selection actually ranks by (chi² is the
