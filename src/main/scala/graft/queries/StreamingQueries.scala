@@ -679,6 +679,48 @@ object StreamingQueries {
         .filter(col("user_id") =!= -1L)
     },
 
+    // Stream-stream FULL OUTER join — the last join mode: null-extended
+    // rows emit from BOTH state stores at eviction (an unmatched click
+    // when the watermark passes its window's upper bound, an unmatched
+    // purchase when it passes the purchase's lower-bound window), so
+    // this drains every eviction path the one-sided outer can't. Same
+    // sentinel layout and watermark-survival constraints as
+    // stream_join_left_outer; sentinel rows on either side never match
+    // and never expire, and the drained rows are filtered on the
+    // coalesced user key so the contract doesn't ride that reasoning.
+    checked("stream_join_full_outer",
+      s"""SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+         |  COALESCE(a.user_id, b.p_user) AS user_id,
+         |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+         |FROM (SELECT event_id, user_id, ts FROM events
+         |      WHERE event_type = 'click') a
+         |FULL JOIN (SELECT event_id, user_id AS p_user, ts FROM events
+         |      WHERE event_type = 'purchase') b
+         |  ON a.user_id = b.p_user
+         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin) { (s, d) =>
+      val dir = sentinelStreamDir(s, d)
+      StreamingKpi.runBounded(s, s2 => {
+        val clicks = sentinelStream(s2, dir)
+          .filter(col("event_type").isin("click", "__wm__"))
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val purchases = sentinelStream(s2, dir)
+          .filter(col("event_type").isin("purchase", "__wm__"))
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "full_outer")
+          .select(col("click_id"), col("purchase_id"),
+            coalesce(col("user_id"), col("p_user")).as("user_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+              .as("lag_us"))
+      }, "join_full_outer", OutputMode.Append)
+        .filter(col("user_id") =!= -1L)
+    },
+
     // Streaming deduplication — the event-stream analogue of the batch
     // dedup suite: dropDuplicates carries the exact seen-key set in the
     // state store, so the drained output equals batch DISTINCT (the
