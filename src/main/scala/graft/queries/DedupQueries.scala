@@ -363,6 +363,100 @@ object DedupQueries {
     },
 
     // ------------------------------------------------------------------
+    // LSH candidate-generation QUALITY, measured — the audit a dedup
+    // pipeline runs before trusting its banding knobs (K=32, R=4, band
+    // cap 50): over the exhaustively-checkable capped subcorpus, ground
+    // truth = exact-Jaccard pairs ≥ the minhash verify threshold, and
+    // the PRE-VERIFY LSH candidate set is scored against it at TWO truth
+    // thresholds: at the verify threshold (0.5) the bands must be
+    // near-lossless (a truth pair they never propose is lost forever —
+    // verification can't recover it), while at the low threshold (0.03 —
+    // below the corpus's bimodal gap, where dozens of weak pairs live)
+    // the banding curve 1−(1−j^R)^(K/R) is DESIGNED to miss: recall
+    // measurably < 1, so the query exercises both the lossless and the
+    // lossy regime of the knobs. Exact-integer ratios, one IEEE division
+    // each (the ann_recall pattern applied to dedup).
+    checked("dedup_recall", {
+      val bandsUnnest = sqlLshBands("sig", K, R)
+      s"""WITH sh AS ($shingleSetsSql),
+         |capped AS (SELECT * FROM sh WHERE doc_id < $QuadraticCap),
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM capped),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_inter
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT doc_a, doc_b, CAST(n_inter AS DOUBLE) /
+         |      (len(x.sh) + len(y.sh) - n_inter) AS jac
+         |    FROM inter JOIN capped x ON doc_a = x.doc_id
+         |               JOIN capped y ON doc_b = y.doc_id),
+         |sig AS (SELECT doc_id, ${sqlMinhashSig("sh", K)} AS sig FROM capped),
+         |banded AS (SELECT doc_id, unnest($bandsUnnest) AS band FROM sig),
+         |bf AS (SELECT band, count(*) AS bf FROM banded GROUP BY band),
+         |kept AS (SELECT banded.doc_id, banded.band FROM banded
+         |  JOIN bf USING (band) WHERE bf <= $BandCap),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b ON a.band = b.band
+         |    AND a.doc_id < b.doc_id),
+         |m AS (SELECT thr,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM scored
+         |     WHERE jac >= thr) AS t,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS c,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM scored
+         |     JOIN cand USING (doc_a, doc_b) WHERE jac >= thr) AS h
+         |  FROM (SELECT unnest([0.03, $JaccardThr]) AS thr))
+         |SELECT thr AS truth_thr, t AS n_truth, c AS n_cand, h AS n_hit,
+         |  ${graft.functions.DetAgg.sqlR6(
+            "CAST(h AS DOUBLE) / CAST(t AS DOUBLE)")} AS recall,
+         |  ${graft.functions.DetAgg.sqlR6(
+            "CAST(h AS DOUBLE) / CAST(c AS DOUBLE)")} AS precision
+         |FROM m""".stripMargin
+    }) { (s, d) =>
+      val ex = staged(shingleRows(s, d).filter(col("doc_id") < QuadraticCap))
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = ex.as("a")
+        .join(ex.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val jac = col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter"))
+      val scored = staged(inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jac.as("jac")))
+      val minCols = perms(K).zipWithIndex.map { case ((a, b), i) =>
+        min((col("h") % P * a + b) % P).as(s"m$i")
+      }
+      val sig = ex.groupBy("doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+      val banded = staged(sig.select(col("doc_id"),
+        explode(lshBands(col("sig"), K, R)).as("band")))
+      val bf = banded.groupBy("band").agg(count(lit(1)).as("bf"))
+      val kept = banded.join(bf.filter(col("bf") <= BandCap), "band")
+        .select(col("doc_id"), col("band"))
+      val cand = staged(kept.as("a")
+        .join(kept.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct())
+      val hitScored = staged(scored.join(cand, Seq("doc_a", "doc_b"), "left_semi"))
+      def row(thr: Double) =
+        scored.filter(col("jac") >= thr).agg(count(lit(1)).as("t"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("c"))))
+          .crossJoin(broadcast(hitScored.filter(col("jac") >= thr)
+            .agg(count(lit(1)).as("h"))))
+          .select(lit(thr).as("truth_thr"), col("t").as("n_truth"),
+            col("c").as("n_cand"), col("h").as("n_hit"),
+            graft.functions.DetAgg.r6(col("h").cast("double") /
+              col("t").cast("double")).as("recall"),
+            graft.functions.DetAgg.r6(col("h").cast("double") /
+              col("c").cast("double")).as("precision"))
+      row(0.03).unionAll(row(JaccardThr))
+    },
+
+    // ------------------------------------------------------------------
     // SimHash near-dup: 60-bit signature, 4×15-bit bands, Hamming verify.
     checked("dedup_simhash",
       s"""WITH sim AS (
