@@ -186,6 +186,65 @@ object GraphQueries {
     },
 
     // ------------------------------------------------------------------
+    // 2-CORE decomposition by iterative peeling — the degeneracy-based
+    // graph regime the other four queries don't touch (pagerank pushes
+    // mass, BFS expands, triangles close wedges, CC relabels; k-core
+    // DELETES): repeatedly drop nodes of degree < 2 and the edges they
+    // carry until a fixpoint. On the near-dup graph this strips
+    // 2-clique families entirely (both endpoints are pendant) and keeps
+    // the ≥3-member cores — exactly the "only keep robustly-connected
+    // duplicate families" pass a cleaning pipeline wants. The peel
+    // count is FIXED (4 — family diameters are tiny) and the fixpoint
+    // is MEASURED (round-3 edge count = round-4, emitted as a boolean
+    // both engines compute), so like pagerank the whole peel is one
+    // lazy plan: per round one degree aggregate + two semi joins. At
+    // 100 TB each round's degree frame is node-sized and broadcasts.
+    checked("graph_kcore", {
+      // Every round CTE is MATERIALIZED: e_k is referenced three times
+      // (its own FROM + both endpoint probes) and chains four deep, so
+      // inlining would re-expand the whole upstream pair build 3^4
+      // times — DuckDB's inlining planner visibly hangs on it.
+      val rounds = (1 to 4).map { k =>
+        s"""a$k AS MATERIALIZED (SELECT u FROM (
+           |  SELECT u, count(*) AS deg FROM e${k - 1} GROUP BY u)
+           |  WHERE deg >= 2),
+           |e$k AS MATERIALIZED (SELECT e.u, e.v FROM e${k - 1} e
+           |  WHERE EXISTS (SELECT 1 FROM a$k WHERE a$k.u = e.u)
+           |    AND EXISTS (SELECT 1 FROM a$k x WHERE x.u = e.v))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupQueries.pairsCtesSql},
+         |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |$rounds,
+         |fix AS (SELECT (SELECT count(*) FROM e3) = (SELECT count(*) FROM e4)
+         |  AS is_fixpoint)
+         |SELECT u AS node_id, CAST(count(*) AS BIGINT) AS core_deg,
+         |  (SELECT is_fixpoint FROM fix) AS is_fixpoint
+         |FROM e4 GROUP BY u""".stripMargin
+    }) { (s, d) =>
+      val pairs = staged(DedupQueries.nearDupPairsShared(s, d))
+      var e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      var e3Count = 0L
+      for (k <- 1 to 4) {
+        val alive = e.groupBy("u").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select("u")
+        // one bounded action per round would be the CC shape; here the
+        // round count is FIXED so the chain stays lazy — only the
+        // fixpoint check below runs actions, on the last two rounds.
+        e = e.join(alive, Seq("u"), "left_semi")
+          .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+        if (k == 3) { e = staged(e); e3Count = e.count() }
+      }
+      val e4 = staged(e)
+      val isFix = e3Count == e4.count()
+      e4.groupBy(col("u").as("node_id")).agg(count(lit(1)).as("core_deg"))
+        .withColumn("is_fixpoint", lit(isFix))
+    },
+
+    // ------------------------------------------------------------------
     // Multi-source BFS (shortest hop distance) — the frontier-expansion
     // regime the two queries above don't touch: pagerank pushes mass
     // along EVERY edge every round; BFS expands a monotonically
