@@ -429,6 +429,64 @@ class StreamingKpiSpec extends SparkSpec {
     }
   }
 
+  test("UserDigestProcessor MapState and ListState survive a checkpoint restart") {
+    // The two non-Value state surfaces must restore across incarnations:
+    // the per-type count map AND the rolling last-3 list both carry
+    // pre-stop entries into the first post-restart event's digest.
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val root = java.nio.file.Files.createTempDirectory("graft_dig_ckpt_")
+        .toFile.getAbsolutePath
+      def runSplit(split: Boolean): Map[Long, (Long, Long)] = {
+        val tag = if (split) "split" else "single"
+        val out = s"$root/out_$tag"
+        val ckpt = s"$root/ckpt_$tag"
+        val mem = MemoryStream[(Long, Long, String, Long)]
+        def start() = mem.toDF()
+          .toDF("user_id", "event_id", "event_type", "ts_us")
+          .as[StreamingKpi.UEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new StreamingKpi.UserDigestProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append).start()
+        val half1 = Seq((1L, 10L, "click", 100L), (1L, 11L, "view", 110L),
+          (1L, 12L, "click", 120L))
+        val half2 = Seq((1L, 13L, "click", 130L), (2L, 14L, "view", 140L))
+        val q1 = start()
+        try {
+          mem.addData(half1: _*)
+          if (!split) mem.addData(half2: _*)
+          q1.processAllAvailable()
+        } finally q1.stop()
+        if (split) {
+          val q2 = start()
+          try {
+            mem.addData(half2: _*)
+            q2.processAllAvailable()
+          } finally q2.stop()
+        }
+        spark.read.parquet(out)
+          .select("event_id", "type_seq", "recent3_sum")
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+      }
+      val restarted = runSplit(split = true)
+      val single = runSplit(split = false)
+      assert(restarted == single,
+        s"restarted digest diverged:\n$restarted\nvs\n$single")
+      // The across-restart carries specifically: event 13 is user 1's
+      // THIRD click (MapState count 2 restored) and its rolling window
+      // is 11+12+13 (ListState [10,11,12] restored, trimmed); user 2 is
+      // fresh after the restart.
+      assert(restarted(13L) == ((3L, 36L)))
+      assert(restarted(14L) == ((1L, 14L)))
+      assert(restarted.size == 5, "exactly-once: no lost or duplicated rows")
+    }
+  }
+
   test("legacy flatMapGroupsWithState GroupState survives a checkpoint restart") {
     // Same durability property as the IatProcessor test, on the LEGACY
     // keyed-state API and the default (HDFS-backed) state store — the two
