@@ -293,6 +293,95 @@ object SimilarityQueries {
       topK(scoredBrute(svSpark(s, d), NQueries), TopK)
     },
 
+    // CALIBRATION of the kNN vote — the reliability-diagram regime that
+    // closes the eval family (AUC ranks, lift targets, NDCG orders,
+    // confusion counts; calibration asks whether CONFIDENCE means what
+    // it says): vote share = votes/5 is the classifier's confidence,
+    // and each confidence bin reports its empirical accuracy beside the
+    // confidence itself — a calibrated model's bins sit on the
+    // diagonal. Same shared kNN decision rule; exact-integer ratios
+    // with one IEEE division each over the ≤5-row bin frame.
+    checked("ml_calibration_bins",
+      s"""$knnVotesSql,
+         |pred AS (SELECT q_id, true_label, CAST(min(label) AS INT)
+         |    AS predicted, CAST(max(mx) AS BIGINT) AS votes
+         |  FROM best WHERE c = mx GROUP BY q_id, true_label)
+         |SELECT votes, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) FILTER (WHERE predicted = true_label) AS BIGINT)
+         |    AS n_correct,
+         |  ${graft.functions.DetAgg.sqlR6(
+            "CAST(votes AS DOUBLE) / 5.0")} AS confidence,
+         |  ${graft.functions.DetAgg.sqlR6(
+            "CAST(count(*) FILTER (WHERE predicted = true_label) AS DOUBLE)" +
+              " / CAST(count(*) AS DOUBLE)")} AS accuracy
+         |FROM pred GROUP BY votes""".stripMargin) { (s, d) =>
+      knnPredictions(s, d)
+        .groupBy("votes")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("predicted") === col("true_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("votes"), col("n"), col("n_correct"),
+          graft.functions.DetAgg.r6(col("votes").cast("double") / 5.0)
+            .as("confidence"),
+          graft.functions.DetAgg.r6(col("n_correct").cast("double") /
+            col("n").cast("double")).as("accuracy"))
+    },
+
+    // FAIRNESS metrics over the kNN classifier — the governance pass a
+    // production model ships with: for a protected attribute (the
+    // deterministic vec_id parity split), per-group selection rate for
+    // a target class (demographic parity), and per-group TPR/FPR on
+    // that class (equalized odds). All counts exact BIGINTs from the
+    // shared decision rule; each rate is one IEEE division, and the
+    // parity/odds GAPS are emitted so a reviewer reads the finding, not
+    // just the inputs. Target class = label 7 (present in both groups
+    // at every SF).
+    checked("ml_fairness_metrics",
+      s"""$knnVotesSql,
+         |pred AS (SELECT q_id, true_label, CAST(min(label) AS INT)
+         |    AS predicted FROM best WHERE c = mx GROUP BY q_id, true_label),
+         |g AS (SELECT q_id % 2 AS grp, true_label, predicted FROM pred),
+         |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (WHERE predicted = 7) AS BIGINT) AS sel,
+         |    CAST(count(*) FILTER (WHERE true_label = 7 AND predicted = 7)
+         |      AS BIGINT) AS tp,
+         |    CAST(count(*) FILTER (WHERE true_label = 7) AS BIGINT) AS pos,
+         |    CAST(count(*) FILTER (WHERE true_label <> 7 AND predicted = 7)
+         |      AS BIGINT) AS fp,
+         |    CAST(count(*) FILTER (WHERE true_label <> 7) AS BIGINT) AS neg
+         |  FROM g GROUP BY grp)
+         |SELECT grp, n, sel, tp, pos, fp, neg,
+         |  ${graft.functions.DetAgg.sqlR6(
+            "CAST(sel AS DOUBLE) / CAST(n AS DOUBLE)")} AS selection_rate,
+         |  CASE WHEN pos = 0 THEN 0.0 ELSE ${graft.functions.DetAgg.sqlR6(
+            "CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE)")} END AS tpr,
+         |  CASE WHEN neg = 0 THEN 0.0 ELSE ${graft.functions.DetAgg.sqlR6(
+            "CAST(fp AS DOUBLE) / CAST(neg AS DOUBLE)")} END AS fpr
+         |FROM m""".stripMargin) { (s, d) =>
+      val m = knnPredictions(s, d)
+        .select(expr("q_id % 2").as("grp"), col("true_label"),
+          col("predicted"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("predicted") === 7, 1L).otherwise(0L)).as("sel"),
+          sum(when(col("true_label") === 7 && col("predicted") === 7, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("true_label") === 7, 1L).otherwise(0L)).as("pos"),
+          sum(when(col("true_label") =!= 7 && col("predicted") === 7, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("true_label") =!= 7, 1L).otherwise(0L)).as("neg"))
+      def safe(num: org.apache.spark.sql.Column,
+               den: org.apache.spark.sql.Column) =
+        when(den === 0, lit(0.0)).otherwise(
+          graft.functions.DetAgg.r6(num.cast("double") / den.cast("double")))
+      m.select(col("grp"), col("n"), col("sel"), col("tp"), col("pos"),
+        col("fp"), col("neg"),
+        graft.functions.DetAgg.r6(col("sel").cast("double") /
+          col("n").cast("double")).as("selection_rate"),
+        safe(col("tp"), col("pos")).as("tpr"),
+        safe(col("fp"), col("neg")).as("fpr"))
+    },
+
     // INT8 per-vector quantization — the serving-side compression next
     // to ann_pq's codebook path (8× smaller embeddings with a per-vector
     // max-abs scale, the standard symmetric int8 scheme): codes are

@@ -683,6 +683,64 @@ object StatsQueries {
             (col("cn") * col("tnp")).cast("double")).as("cum_lift"))
     },
 
+    // Benford first-digit audit — the fraud/data-quality screen an
+    // auditor runs over any measured quantity: the leading-digit
+    // distribution of the integer value against Benford's law, with
+    // the expected rates log₁₀(1+1/d) PRE-QUANTIZED LITERALS computed
+    // once at plan build and injected into both engines (the ml_ndcg
+    // pattern — zero runtime logs), the observed rates exact-integer
+    // ratios, and the mean absolute deviation assembled from per-digit
+    // quantized terms so the verdict number is accumulation-order-free.
+    // Leading digit via the decimal string of an exact BIGINT —
+    // engine-identical by construction.
+    checked("stats_benford", {
+      val exp = (1 to 9).map(dd =>
+        math.round(math.log10(1.0 + 1.0 / dd) * 1e6))
+      val expCase = (1 to 9).map(dd => s"WHEN $dd THEN ${exp(dd - 1)}")
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH v AS (SELECT CAST(floor(value) AS BIGINT) AS v FROM events
+         |  WHERE value >= 1),
+         |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT)
+         |    AS digit FROM v),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+         |  GROUP BY digit),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g),
+         |m AS (SELECT digit, n, tot, $expCase AS exp_q,
+         |    CAST(floor(CAST(n AS DOUBLE) / tot * 1e6 + 0.5) AS BIGINT)
+         |      AS obs_q
+         |  FROM g, t),
+         |mad AS (SELECT CAST(sum(abs(obs_q - exp_q)) AS BIGINT) AS madq
+         |  FROM m)
+         |SELECT digit, n,
+         |  CAST(obs_q AS DOUBLE) / 1e6 AS obs_rate,
+         |  CAST(exp_q AS DOUBLE) / 1e6 AS benford_rate,
+         |  CAST((SELECT madq FROM mad) AS DOUBLE) / 9e6 AS mad_total
+         |FROM m""".stripMargin
+    }) { (s, d) =>
+      val exp = (1 to 9).map(dd =>
+        math.round(math.log10(1.0 + 1.0 / dd) * 1e6))
+      val expCol = (1 to 9).foldLeft(lit(0L)) { (acc, dd) =>
+        when(col("digit") === dd, lit(exp(dd - 1))).otherwise(acc)
+      }
+      val g = Tables.events(s, d)
+        .filter(col("value") >= 1)
+        .select(substring(floor(col("value")).cast("long").cast("string"),
+          1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = g.agg(sum(col("n")).as("tot"))
+      val m = staged(g.crossJoin(broadcast(t))
+        .withColumn("exp_q", expCol)
+        .withColumn("obs_q",
+          floor(col("n").cast("double") / col("tot") * 1e6 + 0.5)
+            .cast("long")))
+      val mad = m.agg(sum(abs(col("obs_q") - col("exp_q"))).as("madq"))
+      m.crossJoin(broadcast(mad))
+        .select(col("digit"), col("n"),
+          (col("obs_q").cast("double") / 1e6).as("obs_rate"),
+          (col("exp_q").cast("double") / 1e6).as("benford_rate"),
+          (col("madq").cast("double") / 9e6).as("mad_total"))
+    },
+
     // Weight-of-Evidence encoding + Information Value — the
     // credit-scoring/feature-screening standard that PSI's machinery
     // doesn't cover (PSI compares two time windows; WoE/IV measure how
