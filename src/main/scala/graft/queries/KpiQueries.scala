@@ -438,6 +438,76 @@ object KpiQueries {
           col("n").isNull.as("is_gap"))
     },
 
+    // Cross-correlation between the click and purchase series — "which
+    // KPI leads which": both series land on the shared dense 15-minute
+    // grid (zeros for empty buckets — absence is signal in a CCF), a
+    // 3-row lag table joins each x-bucket to its lag-shifted y-bucket,
+    // and each lag's Pearson r uses the ts_acf integer-moment identity
+    // over exact DECIMAL(38)/HUGEINT products with one string-hop IEEE
+    // division. The grid is span/900 s rows (bounded by time, not
+    // corpus), so the pair join and moments are trivial at any scale.
+    checked("ts_cross_corr", {
+      val corr = "CAST(CAST((cnt * sxy - sx * sy) AS VARCHAR) AS DOUBLE) / " +
+        "(sqrt(CAST(CAST((cnt * sxx - sx * sx) AS VARCHAR) AS DOUBLE)) * " +
+        "sqrt(CAST(CAST((cnt * syy - sy * sy) AS VARCHAR) AS DOUBLE)))"
+      s"""WITH e AS (SELECT epoch_us(ts) // 900000000 AS bkt,
+         |    CAST(sum(CASE WHEN event_type = 'click'
+         |      THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |sp AS (SELECT min(bkt) AS mn, max(bkt) AS mx FROM e),
+         |grid AS (SELECT unnest(generate_series(mn, mx)) AS bkt FROM sp),
+         |g AS (SELECT grid.bkt, COALESCE(e.x, 0) AS x, COALESCE(e.y, 0) AS y
+         |  FROM grid LEFT JOIN e ON grid.bkt = e.bkt),
+         |lags AS (SELECT unnest([-1, 0, 1]) AS lg),
+         |pr AS (SELECT lg, a.x, b.y FROM g a CROSS JOIN lags
+         |  JOIN g b ON b.bkt = a.bkt + lg),
+         |m AS (SELECT lg, CAST(count(*) AS HUGEINT) AS cnt,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM pr GROUP BY lg)
+         |SELECT CAST(lg AS INT) AS lag, CAST(cnt AS BIGINT) AS n_pairs,
+         |  ${graft.functions.DetAgg.sqlR6(corr)} AS ccf
+         |FROM m""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val e = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 900000000").as("bkt"))
+        .agg(sum(when(col("event_type") === "click",
+          floor(col("value") * 1000).cast("long")).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 1000).cast("long")).otherwise(0L)).as("y"))
+      val grid = e.agg(min(col("bkt")).as("mn"), max(col("bkt")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("bkt"))
+      val g = staged(grid.join(e, Seq("bkt"), "left")
+        .select(col("bkt"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y")))
+      val lags = { import s.implicits._; Seq(-1, 0, 1).toDF("lg") }
+      val pr = g.as("a").crossJoin(broadcast(lags))
+        .join(g.select(col("bkt").as("bb"), col("y").as("yy")),
+          col("bb") === col("a.bkt") + col("lg"))
+      val m = pr.groupBy("lg").agg(count(lit(1)).as("cnt"),
+        sum(dec(col("a.x"))).as("sx"), sum(dec(col("yy"))).as("sy"),
+        sum(dec(col("a.x")) * dec(col("a.x"))).as("sxx"),
+        sum(dec(col("yy")) * dec(col("yy"))).as("syy"),
+        sum(dec(col("a.x")) * dec(col("yy"))).as("sxy"))
+      def sd(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+      m.select(col("lg").cast("int").as("lag"),
+        col("cnt").cast("long").as("n_pairs"),
+        graft.functions.DetAgg.r6(
+          sd(dec(col("cnt")) * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(sd(dec(col("cnt")) * col("sxx") - col("sx") * col("sx"))) *
+              sqrt(sd(dec(col("cnt")) * col("syy") - col("sy") * col("sy")))))
+          .as("ccf"))
+    },
+
     // DFT power at harmonics 1-3 per slice — the frequency-domain
     // diagnostic beside ts_acf's lag domain (is the KPI periodic, and
     // at which harmonic of its span): Σ v·cos(2πk(t−1)/n) and the sin

@@ -154,6 +154,135 @@ object StatsQueries {
           count(lit(1)).as("n_events"))
     },
 
+    // Average precision (AUPRC by the step identity) — the
+    // imbalance-robust companion of ml_auc, over the same exact score
+    // histogram: walking thresholds down the score order, AP =
+    // Σ_k (TP_k − TP_{k−1})/P · Precision_k, where every TP/FP count is
+    // an exact BIGINT cumulative and each step's term is quantized to
+    // 1e-8 BEFORE the sum (the stats_chi2 argument). Ties are handled
+    // at group granularity — every distinct score is one threshold —
+    // which is the standard histogram AP.
+    checked("ml_avg_precision", {
+      import graft.functions.TextFns.sqlScaledVec
+      s"""WITH sv0 AS (SELECT label, ${sqlScaledVec("embedding")} AS v
+         |  FROM embeddings),
+         |sv AS (SELECT label >= 5 AS pos,
+         |    list_aggregate(list_transform(range(1, 65),
+         |      i -> v[i] * (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END)), 'sum')
+         |      AS score
+         |  FROM sv0),
+         |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS p
+         |  FROM sv GROUP BY 1),
+         |c AS (SELECT CAST(sum(p) OVER w AS BIGINT) AS tp,
+         |    CAST(sum(n) OVER w AS BIGINT) AS preds, p AS dp FROM g
+         |  WINDOW w AS (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT CAST(sum(dp) AS BIGINT) AS pos_total FROM c),
+         |s AS (SELECT CAST(sum(CAST(floor(
+         |    (CAST(dp AS DOUBLE) / pos_total) *
+         |    (CAST(tp AS DOUBLE) / preds) * 1e8 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS apq FROM c, t)
+         |SELECT (SELECT pos_total FROM t) AS n_pos,
+         |  CAST(apq AS DOUBLE) / 1e8 AS avg_precision
+         |FROM s""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextFns.scaledVec
+      val weights = typedLit(Seq.tabulate(64)(i => if (i % 2 == 0) 1L else -1L))
+      val g = Tables.embeddings(s, d)
+        .select((col("label") >= 5).as("pos"),
+          graft.functions.expr.DotLong(scaledVec(col("embedding")), weights)
+            .as("score"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("p"))
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = staged(g.select(sum(col("p")).over(w).as("tp"),
+        sum(col("n")).over(w).as("preds"), col("p").as("dp")))
+      val t = c.agg(sum(col("dp")).as("pos_total"))
+      c.crossJoin(broadcast(t))
+        .select(floor((col("dp").cast("double") / col("pos_total")) *
+          (col("tp").cast("double") / col("preds")) * 1e8 + 0.5)
+          .cast("long").as("term"), col("pos_total"))
+        .groupBy("pos_total").agg(sum(col("term")).as("apq"))
+        .select(col("pos_total").as("n_pos"),
+          (col("apq").cast("double") / 1e8).as("avg_precision"))
+    },
+
+    // Embedding-space DRIFT monitor — the vector-side companion of
+    // ml_ks_test/ml_psi (production embedding pipelines alert on the
+    // centroid moving or the norm scale shifting between snapshots):
+    // the corpus splits deterministically by vec_id parity, each half's
+    // mean direction is an exact integer component-sum vector, and the
+    // cosine between the two mean vectors plus the norm-squared ratio
+    // are the drift verdicts — exact BIGINT dot/norm arithmetic (peak
+    // ~64·(1000·5e6)² ≈ 1e21 — DECIMAL(38)/HUGEINT products), one IEEE
+    // division each. One map-side-combined aggregate to 2×64 cells.
+    checked("ml_drift_embedding", {
+      import graft.functions.TextFns.sqlScaledVec
+      val dotAB = "list_aggregate(list_transform(range(1, 65), " +
+        "i -> CAST(a[i] AS HUGEINT) * b[i]), 'sum')"
+      def nrm(x: String) = "list_aggregate(list_transform(range(1, 65), " +
+        s"i -> CAST($x[i] AS HUGEINT) * $x[i]), 'sum')"
+      s"""WITH sv AS (SELECT vec_id % 2 AS grp,
+         |    ${sqlScaledVec("embedding")} AS v FROM embeddings),
+         |ex AS (SELECT grp, unnest(v) AS x,
+         |    unnest(range(1, 65)) AS i FROM sv),
+         |cs AS (SELECT grp, i, CAST(sum(x) AS BIGINT) AS sx FROM ex
+         |  GROUP BY grp, i),
+         |m AS (SELECT grp, list(sx ORDER BY i) AS mv FROM cs GROUP BY grp),
+         |cnt AS (SELECT vec_id % 2 AS grp, CAST(count(*) AS BIGINT) AS n
+         |  FROM embeddings GROUP BY 1),
+         |mm AS (SELECT m.grp, mv, n FROM m JOIN cnt ON m.grp = cnt.grp),
+         |p AS (SELECT x.n AS n_a, y.n AS n_b, x.mv AS a, y.mv AS b
+         |  FROM mm x JOIN mm y ON x.grp = 0 AND y.grp = 1)
+         |SELECT n_a, n_b,
+         |  ${graft.functions.DetAgg.sqlR6(
+            s"CAST(CAST($dotAB AS VARCHAR) AS DOUBLE) / " +
+              s"(sqrt(CAST(CAST(${nrm("a")} AS VARCHAR) AS DOUBLE)) * " +
+              s"sqrt(CAST(CAST(${nrm("b")} AS VARCHAR) AS DOUBLE)))")}
+         |    AS centroid_cos,
+         |  ${graft.functions.DetAgg.sqlR6(
+            s"(CAST(CAST(${nrm("a")} AS VARCHAR) AS DOUBLE) * n_b * n_b) / " +
+              s"(CAST(CAST(${nrm("b")} AS VARCHAR) AS DOUBLE) * n_a * n_a)")}
+         |    AS norm2_ratio
+         |FROM p""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextFns.scaledVec
+      import org.apache.spark.sql.types.DecimalType
+      val m = Tables.embeddings(s, d)
+        .select(expr("vec_id % 2").as("grp"),
+          posexplode(scaledVec(col("embedding"))).as(Seq("i", "x")))
+        .groupBy("grp", "i").agg(sum(col("x")).as("sx"))
+        .groupBy("grp")
+        .agg(array_sort(collect_list(struct(col("i"), col("sx")))).as("ps"))
+        .select(col("grp"), size(col("ps")).as("dim"),
+          transform(col("ps"), p => p.getField("sx")).as("mv"))
+      val cnt = Tables.embeddings(s, d).groupBy(expr("vec_id % 2").as("grp"))
+        .agg(count(lit(1)).as("n"))
+      val mm = m.join(cnt, "grp")
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => dec(x) * dec(y)),
+          lit(0).cast(DecimalType(38, 0)), (acc, x) => acc + x)
+      val p = mm.filter(col("grp") === 0)
+        .select(col("n").as("n_a"), col("mv").as("a"))
+        .crossJoin(broadcast(mm.filter(col("grp") === 1)
+          .select(col("n").as("n_b"), col("mv").as("b"))))
+      p.select(col("n_a"), col("n_b"),
+        graft.functions.DetAgg.r6(
+          dotDec(col("a"), col("b")).cast("string").cast("double") /
+            (sqrt(dotDec(col("a"), col("a")).cast("string").cast("double")) *
+              sqrt(dotDec(col("b"), col("b")).cast("string").cast("double"))))
+          .as("centroid_cos"),
+        graft.functions.DetAgg.r6(
+          (dotDec(col("a"), col("a")).cast("string").cast("double") *
+            col("n_b") * col("n_b")) /
+            (dotDec(col("b"), col("b")).cast("string").cast("double") *
+              col("n_a") * col("n_a"))).as("norm2_ratio"))
+    },
+
     // ROC AUC by the rank-sum (Mann-Whitney) identity over the score
     // HISTOGRAM — the classification-eval metric ml_metrics'
     // regression pair lacks, in the form production actually computes
