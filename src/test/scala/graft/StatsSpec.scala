@@ -186,6 +186,55 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ml_avg_precision equals a driver-side threshold walk") {
+    val Array(r) = run("ml_avg_precision")
+    import graft.functions.TextFns.scaledVec
+    val weights = typedLit(Seq.tabulate(64)(i => if (i % 2 == 0) 1L else -1L))
+    val scored = Tables.embeddings(spark, sf)
+      .select((col("label") >= 5).as("pos"),
+        graft.functions.expr.DotLong(scaledVec(col("embedding")), weights)
+          .as("score"))
+      .collect().map(x => (x.getBoolean(0), x.getLong(1)))
+    val posTotal = scored.count(_._1).toLong
+    assert(posTotal == r.getAs[Long]("n_pos"))
+    // Histogram convention: every distinct score is one threshold; the
+    // replay walks them descending with the same per-step quantization.
+    val byScore = scored.groupBy(_._2).view
+      .mapValues(g => (g.length.toLong, g.count(_._1).toLong)).toMap
+    var tp = 0L
+    var preds = 0L
+    var apq = 0L
+    byScore.keys.toSeq.sorted.reverse.foreach { sc =>
+      val (n, p) = byScore(sc)
+      tp += p; preds += n
+      apq += math.floor((p.toDouble / posTotal) * (tp.toDouble / preds)
+        * 1e8 + 0.5).toLong
+    }
+    assert(r.getAs[Double]("avg_precision") == apq.toDouble / 1e8)
+  }
+
+  test("ml_drift_embedding equals a BigInt centroid replay") {
+    val Array(r) = run("ml_drift_embedding")
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(x => (x.getLong(0),
+        // Spark's round() is HALF_UP away from zero (BigDecimal), not
+        // math.round's half-toward-+inf — they differ on negative .5s.
+        x.getSeq[Float](1).map(f => BigDecimal(f.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
+    def meanVec(par: Long) = rows.filter(_._1 % 2 == par).map(_._2)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+      .map(BigInt(_))
+    val (a, b) = (meanVec(0), meanVec(1))
+    def dot(x: Array[BigInt], y: Array[BigInt]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    val cos = dot(a, b).toString.toDouble /
+      (math.sqrt(dot(a, a).toString.toDouble) *
+        math.sqrt(dot(b, b).toString.toDouble))
+    assert(r.getAs[Double]("centroid_cos") ==
+      math.floor(cos * 1e6 + 0.5) / 1e6)
+  }
+
   test("sketch_bloom probes through the codegen'd native expression") {
     val q = SparkEntry.allQueries.find(_.name == "sketch_bloom").get
     val p =
