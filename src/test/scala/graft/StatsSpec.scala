@@ -235,6 +235,41 @@ class StatsSpec extends SparkSpec {
       math.floor(cos * 1e6 + 0.5) / 1e6)
   }
 
+  test("ts_cross_corr equals a BigInt dense-grid replay") {
+    val rows = run("ts_cross_corr")
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Double]("ccf"))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"),
+        floor(col("value") * 1000).cast("long"))
+      .collect().map(r => (tsUs(r.getTimestamp(0)) / 900000000L,
+        r.getString(1), r.getLong(2)))
+    val byB = evs.groupBy(_._1).view.mapValues { g =>
+      (g.filter(_._2 == "click").map(_._3).sum,
+        g.filter(_._2 == "purchase").map(_._3).sum)
+    }.toMap
+    val (mn, mx) = (byB.keys.min, byB.keys.max)
+    val grid = (mn to mx).map(b => byB.getOrElse(b, (0L, 0L)))
+    Seq(-1, 0, 1).foreach { lg =>
+      val pairs = grid.indices.flatMap { i =>
+        val j = i + lg
+        if (j >= 0 && j < grid.length) Some((grid(i)._1, grid(j)._2))
+        else None
+      }
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val ccf = (n * sxy - sx * sy).toString.toDouble /
+        (math.sqrt((n * sxx - sx * sx).toString.toDouble) *
+          math.sqrt((n * syy - sy * sy).toString.toDouble))
+      val (qPairs, qCcf) = rows(lg)
+      assert(qPairs == pairs.length.toLong, s"lag $lg pair count")
+      assert(qCcf == math.floor(ccf * 1e6 + 0.5) / 1e6, s"lag $lg ccf")
+    }
+  }
+
   test("sketch_bloom probes through the codegen'd native expression") {
     val q = SparkEntry.allQueries.find(_.name == "sketch_bloom").get
     val p =
