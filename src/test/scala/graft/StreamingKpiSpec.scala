@@ -692,6 +692,44 @@ class StreamingKpiSpec extends SparkSpec {
     }
   }
 
+  test("union of two watermarked inputs finalizes on the MINIMUM watermark") {
+    // Multi-input watermark coordination: after a union, the engine's
+    // global watermark is the minimum across inputs — a window closes
+    // only when EVERY input has passed it. Pin both directions: the
+    // window stays open while one input lags (no premature finalize
+    // from the fast input), then closes as soon as the laggard catches
+    // up, counting rows from BOTH inputs.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem1 = MemoryStream[java.sql.Timestamp]
+    val mem2 = MemoryStream[java.sql.Timestamp]
+    def side(m: MemoryStream[java.sql.Timestamp]) =
+      m.toDF().toDF("ts").withWatermark("ts", "0 seconds")
+    val q = side(mem1).union(side(mem2))
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.format("memory").queryName("union_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Both inputs land in [100,110); input 1 races ahead to t=1000.
+      mem1.addData(ts(101), ts(105), ts(1000))
+      mem2.addData(ts(103))
+      q.processAllAvailable()
+      assert(spark.table("union_wm").isEmpty,
+        "window [100,110) must NOT finalize while input 2's watermark " +
+          "sits at 103 — the global watermark is the minimum")
+      // Input 2 catches up: the window closes with rows from BOTH sides.
+      mem2.addData(ts(1000))
+      q.processAllAvailable()
+      val out = spark.table("union_wm")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(out == Map(ts(100) -> 3L),
+        s"expected [100,110) with 3 rows (2 from input 1 + 1 from " +
+          s"input 2), got $out")
+    } finally q.stop()
+  }
+
   test("streaming tumbling aggregation equals the batch group-by") {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = StreamingKpi.runBounded(spark,
