@@ -143,6 +143,45 @@ object ScalarQueries {
           aggregate(col("qs"), lit(0L), (a, x) => a + x).as("total"))
     },
 
+    // Predicate surfaces — the boolean HOFs (exists / forall / filter)
+    // and boolean aggregates (any / every / count_if) in one pass:
+    // per-order quantity arrays answer row-level predicates, then the
+    // per-priority rollup folds them through the boolean aggregate
+    // family. DuckDB spells the HOFs as list_filter lengths and the
+    // aggregates as bool_or / bool_and / count_if — same semantics,
+    // null-free by construction.
+    checked("scalar_predicates",
+      """WITH arrs AS (SELECT l_orderkey,
+        |    list(CAST(l_quantity AS BIGINT)) AS qs
+        |  FROM lineitem GROUP BY l_orderkey),
+        |flags AS (SELECT l_orderkey,
+        |    len(list_filter(qs, x -> x > 45)) > 0 AS has_big,
+        |    len(list_filter(qs, x -> NOT (x > 0))) = 0 AS all_pos,
+        |    CAST(len(list_filter(qs, x -> x < 10)) AS BIGINT) AS n_small
+        |  FROM arrs),
+        |j AS (SELECT o_orderpriority AS priority, has_big, all_pos, n_small
+        |  FROM flags JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  bool_or(has_big) AS any_has_big,
+        |  bool_and(all_pos) AS every_all_pos,
+        |  CAST(count_if(n_small > 0) AS BIGINT) AS n_with_small
+        |FROM j GROUP BY priority""".stripMargin) { (s, d) =>
+      val flags = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(collect_list(col("l_quantity").cast("long")).as("qs"))
+        .select(col("l_orderkey"),
+          exists(col("qs"), x => x > 45).as("has_big"),
+          forall(col("qs"), x => x > 0).as("all_pos"),
+          size(filter(col("qs"), x => x < 10)).cast("long").as("n_small"))
+      flags.join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("any(has_big)").as("any_has_big"),
+          expr("every(all_pos)").as("every_all_pos"),
+          expr("count_if(n_small > 0)").as("n_with_small"))
+    },
+
     // Ordered LISTAGG — Spark 4's native listagg(...) WITHIN GROUP, the
     // SQL:2016 surface (not a collect_list reshuffle): nation rosters
     // per region, comma-joined in collation order. The aggregate is
