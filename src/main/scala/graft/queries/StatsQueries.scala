@@ -812,6 +812,42 @@ object StatsQueries {
             (col("cn") * col("tnp")).cast("double")).as("cum_lift"))
     },
 
+    // Gini coefficient per slice — the inequality summary (how
+    // concentrated is the value mass) by the exact rank identity
+    // G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted values:
+    // every term is an exact BIGINT (peak Σ i·v ≈ 2e14 at sf0.1, 2^63
+    // headroom to ~10⁸ rows/slice on this grid), ties are immaterial
+    // (equal values contribute the same total regardless of rank
+    // order), and the single division is the shared IEEE step. One
+    // window pass in the slice partitioning + one aggregate — the
+    // percentile_groups shuffle shape.
+    checked("stats_gini",
+      """WITH sv AS (SELECT event_type AS slice,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |r AS (SELECT slice, v,
+        |    row_number() OVER (PARTITION BY slice ORDER BY v) AS i
+        |  FROM sv),
+        |m AS (SELECT slice, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(i * v) AS BIGINT) AS iv
+        |  FROM r GROUP BY slice)
+        |SELECT slice, n,
+        |  CAST(floor((CAST(2 * iv - (n + 1) * s AS DOUBLE) /
+        |    CAST(n * s AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS gini
+        |FROM m""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("slice").orderBy("v")
+      val m = Tables.events(s, d)
+        .select(col("event_type").as("slice"), mv(col("value")).as("v"))
+        .withColumn("i", row_number().over(w))
+        .groupBy("slice")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(col("i") * col("v")).as("iv"))
+      m.select(col("slice"), col("n"),
+        (floor(((lit(2) * col("iv") - (col("n") + 1) * col("s"))
+          .cast("double") / (col("n") * col("s")).cast("double")) * 1e6
+          + 0.5) / 1e6).as("gini"))
+    },
+
     // Benford first-digit audit — the fraud/data-quality screen an
     // auditor runs over any measured quantity: the leading-digit
     // distribution of the integer value against Benford's law, with
