@@ -19,10 +19,27 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // Declared-surface policy (enforced by code, not convention):
+        // no top-level Array/Map/Struct columns, no timestamps outside
+        // pandas' datetime64[ns] range — either breaks the driver's
+        // comparator. Value probe runs on the WRITTEN parquet (no
+        // query re-execution).
+        graft.queries.OracleSurfaceLint.check(
+          name, df, spark.read.parquet(s"$outDir/$name"))
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A lint-rejected (or half-written) dump must fail LOUDLY as a
+        // missing output, not quietly as a downstream hash mismatch.
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
       }
       finally graft.queries.QuerySpec.releaseStaged()
     }

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Declared-surface policy, enforced by code at Verify time (round-8
+  * retro: three queries shipped representations the driver's pandas
+  * comparator cannot process, and only the driver caught it).
+  *
+  * Two rules, both about what the DRIVER's comparator — pandas
+  * `sort_values` over all columns on a `datetime64[ns]` spine — can
+  * faithfully order and hash:
+  *
+  *  1. No non-scalar top-level columns. A raw `ArrayType`/`MapType`/
+  *     `StructType` cell makes `sort_values` raise (`TypeError:
+  *     unhashable type: numpy.ndarray` — the round-8 `scalar_array` /
+  *     `ml_feature_hash` failure). Keep collection ops in the plan;
+  *     scalarize the declared surface (`array_join`, posexplode).
+  *  2. Timestamp values must sit inside pandas' `datetime64[ns]` range
+  *     (1677-09-21 .. 2262-04-11). An out-of-range sentinel (the
+  *     round-8 `scd2_upsert` year-9999 `valid_to`) coerces differently
+  *     on the Spark-parquet path vs the DuckDB path and silently
+  *     corrupts every affected row hash.
+  */
+object OracleSurfaceLint {
+
+  /** Conservative whole-year bounds inside pandas' datetime64[ns]
+    * representable range. */
+  val TsMinMicros: Long = java.time.Instant.parse("1678-01-01T00:00:00Z")
+    .getEpochSecond * 1000000L
+  val TsMaxMicros: Long = java.time.Instant.parse("2261-12-31T23:59:59Z")
+    .getEpochSecond * 1000000L
+
+  /** Rule 1 — offending top-level non-scalar columns, if any. */
+  def nonScalarColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] => f.name
+    }.toSeq
+
+  /** Rule 2 — timestamp columns whose min/max fall outside the pandas
+    * range, as (column, boundMicros) pairs. One bounded min/max
+    * aggregate; call it on the WRITTEN parquet so the query plan is not
+    * re-executed. */
+  def outOfRangeTimestamps(df: DataFrame): Seq[(String, Long)] = {
+    val tsCols = df.schema.fields
+      .filter(_.dataType == TimestampType).map(_.name).toSeq
+    if (tsCols.isEmpty) Nil
+    else {
+      val aggs = tsCols.flatMap(c => Seq(
+        min(unix_micros(col(c))).as(s"min_$c"),
+        max(unix_micros(col(c))).as(s"max_$c")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      tsCols.flatMap { c =>
+        def get(n: String): Option[Long] = {
+          val i = row.fieldIndex(n)
+          if (row.isNullAt(i)) None else Some(row.getLong(i))
+        }
+        get(s"min_$c").filter(_ < TsMinMicros).map(c -> _).toSeq ++
+          get(s"max_$c").filter(_ > TsMaxMicros).map(c -> _).toSeq
+      }
+    }
+  }
+
+  /** Throws IllegalArgumentException naming the query and offending
+    * columns if either rule is violated. `written` should be the
+    * re-read of the dumped parquet (rule 2 scans values). */
+  def check(name: String, declared: DataFrame, written: DataFrame): Unit = {
+    val ns = nonScalarColumns(declared)
+    require(ns.isEmpty,
+      s"[lint] $name: top-level non-scalar columns ${ns.mkString(", ")} — " +
+        "the driver's pandas comparator cannot sort/hash them; " +
+        "scalarize the declared surface (array_join / posexplode)")
+    val oor = outOfRangeTimestamps(written)
+    require(oor.isEmpty,
+      s"[lint] $name: timestamp values outside pandas datetime64[ns] " +
+        s"range: ${oor.map { case (c, v) => s"$c=${v}us" }.mkString(", ")} — " +
+        "use NULL or a sub-2262 sentinel")
+  }
+}

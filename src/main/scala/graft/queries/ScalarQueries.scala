@@ -123,22 +123,26 @@ object ScalarQueries {
         |      AS qs
         |  FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey)
         |SELECT l_orderkey, len(qs) AS n,
-        |  qs AS sorted_qs,
+        |  array_to_string(qs, ',') AS sorted_qs,
         |  len(list_sort(list_distinct(qs))) AS n_distinct,
-        |  qs[1:2] AS first2,
+        |  array_to_string(qs[1:2], ',') AS first2,
         |  list_contains(qs, 50) AS has50,
         |  CAST(list_aggregate(qs, 'sum') AS BIGINT) AS total
         |FROM arrs""".stripMargin) { (s, d) =>
+      // Array ops stay in the plan; the DECLARED surface is scalarized
+      // (array_join) because the driver's pandas comparator cannot
+      // sort/hash raw ArrayType cells (round-8 `err`). DuckDB twin:
+      // array_to_string.
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") < 200)
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_quantity").cast("long")))
           .as("qs"))
         .select(col("l_orderkey"), size(col("qs")).cast("long").as("n"),
-          col("qs").as("sorted_qs"),
+          array_join(col("qs"), ",").as("sorted_qs"),
           size(array_sort(array_distinct(col("qs")))).cast("long")
             .as("n_distinct"),
-          slice(col("qs"), 1, 2).as("first2"),
+          array_join(slice(col("qs"), 1, 2), ",").as("first2"),
           array_contains(col("qs"), 50L).as("has50"),
           aggregate(col("qs"), lit(0L), (a, x) => a + x).as("total"))
     },

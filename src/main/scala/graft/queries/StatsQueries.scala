@@ -315,11 +315,14 @@ object StatsQueries {
          |    CAST(sum(n - p) AS BIGINT) AS n0,
          |    CAST(sum(p * (2 * below + n + 1)) AS BIGINT) AS r2 FROM w)
          |SELECT n1 AS n_pos, n0 AS n_neg,
+         |  CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
          |  ${graft.functions.DetAgg.sqlR6(
              "CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE)")}
-         |  AS auc
+         |  END AS auc
          |FROM m""".stripMargin
     }) { (s, d) =>
+      // Mirrored one-class guard (ADVICE r8): AUC is undefined without
+      // both classes — NULL, not a 0/0 NaN, on degenerate input.
       import graft.functions.TextFns.scaledVec
       val weights = typedLit(Seq.tabulate(64)(i => if (i % 2 == 0) 1L else -1L))
       val g = Tables.embeddings(s, d)
@@ -335,9 +338,10 @@ object StatsQueries {
         .agg(sum(col("p")).as("n1"), sum(col("n") - col("p")).as("n0"),
           sum(col("p") * (lit(2) * col("below") + col("n") + 1)).as("r2"))
       m.select(col("n1").as("n_pos"), col("n0").as("n_neg"),
-        graft.functions.DetAgg.r6(
-          (col("r2") - col("n1") * (col("n1") + 1)).cast("double") /
-            (lit(2) * col("n1") * col("n0")).cast("double")).as("auc"))
+        when(col("n1") > 0 && col("n0") > 0,
+          graft.functions.DetAgg.r6(
+            (col("r2") - col("n1") * (col("n1") + 1)).cast("double") /
+              (lit(2) * col("n1") * col("n0")).cast("double"))).as("auc"))
     },
 
     // Poisson bootstrap confidence interval — THE distributed bootstrap
@@ -915,7 +919,12 @@ object StatsQueries {
     // (pos_b/POS − neg_b/NEG)·WoE_b are each one fixed IEEE tree over
     // exact BIGINTs, quantized per bin (1e-6 / 1e-8) before any sum.
     // One map-side-combined aggregate to 10 cells; every bin holds both
-    // classes at every shipped SF, so no zero-guard smoothing fires.
+    // classes at every shipped SF. A mirrored CASE guard (ADVICE r8)
+    // NULLs the WoE/IV contribution of a one-class bin (p=0 or q=0 —
+    // ln(0) would otherwise emit -Inf and overflow the floor), so the
+    // query stays total over arbitrary data while shipping bit-identical
+    // values wherever both classes appear; a NULL ivq is skipped by
+    // sum() identically on both engines.
     checked("ml_woe_encode",
       """WITH sv AS (SELECT
         |    least(CAST(floor(value * 1000) AS BIGINT) // 11200, 9) AS bin,
@@ -927,11 +936,13 @@ object StatsQueries {
         |t AS (SELECT CAST(sum(p) AS BIGINT) AS tp,
         |    CAST(sum(q) AS BIGINT) AS tq FROM g),
         |w AS (SELECT bin, p, q,
-        |    CAST(floor(ln((CAST(p AS DOUBLE) * tq) /
-        |      (CAST(q AS DOUBLE) * tp)) * 1e6 + 0.5) AS BIGINT) AS woe_q,
-        |    CAST(floor((CAST(p AS DOUBLE) / tp - CAST(q AS DOUBLE) / tq) *
-        |      ln((CAST(p AS DOUBLE) * tq) / (CAST(q AS DOUBLE) * tp)) * 1e8
-        |      + 0.5) AS BIGINT) AS ivq
+        |    CASE WHEN p = 0 OR q = 0 THEN NULL ELSE
+        |      CAST(floor(ln((CAST(p AS DOUBLE) * tq) /
+        |        (CAST(q AS DOUBLE) * tp)) * 1e6 + 0.5) AS BIGINT) END AS woe_q,
+        |    CASE WHEN p = 0 OR q = 0 THEN NULL ELSE
+        |      CAST(floor((CAST(p AS DOUBLE) / tp - CAST(q AS DOUBLE) / tq) *
+        |        ln((CAST(p AS DOUBLE) * tq) / (CAST(q AS DOUBLE) * tp)) * 1e8
+        |        + 0.5) AS BIGINT) END AS ivq
         |  FROM g, t)
         |SELECT bin, p AS n_pos, q AS n_neg,
         |  CAST(woe_q AS DOUBLE) / 1e6 AS woe,
@@ -944,14 +955,17 @@ object StatsQueries {
         .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
           sum(when(!col("pos"), 1L).otherwise(0L)).as("q")))
       val t = g.agg(sum(col("p")).as("tp"), sum(col("q")).as("tq"))
+      val bothClasses = col("p") > 0 && col("q") > 0
       val lnOdds = log((col("p").cast("double") * col("tq")) /
         (col("q").cast("double") * col("tp")))
       val w = staged(g.crossJoin(broadcast(t))
-        .withColumn("woe_q", floor(lnOdds * 1e6 + 0.5).cast("long"))
+        .withColumn("woe_q",
+          when(bothClasses, floor(lnOdds * 1e6 + 0.5).cast("long")))
         .withColumn("ivq",
-          floor((col("p").cast("double") / col("tp") -
-            col("q").cast("double") / col("tq")) * lnOdds * 1e8 + 0.5)
-            .cast("long")))
+          when(bothClasses,
+            floor((col("p").cast("double") / col("tp") -
+              col("q").cast("double") / col("tq")) * lnOdds * 1e8 + 0.5)
+              .cast("long"))))
       val iv = w.agg(sum(col("ivq")).as("ivt"))
       w.crossJoin(broadcast(iv))
         .select(col("bin"), col("p").as("n_pos"), col("q").as("n_neg"),

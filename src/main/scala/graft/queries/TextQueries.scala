@@ -947,16 +947,20 @@ object TextQueries {
       s"""WITH th AS (SELECT doc_id, ${sqlH60All(sqlTokens("text"))} AS th
          |  FROM documents)
          |SELECT doc_id,
-         |  list_transform(range(1, ${FhDim + 1}), i ->
+         |  array_to_string(list_transform(range(1, ${FhDim + 1}), i ->
          |    CAST(COALESCE(list_aggregate(list_transform(th, h ->
          |      CASE WHEN h % $FhDim = i - 1 THEN $sign ELSE 0 END), 'sum'), 0)
-         |      AS BIGINT)) AS fvec,
+         |      AS BIGINT)), ',') AS fvec,
          |  CAST(list_aggregate(list_transform(range(1, ${FhDim + 1}), i ->
          |    abs(COALESCE(list_aggregate(list_transform(th, h ->
          |      CASE WHEN h % $FhDim = i - 1 THEN $sign ELSE 0 END), 'sum'), 0))),
          |    'sum') AS BIGINT) AS l1
          |FROM th""".stripMargin
     }) { (s, d) =>
+      // The hashing/aggregation plan is unchanged (map-side combine to
+      // ≤ FhDim cells per doc); only the DECLARED vector representation
+      // is a joined string, because raw ArrayType cells break the
+      // driver's pandas comparator (round-8 `err`).
       val ex = Tables.documents(s, d)
         .select(col("doc_id"), explode_outer(h60All(tokens(col("text")))).as("h"))
         .select(col("doc_id"), pmod(col("h"), lit(FhDim.toLong)).as("idx"),
@@ -967,8 +971,9 @@ object TextQueries {
         .agg(map_from_entries(collect_list(
           when(col("idx").isNotNull, struct(col("idx"), col("f"))))).as("mp"))
         .select(col("doc_id"),
-          transform(sequence(lit(0L), lit(FhDim - 1L)),
-            i => coalesce(element_at(col("mp"), i), lit(0L))).as("fvec"),
+          array_join(transform(sequence(lit(0L), lit(FhDim - 1L)),
+            i => coalesce(element_at(col("mp"), i), lit(0L)).cast("string")),
+            ",").as("fvec"),
           aggregate(transform(sequence(lit(0L), lit(FhDim - 1L)),
             i => abs(coalesce(element_at(col("mp"), i), lit(0L)))),
             lit(0L), (a, x) => a + x).as("l1"))

@@ -18,13 +18,16 @@ import graft.Tables
 object WarehouseQueries {
   import QuerySpec._
 
-  /** SCD2 epoch / split / open-row sentinel timestamps. The split sits
-    * mid-range of the generator's o_orderdate span (1995..2001) so both
-    * the initial store build and the incremental batch carry real
-    * version chains. */
+  /** SCD2 epoch / split timestamps. The split sits mid-range of the
+    * generator's o_orderdate span (1995..2001) so both the initial store
+    * build and the incremental batch carry real version chains. Open rows
+    * carry a NULL valid_to (is_current = true) rather than a year-9999
+    * sentinel: pandas' datetime64[ns] tops out at 2262-04-11, so an
+    * out-of-range sentinel coerces differently on the Spark-parquet vs
+    * DuckDB paths of a ns-resolution comparator and every open-row hash
+    * diverges (the round-8 CORRECTNESS hash mismatch). */
   val Scd2Epoch = "1990-01-01 00:00:00"
   val Scd2Split = "1999-01-01 00:00:00"
-  val Scd2High = "9999-12-31 00:00:00"
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -59,10 +62,9 @@ object WarehouseQueries {
          |v AS (SELECT custkey, vf, attr,
          |  lead(vf) OVER (PARTITION BY custkey ORDER BY vf) AS vt FROM hist)
          |SELECT custkey, attr, vf AS valid_from,
-         |  COALESCE(vt, TIMESTAMP '$Scd2High') AS valid_to,
+         |  vt AS valid_to,
          |  vt IS NULL AS is_current
          |FROM v""".stripMargin) { (s, d) =>
-      val high = expr(s"TIMESTAMP '$Scd2High'")
       val chg = Tables.orders(s, d)
         .groupBy(col("o_custkey").as("custkey"), col("o_orderdate").as("vf"))
         .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("attr"))
@@ -88,7 +90,7 @@ object WarehouseQueries {
         .withColumn("vt", lead(col("vf"), 1).over(perKey))
       merged.unionByName(newVers)
         .select(col("custkey"), col("attr"), col("vf").as("valid_from"),
-          coalesce(col("vt"), high).as("valid_to"),
+          col("vt").as("valid_to"),
           col("vt").isNull.as("is_current"))
     },
 

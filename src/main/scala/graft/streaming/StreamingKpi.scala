@@ -270,9 +270,17 @@ object StreamingKpi {
     * counts: a keyed sub-map inside one grouping key's state, the shape a
     * per-entity feature store uses) and ListState (the user's rolling
     * last-3 event ids). Emission is PER ROW with running values, so the
-    * output is batch-boundary independent by construction: the digest of
-    * an event depends only on the user's event order, never on where a
-    * micro-batch split fell. */
+    * output is batch-boundary independent given ORDERED DELIVERY: rows
+    * are (ts_us, event_id)-sorted only WITHIN a micro-batch, so the
+    * digest of an event depends only on the user's event order as long
+    * as no batch carries a timestamp earlier than an already-processed
+    * batch (ADVICE r8). This precondition — shared with [[IatProcessor]]
+    * — holds for the declared harness layout (the file source replays
+    * one time-ordered capture; the boundary spec exercises a mid-stream
+    * split); with genuinely out-of-order cross-batch input, divergence
+    * from the batch oracle is EXPECTED, and the production answer is the
+    * timer-evicting event-time processors below (SessionKpiProcessor),
+    * which buffer in state until the watermark closes the window. */
   final class UserDigestProcessor
       extends StatefulProcessor[Long, UEvent, DigestOut] {
     @transient private var typeCounts: MapState[String, Long] = _

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.OracleSurfaceLint
+
+/** The declared-surface policy is enforced by code (Verify calls
+  * OracleSurfaceLint.check before accepting a dump): these specs pin both
+  * rules on planted violations AND prove the whole declared surface is
+  * clean — the round-8 failure class (raw array columns, year-9999
+  * timestamp sentinels reaching the driver's pandas comparator) can no
+  * longer ship silently. */
+class OracleSurfaceLintSpec extends SparkSpec {
+
+  test("rule 1: top-level array/map/struct columns are flagged") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1, 2), Map("a" -> 1)))
+      .toDF("id", "arr", "mp")
+      .withColumn("st", struct(col("id")))
+    assert(OracleSurfaceLint.nonScalarColumns(df).toSet ==
+      Set("arr", "mp", "st"))
+    assert(OracleSurfaceLint.nonScalarColumns(df.select("id")).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      OracleSurfaceLint.check("planted", df, df.select("id"))
+    }
+    assert(e.getMessage.contains("arr"))
+  }
+
+  test("rule 2: a planted year-9999 timestamp column is caught") {
+    import spark.implicits._
+    val bad = Seq("2001-06-01 00:00:00", "9999-12-31 00:00:00")
+      .toDF("s").select(col("s").cast("timestamp").as("valid_to"))
+    val oor = OracleSurfaceLint.outOfRangeTimestamps(bad)
+    assert(oor.map(_._1) == Seq("valid_to"))
+    val e = intercept[IllegalArgumentException] {
+      OracleSurfaceLint.check("planted", bad.limit(0), bad)
+    }
+    assert(e.getMessage.contains("valid_to"))
+    // pre-1678 is equally unrepresentable in datetime64[ns]
+    val low = Seq("1600-01-01 00:00:00").toDF("s")
+      .select(col("s").cast("timestamp").as("t"))
+    assert(OracleSurfaceLint.outOfRangeTimestamps(low).map(_._1) == Seq("t"))
+  }
+
+  test("rule 2: in-range timestamps and all-NULL columns pass") {
+    import spark.implicits._
+    val ok = Seq(Some("1995-03-04 05:06:07"), None).toDF("s")
+      .select(col("s").cast("timestamp").as("t"))
+    assert(OracleSurfaceLint.outOfRangeTimestamps(ok).isEmpty)
+    OracleSurfaceLint.check("ok", ok, ok)
+  }
+
+  test("the whole declared surface passes rule 1 (schema-only, no execution)") {
+    // Rule 1 needs only the analyzed schema; building each query's
+    // DataFrame at sf0.001 is cheap (no actions run).
+    val sf = "/root/testdata/sf0.001"
+    val offending = SparkEntry.allQueries
+      .filter(_.oracle.isDefined) // streaming/rows-only queries excluded:
+                                  // several need a started stream to build
+      .flatMap { q =>
+        val bad =
+          try OracleSurfaceLint.nonScalarColumns(q.fn(spark, sf))
+          catch { case _: Throwable => Nil } // builders that run actions
+        if (bad.isEmpty) Nil else Seq(q.name -> bad)
+      }
+    graft.queries.QuerySpec.releaseStaged()
+    assert(offending.isEmpty,
+      s"declared queries with non-scalar surfaces: $offending")
+  }
+}

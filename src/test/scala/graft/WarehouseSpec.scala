@@ -34,8 +34,9 @@ class WarehouseSpec extends SparkSpec {
             s"key $k: chain must abut, got ${a.getTimestamp(3)} vs ${b.getTimestamp(2)}")
         case _ => ()
       }
-      // the open row carries the sentinel high date
-      assert(chain.last.getTimestamp(3).toString.startsWith("9999-12-31"))
+      // the open row carries a NULL valid_to (year-9999 sentinels are
+      // unrepresentable in the driver comparator's datetime64[ns])
+      assert(chain.last.isNullAt(3))
     }
   }
 
@@ -55,8 +56,7 @@ class WarehouseSpec extends SparkSpec {
       .withColumn("vt",
         lead(col("vf"), 1).over(Window.partitionBy("custkey").orderBy("vf")))
       .select(col("custkey"), col("attr"), col("vf").as("valid_from"),
-        coalesce(col("vt"),
-          expr(s"TIMESTAMP '${WarehouseQueries.Scd2High}'")).as("valid_to"),
+        col("vt").as("valid_to"),
         col("vt").isNull.as("is_current"))
     assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
     QuerySpec.releaseStaged()

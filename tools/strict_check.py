@@ -34,8 +34,14 @@ for name, sql in sorted(oracle.items()):
     sr = sorted([tuple(flat(r)) for r in sdf[cols].itertuples(index=False, name=None)], key=str)
     dr = sorted([tuple(flat(r)) for r in ddf[cols].itertuples(index=False, name=None)], key=str)
     def isf(v): return isinstance(v, float)
-    ne = sum(1 for a,b in zip(sr,dr) for x,y in zip(a,b)
-             if not ((x==y and isf(x)==isf(y)) or
-                     (isf(x) and isf(y) and math.isnan(x) and math.isnan(y))))
+    # `x is y` admits singleton nulls (None, pd.NaT); zip_longest guards
+    # against silent truncation on intra-cell array length drift (ADVICE r8).
+    import itertools
+    _MISS = object()
+    ne = sum(1 for a,b in zip(sr,dr)
+             for x,y in itertools.zip_longest(a, b, fillvalue=_MISS)
+             if not (x is not _MISS and y is not _MISS and
+                     ((x is y) or (x==y and isf(x)==isf(y)) or
+                      (isf(x) and isf(y) and math.isnan(x) and math.isnan(y)))))
     if ne: print(name, ne, "NON-EXACT"); bad += 1
 print(f"STRICT {sfd}: {len(oracle)-bad} bit-exact, {bad} bad")

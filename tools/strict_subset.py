@@ -58,10 +58,25 @@ for name in names:
                  sdf[cols].itertuples(index=False, name=None)], key=str)
     dr = sorted([tuple(flat(r)) for r in
                  ddf[cols].itertuples(index=False, name=None)], key=str)
-    ne = sum(1 for a, b in zip(sr, dr) for x, y in zip(a, b)
-             if not ((x == y and isinstance(x, float) == isinstance(y, float))
-                     or (isinstance(x, float) and isinstance(y, float)
-                         and math.isnan(x) and math.isnan(y))))
+
+    # `x is y` admits singleton nulls (None, pd.NaT) as equal; plain ==
+    # is False for NaT==NaT. zip_longest (ADVICE r8): zip() would
+    # silently truncate when one flattened row is a strict prefix of
+    # the other (intra-cell array length drift passes the shape gate).
+    import itertools
+    _MISS = object()
+    def exact(x, y):
+        if x is _MISS or y is _MISS:
+            return False
+        if x is y:
+            return True
+        if isinstance(x, float) and isinstance(y, float) \
+                and math.isnan(x) and math.isnan(y):
+            return True
+        return x == y and isinstance(x, float) == isinstance(y, float)
+    ne = sum(1 for a, b in zip(sr, dr)
+             for x, y in itertools.zip_longest(a, b, fillvalue=_MISS)
+             if not exact(x, y))
     print(name, "OK" if ne == 0 else f"{ne} NON-EXACT", len(sdf), "rows")
     bad += 1 if ne else 0
 print(f"STRICT-SUBSET {sfd}: {len(names) - bad} bit-exact, {bad} bad")
