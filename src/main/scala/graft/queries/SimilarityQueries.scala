@@ -58,6 +58,16 @@ object SimilarityQueries {
   val PqKs = 8
   val PqBase = 30L
 
+  /** MMR re-ranking: query vector id, retrieved-window size, selection
+    * depth, and the relevance/diversity weights as SEPARATE literals
+    * (never derive one from the other: `1 - 0.7` is 0.30000000000000004
+    * in IEEE — both engines must see the same spelled constant). */
+  val MmrQueryId = 0L
+  val MmrCand = 32
+  val MmrK = 8
+  val MmrLam = 0.7
+  val MmrLamInv = 0.3
+
   // Squared norms precomputed once per vector: each scored pair costs one
   // dot product, and the identical integers reach the same sqrt/divide.
   private val svSql =
@@ -990,5 +1000,103 @@ object SimilarityQueries {
       }
       assign(cents)
         .select(col("vec_id"), col("c_id"), col("d").cast("long").as("d"))
+    },
+
+    // MMR — Maximal Marginal Relevance re-ranking (Carbonell &
+    // Goldstein, SIGIR 1998): the diversity-aware selection every
+    // retrieval stack runs AFTER top-k — greedily pick the candidate
+    // maximizing λ·sim(q,d) − (1−λ)·max_{s∈Sel} sim(d,s), so near-
+    // duplicate hits don't crowd the result window. Exactness: every
+    // similarity is the scaled-integer dot over the shared sqrt/divide
+    // tree (identical doubles cross-engine), λ = 0.7 as the same
+    // literal, ties by vec_id — so the greedy trajectory is fully
+    // deterministic. Scale shape: the DISTRIBUTED stage is candidate
+    // retrieval (one broadcast-query corpus pass + TakeOrdered top-C);
+    // the re-rank is O(C² + C·k) on the bounded C-row window — driver
+    // state ≤ C scaled vectors, the production layout (MMR always
+    // re-ranks the retrieved window, never the corpus). DuckDB twin:
+    // the SAME greedy loop unrolled to MmrK chained CTE selection
+    // steps (k is a compile-time constant).
+    checked("ann_mmr_rerank", {
+      val qid = MmrQueryId
+      // Every chained CTE is MATERIALIZED: DuckDB inlines CTEs by
+      // default, and sel_i references sel_{i-1} three times — inlining
+      // would re-expand the whole candidate/pair subtree 3^k times.
+      val steps = (2 to MmrK).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT $i AS rank, c.vec_id,
+           |    $MmrLam * c.rel - $MmrLamInv * (SELECT max(p.s)
+           |      FROM pair p, sel${i - 1} t
+           |      WHERE p.ai = c.vec_id AND p.bi = t.vec_id) AS score
+           |  FROM cand c
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           |  ORDER BY score DESC, c.vec_id LIMIT 1),
+           |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL
+           |  SELECT * FROM p$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sv AS ($svSql),
+         |q AS (SELECT v AS qv, n2 AS qn2 FROM sv WHERE vec_id = $qid),
+         |scored AS (SELECT vec_id,
+         |    ${sqlDotInt("qv", "v", Dim)} / (sqrt(qn2) * sqrt(n2)) AS rel,
+         |    v, n2
+         |  FROM sv, q WHERE vec_id <> $qid),
+         |cand AS MATERIALIZED (SELECT * FROM scored ORDER BY rel DESC, vec_id
+         |  LIMIT $MmrCand),
+         |pair AS MATERIALIZED (SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |    ${sqlDotInt("a.v", "b.v", Dim)} / (sqrt(a.n2) * sqrt(b.n2)) AS s
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |p1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, $MmrLam * rel AS score
+         |  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT * FROM p1),
+         |$steps
+         |SELECT CAST(rank AS BIGINT) AS rank, vec_id, score
+         |FROM sel$MmrK""".stripMargin
+    }) { (s, d) =>
+      val sv = svSpark(s, d)
+      val qRow = sv.filter(col("vec_id") === MmrQueryId)
+        .select(col("v"), col("n2")).head()
+      val (qv, qn2) = (qRow.getSeq[Long](0).toIndexedSeq, qRow.getDouble(1))
+      val qvLit = array(qv.map(lit): _*)
+      // Distributed retrieval: one corpus pass, TakeOrdered top-C, then
+      // the bounded C-row window (C scaled vectors) to the driver — the
+      // same collect contract as the IVF/k-means model state.
+      val cand = sv.filter(col("vec_id") =!= MmrQueryId)
+        .select(col("vec_id"),
+          (dotInt(qvLit, col("v")) / (sqrt(lit(qn2)) * sqrt(col("n2"))))
+            .as("rel"),
+          col("v"), col("n2"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(MmrCand)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          r.getSeq[Long](2).toIndexedSeq, r.getDouble(3)))
+      def simc(a: (Long, Double, IndexedSeq[Long], Double),
+               b: (Long, Double, IndexedSeq[Long], Double)): Double = {
+        var dot = 0L
+        var i = 0
+        while (i < Dim) { dot += a._3(i) * b._3(i); i += 1 }
+        dot.toDouble / (math.sqrt(a._4) * math.sqrt(b._4))
+      }
+      // Greedy MMR over the window — the SAME ieee tree and (score
+      // DESC, vec_id ASC) tie order as the unrolled SQL.
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+      for (rank <- 1 to MmrK) {
+        val scoredStep = remaining.map { c =>
+          val score =
+            if (rank == 1) MmrLam * c._2
+            else {
+              val chosen = sel.map(_._2).toSet
+              val ms = cand.filter(x => chosen.contains(x._1))
+                .map(x => simc(c, x)).max
+              MmrLam * c._2 - MmrLamInv * ms
+            }
+          (c, score)
+        }
+        val best = scoredStep.minBy { case (c, sc) => (-sc, c._1) }
+        sel += ((rank.toLong, best._1._1, best._2))
+        remaining -= best._1
+      }
+      import s.implicits._
+      sel.toSeq.toDF("rank", "vec_id", "score")
     })
 }

@@ -86,6 +86,33 @@ object TextQueries {
   /** BPE merge-table size for text_bpe_apply (the text_bpe_pairs top-k). */
   val BpeMerges = 20
 
+  /** DSIR (importance-resampling data selection): hashed-unigram bucket
+    * count, the target slice (the distribution documents are reweighted
+    * TOWARD — also the NB classifier's positive class), and the declared
+    * top-k. Bucket space deliberately small (real deployments use
+    * 10^4–10^5) so collisions are live at harness SFs. */
+  val DsirB = 512
+  val DsirTarget = "en"
+  val DsirTopK = 50
+
+  /** Naive-Bayes classifier hashed-feature width (power of two, like
+    * FhDim) and the quality-oracle stopword list (the en marker set
+    * widened with common function words). The classification TARGET is
+    * a quality rule, not the lang column: measured on this corpus, lang
+    * is independent of token content (every lang's docs carry the same
+    * en-ish vocabulary — unigram NB lands exactly at the majority
+    * baseline), while the stopword-density label is learnable (~85 %
+    * vs 51 % baseline at B=1024). That is also the truer task: the
+    * published pipelines (CCNet's fastText filter, GPT-3's quality
+    * classifier) train a cheap classifier to IMITATE a quality oracle
+    * and run it at corpus scale. */
+  val NbB = 1024
+  val NbStop: Seq[String] = Seq(
+    "the", "a", "of", "and", "is", "to", "in", "it", "for", "on")
+  /** Stopword-density grid (parts-per-NbSrScale, integer division) for
+    * the exact cross-engine median label split. */
+  val NbSrScale = 10000L
+
   /** Oracle-dump dir for the applied-BPE token rows (the media/pcap dump
     * lifecycle: pid-keyed, written once per JVM by the query itself). */
   private val BpeDumpDir = TmpDirs.persistent(
@@ -977,5 +1004,213 @@ object TextQueries {
           aggregate(transform(sequence(lit(0L), lit(FhDim - 1L)),
             i => abs(coalesce(element_at(col("mp"), i), lit(0L)))),
             lit(0L), (a, x) => a + x).as("l1"))
+    },
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al.,
+    // NeurIPS 2023): rank raw documents by how much they look like a
+    // TARGET distribution, using hashed n-gram bag features — the
+    // published recipe for selecting pretraining data toward a quality
+    // domain without training a classifier. Target here = the corpus's
+    // 'en' slice; features = unigram h60 hashes bucketed mod DsirB.
+    // Per-bucket importance log-ratio ln(p̂_t(b)/p̂_r(b)) (Laplace +1,
+    // one fixed IEEE tree over exact BIGINT counts) is quantized to the
+    // LmLogScale grid — so each document's log-weight is an EXACT
+    // integer sum of per-token table lookups, order- and engine-
+    // independent (the text_lm_score argument). Declared surface: the
+    // top-DsirTopK docs by weight (ties by doc_id). Scale shape: two
+    // map-side-combined bucket-count aggregates (≤ DsirB cells each),
+    // two bounded scalar totals, one broadcast of the DsirB-row ratio
+    // table, one per-doc aggregate, TakeOrdered top-k — every stage
+    // linear in corpus tokens, nothing depends on |corpus| beyond the
+    // scans. The deliberately tiny bucket space (vs a real 10^4–10^5)
+    // keeps collisions live at harness SFs so the hashing regime is
+    // actually exercised.
+    checked("corpus_dsir", {
+      def ilog(x: String) =
+        s"CAST(floor(ln($x) * $LmLogScale + 0.5) AS BIGINT)"
+      s"""WITH t0 AS (SELECT doc_id, lang, ${sqlTokens("text")} AS tk
+         |  FROM documents),
+         |e AS (SELECT doc_id, lang, ${sqlH60("t")} % $DsirB AS b
+         |  FROM (SELECT doc_id, lang, unnest(tk) AS t FROM t0) u),
+         |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM e GROUP BY b),
+         |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM e
+         |  WHERE lang = '$DsirTarget' GROUP BY b),
+         |tot AS (SELECT (SELECT count(*) FROM e) AS nr,
+         |  (SELECT count(*) FROM e WHERE lang = '$DsirTarget') AS nt),
+         |lr AS (SELECT cr.b,
+         |    ${ilog(s"CAST((COALESCE(ct, 0) + 1) * (nr + $DsirB) AS DOUBLE) / " +
+                     s"CAST((cr + 1) * (nt + $DsirB) AS DOUBLE)")} AS lrq
+         |  FROM cr LEFT JOIN ct ON cr.b = ct.b, tot),
+         |w AS (SELECT e.doc_id, e.lang, CAST(count(*) AS BIGINT) AS n_toks,
+         |    CAST(sum(lrq) AS BIGINT) AS lw_q
+         |  FROM e JOIN lr ON e.b = lr.b GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_toks, lw_q, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY lw_q DESC, doc_id)
+         |    AS BIGINT) AS rank FROM w) r
+         |WHERE rank <= $DsirTopK""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = staged(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(h60All(tokens(col("text")))).as("h"))
+        .select(col("doc_id"), col("lang"),
+          (col("h") % DsirB).as("b"))) // h60 ≥ 0, plain % is non-negative
+      val cr = e.groupBy("b").agg(count(lit(1)).as("cr"))
+      val ct = e.filter(col("lang") === DsirTarget)
+        .groupBy(col("b").as("bt")).agg(count(lit(1)).as("ct"))
+      // Two bounded 1-row totals (the corpus_clean literal-threshold
+      // contract): inlined literals keep the ratio projection foldable.
+      val totRow = e.agg(count(lit(1)).as("nr"),
+        count(when(col("lang") === DsirTarget, 1)).as("nt")).head()
+      val (nr, nt) = (totRow.getLong(0), totRow.getLong(1))
+      val lr = cr.join(ct, col("b") === col("bt"), "left")
+        .select(col("b"),
+          floor(log(((coalesce(col("ct"), lit(0L)) + 1L) * (nr + DsirB))
+            .cast("double") /
+            ((col("cr") + 1L) * (nt + DsirB)).cast("double"))
+            * LmLogScale + 0.5).cast("long").as("lrq"))
+      val w = e.join(broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_toks"), sum(col("lrq")).as("lw_q"))
+      w.withColumn("rank", row_number().over(
+          Window.orderBy(col("lw_q").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= DsirTopK)
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("lw_q"),
+          col("rank"))
+    },
+
+    // Multinomial Naive Bayes quality classifier — the train-AND-apply
+    // loop of the published corpus-filter pipelines (CCNet's fastText
+    // filter, the GPT-3 quality classifier): a cheap model is trained
+    // to IMITATE a quality oracle, then run over the whole corpus. The
+    // oracle here is a stopword-density rule (density above the exact
+    // corpus median ⇔ high-quality); the model is hashed-unigram
+    // multinomial NB with Laplace smoothing. Determinism: density on
+    // the integer NbSrScale grid, the median as the exact rank-
+    // ((n+1) DIV 2) order statistic, per-bucket log-likelihoods
+    // quantized to the LmLogScale grid (the text_lm_score argument) so
+    // every doc score is an exact integer sum; argmax ties → 'hi',
+    // mirrored. Declared surface: the 2×2 confusion matrix with
+    // per-cell integer margin sums — hash-pinned eval. Scale shape:
+    // labeling is one projection + a bounded ≤ NbSrScale-cell density
+    // histogram (the exact-median path that replaces a global sort);
+    // the model is a bounded artifact (NbB smoothed cells + 2 priors)
+    // built by one map-side-combined aggregate over the train half and
+    // BROADCAST to score the corpus — one token pass, one per-doc
+    // aggregate, one 4-row confusion aggregate, linear end to end.
+    checked("text_nb_classifier", {
+      def ilog(x: String) =
+        s"CAST(floor(ln($x) * $LmLogScale + 0.5) AS BIGINT)"
+      val stopArr = NbStop.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH t0 AS (SELECT doc_id, ${sqlTokens("text")} AS tk
+         |  FROM documents),
+         |q AS (SELECT doc_id, tk,
+         |    CASE WHEN len(tk) = 0 THEN 0
+         |      ELSE len(list_filter(tk, t -> list_contains($stopArr, t)))
+         |        * $NbSrScale // len(tk) END AS srq
+         |  FROM t0),
+         |med AS (SELECT srq AS m FROM (
+         |  SELECT srq, row_number() OVER (ORDER BY srq, doc_id) AS rn,
+         |    count(*) OVER () AS n FROM q) r
+         |  WHERE rn = (n + 1) // 2),
+         |lab AS (SELECT doc_id, tk, srq > (SELECT m FROM med) AS pos FROM q),
+         |e AS (SELECT doc_id, pos, ${sqlH60("t")} % $NbB AS b
+         |  FROM (SELECT doc_id, pos, unnest(tk) AS t FROM lab) u),
+         |cnt AS (SELECT b,
+         |    CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS cp,
+         |    CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS cn
+         |  FROM e WHERE doc_id % 2 = 0 GROUP BY b),
+         |tot AS (SELECT
+         |  (SELECT COALESCE(sum(cp), 0) FROM cnt) AS np,
+         |  (SELECT COALESCE(sum(cn), 0) FROM cnt) AS nn,
+         |  (SELECT count(*) FROM lab WHERE doc_id % 2 = 0 AND pos) AS dp,
+         |  (SELECT count(*) FROM lab WHERE doc_id % 2 = 0 AND NOT pos)
+         |    AS dn),
+         |spine AS (SELECT unnest(range(0, $NbB)) AS b),
+         |model AS (SELECT spine.b,
+         |    ${ilog(s"CAST(COALESCE(cp, 0) + 1 AS DOUBLE) / CAST(np + $NbB AS DOUBLE)")} AS lcp,
+         |    ${ilog(s"CAST(COALESCE(cn, 0) + 1 AS DOUBLE) / CAST(nn + $NbB AS DOUBLE)")} AS lcn
+         |  FROM spine LEFT JOIN cnt ON spine.b = cnt.b, tot),
+         |prior AS (SELECT
+         |    ${ilog(s"CAST(dp + 1 AS DOUBLE) / CAST(dp + dn + 2 AS DOUBLE)")} AS pp,
+         |    ${ilog(s"CAST(dn + 1 AS DOUBLE) / CAST(dp + dn + 2 AS DOUBLE)")} AS pn
+         |  FROM tot),
+         |dsc AS (SELECT doc_id, CAST(sum(lcp) AS BIGINT) AS sp,
+         |    CAST(sum(lcn) AS BIGINT) AS sn
+         |  FROM e JOIN model ON e.b = model.b
+         |  WHERE doc_id % 2 = 1 GROUP BY doc_id),
+         |test AS (SELECT lab.doc_id, pos,
+         |    pp + COALESCE(sp, 0) AS s_pos, pn + COALESCE(sn, 0) AS s_neg
+         |  FROM lab LEFT JOIN dsc ON lab.doc_id = dsc.doc_id, prior
+         |  WHERE lab.doc_id % 2 = 1)
+         |SELECT CASE WHEN pos THEN 'hi' ELSE 'lo' END AS label,
+         |  CASE WHEN s_pos >= s_neg THEN 'hi' ELSE 'lo' END AS pred,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(s_pos - s_neg) AS BIGINT) AS margin_sum
+         |FROM test GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      def iloge(x: org.apache.spark.sql.Column) =
+        floor(log(x) * LmLogScale + 0.5).cast("long")
+      val q = staged(Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .withColumn("srq", when(size(col("tk")) === 0, 0L).otherwise(
+          expr(s"size(filter(tk, t -> array_contains(" +
+            s"array(${NbStop.map(t => s"'$t'").mkString(", ")}), t))) " +
+            s"* ${NbSrScale}L DIV size(tk)"))))
+      // Exact median via the bounded density histogram (≤ NbSrScale
+      // cells by construction) — the scale path that replaces a global
+      // sort; the rank-k cell is found on the driver.
+      val hist = q.groupBy("srq").agg(count(lit(1)).as("c"))
+        .orderBy("srq").collect()
+      val n = hist.map(_.getLong(1)).sum
+      val kRank = (n + 1) / 2
+      var acc = 0L
+      var med = 0L
+      val it = hist.iterator
+      while (acc < kRank && it.hasNext) {
+        val r = it.next(); acc += r.getLong(1); med = r.getLong(0)
+      }
+      val lab = staged(q.select(col("doc_id"), col("tk"),
+        (col("srq") > med).as("pos")))
+      val e = staged(lab
+        .select(col("doc_id"), col("pos"), explode(col("tk")).as("t"))
+        .select(col("doc_id"), col("pos"), (h60(col("t")) % NbB).as("b")))
+      val cnt = e.filter(col("doc_id") % 2 === 0)
+        .groupBy("b")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+      // Bounded scalar model totals (token + doc priors) — the corpus_
+      // clean literal contract; the model itself stays a DataFrame.
+      val tRow = cnt.agg(coalesce(sum(col("cp")), lit(0L)),
+        coalesce(sum(col("cn")), lit(0L))).head()
+      val (np, nn) = (tRow.getLong(0), tRow.getLong(1))
+      val dRow = lab.filter(col("doc_id") % 2 === 0)
+        .agg(count(when(col("pos"), 1)), count(when(!col("pos"), 1))).head()
+      val (dp, dn) = (dRow.getLong(0), dRow.getLong(1))
+      val spine = s.range(0, NbB).select(col("id").as("sb"))
+      val model = spine.join(cnt, col("sb") === col("b"), "left")
+        .select(col("sb").as("b"),
+          iloge((coalesce(col("cp"), lit(0L)) + 1L).cast("double") /
+            lit(np + NbB).cast("double")).as("lcp"),
+          iloge((coalesce(col("cn"), lit(0L)) + 1L).cast("double") /
+            lit(nn + NbB).cast("double")).as("lcn"))
+      val pp = math.floor(math.log((dp + 1).toDouble / (dp + dn + 2)) *
+        LmLogScale + 0.5).toLong
+      val pn = math.floor(math.log((dn + 1).toDouble / (dp + dn + 2)) *
+        LmLogScale + 0.5).toLong
+      val dsc = e.filter(col("doc_id") % 2 === 1)
+        .join(broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("lcp")).as("sp"), sum(col("lcn")).as("sn"))
+      val test = lab.filter(col("doc_id") % 2 === 1)
+        .join(dsc, Seq("doc_id"), "left")
+        .select(col("pos"),
+          (lit(pp) + coalesce(col("sp"), lit(0L))).as("s_pos"),
+          (lit(pn) + coalesce(col("sn"), lit(0L))).as("s_neg"))
+      test.groupBy(
+          when(col("pos"), "hi").otherwise("lo").as("label"),
+          when(col("s_pos") >= col("s_neg"), "hi").otherwise("lo").as("pred"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_pos") - col("s_neg")).as("margin_sum"))
     })
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{QuerySpec, SimilarityQueries, TextQueries}
+
+/** Local contracts for the round-9 data-selection operators: DSIR
+  * importance reweighting actually enriches the target slice, the NB
+  * quality classifier beats the majority baseline on its held-out half
+  * with sign-consistent margins, and the MMR greedy trajectory matches
+  * an independent full local replay. The DuckDB gate re-checks the
+  * arithmetic bit-exactly; these pin the SEMANTIC claims. */
+class PipelineSelectSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String) =
+    try {
+      SparkEntry.allQueries.find(_.name == name)
+        .getOrElse(fail(s"no query named $name")).fn(spark, sf).collect()
+    } finally QuerySpec.releaseStaged()
+
+  test("corpus_dsir: the selected top-k is enriched toward the target slice") {
+    val rows = run("corpus_dsir")
+    assert(rows.length == TextQueries.DsirTopK)
+    // ranks are 1..k and weights non-increasing in rank order
+    val byRank = rows.sortBy(_.getLong(4))
+    assert(byRank.map(_.getLong(4)).toSeq == (1L to TextQueries.DsirTopK).toSeq)
+    assert(byRank.sliding(2).forall {
+      case Array(a, b) => a.getLong(3) >= b.getLong(3)
+      case _ => true
+    })
+    // enrichment: target share in the selection > target share in corpus
+    val selShare = rows.count(_.getString(1) == TextQueries.DsirTarget)
+      .toDouble / rows.length
+    val tot = graft.Tables.documents(spark, sf)
+      .agg(count(when(col("lang") === TextQueries.DsirTarget, 1)),
+        count(lit(1))).head()
+    val baseShare = tot.getLong(0).toDouble / tot.getLong(1)
+    assert(selShare > baseShare,
+      s"DSIR must enrich: selected $selShare vs base $baseShare")
+  }
+
+  test("text_nb_classifier: beats the majority baseline; margins sign-consistent") {
+    val rows = run("text_nb_classifier")
+    val n = rows.map(_.getLong(2)).sum
+    val correct = rows.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    val hi = rows.filter(_.getString(0) == "hi").map(_.getLong(2)).sum
+    val majority = math.max(hi, n - hi)
+    assert(correct > majority,
+      s"accuracy $correct/$n must beat majority $majority/$n")
+    // per-row pred is the margin's sign, so each cell's margin sum
+    // inherits it: pred=hi cells non-negative, pred=lo cells negative
+    rows.foreach { r =>
+      if (r.getString(1) == "hi") assert(r.getLong(3) >= 0)
+      else assert(r.getLong(3) < 0)
+    }
+  }
+
+  test("ann_mmr_rerank: matches a full independent local MMR replay") {
+    import SimilarityQueries._
+    val got = run("ann_mmr_rerank")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // replay from raw embeddings: scale, retrieve top-C, greedy-select
+    val all = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toIndexedSeq))
+    def dot(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      (0 until Dim).map(i => a(i) * b(i)).sum
+    val q = all.find(_._1 == MmrQueryId).get._2
+    val qn2 = dot(q, q).toDouble
+    val cand = all.filter(_._1 != MmrQueryId)
+      .map { case (id, v) =>
+        val n2 = dot(v, v).toDouble
+        (id, dot(q, v).toDouble / (math.sqrt(qn2) * math.sqrt(n2)), v, n2)
+      }
+      .sortBy { case (id, rel, _, _) => (-rel, id) }
+      .take(MmrCand)
+    def sim(a: (Long, Double, IndexedSeq[Long], Double),
+            b: (Long, Double, IndexedSeq[Long], Double)): Double =
+      dot(a._3, b._3).toDouble / (math.sqrt(a._4) * math.sqrt(b._4))
+    var remaining = cand.toBuffer
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    for (rank <- 1 to MmrK) {
+      val scored = remaining.map { c =>
+        val sc =
+          if (rank == 1) MmrLam * c._2
+          else MmrLam * c._2 - MmrLamInv *
+            sel.map(s => sim(c, cand.find(_._1 == s._2).get)).max
+        (c, sc)
+      }
+      val best = scored.minBy { case (c, sc) => (-sc, c._1) }
+      sel += ((rank.toLong, best._1._1, best._2))
+      remaining -= best._1
+    }
+    assert(got.map(x => (x._1, x._2)).toSeq == sel.map(x => (x._1, x._2)).toSeq,
+      s"selection order diverged: $got vs $sel")
+    got.zip(sel).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-12) }
+    // diversity: the MMR set must differ from the plain relevance top-k
+    val topRel = cand.take(MmrK).map(_._1).toSet
+    assert(got.map(_._2).toSet != topRel,
+      "MMR should reorder vs pure relevance on this corpus")
+  }
+}

@@ -347,6 +347,34 @@ class PlanShapeSpec extends SparkSpec {
       "model frames must come back as broadcasts")
   }
 
+  test("corpus_dsir: ratio table broadcasts onto the token stream; top-k is TakeOrdered") {
+    val p = plan("corpus_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      "the DsirB-row log-ratio table must broadcast — the corpus token " +
+        "stream must never shuffle for the weight lookup")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the declared top-k must be a bounded TakeOrdered, not a global sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-side SMJ/cartesian may appear; got:\n$p")
+  }
+
+  test("text_nb_classifier: the model broadcasts; no corpus-side SMJ") {
+    val p = plan("text_nb_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      "the NbB-cell model must broadcast onto the scoring token stream")
+    assert(!p.contains("CartesianProduct"),
+      s"model/prior frames must come back as literals or broadcasts; got:\n$p")
+  }
+
+  test("ann_mmr_rerank: retrieval is one TakeOrdered corpus pass") {
+    // The greedy selection runs on the driver over the bounded C-row
+    // window; the plan here is only the retrieval stage.
+    val p = plan("ann_mmr_rerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"),
+      s"candidate retrieval must not shuffle or pair the corpus; got:\n$p")
+  }
+
   test("shuffle-volume ceilings hold for the heaviest queries") {
     // Wall time only tells you a regression happened on THIS machine;
     // bytes crossing the exchanges tell you the plan itself regressed — a
@@ -388,7 +416,13 @@ class PlanShapeSpec extends SparkSpec {
       "ts_acf" -> 500000L,
       "text_winnowing" -> 50000L,
       "ml_gbdt_stump" -> 10000L,
-      "graph_link_pred" -> 250000L)
+      "graph_link_pred" -> 250000L,
+      // round-9 additions: DSIR/NB shuffle only bounded bucket-count
+      // cells + per-doc weight rows (never raw tokens); MMR shuffles
+      // nothing but the TakeOrdered partials of the C-row window.
+      "corpus_dsir" -> 60000L,
+      "text_nb_classifier" -> 60000L,
+      "ann_mmr_rerank" -> 30000L)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     try {
