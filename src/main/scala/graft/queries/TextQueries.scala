@@ -113,6 +113,10 @@ object TextQueries {
     * the exact cross-engine median label split. */
   val NbSrScale = 10000L
 
+  /** Reservoir size per stratum and keyterm count per doc. */
+  val ReservoirK = 5
+  val KeyTermsK = 3
+
   /** Oracle-dump dir for the applied-BPE token rows (the media/pcap dump
     * lifecycle: pid-keyed, written once per JVM by the query itself). */
   private val BpeDumpDir = TmpDirs.persistent(
@@ -304,6 +308,85 @@ object TextQueries {
         .select(col("doc_id"),
           md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp_md5"),
           fingerprint(col("th")).as("fp_rolling"))
+    },
+
+    // Deterministic reservoir sampling — EXACTLY k docs per stratum,
+    // uniform without replacement, reproducible: take the k smallest
+    // h60(doc_id) per language (a hash total-orders the population, so
+    // "k smallest hashes" IS a uniform k-subset — the distributed
+    // reservoir idiom; sample_stratified's Bernoulli rate gives a
+    // BINOMIAL count, this gives an exact one). Declared: the sampled
+    // (lang, rk, doc_id, h) rows. Shape: one window partitioned by the
+    // stratum — the corpus shuffles once on lang; at 100 TB with few
+    // strata and big partitions the same semantics would ride a bounded
+    // per-stratum k-heap partial aggregate (the partial_cos_top_k
+    // pattern) instead of a full window sort, same result by
+    // construction.
+    checked("sample_reservoir",
+      s"""WITH t AS (SELECT lang, doc_id,
+         |    ${sqlH60("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |r AS (SELECT lang, doc_id, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+         |      AS rk FROM t)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
+         |FROM r WHERE rk <= $ReservoirK""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          h60(col("doc_id").cast("string")).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy("h", "doc_id")).cast("long"))
+        .filter(col("rk") <= ReservoirK)
+        .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+    },
+
+    // tf-idf keyword extraction — the top-KeyTermsK highest-tf·idf
+    // terms per document (the classic keyterm/tag surface a corpus
+    // index publishes). Exactness: idf quantized to the LmLogScale
+    // grid per TERM (one fixed IEEE tree over exact BIGINT df/N), so
+    // each (doc, term) score tf·iidf_q is an exact integer and the
+    // per-doc ranking (score DESC, term ASC) is total-ordered. Shape:
+    // tf = one map-side-combined (doc, term) aggregate; df = one
+    // aggregate over it; idf broadcasts back onto the tf rows; the
+    // per-doc top-k is a window partitioned by doc_id riding the SAME
+    // hash partitioning the tf aggregate already produced (one corpus
+    // shuffle total); at 100 TB the window becomes a bounded per-doc
+    // k-heap partial aggregate, same result.
+    checked("text_keyterms", {
+      s"""WITH tk AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t
+         |  FROM documents),
+         |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY 1, 2),
+         |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |idf AS (SELECT t,
+         |    CAST(floor(ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))
+         |      * $LmLogScale + 0.5) AS BIGINT) AS iidf FROM df, n),
+         |sc AS (SELECT doc_id, tf.t, tf * iidf AS score_q
+         |  FROM tf JOIN idf ON tf.t = idf.t),
+         |r AS (SELECT doc_id, t, score_q,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score_q DESC, t) AS rk FROM sc)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, t AS term, score_q
+         |FROM r WHERE rk <= $KeyTermsK""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = staged(Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
+      val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      // Bounded 1-row corpus size (the corpus_clean literal contract).
+      val n = Tables.documents(s, d).agg(count(lit(1))).head.getLong(0)
+      val idf = dfT.select(col("t").as("ti"),
+        floor(log(lit(n + 1).cast("double") / (col("df") + 1L).cast("double"))
+          * LmLogScale + 0.5).cast("long").as("iidf"))
+      tf.join(broadcast(idf), col("t") === col("ti"))
+        .select(col("doc_id"), col("t"), (col("tf") * col("iidf")).as("score_q"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("t")))
+          .cast("long"))
+        .filter(col("rk") <= KeyTermsK)
+        .select(col("doc_id"), col("rk"), col("t").as("term"), col("score_q"))
     },
 
     // Deterministic hash-based stratified sampling — the reproducible

@@ -58,6 +58,48 @@ class PipelineSelectSpec extends SparkSpec {
     }
   }
 
+  test("sample_reservoir: exactly k per stratum, membership = k smallest hashes") {
+    val rows = run("sample_reservoir")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = rows.groupBy(_._1)
+    // exact k per stratum (every harness lang has ≥ k docs)
+    byLang.foreach { case (l, vs) =>
+      assert(vs.length == TextQueries.ReservoirK, s"$l: ${vs.length}")
+      assert(vs.map(_._2).sorted.toSeq ==
+        (1L to TextQueries.ReservoirK).toSeq)
+    }
+    // replay: the k smallest h60(doc_id) per lang from the raw table
+    val all = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        graft.functions.TextFns.h60(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    all.groupBy(_._1).foreach { case (l, vs) =>
+      val want = vs.sortBy(v => (v._3, v._2)).take(TextQueries.ReservoirK)
+        .map(v => (v._2, v._3)).toSeq
+      val got = byLang(l).sortBy(_._2).map(v => (v._3, v._4)).toSeq
+      assert(got == want, s"$l: $got vs $want")
+    }
+  }
+
+  test("text_keyterms: k rows per doc, scores non-increasing, exact for a doc") {
+    val rows = run("text_keyterms")
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (d, vs) =>
+      val o = vs.sortBy(_._2)
+      assert(o.map(_._2).toSeq == (1L to o.length.toLong).toSeq)
+      assert(o.length <= TextQueries.KeyTermsK)
+      assert(o.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      }, s"doc $d: scores must be non-increasing in rank")
+    }
+    // every doc with ≥1 token appears
+    val nDocs = graft.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(byDoc.size == nDocs)
+  }
+
   test("ann_mmr_rerank: matches a full independent local MMR replay") {
     import SimilarityQueries._
     val got = run("ann_mmr_rerank")

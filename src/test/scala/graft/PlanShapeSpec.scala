@@ -422,7 +422,11 @@ class PlanShapeSpec extends SparkSpec {
       // nothing but the TakeOrdered partials of the C-row window.
       "corpus_dsir" -> 60000L,
       "text_nb_classifier" -> 60000L,
-      "ann_mmr_rerank" -> 30000L)
+      "ann_mmr_rerank" -> 30000L,
+      // keyterms moves only (doc, term) tf rows + the window re-read;
+      // reservoir moves one (lang, doc_id, h) row per doc.
+      "text_keyterms" -> 600000L,
+      "sample_reservoir" -> 60000L)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     try {
