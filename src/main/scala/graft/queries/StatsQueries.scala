@@ -526,6 +526,141 @@ object StatsQueries {
       row1.unionAll(row2)
     },
 
+    // Depth-2 regression TREE grown LEVEL-WISE — the shape ml_gbdt_stump
+    // doesn't cover: the stump BOOSTS (sequential fits on residuals);
+    // this GROWS (hierarchical splits, each depth-2 node fit on its own
+    // partition of the data). The key scale pattern is the per-NODE
+    // histogram: depth 2 is ONE aggregate keyed (node, feature-cell) —
+    // histograms for all frontier nodes in a single corpus pass — with
+    // prefix sums and argmax windows PARTITIONED BY node over the
+    // bounded cell frame. That is exactly how LightGBM/XGBoost grow
+    // level-wise at scale: one pass per LEVEL, never one pass per node.
+    // All arithmetic exact (BIGINT moments, DIV leaf means, gain as one
+    // fixed IEEE tree, ties to the smallest split); per-node SSE before/
+    // after makes the improvement a measured boolean per node.
+    checked("ml_tree_depth2",
+      s"""WITH sv AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS y,
+         |    CAST(hour(ts) AS BIGINT) AS f1, user_id % 16 AS f2 FROM events),
+         |h1 AS (SELECT f1 AS f, CAST(count(*) AS BIGINT) AS hn,
+         |    CAST(sum(y) AS BIGINT) AS hs FROM sv GROUP BY 1),
+         |t1 AS (SELECT CAST(sum(hn) AS BIGINT) AS n,
+         |    CAST(sum(hs) AS BIGINT) AS s FROM h1),
+         |p1 AS (SELECT f AS sp, CAST(sum(hn) OVER w AS BIGINT) AS nl,
+         |    CAST(sum(hs) OVER w AS BIGINT) AS sl FROM h1
+         |  WINDOW w AS (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW)),
+         |m1 AS (SELECT sp, nl, nr, sl // nl AS mul, sr // nr AS mur
+         |  FROM (SELECT p1.sp, p1.nl, p1.sl, t.n - p1.nl AS nr,
+         |      t.s - p1.sl AS sr,
+         |      row_number() OVER (ORDER BY
+         |        (CAST(sl AS DOUBLE) * sl / nl +
+         |         CAST(t.s - sl AS DOUBLE) * (t.s - sl) / (t.n - nl)) DESC,
+         |        sp) AS rk
+         |    FROM p1, t1 t WHERE nl > 0 AND t.n - nl > 0) WHERE rk = 1),
+         |asg AS (SELECT sv.y, sv.f2,
+         |    CASE WHEN sv.f1 <= m1.sp THEN 0 ELSE 1 END AS node,
+         |    CASE WHEN sv.f1 <= m1.sp THEN m1.mul ELSE m1.mur END AS mu1
+         |  FROM sv, m1),
+         |h2 AS (SELECT node, f2 AS f, CAST(count(*) AS BIGINT) AS hn,
+         |    CAST(sum(y) AS BIGINT) AS hs FROM asg GROUP BY 1, 2),
+         |t2 AS (SELECT node, CAST(sum(hn) AS BIGINT) AS n,
+         |    CAST(sum(hs) AS BIGINT) AS s FROM h2 GROUP BY node),
+         |p2 AS (SELECT node, f AS sp, CAST(sum(hn) OVER w AS BIGINT) AS nl,
+         |    CAST(sum(hs) OVER w AS BIGINT) AS sl FROM h2
+         |  WINDOW w AS (PARTITION BY node ORDER BY f
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |m2 AS (SELECT node, sp, nl, nr, sl // nl AS mul, sr // nr AS mur
+         |  FROM (SELECT p2.node, p2.sp, p2.nl, p2.sl, t.n - p2.nl AS nr,
+         |      t.s - p2.sl AS sr,
+         |      row_number() OVER (PARTITION BY p2.node ORDER BY
+         |        (CAST(sl AS DOUBLE) * sl / nl +
+         |         CAST(t.s - sl AS DOUBLE) * (t.s - sl) / (t.n - nl)) DESC,
+         |        sp) AS rk
+         |    FROM p2 JOIN t2 t ON p2.node = t.node
+         |    WHERE nl > 0 AND t.n - nl > 0) WHERE rk = 1),
+         |sse1 AS (SELECT node,
+         |    CAST(sum((y - mu1) * (y - mu1)) AS BIGINT) AS s1 FROM asg
+         |  GROUP BY node),
+         |sse2 AS (SELECT asg.node,
+         |    CAST(sum((y - (CASE WHEN asg.f2 <= m2.sp THEN m2.mul
+         |      ELSE m2.mur END)) *
+         |      (y - (CASE WHEN asg.f2 <= m2.sp THEN m2.mul
+         |      ELSE m2.mur END))) AS BIGINT) AS s2
+         |  FROM asg JOIN m2 ON asg.node = m2.node GROUP BY 1)
+         |SELECT CAST(m2.node AS INT) AS node,
+         |  CAST(m1.sp AS INT) AS parent_split,
+         |  CAST(m2.sp AS INT) AS split, m2.nl AS n_left, m2.nr AS n_right,
+         |  m2.mul AS mu_left, m2.mur AS mu_right,
+         |  sse1.s1 AS sse_before, sse2.s2 AS sse_after,
+         |  sse2.s2 < sse1.s1 AS improved
+         |FROM m2, m1
+         |JOIN sse1 ON m2.node = sse1.node
+         |JOIN sse2 ON m2.node = sse2.node""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sv = staged(Tables.events(s, d)
+        .select(mv(col("value")).as("y"), hour(col("ts")).cast("long").as("f1"),
+          expr("user_id % 16").as("f2")))
+      val gain = col("sl").cast("double") * col("sl") / col("nl") +
+        col("sr").cast("double") * col("sr") / col("nr")
+      // Root split (depth 1): the stump fit over the f1 histogram.
+      val h1 = sv.groupBy(col("f1").as("f"))
+        .agg(count(lit(1)).as("hn"), sum(col("y")).as("hs"))
+      val t1 = h1.agg(sum(col("hn")).as("n"), sum(col("hs")).as("s"))
+      val w1 = Window.orderBy("f")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m1 = h1.select(col("f").as("sp"), sum(col("hn")).over(w1).as("nl"),
+          sum(col("hs")).over(w1).as("sl"))
+        .crossJoin(broadcast(t1))
+        .withColumn("nr", col("n") - col("nl"))
+        .withColumn("sr", col("s") - col("sl"))
+        .filter(col("nl") > 0 && col("nr") > 0)
+        .withColumn("rk", row_number().over(Window.orderBy(gain.desc, col("sp"))))
+        .filter(col("rk") === 1)
+        .select(col("sp"), expr("sl DIV nl").as("mul"),
+          expr("sr DIV nr").as("mur"))
+      // Level 2: ONE aggregate keyed (node, cell) for the whole
+      // frontier, then per-node prefix/argmax windows over the bounded
+      // cell frame.
+      val asg = staged(sv.crossJoin(broadcast(m1))
+        .select(col("y"), col("f2"),
+          when(col("f1") <= col("sp"), 0L).otherwise(1L).as("node"),
+          when(col("f1") <= col("sp"), col("mul")).otherwise(col("mur"))
+            .as("mu1")))
+      val h2 = asg.groupBy(col("node"), col("f2").as("f"))
+        .agg(count(lit(1)).as("hn"), sum(col("y")).as("hs"))
+      val t2 = h2.groupBy(col("node").as("tn"))
+        .agg(sum(col("hn")).as("n"), sum(col("hs")).as("s"))
+      val w2 = Window.partitionBy("node").orderBy("f")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m2 = h2.select(col("node"), col("f").as("sp"),
+          sum(col("hn")).over(w2).as("nl"), sum(col("hs")).over(w2).as("sl"))
+        .join(broadcast(t2), col("node") === col("tn"))
+        .withColumn("nr", col("n") - col("nl"))
+        .withColumn("sr", col("s") - col("sl"))
+        .filter(col("nl") > 0 && col("nr") > 0)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("node").orderBy(gain.desc, col("sp"))))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("sp"), col("nl"), col("nr"),
+          expr("sl DIV nl").as("mul"), expr("sr DIV nr").as("mur"))
+      val sse1 = asg.groupBy(col("node").as("n1"))
+        .agg(sum((col("y") - col("mu1")) * (col("y") - col("mu1"))).as("s1"))
+      val leaf = when(col("f2") <= col("sp"), col("mul")).otherwise(col("mur"))
+      val sse2 = asg.join(broadcast(m2), "node")
+        .groupBy(col("node").as("n2"))
+        .agg(sum((col("y") - leaf) * (col("y") - leaf)).as("s2"))
+      m2.crossJoin(broadcast(m1.select(col("sp").as("psp"))))
+        .join(broadcast(sse1), col("node") === col("n1"))
+        .join(broadcast(sse2), col("node") === col("n2"))
+        .select(col("node").cast("int").as("node"),
+          col("psp").cast("int").as("parent_split"),
+          col("sp").cast("int").as("split"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          col("mul").as("mu_left"), col("mur").as("mu_right"),
+          col("s1").as("sse_before"), col("s2").as("sse_after"),
+          (col("s2") < col("s1")).as("improved"))
+    },
+
     // Welch's two-sample t-test (unequal variances) between the
     // reference and current windows — the experimentation companion of
     // stats_chi2 (means instead of proportions): every moment (n, Σv,

@@ -1071,8 +1071,14 @@ object TextQueries {
       // ≤ FhDim cells per doc); only the DECLARED vector representation
       // is a joined string, because raw ArrayType cells break the
       // driver's pandas comparator (round-8 `err`).
+      // explode FIRST, hash per row (h60All's ArrayTransform lambda is
+      // interpreted; this keeps the token stream whole-stage-codegen'd).
+      // explode_outer of an empty token array yields a NULL token → NULL
+      // h → NULL idx, which the when(isNotNull) collect below drops —
+      // identical to the previous array-of-hashes form.
       val ex = Tables.documents(s, d)
-        .select(col("doc_id"), explode_outer(h60All(tokens(col("text")))).as("h"))
+        .select(col("doc_id"), explode_outer(tokens(col("text"))).as("t"))
+        .withColumn("h", h60(col("t")))
         .select(col("doc_id"), pmod(col("h"), lit(FhDim.toLong)).as("idx"),
           when(shiftright(col("h"), 6) % 2 === 0, 1L).otherwise(-1L).as("sg"))
       val cell = ex.groupBy("doc_id", "idx")
@@ -1133,11 +1139,14 @@ object TextQueries {
          |WHERE rank <= $DsirTopK""".stripMargin
     }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // explode FIRST, hash per row: h60All is an interpreted HOF
+      // (ArrayTransform lambda), while split/explode/md5/conv are all
+      // codegen'd — same values, whole-stage-codegen'd token stream.
       val e = staged(Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          explode(h60All(tokens(col("text")))).as("h"))
+          explode(tokens(col("text"))).as("t"))
         .select(col("doc_id"), col("lang"),
-          (col("h") % DsirB).as("b"))) // h60 ≥ 0, plain % is non-negative
+          (h60(col("t")) % DsirB).as("b"))) // h60 ≥ 0, % stays non-negative
       val cr = e.groupBy("b").agg(count(lit(1)).as("cr"))
       val ct = e.filter(col("lang") === DsirTarget)
         .groupBy(col("b").as("bt")).agg(count(lit(1)).as("ct"))

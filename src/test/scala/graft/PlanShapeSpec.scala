@@ -375,6 +375,15 @@ class PlanShapeSpec extends SparkSpec {
       s"candidate retrieval must not shuffle or pair the corpus; got:\n$p")
   }
 
+  test("ml_tree_depth2: level histograms reduce map-side; model frames broadcast") {
+    val p = plan("ml_tree_depth2")
+    assert(p.contains("partial_count"),
+      "the (node, cell) level histogram must map-side combine — corpus " +
+        "rows must never cross a shuffle ungrouped")
+    assert(!p.contains("CartesianProduct"),
+      "split/model frames must come back as broadcasts")
+  }
+
   test("shuffle-volume ceilings hold for the heaviest queries") {
     // Wall time only tells you a regression happened on THIS machine;
     // bytes crossing the exchanges tell you the plan itself regressed — a
@@ -426,7 +435,10 @@ class PlanShapeSpec extends SparkSpec {
       // keyterms moves only (doc, term) tf rows + the window re-read;
       // reservoir moves one (lang, doc_id, h) row per doc.
       "text_keyterms" -> 600000L,
-      "sample_reservoir" -> 60000L)
+      "sample_reservoir" -> 60000L,
+      // the depth-2 grower ships only histogram cells (≤ 24 + 2·16)
+      // and 1-2-row model frames per level
+      "ml_tree_depth2" -> 20000L)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     try {

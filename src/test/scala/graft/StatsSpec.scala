@@ -41,6 +41,46 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ml_tree_depth2 equals a full local level-wise replay") {
+    val got = run("ml_tree_depth2").map(r =>
+      r.getInt(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getBoolean(9)))).toMap
+    val rows = Tables.events(spark, sf)
+      .select(floor(col("value") * 1000).cast("long").as("y"),
+        hour(col("ts")).cast("long").as("f1"), expr("user_id % 16").as("f2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // best split of (y, f) pairs by the variance-gain identity,
+    // ties to the smallest split value — floorDiv leaf means
+    def fit(data: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      val hist = data.groupBy(_._2).view
+        .mapValues(v => (v.size.toLong, v.map(_._1).sum)).toSeq.sortBy(_._1)
+      val (n, s) = (hist.map(_._2._1).sum, hist.map(_._2._2).sum)
+      var (nl, sl) = (0L, 0L)
+      val cands = hist.dropRight(1).map { case (f, (hn, hs)) =>
+        nl += hn; sl += hs
+        val (nr, sr) = (n - nl, s - sl)
+        val gain = sl.toDouble * sl / nl + sr.toDouble * sr / nr
+        (f, nl, nr, Math.floorDiv(sl, nl), Math.floorDiv(sr, nr), gain)
+      }
+      val best = cands.minBy(c => (-c._6, c._1))
+      (best._1, best._2, best._3, best._4, best._5)
+    }
+    val (sp1, _, _, mul1, mur1) = fit(rows.map(r => (r._1, r._2)))
+    (0 to 1).foreach { node =>
+      val part = rows.filter(r => (if (r._2 <= sp1) 0 else 1) == node)
+      val mu1 = if (node == 0) mul1 else mur1
+      val (sp2, nl, nr, mul2, mur2) = fit(part.map(r => (r._1, r._3)))
+      val sseB = part.map(r => (r._1 - mu1) * (r._1 - mu1)).sum
+      val sseA = part.map { r =>
+        val mu = if (r._3 <= sp2) mul2 else mur2
+        (r._1 - mu) * (r._1 - mu)
+      }.sum
+      assert(got(node) == ((sp1.toInt, sp2.toInt, nl, nr, mul2, mur2,
+        sseB, sseA, sseA < sseB)), s"node $node: ${got(node)}")
+    }
+  }
+
   test("ml_auc equals the naive pairwise Mann-Whitney count") {
     val Array(r) = run("ml_auc")
     val auc = r.getAs[Double]("auc")
