@@ -1038,6 +1038,39 @@ object DedupQueries {
         .agg(min("pos").as("span_start"), max("endp").as("span_end"))
         .select(col("doc_id"), col("span_start"), col("span_end"),
           (col("span_end") - col("span_start") + 1).as("span_tokens"))
+    },
+
+    // Entity resolution by blocked edit distance — the record-linkage
+    // primitive (match candidate records whose names differ by a few
+    // edits) in its scale-safe form: BLOCKING first (equi-join on the
+    // block key — here nationkey; production stacks several redundant
+    // blocking keys and caps block size exactly like the dedup band
+    // caps), pairwise Levenshtein ONLY within blocks, and the declared
+    // surface is the per-(block, distance) pair histogram — the
+    // calibration curve an ER deployment uses to pick its match
+    // threshold — plus the τ ≤ 2 match count per block. Levenshtein is
+    // the classic integer DP, a NATIVE builtin on both engines, so the
+    // whole query is exact integers end to end; pair order is
+    // canonicalized a < b so each pair counts once.
+    checked("er_fuzzy_match",
+      s"""WITH s AS (SELECT s_suppkey AS k, s_name AS nm,
+         |    s_nationkey AS b FROM supplier),
+         |p AS (SELECT a.b, levenshtein(a.nm, c.nm) AS d
+         |  FROM s a JOIN s c ON a.b = c.b AND a.k < c.k)
+         |SELECT b AS nationkey, CAST(d AS BIGINT) AS d,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(*) FILTER (WHERE d <= 2) AS BIGINT) AS n_matched
+         |FROM p GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val sup = staged(Tables.supplier(s, d)
+        .select(col("s_suppkey").as("k"), col("s_name").as("nm"),
+          col("s_nationkey").as("b")))
+      val right = sup.select(col("k").as("k2"), col("nm").as("nm2"),
+        col("b").as("b2"))
+      sup.join(right, col("b") === col("b2") && col("k") < col("k2"))
+        .select(col("b"), levenshtein(col("nm"), col("nm2")).as("dd"))
+        .groupBy(col("b").as("nationkey"), col("dd").cast("long").as("d"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dd") <= 2, 1L).otherwise(0L)).as("n_matched"))
     })
 
   // ------------------------------------------------------------------

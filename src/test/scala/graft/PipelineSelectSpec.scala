@@ -100,6 +100,38 @@ class PipelineSelectSpec extends SparkSpec {
     assert(byDoc.size == nDocs)
   }
 
+  test("er_fuzzy_match: histogram equals a local blocked-pairwise replay") {
+    val got = run("er_fuzzy_match")
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val sup = graft.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val want = sup.groupBy(_._3).toSeq.flatMap { case (nat, vs) =>
+      val pairs = for {
+        a <- vs; b <- vs if a._1 < b._1
+      } yield lev(a._2, b._2).toLong
+      pairs.groupBy(identity).map { case (d, ps) =>
+        (nat, d) -> ((ps.size.toLong, if (d <= 2) ps.size.toLong else 0L))
+      }
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty, "sf0.01 must exercise real same-block pairs")
+  }
+
   test("ann_mmr_rerank: matches a full independent local MMR replay") {
     import SimilarityQueries._
     val got = run("ann_mmr_rerank")
