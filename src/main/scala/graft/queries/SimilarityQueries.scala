@@ -1002,6 +1002,82 @@ object SimilarityQueries {
         .select(col("vec_id"), col("c_id"), col("d").cast("long").as("d"))
     },
 
+    // Simplified silhouette of the IVF coarse quantizer — the
+    // clustering-quality eval the ANN family was missing: for every
+    // vector, a = distance to its assigned (nearest) centroid, b =
+    // distance to the second-nearest, s = (b−a)/max(a,b) = 1 − a/b.
+    // Per-cluster mean silhouette answers "how separable are the IVF
+    // lists" — the metric that justifies an nProbe operating point.
+    // (Simplified silhouette — centroid distances, not all-pairs — is
+    // the standard at-scale form: O(n·k), never O(n²).) Exactness:
+    // squared L2 distances are exact integers (scaled-int identity
+    // n2 − 2·x·c + cn2), the two sqrt/divide ops are one fixed IEEE
+    // tree, per-point s quantized to 1e-6 before the BIGINT sum.
+    // Shape: centroids are driver state inlined as literals (the IVF
+    // contract), so assignment + both distances are one codegen'd
+    // projection; one map-side-combined aggregate to k cells.
+    checked("ann_silhouette", {
+      val dist = s"(n2 - 2 * ${sqlDotInt("v", "cv", Dim)} + cn2)"
+      s"""WITH sv AS ($svSql),
+         |cent AS (SELECT vec_id - $IvfCentroidBase AS c_id, v AS cv,
+         |    n2 AS cn2
+         |  FROM sv WHERE vec_id >= $IvfCentroidBase
+         |    AND vec_id < ${IvfCentroidBase + IvfLists}),
+         |dd AS (SELECT sv.vec_id, cent.c_id, $dist AS dsq
+         |  FROM sv CROSS JOIN cent),
+         |r AS (SELECT vec_id, c_id, dsq,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dsq, c_id)
+         |      AS rn FROM dd),
+         |ab AS (SELECT a.vec_id, a.c_id, a.dsq AS d1, b.dsq AS d2
+         |  FROM r a JOIN r b ON a.vec_id = b.vec_id
+         |  WHERE a.rn = 1 AND b.rn = 2),
+         |sq AS (SELECT c_id, CASE WHEN d2 = 0 THEN 0
+         |    ELSE CAST(floor((1.0 - sqrt(CAST(d1 AS DOUBLE)) /
+         |      sqrt(CAST(d2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) END
+         |    AS sq FROM ab)
+         |SELECT c_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(sq) AS BIGINT) AS sil_sum_q,
+         |  ${graft.functions.DetAgg.sqlR6(
+             "CAST(sum(sq) AS DOUBLE) / 1000000 / count(*)")} AS mean_sil
+         |FROM sq GROUP BY c_id""".stripMargin
+    }) { (s, d) =>
+      val sv = svSpark(s, d)
+      // Quantizer to the driver (the scoredIvf contract): IvfLists
+      // rows, inlined as literals → assignment and both nearest
+      // distances are one codegen'd projection, zero joins.
+      val cents = sv
+        .filter(col("vec_id") >= IvfCentroidBase &&
+          col("vec_id") < IvfCentroidBase + IvfLists)
+        .select((col("vec_id") - IvfCentroidBase).as("c_id"), col("v"),
+          col("n2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq,
+          r.getDouble(2)))
+        .sortBy(_._1)
+      val dists = cents.map { case (_, cv, cn2) =>
+        col("n2") - lit(2) * dotInt(array(cv.map(lit): _*), col("v")) +
+          lit(cn2)
+      }
+      val dArr = array(dists: _*)
+      val cidArr = array(cents.map(c => lit(c._1)): _*)
+      val sorted = sort_array(dArr)
+      val d1 = element_at(sorted, 1)
+      val d2 = element_at(sorted, 2)
+      // first index of the min → smallest c_id on ties (cidArr is
+      // c_id-ordered), matching the SQL (dsq, c_id) rank
+      val assigned = element_at(cidArr,
+        array_position(dArr, array_min(dArr)).cast("int"))
+      sv.select(assigned.as("c_id"),
+          when(d2 === 0, 0L).otherwise(
+            floor((lit(1.0) - sqrt(d1) / sqrt(d2)) * 1000000 + 0.5)
+              .cast("long")).as("sq"))
+        .groupBy("c_id")
+        .agg(count(lit(1)).as("n"), sum(col("sq")).as("sil_sum_q"),
+          graft.functions.DetAgg.r6(
+            sum(col("sq")).cast("double") / 1000000 / count(lit(1)))
+            .as("mean_sil"))
+    },
+
     // MMR — Maximal Marginal Relevance re-ranking (Carbonell &
     // Goldstein, SIGIR 1998): the diversity-aware selection every
     // retrieval stack runs AFTER top-k — greedily pick the candidate

@@ -132,6 +132,43 @@ class PipelineSelectSpec extends SparkSpec {
     assert(got.nonEmpty, "sf0.01 must exercise real same-block pairs")
   }
 
+  test("ann_silhouette: equals a local centroid-distance replay; s in [0,1]") {
+    import SimilarityQueries._
+    val got = run("ann_silhouette")
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val all = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toIndexedSeq))
+    def dot(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      (0 until Dim).map(i => a(i) * b(i)).sum
+    val cents = all.filter(v => v._1 >= IvfCentroidBase &&
+        v._1 < IvfCentroidBase + IvfLists)
+      .map(v => (v._1 - IvfCentroidBase, v._2)).sortBy(_._1)
+    val acc = collection.mutable.Map.empty[Long, (Long, Long)]
+    all.foreach { case (_, v) =>
+      val n2 = dot(v, v)
+      val ds = cents.map { case (cid, cv) =>
+        (n2 - 2 * dot(v, cv) + dot(cv, cv), cid)
+      }
+      val srt = ds.sortBy(x => (x._1, x._2))
+      val (d1, cid) = (srt(0)._1, srt(0)._2)
+      val d2 = ds.map(_._1).sorted.apply(1)
+      val sq = if (d2 == 0) 0L
+        else math.floor((1.0 - math.sqrt(d1.toDouble) /
+          math.sqrt(d2.toDouble)) * 1000000 + 0.5).toLong
+      val (n, s) = acc.getOrElse(cid, (0L, 0L))
+      acc(cid) = (n + 1, s + sq)
+    }
+    assert(got.keySet == acc.keySet)
+    acc.foreach { case (cid, (n, sq)) =>
+      assert(got(cid)._1 == n && got(cid)._2 == sq, s"cluster $cid")
+      assert(got(cid)._3 >= 0.0 && got(cid)._3 <= 1.0)
+    }
+    assert(got.values.map(_._1).sum == all.length.toLong)
+  }
+
   test("ann_mmr_rerank: matches a full independent local MMR replay") {
     import SimilarityQueries._
     val got = run("ann_mmr_rerank")
