@@ -50,6 +50,15 @@ class OracleSurfaceLintSpec extends SparkSpec {
     OracleSurfaceLint.check("ok", ok, ok)
   }
 
+  test("every declared query carries a DuckDB oracle (0 rows-only)") {
+    val rowsOnly = SparkEntry.allQueries.filter(_.oracle.isEmpty).map(_.name)
+    assert(rowsOnly.isEmpty,
+      s"rows-only queries get the driver's weakest check: $rowsOnly")
+    // and names are unique — a duplicate would shadow in the driver maps
+    val dup = SparkEntry.allQueries.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dup.isEmpty, s"duplicate query names: $dup")
+  }
+
   test("the whole declared surface passes rule 1 (schema-only, no execution)") {
     // Rule 1 needs only the analyzed schema; building each query's
     // DataFrame at sf0.001 is cheap (no actions run).
