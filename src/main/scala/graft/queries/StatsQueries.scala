@@ -661,6 +661,75 @@ object StatsQueries {
           (col("s2") < col("s1")).as("improved"))
     },
 
+    // Approximate query processing — the sample-and-extrapolate regime
+    // (BlinkDB/quickr shape): a 5 % deterministic hash sample answers
+    // the per-type mean/sum with a CLT confidence interval, and the
+    // query ALSO computes the exact answer so the declared surface
+    // carries the measured |error| ≤ CI boolean per group — the AQP
+    // contract itself, hash-pinned. Membership is h60(event_id) % 100
+    // < 5 (reproducible, partition-independent), moments are exact
+    // BIGINTs from ONE map-side-combined pass (sample moments as
+    // conditional sums riding the same aggregate as the exact ones),
+    // and every derived float (mean, se, CI) is one fixed IEEE tree
+    // r6-quantized. At 100 TB the point of AQP is to SCAN ONLY the
+    // sample: the membership predicate pushes to the scan (or the
+    // sample is a persisted 5 % table) and the exact pass is dropped —
+    // here both run so the error contract is measurable.
+    checked("aqp_sample_estimate", {
+      val inS = s"${graft.functions.TextFns.sqlH60("CAST(event_id AS VARCHAR)")} % 100 < 5"
+      s"""WITH v AS (SELECT event_type,
+         |    CAST(floor(value * 1000) AS BIGINT) AS y, $inS AS s
+         |  FROM events),
+         |g AS (SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(count(*) FILTER (WHERE s) AS BIGINT) AS ns,
+         |    CAST(COALESCE(sum(y) FILTER (WHERE s), 0) AS BIGINT) AS ss,
+         |    CAST(COALESCE(sum(y * y) FILTER (WHERE s), 0) AS BIGINT) AS qs
+         |  FROM v GROUP BY event_type)
+         |SELECT event_type, n AS n_exact, ns AS n_sample,
+         |  ns * 20 AS n_est, ss * 20 AS sum_est, sy AS sum_exact,
+         |  CASE WHEN ns <= 1 THEN NULL ELSE ${graft.functions.DetAgg.sqlR6(
+             "CAST(ss AS DOUBLE) / ns")} END AS mean_est,
+         |  ${graft.functions.DetAgg.sqlR6(
+             "CAST(sy AS DOUBLE) / n")} AS mean_exact,
+         |  CASE WHEN ns <= 1 THEN NULL ELSE ${graft.functions.DetAgg.sqlR6(
+             "2 * sqrt((CAST(qs AS DOUBLE) - CAST(ss AS DOUBLE) * ss / ns)" +
+               " / (ns - 1) / ns)")} END AS ci_half,
+         |  CASE WHEN ns <= 1 THEN NULL ELSE
+         |    abs(CAST(sy AS DOUBLE) / n - CAST(ss AS DOUBLE) / ns) <=
+         |    2 * sqrt((CAST(qs AS DOUBLE) - CAST(ss AS DOUBLE) * ss / ns)
+         |      / (ns - 1) / ns) END AS within_ci
+         |FROM g""".stripMargin
+    }) { (s, d) =>
+      val inS = graft.functions.TextFns.h60(col("event_id").cast("string")) % 100 < 5
+      val g = Tables.events(s, d)
+        .select(col("event_type"), mv(col("value")).as("y"), inS.as("s"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(when(col("s"), 1L).otherwise(0L)).as("ns"),
+          coalesce(sum(when(col("s"), col("y"))), lit(0L)).as("ss"),
+          coalesce(sum(when(col("s"), col("y") * col("y"))), lit(0L))
+            .as("qs"))
+      val se2 = lit(2) * sqrt((col("qs").cast("double") -
+        col("ss").cast("double") * col("ss") / col("ns")) /
+        (col("ns") - 1) / col("ns"))
+      val err = abs(col("sy").cast("double") / col("n") -
+        col("ss").cast("double") / col("ns"))
+      // mirrored small-sample guard (the WoE lesson): a stratum with
+      // ns <= 1 has no variance estimate — NULL, not NaN, both engines
+      val ok = col("ns") > 1
+      g.select(col("event_type"), col("n").as("n_exact"),
+        col("ns").as("n_sample"), (col("ns") * 20).as("n_est"),
+        (col("ss") * 20).as("sum_est"), col("sy").as("sum_exact"),
+        when(ok, graft.functions.DetAgg.r6(
+          col("ss").cast("double") / col("ns"))).as("mean_est"),
+        graft.functions.DetAgg.r6(col("sy").cast("double") / col("n"))
+          .as("mean_exact"),
+        when(ok, graft.functions.DetAgg.r6(se2)).as("ci_half"),
+        when(ok, err <= se2).as("within_ci"))
+    },
+
     // Welch's two-sample t-test (unequal variances) between the
     // reference and current windows — the experimentation companion of
     // stats_chi2 (means instead of proportions): every moment (n, Σv,

@@ -41,6 +41,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("aqp_sample_estimate equals a local replay; estimates bracket truth") {
+    val got = run("aqp_sample_estimate").map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getBoolean(9)))).toMap
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("y"),
+        (graft.functions.TextFns.h60(col("event_id").cast("string"))
+          % 100 < 5).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    rows.groupBy(_._1).foreach { case (et, vs) =>
+      val (n, sy) = (vs.length.toLong, vs.map(_._2).sum)
+      val sm = vs.filter(_._3)
+      val (ns, ss, qs) = (sm.length.toLong, sm.map(_._2).sum,
+        sm.map(v => v._2 * v._2).sum)
+      val se2 = 2 * math.sqrt((qs.toDouble - ss.toDouble * ss / ns) /
+        (ns - 1) / ns)
+      val err = math.abs(sy.toDouble / n - ss.toDouble / ns)
+      assert(got(et) == ((n, ns, ns * 20, ss * 20, sy,
+        r6(ss.toDouble / ns), r6(sy.toDouble / n), r6(se2), err <= se2)),
+        s"$et: ${got(et)}")
+    }
+    // the 2-sigma CI should bracket the truth for most strata
+    assert(got.values.count(_._9) >= got.size - 1,
+      "more than one stratum outside its own 95% CI")
+  }
+
   test("ml_tree_depth2 equals a full local level-wise replay") {
     val got = run("ml_tree_depth2").map(r =>
       r.getInt(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
