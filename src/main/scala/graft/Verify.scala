@@ -37,8 +37,10 @@ object Verify {
         val dir = Paths.get(s"$outDir/$name")
         if (Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse
+          val walk = Files.walk(dir) // javadoc: stream must be closed
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(Files.deleteIfExists(_))
+          finally walk.close()
         }
       }
       finally graft.queries.QuerySpec.releaseStaged()

@@ -40,18 +40,22 @@ object OracleSurfaceLint {
         f.dataType.isInstanceOf[StructType] => f.name
     }.toSeq
 
-  /** Rule 2 — timestamp columns whose min/max fall outside the pandas
-    * range, as (column, boundMicros) pairs. One bounded min/max
-    * aggregate; call it on the WRITTEN parquet so the query plan is not
+  /** Rule 2 — temporal columns whose min/max fall outside the pandas
+    * range, as (column, boundMicros) pairs. Covers TIMESTAMP,
+    * TIMESTAMP_NTZ (what a raw parquet ts infers as when a normalizing
+    * cast is forgotten — see Tables.scala), and DATE: all three reach
+    * the comparator as datetime64[ns]. One bounded min/max aggregate;
+    * call it on the WRITTEN parquet so the query plan is not
     * re-executed. */
   def outOfRangeTimestamps(df: DataFrame): Seq[(String, Long)] = {
-    val tsCols = df.schema.fields
-      .filter(_.dataType == TimestampType).map(_.name).toSeq
+    val tsCols = df.schema.fields.filter(f =>
+      f.dataType == TimestampType || f.dataType == TimestampNTZType ||
+        f.dataType == DateType).map(_.name).toSeq
     if (tsCols.isEmpty) Nil
     else {
       val aggs = tsCols.flatMap(c => Seq(
-        min(unix_micros(col(c))).as(s"min_$c"),
-        max(unix_micros(col(c))).as(s"max_$c")))
+        min(unix_micros(col(c).cast(TimestampType))).as(s"min_$c"),
+        max(unix_micros(col(c).cast(TimestampType))).as(s"max_$c")))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       tsCols.flatMap { c =>
         def get(n: String): Option[Long] = {

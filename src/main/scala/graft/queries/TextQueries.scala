@@ -70,6 +70,15 @@ object TextQueries {
   val LmRefMod = 5
   val LmLogScale = 10000
 
+  /** THE quantized-log pair — floor(ln(x)·LmLogScale + 0.5) as BIGINT —
+    * shared by every log-likelihood query (lm_score, dsir, nb): one
+    * definition so the cross-engine exactness grid can never diverge
+    * between copies. */
+  def sqlIlog(x: String): String =
+    s"CAST(floor(ln($x) * $LmLogScale + 0.5) AS BIGINT)"
+  def ilogCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(log(c) * LmLogScale + 0.5).cast("long")
+
   /** BM25 query set (k1 = 1.2, b = 0.75 — the Okapi defaults, written as
     * literals in both engines). Queries mix the corpus's one genuinely
     * rare term (`dup`, df ≈ 5 % — the planted-duplicate marker, so its
@@ -378,8 +387,8 @@ object TextQueries {
       // Bounded 1-row corpus size (the corpus_clean literal contract).
       val n = Tables.documents(s, d).agg(count(lit(1))).head.getLong(0)
       val idf = dfT.select(col("t").as("ti"),
-        floor(log(lit(n + 1).cast("double") / (col("df") + 1L).cast("double"))
-          * LmLogScale + 0.5).cast("long").as("iidf"))
+        ilogCol(lit(n + 1).cast("double") / (col("df") + 1L).cast("double"))
+          .as("iidf"))
       tf.join(broadcast(idf), col("t") === col("ti"))
         .select(col("doc_id"), col("t"), (col("tf") * col("iidf")).as("score_q"))
         .withColumn("rk", row_number().over(
@@ -892,8 +901,7 @@ object TextQueries {
     // nothing here is quadratic — the joins and aggregates are linear in
     // corpus tokens.
     checked("text_lm_score", {
-      def ilog(x: String) =
-        s"CAST(floor(ln($x) * $LmLogScale + 0.5) AS BIGINT)"
+      def ilog(x: String) = sqlIlog(x)
       s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS tk
          |  FROM documents),
          |b AS (SELECT doc_id, unnest(${sqlShingles("tk", 2)}) AS s
@@ -917,8 +925,7 @@ object TextQueries {
          |    AS avg_nll6
          |FROM sc GROUP BY doc_id""".stripMargin
     }) { (s, d) =>
-      def ilog(c: org.apache.spark.sql.Column) =
-        floor(log(c) * LmLogScale + 0.5).cast("long")
+      def ilog(c: org.apache.spark.sql.Column) = ilogCol(c)
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
       val e = staged(toks
@@ -1115,8 +1122,7 @@ object TextQueries {
     // keeps collisions live at harness SFs so the hashing regime is
     // actually exercised.
     checked("corpus_dsir", {
-      def ilog(x: String) =
-        s"CAST(floor(ln($x) * $LmLogScale + 0.5) AS BIGINT)"
+      def ilog(x: String) = sqlIlog(x)
       s"""WITH t0 AS (SELECT doc_id, lang, ${sqlTokens("text")} AS tk
          |  FROM documents),
          |e AS (SELECT doc_id, lang, ${sqlH60("t")} % $DsirB AS b
@@ -1157,10 +1163,9 @@ object TextQueries {
       val (nr, nt) = (totRow.getLong(0), totRow.getLong(1))
       val lr = cr.join(ct, col("b") === col("bt"), "left")
         .select(col("b"),
-          floor(log(((coalesce(col("ct"), lit(0L)) + 1L) * (nr + DsirB))
+          ilogCol(((coalesce(col("ct"), lit(0L)) + 1L) * (nr + DsirB))
             .cast("double") /
-            ((col("cr") + 1L) * (nt + DsirB)).cast("double"))
-            * LmLogScale + 0.5).cast("long").as("lrq"))
+            ((col("cr") + 1L) * (nt + DsirB)).cast("double")).as("lrq"))
       val w = e.join(broadcast(lr), "b")
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_toks"), sum(col("lrq")).as("lw_q"))
@@ -1191,8 +1196,7 @@ object TextQueries {
     // BROADCAST to score the corpus — one token pass, one per-doc
     // aggregate, one 4-row confusion aggregate, linear end to end.
     checked("text_nb_classifier", {
-      def ilog(x: String) =
-        s"CAST(floor(ln($x) * $LmLogScale + 0.5) AS BIGINT)"
+      def ilog(x: String) = sqlIlog(x)
       val stopArr = NbStop.map(t => s"'$t'").mkString("[", ", ", "]")
       s"""WITH t0 AS (SELECT doc_id, ${sqlTokens("text")} AS tk
          |  FROM documents),
@@ -1241,8 +1245,7 @@ object TextQueries {
          |  CAST(sum(s_pos - s_neg) AS BIGINT) AS margin_sum
          |FROM test GROUP BY 1, 2""".stripMargin
     }) { (s, d) =>
-      def iloge(x: org.apache.spark.sql.Column) =
-        floor(log(x) * LmLogScale + 0.5).cast("long")
+      def iloge(x: org.apache.spark.sql.Column) = ilogCol(x)
       val q = staged(Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .withColumn("srq", when(size(col("tk")) === 0, 0L).otherwise(

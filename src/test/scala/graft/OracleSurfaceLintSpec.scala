@@ -59,21 +59,29 @@ class OracleSurfaceLintSpec extends SparkSpec {
     assert(dup.isEmpty, s"duplicate query names: $dup")
   }
 
-  test("the whole declared surface passes rule 1 (schema-only, no execution)") {
-    // Rule 1 needs only the analyzed schema; building each query's
-    // DataFrame at sf0.001 is cheap (no actions run).
+  test("the whole declared surface passes rule 1 (no silent builder skips)") {
+    // Rule 1 needs only the analyzed schema. Several builders DO run
+    // bounded actions (median histograms, model totals, the MMR
+    // window), so this is not free — but a builder that THROWS must
+    // fail the test, not silently skip its lint (round-9 review nit:
+    // a swallowed exception made the coverage claim vacuous for
+    // exactly the queries most likely to regress).
     val sf = "/root/testdata/sf0.001"
-    val offending = SparkEntry.allQueries
-      .filter(_.oracle.isDefined) // streaming/rows-only queries excluded:
-                                  // several need a started stream to build
-      .flatMap { q =>
-        val bad =
-          try OracleSurfaceLint.nonScalarColumns(q.fn(spark, sf))
-          catch { case _: Throwable => Nil } // builders that run actions
-        if (bad.isEmpty) Nil else Seq(q.name -> bad)
-      }
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val offending = SparkEntry.allQueries.flatMap { q =>
+      val bad =
+        try OracleSurfaceLint.nonScalarColumns(q.fn(spark, sf))
+        catch {
+          case e: Throwable =>
+            failures += s"${q.name}: ${e.getClass.getSimpleName}"
+            Nil
+        }
+      if (bad.isEmpty) Nil else Seq(q.name -> bad)
+    }
     graft.queries.QuerySpec.releaseStaged()
     assert(offending.isEmpty,
       s"declared queries with non-scalar surfaces: $offending")
+    assert(failures.isEmpty,
+      s"builders threw (their lint coverage is unknown): $failures")
   }
 }

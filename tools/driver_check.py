@@ -48,6 +48,8 @@ def cell_repr(v):
         f = float(v)
         if math.isnan(f):
             return "NULL"  # driver-style: NaN and NULL both unrepresentable
+        if math.isinf(f):
+            return "Inf" if f > 0 else "-Inf"  # int(f) would raise
         if f == int(f) and abs(f) < 2**53:
             return str(int(f))  # 3.0 == 3 across engine float/int drift
         return repr(f)

@@ -45,3 +45,4 @@ for name, sql in sorted(oracle.items()):
                       (isf(x) and isf(y) and math.isnan(x) and math.isnan(y)))))
     if ne: print(name, ne, "NON-EXACT"); bad += 1
 print(f"STRICT {sfd}: {len(oracle)-bad} bit-exact, {bad} bad")
+sys.exit(1 if bad else 0)  # so gate.sh's `|| rc=1` actually fires
