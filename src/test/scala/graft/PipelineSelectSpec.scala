@@ -120,16 +120,23 @@ class PipelineSelectSpec extends SparkSpec {
       }
       dp(a.length)
     }
+    val W = graft.queries.DedupQueries.ErWindow
     val want = sup.groupBy(_._3).toSeq.flatMap { case (nat, vs) =>
+      // sorted-neighborhood replay: rank by (name, key), pair each row
+      // with its next W sorted neighbors only
+      val ordered = vs.sortBy(v => (v._2, v._1))
       val pairs = for {
-        a <- vs; b <- vs if a._1 < b._1
-      } yield lev(a._2, b._2).toLong
+        i <- ordered.indices
+        j <- (i + 1) to math.min(i + W, ordered.length - 1)
+      } yield lev(ordered(i)._2, ordered(j)._2).toLong
       pairs.groupBy(identity).map { case (d, ps) =>
         (nat, d) -> ((ps.size.toLong, if (d <= 2) ps.size.toLong else 0L))
       }
     }.toMap
     assert(got == want)
     assert(got.nonEmpty, "sf0.01 must exercise real same-block pairs")
+    // the SNM bound itself: total pairs ≤ n · W
+    assert(got.values.map(_._1).sum <= sup.length.toLong * W)
   }
 
   test("ann_silhouette: equals a local centroid-distance replay; s in [0,1]") {

@@ -358,6 +358,16 @@ class PlanShapeSpec extends SparkSpec {
       s"no corpus-side SMJ/cartesian may appear; got:\n$p")
   }
 
+  test("er_fuzzy_match: sorted-neighborhood pairs are join-free (one window pass)") {
+    val p = plan("er_fuzzy_match")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      "SNM pair generation must be lead() over the block window — any " +
+        s"join reintroduces the quadratic all-pairs shape; got:\n$p")
+    assert(p.contains("Window"),
+      "the ErWindow lead() neighbors must come from a window operator")
+  }
+
   test("text_nb_classifier: the model broadcasts; no corpus-side SMJ") {
     val p = plan("text_nb_classifier")
     assert(p.contains("BroadcastHashJoin"),
