@@ -1124,7 +1124,8 @@ object SimilarityQueries {
          |  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
          |sel1 AS MATERIALIZED (SELECT * FROM p1),
          |$steps
-         |SELECT CAST(rank AS BIGINT) AS rank, vec_id, score
+         |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+         |  ${graft.functions.DetAgg.sqlR6("score")} AS score
          |FROM sel$MmrK""".stripMargin
     }) { (s, d) =>
       val sv = svSpark(s, d)
@@ -1173,6 +1174,12 @@ object SimilarityQueries {
         remaining -= best._1
       }
       import s.implicits._
-      sel.toSeq.toDF("rank", "vec_id", "score")
+      // the RAW score drives the greedy ordering above; the DECLARED
+      // score is r6-quantized like every other declared float (ADVICE
+      // r9), so bit-equality doesn't rest on ulp-identical sqrt/divide
+      // trees across engine versions
+      sel.toSeq.toDF("rank", "vec_id", "raw")
+        .select(col("rank"), col("vec_id"),
+          graft.functions.DetAgg.r6(col("raw")).as("score"))
     })
 }

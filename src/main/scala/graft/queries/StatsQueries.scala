@@ -23,6 +23,16 @@ object StatsQueries {
   private def mv(c: org.apache.spark.sql.Column) =
     floor(c * 1000).cast("long")
 
+  /** FLOOR division of BIGINTs with one semantics on every engine
+    * (ADVICE r9): Spark `DIV` truncates toward zero while DuckDB `//`
+    * floors, so on negative sums they'd silently diverge. Subtracting
+    * the canonical non-negative mod first makes the numerator an exact
+    * multiple of the (positive) divisor, where truncate = floor = exact
+    * — all in BIGINT, no double round-trip. Mirrored verbatim in the
+    * oracle SQL. */
+  private def floorDivExact(a: String, b: String) =
+    expr(s"($a - (($a % $b + $b) % $b)) DIV $b")
+
   val all: Seq[QuerySpec] = Seq(
 
     // Exact multi-distinct aggregation, spelled as the two-phase shape a
@@ -549,7 +559,9 @@ object StatsQueries {
          |    CAST(sum(hs) OVER w AS BIGINT) AS sl FROM h1
          |  WINDOW w AS (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING
          |    AND CURRENT ROW)),
-         |m1 AS (SELECT sp, nl, nr, sl // nl AS mul, sr // nr AS mur
+         |m1 AS (SELECT sp, nl, nr,
+         |    (sl - ((sl % nl + nl) % nl)) // nl AS mul,
+         |    (sr - ((sr % nr + nr) % nr)) // nr AS mur
          |  FROM (SELECT p1.sp, p1.nl, p1.sl, t.n - p1.nl AS nr,
          |      t.s - p1.sl AS sr,
          |      row_number() OVER (ORDER BY
@@ -569,7 +581,9 @@ object StatsQueries {
          |    CAST(sum(hs) OVER w AS BIGINT) AS sl FROM h2
          |  WINDOW w AS (PARTITION BY node ORDER BY f
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |m2 AS (SELECT node, sp, nl, nr, sl // nl AS mul, sr // nr AS mur
+         |m2 AS (SELECT node, sp, nl, nr,
+         |    (sl - ((sl % nl + nl) % nl)) // nl AS mul,
+         |    (sr - ((sr % nr + nr) % nr)) // nr AS mur
          |  FROM (SELECT p2.node, p2.sp, p2.nl, p2.sl, t.n - p2.nl AS nr,
          |      t.s - p2.sl AS sr,
          |      row_number() OVER (PARTITION BY p2.node ORDER BY
@@ -593,7 +607,7 @@ object StatsQueries {
          |  m2.mul AS mu_left, m2.mur AS mu_right,
          |  sse1.s1 AS sse_before, sse2.s2 AS sse_after,
          |  sse2.s2 < sse1.s1 AS improved
-         |FROM m2, m1
+         |FROM m2 CROSS JOIN m1
          |JOIN sse1 ON m2.node = sse1.node
          |JOIN sse2 ON m2.node = sse2.node""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -616,8 +630,8 @@ object StatsQueries {
         .filter(col("nl") > 0 && col("nr") > 0)
         .withColumn("rk", row_number().over(Window.orderBy(gain.desc, col("sp"))))
         .filter(col("rk") === 1)
-        .select(col("sp"), expr("sl DIV nl").as("mul"),
-          expr("sr DIV nr").as("mur"))
+        .select(col("sp"), floorDivExact("sl", "nl").as("mul"),
+          floorDivExact("sr", "nr").as("mur"))
       // Level 2: ONE aggregate keyed (node, cell) for the whole
       // frontier, then per-node prefix/argmax windows over the bounded
       // cell frame.
@@ -642,7 +656,8 @@ object StatsQueries {
           Window.partitionBy("node").orderBy(gain.desc, col("sp"))))
         .filter(col("rk") === 1)
         .select(col("node"), col("sp"), col("nl"), col("nr"),
-          expr("sl DIV nl").as("mul"), expr("sr DIV nr").as("mur"))
+          floorDivExact("sl", "nl").as("mul"),
+          floorDivExact("sr", "nr").as("mur"))
       val sse1 = asg.groupBy(col("node").as("n1"))
         .agg(sum((col("y") - col("mu1")) * (col("y") - col("mu1"))).as("s1"))
       val leaf = when(col("f2") <= col("sp"), col("mul")).otherwise(col("mur"))
@@ -697,9 +712,11 @@ object StatsQueries {
              "2 * sqrt((CAST(qs AS DOUBLE) - CAST(ss AS DOUBLE) * ss / ns)" +
                " / (ns - 1) / ns)")} END AS ci_half,
          |  CASE WHEN ns <= 1 THEN NULL ELSE
-         |    abs(CAST(sy AS DOUBLE) / n - CAST(ss AS DOUBLE) / ns) <=
-         |    2 * sqrt((CAST(qs AS DOUBLE) - CAST(ss AS DOUBLE) * ss / ns)
-         |      / (ns - 1) / ns) END AS within_ci
+         |    ${graft.functions.DetAgg.sqlR6(
+               "abs(CAST(sy AS DOUBLE) / n - CAST(ss AS DOUBLE) / ns)")} <=
+         |    ${graft.functions.DetAgg.sqlR6(
+               "2 * sqrt((CAST(qs AS DOUBLE) - CAST(ss AS DOUBLE) * ss / ns)" +
+                 " / (ns - 1) / ns)")} END AS within_ci
          |FROM g""".stripMargin
     }) { (s, d) =>
       val inS = graft.functions.TextFns.h60(col("event_id").cast("string")) % 100 < 5
@@ -717,7 +734,11 @@ object StatsQueries {
       val err = abs(col("sy").cast("double") / col("n") -
         col("ss").cast("double") / col("ns"))
       // mirrored small-sample guard (the WoE lesson): a stratum with
-      // ns <= 1 has no variance estimate — NULL, not NaN, both engines
+      // ns <= 1 has no variance estimate — NULL, not NaN, both engines.
+      // within_ci compares the r6-QUANTIZED err/bound (ADVICE r9): the
+      // boolean inherits the declared floats' quantization margin, so a
+      // stratum landing within 1 ulp of the CI bound can't flip it on
+      // cross-engine drift.
       val ok = col("ns") > 1
       g.select(col("event_type"), col("n").as("n_exact"),
         col("ns").as("n_sample"), (col("ns") * 20).as("n_est"),
@@ -727,7 +748,8 @@ object StatsQueries {
         graft.functions.DetAgg.r6(col("sy").cast("double") / col("n"))
           .as("mean_exact"),
         when(ok, graft.functions.DetAgg.r6(se2)).as("ci_half"),
-        when(ok, err <= se2).as("within_ci"))
+        when(ok, graft.functions.DetAgg.r6(err) <=
+          graft.functions.DetAgg.r6(se2)).as("within_ci"))
     },
 
     // Welch's two-sample t-test (unequal variances) between the

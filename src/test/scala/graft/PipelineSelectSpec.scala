@@ -216,7 +216,9 @@ class PipelineSelectSpec extends SparkSpec {
     assert(got.map(x => (x._1, x._2)).toSeq == sel.map(x => (x._1, x._2)).toSeq,
       s"selection order diverged: $got vs $sel")
     got.zip(sel).foreach { case (g, w) =>
-      assert(math.abs(g._3 - w._3) < 1e-12) }
+      // the declared score is r6-quantized; the replay's raw greedy score
+      // goes through the same floor(x*1e6+0.5)/1e6 grid
+      assert(g._3 == math.floor(w._3 * 1e6 + 0.5) / 1e6) }
     // diversity: the MMR set must differ from the plain relevance top-k
     val topRel = cand.take(MmrK).map(_._1).toSet
     assert(got.map(_._2).toSet != topRel,
