@@ -1169,9 +1169,16 @@ object TextQueries {
       val w = e.join(broadcast(lr), "b")
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_toks"), sum(col("lrq")).as("lw_q"))
-      w.withColumn("rank", row_number().over(
+      // STRUCTURAL top-k (round-9 verdict #4): orderBy().limit() compiles
+      // to TakeOrderedAndProject by construction — previously the bound
+      // came from the optimizer rewriting a global row_number window
+      // (InferWindowGroupLimit), i.e. one config/threshold away from a
+      // single-partition global sort. The rank window now runs over the
+      // ≤ DsirTopK-row bounded result only.
+      w.orderBy(col("lw_q").desc, col("doc_id"))
+        .limit(DsirTopK)
+        .withColumn("rank", row_number().over(
           Window.orderBy(col("lw_q").desc, col("doc_id"))).cast("long"))
-        .filter(col("rank") <= DsirTopK)
         .select(col("doc_id"), col("lang"), col("n_toks"), col("lw_q"),
           col("rank"))
     },
