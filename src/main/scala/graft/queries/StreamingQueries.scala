@@ -296,6 +296,58 @@ object StreamingQueries {
         java.util.Arrays.asList(rows: _*)), schema)
   }
 
+  /** Two-sided outer-join drain shared by stream_join_left_outer and
+    * stream_join_full_outer (round-9 verdict #6 — the kpiAppendDrain
+    * pattern applied to the join modes): ONE checkpointed FULL OUTER
+    * stream-stream execution whose state stores evict BOTH unmatched
+    * sides — a left-unmatched click when the watermark passes its join
+    * window's upper bound, a right-unmatched purchase when it passes the
+    * purchase's lower bound. The full drain is the declared full-outer
+    * surface; the left-outer surface is exactly its click-side rows
+    * (FULL = INNER ∪ left-only ∪ right-only, LEFT = INNER ∪ left-only =
+    * FULL where click_id IS NOT NULL), and the left query's
+    * eviction-timed nulls are the SAME click-side eviction events the
+    * dedicated left-outer execution produced — so one drain pins every
+    * eviction path both queries pinned, at half the checkpointed-
+    * execution cost. Both sides keep the `__wm__` sentinel through their
+    * pre-watermark filters (an event_type predicate that EXCLUDED it
+    * would push below EventTimeWatermark and freeze the clock — the
+    * round-7 hazard); sentinel rows never match (same ts fails
+    * p_ts > click_ts) and never expire, and the drained rows are
+    * filtered on the coalesced user key so the contract doesn't ride
+    * that reasoning alone. */
+  private def funnelOuterDrain(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    val (rows, schema) = drainCache.computeIfAbsent(
+      s"joinouter_${QuerySpec.jvmScopedKey(d)}", { _ =>
+        val dir = sentinelStreamDir(s, d)
+        val drained = StreamingKpi.runBounded(s, s2 => {
+          val clicks = sentinelStream(s2, dir)
+            .filter(col("event_type").isin("click", "__wm__"))
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("click_ts"))
+          val purchases = sentinelStream(s2, dir)
+            .filter(col("event_type").isin("purchase", "__wm__"))
+            .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"), col("ts").as("p_ts"))
+          clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("p_ts") > col("click_ts") &&
+              col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+            "full_outer")
+            .select(col("click_id"), col("purchase_id"),
+              coalesce(col("user_id"), col("p_user")).as("user_id"),
+              (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+                .as("lag_us"))
+        }, "join_full_outer", OutputMode.Append)
+          .filter(col("user_id") =!= -1L)
+        (drained.collect(), drained.schema)
+      })
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), schema)
+  }
+
   /** foreachBatch keyed-upsert drain — the Update-mode MERGE-sink
     * pattern: the tumbling KPI emits REFRESHED (slice, window) rows
     * every micro-batch they change (no watermark-finalization wait), and
@@ -658,25 +710,13 @@ object StreamingQueries {
          |  ON a.user_id = b.user_id AND b.event_type = 'purchase'
          | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
          |WHERE a.event_type = 'click'""".stripMargin) { (s, d) =>
-      val dir = sentinelStreamDir(s, d)
-      StreamingKpi.runBounded(s, s2 => {
-        val clicks = sentinelStream(s2, dir)
-          .filter(col("event_type").isin("click", "__wm__"))
-          .select(col("event_id").as("click_id"), col("user_id"),
-            col("ts").as("click_ts"))
-        val purchases = sentinelStream(s2, dir)
-          .filter(col("event_type").isin("purchase", "__wm__"))
-          .select(col("event_id").as("purchase_id"),
-            col("user_id").as("p_user"), col("ts").as("p_ts"))
-        clicks.join(purchases,
-          col("user_id") === col("p_user") &&
-            col("p_ts") > col("click_ts") &&
-            col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-          "left_outer")
-          .select(col("click_id"), col("purchase_id"), col("user_id"),
-            (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
-      }, "join_left_outer", OutputMode.Append)
-        .filter(col("user_id") =!= -1L)
+      // LEFT = FULL minus right-only (click_id NULL) rows: the memoized
+      // two-sided drain's state stores evict BOTH unmatched sides, so
+      // its click-side rows are exactly the left-outer surface —
+      // matched rows plus eviction-timed null extensions. See
+      // [[funnelOuterDrain]] for why one checkpointed execution serves
+      // both declared join modes.
+      funnelOuterDrain(s, d).filter(col("click_id").isNotNull)
     },
 
     // Stream-stream FULL OUTER join — the last join mode: null-extended
@@ -698,27 +738,7 @@ object StreamingQueries {
          |      WHERE event_type = 'purchase') b
          |  ON a.user_id = b.p_user
          | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin) { (s, d) =>
-      val dir = sentinelStreamDir(s, d)
-      StreamingKpi.runBounded(s, s2 => {
-        val clicks = sentinelStream(s2, dir)
-          .filter(col("event_type").isin("click", "__wm__"))
-          .select(col("event_id").as("click_id"), col("user_id"),
-            col("ts").as("click_ts"))
-        val purchases = sentinelStream(s2, dir)
-          .filter(col("event_type").isin("purchase", "__wm__"))
-          .select(col("event_id").as("purchase_id"),
-            col("user_id").as("p_user"), col("ts").as("p_ts"))
-        clicks.join(purchases,
-          col("user_id") === col("p_user") &&
-            col("p_ts") > col("click_ts") &&
-            col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-          "full_outer")
-          .select(col("click_id"), col("purchase_id"),
-            coalesce(col("user_id"), col("p_user")).as("user_id"),
-            (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
-              .as("lag_us"))
-      }, "join_full_outer", OutputMode.Append)
-        .filter(col("user_id") =!= -1L)
+      funnelOuterDrain(s, d)
     },
 
     // Streaming deduplication — the event-stream analogue of the batch
