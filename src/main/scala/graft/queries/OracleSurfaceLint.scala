@@ -68,9 +68,46 @@ object OracleSurfaceLint {
     }
   }
 
+  /** Float64's largest exactly-representable integer magnitude (2^53):
+    * past it, consecutive integers collapse onto one double. */
+  val Float64ExactMax: BigDecimal = BigDecimal(2).pow(53)
+
+  /** Rule 3 — DECIMAL columns whose values leave float64's exact range
+    * (round-9 verdict #7). DuckDB's `fetchdf` hands DECIMAL results to
+    * pandas as float64; a DECIMAL(38,0) beyond 2^53 (or any decimal
+    * whose UNSCALED significand exceeds it) silently rounds there,
+    * while the Spark-parquet side may round differently (or arrive as
+    * an exact object dtype) — a per-row hash corruption with no error
+    * anywhere, the same failure class as the year-9999 timestamps.
+    * Probe the written parquet with one bounded max(abs()) aggregate;
+    * compare the unscaled magnitude (value × 10^scale) against 2^53 so
+    * fractional decimals are held to the same exactness bar as
+    * integers. Declared surfaces should carry BIGINTs inside 2^53 or
+    * r6-quantized DOUBLEs instead. */
+  def overflowingDecimals(df: DataFrame): Seq[(String, java.math.BigDecimal)] = {
+    val decCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[DecimalType] =>
+        (f.name, f.dataType.asInstanceOf[DecimalType])
+    }.toSeq
+    if (decCols.isEmpty) Nil
+    else {
+      val aggs = decCols.map { case (c, _) => max(abs(col(c))).as(s"maxabs_$c") }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      decCols.flatMap { case (c, dt) =>
+        val i = row.fieldIndex(s"maxabs_$c")
+        if (row.isNullAt(i)) None
+        else {
+          val v = row.getDecimal(i)
+          val unscaled = BigDecimal(v) * BigDecimal(10).pow(dt.scale)
+          if (unscaled > Float64ExactMax) Some(c -> v) else None
+        }
+      }
+    }
+  }
+
   /** Throws IllegalArgumentException naming the query and offending
-    * columns if either rule is violated. `written` should be the
-    * re-read of the dumped parquet (rule 2 scans values). */
+    * columns if any rule is violated. `written` should be the
+    * re-read of the dumped parquet (rules 2 and 3 scan values). */
   def check(name: String, declared: DataFrame, written: DataFrame): Unit = {
     val ns = nonScalarColumns(declared)
     require(ns.isEmpty,
@@ -82,5 +119,11 @@ object OracleSurfaceLint {
       s"[lint] $name: timestamp values outside pandas datetime64[ns] " +
         s"range: ${oor.map { case (c, v) => s"$c=${v}us" }.mkString(", ")} — " +
         "use NULL or a sub-2262 sentinel")
+    val od = overflowingDecimals(written)
+    require(od.isEmpty,
+      s"[lint] $name: DECIMAL values beyond float64's 2^53 exact range: " +
+        s"${od.map { case (c, v) => s"$c=$v" }.mkString(", ")} — the " +
+        "driver's DuckDB fetchdf path rounds them to float64 silently; " +
+        "declare a BIGINT inside 2^53 or an r6-quantized DOUBLE instead")
   }
 }

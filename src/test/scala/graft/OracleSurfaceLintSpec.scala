@@ -50,6 +50,29 @@ class OracleSurfaceLintSpec extends SparkSpec {
     OracleSurfaceLint.check("ok", ok, ok)
   }
 
+  test("rule 3: a planted beyond-2^53 decimal is caught; in-range passes") {
+    import spark.implicits._
+    // 2^53 + 1 = 9007199254740993 — the first integer float64 cannot hold
+    val bad = Seq("9007199254740993", "12.5").toDF("s")
+      .select(col("s").cast("decimal(38,0)").as("total"))
+    assert(OracleSurfaceLint.overflowingDecimals(bad).map(_._1) ==
+      Seq("total"))
+    val e = intercept[IllegalArgumentException] {
+      OracleSurfaceLint.check("planted", bad.limit(0), bad)
+    }
+    assert(e.getMessage.contains("total"))
+    // a fractional decimal is held to the same UNSCALED-significand bar:
+    // 90071992547409.93 at scale 2 has unscaled 2^53 + 1
+    val frac = Seq("90071992547409.93").toDF("s")
+      .select(col("s").cast("decimal(38,2)").as("v"))
+    assert(OracleSurfaceLint.overflowingDecimals(frac).map(_._1) == Seq("v"))
+    // in-range decimals and all-NULL columns pass
+    val ok = Seq(Some("9007199254740992"), None).toDF("s")
+      .select(col("s").cast("decimal(38,0)").as("total"))
+    assert(OracleSurfaceLint.overflowingDecimals(ok).isEmpty)
+    OracleSurfaceLint.check("ok", ok.limit(0), ok)
+  }
+
   test("every declared query carries a DuckDB oracle (0 rows-only)") {
     val rowsOnly = SparkEntry.allQueries.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.isEmpty,
