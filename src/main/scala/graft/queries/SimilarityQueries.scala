@@ -303,6 +303,46 @@ object SimilarityQueries {
       topK(scoredBrute(svSpark(s, d), NQueries), TopK)
     },
 
+    // The SQL-PARSER entry point (round-9 verdict #8): the identical
+    // brute-force top-k, but stated entirely through `spark.sql` with
+    // the engine's natives called BY NAME from SQL text —
+    // [[graft.GraftExtensions]] registers `dot_long` (codegen'd scalar)
+    // and `cos_top_k` (bounded-heap aggregate, analyzer-wrapped from the
+    // bare AggregateFunction) into the session function registry, and
+    // this query proves that route end-to-end against the same DuckDB
+    // oracle as ann_cosine_topk: parser → registry builder → the same
+    // physical plan family (partial_cos_top_k before the exchange) →
+    // the same bits. Same literals, same IEEE tree, same r6 grid.
+    checked("sql_ann_topk",
+      s"""WITH sv AS ($svSql),
+         |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM sv WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT q_id, vec_id, ${sqlDotInt("qv", "v", Dim)} / (sqrt(qn2) * sqrt(n2)) AS cos
+         |  FROM q JOIN sv ON vec_id <> q_id),
+         |${rankedTailSql(TopK)}""".stripMargin) { (s, d) =>
+      graft.GraftExtensions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_sql_embeddings")
+      s.sql(
+        s"""WITH sv0 AS (
+           |  SELECT vec_id,
+           |    transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+           |  FROM graft_sql_embeddings),
+           |sv AS (SELECT vec_id, v,
+           |    CAST(dot_long(v, v) AS DOUBLE) AS n2 FROM sv0),
+           |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM sv
+           |  WHERE vec_id < $NQueries),
+           |scored AS (
+           |  SELECT q_id, sv.vec_id,
+           |    CAST(dot_long(qv, sv.v) AS DOUBLE) / (sqrt(qn2) * sqrt(n2)) AS cos
+           |  FROM q JOIN sv ON sv.vec_id <> q_id),
+           |tk AS (SELECT q_id, cos_top_k(cos, vec_id, $TopK) AS tk
+           |  FROM scored GROUP BY q_id)
+           |SELECT q_id, rnk, vec_id,
+           |  floor(cos * 1e6 + 0.5) / 1e6 AS cos
+           |FROM tk LATERAL VIEW inline(tk) t""".stripMargin)
+    },
+
     // CALIBRATION of the kNN vote — the reliability-diagram regime that
     // closes the eval family (AUC ranks, lift targets, NDCG orders,
     // confusion counts; calibration asks whether CONFIDENCE means what

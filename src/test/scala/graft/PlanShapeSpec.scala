@@ -26,6 +26,15 @@ class PlanShapeSpec extends SparkSpec {
       "no window operator may rank the full scored candidate set")
   }
 
+  test("sql_ann_topk: the parser route plans the same bounded-heap top-k") {
+    val p = plan("sql_ann_topk")
+    assert(p.contains("partial_cos_top_k"),
+      "the SQL-registered cos_top_k must reach the same partial " +
+        "ObjectHashAggregate as the Column route")
+    assert(!p.contains("Window"),
+      "no window operator may rank the full scored candidate set")
+  }
+
   test("ann_pq encode/LUT are projections; ranking reduces map-side, no window") {
     val p = plan("ann_pq")
     assert(p.contains("partial_cos_top_k"),
