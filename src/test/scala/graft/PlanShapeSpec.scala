@@ -43,6 +43,18 @@ class PlanShapeSpec extends SparkSpec {
       "no window operator may rank the scored set or pick codes")
   }
 
+  test("ann_ivfpq: probed-list candidates via broadcast equi-join; heap top-k") {
+    val p = plan("ann_ivfpq")
+    assert(p.contains("partial_cos_top_k"),
+      "ADC top-k must aggregate partially before the exchange")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-list query LUTs must broadcast onto the encoded corpus")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"candidates must come from the c_id equi-join only; got:\n$p")
+    assert(!p.contains("Window"),
+      "assignment/encode must be argmin projections, not window ranks")
+  }
+
   test("ann_ivf assignment and probing are pure projections (no window, no BNLJ)") {
     val p = plan("ann_ivf")
     assert(!p.contains("Window"), "centroid assignment must not rank through a window")
@@ -457,7 +469,11 @@ class PlanShapeSpec extends SparkSpec {
       "sample_reservoir" -> 60000L,
       // the depth-2 grower ships only histogram cells (≤ 24 + 2·16)
       // and 1-2-row model frames per level
-      "ml_tree_depth2" -> 20000L)
+      "ml_tree_depth2" -> 20000L,
+      // round-10: IVFPQ moves only the bounded top-k heap partials and
+      // the staged-corpus checkpoint read — encode and LUTs are
+      // projections, candidates ride the broadcast c_id join
+      "ann_ivfpq" -> 30000L)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     try {
