@@ -767,6 +767,78 @@ object KpiQueries {
           (col("hb").getField("l") + col("hb").getField("b")).as("forecast1"))
     },
 
+    // Rolling-origin backtest — the forecast-evaluation regime every
+    // production forecasting deployment runs (the M-competitions'
+    // "rolling origin evaluation", statsmodels/sktime's
+    // `cross_val_score` with expanding windows): at each of the last 6
+    // hourly origins per slice, forecast the origin's value using ONLY
+    // strictly-prior history, under three closed-form methods — naive
+    // (last value), ma4 (trailing-4-hour mean), mean (expanding mean) —
+    // and report per-(slice, method) fold counts and MAE. This is the
+    // evaluation harness the ml_var_hybrid/ts_holt model families plug
+    // into; the closed-form methods keep every fold exact: hourly sums
+    // are BIGINTs on the 1e3 grid, the two mean forecasts divide via
+    // the sign-consistent exact floor division (the ml_tree_depth2
+    // spelling, mirrored verbatim), |err| sums are BIGINTs, and the
+    // final MAE is one IEEE division r6-rounded. Plan: one hourly
+    // aggregate (map-side combined), one window pass per slice, a
+    // 3-way in-projection unpivot — no joins, no extra shuffles; folds
+    // are O(slices · 6) rows.
+    checked("ts_backtest", {
+      def fdiv(a: String, b: String) = s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
+      s"""WITH h AS (SELECT event_type AS slice, date_trunc('hour', ts) AS t,
+         |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |o AS (SELECT slice, v,
+         |    row_number() OVER w AS rn,
+         |    count(*) OVER (PARTITION BY slice) AS n,
+         |    lag(v, 1) OVER w AS l1,
+         |    sum(v) OVER (w ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS s4,
+         |    sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sp
+         |  FROM h WINDOW w AS (PARTITION BY slice ORDER BY t)),
+         |folds AS (SELECT slice, v, l1,
+         |    ${fdiv("s4", "4")} AS ma4, ${fdiv("sp", "rn - 1")} AS em
+         |  FROM o WHERE rn >= 5 AND rn > n - 6),
+         |u AS (SELECT slice, 'naive' AS method, abs(v - l1) AS ae FROM folds
+         |  UNION ALL SELECT slice, 'ma4', abs(v - ma4) FROM folds
+         |  UNION ALL SELECT slice, 'mean', abs(v - em) FROM folds)
+         |SELECT slice, method, CAST(count(*) AS BIGINT) AS n_folds,
+         |  CAST(sum(ae) AS BIGINT) AS sum_abs_err,
+         |  ${DetAgg.sqlR6("CAST(sum(ae) AS DOUBLE) / count(*)")} AS mae_mv
+         |FROM u GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def fdiv(a: String, b: String) =
+        expr(s"(($a) - ((($a) % ($b) + ($b)) % ($b))) DIV ($b)")
+      val h = Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"),
+          date_trunc("hour", col("ts")).as("t"))
+        .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
+      val w = Window.partitionBy("slice").orderBy("t")
+      val o = h.select(col("slice"), col("v"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("slice")).as("n"),
+        lag(col("v"), 1).over(w).as("l1"),
+        sum(col("v")).over(w.rowsBetween(-4, -1)).as("s4"),
+        sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+          .as("sp"))
+      val folds = o.filter(col("rn") >= 5 && col("rn") > col("n") - 6)
+        .select(col("slice"), col("v"), col("l1").as("p_naive"),
+          fdiv("s4", "4").as("p_ma4"), fdiv("sp", "rn - 1").as("p_mean"))
+      folds
+        .select(col("slice"), col("v"), explode(array(
+          struct(lit("naive").as("method"), col("p_naive").as("pred")),
+          struct(lit("ma4").as("method"), col("p_ma4").as("pred")),
+          struct(lit("mean").as("method"), col("p_mean").as("pred"))))
+          .as("u"))
+        .select(col("slice"), col("u.method").as("method"),
+          abs(col("v") - col("u.pred")).as("ae"))
+        .groupBy("slice", "method")
+        .agg(count(lit(1)).as("n_folds"), sum(col("ae")).as("sum_abs_err"),
+          DetAgg.r6(sum(col("ae")).cast("double") / count(lit(1)))
+            .as("mae_mv"))
+    },
+
     // Bloom-filter membership with its contract MEASURED, beside the
     // HLL/GK/CMS/MG sketches: build the filter over the distinct user
     // set (df.stat.bloomFilter — Spark's distributed treeAggregate

@@ -23,13 +23,15 @@ object StatsQueries {
   private def mv(c: org.apache.spark.sql.Column) =
     floor(c * 1000).cast("long")
 
-  /** FLOOR division of BIGINTs with one semantics on every engine
-    * (ADVICE r9): Spark `DIV` truncates toward zero while DuckDB `//`
-    * floors, so on negative sums they'd silently diverge. Subtracting
-    * the canonical non-negative mod first makes the numerator an exact
-    * multiple of the (positive) divisor, where truncate = floor = exact
-    * — all in BIGINT, no double round-trip. Mirrored verbatim in the
-    * oracle SQL. */
+  /** FLOOR division of BIGINTs with one explicit semantics everywhere
+    * (ADVICE r9). Measured: DuckDB `//` TRUNCATES toward zero
+    * (-7 // 2 = -3), same as Spark `DIV` — but the local replay specs
+    * use Math.floorDiv, and the three only agree because harness sums
+    * are non-negative. Subtracting the canonical non-negative mod first
+    * makes the numerator an exact multiple of the (positive) divisor,
+    * where truncate = floor = exact — all in BIGINT, no double
+    * round-trip, no sign precondition. Mirrored verbatim in the oracle
+    * SQL. */
   private def floorDivExact(a: String, b: String) =
     expr(s"($a - (($a % $b + $b) % $b)) DIV $b")
 
