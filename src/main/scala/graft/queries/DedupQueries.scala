@@ -1096,6 +1096,111 @@ object DedupQueries {
         .groupBy(col("b").as("nationkey"), col("dd").cast("long").as("d"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("dd") <= 2, 1L).otherwise(0L)).as("n_matched"))
+    },
+
+    // Fellegi-Sunter match-weight calibration — the scoring half of
+    // probabilistic record linkage (Splink/fastLink): each candidate
+    // pair gets a COMPARISON VECTOR (here: name edit-distance level
+    // 2/1/0 = exact/close/other, and account-balance band agreement),
+    // and the per-pattern log Bayes factor log(P(pattern|candidates) /
+    // P(pattern|random)) is the additive match weight the linker
+    // thresholds on. Candidates are the er_fuzzy_match SNM pairs (the
+    // m-side estimand); the u-side baseline is Splink's "random pairs"
+    // estimation made deterministic AND shuffle-friendly: pair block
+    // b's rank-r record with block (b+13) mod 25's rank-REVERSED
+    // record — an equi-join on (shifted block, reversed rank),
+    // cross-block AND order-inverted so it is decorrelated from both
+    // the blocking and the name sort (same-rank pairing would pair
+    // near-alphabetical names — measured: it inverts every weight),
+    // O(n) pairs, no global sort.
+    // Exactness: all counts BIGINT; the smoothed ratio
+    // (n_cand+1)·(tot_rand+P) / ((n_rand+1)·(tot_cand+P)) is a single
+    // IEEE division of exact ≤2^53 integer products, and the weight is
+    // the corpus-standard quantized log (the text_lm_score grid), so
+    // the declared surface is integer end to end.
+    checked("er_match_weights", {
+      val W = ErWindow
+      val ilog = graft.queries.TextQueries.sqlIlog _
+      s"""WITH s AS (SELECT s_suppkey AS k, s_name AS nm,
+         |    CAST(floor(s_acctbal / 1000.0) AS BIGINT) AS band,
+         |    s_nationkey AS b FROM supplier),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY b ORDER BY nm, k)
+         |    AS rn,
+         |    count(*) OVER (PARTITION BY b) - row_number()
+         |      OVER (PARTITION BY b ORDER BY nm, k) + 1 AS rrn FROM s),
+         |cand AS (SELECT a.nm AS nm1, c.nm AS nm2, a.band AS b1, c.band AS b2
+         |  FROM r a JOIN r c
+         |    ON a.b = c.b AND c.rn > a.rn AND c.rn <= a.rn + $W),
+         |rand AS (SELECT a.nm AS nm1, c.nm AS nm2, a.band AS b1, c.band AS b2
+         |  FROM r a JOIN r c ON c.b = (a.b + 13) % 25 AND c.rrn = a.rn),
+         |cp AS (SELECT CASE WHEN levenshtein(nm1, nm2) = 0 THEN 2
+         |      WHEN levenshtein(nm1, nm2) <= 2 THEN 1 ELSE 0 END AS name_lvl,
+         |    CASE WHEN b1 = b2 THEN 1 ELSE 0 END AS bal_agree FROM cand),
+         |rp AS (SELECT CASE WHEN levenshtein(nm1, nm2) = 0 THEN 2
+         |      WHEN levenshtein(nm1, nm2) <= 2 THEN 1 ELSE 0 END AS name_lvl,
+         |    CASE WHEN b1 = b2 THEN 1 ELSE 0 END AS bal_agree FROM rand),
+         |cc AS (SELECT name_lvl, bal_agree, CAST(count(*) AS BIGINT) AS n_cand
+         |  FROM cp GROUP BY 1, 2),
+         |rc AS (SELECT name_lvl, bal_agree, CAST(count(*) AS BIGINT) AS n_rand
+         |  FROM rp GROUP BY 1, 2),
+         |tot AS (SELECT (SELECT count(*) FROM cp) AS tc,
+         |  (SELECT count(*) FROM rp) AS tr)
+         |SELECT name_lvl, bal_agree,
+         |  COALESCE(n_cand, 0) AS n_cand, COALESCE(n_rand, 0) AS n_rand,
+         |  ${ilog("CAST((COALESCE(n_cand, 0) + 1) * (tr + 6) AS DOUBLE) / " +
+                  "CAST((COALESCE(n_rand, 0) + 1) * (tc + 6) AS DOUBLE)")}
+         |    AS weight_q
+         |FROM cc FULL JOIN rc USING (name_lvl, bal_agree)
+         |CROSS JOIN tot""".stripMargin
+    }) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("b").orderBy("nm", "k")
+      val sup = staged(Tables.supplier(s, d)
+        .select(col("s_suppkey").as("k"), col("s_name").as("nm"),
+          floor(col("s_acctbal") / 1000.0).cast("long").as("band"),
+          col("s_nationkey").as("b"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rrn",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("b")) - row_number().over(w) + 1))
+      def pattern(nm1: org.apache.spark.sql.Column,
+                  nm2: org.apache.spark.sql.Column,
+                  b1: org.apache.spark.sql.Column,
+                  b2: org.apache.spark.sql.Column) = Seq(
+        when(levenshtein(nm1, nm2) === 0, 2L)
+          .when(levenshtein(nm1, nm2) <= 2, 1L).otherwise(0L).as("name_lvl"),
+        when(b1 === b2, 1L).otherwise(0L).as("bal_agree"))
+      // candidate side: the SNM lead-window pairs (join-free, n·W)
+      val neighbors = (1 to ErWindow).map(i =>
+        lead(struct(col("nm"), col("band")), i).over(w).as(s"nb_$i"))
+      val cp = sup
+        .select(Seq(col("nm"), col("band")) ++ neighbors: _*)
+        .select(col("nm"), col("band"), explode(array(
+          (1 to ErWindow).map(i => col(s"nb_$i")): _*)).as("nb"))
+        .filter(col("nb").isNotNull)
+        .select(pattern(col("nm"), col("nb.nm"),
+          col("band"), col("nb.band")): _*)
+      // u-side baseline: cross-block REVERSED-rank pairing (equi, O(n))
+      val right = sup.select(col("nm").as("nm2"), col("band").as("band2"),
+        col("b").as("b2"), col("rrn").as("rrn2"))
+      val rp = sup.join(right,
+          col("b2") === (col("b") + 13) % 25 && col("rrn2") === col("rn"))
+        .select(pattern(col("nm"), col("nm2"), col("band"), col("band2")): _*)
+      val cc = cp.groupBy("name_lvl", "bal_agree")
+        .agg(count(lit(1)).as("n_cand"))
+      val rc = rp.groupBy("name_lvl", "bal_agree")
+        .agg(count(lit(1)).as("n_rand"))
+      val tcv = cp.count()
+      val trv = rp.count()
+      cc.join(rc, Seq("name_lvl", "bal_agree"), "full_outer")
+        .select(col("name_lvl"), col("bal_agree"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_rand"), lit(0L)).as("n_rand"),
+          graft.queries.TextQueries.ilogCol(
+            ((coalesce(col("n_cand"), lit(0L)) + 1L) * (trv + 6L))
+              .cast("double") /
+              ((coalesce(col("n_rand"), lit(0L)) + 1L) * (tcv + 6L))
+                .cast("double")).as("weight_q"))
     })
 
   // ------------------------------------------------------------------

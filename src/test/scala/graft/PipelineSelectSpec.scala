@@ -176,6 +176,74 @@ class PipelineSelectSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == all.length.toLong)
   }
 
+  test("er_match_weights: matches a local FS replay; agreement adds evidence") {
+    val got = run("er_match_weights")
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val sup = graft.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        floor(col("s_acctbal") / 1000.0).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    def pat(a: (Long, String, Int, Long), b: (Long, String, Int, Long)) = {
+      val d = lev(a._2, b._2)
+      (if (d == 0) 2L else if (d <= 2) 1L else 0L,
+        if (a._4 == b._4) 1L else 0L)
+    }
+    val W = graft.queries.DedupQueries.ErWindow
+    val byBlock = sup.groupBy(_._3).map { case (b, vs) =>
+      b -> vs.sortBy(v => (v._2, v._1))
+    }
+    val cand = byBlock.values.toSeq.flatMap { ordered =>
+      for {
+        i <- ordered.indices
+        j <- (i + 1) to math.min(i + W, ordered.length - 1)
+      } yield pat(ordered(i), ordered(j))
+    }
+    val rand = byBlock.toSeq.flatMap { case (b, ordered) =>
+      byBlock.get((b + 13) % 25).toSeq.flatMap { partner =>
+        ordered.indices.flatMap { i =>
+          // a's rank i+1 pairs with partner's REVERSED rank i+1, i.e.
+          // the record at forward index (size - (i+1))
+          val idx = partner.length - (i + 1)
+          if (idx >= 0) Some(pat(ordered(i), partner(idx))) else None
+        }
+      }
+    }
+    val tc = cand.length.toLong
+    val tr = rand.length.toLong
+    val want = (cand.groupBy(identity).keySet ++ rand.groupBy(identity).keySet)
+      .map { p =>
+        val nc = cand.count(_ == p).toLong
+        val nr = rand.count(_ == p).toLong
+        val ratio = ((nc + 1) * (tr + 6)).toDouble / ((nr + 1) * (tc + 6))
+        p -> ((nc, nr,
+          math.floor(math.log(ratio) * graft.queries.TextQueries.LmLogScale
+            + 0.5).toLong))
+      }.toMap
+    assert(got == want, s"FS replay diverged: $got vs $want")
+    // band agreement must ADD evidence within a name level
+    got.keys.map(_._1).foreach { lvl =>
+      for {
+        (_, _, w1) <- got.get((lvl, 1L))
+        (_, _, w0) <- got.get((lvl, 0L))
+      } assert(w1 > w0, s"bal_agree weight not additive at name_lvl $lvl")
+    }
+  }
+
   test("ann_mmr_rerank: matches a full independent local MMR replay") {
     import SimilarityQueries._
     val got = run("ann_mmr_rerank")
