@@ -206,6 +206,95 @@ object WarehouseQueries {
     // the 30-day event span means day indexes are rebased to the
     // corpus-wide min so every position fits one BIGINT. Everything is
     // integer; one shuffle on user_id.
+    // Column PROFILER — the discovery half of a data-quality stack
+    // (Deequ's ColumnProfilerRunner, Great Expectations' profiler):
+    // where warehouse_constraint_check ASSERTS declared expectations,
+    // this MEASURES per-column statistics a reviewer derives new
+    // expectations from — completeness (non-null share), exact
+    // distinctness, and min/max/sum for the numeric columns — over
+    // orders, one row per column. Shape: ONE wide aggregate computes
+    // every profile cell (the multi-distinct Expand — the
+    // agg_multi_distinct pattern: grouped duplication map-side, never a
+    // per-column pass), then a 6-way literal unpivot. Completeness is
+    // one IEEE division per column r6-rounded; totalprice is profiled
+    // on the exact 1e2 cent grid (BIGINT min/max/sum), the date column
+    // as µs epoch extrema re-cast — so every declared cell is integer
+    // or r6. At 100 TB this is exactly one corpus scan regardless of
+    // column count.
+    checked("dq_profile", {
+      def complete(nn: String) =
+        graft.functions.DetAgg.sqlR6(s"CAST(n - $nn AS DOUBLE) / n")
+      s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS z_ok,
+         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_ok,
+         |  CAST(COALESCE(min(o_orderkey), 0) AS BIGINT) AS mn_ok,
+         |  CAST(COALESCE(max(o_orderkey), 0) AS BIGINT) AS mx_ok,
+         |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS z_ck,
+         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_ck,
+         |  CAST(COALESCE(min(o_custkey), 0) AS BIGINT) AS mn_ck,
+         |  CAST(COALESCE(max(o_custkey), 0) AS BIGINT) AS mx_ck,
+         |  CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) AS z_st,
+         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_st,
+         |  CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT) AS z_tp,
+         |  CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d_tp,
+         |  CAST(COALESCE(min(CAST(floor(o_totalprice * 100) AS BIGINT)), 0)
+         |    AS BIGINT) AS mn_tp,
+         |  CAST(COALESCE(max(CAST(floor(o_totalprice * 100) AS BIGINT)), 0)
+         |    AS BIGINT) AS mx_tp,
+         |  CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) AS z_od,
+         |  CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d_od,
+         |  CAST(COALESCE(epoch_us(min(o_orderdate)), 0) AS BIGINT) AS mn_od,
+         |  CAST(COALESCE(epoch_us(max(o_orderdate)), 0) AS BIGINT) AS mx_od,
+         |  CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT)
+         |    AS z_op,
+         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d_op
+         |FROM orders)
+         |SELECT 'o_orderkey' AS col_name, n AS n_rows, d_ok AS n_distinct,
+         |  ${complete("z_ok")} AS completeness, mn_ok AS min_q, mx_ok AS max_q
+         |FROM m
+         |UNION ALL SELECT 'o_custkey', n, d_ck, ${complete("z_ck")}, mn_ck, mx_ck FROM m
+         |UNION ALL SELECT 'o_orderstatus', n, d_st, ${complete("z_st")}, 0, 0 FROM m
+         |UNION ALL SELECT 'o_totalprice', n, d_tp, ${complete("z_tp")}, mn_tp, mx_tp FROM m
+         |UNION ALL SELECT 'o_orderdate', n, d_od, ${complete("z_od")}, mn_od, mx_od FROM m
+         |UNION ALL SELECT 'o_orderpriority', n, d_op, ${complete("z_op")}, 0, 0 FROM m""".stripMargin
+    }) { (s, d) =>
+      def nulls(c: String) = count(when(col(c).isNull, 1)).as(s"z_$c")
+      // staged: the 1-row profile frame feeds six unpivot branches —
+      // without it Catalyst replans (and re-scans) the aggregate per
+      // branch (self-union branches get fresh expr ids, like self-joins)
+      val m = QuerySpec.staged(Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        nulls("o_orderkey"), countDistinct(col("o_orderkey")).as("d_ok"),
+        coalesce(min(col("o_orderkey")), lit(0L)).as("mn_ok"),
+        coalesce(max(col("o_orderkey")), lit(0L)).as("mx_ok"),
+        nulls("o_custkey"), countDistinct(col("o_custkey")).as("d_ck"),
+        coalesce(min(col("o_custkey")), lit(0L)).as("mn_ck"),
+        coalesce(max(col("o_custkey")), lit(0L)).as("mx_ck"),
+        nulls("o_orderstatus"), countDistinct(col("o_orderstatus")).as("d_st"),
+        nulls("o_totalprice"), countDistinct(col("o_totalprice")).as("d_tp"),
+        coalesce(min(floor(col("o_totalprice") * 100).cast("long")), lit(0L))
+          .as("mn_tp"),
+        coalesce(max(floor(col("o_totalprice") * 100).cast("long")), lit(0L))
+          .as("mx_tp"),
+        nulls("o_orderdate"), countDistinct(col("o_orderdate")).as("d_od"),
+        coalesce(unix_micros(min(col("o_orderdate")).cast("timestamp")), lit(0L)).as("mn_od"),
+        coalesce(unix_micros(max(col("o_orderdate")).cast("timestamp")), lit(0L)).as("mx_od"),
+        nulls("o_orderpriority"), countDistinct(col("o_orderpriority")).as("d_op")))
+      def complete(z: String) = graft.functions.DetAgg.r6(
+        (col("n") - col(z)).cast("double") / col("n"))
+      def row(name: String, dCol: String, zCol: String,
+              mn: Column, mx: Column) =
+        m.select(lit(name).as("col_name"), col("n").as("n_rows"),
+          col(dCol).as("n_distinct"), complete(zCol).as("completeness"),
+          mn.as("min_q"), mx.as("max_q"))
+      row("o_orderkey", "d_ok", "z_o_orderkey", col("mn_ok"), col("mx_ok"))
+        .unionAll(row("o_custkey", "d_ck", "z_o_custkey", col("mn_ck"), col("mx_ck")))
+        .unionAll(row("o_orderstatus", "d_st", "z_o_orderstatus", lit(0L), lit(0L)))
+        .unionAll(row("o_totalprice", "d_tp", "z_o_totalprice", col("mn_tp"), col("mx_tp")))
+        .unionAll(row("o_orderdate", "d_od", "z_o_orderdate", col("mn_od"), col("mx_od")))
+        .unionAll(row("o_orderpriority", "d_op", "z_o_orderpriority", lit(0L), lit(0L)))
+    },
+
     // dbt-style data-quality CONSTRAINT CHECKS — the nightly assertion
     // pass every warehouse runs before publishing (not-null, unique-key,
     // referential-integrity, accepted-values, range): one row per check
