@@ -839,6 +839,76 @@ object KpiQueries {
             .as("mae_mv"))
     },
 
+    // Pinball (quantile) loss evaluation — the companion metric of
+    // ts_backtest for QUANTILE forecasts (the M5-Uncertainty
+    // competition's scoring rule; production demand/capacity forecasts
+    // ship P10/P50/P90 bands and are graded exactly this way). At the
+    // same rolling origins, the τ-quantile forecast is the TYPE-1 order
+    // statistic of the trailing 8 hours (rank ceil(8τ) — an actual data
+    // value, bit-identical by construction), and the pinball loss
+    // max(τ·e, (τ−1)·e) is kept integer by scaling τ by 10
+    // (τ10 ∈ {1,5,9} → L·10 = max(τ10·e, (τ10−10)·e), all BIGINT).
+    // Declared surface: per (slice, τ10) fold count, exact summed
+    // 10×-loss, and the r6 mean. Same plan economics as ts_backtest:
+    // one hourly aggregate, one window pass (the trailing frame rides
+    // the same sort), a 3-way in-projection unpivot.
+    checked("ts_pinball",
+      s"""WITH h AS (SELECT event_type AS slice, date_trunc('hour', ts) AS t,
+         |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |o AS (SELECT slice, v,
+         |    row_number() OVER w AS rn,
+         |    count(*) OVER (PARTITION BY slice) AS n,
+         |    list_sort(list(v) OVER (w ROWS BETWEEN 8 PRECEDING
+         |      AND 1 PRECEDING)) AS trail
+         |  FROM h WINDOW w AS (PARTITION BY slice ORDER BY t)),
+         |folds AS (SELECT slice, v,
+         |    trail[1] AS q10, trail[4] AS q50, trail[8] AS q90
+         |  FROM o WHERE rn >= 9 AND rn > n - 6),
+         |u AS (SELECT slice, CAST(1 AS BIGINT) AS tau10,
+         |    greatest(1 * (v - q10), (1 - 10) * (v - q10)) AS l10 FROM folds
+         |  UNION ALL SELECT slice, 5,
+         |    greatest(5 * (v - q50), (5 - 10) * (v - q50)) FROM folds
+         |  UNION ALL SELECT slice, 9,
+         |    greatest(9 * (v - q90), (9 - 10) * (v - q90)) FROM folds)
+         |SELECT slice, tau10, CAST(count(*) AS BIGINT) AS n_folds,
+         |  CAST(sum(l10) AS BIGINT) AS sum_pinball10,
+         |  ${DetAgg.sqlR6("CAST(sum(l10) AS DOUBLE) / count(*)")}
+         |    AS mean_pinball10
+         |FROM u GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"),
+          date_trunc("hour", col("ts")).as("t"))
+        .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
+      val w = Window.partitionBy("slice").orderBy("t")
+      val o = h.select(col("slice"), col("v"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("slice")).as("n"),
+        sort_array(collect_list(col("v")).over(w.rowsBetween(-8, -1)))
+          .as("trail"))
+      val folds = o.filter(col("rn") >= 9 && col("rn") > col("n") - 6)
+        .select(col("slice"), col("v"),
+          element_at(col("trail"), 1).as("q10"),
+          element_at(col("trail"), 4).as("q50"),
+          element_at(col("trail"), 8).as("q90"))
+      def loss(t10: Int, q: String) = {
+        val e = col("v") - col(q)
+        greatest(lit(t10.toLong) * e, lit(t10.toLong - 10L) * e)
+      }
+      folds
+        .select(col("slice"), explode(array(
+          struct(lit(1L).as("tau10"), loss(1, "q10").as("l10")),
+          struct(lit(5L).as("tau10"), loss(5, "q50").as("l10")),
+          struct(lit(9L).as("tau10"), loss(9, "q90").as("l10")))).as("u"))
+        .select(col("slice"), col("u.tau10").as("tau10"),
+          col("u.l10").as("l10"))
+        .groupBy("slice", "tau10")
+        .agg(count(lit(1)).as("n_folds"), sum(col("l10")).as("sum_pinball10"),
+          DetAgg.r6(sum(col("l10")).cast("double") / count(lit(1)))
+            .as("mean_pinball10"))
+    },
+
     // Bloom-filter membership with its contract MEASURED, beside the
     // HLL/GK/CMS/MG sketches: build the filter over the distinct user
     // set (df.stat.bloomFilter — Spark's distributed treeAggregate
