@@ -35,6 +35,14 @@ object GraphQueries {
   val BfsMaxHops = 3
   val BfsNation = 7
 
+  /** Label propagation: fixed synchronous rounds. Near-dup families are
+    * near-cliques of bounded diameter, so 3 rounds reach the stable
+    * within-family consensus; a data-dependent convergence loop (the CC
+    * shape) is deliberately NOT used — synchronous LPA on general graphs
+    * can 2-cycle forever, and a fixed round count is the standard
+    * deterministic operating point. */
+  val LpaRounds = 3
+
   /** The symmetric transaction edge list (distinct (customer, supplier)
     * pairs through orders ⋈ lineitem, supplier ids offset, both
     * directions), with the distinct pair relation staged once — shared by
@@ -128,6 +136,58 @@ object GraphQueries {
       pr.join(deg.withColumnRenamed("src", "node_id"), Seq("node_id"), "left")
         .select(col("node_id"), coalesce(col("deg"), lit(0L)).as("deg"),
           col("pr").as("pr_scaled"))
+    },
+
+    // ------------------------------------------------------------------
+    // Label propagation (LPA — Raghavan et al. 2007; GraphFrames'
+    // labelPropagation) over the near-dup document graph: community
+    // detection by iterated neighbor-majority vote, the cheap
+    // communities pass a dedup pipeline runs to find duplicate FAMILIES
+    // (where connected components answers reachability, LPA's majority
+    // vote resists bridge edges between families). Semantics declared
+    // exactly: labels init to doc_id, LpaRounds SYNCHRONOUS rounds,
+    // each node adopts the most frequent neighbor label with ties to
+    // the smallest label — a total deterministic order, so the result
+    // is bit-reproducible (the published async/random-order LPA is
+    // not). Scale shape identical to graph_pagerank: the round count is
+    // FIXED so all rounds compile into ONE lazy plan — per round one
+    // equi join of the staged edge relation against the label vector
+    // plus one (node, label) count aggregate, whose argmax is a
+    // min(struct(-cnt, lbl)) aggregate, never a window over the votes.
+    checked("graph_label_propagation", {
+      val rounds = (1 to LpaRounds).map { k =>
+        s"""v$k AS (SELECT e.src AS node, l.lbl, count(*) AS cnt
+           |  FROM edges e JOIN l${k - 1} l ON e.dst = l.node GROUP BY 1, 2),
+           |l$k AS (SELECT node, lbl FROM (SELECT node, lbl,
+           |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl)
+           |      AS rn FROM v$k) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupQueries.pairsCtesSql},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         |$rounds
+         |SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community
+         |FROM l$LpaRounds""".stripMargin
+    }) { (s, d) =>
+      val pairs = staged(DedupQueries.nearDupPairsShared(s, d))
+      val edges = staged(pairs.select(col("doc_a").as("src"),
+          col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"),
+          col("doc_a").as("dst"))))
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to LpaRounds) {
+        labels = edges
+          .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+          .groupBy(col("src"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("src").as("node"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
+            .as("best"))
+          .select(col("node"), col("best.l").as("lbl"))
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("community"))
     },
 
     // ------------------------------------------------------------------
