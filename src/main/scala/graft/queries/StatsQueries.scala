@@ -442,6 +442,118 @@ object StatsQueries {
     // per round) cross back in as broadcasts — no driver collect, the
     // whole two-round fit is one declarative plan with two corpus
     // passes.
+    // Ridge regression by the NORMAL EQUATIONS, solved in closed form —
+    // the one linear-model fit that is fully SQL-expressible and
+    // therefore carries a REAL arithmetic oracle (the trainer queries
+    // pin their loops via dump-echo + invariants; this pins an actual
+    // fit bit-for-bit cross-engine). Model: y ~ β0 + β1·hour + β2·bucket
+    // on the 1e3-scaled value grid, λ = 10 added to the WHOLE diagonal
+    // (penalized intercept — declared semantics, keeps the system
+    // symmetric). The 100 TB shape: ONE map-side-combined aggregate
+    // computes the nine Gram/moment cells as exact BIGINTs (max cell
+    // ~4e12, exact in double after the correctly-rounded cast); the
+    // 3×3 solve is Cramer's rule as one fixed IEEE tree over those
+    // doubles — identical on both engines — and each β is one division,
+    // r6-rounded. Training SSE comes from the SAME moments
+    // (Σy² − 2βᵀXᵀy + βᵀXᵀXβ), never a second per-row pass whose float
+    // sum order would be partition-dependent. Model state: 9 cells.
+    checked("ml_ridge_closed_form", {
+      def det3(a: String, b: String, c: String, d: String, e: String,
+               f: String, g: String, h: String, i: String) =
+        s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g)" +
+          s" + $c * ($d * $h - $e * $g))"
+      // A = [[n+λ, s1, s2], [s1, s11+λ, s12], [s2, s12, s22+λ]]
+      val a = Seq("(CAST(n AS DOUBLE) + 10)", "CAST(s1 AS DOUBLE)",
+        "CAST(s2 AS DOUBLE)", "CAST(s1 AS DOUBLE)",
+        "(CAST(s11 AS DOUBLE) + 10)", "CAST(s12 AS DOUBLE)",
+        "CAST(s2 AS DOUBLE)", "CAST(s12 AS DOUBLE)",
+        "(CAST(s22 AS DOUBLE) + 10)")
+      val b = Seq("CAST(sy AS DOUBLE)", "CAST(s1y AS DOUBLE)",
+        "CAST(s2y AS DOUBLE)")
+      val dA = det3(a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7), a(8))
+      val d0 = det3(b(0), a(1), a(2), b(1), a(4), a(5), b(2), a(7), a(8))
+      val d1 = det3(a(0), b(0), a(2), a(3), b(1), a(5), a(6), b(2), a(8))
+      val d2 = det3(a(0), a(1), b(0), a(3), a(4), b(1), a(6), a(7), b(2))
+      val sse = "(CAST(syy AS DOUBLE) " +
+        s"- 2 * (b0 * CAST(sy AS DOUBLE) + b1 * CAST(s1y AS DOUBLE)" +
+        s" + b2 * CAST(s2y AS DOUBLE)) " +
+        s"+ (b0 * (b0 * CAST(n AS DOUBLE) + b1 * CAST(s1 AS DOUBLE)" +
+        s" + b2 * CAST(s2 AS DOUBLE))" +
+        s" + b1 * (b0 * CAST(s1 AS DOUBLE) + b1 * CAST(s11 AS DOUBLE)" +
+        s" + b2 * CAST(s12 AS DOUBLE))" +
+        s" + b2 * (b0 * CAST(s2 AS DOUBLE) + b1 * CAST(s12 AS DOUBLE)" +
+        s" + b2 * CAST(s22 AS DOUBLE))))"
+      s"""WITH sv AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS y,
+         |    CAST(hour(ts) AS BIGINT) AS x1, user_id % 16 AS x2 FROM events),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         |    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM sv),
+         |beta AS (SELECT n,
+         |    ($d0) / ($dA) AS b0, ($d1) / ($dA) AS b1, ($d2) / ($dA) AS b2,
+         |    sy, s1y, s2y, syy, s1, s2, s11, s12, s22
+         |  FROM g)
+         |SELECT n AS n_rows, ${graft.functions.DetAgg.sqlR6("b0")} AS beta0,
+         |  ${graft.functions.DetAgg.sqlR6("b1")} AS beta1,
+         |  ${graft.functions.DetAgg.sqlR6("b2")} AS beta2,
+         |  ${graft.functions.DetAgg.sqlR6(s"$sse / n")} AS mse
+         |FROM beta""".stripMargin
+    }) { (s, d) =>
+      val sv = Tables.events(s, d)
+        .select(mv(col("value")).as("y"), hour(col("ts")).cast("long").as("x1"),
+          expr("user_id % 16").as("x2"))
+      val g = sv.agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      def dbl(c: String) = col(c).cast("double")
+      def det3(m: Seq[org.apache.spark.sql.Column]) =
+        m(0) * (m(4) * m(8) - m(5) * m(7)) -
+          m(1) * (m(3) * m(8) - m(5) * m(6)) +
+          m(2) * (m(3) * m(7) - m(4) * m(6))
+      val lam = lit(10.0)
+      val aM = Seq(dbl("n") + lam, dbl("s1"), dbl("s2"),
+        dbl("s1"), dbl("s11") + lam, dbl("s12"),
+        dbl("s2"), dbl("s12"), dbl("s22") + lam)
+      val bV = Seq(dbl("sy"), dbl("s1y"), dbl("s2y"))
+      val dA = det3(aM)
+      def repl(i: Int) = det3(aM.zipWithIndex.map { case (c, j) =>
+        if (j % 3 == i) bV(j / 3) else c
+      })
+      val beta = g.select(col("n"), (repl(0) / dA).as("b0"),
+        (repl(1) / dA).as("b1"), (repl(2) / dA).as("b2"),
+        dbl("sy").as("dsy"), dbl("s1y").as("ds1y"), dbl("s2y").as("ds2y"),
+        dbl("syy").as("dsyy"), dbl("n").as("dn"), dbl("s1").as("ds1"),
+        dbl("s2").as("ds2"), dbl("s11").as("ds11"), dbl("s12").as("ds12"),
+        dbl("s22").as("ds22"))
+      val sse = col("dsyy") -
+        lit(2.0) * (col("b0") * col("dsy") + col("b1") * col("ds1y") +
+          col("b2") * col("ds2y")) +
+        (col("b0") * (col("b0") * col("dn") + col("b1") * col("ds1") +
+          col("b2") * col("ds2")) +
+          col("b1") * (col("b0") * col("ds1") + col("b1") * col("ds11") +
+            col("b2") * col("ds12")) +
+          col("b2") * (col("b0") * col("ds2") + col("b1") * col("ds12") +
+            col("b2") * col("ds22")))
+      beta.select(col("n").as("n_rows"),
+        graft.functions.DetAgg.r6(col("b0")).as("beta0"),
+        graft.functions.DetAgg.r6(col("b1")).as("beta1"),
+        graft.functions.DetAgg.r6(col("b2")).as("beta2"),
+        graft.functions.DetAgg.r6(sse / col("n").cast("double")).as("mse"))
+    },
+
     checked("ml_gbdt_stump", {
       def fitSql(src: String, yc: String, fc: String, tag: String) =
         s"""h$tag AS (SELECT $fc AS f, CAST(count(*) AS BIGINT) AS hn,

@@ -18,6 +18,34 @@ class StatsSpec extends SparkSpec {
         .getOrElse(fail(s"no query named $name")).fn(spark, sf).collect()
     } finally QuerySpec.releaseStaged()
 
+  test("ml_ridge_closed_form: the fitted betas satisfy the normal equations") {
+    val r = run("ml_ridge_closed_form").head
+    val beta = Array(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // independent moments from the raw table
+    val m = Tables.events(spark, sf)
+      .select(floor(col("value") * 1000).cast("long").as("y"),
+        hour(col("ts")).cast("long").as("x1"), expr("user_id % 16").as("x2"))
+      .agg(count(lit(1)), sum("x1"), sum("x2"),
+        sum(col("x1") * col("x1")), sum(col("x1") * col("x2")),
+        sum(col("x2") * col("x2")),
+        sum("y"), sum(col("x1") * col("y")), sum(col("x2") * col("y")))
+      .head()
+    val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+      (0 until 9).map(i => m.getLong(i).toDouble)
+    val lam = 10.0
+    val a = Array(Array(n + lam, s1, s2), Array(s1, s11 + lam, s12),
+      Array(s2, s12, s22 + lam))
+    val b = Array(sy, s1y, s2y)
+    (0 until 3).foreach { i =>
+      val lhs = (0 until 3).map(j => a(i)(j) * beta(j)).sum
+      // r6 quantization of beta bounds the residual: |A|·5e-7 per row
+      val tol = a(i).map(math.abs).sum * 5e-7 + 1e-6
+      assert(math.abs(lhs - b(i)) <= tol,
+        s"normal eq row $i: |$lhs - ${b(i)}| > $tol")
+    }
+    assert(r.getLong(0) == n.toLong && r.getDouble(4) >= 0.0)
+  }
+
   test("ts_holt equals a driver-side replay of the recurrence per user") {
     val rows = run("ts_holt").map(r =>
       r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
