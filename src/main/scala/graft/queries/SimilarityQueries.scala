@@ -289,6 +289,135 @@ object SimilarityQueries {
        |  FROM q JOIN asg ON q.c_id = asg.c_id AND asg.vec_id <> q.q_id)""".stripMargin
   }
 
+  /** The IVF-PQ CTE chain (coarse lists -> residual PQ codes -> per-list
+    * query LUTs -> ADC over probed lists), shared by ann_ivfpq and its
+    * recall measurement. Expects an `sv` CTE in scope; ends at the `adc`
+    * relation (q_id, vec_id, adc). */
+  private val ivfpqChainSql = {
+    val dist = s"(n2 - 2 * ${sqlDotInt("v", "cv", Dim)} + cn2)"
+    s"""ms AS (SELECT range AS m FROM range(0, $PqM)),
+       |cent AS (SELECT vec_id - $IvfCentroidBase AS c_id, v AS cv, n2 AS cn2
+       |  FROM sv WHERE vec_id >= $IvfCentroidBase AND vec_id < ${IvfCentroidBase + IvfLists}),
+       |asg AS (SELECT vec_id, v, n2, c_id FROM (
+       |  SELECT sv.vec_id, sv.v, sv.n2, cent.c_id,
+       |    row_number() OVER (PARTITION BY sv.vec_id ORDER BY $dist, c_id) AS rn
+       |  FROM sv CROSS JOIN cent) WHERE rn = 1),
+       |res AS (SELECT a.vec_id, a.c_id,
+       |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - cent.cv[i]) AS r
+       |  FROM asg a JOIN cent ON a.c_id = cent.c_id),
+       |cw AS (SELECT r.vec_id - $PqBase AS c, m.m,
+       |    r.r[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS cv
+       |  FROM res r CROSS JOIN ms m
+       |  WHERE r.vec_id >= $PqBase AND r.vec_id < ${PqBase + PqKs}),
+       |sub AS (SELECT vec_id, c_id, m.m,
+       |    r[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS xv
+       |  FROM res CROSS JOIN ms m),
+       |dnc AS (SELECT s.vec_id, s.c_id, s.m, c.c,
+       |    CAST(list_aggregate(list_transform(range(1, ${PqSub + 1}),
+       |      i -> (s.xv[i] - c.cv[i]) * (s.xv[i] - c.cv[i])), 'sum')
+       |      AS BIGINT) AS dd
+       |  FROM sub s JOIN cw c ON s.m = c.m),
+       |code AS (SELECT vec_id, c_id, m, c FROM (SELECT vec_id, c_id, m, c,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c) AS rn
+       |  FROM dnc) WHERE rn = 1),
+       |qp AS (SELECT q_id, qv, c_id FROM (
+       |  SELECT sv.vec_id AS q_id, sv.v AS qv, cent.c_id,
+       |    row_number() OVER (PARTITION BY sv.vec_id ORDER BY $dist, c_id) AS rn
+       |  FROM sv CROSS JOIN cent WHERE sv.vec_id < $RecallQueries)
+       |  WHERE rn <= $IvfProbe),
+       |qres AS (SELECT qp.q_id, qp.c_id,
+       |    list_transform(range(1, ${Dim + 1}), i -> qp.qv[i] - cent.cv[i]) AS qr
+       |  FROM qp JOIN cent ON qp.c_id = cent.c_id),
+       |qsub AS (SELECT q_id, c_id, m.m,
+       |    qr[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS xv
+       |  FROM qres CROSS JOIN ms m),
+       |qd AS (SELECT s.q_id, s.c_id, s.m, c.c,
+       |    CAST(list_aggregate(list_transform(range(1, ${PqSub + 1}),
+       |      i -> (s.xv[i] - c.cv[i]) * (s.xv[i] - c.cv[i])), 'sum')
+       |      AS BIGINT) AS dd
+       |  FROM qsub s JOIN cw c ON s.m = c.m),
+       |adc AS (SELECT qd.q_id, x.vec_id, CAST(sum(qd.dd) AS BIGINT) AS adc
+       |  FROM code x JOIN qd ON qd.c_id = x.c_id AND qd.m = x.m AND qd.c = x.c
+       |  WHERE x.vec_id <> qd.q_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Shared IVF-PQ search: assignment + residual encode + per-list ADC,
+    * ranked to the top-5 per query through the bounded heap. Centroids and
+    * the residual codebook are bounded driver state inlined as literals. */
+  private def scoredIvfpqTop5(s: SparkSession, d: String): DataFrame = {
+      val sv = svSpark(s, d)
+      val cent = sv
+        .filter(col("vec_id") >= IvfCentroidBase &&
+          col("vec_id") < IvfCentroidBase + IvfLists)
+        .select((col("vec_id") - IvfCentroidBase).as("c_id"),
+          col("v").as("cv"), col("n2").as("cn2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getDouble(2)))
+        .sortBy(_._1)
+      val dists = cent.map { case (cid, cvv, cn2) =>
+        (cid, col("n2") - lit(2) * dotInt(array(cvv.map(lit): _*), col("v")) + lit(cn2))
+      }
+      val dArr = array(dists.map(_._2): _*)
+      val cidArr = array(dists.map(x => lit(x._1)): _*)
+      // centroid matrix indexed by c_id position (ids are gap-free by
+      // construction — the scoredIvf contract)
+      val cvMat = array(cent.map(c => array(c._2.map(lit): _*)): _*)
+      // ONE staged corpus pass: assignment + exact integer residual
+      val asgR = QuerySpec.staged(sv
+        .select(col("vec_id"), col("v"), col("n2"),
+          element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int"))
+            .as("c_id"))
+        .withColumn("r", zip_with(col("v"),
+          element_at(cvMat, (col("c_id") + 1).cast("int")), (a, b) => a - b)))
+      // residual codebook: bounded driver state (PqKs sample residuals)
+      val cwRows = asgR
+        .filter(col("vec_id") >= PqBase && col("vec_id") < PqBase + PqKs)
+        .select(col("vec_id"), col("r")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Long](1).toIndexedSeq)
+      def cvw(c: Int, m: Int): IndexedSeq[Long] =
+        cwRows(c).slice(m * PqSub, (m + 1) * PqSub)
+      def pqDists(src: Column)(m: Int): IndexedSeq[Column] = {
+        val sub = slice(src, m * PqSub + 1, PqSub)
+        val xn2 = DotLong(sub, sub)
+        (0 until PqKs).map { c =>
+          val cvm = cvw(c, m)
+          xn2 - lit(2L) * DotLong(sub, array(cvm.map(lit): _*)) +
+            lit(cvm.map(x => x * x).sum)
+        }
+      }
+      // corpus encode: argmin per subspace, first-min = lowest code
+      val codeCols = (0 until PqM).map { m =>
+        val da = array(pqDists(col("r"))(m): _*)
+        (array_position(da, array_min(da)) - 1L).cast("int").as(s"code$m")
+      }
+      val enc = asgR.select(Seq(col("vec_id"), col("c_id")) ++ codeCols: _*)
+      // query probes: nearest IvfProbe lists, fresh residual LUT per list
+      val probeArr = sort_array(array(dists.map { case (cid, dc) =>
+        struct(dc.as("d"), lit(cid).as("c_id"))
+      }: _*))
+      val qp = sv.filter(col("vec_id") < RecallQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(slice(probeArr, 1, IvfProbe)).as("p"))
+        .select(col("q_id"), col("qv"), col("p.c_id").as("c_id"))
+        .withColumn("qr", zip_with(col("qv"),
+          element_at(cvMat, (col("c_id") + 1).cast("int")), (a, b) => a - b))
+      val q = qp.select(Seq(col("q_id"), col("c_id")) ++
+        (0 until PqM).map(m => array(pqDists(col("qr"))(m): _*).as(s"lut$m")): _*)
+      val adcCol = (0 until PqM).map(m =>
+        element_at(col(s"lut$m"), col(s"code$m") + 1)).reduce(_ + _)
+      // candidates = probed lists only (c_id equi-join), never the corpus
+      val scored = broadcast(q).join(enc, Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), (-adcCol).cast("double").as("cos"))
+      scored.groupBy("q_id")
+        .agg(graft.functions.expr.CosTopK.topk(col("cos"), col("vec_id"), 5).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("t"))
+        .select(col("q_id"), col("t.rnk").as("rnk"), col("t.vec_id").as("vec_id"),
+          (-col("t.cos")).cast("long").as("adc"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // Brute-force exact top-k: the correctness anchor. row_number over
@@ -862,130 +991,63 @@ object SimilarityQueries {
     // staged corpus pass; candidates come from the c_id equi-join
     // against the probed lists (never the whole corpus); top-k reduces
     // map-side through the bounded heap.
-    checked("ann_ivfpq", {
-      val dist = s"(n2 - 2 * ${sqlDotInt("v", "cv", Dim)} + cn2)"
+    checked("ann_ivfpq",
       s"""WITH sv AS ($svSql),
-         |ms AS (SELECT range AS m FROM range(0, $PqM)),
-         |cent AS (SELECT vec_id - $IvfCentroidBase AS c_id, v AS cv, n2 AS cn2
-         |  FROM sv WHERE vec_id >= $IvfCentroidBase AND vec_id < ${IvfCentroidBase + IvfLists}),
-         |asg AS (SELECT vec_id, v, n2, c_id FROM (
-         |  SELECT sv.vec_id, sv.v, sv.n2, cent.c_id,
-         |    row_number() OVER (PARTITION BY sv.vec_id ORDER BY $dist, c_id) AS rn
-         |  FROM sv CROSS JOIN cent) WHERE rn = 1),
-         |res AS (SELECT a.vec_id, a.c_id,
-         |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - cent.cv[i]) AS r
-         |  FROM asg a JOIN cent ON a.c_id = cent.c_id),
-         |cw AS (SELECT r.vec_id - $PqBase AS c, m.m,
-         |    r.r[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS cv
-         |  FROM res r CROSS JOIN ms m
-         |  WHERE r.vec_id >= $PqBase AND r.vec_id < ${PqBase + PqKs}),
-         |sub AS (SELECT vec_id, c_id, m.m,
-         |    r[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS xv
-         |  FROM res CROSS JOIN ms m),
-         |dnc AS (SELECT s.vec_id, s.c_id, s.m, c.c,
-         |    CAST(list_aggregate(list_transform(range(1, ${PqSub + 1}),
-         |      i -> (s.xv[i] - c.cv[i]) * (s.xv[i] - c.cv[i])), 'sum')
-         |      AS BIGINT) AS dd
-         |  FROM sub s JOIN cw c ON s.m = c.m),
-         |code AS (SELECT vec_id, c_id, m, c FROM (SELECT vec_id, c_id, m, c,
-         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c) AS rn
-         |  FROM dnc) WHERE rn = 1),
-         |qp AS (SELECT q_id, qv, c_id FROM (
-         |  SELECT sv.vec_id AS q_id, sv.v AS qv, cent.c_id,
-         |    row_number() OVER (PARTITION BY sv.vec_id ORDER BY $dist, c_id) AS rn
-         |  FROM sv CROSS JOIN cent WHERE sv.vec_id < $RecallQueries)
-         |  WHERE rn <= $IvfProbe),
-         |qres AS (SELECT qp.q_id, qp.c_id,
-         |    list_transform(range(1, ${Dim + 1}), i -> qp.qv[i] - cent.cv[i]) AS qr
-         |  FROM qp JOIN cent ON qp.c_id = cent.c_id),
-         |qsub AS (SELECT q_id, c_id, m.m,
-         |    qr[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS xv
-         |  FROM qres CROSS JOIN ms m),
-         |qd AS (SELECT s.q_id, s.c_id, s.m, c.c,
-         |    CAST(list_aggregate(list_transform(range(1, ${PqSub + 1}),
-         |      i -> (s.xv[i] - c.cv[i]) * (s.xv[i] - c.cv[i])), 'sum')
-         |      AS BIGINT) AS dd
-         |  FROM qsub s JOIN cw c ON s.m = c.m),
-         |adc AS (SELECT qd.q_id, x.vec_id, CAST(sum(qd.dd) AS BIGINT) AS adc
-         |  FROM code x JOIN qd ON qd.c_id = x.c_id AND qd.m = x.m AND qd.c = x.c
-         |  WHERE x.vec_id <> qd.q_id
-         |  GROUP BY 1, 2),
+         |$ivfpqChainSql,
          |ranked AS (SELECT q_id, vec_id, adc,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
          |  FROM adc)
          |SELECT q_id, rnk, vec_id, adc FROM ranked
-         |WHERE rnk <= 5""".stripMargin
-    }) { (s, d) =>
+         |WHERE rnk <= 5""".stripMargin) { (s, d) =>
+      scoredIvfpqTop5(s, d)
+    },
+
+    // Recall@5 of the combined IVF-PQ index against the brute-force
+    // truth — the quality contract of the compressed index, measured
+    // (the ann_recall pattern): identical candidate lists to exact-
+    // distance IVF, but ADC ranks by quantized residual distance, so
+    // hits can only be LOST to quantization error — recall_ivfpq ≤
+    // recall_ivf structurally, and THIS query puts the measured cost
+    // of 170× compression next to the ladder the other recall query
+    // pins: mean recall ≈ 0.05 vs exact-IVF's ≈ 0.46 at sf0.01 — the
+    // honest story for an 8-codeword × 4-subspace codebook quantizing
+    // near-uniform random vectors (no cluster structure for the
+    // residuals to exploit; a production deployment sizes Ks/M against
+    // THIS measurement on its own corpus). Deterministic end to end
+    // (exact-integer ADC, total tie order), hence oracle-checked like
+    // every measurement here.
+    checked("ann_recall_ivfpq",
+      s"""WITH sv AS ($svSql),
+         |$ivfpqChainSql,
+         |pq5 AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+         |  FROM adc) WHERE rnk <= 5),
+         |qt AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM sv WHERE vec_id < $RecallQueries),
+         |tscored AS (
+         |  SELECT q_id, vec_id, ${sqlDotInt("qv", "v", Dim)} / (sqrt(qn2) * sqrt(n2)) AS cos
+         |  FROM qt JOIN sv ON vec_id <> q_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM tscored) WHERE rnk <= 5),
+         |hits AS (SELECT a.q_id, count(*) AS n_hits
+         |  FROM pq5 a JOIN truth t ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+         |  GROUP BY a.q_id)
+         |SELECT q.q_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |  COALESCE(n_hits, 0) / 5.0 AS recall_at_5
+         |FROM (SELECT q_id FROM qt) q LEFT JOIN hits ON q.q_id = hits.q_id""".stripMargin) { (s, d) =>
       val sv = svSpark(s, d)
-      val cent = sv
-        .filter(col("vec_id") >= IvfCentroidBase &&
-          col("vec_id") < IvfCentroidBase + IvfLists)
-        .select((col("vec_id") - IvfCentroidBase).as("c_id"),
-          col("v").as("cv"), col("n2").as("cn2"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getDouble(2)))
-        .sortBy(_._1)
-      val dists = cent.map { case (cid, cvv, cn2) =>
-        (cid, col("n2") - lit(2) * dotInt(array(cvv.map(lit): _*), col("v")) + lit(cn2))
-      }
-      val dArr = array(dists.map(_._2): _*)
-      val cidArr = array(dists.map(x => lit(x._1)): _*)
-      // centroid matrix indexed by c_id position (ids are gap-free by
-      // construction — the scoredIvf contract)
-      val cvMat = array(cent.map(c => array(c._2.map(lit): _*)): _*)
-      // ONE staged corpus pass: assignment + exact integer residual
-      val asgR = QuerySpec.staged(sv
-        .select(col("vec_id"), col("v"), col("n2"),
-          element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int"))
-            .as("c_id"))
-        .withColumn("r", zip_with(col("v"),
-          element_at(cvMat, (col("c_id") + 1).cast("int")), (a, b) => a - b)))
-      // residual codebook: bounded driver state (PqKs sample residuals)
-      val cwRows = asgR
-        .filter(col("vec_id") >= PqBase && col("vec_id") < PqBase + PqKs)
-        .select(col("vec_id"), col("r")).collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Long](1).toIndexedSeq)
-      def cvw(c: Int, m: Int): IndexedSeq[Long] =
-        cwRows(c).slice(m * PqSub, (m + 1) * PqSub)
-      def pqDists(src: Column)(m: Int): IndexedSeq[Column] = {
-        val sub = slice(src, m * PqSub + 1, PqSub)
-        val xn2 = DotLong(sub, sub)
-        (0 until PqKs).map { c =>
-          val cvm = cvw(c, m)
-          xn2 - lit(2L) * DotLong(sub, array(cvm.map(lit): _*)) +
-            lit(cvm.map(x => x * x).sum)
-        }
-      }
-      // corpus encode: argmin per subspace, first-min = lowest code
-      val codeCols = (0 until PqM).map { m =>
-        val da = array(pqDists(col("r"))(m): _*)
-        (array_position(da, array_min(da)) - 1L).cast("int").as(s"code$m")
-      }
-      val enc = asgR.select(Seq(col("vec_id"), col("c_id")) ++ codeCols: _*)
-      // query probes: nearest IvfProbe lists, fresh residual LUT per list
-      val probeArr = sort_array(array(dists.map { case (cid, dc) =>
-        struct(dc.as("d"), lit(cid).as("c_id"))
-      }: _*))
-      val qp = sv.filter(col("vec_id") < RecallQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          explode(slice(probeArr, 1, IvfProbe)).as("p"))
-        .select(col("q_id"), col("qv"), col("p.c_id").as("c_id"))
-        .withColumn("qr", zip_with(col("qv"),
-          element_at(cvMat, (col("c_id") + 1).cast("int")), (a, b) => a - b))
-      val q = qp.select(Seq(col("q_id"), col("c_id")) ++
-        (0 until PqM).map(m => array(pqDists(col("qr"))(m): _*).as(s"lut$m")): _*)
-      val adcCol = (0 until PqM).map(m =>
-        element_at(col(s"lut$m"), col(s"code$m") + 1)).reduce(_ + _)
-      // candidates = probed lists only (c_id equi-join), never the corpus
-      val scored = broadcast(q).join(enc, Seq("c_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), (-adcCol).cast("double").as("cos"))
-      scored.groupBy("q_id")
-        .agg(graft.functions.expr.CosTopK.topk(col("cos"), col("vec_id"), 5).as("tk"))
-        .select(col("q_id"), explode(col("tk")).as("t"))
-        .select(col("q_id"), col("t.rnk").as("rnk"), col("t.vec_id").as("vec_id"),
-          (-col("t.cos")).cast("long").as("adc"))
+      val truth = topK(scoredBrute(sv, RecallQueries), 5)
+        .select(col("q_id"), col("vec_id"))
+      val pq5 = scoredIvfpqTop5(s, d).select(col("q_id"), col("vec_id"))
+      val hits = pq5.join(truth, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      sv.filter(col("vec_id") < RecallQueries)
+        .select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / 5.0).as("recall_at_5"))
     },
 
     // Recall@5 of each approximate operator against the brute-force truth,
