@@ -126,6 +126,11 @@ object TextQueries {
   val ReservoirK = 5
   val KeyTermsK = 3
 
+  /** Weighted sampling: global sample size and the uniform-variate
+    * modulus (h60 % WsM maps the hash to a (0,1) grid of WsM cells). */
+  val WeightedK = 40
+  val WsM = 1000000L
+
   /** Oracle-dump dir for the applied-BPE token rows (the media/pcap dump
     * lifecycle: pid-keyed, written once per JVM by the query itself). */
   private val BpeDumpDir = TmpDirs.persistent(
@@ -347,6 +352,53 @@ object TextQueries {
           Window.partitionBy("lang").orderBy("h", "doc_id")).cast("long"))
         .filter(col("rk") <= ReservoirK)
         .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+    },
+
+    // WEIGHTED sampling without replacement — the Efraimidis-Spirakis
+    // A-ES scheme (the standard distributed weighted reservoir; what a
+    // training-mixture builder runs when documents carry quality or
+    // length weights): each doc draws u ∈ (0,1) and the k largest
+    // u^(1/w) win — equivalently the k largest ln(u)/w, which is how
+    // it's computed here. Determinism pipeline: u = (h60(doc_id) mod
+    // WsM + 1)/(WsM + 1) (reproducible, never 0 or 1), ln(u) QUANTIZED
+    // to the LmLogScale integer grid (the corpus-standard ilog — the
+    // only libm call), and the key is then one exact IEEE division of
+    // that integer by the integer weight — identical cross-engine —
+    // with ties broken by doc_id. Weight = token count (longer docs
+    // proportionally likelier — the mixture-sampling default). Shape:
+    // the key is a projection over the token-count aggregate; the
+    // global top-k is orderBy().limit() = TakeOrderedAndProject
+    // (bounded heap, no global sort), rank computed over the k-row
+    // result.
+    checked("sample_weighted",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS w,
+         |    ${sqlH60("CAST(doc_id AS VARCHAR)")} % $WsM + 1 AS hu
+         |  FROM documents),
+         |k AS (SELECT doc_id, lang, w,
+         |    CAST(${sqlIlog(s"CAST(hu AS DOUBLE) / ${WsM + 1}")} AS DOUBLE)
+         |      / w AS key
+         |  FROM t WHERE w > 0),
+         |top AS (SELECT doc_id, lang, w, key FROM k
+         |  ORDER BY key DESC, doc_id LIMIT $WeightedK)
+         |SELECT doc_id, lang, w,
+         |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+         |    AS rk
+         |FROM top""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("w"),
+          (h60(col("doc_id").cast("string")) % WsM + 1L).as("hu"))
+        .filter(col("w") > 0)
+        .withColumn("key",
+          ilogCol(col("hu").cast("double") / (WsM + 1L).toDouble)
+            .cast("double") / col("w"))
+        .orderBy(col("key").desc, col("doc_id"))
+        .limit(WeightedK)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("key").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lang"), col("w"), col("rk"))
     },
 
     // tf-idf keyword extraction — the top-KeyTermsK highest-tf·idf
