@@ -354,6 +354,104 @@ object TextQueries {
         .select(col("lang"), col("rk"), col("doc_id"), col("h"))
     },
 
+    // BLEU-4 between near-duplicate pairs — the generation-eval metric
+    // (Papineni et al. 2002; sacrebleu) run where a data pipeline
+    // actually runs it: scoring how closely each near-dup CANDIDATE
+    // (doc_b) reproduces its REFERENCE (doc_a), the text-overlap
+    // measurement contamination/paraphrase audits report next to the
+    // Jaccard the dedup pass thresholds on. Faithful modified-n-gram
+    // precision: per n ∈ 1..4, clipped matches Σ min(count_cand,
+    // count_ref) over the n-gram MULTISETS (the shared shingles()
+    // spelling, positions not sets) — all exact BIGINTs, declared
+    // per-n beside the add-one-smoothed log-precision sum on the
+    // LmLogScale grid (the corpus-standard quantized ln) and the final
+    // r6 score exp(min(0, 1 − r/c) + Σlogp/4) (brevity penalty folded
+    // into the one exp both engines evaluate on the identical double).
+    // Shape: docs restricted to pair members (semi join) before any
+    // explode; gram counts map-side combine; the pair joins are equi
+    // on (doc, n, gram) against the BOUNDED pair-member corpus.
+    checked("text_bleu", {
+      def ngr(n: Int) =
+        if (n == 1) s"SELECT doc_id, 1 AS n, unnest(tk) AS gram FROM td"
+        else s"SELECT doc_id, $n, unnest(${sqlShingles("tk", n)}) FROM td"
+      def pivot(c: String, n: Int) =
+        s"CAST(COALESCE(sum(CASE WHEN n = $n THEN $c END), 0) AS BIGINT)"
+      s"""WITH ${DedupQueries.pairsCtesSql},
+         |t0 AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+         |pd AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM pairs
+         |  UNION ALL SELECT doc_b FROM pairs) u),
+         |td AS (SELECT t0.doc_id, tk FROM t0 JOIN pd USING (doc_id)),
+         |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM td),
+         |g AS (${(1 to 4).map(ngr).mkString("\n  UNION ALL ")}),
+         |gc AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c
+         |  FROM g GROUP BY 1, 2, 3),
+         |tot AS (SELECT p.doc_a, p.doc_b, gc.n, CAST(sum(c) AS BIGINT) AS t
+         |  FROM pairs p JOIN gc ON gc.doc_id = p.doc_b GROUP BY 1, 2, 3),
+         |mt AS (SELECT p.doc_a, p.doc_b, a.n,
+         |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+         |  FROM pairs p JOIN gc a ON a.doc_id = p.doc_b
+         |    JOIN gc b ON b.doc_id = p.doc_a AND b.n = a.n AND b.gram = a.gram
+         |  GROUP BY 1, 2, 3),
+         |j AS (SELECT tot.doc_a, tot.doc_b, tot.n, tot.t,
+         |    COALESCE(mt.m, 0) AS m
+         |  FROM tot LEFT JOIN mt USING (doc_a, doc_b, n)),
+         |agg AS (SELECT doc_a, doc_b,
+         |    ${(1 to 4).map(n => s"${pivot("m", n)} AS m$n, ${pivot("t", n)} AS t$n").mkString(",\n    ")},
+         |    CAST(sum(${sqlIlog("CAST(m + 1 AS DOUBLE) / (t + 1)")})
+         |      AS BIGINT) AS slogp_q
+         |  FROM j GROUP BY 1, 2)
+         |SELECT agg.doc_a, agg.doc_b, lr.len AS r_len, lc.len AS c_len,
+         |  m1, t1, m2, t2, m3, t3, m4, t4, slogp_q,
+         |  ${graft.functions.DetAgg.sqlR6(
+             "exp(least(0.0, 1 - CAST(lr.len AS DOUBLE) / lc.len) " +
+               s"+ CAST(slogp_q AS DOUBLE) / ${4 * LmLogScale})")} AS bleu
+         |FROM agg JOIN lens lr ON agg.doc_a = lr.doc_id
+         |         JOIN lens lc ON agg.doc_b = lc.doc_id""".stripMargin
+    }) { (s, d) =>
+      val pairs = staged(DedupQueries.nearDupPairsShared(s, d))
+      val pd = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val td = staged(Tables.documents(s, d)
+        .join(pd, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), tokens(col("text")).as("tk")))
+      val lens = td.select(col("doc_id"), size(col("tk")).cast("long").as("len"))
+      val g = (1 to 4).map { n =>
+        val grams = if (n == 1) col("tk") else shingles(col("tk"), n)
+        td.select(col("doc_id"), lit(n).as("n"), explode(grams).as("gram"))
+      }.reduce(_ unionAll _)
+      val gc = staged(g.groupBy("doc_id", "n", "gram")
+        .agg(count(lit(1)).as("c")))
+      val tot = pairs
+        .join(gc.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .groupBy("doc_a", "doc_b", "n").agg(sum(col("c")).as("t"))
+      val mt = pairs
+        .join(gc.select(col("doc_id").as("doc_b"), col("n"), col("gram"),
+          col("c").as("ca")), Seq("doc_b"))
+        .join(gc.select(col("doc_id").as("doc_a"), col("n"), col("gram"),
+          col("c").as("cb")), Seq("doc_a", "n", "gram"))
+        .groupBy("doc_a", "doc_b", "n")
+        .agg(sum(least(col("ca"), col("cb"))).as("m"))
+      val j = tot.join(mt, Seq("doc_a", "doc_b", "n"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0L)))
+      def pv(c: String, n: Int) =
+        coalesce(sum(when(col("n") === n, col(c))), lit(0L))
+      val aggCols = (1 to 4).flatMap(n =>
+        Seq(pv("m", n).as(s"m$n"), pv("t", n).as(s"t$n"))) :+
+        sum(ilogCol((col("m") + 1L).cast("double") / (col("t") + 1L)))
+          .as("slogp_q")
+      val agg = j.groupBy("doc_a", "doc_b").agg(aggCols.head, aggCols.tail: _*)
+      agg
+        .join(lens.select(col("doc_id").as("doc_a"), col("len").as("r_len")), "doc_a")
+        .join(lens.select(col("doc_id").as("doc_b"), col("len").as("c_len")), "doc_b")
+        .select(Seq(col("doc_a"), col("doc_b"), col("r_len"), col("c_len")) ++
+          (1 to 4).flatMap(n => Seq(col(s"m$n"), col(s"t$n"))) ++ Seq(
+          col("slogp_q"),
+          graft.functions.DetAgg.r6(exp(
+            least(lit(0.0), lit(1.0) - col("r_len").cast("double") / col("c_len")) +
+              col("slogp_q").cast("double") / (4.0 * LmLogScale))).as("bleu")): _*)
+    },
+
     // WEIGHTED sampling without replacement — the Efraimidis-Spirakis
     // A-ES scheme (the standard distributed weighted reservoir; what a
     // training-mixture builder runs when documents carry quality or
