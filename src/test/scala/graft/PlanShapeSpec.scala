@@ -76,6 +76,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("sample_weighted: the global weighted top-k is a bounded TakeOrdered") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the A-ES selection must be orderBy().limit(), never a global sort")
+  }
+
+  test("graph_label_propagation: vote argmax is an aggregate, not a window") {
+    val p = plan("graph_label_propagation")
+    assert(!p.contains("Window"),
+      "the per-node argmax must be min(struct(-cnt, lbl)), not a vote window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_bleu: pair joins are equi; no cartesian over the gram sets") {
+    val p = plan("text_bleu")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gram matching must stay equi on (doc, n, gram); got:\n$p")
+  }
+
   test("join_star broadcasts the dimension side") {
     assert(plan("join_star").contains("BroadcastHashJoin"))
   }
