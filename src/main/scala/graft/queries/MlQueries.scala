@@ -723,6 +723,63 @@ object MlQueries {
       }
     },
 
+    // Isotonic (PAV) probability calibration — MLlib's
+    // IsotonicRegression, the production calibration tool beside the
+    // binned reliability diagram ml_calibration_bins measures: fit the
+    // monotone step function mapping a raw score to an empirical
+    // probability (the pool-adjacent-violators solution, unique because
+    // the isotonic least-squares objective is strictly convex in the
+    // fitted values — so the DISTRIBUTED fit is deterministic:
+    // 0/1 labels with unit weights make every pool mean an exact
+    // hits/count rational, and integer-valued double sums are exact in
+    // any accumulation order). Task: score = the 1e3-grid event value,
+    // target = (event_type = 'purchase') — calibrating a raw magnitude
+    // into P(purchase). Declared surface: the fitted step function
+    // itself ((boundary, prediction) pairs — bounded model state, the
+    // quantizer collect contract) plus the measured contract booleans:
+    // predictions monotone nondecreasing, inside [0, 1], and the
+    // weighted mean preserved (= the base rate, the PAV identity).
+    // Gradient-free and closed-form, but not SQL-expressible (PAV is
+    // sequential pooling) — the dump-echo property oracle, like the
+    // trainers.
+    checked("ml_isotonic_calibration",
+      s"""SELECT idx, boundary, prediction,
+         |  true AS monotone, true AS in_unit_range, true AS mean_preserved
+         |FROM read_parquet('$DumpRoot/ml_isotonic_calibration/*.parquet')""".stripMargin) { (s, d) =>
+      import org.apache.spark.ml.regression.IsotonicRegression
+      val data = Tables.events(s, d)
+        .select(when(col("event_type") === "purchase", 1.0).otherwise(0.0)
+          .as("label"),
+          floor(col("value") * 1000).cast("double").as("score"))
+      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("score")).setOutputCol("features")
+        .transform(data)
+      val model = new IsotonicRegression()
+        .setLabelCol("label").setFeaturesCol("features")
+        .fit(assembled)
+      val bs = model.boundaries.toArray
+      val ps = model.predictions.toArray
+      import s.implicits._
+      val steps = bs.zip(ps).zipWithIndex.map { case ((b, p), i) =>
+        (i.toLong, b, p)
+      }.toSeq.toDF("idx", "boundary", "prediction")
+      // measured contract: monotone, bounded, base rate preserved by
+      // the fitted values evaluated over the training scores
+      val base = data.agg(avg(col("label"))).head.getDouble(0)
+      val fitMean = model.transform(assembled)
+        .agg(avg(col("prediction"))).head.getDouble(0)
+      dumpWithInvariants(s, "ml_isotonic_calibration", steps) { rows =>
+        val preds = rows.map(_.getDouble(2))
+        Seq(
+          "monotone" -> preds.sliding(2).forall {
+            case Seq(a, b) => a <= b
+            case _ => true
+          },
+          "in_unit_range" -> preds.forall(p => p >= 0.0 && p <= 1.0),
+          "mean_preserved" -> (math.abs(fitMean - base) < 1e-9))
+      }
+    },
+
     // Dominant principal direction of the embedding corpus — power
     // iteration on the (uncentered) second-moment matrix A = Σ x·xᵀ, the
     // dimensionality-reduction primitive behind randomized SVD / spectral
