@@ -118,7 +118,9 @@ class ScaleRehearsalSpec extends SparkSpec {
 
   test("heavy declared queries stay near-linear on the 10x corpus") {
     val heavy = Seq("er_fuzzy_match", "dedup_stopshingle", "dedup_minhash",
-      "dedup_simhash", "ann_srp_lsh", "ann_ivf")
+      "dedup_simhash", "ann_srp_lsh", "ann_ivf",
+      // round-10 pair-graph consumers: SNM weights, pairwise BLEU, LPA
+      "er_match_weights", "text_bleu", "graph_label_propagation")
     val report = heavy.map { q =>
       run(q, Base) // warm-up: JIT + codegen + per-sf layout builds
       val b0 = System.nanoTime(); run(q, Base)
