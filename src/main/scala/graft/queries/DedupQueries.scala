@@ -1262,7 +1262,7 @@ object DedupQueries {
     * exactly as a production pipeline persists its pair graph before the
     * component pass (the parquet hop is also what a multi-stage 100 TB
     * job does — localCheckpoint blocks die with their executors). */
-  private[queries] def nearDupPairsShared(s: SparkSession, d: String): DataFrame = {
+  private[graft] def nearDupPairsShared(s: SparkSession, d: String): DataFrame = {
     val dir = TmpDirs.scoped(s"graft_ccpairs_${QuerySpec.jvmScopedKey(d)}")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       nearDupPairs(s, d).write.mode("overwrite").parquet(dir.getAbsolutePath)

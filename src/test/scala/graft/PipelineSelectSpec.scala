@@ -176,6 +176,66 @@ class PipelineSelectSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == all.length.toLong)
   }
 
+  test("graph_label_propagation: matches a local synchronous LPA replay") {
+    val got = run("graph_label_propagation")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.queries.DedupQueries.nearDupPairsShared(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSeq }
+    var labels: Map[Long, Long] = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to graft.queries.GraphQueries.LpaRounds) {
+      labels = adj.map { case (node, nbrs) =>
+        val votes = nbrs.map(labels).groupBy(identity)
+          .map { case (l, vs) => (l, vs.size) }
+        // most frequent neighbor label, ties to the smallest label
+        node -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == labels)
+    // communities are non-trivial: fewer labels than nodes
+    assert(got.values.toSet.size < got.size)
+  }
+
+  test("text_bleu: matches a local naive BLEU-4 replay on every pair") {
+    val got = run("text_bleu").map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          (0 until 4).map(n => (r.getLong(4 + 2 * n), r.getLong(5 + 2 * n))),
+          r.getLong(12), r.getDouble(13)))
+    }.toMap
+    val pairs = graft.queries.DedupQueries.nearDupPairsShared(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    def grams(tk: Vector[String], n: Int): Map[String, Long] =
+      if (tk.length < n) Map.empty
+      else tk.sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, vs) => g -> vs.size.toLong }
+    val scale = graft.queries.TextQueries.LmLogScale
+    pairs.foreach { case (a, b) =>
+      val (ref, cand) = (docs(a), docs(b))
+      val stats = (1 to 4).map { n =>
+        val (gr, gc) = (grams(ref, n), grams(cand, n))
+        val m = gc.map { case (g, c) => math.min(c, gr.getOrElse(g, 0L)) }.sum
+        val t = gc.values.sum
+        (m, t)
+      }
+      val slogp = stats.map { case (m, t) =>
+        math.floor(math.log((m + 1).toDouble / (t + 1)) * scale + 0.5).toLong
+      }.sum
+      val bleu = math.exp(math.min(0.0, 1.0 - ref.length.toDouble / cand.length) +
+        slogp.toDouble / (4 * scale))
+      val (rl, cl, st, sl, bl) = got((a, b))
+      assert(rl == ref.length && cl == cand.length)
+      assert(st == stats, s"pair ($a,$b): $st vs $stats")
+      assert(sl == slogp)
+      assert(bl == math.floor(bleu * 1e6 + 0.5) / 1e6)
+    }
+    assert(got.keySet == pairs.toSet && pairs.nonEmpty)
+  }
+
   test("er_match_weights: matches a local FS replay; agreement adds evidence") {
     val got = run("er_match_weights")
       .map(r => (r.getLong(0), r.getLong(1)) ->
