@@ -35,6 +35,19 @@ object StatsQueries {
   private def floorDivExact(a: String, b: String) =
     expr(s"($a - (($a % $b + $b) % $b)) DIV $b")
 
+  /** 3×3 determinant as one fixed IEEE tree — shared by the closed-form
+    * ridge fit and its cross-validation (identical op order on both
+    * engines; see ml_ridge_closed_form). */
+  private def sqlDet3(m: Seq[String]) =
+    s"(${m(0)} * (${m(4)} * ${m(8)} - ${m(5)} * ${m(7)}) " +
+      s"- ${m(1)} * (${m(3)} * ${m(8)} - ${m(5)} * ${m(6)}) " +
+      s"+ ${m(2)} * (${m(3)} * ${m(7)} - ${m(4)} * ${m(6)}))"
+
+  private def colDet3(m: Seq[org.apache.spark.sql.Column]) =
+    m(0) * (m(4) * m(8) - m(5) * m(7)) -
+      m(1) * (m(3) * m(8) - m(5) * m(6)) +
+      m(2) * (m(3) * m(7) - m(4) * m(6))
+
   val all: Seq[QuerySpec] = Seq(
 
     // Exact multi-distinct aggregation, spelled as the two-phase shape a
@@ -460,8 +473,7 @@ object StatsQueries {
     checked("ml_ridge_closed_form", {
       def det3(a: String, b: String, c: String, d: String, e: String,
                f: String, g: String, h: String, i: String) =
-        s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g)" +
-          s" + $c * ($d * $h - $e * $g))"
+        sqlDet3(Seq(a, b, c, d, e, f, g, h, i))
       // A = [[n+λ, s1, s2], [s1, s11+λ, s12], [s2, s12, s22+λ]]
       val a = Seq("(CAST(n AS DOUBLE) + 10)", "CAST(s1 AS DOUBLE)",
         "CAST(s2 AS DOUBLE)", "CAST(s1 AS DOUBLE)",
@@ -519,10 +531,7 @@ object StatsQueries {
         sum(col("x2") * col("y")).as("s2y"),
         sum(col("y") * col("y")).as("syy"))
       def dbl(c: String) = col(c).cast("double")
-      def det3(m: Seq[org.apache.spark.sql.Column]) =
-        m(0) * (m(4) * m(8) - m(5) * m(7)) -
-          m(1) * (m(3) * m(8) - m(5) * m(6)) +
-          m(2) * (m(3) * m(7) - m(4) * m(6))
+      def det3(m: Seq[org.apache.spark.sql.Column]) = colDet3(m)
       val lam = lit(10.0)
       val aM = Seq(dbl("n") + lam, dbl("s1"), dbl("s2"),
         dbl("s1"), dbl("s11") + lam, dbl("s12"),
