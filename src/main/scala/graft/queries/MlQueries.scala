@@ -194,7 +194,9 @@ object MlQueries {
   private def fitVarShared(d: String,
       lagged: org.apache.spark.sql.DataFrame, p: Int, dim: Int)
       : graft.ml.TimeSeries.VarModel =
-    varMemo.computeIfAbsent(QuerySpec.jvmScopedKey(d),
+    // p and dim are part of the key: a caller with a different lag order
+    // or feature width must never receive another fit's cached model.
+    varMemo.computeIfAbsent(s"${QuerySpec.jvmScopedKey(d)}_p${p}_d$dim",
       _ => TimeSeries.fitVar(lagged.filter(col("split") === "train"), p, dim))
 
   /** Split + train-quantile CTEs shared by the checked queries' oracles. */

@@ -355,6 +355,12 @@ object SimilarityQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq, r.getDouble(2)))
         .sortBy(_._1)
+      // both driver-side matrices below index POSITIONALLY, so enforce
+      // the gap-free-ids contract instead of assuming it: a corpus
+      // missing one seed id would otherwise silently shift every code
+      // relative to the SQL oracle (which keys by actual vec_id).
+      require(cent.length == IvfLists,
+        s"IVF centroid seeds not gap-free: ${cent.length} != $IvfLists")
       val dists = cent.map { case (cid, cvv, cn2) =>
         (cid, col("n2") - lit(2) * dotInt(array(cvv.map(lit): _*), col("v")) + lit(cn2))
       }
@@ -376,6 +382,8 @@ object SimilarityQueries {
         .select(col("vec_id"), col("r")).collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Long](1).toIndexedSeq)
+      require(cwRows.length == PqKs,
+        s"PQ codebook seeds not gap-free: ${cwRows.length} != $PqKs")
       def cvw(c: Int, m: Int): IndexedSeq[Long] =
         cwRows(c).slice(m * PqSub, (m + 1) * PqSub)
       def pqDists(src: Column)(m: Int): IndexedSeq[Column] = {

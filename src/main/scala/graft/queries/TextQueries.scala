@@ -367,6 +367,14 @@ object TextQueries {
     // LmLogScale grid (the corpus-standard quantized ln) and the final
     // r6 score exp(min(0, 1 − r/c) + Σlogp/4) (brevity penalty folded
     // into the one exp both engines evaluate on the identical double).
+    // exp() is a libm transcendental like ln(): its result can differ
+    // by ~1 ulp cross-engine, so a bleu value landing within 1 ulp of
+    // an r6 grid boundary could flip the declared digit. The identical
+    // analysis as LmLogScale applies: a 1-ulp band around each 1e-6
+    // grid line covers ~2^-52/1e-6 ≈ 2e-10 of the unit interval, so
+    // per-pair flip odds are ~1e-10 — at the suite's ~1.6e6 pairs the
+    // expected boundary hits are ~1e-4, i.e. accepted as negligible by
+    // the same convention that admits the quantized ln itself.
     // Shape: docs restricted to pair members (semi join) before any
     // explode; gram counts map-side combine; the pair joins are equi
     // on (doc, n, gram) against the BOUNDED pair-member corpus.

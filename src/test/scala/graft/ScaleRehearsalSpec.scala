@@ -52,7 +52,16 @@ class ScaleRehearsalSpec extends SparkSpec {
     * well under it (≤ ~12× pairs, ≤ ~10× wall + overhead); a
     * quadratic-in-block shape lands at ~×100 pairs. */
   private val PairRatioMax = 25.0
-  private val WallRatioMax = 25.0
+  /** Wall-clock gates are load- and machine-sensitive (a contended CI
+    * host can blow the absolute cap without any plan regression), so
+    * the deterministic pair-count gate above is the HARD quadratic
+    * detector and the wall gates scale by GRAFT_SCALE_WALL_MULT
+    * (default 1.0; set >1 on slow hosts, 0 to make walls warn-only). */
+  private val WallMult =
+    sys.env.get("GRAFT_SCALE_WALL_MULT").map(_.toDouble).getOrElse(1.0)
+  private val WallRatioMax = 25.0 * (if (WallMult > 0) WallMult else 1.0)
+  private val WallAbsMax = 60.0 * (if (WallMult > 0) WallMult else 1.0)
+  private val WallsHard = WallMult > 0
 
   private lazy val blownDir: String = ScaleRehearsalSpec.blownDir(spark, Base)
 
@@ -134,9 +143,13 @@ class ScaleRehearsalSpec extends SparkSpec {
     info(report.map { case (q, b, bl, r) =>
       f"$q: base $b%.2fs -> blown $bl%.2fs (${r}%.1fx)" }.mkString("; "))
     report.foreach { case (q, _, blownWall, ratio) =>
-      assert(ratio <= WallRatioMax,
-        s"$q wall grew ${ratio}x on a 10x corpus — super-linear shape")
-      assert(blownWall <= 60.0, s"$q took ${blownWall}s on the 10x corpus")
+      val msgs = Seq(
+        (ratio <= WallRatioMax,
+          s"$q wall grew ${ratio}x on a 10x corpus — super-linear shape"),
+        (blownWall <= WallAbsMax, s"$q took ${blownWall}s on the 10x corpus"))
+      msgs.foreach { case (ok, msg) =>
+        if (WallsHard) assert(ok, msg) else if (!ok) info(s"WARN: $msg")
+      }
     }
   }
 }
