@@ -26,7 +26,8 @@ object SparkEntry {
       FormatQueries.all ++
       WarehouseQueries.all ++
       AnalyticsQueries.all ++
-      StatsQueries.all
+      StatsQueries.all ++
+      SqlSurfaceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -32,7 +32,26 @@ object KpiExprs {
   final case class Kpi(name: String, spark: Column, duck: String) {
     def sparkNamed: Column = spark.as(name)
     def duckNamed: String = s"$duck AS $name"
+    def sparkSqlNamed: String = s"${sparkSqlOf(duck)} AS $name"
   }
+
+  /** Spark-SQL spelling of a [[Kpi.duck]] expression — the parser-route
+    * twin. The deterministic arithmetic (exact-decimal power sums, the
+    * floor-rounding grid, CASE counting) is dialect-portable verbatim;
+    * exactly three spellings differ and are substituted here. Kept in
+    * lockstep with [[graft.functions.DetAgg]]'s sql* builders:
+    *  - bare `VARCHAR` needs a length in Spark → `STRING` (same exact
+    *    decimal→string→double hop);
+    *  - DuckDB `quantile_cont` = Spark `percentile` (both exact linear
+    *    interpolation);
+    *  - DuckDB `entropy` = the engine's registered `shannon_entropy`
+    *    UDAF ([[graft.GraftExtensions.register]]) — this is the one KPI
+    *    that exercises the UDF-registry route from SQL text. */
+  def sparkSqlOf(duck: String): String =
+    duck
+      .replace(" AS VARCHAR)", " AS STRING)")
+      .replace("quantile_cont(", "percentile(")
+      .replace("entropy(", "shannon_entropy(")
 
   import DetAgg._
 

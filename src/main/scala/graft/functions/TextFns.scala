@@ -39,6 +39,12 @@ object TextFns {
     s"CASE WHEN length(trim($text)) = 0 THEN [] " +
       s"ELSE regexp_split_to_array(trim(lower($text)), '\\s+') END"
 
+  /** Spark-SQL spelling of [[tokens]] (the parser-route twin; regex
+    * backslash doubled for the SQL parser's escape pass). */
+  def sparkSqlTokens(text: String): String =
+    s"CASE WHEN length(trim($text)) = 0 THEN CAST(array() AS ARRAY<STRING>) " +
+      s"ELSE split(trim(lower($text)), '\\\\s+') END"
+
   /** BPE-ish sub-token split: runs of letters, runs of digits, single other
     * non-space chars. Same regex dialect subset in Java and RE2. */
   def bpeTokens(text: Column): Column =
@@ -58,6 +64,11 @@ object TextFns {
 
   def sqlH60(s: String): String =
     s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
+
+  /** Spark-SQL spelling of [[h60]] (`conv` base-16→10; same 60-bit
+    * non-negative value as the DuckDB '0x' cast). */
+  def sparkSqlH60(s: String): String =
+    s"CAST(conv(substr(md5($s), 1, 15), 16, 10) AS BIGINT)"
 
   /** Element-wise h60 over a string array. */
   def h60All(arr: Column): Column = transform(arr, t => h60(t))

@@ -73,6 +73,51 @@ object FlowOps {
        |  COALESCE(ts_sec - lag(ts_sec, 1) OVER (PARTITION BY slice, flow ORDER BY ts_sec, event_id), 0.0) AS iat
        |FROM ($rel)""".stripMargin
 
+  /** Spark-SQL spelling of [[packetViewSql]] over a registered events
+    * view (the parser-route twin of [[packetView]]; kept in lockstep).
+    * Dialect hops: `epoch_us` → `unix_micros`, divisor spelled `1e6` so
+    * the parser types it DOUBLE (a `1000000.0` literal would parse as
+    * DECIMAL and change the division), regex backslashes doubled for the
+    * parser's escape pass. */
+  def packetViewSparkSql(eventsRel: String): String =
+    s"""SELECT event_id, ts,
+       |  event_type AS slice,
+       |  user_id AS flow,
+       |  unix_micros(ts) / 1e6 AS ts_sec,
+       |  value AS len,
+       |  CASE WHEN k % 3 = 0 THEN 'TCP' WHEN k % 3 = 1 THEN 'UDP' ELSE 'OTHER' END AS proto,
+       |  event_id % 1000 AS src_port,
+       |  user_id AS dst_port,
+       |  k AS win_size,
+       |  k AS flags,
+       |  CAST(k % 50 AS BIGINT) AS seq
+       |FROM (SELECT *, CAST(nullif(regexp_extract(props, '"k"\\\\s*:\\\\s*(-?\\\\d+)', 1), '') AS INT) AS k
+       |  FROM $eventsRel)""".stripMargin
+
+  /** Spark-SQL spelling of [[withIatSql]] (`CAST(0 AS DOUBLE)` keeps the
+    * no-previous-row default typed DOUBLE through the parser). */
+  def withIatSparkSql(rel: String): String =
+    s"""SELECT *,
+       |  COALESCE(ts_sec - lag(ts_sec, 1) OVER (PARTITION BY slice, flow ORDER BY ts_sec, event_id), CAST(0 AS DOUBLE)) AS iat
+       |FROM ($rel)""".stripMargin
+
+  /** Spark-SQL spelling of [[kpiTableSql]] — the full 38-KPI aggregate
+    * as ONE `spark.sql` statement over a registered events view, every
+    * KPI expression derived from the same duck template via
+    * [[KpiExprs.sparkSqlOf]]. Requires [[graft.GraftExtensions.register]]
+    * (the `shannon_entropy` KPI resolves through the session UDF
+    * registry). */
+  def kpiTableSparkSql(eventsRel: String, bucket: String,
+                       idleThr: Double, smallLen: Double, largeLen: Double): String = {
+    val kpis = KpiExprs.kpis(idleThr, smallLen, largeLen)
+    s"""WITH pkt AS (${packetViewSparkSql(eventsRel)}),
+       |seqd AS (${withIatSparkSql("SELECT * FROM pkt")})
+       |SELECT slice, date_trunc('$bucket', ts) AS window_start,
+       |${kpis.map(_.sparkSqlNamed).mkString(",\n")}
+       |FROM seqd
+       |GROUP BY slice, date_trunc('$bucket', ts)""".stripMargin
+  }
+
   /** The flagship aggregation: full KPI table per (slice, time bucket).
     * `bucket` is a `date_trunc` unit ("hour", "day") — the events-domain
     * analogue of the reference's 1-second tumbling window (its packet

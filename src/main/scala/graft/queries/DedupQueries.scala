@@ -132,6 +132,24 @@ object DedupQueries {
         sqlShingles(sqlTokens("text"), ShingleN))}) AS sh
        |FROM documents""".stripMargin
 
+  /** dedup_ngram_jaccard's DuckDB twin — shared with the parser-route
+    * restatement (`sql_dedup_ngram`, [[SqlSurfaceQueries]]): both Spark
+    * routes must hash-match the identical oracle. */
+  private[queries] val ngramJaccardOracleSql: String =
+    s"""WITH sh AS ($shingleSetsSql),
+       |capped AS (SELECT * FROM sh WHERE doc_id < $QuadraticCap),
+       |ex AS (SELECT doc_id, unnest(sh) AS h FROM capped),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sized AS (SELECT doc_a, doc_b,
+       |    CAST(n_inter AS DOUBLE) /
+       |    (len(x.sh) + len(y.sh) - n_inter) AS jac
+       |  FROM inter JOIN capped x ON doc_a = x.doc_id
+       |             JOIN capped y ON doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, ${sqlR6("jac")} AS jaccard
+       |FROM sized WHERE jac >= $NgramThr""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -214,20 +232,7 @@ object DedupQueries {
     // scale path. At 100 TB the same inverted-index shape works with a
     // stop-shingle cap (drop shingles appearing in > B docs — bounded
     // fan-out, standard trick).
-    checked("dedup_ngram_jaccard",
-      s"""WITH sh AS ($shingleSetsSql),
-         |capped AS (SELECT * FROM sh WHERE doc_id < $QuadraticCap),
-         |ex AS (SELECT doc_id, unnest(sh) AS h FROM capped),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sized AS (SELECT doc_a, doc_b,
-         |    CAST(n_inter AS DOUBLE) /
-         |    (len(x.sh) + len(y.sh) - n_inter) AS jac
-         |  FROM inter JOIN capped x ON doc_a = x.doc_id
-         |             JOIN capped y ON doc_b = y.doc_id)
-         |SELECT doc_a, doc_b, ${sqlR6("jac")} AS jaccard
-         |FROM sized WHERE jac >= $NgramThr""".stripMargin) { (s, d) =>
+    checked("dedup_ngram_jaccard", DedupQueries.ngramJaccardOracleSql) { (s, d) =>
       // The inverted index is consumed by three branches (both self-join
       // sides + the per-doc sizes); stage it once — see QuerySpec.staged.
       val ex = staged(shingleRows(s, d).filter(col("doc_id") < QuadraticCap))

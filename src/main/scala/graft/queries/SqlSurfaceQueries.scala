@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.DetAgg.sqlR6
+import graft.functions.TextFns.{sparkSqlH60, sparkSqlTokens}
+import graft.operators.FlowOps
+
+/** The SQL-parser surface (round-10 verdict #1): real users of the
+  * reference state these workloads in SQL, so each major family gets an
+  * end-to-end `spark.sql` restatement — parser → analyzer → the session
+  * function registry ([[graft.GraftExtensions]]) → the SAME physical plan
+  * family as the Column-API route, hash-checked against the IDENTICAL
+  * DuckDB oracle as its DSL twin. `PlanShapeSpec` pins route equivalence
+  * (same exchange count, same native operators), so a parser-route plan
+  * regression fails a spec rather than shipping a second, slower engine
+  * for SQL callers.
+  *
+  * Registered natives exercised by name from SQL text across this module
+  * plus `sql_ann_topk` (`SimilarityQueries`): `dot_long`, `cos_top_k`,
+  * `shingle_explode`, `freq_sketch`, `shannon_entropy` — every function
+  * [[graft.GraftExtensions.register]] installs.
+  */
+object SqlSurfaceQueries {
+  import QuerySpec._
+
+  /** Register the engine's natives + a stable temp view for `d`'s table.
+    * View names are per-table constants: `createOrReplaceTempView` makes
+    * re-registration idempotent across queries sharing a session. */
+  private def eventsView(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    graft.GraftExtensions.register(s)
+    Tables.events(s, d).createOrReplaceTempView("graft_sql_events")
+    "graft_sql_events"
+  }
+
+  private def documentsView(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    graft.GraftExtensions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("graft_sql_documents")
+    "graft_sql_documents"
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // The flagship 38-KPI aggregate stated entirely as SQL text — the
+    // form a reference user migrating dashboards would actually write.
+    // Every KPI expression is derived from the same template as the
+    // DuckDB twin (KpiExprs.sparkSqlOf), and `shannon_entropy` resolves
+    // by NAME through the session UDF registry — the registered-UDAF
+    // path's first declared query. Same oracle as kpi_full_day, so the
+    // parser route must produce the same bits as the Column route.
+    checked("sql_kpi_full_day",
+      FlowOps.kpiTableSql("day", KpiQueries.IdleThr, KpiQueries.SmallLen,
+        KpiQueries.LargeLen)) { (s, d) =>
+      val v = eventsView(s, d)
+      s.sql(FlowOps.kpiTableSparkSql(v, "day", KpiQueries.IdleThr,
+        KpiQueries.SmallLen, KpiQueries.LargeLen))
+    },
+
+    // The windowed family through the parser: per-flow lag IAT — the
+    // W1 operator as SQL text (PARTITION BY ... ORDER BY ... lag), same
+    // oracle as flow_iat.
+    checked("sql_flow_iat",
+      s"""WITH pkt AS (${FlowOps.packetViewSql}),
+         |seqd AS (${FlowOps.withIatSql("SELECT * FROM pkt")})
+         |SELECT event_id, slice, flow, ${sqlR6("ts_sec")} AS ts_sec6,
+         |  ${sqlR6("iat")} AS iat6
+         |FROM seqd""".stripMargin) { (s, d) =>
+      val v = eventsView(s, d)
+      s.sql(
+        s"""WITH pkt AS (${FlowOps.packetViewSparkSql(v)}),
+           |seqd AS (${FlowOps.withIatSparkSql("SELECT * FROM pkt")})
+           |SELECT event_id, slice, flow, ${sqlR6("ts_sec")} AS ts_sec6,
+           |  ${sqlR6("iat")} AS iat6
+           |FROM seqd""".stripMargin)
+    },
+
+    // The native-Generator route: `shingle_explode` called by name in a
+    // LATERAL VIEW — the n-gram Jaccard dedup pass as a SQL analyst
+    // would state it. Identical oracle (and identical pair semantics:
+    // distinct shingle h60s, capped corpus, same threshold) as
+    // dedup_ngram_jaccard.
+    checked("sql_dedup_ngram", DedupQueries.ngramJaccardOracleSql) { (s, d) =>
+      val v = documentsView(s, d)
+      s.sql(
+        s"""WITH ex AS (
+           |  SELECT DISTINCT doc_id, ${sparkSqlH60("sstr")} AS h
+           |  FROM $v
+           |  LATERAL VIEW shingle_explode(${sparkSqlTokens("text")},
+           |    ${DedupQueries.ShingleN}) t AS sstr
+           |  WHERE doc_id < ${DedupQueries.QuadraticCap}),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    count(*) AS n_inter
+           |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |sized AS (SELECT doc_a, doc_b,
+           |    CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) AS jac
+           |  FROM inter JOIN sizes x ON doc_a = x.doc_id
+           |             JOIN sizes y ON doc_b = y.doc_id)
+           |SELECT doc_a, doc_b, ${sqlR6("jac")} AS jaccard
+           |FROM sized WHERE jac >= ${DedupQueries.NgramThr}""".stripMargin)
+    },
+
+    // The native-aggregate route: `freq_sketch` (Misra-Gries) called by
+    // name — heavy hitters per language as SQL text, same oracle (and
+    // same exact-regime contract) as text_heavy_hitters.
+    checked("sql_heavy_hitters", TextQueries.heavyHittersOracleSql) { (s, d) =>
+      val v = documentsView(s, d)
+      s.sql(
+        s"""SELECT lang, e.item AS item, e.est AS est
+           |FROM (
+           |  SELECT lang, freq_sketch(tok, 48) AS sk
+           |  FROM (SELECT lang, explode(${sparkSqlTokens("text")}) AS tok
+           |    FROM $v)
+           |  GROUP BY lang) g
+           |LATERAL VIEW explode(sk) t AS e""".stripMargin)
+    }
+  )
+}

@@ -136,6 +136,16 @@ object TextQueries {
   private val BpeDumpDir = TmpDirs.persistent(
     s"graft_bpe_dump_${ProcessHandle.current().pid()}").getAbsolutePath
 
+  /** text_heavy_hitters' DuckDB twin — shared with the parser-route
+    * restatement (`sql_heavy_hitters`, [[SqlSurfaceQueries]]). The MG
+    * sketch's k=48 exceeds the per-lang token vocabulary, so its
+    * estimates are exactly the counts (the measured-contract regime;
+    * text_heavy_hitters_lowk exercises the lossy regime). */
+  private[queries] val heavyHittersOracleSql: String =
+    s"""SELECT lang, tok AS item, count(*) AS est
+       |FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents)
+       |GROUP BY lang, tok""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // BPE ENCODE — the tokenizer's apply loop, closing text_bpe_pairs'
@@ -756,10 +766,7 @@ object TextQueries {
     // partials, serialize, merge) still runs for real. The
     // more-distinct-than-k regime (decrements, merge compression, the
     // n/(k+1) error and coverage bounds) is pinned by FreqSketchSpec.
-    checked("text_heavy_hitters",
-      s"""SELECT lang, tok AS item, count(*) AS est
-         |FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents)
-         |GROUP BY lang, tok""".stripMargin) { (s, d) =>
+    checked("text_heavy_hitters", TextQueries.heavyHittersOracleSql) { (s, d) =>
       Tables.documents(s, d)
         .select(col("lang"), explode(tokens(col("text"))).as("item"))
         .groupBy("lang")

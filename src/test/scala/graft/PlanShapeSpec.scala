@@ -435,6 +435,65 @@ class PlanShapeSpec extends SparkSpec {
       "split/model frames must come back as broadcasts")
   }
 
+  // --- SQL-parser route ≡ Column route (round-10 verdict #1): each
+  // sql_* restatement must land in the SAME physical plan family as its
+  // DSL twin — a parser-route divergence would ship a second, slower
+  // engine to exactly the users most likely to hit it.
+  private def shuffleCount(p: String): Int =
+    "(?<!Broadcast)Exchange".r.findAllIn(p).size
+
+  /** Full formatted plan — executedPlan.toString elides wide aggregate
+    * function lists ("... 161 more fields"), which hides the KPI
+    * aggregate's tail functions from substring pins. */
+  private def planFormatted(name: String): String =
+    try {
+      val q = SparkEntry.allQueries.find(_.name == name)
+        .getOrElse(fail(s"no query named $name"))
+      q.fn(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    } finally QuerySpec.releaseStaged()
+
+  test("sql_kpi_full_day: parser route plans the same 38-KPI aggregate as the DSL") {
+    val sqlP = plan("sql_kpi_full_day")
+    val dslP = plan("kpi_full_day")
+    assert(shuffleCount(sqlP) == shuffleCount(dslP),
+      s"parser route shuffles ${shuffleCount(sqlP)}x vs DSL ${shuffleCount(dslP)}x")
+    assert(planFormatted("sql_kpi_full_day").contains("ShannonEntropy") &&
+      planFormatted("kpi_full_day").contains("ShannonEntropy"),
+      "both routes must aggregate entropy through the typed ShannonEntropy " +
+        "aggregator (the registered-UDAF path)")
+    Seq(sqlP, dslP).foreach(p => assert(
+      "Window".r.findAllIn(p).size == 1,
+      "exactly one window pass (the per-flow lag IAT) feeds the KPI aggregate"))
+  }
+
+  test("sql_flow_iat: parser route plans the one-shuffle lag window") {
+    val sqlP = plan("sql_flow_iat")
+    val dslP = plan("flow_iat")
+    assert(shuffleCount(sqlP) == 1 && shuffleCount(dslP) == 1,
+      "the W1 lag IAT must cost exactly one shuffle on (slice, flow) " +
+        s"in both routes; sql=${shuffleCount(sqlP)} dsl=${shuffleCount(dslP)}")
+    assert(sqlP.contains("Window") && dslP.contains("Window"))
+  }
+
+  test("sql_dedup_ngram: shingle_explode by name reaches the native generator") {
+    val p = plan("sql_dedup_ngram")
+    assert(p.contains("shingle_explode"),
+      "the LATERAL VIEW must resolve to the native ShingleExplode " +
+        s"generator, not an interpreted HOF chain; got:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair candidates must come from the equi self-join on h only")
+  }
+
+  test("sql_heavy_hitters: freq_sketch by name reduces map-side") {
+    val sqlP = plan("sql_heavy_hitters")
+    val dslP = plan("text_heavy_hitters")
+    assert(sqlP.contains("partial_freq_sketch") && dslP.contains("partial_freq_sketch"),
+      "the MG sketch must aggregate partially (ObjectHashAggregate) " +
+        "before the lang exchange in both routes")
+    assert(shuffleCount(sqlP) == shuffleCount(dslP))
+  }
+
   test("shuffle-volume ceilings hold for the heaviest queries") {
     // Wall time only tells you a regression happened on THIS machine;
     // bytes crossing the exchanges tell you the plan itself regressed — a
