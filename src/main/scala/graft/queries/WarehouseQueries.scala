@@ -295,6 +295,79 @@ object WarehouseQueries {
         .unionAll(row("o_orderpriority", "d_op", "z_o_orderpriority", lit(0L), lit(0L)))
     },
 
+    // The profiler's 100 TB OPERATING POINT: dq_profile's exact-distinct
+    // cells cost a multi-distinct Expand (row duplication map-side, one
+    // shuffle cell per distinct value per column) — linear but, at
+    // petabyte row counts, the reason production profilers (Deequ's
+    // ApproxCountDistinct analyzer) reach for HLL. This twin profiles the
+    // same six columns through approx_count_distinct (HLL++, default rsd
+    // 0.05): the approx branch is ONE ordinary aggregate — no Expand, no
+    // per-distinct-value shuffle cells, just six ~1 KB sketch registers
+    // per partition — and PlanShapeSpec pins exactly that (the one Expand
+    // in this plan belongs to the exact branch that measures the error).
+    // Oracle contract per approx_sketches (KpiQueries): each engine
+    // asserts its OWN sketch against its own exact count within the
+    // documented 10 % bound (different HLL families are not
+    // cross-reproducible); the exact counts and completeness also
+    // hash-compare. Input is fixed per SF → booleans deterministic
+    // (measured worst column error: Spark HLL++ 6.7 % — o_custkey at
+    // sf0.01, rsd 0.05 so the 10 % bound is the 2σ contract the
+    // approx_sketches family already uses; DuckDB ≤ 1.6 %).
+    checked("dq_profile_approx", {
+      def complete(z: String) =
+        graft.functions.DetAgg.sqlR6(s"CAST(n - $z AS DOUBLE) / n")
+      def rowSql(name: String, dC: String, aC: String, zC: String) =
+        s"""SELECT '$name' AS col_name, n AS n_rows, $dC AS n_distinct,
+           |  ${complete(zC)} AS completeness,
+           |  abs($aC - $dC) <= 0.10 * $dC AS approx_ok FROM e, a""".stripMargin
+      s"""WITH e AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_ok,
+         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_ck,
+         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_st,
+         |  CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d_tp,
+         |  CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d_od,
+         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d_op,
+         |  CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS z_ok,
+         |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS z_ck,
+         |  CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) AS z_st,
+         |  CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT) AS z_tp,
+         |  CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) AS z_od,
+         |  CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT) AS z_op
+         |FROM orders),
+         |a AS (SELECT
+         |  CAST(approx_count_distinct(o_orderkey) AS BIGINT) AS a_ok,
+         |  CAST(approx_count_distinct(o_custkey) AS BIGINT) AS a_ck,
+         |  CAST(approx_count_distinct(o_orderstatus) AS BIGINT) AS a_st,
+         |  CAST(approx_count_distinct(o_totalprice) AS BIGINT) AS a_tp,
+         |  CAST(approx_count_distinct(o_orderdate) AS BIGINT) AS a_od,
+         |  CAST(approx_count_distinct(o_orderpriority) AS BIGINT) AS a_op
+         |FROM orders)
+         |${rowSql("o_orderkey", "d_ok", "a_ok", "z_ok")}
+         |UNION ALL ${rowSql("o_custkey", "d_ck", "a_ck", "z_ck")}
+         |UNION ALL ${rowSql("o_orderstatus", "d_st", "a_st", "z_st")}
+         |UNION ALL ${rowSql("o_totalprice", "d_tp", "a_tp", "z_tp")}
+         |UNION ALL ${rowSql("o_orderdate", "d_od", "a_od", "z_od")}
+         |UNION ALL ${rowSql("o_orderpriority", "d_op", "a_op", "z_op")}""".stripMargin
+    }) { (s, d) =>
+      // staged: the 13-cell exact + 6-sketch approx scans run ONCE; the
+      // six per-column rows below re-read the 1-row checkpoint, not the
+      // table. The pre-stage plan (what localCheckpoint executes) is
+      // what PlanShapeSpec pins via dqProfileApproxStage.
+      val m = QuerySpec.staged(dqProfileApproxStage(s, d))
+      def complete(z: String) = graft.functions.DetAgg.r6(
+        (col("n") - col(z)).cast("double") / col("n"))
+      def row(name: String, dC: String, aC: String, zC: String) =
+        m.select(lit(name).as("col_name"), col("n").as("n_rows"),
+          col(dC).as("n_distinct"), complete(zC).as("completeness"),
+          (abs(col(aC) - col(dC)) <= lit(0.10) * col(dC)).as("approx_ok"))
+      row("o_orderkey", "d_ok", "a_ok", "z_o_orderkey")
+        .unionAll(row("o_custkey", "d_ck", "a_ck", "z_o_custkey"))
+        .unionAll(row("o_orderstatus", "d_st", "a_st", "z_o_orderstatus"))
+        .unionAll(row("o_totalprice", "d_tp", "a_tp", "z_o_totalprice"))
+        .unionAll(row("o_orderdate", "d_od", "a_od", "z_o_orderdate"))
+        .unionAll(row("o_orderpriority", "d_op", "a_op", "z_o_orderpriority"))
+    },
+
     // dbt-style data-quality CONSTRAINT CHECKS — the nightly assertion
     // pass every warehouse runs before publishing (not-null, unique-key,
     // referential-integrity, accepted-values, range): one row per check
@@ -376,4 +449,36 @@ object WarehouseQueries {
           expr(s"CAST(bit_count(bit_or($dBit)) AS BIGINT)").as("n_days"))
     }
   )
+
+  /** The pre-stage frame of dq_profile_approx — the plan localCheckpoint
+    * actually executes. Package-visible so PlanShapeSpec can pin the shape
+    * the checkpoint hides from the downstream plan: exactly ONE Expand
+    * (the exact multi-distinct branch that measures the sketch error) and
+    * an Expand-FREE approx_count_distinct aggregate (six HLL++ sketch
+    * registers, the 100 TB profiler operating point). Both aggregates are
+    * 1-row, so the crossJoin is a broadcast pairing, not a blow-up. */
+  private[graft] def dqProfileApproxStage(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def nulls(c: String) = count(when(col(c).isNull, 1)).as(s"z_$c")
+    val exact = o.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("d_ok"),
+      countDistinct(col("o_custkey")).as("d_ck"),
+      countDistinct(col("o_orderstatus")).as("d_st"),
+      countDistinct(col("o_totalprice")).as("d_tp"),
+      countDistinct(col("o_orderdate")).as("d_od"),
+      countDistinct(col("o_orderpriority")).as("d_op"),
+      nulls("o_orderkey"), nulls("o_custkey"), nulls("o_orderstatus"),
+      nulls("o_totalprice"), nulls("o_orderdate"), nulls("o_orderpriority"))
+    // the scale-path branch: plain aggregate, Expand-free by shape
+    val approx = o.agg(
+      approx_count_distinct(col("o_orderkey")).as("a_ok"),
+      approx_count_distinct(col("o_custkey")).as("a_ck"),
+      approx_count_distinct(col("o_orderstatus")).as("a_st"),
+      approx_count_distinct(col("o_totalprice")).as("a_tp"),
+      approx_count_distinct(col("o_orderdate")).as("a_od"),
+      approx_count_distinct(col("o_orderpriority")).as("a_op"))
+    exact.crossJoin(approx)
+  }
 }

@@ -494,6 +494,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffleCount(sqlP) == shuffleCount(dslP))
   }
 
+  test("dq_profile_approx: the HLL branch profiles without an Expand") {
+    // The profiler's scale path: the approx_count_distinct aggregate must
+    // stay an ordinary (sketch-register) aggregate. The declared query
+    // stages the 1-row stats frame (localCheckpoint truncates lineage to
+    // an ExistingRDD scan), so the pin inspects the PRE-stage frame — the
+    // plan the checkpoint actually executes. Exactly ONE Expand is
+    // allowed — the exact multi-distinct branch that measures the sketch
+    // error; a second would mean the approx branch regressed into
+    // per-distinct-value row duplication, the cost this query exists to
+    // avoid at 100 TB.
+    val staged = graft.queries.WarehouseQueries
+      .dqProfileApproxStage(spark, sf)
+    val p = staged.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(p).size == 1,
+      s"expected exactly one Expand (the exact error-measuring branch); got:\n$p")
+    assert(p.contains("approx_count_distinct"),
+      "the scale branch must aggregate through HLL++ sketch registers")
+    // the pairing of the two 1-row aggregates must be a broadcast, and
+    // the declared query's own plan must show the lineage truncation —
+    // the six per-column rows re-read the checkpoint, not the table
+    assert(p.contains("BroadcastNestedLoopJoin"), "1-row pairing broadcasts")
+    val declared = plan("dq_profile_approx")
+    assert(declared.contains("ExistingRDD"),
+      "declared plan must read the staged 1-row stats, not rescan orders")
+  }
+
   test("shuffle-volume ceilings hold for the heaviest queries") {
     // Wall time only tells you a regression happened on THIS machine;
     // bytes crossing the exchanges tell you the plan itself regressed — a
@@ -552,7 +578,14 @@ class PlanShapeSpec extends SparkSpec {
       // round-10: IVFPQ moves only the bounded top-k heap partials and
       // the staged-corpus checkpoint read — encode and LUTs are
       // projections, candidates ride the broadcast c_id join
-      "ann_ivfpq" -> 30000L)
+      "ann_ivfpq" -> 30000L,
+      // round-11: the profiler pair. dq_profile's Expand is its declared
+      // cost — the ceiling pins that cost (≈ Σ per-column distinct cells,
+      // measured 1.1 MB at sf0.01) so an accidental second Expand or a
+      // lost map-side combine blows through; the approx twin must move
+      // only sketch registers + the same exact branch.
+      "dq_profile" -> 2500000L,
+      "dq_profile_approx" -> 2500000L)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     try {
