@@ -725,61 +725,110 @@ object MlQueries {
       }
     },
 
-    // Isotonic (PAV) probability calibration — MLlib's
-    // IsotonicRegression, the production calibration tool beside the
-    // binned reliability diagram ml_calibration_bins measures: fit the
-    // monotone step function mapping a raw score to an empirical
-    // probability (the pool-adjacent-violators solution, unique because
-    // the isotonic least-squares objective is strictly convex in the
-    // fitted values — so the DISTRIBUTED fit is deterministic:
-    // 0/1 labels with unit weights make every pool mean an exact
-    // hits/count rational, and integer-valued double sums are exact in
-    // any accumulation order). Task: score = the 1e3-grid event value,
-    // target = (event_type = 'purchase') — calibrating a raw magnitude
-    // into P(purchase). Declared surface: the fitted step function
-    // itself ((boundary, prediction) pairs — bounded model state, the
-    // quantizer collect contract) plus the measured contract booleans:
-    // predictions monotone nondecreasing, inside [0, 1], and the
-    // weighted mean preserved (= the base rate, the PAV identity).
-    // Gradient-free and closed-form, but not SQL-expressible (PAV is
-    // sequential pooling) — the dump-echo property oracle, like the
-    // trainers.
+    // Isotonic (PAV) probability calibration — the production
+    // calibration tool beside the binned reliability diagram
+    // ml_calibration_bins measures: fit the monotone step function
+    // mapping a raw score to an empirical probability. Task: score =
+    // floor(value) (the integer magnitude bin — a bounded grid, so the
+    // pooled state is bounded model state at any corpus size), target =
+    // (event_type = 'purchase'). Distributed shape: ONE groupBy(score)
+    // scan with map-side combine produces exact BIGINT (hits, cnt) per
+    // bin; the PAV fixpoint then runs driver-side on that bounded state
+    // in pure integer arithmetic (graft.ml.Pav — cross-multiplied merge
+    // compares, division only at output). Round-11 oracle upgrade: the
+    // DuckDB twin COMPUTES the fit via the minimax identity
+    // fit_t = max_{j<=t} min_{k>=t} avg[j..k] (Robertson-Wright-Dykstra)
+    // over ~n²/2 prefix-sum windows (n = |score grid| ≈ 400 → ~80 k
+    // rows), replacing the round-10 dump-echo. Bit-exactness is PROVED,
+    // not hoped: every window avg is one correctly-rounded division of
+    // exact integers, IEEE rounding is monotone so min/max commute with
+    // it, hence the double minimax equals round(hits_B/cnt_B) of the PAV
+    // block — the exact division Pav emits (proof in Pav.scala's
+    // Scaladoc; IsotonicPavSpec cross-checks the fit against MLlib's
+    // IsotonicRegression, whose weighted float pooling is ulp-close but
+    // not oracle-exact). Contract booleans are now COMPUTED by both
+    // engines from their own fit: monotone nondecreasing predictions,
+    // predictions in [0,1], and total (hits, cnt) mass preserved by the
+    // block partition (the PAV mean-preservation identity, asserted as
+    // an exact integer equality).
     checked("ml_isotonic_calibration",
-      s"""SELECT idx, boundary, prediction,
-         |  true AS monotone, true AS in_unit_range, true AS mean_preserved
-         |FROM read_parquet('$DumpRoot/ml_isotonic_calibration/*.parquet')""".stripMargin) { (s, d) =>
-      import org.apache.spark.ml.regression.IsotonicRegression
-      val data = Tables.events(s, d)
-        .select(when(col("event_type") === "purchase", 1.0).otherwise(0.0)
-          .as("label"),
-          floor(col("value") * 1000).cast("double").as("score"))
-      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
-        .setInputCols(Array("score")).setOutputCol("features")
-        .transform(data)
-      val model = new IsotonicRegression()
-        .setLabelCol("label").setFeaturesCol("features")
-        .fit(assembled)
-      val bs = model.boundaries.toArray
-      val ps = model.predictions.toArray
-      import s.implicits._
-      val steps = bs.zip(ps).zipWithIndex.map { case ((b, p), i) =>
-        (i.toLong, b, p)
-      }.toSeq.toDF("idx", "boundary", "prediction")
-      // measured contract: monotone, bounded, base rate preserved by
-      // the fitted values evaluated over the training scores
-      val base = data.agg(avg(col("label"))).head.getDouble(0)
-      val fitMean = model.transform(assembled)
-        .agg(avg(col("prediction"))).head.getDouble(0)
-      dumpWithInvariants(s, "ml_isotonic_calibration", steps) { rows =>
-        val preds = rows.map(_.getDouble(2))
-        Seq(
-          "monotone" -> preds.sliding(2).forall {
-            case Seq(a, b) => a <= b
-            case _ => true
-          },
-          "in_unit_range" -> preds.forall(p => p >= 0.0 && p <= 1.0),
-          "mean_preserved" -> (math.abs(fitMean - base) < 1e-9))
+      """WITH pooled AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS score,
+        |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |      AS hits,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |pre AS (
+        |  SELECT score, hits, cnt,
+        |    row_number() OVER (ORDER BY score) AS t,
+        |    sum(hits)   OVER (ORDER BY score) AS sh,
+        |    sum(cnt)    OVER (ORDER BY score) AS sc
+        |  FROM pooled),
+        |win AS (
+        |  SELECT a.t AS j, b.t AS k,
+        |    CAST(b.sh - a.sh + a.hits AS DOUBLE)
+        |      / CAST(b.sc - a.sc + a.cnt AS DOUBLE) AS q
+        |  FROM pre a JOIN pre b ON a.t <= b.t),
+        |sfx AS (
+        |  SELECT j, k AS t,
+        |    min(q) OVER (PARTITION BY j ORDER BY k DESC) AS mn
+        |  FROM win),
+        |fit AS (SELECT t, max(mn) AS f FROM sfx GROUP BY t),
+        |marked AS (
+        |  SELECT p.t, p.score, p.hits, p.cnt, f.f,
+        |    CASE WHEN f.f = lag(f.f) OVER (ORDER BY p.t) THEN 0 ELSE 1 END
+        |      AS brk
+        |  FROM pre p JOIN fit f ON p.t = f.t),
+        |blocks AS (
+        |  SELECT CAST(sum(brk) OVER (ORDER BY t) AS BIGINT) AS idx,
+        |    score, hits, cnt, f FROM marked),
+        |rows_ AS (
+        |  SELECT idx, min(score) AS score_lo, max(score) AS score_hi,
+        |    CAST(sum(hits) AS BIGINT) AS n_hits,
+        |    CAST(sum(cnt) AS BIGINT) AS n_events,
+        |    min(f) AS prediction
+        |  FROM blocks GROUP BY idx),
+        |laged AS (
+        |  SELECT *, lag(prediction) OVER (ORDER BY idx) AS prev
+        |  FROM rows_),
+        |contract AS (
+        |  SELECT
+        |    bool_and(prev IS NULL OR prediction >= prev) AS monotone,
+        |    bool_and(prediction >= 0.0 AND prediction <= 1.0)
+        |      AS in_unit_range,
+        |    sum(n_hits) = (SELECT sum(hits) FROM pooled)
+        |      AND sum(n_events) = (SELECT sum(cnt) FROM pooled)
+        |      AS mean_preserved
+        |  FROM laged)
+        |SELECT idx, score_lo, score_hi, n_events, n_hits, prediction,
+        |  monotone, in_unit_range, mean_preserved
+        |FROM rows_, contract""".stripMargin) { (s, d) =>
+      val pooled = Tables.events(s, d)
+        .groupBy(floor(col("value")).cast("long").as("score"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("hits"),
+          count(lit(1)).as("cnt"))
+      // bounded model state: one row per integer magnitude bin — the
+      // quantizer-collect contract (|grid| ≈ max value, not corpus rows)
+      val pts = pooled.orderBy("score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val blocks = graft.ml.Pav.fit(pts)
+      val totalHits = pts.map(_._2).sum
+      val totalCnt = pts.map(_._3).sum
+      val monotone = blocks.sliding(2).forall {
+        case Seq(a, b) => a.prediction <= b.prediction
+        case _ => true
       }
+      val inUnit = blocks.forall(b => b.prediction >= 0.0 && b.prediction <= 1.0)
+      val massOk = blocks.map(_.hits).sum == totalHits &&
+        blocks.map(_.cnt).sum == totalCnt
+      import s.implicits._
+      blocks.zipWithIndex.map { case (b, i) =>
+        (i + 1L, b.scoreLo, b.scoreHi, b.cnt, b.hits, b.prediction,
+          monotone, inUnit, massOk)
+      }.toDF("idx", "score_lo", "score_hi", "n_events", "n_hits",
+        "prediction", "monotone", "in_unit_range", "mean_preserved")
     },
 
     // Dominant principal direction of the embedding corpus — power
