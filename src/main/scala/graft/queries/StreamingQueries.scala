@@ -296,6 +296,82 @@ object StreamingQueries {
         java.util.Arrays.asList(rows: _*)), schema)
   }
 
+  /** Throughput rehearsal drain (round-11 verdict #4): the reference's
+    * one quantitative streaming figure is its ≤ 2 000 events/s ingest
+    * design point (`KafkaKpiPipeline.scala:233,299` —
+    * maxOffsetsPerTrigger as the rate limit); nothing on the declared
+    * surface measured this engine's sustained rate through the REAL
+    * streaming path until now. Layout: the events table re-sharded into
+    * [[ThroughputShards]] parquet files (written once per (JVM, sf)),
+    * streamed at maxFilesPerTrigger = 1 — so every shard is one genuine
+    * micro-batch through the file source, the tumbling KPI aggregation,
+    * and a per-trigger state-store commit. Complete output mode
+    * re-emits full state each batch: the CONSERVATIVE (heavier) mode
+    * for a rate measurement. Steady-state rate = rows in batches
+    * 1..N−1 over their summed triggerExecution — batch 0 absorbs
+    * codegen + state-store init and is discarded, the standard
+    * sustained-throughput protocol (cold start is not what a rate
+    * limit governs). Deterministic columns (row mass, batch count from
+    * the layout contract, final state rows = window groups) are
+    * hash-compared; the measured rate and per-batch state telemetry
+    * land as contract booleans, the sketch_cms pattern. */
+  private val ThroughputShards = 8
+
+  private def throughputDrain(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    val (rows, schema) = drainCache.computeIfAbsent(
+      s"throughput_${QuerySpec.jvmScopedKey(d)}", { _ =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val dir = TmpDirs.scoped(s"graft_tpstream_${QuerySpec.jvmScopedKey(d)}")
+        val ready = new java.io.File(dir, "_READY")
+        if (!ready.exists()) {
+          rmTree(dir)
+          val (raw, _) = canonicalEvents(s, d)
+          // round-robin shards: every file nonempty at every SF, so the
+          // data-batch count is the layout constant by construction
+          raw.repartition(ThroughputShards)
+            .write.mode("overwrite").parquet(dir.getAbsolutePath)
+          ready.createNewFile()
+        }
+        val (result, progress) = StreamingKpi.runBoundedWithProgress(s,
+          s2 => {
+            s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            val stream = s2.readStream.schema(StreamingKpi.eventsRawSchema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "part-*.parquet")
+              .parquet(dir.getAbsolutePath)
+              .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+            windowedKpi(stream, "tumbling")
+          },
+          "stream_throughput", OutputMode.Complete)
+        val data = progress.filter(_.numInputRows > 0).sortBy(_.batchId)
+        require(data.length == ThroughputShards,
+          s"expected $ThroughputShards data batches, saw ${data.length}")
+        val steady = data.drop(1)
+        val steadyRows = steady.map(_.numInputRows).sum
+        val steadyMs = math.max(1L, steady.map(_.triggerMs).sum)
+        val rate = steadyRows.toDouble * 1000.0 / steadyMs.toDouble
+        val groups = result.count()
+        val out = Seq((
+          data.map(_.numInputRows).sum,          // n_events
+          data.length.toLong,                    // n_batches
+          data.last.stateRows,                   // state_groups (final)
+          rate >= 2000.0,                        // throughput_ge_design
+          data.last.stateRows == groups,         // state_eq_groups
+          data.sliding(2).forall {               // state_monotone
+            case Seq(a, b) => a.stateRows <= b.stateRows
+            case _ => true
+          }))
+        import s.implicits._
+        val df = out.toDF("n_events", "n_batches", "state_groups",
+          "throughput_ge_design", "state_eq_groups", "state_monotone")
+        (df.collect(), df.schema)
+      })
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), schema)
+  }
+
   /** Two-sided outer-join drain shared by stream_join_left_outer and
     * stream_join_full_outer (round-9 verdict #6 — the kpiAppendDrain
     * pattern applied to the join modes): ONE checkpointed FULL OUTER
@@ -468,6 +544,31 @@ object StreamingQueries {
          |  ${sqlSum("value")} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
       kpiAvailableNowDrain(s, d)
+    },
+
+    // Streaming THROUGHPUT rehearsal vs the reference's design point
+    // (round-11 verdict #4): the reference rate-limits ingest to
+    // ≤ 2 000 events/s by design; this query drives the real streaming
+    // path (file source rate-limited to one shard per trigger → tumbling
+    // KPI aggregation → per-batch state-store commit) over an 8-shard
+    // re-layout of the events table and DECLARES the envelope: exact row
+    // mass, the layout-contract batch count, the final state-store row
+    // count (= window groups — a per-batch state metric that IS
+    // deterministic), and the measured contract booleans — steady-state
+    // events/s ≥ the 2 000/s design point (batch 0 discarded: codegen +
+    // store init, not sustained rate), final state rows equal to the
+    // emitted Complete-table groups, and state growth monotone across
+    // batches. See throughputDrain for the measurement protocol.
+    checked("stream_throughput_rehearsal",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST($ThroughputShards AS BIGINT) AS n_batches,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM
+         |    (SELECT DISTINCT event_type, date_trunc('hour', ts) FROM events))
+         |    AS state_groups,
+         |  true AS throughput_ge_design, true AS state_eq_groups,
+         |  true AS state_monotone
+         |FROM events""".stripMargin) { (s, d) =>
+      throughputDrain(s, d)
     },
 
     // Sliding-window streaming aggregation (T3 declared addition): every
