@@ -259,6 +259,65 @@ object TextFns {
     cur
   }
 
+  /** Unigram-LM (SentencePiece-style) Viterbi segmentation of one word
+    * under quantized integer piece scores — the per-word E-step of
+    * text_unigram_train's hard-EM trainer and the encode loop of
+    * text_unigram_apply. Maximizes the summed LmLogScale-grid log-prob
+    * (exact Long addition — no floats anywhere in the DP); ties broken
+    * by FEWER pieces, then by the LONGER last piece. Both tie-break
+    * keys are additive/local, so the DP's optimal-substructure argument
+    * holds and the chosen segmentation is a deterministic function of
+    * (word, scores). The tie order also yields the checkable contract
+    * text_unigram_apply's oracle pins: no two adjacent output pieces
+    * may concatenate to an in-vocab piece with score >= their sum
+    * (equal score + fewer pieces would already have won). Coverage is
+    * the caller's contract: every single char of the word must be in
+    * `scores` (the trainer never prunes single-char pieces). */
+  def unigramSegment(w: String, scores: collection.Map[String, Long],
+                     maxLen: Int): IndexedSeq[String] = {
+    val n = w.length
+    val NegInf = Long.MinValue / 4
+    val dpScore = Array.fill(n + 1)(NegInf)
+    val dpPieces = Array.fill(n + 1)(Int.MaxValue)
+    val dpLast = Array.fill(n + 1)(0)
+    dpScore(0) = 0L
+    dpPieces(0) = 0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxLen, i)
+      while (l <= lMax) {
+        val j = i - l
+        if (dpScore(j) > NegInf) {
+          scores.get(w.substring(j, i)) match {
+            case Some(sc) =>
+              val cs = dpScore(j) + sc
+              val cp = dpPieces(j) + 1
+              val better = cs > dpScore(i) ||
+                (cs == dpScore(i) && (cp < dpPieces(i) ||
+                  (cp == dpPieces(i) && l > dpLast(i))))
+              if (better) {
+                dpScore(i) = cs; dpPieces(i) = cp; dpLast(i) = l
+              }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    require(dpScore(n) > NegInf,
+      s"unigram vocab does not cover '$w' — a single-char piece was pruned")
+    var at = n
+    val rev = List.newBuilder[String]
+    while (at > 0) {
+      val l = dpLast(at)
+      rev += w.substring(at - l, at)
+      at -= l
+    }
+    rev.result().reverse.toIndexedSeq
+  }
+
   // ---------------------------------------------------------------------
   // Language-ID (marker-stopword heuristic)
   // ---------------------------------------------------------------------

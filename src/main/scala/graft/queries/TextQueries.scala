@@ -136,6 +136,112 @@ object TextQueries {
   private val BpeDumpDir = TmpDirs.persistent(
     s"graft_bpe_dump_${ProcessHandle.current().pid()}").getAbsolutePath
 
+  /** Unigram-LM (SentencePiece-style) tokenizer knobs: max piece length,
+    * seed-vocab size (top multi-char substrings by weighted count — ALL
+    * single chars are always kept, the coverage guarantee), and hard-EM
+    * round count. Small V because the synthetic corpus has a ~31-word
+    * vocabulary; a production run raises V, not the algorithm. */
+  val UniMaxLen = 4
+  val UniSeedV = 120
+  val UniEmRounds = 2
+
+  /** Dumps for the unigram pair: the final per-word segmentation rows
+    * (the E-step output both queries aggregate) and the model scores the
+    * final segmentation ran under (needed by the apply oracle's
+    * local-optimality contract — the post-hoc M-step re-estimate the
+    * train query declares is NOT the model that segmented). */
+  private val UniDumpDir = TmpDirs.persistent(
+    s"graft_uni_dump_${ProcessHandle.current().pid()}").getAbsolutePath
+  private val UniModelDir = TmpDirs.persistent(
+    s"graft_uni_model_${ProcessHandle.current().pid()}").getAbsolutePath
+
+  /** floor(ln(n/tot)·LmLogScale + 0.5) as Long — the Scala spelling of
+    * [[sqlIlog]] for driver-side model scores. */
+  private def ilogLong(n: Long, tot: Long): Long =
+    math.floor(math.log(n.toDouble / tot.toDouble) * LmLogScale + 0.5).toLong
+
+  /** Train the unigram LM and write both dumps, once per (JVM, sf).
+    *
+    * Hard-EM (Viterbi-EM), the determinism-friendly variant of Kudo
+    * 2018's unigram trainer: the E-step assigns each distinct word its
+    * single BEST segmentation (integer-scored Viterbi — see
+    * [[graft.functions.TextFns.unigramSegment]]), the M-step recounts
+    * piece mass from those segmentations (exact Longs) and re-quantizes
+    * scores to the LmLogScale grid. No forward-backward float
+    * accumulation anywhere, so the fit is bit-deterministic at any
+    * partitioning. Distributed shape at 100 TB: the corpus is touched by
+    * (a) one word-count scan (map-side combined groupBy — word vocab,
+    * not corpus, crosses the wire), (b) one substring-count pass over
+    * the DISTINCT-word table for the seed, (c) per EM round one flatMap
+    * over the distinct-word table, and (d) one final zero-shuffle
+    * per-doc encode map. The model is bounded broadcast state
+    * (|chars| + UniSeedV entries) — the BPE merge-table contract. */
+  private def unigramDumps(s: org.apache.spark.sql.SparkSession,
+                           d: String): Unit =
+    uniDone.computeIfAbsent(QuerySpec.jvmScopedKey(d), { _ =>
+      import s.implicits._
+      val words = QuerySpec.staged(Tables.documents(s, d)
+        .select(explode(bpeTokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+      // seed: all substrings of length 1..UniMaxLen, weighted by word
+      // occurrence count; every single char kept, top-V multi-char by
+      // the (count DESC, piece ASC) total order (TakeOrdered, O(V))
+      val subs = words
+        .select(explode(expr(
+          s"""flatten(transform(sequence(1, length(w)), i ->
+             |  transform(sequence(1, least($UniMaxLen, length(w) - i + 1)),
+             |    l -> substring(w, i, l))))""".stripMargin)).as("piece"),
+          col("c"))
+        .groupBy("piece").agg(sum(col("c")).as("n"))
+      val chars = subs.filter(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val multi = subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("n").desc, col("piece")).limit(UniSeedV)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val seed = (chars ++ multi).toMap
+      val seedTot = seed.values.sum
+      var scores: Map[String, Long] =
+        seed.map { case (p, n) => p -> ilogLong(n, seedTot) }
+      for (_ <- 1 to UniEmRounds) {
+        val sc = scores
+        val counts = words.as[(String, Long)]
+          .flatMap { case (w, c) =>
+            graft.functions.TextFns.unigramSegment(w, sc, UniMaxLen)
+              .map(p => (p, c))
+          }
+          .toDF("piece", "c").groupBy("piece").agg(sum(col("c")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // M-step: multi-char pieces prune at zero mass; single chars
+        // floor at 1 so coverage survives every round
+        val kept = scores.keysIterator.flatMap { p =>
+          val n = counts.getOrElse(p, 0L)
+          if (p.length == 1) Some(p -> math.max(n, 1L))
+          else if (n > 0) Some(p -> n) else None
+        }.toMap
+        val tot = kept.values.sum
+        scores = kept.map { case (p, n) => p -> ilogLong(n, tot) }
+      }
+      val finalScores = scores
+      // final E-step over the DOCS (the encode pass): zero-shuffle map,
+      // one row per (doc, word) with its piece sequence
+      val segmented = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), bpeTokens(col("text")).as("ws"))
+        .as[(Long, String, Seq[String])]
+        .flatMap { case (id, lang, ws) =>
+          ws.iterator.zipWithIndex.map { case (w, i) =>
+            (id, lang, i.toLong + 1L, w,
+              graft.functions.TextFns.unigramSegment(w, finalScores, UniMaxLen))
+          }
+        }
+        .toDF("doc_id", "lang", "word_pos", "word", "pieces")
+      segmented.coalesce(1).write.mode("overwrite").parquet(UniDumpDir)
+      finalScores.toSeq.sortBy(_._1).toDF("piece", "logp_q")
+        .coalesce(1).write.mode("overwrite").parquet(UniModelDir)
+    })
+
+  private val uniDone = new java.util.concurrent.ConcurrentHashMap[
+    String, Unit]
+
   /** text_heavy_hitters' DuckDB twin — shared with the parser-route
     * restatement (`sql_heavy_hitters`, [[SqlSurfaceQueries]]). The MG
     * sketch's k=48 exceeds the per-lang token vocabulary, so its
