@@ -49,9 +49,12 @@ object KpiExprs {
     *    that exercises the UDF-registry route from SQL text. */
   def sparkSqlOf(duck: String): String =
     duck
-      .replace(" AS VARCHAR)", " AS STRING)")
-      .replace("quantile_cont(", "percentile(")
-      .replace("entropy(", "shannon_entropy(")
+      // anchored on non-identifier boundaries (ADVICE r11): a future KPI
+      // spelling `cross_entropy(` or `CAST(x AS VARCHAR(10))` must NOT be
+      // silently rewritten — each rule fires only on the exact token.
+      .replaceAll("""\bAS VARCHAR\)""", "AS STRING)")
+      .replaceAll("""(?<![A-Za-z0-9_])quantile_cont\(""", "percentile(")
+      .replaceAll("""(?<![A-Za-z0-9_])entropy\(""", "shannon_entropy(")
 
   import DetAgg._
 

@@ -363,6 +363,160 @@ object TextQueries {
         .limit(20)
     },
 
+    // UNIGRAM-LM TRAINER (SentencePiece-style, Kudo 2018) — the declared
+    // surface is the post-hoc M-step over the final segmentation dump:
+    // per-piece corpus mass (exact Long counts over every word
+    // occurrence's Viterbi pieces) and the re-quantized LmLogScale-grid
+    // log-prob. The Viterbi DP itself is not SQL-expressible, so — the
+    // text_bpe_apply gate pattern — the trainer dumps its E-step rows
+    // and model, and DuckDB INDEPENDENTLY recomputes the whole M-step
+    // arithmetic from the dump: piece mass by unnest+count, the
+    // single-char floor and zero-mass pruning rules, the mass total, and
+    // the floor(ln(n/tot)·1e4 + 0.5) grid — so a wrong segmentation
+    // (mass shifts), a dropped occurrence, a pruning bug, or a
+    // quantization drift all flip the hash. Both engines read the SAME
+    // dump; the arithmetic is computed twice, shared nowhere.
+    checked("text_unigram_train",
+      s"""WITH seg AS (SELECT * FROM read_parquet('$UniDumpDir/*.parquet')),
+         |model AS (SELECT * FROM read_parquet('$UniModelDir/*.parquet')),
+         |mass AS (SELECT piece, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(pieces) AS piece FROM seg) GROUP BY piece),
+         |kept AS (SELECT m.piece,
+         |    CASE WHEN length(m.piece) = 1
+         |      THEN greatest(coalesce(ms.n, 0), 1)
+         |      ELSE coalesce(ms.n, 0) END AS n_mass
+         |  FROM model m LEFT JOIN mass ms ON ms.piece = m.piece
+         |  WHERE length(m.piece) = 1 OR coalesce(ms.n, 0) > 0),
+         |tot AS (SELECT CAST(sum(n_mass) AS BIGINT) AS t FROM kept)
+         |SELECT piece, n_mass,
+         |  ${sqlIlog("CAST(n_mass AS DOUBLE) / t")} AS logp_q
+         |FROM kept, tot""".stripMargin) { (s, d) =>
+      unigramDumps(s, d)
+      val mass = s.read.parquet(UniDumpDir)
+        .select(explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("n"))
+      val kept = s.read.parquet(UniModelDir)
+        .join(mass, Seq("piece"), "left")
+        .withColumn("n0", coalesce(col("n"), lit(0L)))
+        .filter(length(col("piece")) === 1 || col("n0") > 0)
+        .select(col("piece"),
+          when(length(col("piece")) === 1, greatest(col("n0"), lit(1L)))
+            .otherwise(col("n0")).as("n_mass"))
+      val tot = kept.agg(sum(col("n_mass")).as("t"))
+      kept.crossJoin(broadcast(tot))
+        .select(col("piece"), col("n_mass"),
+          ilogCol(col("n_mass").cast("double") / col("t")).as("logp_q"))
+    },
+
+    // UNIGRAM-LM ENCODE — the tokenizer's apply surface over the final
+    // model, per-lang aggregated from the per-word Viterbi rows. Four
+    // gates: (1) CONSERVATION — concatenating each word's pieces
+    // reproduces the word exactly (bool_and, one corrupted row kills its
+    // lang row); (2) the position-weighted h60 CHECKSUM over every piece
+    // (pins content AND order, the text_bpe_apply convention); (3) the
+    // exact integer SCORE TOTAL — each word row's summed piece log-prob,
+    // both engines recomputing it from dump x model; and (4) OPTIMALITY,
+    // the decisive one: DuckDB re-solves the segmentation problem
+    // INDEPENDENTLY — a recursive CTE enumerating every segmentation
+    // path of every distinct word over the model vocab (bounded: ~31
+    // words <= 8 chars, a tiny path lattice; at 100 TB the same audit
+    // runs on a sampled word table) — and asserts every dump row's
+    // score EQUALS the true optimum. A greedy-longest-match impostor, a
+    // dropped DP transition, or a score-table off-by-one leaves some
+    // word below optimal -> `optimal` flips false against Spark's
+    // contract-true. This is the cross-engine check the adjacent-pair
+    // local-optimality theorem could NOT give on this corpus (measured:
+    // zero adjacent output pairs concatenate into vocab — the DP merges
+    // every such case — so that weaker contract never decides; the
+    // text_heavy_hitters_lowk lesson applied). Shapes: dump x model
+    // joins are broadcast lookups against the ~150-piece model; the
+    // optimum audit joins per-word-row scores to a distinct-word
+    // optimum table — zero wide shuffles.
+    checked("text_unigram_apply", {
+      val ck = s"CAST(COALESCE(list_aggregate(list_transform(" +
+        s"range(1, len(pieces) + 1), " +
+        s"i -> i * (${sqlH60("pieces[i]")} % 1000000)), 'sum'), 0) AS BIGINT)"
+      s"""WITH RECURSIVE
+         |seg AS (SELECT * FROM read_parquet('$UniDumpDir/*.parquet')),
+         |model AS (SELECT * FROM read_parquet('$UniModelDir/*.parquet')),
+         |per AS (SELECT lang, len(pieces) AS np, $ck AS ck,
+         |    array_to_string(pieces, '') = word AS cons
+         |  FROM seg),
+         |words AS (SELECT DISTINCT word FROM seg),
+         |paths AS (
+         |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS sc FROM words
+         |  UNION ALL
+         |  SELECT p.word, p.pos + CAST(t.l AS INT) AS pos,
+         |    p.sc + m.logp_q AS sc
+         |  FROM paths p, (SELECT unnest(range(1, $UniMaxLen + 1)) AS l) t
+         |  JOIN model m
+         |    ON m.piece = substr(p.word, p.pos + 1, CAST(t.l AS INT))
+         |  WHERE p.pos + t.l <= length(p.word)),
+         |opt AS (SELECT word, max(sc) AS opt_sc FROM paths
+         |  WHERE pos = length(word) GROUP BY word),
+         |rowsc AS (SELECT e.doc_id, e.word_pos, any_value(e.lang) AS lang,
+         |    any_value(e.word) AS word, CAST(sum(m.logp_q) AS BIGINT) AS dsc
+         |  FROM (SELECT doc_id, word_pos, lang, word,
+         |      unnest(pieces) AS piece FROM seg) e
+         |  JOIN model m ON m.piece = e.piece
+         |  GROUP BY e.doc_id, e.word_pos),
+         |opta AS (SELECT r.lang, CAST(sum(r.dsc) AS BIGINT) AS score_total,
+         |    bool_and(r.dsc = o.opt_sc) AS optimal
+         |  FROM rowsc r JOIN opt o ON o.word = r.word GROUP BY r.lang),
+         |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(np) AS BIGINT) AS n_pieces_total,
+         |    CAST(sum(ck) AS BIGINT) AS checksum_total,
+         |    bool_and(cons) AS conserved
+         |  FROM per GROUP BY lang)
+         |SELECT a.lang, a.n_words, a.n_pieces_total, a.checksum_total,
+         |  o.score_total, a.conserved, o.optimal
+         |FROM agg a JOIN opta o ON o.lang = a.lang""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      unigramDumps(s, d)
+      val seg = staged(s.read.parquet(UniDumpDir))
+      val model = s.read.parquet(UniModelDir)
+      val ck = aggregate(
+        transform(col("pieces"),
+          (x, i) => (i + 1) * pmod(h60(x), lit(1000000L))),
+        lit(0L), (a, x) => a + x)
+      val agg = seg
+        .select(col("lang"), size(col("pieces")).as("np"), ck.as("ck"),
+          (concat_ws("", col("pieces")) === col("word")).as("cons"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("np")).as("n_pieces_total"),
+          sum(col("ck")).as("checksum_total"),
+          bool_and(col("cons")).as("conserved"))
+      // Per-word-row summed piece score (dump x model), then the optimum
+      // audit. Spark's optimum re-runs the SAME Viterbi the encode used
+      // (unit-pinned in TextFnsSpec); the INDEPENDENT re-derivation is
+      // DuckDB's recursive path enumeration — a suboptimal dump row
+      // diverges the engines on `optimal`.
+      val scoresMap = model.as[(String, Long)].collect().toMap
+      val optDf = broadcast(seg.select(col("word")).distinct().as[String]
+        .map { w =>
+          val ps = graft.functions.TextFns.unigramSegment(
+            w, scoresMap, UniMaxLen)
+          (w, ps.map(scoresMap).sum)
+        }.toDF("word", "opt_sc"))
+      val rowsc = seg
+        .select(col("doc_id"), col("word_pos"), col("lang"), col("word"),
+          explode(col("pieces")).as("piece"))
+        .join(broadcast(model), Seq("piece"))
+        .groupBy("doc_id", "word_pos")
+        .agg(first(col("lang")).as("lang"), first(col("word")).as("word"),
+          sum(col("logp_q")).as("dsc"))
+      val opta = rowsc.join(optDf, Seq("word"))
+        .groupBy("lang")
+        .agg(sum(col("dsc")).as("score_total"),
+          bool_and(col("dsc") === col("opt_sc")).as("optimal"))
+      agg.join(opta, Seq("lang"))
+        .select(col("lang"), col("n_words"), col("n_pieces_total"),
+          col("checksum_total"), col("score_total"), col("conserved"),
+          col("optimal"))
+    },
+
     // Token counting + quality stats. Integer counts are trivially exact;
     // the two ratios are single-divide doubles rounded at the end.
     checked("text_stats",

@@ -57,11 +57,25 @@ class ScaleRehearsalSpec extends SparkSpec {
     * the deterministic pair-count gate above is the HARD quadratic
     * detector and the wall gates scale by GRAFT_SCALE_WALL_MULT
     * (default 1.0; set >1 on slow hosts, 0 to make walls warn-only). */
-  private val WallMult =
-    sys.env.get("GRAFT_SCALE_WALL_MULT").map(_.toDouble).getOrElse(1.0)
+  private val WallMult = sys.env.get("GRAFT_SCALE_WALL_MULT") match {
+    case None => 1.0
+    case Some(raw) =>
+      scala.util.Try(raw.toDouble).getOrElse {
+        // a typo'd knob must not crash the spec, but it also must not
+        // silently disable a gate — fall back to the strict default
+        System.err.println(
+          s"[ScaleRehearsalSpec] GRAFT_SCALE_WALL_MULT='$raw' is not a " +
+            "number; ignoring it and keeping the default wall gates (1.0)")
+        1.0
+      }
+  }
   private val WallRatioMax = 25.0 * (if (WallMult > 0) WallMult else 1.0)
   private val WallAbsMax = 60.0 * (if (WallMult > 0) WallMult else 1.0)
   private val WallsHard = WallMult > 0
+  if (!WallsHard)
+    System.err.println(
+      "[ScaleRehearsalSpec] GRAFT_SCALE_WALL_MULT=0 — WALL GATES ARE " +
+        "WARN-ONLY this run; the pair-count gate remains hard")
 
   private lazy val blownDir: String = ScaleRehearsalSpec.blownDir(spark, Base)
 

@@ -169,4 +169,51 @@ class TextFnsSpec extends SparkSpec {
     val ref = (0L until 1000L).map(i => i * i + (i + 1) * i + (i + 2) * i).sum
     assert(s == ref)
   }
+
+  test("unigramSegment: maximizes integer score and conserves the word") {
+    val scores = Map("a" -> -10L, "b" -> -10L, "ab" -> -12L)
+    val out = TextFns.unigramSegment("abab", scores, 2)
+    assert(out == Seq("ab", "ab")) // -24 beats any split using singles (-40..)
+    assert(out.mkString == "abab")
+  }
+
+  test("unigramSegment: score tie broken toward FEWER pieces") {
+    // "ab" as one piece scores -10; "a"+"b" also -10 — merged must win
+    val scores = Map("a" -> -5L, "b" -> -5L, "ab" -> -10L)
+    assert(TextFns.unigramSegment("ab", scores, 2) == Seq("ab"))
+  }
+
+  test("unigramSegment: score+count tie broken toward LONGER last piece") {
+    // [ab, c] and [a, bc] both score -15 with 2 pieces; last-piece length
+    // must decide (bc > c)
+    val scores = Map("a" -> -5L, "b" -> -99L, "c" -> -5L,
+      "ab" -> -10L, "bc" -> -10L)
+    assert(TextFns.unigramSegment("abc", scores, 2) == Seq("a", "bc"))
+  }
+
+  test("unigramSegment: output satisfies the local-optimality contract") {
+    // the text_unigram_apply oracle's theorem: no two adjacent output
+    // pieces concatenate to an in-vocab piece with score >= their sum
+    val scores = Map("a" -> -7L, "b" -> -9L, "c" -> -4L, "d" -> -6L,
+      "ab" -> -11L, "bc" -> -15L, "cd" -> -9L, "abc" -> -20L)
+    for (w <- Seq("abcd", "abab", "dcba", "aabbccdd", "abcabc")) {
+      val out = TextFns.unigramSegment(w, scores, 3)
+      assert(out.mkString == w)
+      out.sliding(2).foreach {
+        case Seq(x, y) =>
+          scores.get(x + y).foreach { sc =>
+            assert(sc < scores(x) + scores(y),
+              s"adjacent $x|$y of $w should have merged (score $sc)")
+          }
+        case _ => ()
+      }
+    }
+  }
+
+  test("unigramSegment: uncovered char is a loud error, not a wrong split") {
+    val ex = intercept[IllegalArgumentException] {
+      TextFns.unigramSegment("axb", Map("a" -> -1L, "b" -> -1L), 2)
+    }
+    assert(ex.getMessage.contains("does not cover"))
+  }
 }
