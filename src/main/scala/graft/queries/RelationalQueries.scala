@@ -20,6 +20,32 @@ object RelationalQueries {
   import DetAgg._
   import QuerySpec._
 
+  /** join_multiway_q5's DuckDB twin — shared verbatim with its
+    * parser-route restatement (`sql_join_multiway_q5`,
+    * [[SqlSurfaceQueries]]) so there is no second oracle to drift. */
+  private[queries] val multiwayQ5OracleSql: String =
+    s"""SELECT n_name AS nation, count(*) AS n,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1""".stripMargin
+
+  /** agg_grouping_sets' DuckDB twin — shared with `sql_grouping_sets`. */
+  private[queries] val groupingSetsOracleSql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  count(*) AS n, ${sqlSum("l_quantity")} AS qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
     // TPC-H Q1-shaped pricing summary: scan → filter (pushed to parquet) →
     // 4-group hash agg. The workhorse single-pass aggregate.
@@ -436,19 +462,7 @@ object RelationalQueries {
     // (lineitem) flowing through a single shuffle on l_orderkey against
     // date-pruned orders — never a fact-×-fact shuffle pair beyond it.
     // Revenue is the Q1 decimal-exact product sum.
-    checked("join_multiway_q5",
-      s"""SELECT n_name AS nation, count(*) AS n,
-         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
-         |FROM customer
-         |JOIN orders ON c_custkey = o_custkey
-         |JOIN lineitem ON l_orderkey = o_orderkey
-         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |WHERE r_name = 'ASIA'
-         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-         |GROUP BY 1""".stripMargin) { (s, d) =>
+    checked("join_multiway_q5", RelationalQueries.multiwayQ5OracleSql) { (s, d) =>
       val lo = lit("1996-01-01 00:00:00").cast("timestamp")
       val hi = lit("1998-01-01 00:00:00").cast("timestamp")
       Tables.customer(s, d)
@@ -510,13 +524,7 @@ object RelationalQueries {
     // plus grouping_id disambiguation, whose bit order (leftmost grouping
     // column = most significant bit) both engines share. One Expand +
     // one aggregate — the same single-shuffle shape as rollup_geo.
-    checked("agg_grouping_sets",
-      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
-         |  COALESCE(l_linestatus, 'ALL') AS lstatus,
-         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-         |  count(*) AS n, ${sqlSum("l_quantity")} AS qty
-         |FROM lineitem
-         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin) { (s, d) =>
+    checked("agg_grouping_sets", RelationalQueries.groupingSetsOracleSql) { (s, d) =>
       Tables.lineitem(s, d)
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")),

@@ -48,6 +48,25 @@ object StatsQueries {
       m(1) * (m(3) * m(8) - m(5) * m(6)) +
       m(2) * (m(3) * m(7) - m(4) * m(6))
 
+  /** percentile_groups' DuckDB twin — shared with its parser-route
+    * restatement (`sql_percentile_groups`, [[SqlSurfaceQueries]]); the
+    * Spark-SQL spelling differs only in `//` → `DIV` (same truncating
+    * semantics, measured — see floorDivExact's note). */
+  private[queries] val percentileGroupsOracleSql: String =
+    """WITH sv AS (SELECT event_type AS slice,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+      |w AS (SELECT slice, v,
+      |    row_number() OVER (PARTITION BY slice ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY slice) AS n FROM sv)
+      |SELECT slice, CAST(max(n) AS BIGINT) AS n_events,
+      |  CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS BIGINT)
+      |    AS p50_mv,
+      |  CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS BIGINT)
+      |    AS p90_mv,
+      |  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS BIGINT)
+      |    AS p99_mv
+      |FROM w GROUP BY slice""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // Exact multi-distinct aggregation, spelled as the two-phase shape a
@@ -87,20 +106,7 @@ object StatsQueries {
     // and the selected millivalues are exact BIGINTs. Equal-value ties
     // make row_number's choice among peers arbitrary but the SELECTED
     // value at a fixed rank is unique, so the result is deterministic.
-    checked("percentile_groups",
-      """WITH sv AS (SELECT event_type AS slice,
-        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
-        |w AS (SELECT slice, v,
-        |    row_number() OVER (PARTITION BY slice ORDER BY v) AS rn,
-        |    count(*) OVER (PARTITION BY slice) AS n FROM sv)
-        |SELECT slice, CAST(max(n) AS BIGINT) AS n_events,
-        |  CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS BIGINT)
-        |    AS p50_mv,
-        |  CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS BIGINT)
-        |    AS p90_mv,
-        |  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS BIGINT)
-        |    AS p99_mv
-        |FROM w GROUP BY slice""".stripMargin) { (s, d) =>
+    checked("percentile_groups", StatsQueries.percentileGroupsOracleSql) { (s, d) =>
       val w = Window.partitionBy("slice").orderBy("v")
       val sv = Tables.events(s, d)
         .select(col("event_type").as("slice"), mv(col("value")).as("v"))

@@ -494,6 +494,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffleCount(sqlP) == shuffleCount(dslP))
   }
 
+  test("sql_join_multiway_q5: parser route keeps the broadcast-dims Q5 shape") {
+    val sqlP = plan("sql_join_multiway_q5")
+    val dslP = plan("join_multiway_q5")
+    assert(shuffleCount(sqlP) == shuffleCount(dslP),
+      s"parser route shuffles ${shuffleCount(sqlP)}x vs DSL ${shuffleCount(dslP)}x")
+    Seq("sql" -> sqlP, "dsl" -> dslP).foreach { case (r, p) =>
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+        s"$r route must broadcast the dim tables (region/nation/supplier/" +
+          "customer side), leaving at most the fact join to shuffle")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+        s"$r route may shuffle at most the one lineitem-orders fact join")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$r route must keep every join an equi join")
+    }
+  }
+
+  test("sql_grouping_sets: parser route plans the same one-Expand aggregate") {
+    val sqlP = plan("sql_grouping_sets")
+    val dslP = plan("agg_grouping_sets")
+    Seq("sql" -> sqlP, "dsl" -> dslP).foreach { case (r, p) =>
+      assert("Expand".r.findAllIn(p).size == 1,
+        s"$r route must plan exactly one Expand for the three grouping sets")
+      assert(p.contains("partial_count"),
+        s"$r route must partial-aggregate below the grouping-key exchange")
+    }
+    assert(shuffleCount(sqlP) == shuffleCount(dslP))
+  }
+
+  test("sql_percentile_groups: parser route plans the one-shuffle window pair") {
+    val sqlP = plan("sql_percentile_groups")
+    val dslP = plan("percentile_groups")
+    assert(shuffleCount(sqlP) == 1 && shuffleCount(dslP) == 1,
+      "exact rank-selection percentiles must cost exactly ONE shuffle on " +
+        s"the group key; sql=${shuffleCount(sqlP)} dsl=${shuffleCount(dslP)}")
+    Seq(sqlP, dslP).foreach(p => assert(p.contains("Window")))
+  }
+
   test("dq_profile_approx: the HLL branch profiles without an Expand") {
     // The profiler's scale path: the approx_count_distinct aggregate must
     // stay an ordinary (sketch-register) aggregate. The declared query
