@@ -290,10 +290,15 @@ object SimilarityQueries {
   }
 
   /** The IVF-PQ CTE chain (coarse lists -> residual PQ codes -> per-list
-    * query LUTs -> ADC over probed lists), shared by ann_ivfpq and its
-    * recall measurement. Expects an `sv` CTE in scope; ends at the `adc`
-    * relation (q_id, vec_id, adc). */
-  private val ivfpqChainSql = {
+    * query LUTs -> ADC over probed lists), shared by ann_ivfpq, its
+    * recall measurement, and the knob ladder. Expects an `sv` CTE in
+    * scope; ends at the `adc` relation (q_id, vec_id, adc). The
+    * (nProbe, ks) operating point is a parameter so the ladder can state
+    * three points from ONE template — any chain edit moves every point
+    * and its contracts together. */
+  private val ivfpqChainSql = ivfpqChainSqlFor(IvfProbe, PqKs)
+
+  private def ivfpqChainSqlFor(nProbe: Int, ks: Int): String = {
     val dist = s"(n2 - 2 * ${sqlDotInt("v", "cv", Dim)} + cn2)"
     s"""ms AS (SELECT range AS m FROM range(0, $PqM)),
        |cent AS (SELECT vec_id - $IvfCentroidBase AS c_id, v AS cv, n2 AS cn2
@@ -308,7 +313,7 @@ object SimilarityQueries {
        |cw AS (SELECT r.vec_id - $PqBase AS c, m.m,
        |    r.r[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS cv
        |  FROM res r CROSS JOIN ms m
-       |  WHERE r.vec_id >= $PqBase AND r.vec_id < ${PqBase + PqKs}),
+       |  WHERE r.vec_id >= $PqBase AND r.vec_id < ${PqBase + ks}),
        |sub AS (SELECT vec_id, c_id, m.m,
        |    r[m.m * $PqSub + 1 : m.m * $PqSub + $PqSub] AS xv
        |  FROM res CROSS JOIN ms m),
@@ -324,7 +329,7 @@ object SimilarityQueries {
        |  SELECT sv.vec_id AS q_id, sv.v AS qv, cent.c_id,
        |    row_number() OVER (PARTITION BY sv.vec_id ORDER BY $dist, c_id) AS rn
        |  FROM sv CROSS JOIN cent WHERE sv.vec_id < $RecallQueries)
-       |  WHERE rn <= $IvfProbe),
+       |  WHERE rn <= $nProbe),
        |qres AS (SELECT qp.q_id, qp.c_id,
        |    list_transform(range(1, ${Dim + 1}), i -> qp.qv[i] - cent.cv[i]) AS qr
        |  FROM qp JOIN cent ON qp.c_id = cent.c_id),
@@ -344,8 +349,18 @@ object SimilarityQueries {
 
   /** Shared IVF-PQ search: assignment + residual encode + per-list ADC,
     * ranked to the top-5 per query through the bounded heap. Centroids and
-    * the residual codebook are bounded driver state inlined as literals. */
-  private def scoredIvfpqTop5(s: SparkSession, d: String): DataFrame = {
+    * the residual codebook are bounded driver state inlined as literals.
+    * Split in two so the knob ladder (`ann_ivfpq_ladder`) pays the staged
+    * corpus pass ONCE: [[ivfpqParts]] holds everything independent of the
+    * (nProbe, ks) operating point; [[scoredIvfpqTop5From]] applies one
+    * operating point on top of it. */
+  private final case class IvfpqParts(
+      sv: DataFrame,
+      dists: Array[(Long, Column)],
+      cvMat: Column,
+      asgR: DataFrame)
+
+  private def ivfpqParts(s: SparkSession, d: String): IvfpqParts = {
       val sv = svSpark(s, d)
       val cent = sv
         .filter(col("vec_id") >= IvfCentroidBase &&
@@ -376,20 +391,70 @@ object SimilarityQueries {
             .as("c_id"))
         .withColumn("r", zip_with(col("v"),
           element_at(cvMat, (col("c_id") + 1).cast("int")), (a, b) => a - b)))
-      // residual codebook: bounded driver state (PqKs sample residuals)
+      IvfpqParts(sv, dists, cvMat, asgR)
+  }
+
+  private def scoredIvfpqTop5(s: SparkSession, d: String): DataFrame =
+    scoredIvfpqTop5From(ivfpqParts(s, d), IvfProbe, PqKs)
+
+  /** ann_ivfpq_ladder operating points: (label, nProbe, ks). The ladder
+    * spans both quantizer knobs from the production point (2, PqKs):
+    * halving the codebook (coarser residual quantization) and halving
+    * the probes (smaller candidate pool). */
+  val IvfpqOps: Seq[(String, Int, Int)] = Seq(
+    ("p1_ks8", 1, PqKs), ("p2_ks4", 2, PqKs / 2), ("p2_ks8", 2, PqKs))
+
+  /** Per-(op, query) hit counts of each IVFPQ operating point against the
+    * brute-force truth — ONE staged corpus pass feeds all points. Returns
+    * (per-query frame, per-op top-5 selections) so the ladder query can
+    * also state its set-divergence contract from the same execution. */
+  private def ivfpqLadderHits(s: SparkSession,
+                              d: String): (DataFrame, DataFrame) = {
+    val parts = ivfpqParts(s, d)
+    val truth = topK(scoredBrute(parts.sv, RecallQueries), 5)
+      .select(col("q_id"), col("vec_id"))
+    val appx = QuerySpec.staged(IvfpqOps.map { case (lbl, np, ks) =>
+      scoredIvfpqTop5From(parts, np, ks)
+        .select(lit(lbl).as("op"), col("q_id"), col("vec_id"))
+    }.reduce(_ unionAll _))
+    val hits = appx.join(truth, Seq("q_id", "vec_id"))
+      .groupBy("op", "q_id").agg(count(lit(1)).as("n_hits"))
+    val opsDf = parts.sv.sparkSession.range(1)
+      .select(explode(array(IvfpqOps.map(o => lit(o._1)): _*)).as("op"))
+    val out = parts.sv.filter(col("vec_id") < RecallQueries)
+      .select(col("vec_id").as("q_id"))
+      .crossJoin(broadcast(opsDf))
+      .join(hits, Seq("op", "q_id"), "left")
+      .select(col("op"), col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / 5.0).as("recall_at_5"))
+    (out, appx)
+  }
+
+  /** Scratch measurement hook (LadderProbe): total hits per op. */
+  private[queries] def probeLadder(s: SparkSession, d: String): Map[String, Long] =
+    try {
+      ivfpqLadderHits(s, d)._1.groupBy("op").agg(sum(col("n_hits")).as("h"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally QuerySpec.releaseStaged()
+
+  private def scoredIvfpqTop5From(parts: IvfpqParts,
+                                  nProbe: Int, ks: Int): DataFrame = {
+      val IvfpqParts(sv, dists, cvMat, asgR) = parts
+      // residual codebook: bounded driver state (ks sample residuals)
       val cwRows = asgR
-        .filter(col("vec_id") >= PqBase && col("vec_id") < PqBase + PqKs)
+        .filter(col("vec_id") >= PqBase && col("vec_id") < PqBase + ks)
         .select(col("vec_id"), col("r")).collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Long](1).toIndexedSeq)
-      require(cwRows.length == PqKs,
-        s"PQ codebook seeds not gap-free: ${cwRows.length} != $PqKs")
+      require(cwRows.length == ks,
+        s"PQ codebook seeds not gap-free: ${cwRows.length} != $ks")
       def cvw(c: Int, m: Int): IndexedSeq[Long] =
         cwRows(c).slice(m * PqSub, (m + 1) * PqSub)
       def pqDists(src: Column)(m: Int): IndexedSeq[Column] = {
         val sub = slice(src, m * PqSub + 1, PqSub)
         val xn2 = DotLong(sub, sub)
-        (0 until PqKs).map { c =>
+        (0 until ks).map { c =>
           val cvm = cvw(c, m)
           xn2 - lit(2L) * DotLong(sub, array(cvm.map(lit): _*)) +
             lit(cvm.map(x => x * x).sum)
@@ -407,7 +472,7 @@ object SimilarityQueries {
       }: _*))
       val qp = sv.filter(col("vec_id") < RecallQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          explode(slice(probeArr, 1, IvfProbe)).as("p"))
+          explode(slice(probeArr, 1, nProbe)).as("p"))
         .select(col("q_id"), col("qv"), col("p.c_id").as("c_id"))
         .withColumn("qr", zip_with(col("qv"),
           element_at(cvMat, (col("c_id") + 1).cast("int")), (a, b) => a - b))
@@ -1056,6 +1121,77 @@ object SimilarityQueries {
         .join(hits, Seq("q_id"), "left")
         .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)) / 5.0).as("recall_at_5"))
+    },
+
+    // The IVFPQ KNOB LADDER (round-11 verdict #5): recall@5 of three
+    // (nProbe, ks) operating points of the SAME chain — the production
+    // point (2, 8), the half-codebook point (2, 4), and the single-probe
+    // point (1, 8) — against the brute-force truth, with the knob
+    // relationships pinned as oracle-checked booleans (the ann_recall
+    // ladder pattern): `ladder_ks` asserts the codebook knob buys recall
+    // (hits at ks=4 < hits at ks=8, strict at both verify SFs — a
+    // codebook-size regression flips a hash, not just a number), and
+    // `probe_diverges` asserts the probe knob actually changes the
+    // selection (some (q, v) in the 2-probe top-5 is absent from the
+    // 1-probe top-5 — an nProbe stuck at 1 makes the sets identical and
+    // fails the oracle). The probe knob's RECALL is deliberately NOT
+    // pinned as an ordering: measured, it inverts across SFs (sf0.01:
+    // 11 < 13; sf0.1: 7 > 6 — extra probed candidates can displace true
+    // hits under quantized ADC ranking), which is itself the honest
+    // design signal the per-(op, query) hashed hit counts record. ONE
+    // staged corpus pass (assignment + residuals) feeds all three
+    // points; each point re-derives only its codebook/LUT literals and
+    // reduces through the bounded heap.
+    checked("ann_ivfpq_ladder", {
+      def pqTop5(np: Int, ks: Int) =
+        s"""(SELECT q_id, vec_id FROM (
+           |  SELECT q_id, vec_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+           |  FROM (WITH ${ivfpqChainSqlFor(np, ks)} SELECT * FROM adc))
+           |  WHERE rnk <= 5)""".stripMargin
+      s"""WITH sv AS ($svSql),
+         |qt AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM sv WHERE vec_id < $RecallQueries),
+         |tscored AS (
+         |  SELECT q_id, vec_id, ${sqlDotInt("qv", "v", Dim)} / (sqrt(qn2) * sqrt(n2)) AS cos
+         |  FROM qt JOIN sv ON vec_id <> q_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM tscored) WHERE rnk <= 5),
+         |pa AS ${pqTop5(1, PqKs)},
+         |pb AS ${pqTop5(2, PqKs / 2)},
+         |pc AS ${pqTop5(2, PqKs)},
+         |appx AS (SELECT 'p1_ks8' AS op, q_id, vec_id FROM pa
+         |  UNION ALL SELECT 'p2_ks4', q_id, vec_id FROM pb
+         |  UNION ALL SELECT 'p2_ks8', q_id, vec_id FROM pc),
+         |hits AS (SELECT op, a.q_id, count(*) AS n_hits
+         |  FROM appx a JOIN truth t ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+         |  GROUP BY op, a.q_id),
+         |pairs AS (SELECT m.op, q.q_id
+         |  FROM (SELECT unnest(['p1_ks8', 'p2_ks4', 'p2_ks8']) AS op) m
+         |  CROSS JOIN (SELECT q_id FROM qt) q)
+         |SELECT pairs.op, pairs.q_id,
+         |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |  COALESCE(n_hits, 0) / 5.0 AS recall_at_5,
+         |  true AS ladder_ks, true AS probe_diverges
+         |FROM pairs LEFT JOIN hits
+         |  ON pairs.op = hits.op AND pairs.q_id = hits.q_id""".stripMargin
+    }) { (s, d) =>
+      val (out0, appx) = ivfpqLadderHits(s, d)
+      val out = QuerySpec.staged(out0)
+      // bounded collects: 3 op totals + one anti-join count (the
+      // ann_recall ladder-boolean contract)
+      val hitsByOp = out.groupBy("op").agg(sum(col("n_hits")).as("h"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val diverges = appx.filter(col("op") === "p2_ks8")
+        .join(appx.filter(col("op") === "p1_ks8")
+          .select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+        .count() > 0
+      out
+        .withColumn("ladder_ks",
+          lit(hitsByOp("p2_ks4") < hitsByOp("p2_ks8")))
+        .withColumn("probe_diverges", lit(diverges))
     },
 
     // Recall@5 of each approximate operator against the brute-force truth,
