@@ -62,7 +62,8 @@ object StreamingKpi {
     * store size, trigger latency. */
   final case class BatchProgress(
       runId: String, batchId: Long, numInputRows: Long,
-      stateRows: Long, stateBytes: Long, triggerMs: Long)
+      stateRows: Long, stateBytes: Long, triggerMs: Long,
+      stateRemoved: Long)
 
   /** Listener-based progress capture. Registered on the (isolated) child
     * session's StreamingQueryManager before start so no batch is missed;
@@ -84,7 +85,8 @@ object StreamingKpi {
         .map(_.longValue).getOrElse(0L)
       synchronized {
         buf += BatchProgress(p.runId.toString, p.batchId, p.numInputRows,
-          st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum, trig)
+          st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum, trig,
+          st.map(_.numRowsRemoved).sum)
       }
     }
 
