@@ -138,6 +138,77 @@ object GraphQueries {
           col("pr").as("pr_scaled"))
     },
 
+    // PERSONALIZED PageRank (round-11 verdict #8): the same integer
+    // power iteration with the teleport vector biased to a SOURCE SET
+    // (customers with custkey ≡ 0 mod 50) instead of uniform — the
+    // random walk restarts only at sources, so scores rank nodes by
+    // proximity to them (the recommendation/similar-entities variant:
+    // Haveliwala 2002, GraphFrames' parallelPersonalizedPageRank). Init
+    // puts the whole mass on the sources (PrScale div |S| each, zero
+    // elsewhere), and each step's base term is is_src · (15·u0s) div
+    // 100 — all arithmetic stays on the exact integer grid, so nodes
+    // with no ≤ PrIters-hop path from a source provably score EXACTLY 0
+    // (integer damping has no float dust). Identical scale shape to
+    // graph_pagerank: staged (src, dst, deg) relation, score vector
+    // broadcast per step, dst aggregate the only wide op.
+    checked("graph_pagerank_ppr", {
+      val prm = s"prm AS (SELECT $PrScale // sum(is_src) AS u0s, " +
+        s"(15 * ($PrScale // sum(is_src))) // 100 AS b FROM nodes)"
+      val iterCtes = (1 to PrIters).map { k =>
+        s"""s$k AS (SELECT n0.node_id,
+           |    n0.is_src * b + (85 * COALESCE(i.infl, 0)) // 100 AS pr
+           |  FROM nodes n0 CROSS JOIN prm LEFT JOIN (
+           |    SELECT e.dst AS node_id, CAST(sum(s.pr // d.deg) AS BIGINT) AS infl
+           |    FROM edges e JOIN s${k - 1} s ON e.src = s.node_id
+           |                 JOIN deg d ON e.src = d.src
+           |    GROUP BY e.dst) i ON n0.node_id = i.node_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesSql,
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodes AS (SELECT c_custkey AS node_id,
+         |    CAST(CASE WHEN c_custkey % 50 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS is_src
+         |  FROM customer
+         |  UNION ALL SELECT $SuppOffset + s_suppkey, 0 FROM supplier),
+         |$prm,
+         |s0 AS (SELECT node_id, is_src * u0s AS pr FROM nodes CROSS JOIN prm),
+         |$iterCtes
+         |SELECT s.node_id, n.is_src, COALESCE(d.deg, 0) AS deg,
+         |  CAST(s.pr AS BIGINT) AS pr_scaled
+         |FROM s$PrIters s
+         |JOIN nodes n ON s.node_id = n.node_id
+         |LEFT JOIN deg d ON s.node_id = d.src""".stripMargin
+    }) { (s, d) =>
+      val edges = transactionEdges(s, d)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ewd = staged(edges.join(deg, "src"))
+      val nodes = staged(Tables.customer(s, d)
+        .select(col("c_custkey").as("node_id"),
+          when(col("c_custkey") % 50 === 0, 1L).otherwise(0L).as("is_src"))
+        .unionAll(Tables.supplier(s, d)
+          .select((lit(SuppOffset) + col("s_suppkey")).as("node_id"),
+            lit(0L).as("is_src"))))
+      val nSrc = nodes.agg(sum(col("is_src"))).head.getLong(0)
+      val u0s = PrScale / nSrc
+      val base = (15L * u0s) / 100L
+      var pr = nodes.select(col("node_id"),
+        (col("is_src") * u0s).as("pr"))
+      for (_ <- 1 to PrIters) {
+        val infl = ewd.join(broadcast(pr.withColumnRenamed("node_id", "src")), "src")
+          .select(col("dst"), expr("pr DIV deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("infl"))
+        pr = nodes
+          .join(infl.withColumnRenamed("dst", "node_id"), Seq("node_id"), "left")
+          .select(col("node_id"),
+            (col("is_src") * base +
+              expr("(85 * coalesce(infl, 0L)) DIV 100")).as("pr"))
+      }
+      pr.join(nodes, Seq("node_id"))
+        .join(deg.withColumnRenamed("src", "node_id"), Seq("node_id"), "left")
+        .select(col("node_id"), col("is_src"),
+          coalesce(col("deg"), lit(0L)).as("deg"), col("pr").as("pr_scaled"))
+    },
+
     // ------------------------------------------------------------------
     // Label propagation (LPA — Raghavan et al. 2007; GraphFrames'
     // labelPropagation) over the near-dup document graph: community
