@@ -492,43 +492,51 @@ object WarehouseQueries {
     def nulls(c: String) = count(when(col(c).isNull, 1)).as(s"z_$c")
     val exact = o.agg(
       count(lit(1)).as("n"),
-      Seq(
-        countDistinct(col("o_orderkey")).as("d_ok"),
-        countDistinct(col("o_custkey")).as("d_ck"),
-        countDistinct(col("o_orderstatus")).as("d_st"),
-        countDistinct(col("o_totalprice")).as("d_tp"),
-        countDistinct(col("o_orderdate")).as("d_od"),
-        countDistinct(col("o_orderpriority")).as("d_op"),
-        nulls("o_orderkey"), nulls("o_custkey"), nulls("o_orderstatus"),
-        nulls("o_totalprice"), nulls("o_orderdate"),
-        nulls("o_orderpriority")) ++
-        // exact distribution cells on the integer grids — at test scale
-        // the exact quantile is the sketch's truth reference (at 100 TB
-        // you keep only the sketch; the sketch_quantiles convention)
-        numericProjs.flatMap { case (tag, proj) =>
-          Seq(graft.functions.DetAgg.dpercentile(proj, 0.5).as(s"q50_$tag"),
-            graft.functions.DetAgg.dpercentile(proj, 0.95).as(s"q95_$tag"))
-        }: _*)
-    // the scale-path branch: plain aggregate, Expand-free by shape —
-    // HLL++ registers for cardinality plus GK summaries for the
-    // distribution cells (round-11 verdict #7: the Deequ-analogue
-    // covers shape, not just cardinality)
-    val approxCells = Seq(
+      countDistinct(col("o_orderkey")).as("d_ok"),
+      countDistinct(col("o_custkey")).as("d_ck"),
+      countDistinct(col("o_orderstatus")).as("d_st"),
+      countDistinct(col("o_totalprice")).as("d_tp"),
+      countDistinct(col("o_orderdate")).as("d_od"),
+      countDistinct(col("o_orderpriority")).as("d_op"),
+      nulls("o_orderkey"), nulls("o_custkey"), nulls("o_orderstatus"),
+      nulls("o_totalprice"), nulls("o_orderdate"), nulls("o_orderpriority"))
+    // exact distribution cells (round-11 verdict #7) in their OWN
+    // aggregate, never inside the multi-distinct one: percentile buffers
+    // riding the Expand's 7x row stream cost ~5x the whole profiler
+    // (measured 6.4 s vs 1.2 s at sf0.1). One array-percentile buffer
+    // per projection; at test scale the exact quantile is the sketch's
+    // truth reference (at 100 TB you keep only the sketch — the
+    // sketch_quantiles convention).
+    val exactQCells = numericProjs.map { case (tag, proj) =>
+      percentile(proj, array(lit(0.5), lit(0.95))).as(s"qq_$tag")
+    }
+    val exactQ = o.agg(exactQCells.head, exactQCells.tail: _*)
+      .select(numericProjs.flatMap { case (tag, _) =>
+        Seq(graft.functions.DetAgg.r6(element_at(col(s"qq_$tag"), 1))
+          .as(s"q50_$tag"),
+          graft.functions.DetAgg.r6(element_at(col(s"qq_$tag"), 2))
+            .as(s"q95_$tag"))
+      }: _*)
+    // the scale-path branch: plain aggregate, Expand-free by shape
+    val approx = o.agg(
       approx_count_distinct(col("o_orderkey")).as("a_ok"),
       approx_count_distinct(col("o_custkey")).as("a_ck"),
       approx_count_distinct(col("o_orderstatus")).as("a_st"),
       approx_count_distinct(col("o_totalprice")).as("a_tp"),
       approx_count_distinct(col("o_orderdate")).as("a_od"),
-      approx_count_distinct(col("o_orderpriority")).as("a_op")) ++
-      numericProjs.map { case (tag, proj) =>
-        percentile_approx(proj, array(lit(0.5), lit(0.95)), lit(1000))
-          .as(s"ap_$tag")
-      }
-    val approx = o.agg(approxCells.head, approxCells.tail: _*)
-    // GK rank-error audit (the sketch_quantiles contract): one more scan
-    // counts, per numeric column, how many values sit ≤ / < the sketch's
-    // returned quantile — integer-exact, bracketing the target rank
-    // within 1 % of n. The approx 1-row frame broadcasts onto the scan.
+      approx_count_distinct(col("o_orderpriority")).as("a_op"))
+    // GK summaries for the distribution cells, built once and consumed
+    // only by the rank-error audit (the declared surface carries the
+    // audit BOOLEANS, not the merge-order-dependent sketch values —
+    // the sketch_quantiles convention). The audit counts, per numeric
+    // column, how many values sit <= / < the sketch's returned
+    // quantile — integer-exact, bracketing the target rank within
+    // 1 % of n; the 1-row sketch frame broadcasts onto the scan.
+    val apqCells = numericProjs.map { case (tag, proj) =>
+      percentile_approx(proj, array(lit(0.5), lit(0.95)), lit(1000))
+        .as(s"ap_$tag")
+    }
+    val apq = o.agg(apqCells.head, apqCells.tail: _*)
     val auditCells = numericProjs.map { case (tag, proj) =>
       def rankOk(a: Column, pctX100: Int) = {
         val le = sum(when(proj <= a, 1L).otherwise(0L))
@@ -539,10 +547,9 @@ object WarehouseQueries {
       (rankOk(element_at(col(s"ap_$tag"), 1), 50) &&
         rankOk(element_at(col(s"ap_$tag"), 2), 95)).as(s"qok_$tag")
     }
-    val audit = o.crossJoin(broadcast(approx.select(
-      numericProjs.map { case (tag, _) => col(s"ap_$tag") }: _*)))
+    val audit = o.crossJoin(broadcast(apq))
       .agg(auditCells.head, auditCells.tail: _*)
-    exact.crossJoin(approx).crossJoin(audit)
+    exact.crossJoin(approx).crossJoin(exactQ).crossJoin(audit)
   }
 
   /** The profiler's numeric projections on their exact integer grids:
