@@ -431,12 +431,6 @@ object SimilarityQueries {
     (out, appx)
   }
 
-  /** Scratch measurement hook (LadderProbe): total hits per op. */
-  private[queries] def probeLadder(s: SparkSession, d: String): Map[String, Long] =
-    try {
-      ivfpqLadderHits(s, d)._1.groupBy("op").agg(sum(col("n_hits")).as("h"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    } finally QuerySpec.releaseStaged()
 
   private def scoredIvfpqTop5From(parts: IvfpqParts,
                                   nProbe: Int, ks: Int): DataFrame = {
