@@ -37,6 +37,41 @@ object RelationalQueries {
        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
        |GROUP BY 1""".stripMargin
 
+  /** set_ops' DuckDB twin — shared with `sql_set_ops` (pure ANSI; the
+    * parser route needs zero dialect hops beyond the view names). */
+  private[queries] val setOpsOracleSql: String =
+    """SELECT 'union' AS op, k FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      |  UNION SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |UNION ALL
+      |SELECT 'intersect', k FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      |  INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |UNION ALL
+      |SELECT 'except', k FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      |  EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
+
+  /** window_rank_family's DuckDB twin — shared with
+    * `sql_window_rank_family` (the named-WINDOW clause parses in both
+    * dialects). */
+  private[queries] val windowRankFamilyOracleSql: String =
+    s"""SELECT o_orderkey, o_orderpriority,
+       |  rank() OVER wt AS rnk,
+       |  dense_rank() OVER wt AS drnk,
+       |  percent_rank() OVER wt AS prnk,
+       |  cume_dist() OVER wt AS cdist,
+       |  row_number() OVER wo AS rn,
+       |  CAST(ntile(4) OVER wo AS BIGINT) AS quartile
+       |FROM orders
+       |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
+       |       wo AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** topk_orders' DuckDB twin — shared with `sql_topk_orders`. */
+  private[queries] val topkOrdersOracleSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
   /** agg_grouping_sets' DuckDB twin — shared with `sql_grouping_sets`. */
   private[queries] val groupingSetsOracleSql: String =
     s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
@@ -538,18 +573,7 @@ object RelationalQueries {
     },
 
     // Set ops: high-balance ∪/∩/− mid-balance customer keys, tagged.
-    checked("set_ops",
-      """SELECT 'union' AS op, k FROM (
-        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
-        |  UNION SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-        |UNION ALL
-        |SELECT 'intersect', k FROM (
-        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
-        |  INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-        |UNION ALL
-        |SELECT 'except', k FROM (
-        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
-        |  EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin) { (s, d) =>
+    checked("set_ops", RelationalQueries.setOpsOracleSql) { (s, d) =>
       val cust = Tables.customer(s, d)
       val rich = cust.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
       val bld = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
@@ -560,9 +584,7 @@ object RelationalQueries {
 
     // Top-k: 20 highest-revenue orders, total order for determinism —
     // planned as TakeOrderedAndProject (heap per partition, no full sort).
-    checked("topk_orders",
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin) { (s, d) =>
+    checked("topk_orders", RelationalQueries.topkOrdersOracleSql) { (s, d) =>
       Tables.orders(s, d)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(20)
@@ -819,17 +841,7 @@ object RelationalQueries {
     // boundary since odd·odd ≠ even). One window partition family =
     // one shuffle; all six functions evaluate in a single Window
     // operator pass.
-    checked("window_rank_family",
-      s"""SELECT o_orderkey, o_orderpriority,
-         |  rank() OVER wt AS rnk,
-         |  dense_rank() OVER wt AS drnk,
-         |  percent_rank() OVER wt AS prnk,
-         |  cume_dist() OVER wt AS cdist,
-         |  row_number() OVER wo AS rn,
-         |  CAST(ntile(4) OVER wo AS BIGINT) AS quartile
-         |FROM orders
-         |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
-         |       wo AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, d) =>
+    checked("window_rank_family", RelationalQueries.windowRankFamilyOracleSql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val wt = Window.partitionBy("o_orderpriority").orderBy(col("o_orderdate"))
       val wo = Window.partitionBy("o_orderpriority")

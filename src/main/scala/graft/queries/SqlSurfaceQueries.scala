@@ -169,6 +169,34 @@ object SqlSurfaceQueries {
       s.sql(sparkDialect(StatsQueries.percentileGroupsOracleSql))
     },
 
+    // The set-op family through the parser: UNION / INTERSECT / EXCEPT
+    // distinct semantics from SQL text — pure ANSI, zero dialect hops
+    // beyond the view names; same oracle as set_ops.
+    checked("sql_set_ops", RelationalQueries.setOpsOracleSql) { (s, d) =>
+      tpchViews(s, d)
+      s.sql(sparkDialect(RelationalQueries.setOpsOracleSql))
+    },
+
+    // The ranking family through the parser: all six ANSI rank functions
+    // over two named WINDOW specs (the WINDOW clause parses identically
+    // in both dialects) — same oracle as window_rank_family; both specs
+    // share the partition key, so both routes plan ONE shuffle.
+    checked("sql_window_rank_family",
+      RelationalQueries.windowRankFamilyOracleSql) { (s, d) =>
+      tpchViews(s, d)
+      s.sql(sparkDialect(RelationalQueries.windowRankFamilyOracleSql))
+    },
+
+    // The order/limit family through the parser: global top-k as ORDER
+    // BY ... LIMIT — the route must still plan TakeOrderedAndProject
+    // (per-partition heaps), never a full sort; same oracle as
+    // topk_orders.
+    checked("sql_topk_orders",
+      RelationalQueries.topkOrdersOracleSql) { (s, d) =>
+      tpchViews(s, d)
+      s.sql(sparkDialect(RelationalQueries.topkOrdersOracleSql))
+    },
+
     // The native-aggregate route: `freq_sketch` (Misra-Gries) called by
     // name — heavy hitters per language as SQL text, same oracle (and
     // same exact-regime contract) as text_heavy_hitters.

@@ -532,6 +532,36 @@ class PlanShapeSpec extends SparkSpec {
     Seq(sqlP, dslP).foreach(p => assert(p.contains("Window")))
   }
 
+  test("sql_set_ops: parser route plans the same set-op aggregates") {
+    val sqlP = plan("sql_set_ops")
+    val dslP = plan("set_ops")
+    assert(shuffleCount(sqlP) == shuffleCount(dslP),
+      s"parser route shuffles ${shuffleCount(sqlP)}x vs DSL ${shuffleCount(dslP)}x")
+    Seq(sqlP, dslP).foreach(p =>
+      assert(!p.contains("CartesianProduct"),
+        "set ops must stay hash-based (aggregate / hash join), never a product"))
+  }
+
+  test("sql_window_rank_family: parser route plans one shuffle for both window specs") {
+    val sqlP = plan("sql_window_rank_family")
+    val dslP = plan("window_rank_family")
+    assert(shuffleCount(sqlP) == 1 && shuffleCount(dslP) == 1,
+      "both named WINDOW specs share the partition key — exactly ONE " +
+        s"exchange; sql=${shuffleCount(sqlP)} dsl=${shuffleCount(dslP)}")
+    Seq(sqlP, dslP).foreach(p =>
+      assert("Window".r.findAllIn(p).size >= 1 && p.contains("Window")))
+  }
+
+  test("sql_topk_orders: parser route keeps the TakeOrdered heap, no full sort") {
+    Seq("sql_topk_orders", "topk_orders").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q must plan per-partition heaps (TakeOrderedAndProject); got:\n$p")
+      assert(shuffleCount(p) == 0,
+        s"$q must not exchange — the heap reduces on the driver")
+    }
+  }
+
   test("dq_profile_approx: the HLL branch profiles without an Expand") {
     // The profiler's scale path: the approx_count_distinct aggregate must
     // stay an ordinary (sketch-register) aggregate. The declared query
