@@ -72,6 +72,44 @@ object RelationalQueries {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
 
+  /** join_asof_nearest's DuckDB twin — shared with
+    * `sql_join_asof_nearest`; the parser route differs only in
+    * epoch_us -> unix_micros and DuckDB's inside-paren IGNORE NULLS
+    * spelling (both anchored hops in SqlSurfaceQueries.sparkDialect). */
+  private[queries] val asofNearestOracleSql: String =
+    """WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |errs AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |u AS (SELECT user_id, ts, click_id, 0 AS is_left,
+        |    CAST(NULL AS BIGINT) AS event_id FROM clicks
+        |  UNION ALL SELECT user_id, ts, NULL, 1, event_id FROM errs),
+        |c AS (SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER wb AS prev_id,
+        |    last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+        |      OVER wb AS prev_ts,
+        |    first_value(click_id IGNORE NULLS) OVER wf AS next_id,
+        |    first_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+        |      OVER wf AS next_ts
+        |  FROM u WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts, is_left
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts, is_left
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN prev_ts IS NULL THEN next_id
+        |       WHEN next_ts IS NULL THEN prev_id
+        |       WHEN epoch_us(ts) - epoch_us(prev_ts)
+        |         <= epoch_us(next_ts) - epoch_us(ts) THEN prev_id
+        |       ELSE next_id END AS nearest_click_id,
+        |  CASE WHEN prev_ts IS NULL THEN epoch_us(ts) - epoch_us(next_ts)
+        |       WHEN next_ts IS NULL THEN epoch_us(ts) - epoch_us(prev_ts)
+        |       WHEN epoch_us(ts) - epoch_us(prev_ts)
+        |         <= epoch_us(next_ts) - epoch_us(ts)
+        |       THEN epoch_us(ts) - epoch_us(prev_ts)
+        |       ELSE epoch_us(ts) - epoch_us(next_ts) END AS gap_us
+        |FROM c WHERE is_left = 1""".stripMargin
+
   /** agg_grouping_sets' DuckDB twin — shared with `sql_grouping_sets`. */
   private[queries] val groupingSetsOracleSql: String =
     s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
@@ -637,38 +675,7 @@ object RelationalQueries {
     // mirrored frame, so both directions ride a single shuffle; the
     // pick is a null-guarded distance compare on exact µs integers.
     checked("join_asof_nearest",
-      """WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
-        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
-        |errs AS (SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'error'),
-        |u AS (SELECT user_id, ts, click_id, 0 AS is_left,
-        |    CAST(NULL AS BIGINT) AS event_id FROM clicks
-        |  UNION ALL SELECT user_id, ts, NULL, 1, event_id FROM errs),
-        |c AS (SELECT *,
-        |    last_value(click_id IGNORE NULLS) OVER wb AS prev_id,
-        |    last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
-        |      OVER wb AS prev_ts,
-        |    first_value(click_id IGNORE NULLS) OVER wf AS next_id,
-        |    first_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
-        |      OVER wf AS next_ts
-        |  FROM u WINDOW
-        |    wb AS (PARTITION BY user_id ORDER BY ts, is_left
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    wf AS (PARTITION BY user_id ORDER BY ts, is_left
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT event_id, user_id,
-        |  CASE WHEN prev_ts IS NULL THEN next_id
-        |       WHEN next_ts IS NULL THEN prev_id
-        |       WHEN epoch_us(ts) - epoch_us(prev_ts)
-        |         <= epoch_us(next_ts) - epoch_us(ts) THEN prev_id
-        |       ELSE next_id END AS nearest_click_id,
-        |  CASE WHEN prev_ts IS NULL THEN epoch_us(ts) - epoch_us(next_ts)
-        |       WHEN next_ts IS NULL THEN epoch_us(ts) - epoch_us(prev_ts)
-        |       WHEN epoch_us(ts) - epoch_us(prev_ts)
-        |         <= epoch_us(next_ts) - epoch_us(ts)
-        |       THEN epoch_us(ts) - epoch_us(prev_ts)
-        |       ELSE epoch_us(ts) - epoch_us(next_ts) END AS gap_us
-        |FROM c WHERE is_left = 1""".stripMargin) { (s, d) =>
+      RelationalQueries.asofNearestOracleSql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")

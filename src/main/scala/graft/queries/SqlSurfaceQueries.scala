@@ -66,6 +66,13 @@ object SqlSurfaceQueries {
       // bit order: leftmost grouping column = MSB); `GROUPING SETS` has
       // no '(' directly after the keyword, so it never matches
       .replaceAll("""\bGROUPING\(""", "grouping_id(")
+      // µs epoch: DuckDB epoch_us(ts) = Spark unix_micros(ts)
+      .replaceAll("""(?<![A-Za-z0-9_])epoch_us\(""", "unix_micros(")
+      // DuckDB spells IGNORE NULLS inside the call parens
+      // (last_value(x IGNORE NULLS)); ANSI/Spark puts it after
+      // (last_value(x) IGNORE NULLS) — the swap is exact because the
+      // keyword always directly precedes the closing paren
+      .replace(" IGNORE NULLS)", ") IGNORE NULLS")
       .replaceAll(
         """\b(FROM|JOIN)\s+(region|nation|customer|supplier|orders|lineitem|events)\b""",
         "$1 graft_sql_$2")
@@ -195,6 +202,19 @@ object SqlSurfaceQueries {
       RelationalQueries.topkOrdersOracleSql) { (s, d) =>
       tpchViews(s, d)
       s.sql(sparkDialect(RelationalQueries.topkOrdersOracleSql))
+    },
+
+    // The as-of family through the parser: the nearest-direction as-of
+    // join stated as the tagged-union + IGNORE-NULLS-window SQL (the
+    // scalable shape — one shuffle carries both direction frames) with
+    // the null-guarded µs-distance pick. Exercises parser syntax no
+    // other route touches: IGNORE NULLS on last_value/first_value and
+    // asymmetric ROWS frames over named windows. Same oracle as
+    // join_asof_nearest (DuckDB runs the identical tagged-union SQL).
+    checked("sql_join_asof_nearest",
+      RelationalQueries.asofNearestOracleSql) { (s, d) =>
+      eventsView(s, d)
+      s.sql(sparkDialect(RelationalQueries.asofNearestOracleSql))
     },
 
     // The native-aggregate route: `freq_sketch` (Misra-Gries) called by

@@ -562,6 +562,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sql_join_asof_nearest: parser route plans the one-shuffle tagged union") {
+    val sqlP = plan("sql_join_asof_nearest")
+    val dslP = plan("join_asof_nearest")
+    assert(shuffleCount(sqlP) == 2 && shuffleCount(dslP) == 2,
+      "exactly TWO exchanges in both routes — the clicks (user_id, ts) " +
+        "dedup aggregate and the shared window partitioning; both " +
+        "direction frames must ride the SAME window exchange; " +
+        s"sql=${shuffleCount(sqlP)} dsl=${shuffleCount(dslP)}")
+    Seq(sqlP, dslP).foreach { p =>
+      assert(p.contains("Window"))
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        "the as-of must ride the union+window carry, never a range join")
+    }
+  }
+
   test("dq_profile_approx: the HLL branch profiles without an Expand") {
     // The profiler's scale path: the approx_count_distinct aggregate must
     // stay an ordinary (sketch-register) aggregate. The declared query
