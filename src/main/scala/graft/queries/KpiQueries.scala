@@ -129,6 +129,57 @@ object KpiQueries {
             lit(0.02) * col("users_exact")).as("merge_close"))
     },
 
+    // PERSISTED sketch store — the incremental-profiling lifecycle that
+    // closes sketch_rollup's loop: a 100 TB deployment never re-scans
+    // history to refresh a profile; it WRITES each day's HLL registers
+    // (one ~KB binary row per (slice, day)) and answers cardinality
+    // questions by merging the stored rows — O(days) sketch reads, zero
+    // corpus rescans (the corpus_clean_incremental keeper-store
+    // pattern applied to profiling). This query builds that store once
+    // per (JVM, sf), then pins the lifecycle with two contracts:
+    // `store_eq_mem` — the estimate from PARQUET-ROUND-TRIPPED sketches
+    // EXACTLY equals the estimate from the same daily sketches merged
+    // in memory (HLL register merge is a per-register max — commutative
+    // and order-free — so any serialization drift flips an exact
+    // equality, not a tolerance); and `rollup_ok` — the merged estimate
+    // lands within the 10 % HLL++ error envelope of the exact count
+    // (the sketch_rollup contract). DuckDB exposes no mergeable sketch
+    // objects, so its twin computes the exact side and asserts the
+    // measured booleans as literal true — the sketch_rollup pattern.
+    checked("dq_profile_sketch_store",
+      s"""SELECT event_type AS slice,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact,
+         |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+         |  true AS store_eq_mem, true AS rollup_ok
+         |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_hllstore_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      if (!ready.exists()) {
+        daily.write.mode("overwrite")
+          .parquet(new java.io.File(dir, "sketches").getAbsolutePath)
+        ready.createNewFile()
+      }
+      val store = s.read
+        .parquet(new java.io.File(dir, "sketches").getAbsolutePath)
+        .groupBy("slice")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_store"),
+          count(lit(1)).as("n_days"))
+      val mem = daily.groupBy("slice")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_mem"))
+      val exact = Tables.events(s, d)
+        .groupBy(col("event_type").as("slice"))
+        .agg(count_distinct(col("user_id")).cast("long").as("users_exact"))
+      exact.join(store, "slice").join(mem, "slice")
+        .select(col("slice"), col("users_exact"), col("n_days"),
+          (col("est_store") === col("est_mem")).as("store_eq_mem"),
+          (abs(col("est_store") - col("users_exact")) <=
+            lit(0.10) * col("users_exact")).as("rollup_ok"))
+    },
+
     // Mergeable QUANTILE sketch — the 100 TB percentile path the suite
     // previously only documented as a divergence: exact percentile
     // (sort/exact-rank) doesn't scale past a single aggregate's memory,
