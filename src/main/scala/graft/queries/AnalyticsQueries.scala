@@ -19,6 +19,33 @@ object AnalyticsQueries {
   /** IVM split point — mid-range of the generator's 30-day event span. */
   val IvmSplit = "2024-01-16 00:00:00"
 
+  /** funnel_conversion's DuckDB twin — shared with `sql_funnel_conversion`
+    * (portable modulo the epoch_us -> unix_micros hop and the view
+    * prefix). */
+  private[queries] val funnelOracleSql: String = {
+    def step(k: Int, ev: String) =
+      s"""s$k AS (SELECT e.user_id, min(e.ts) AS t$k
+         |  FROM events e JOIN s${k - 1} USING (user_id)
+         |  WHERE e.event_type = '$ev' AND e.ts > s${k - 1}.t${k - 1}
+         |  GROUP BY 1)""".stripMargin
+    def row(k: Int, name: String) =
+      s"""SELECT $k AS step_order, '$name' AS step,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(COALESCE(sum(epoch_us(t$k) - epoch_us(t1)), 0) AS BIGINT)
+         |    AS lag_us_sum
+         |FROM s$k JOIN s1 USING (user_id)""".stripMargin
+    s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |${step(2, "view")},
+       |${step(3, "click")},
+       |${step(4, "purchase")}
+       |SELECT 1 AS step_order, 'signup' AS step,
+       |  CAST(count(*) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS lag_us_sum
+       |FROM s1
+       |UNION ALL ${row(2, "view")}
+       |UNION ALL ${row(3, "click")} UNION ALL ${row(4, "purchase")}""".stripMargin
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // Ordered funnel — signup → view → click → purchase with
@@ -29,29 +56,8 @@ object AnalyticsQueries {
     // aggregate joined to the previous frontier; all five shuffles key
     // on user_id, so the chain is co-partitioned end-to-end. Lag sums
     // are whole-µs integers (timestamp subtraction), bit-exact.
-    checked("funnel_conversion", {
-      def step(k: Int, ev: String) =
-        s"""s$k AS (SELECT e.user_id, min(e.ts) AS t$k
-           |  FROM events e JOIN s${k - 1} USING (user_id)
-           |  WHERE e.event_type = '$ev' AND e.ts > s${k - 1}.t${k - 1}
-           |  GROUP BY 1)""".stripMargin
-      def row(k: Int, name: String) =
-        s"""SELECT $k AS step_order, '$name' AS step,
-           |  CAST(count(*) AS BIGINT) AS n_users,
-           |  CAST(COALESCE(sum(epoch_us(t$k) - epoch_us(t1)), 0) AS BIGINT)
-           |    AS lag_us_sum
-           |FROM s$k JOIN s1 USING (user_id)""".stripMargin
-      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-         |  WHERE event_type = 'signup' GROUP BY 1),
-         |${step(2, "view")},
-         |${step(3, "click")},
-         |${step(4, "purchase")}
-         |SELECT 1 AS step_order, 'signup' AS step,
-         |  CAST(count(*) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS lag_us_sum
-         |FROM s1
-         |UNION ALL ${row(2, "view")}
-         |UNION ALL ${row(3, "click")} UNION ALL ${row(4, "purchase")}""".stripMargin
-    }) { (s, d) =>
+    checked("funnel_conversion",
+      AnalyticsQueries.funnelOracleSql) { (s, d) =>
       val ev = staged(Tables.events(s, d)
         .select(col("user_id"), col("event_type"), col("ts")))
       val s1 = ev.filter(col("event_type") === "signup")

@@ -16,6 +16,28 @@ import graft.functions.DetAgg._
 object ScalarQueries {
   import QuerySpec._
 
+  /** scalar_predicates' DuckDB twin — shared with `sql_scalar_predicates`
+    * (the one family whose parser restatement is hand-spelled rather
+    * than dialect-rewritten: DuckDB's list/list_filter/len HOFs map to
+    * Spark's collect_list/filter/size + lambda syntax, but the oracle —
+    * and therefore the bits — is this single string for both routes). */
+  private[queries] val scalarPredicatesOracleSql: String =
+    """WITH arrs AS (SELECT l_orderkey,
+      |    list(CAST(l_quantity AS BIGINT)) AS qs
+      |  FROM lineitem GROUP BY l_orderkey),
+      |flags AS (SELECT l_orderkey,
+      |    len(list_filter(qs, x -> x > 45)) > 0 AS has_big,
+      |    len(list_filter(qs, x -> NOT (x > 0))) = 0 AS all_pos,
+      |    CAST(len(list_filter(qs, x -> x < 10)) AS BIGINT) AS n_small
+      |  FROM arrs),
+      |j AS (SELECT o_orderpriority AS priority, has_big, all_pos, n_small
+      |  FROM flags JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  bool_or(has_big) AS any_has_big,
+      |  bool_and(all_pos) AS every_all_pos,
+      |  CAST(count_if(n_small > 0) AS BIGINT) AS n_with_small
+      |FROM j GROUP BY priority""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // JSON family (reference from_json/to_json — KafkaKpiPipeline.scala:253,
@@ -154,22 +176,7 @@ object ScalarQueries {
     // family. DuckDB spells the HOFs as list_filter lengths and the
     // aggregates as bool_or / bool_and / count_if — same semantics,
     // null-free by construction.
-    checked("scalar_predicates",
-      """WITH arrs AS (SELECT l_orderkey,
-        |    list(CAST(l_quantity AS BIGINT)) AS qs
-        |  FROM lineitem GROUP BY l_orderkey),
-        |flags AS (SELECT l_orderkey,
-        |    len(list_filter(qs, x -> x > 45)) > 0 AS has_big,
-        |    len(list_filter(qs, x -> NOT (x > 0))) = 0 AS all_pos,
-        |    CAST(len(list_filter(qs, x -> x < 10)) AS BIGINT) AS n_small
-        |  FROM arrs),
-        |j AS (SELECT o_orderpriority AS priority, has_big, all_pos, n_small
-        |  FROM flags JOIN orders ON l_orderkey = o_orderkey)
-        |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
-        |  bool_or(has_big) AS any_has_big,
-        |  bool_and(all_pos) AS every_all_pos,
-        |  CAST(count_if(n_small > 0) AS BIGINT) AS n_with_small
-        |FROM j GROUP BY priority""".stripMargin) { (s, d) =>
+    checked("scalar_predicates", ScalarQueries.scalarPredicatesOracleSql) { (s, d) =>
       val flags = Tables.lineitem(s, d)
         .groupBy("l_orderkey")
         .agg(collect_list(col("l_quantity").cast("long")).as("qs"))

@@ -217,6 +217,42 @@ object SqlSurfaceQueries {
       s.sql(sparkDialect(RelationalQueries.asofNearestOracleSql))
     },
 
+    // The analytics family through the parser: the 4-step conversion
+    // funnel as chained CTEs with JOIN USING and strictly-after
+    // timestamps — portable to Spark SQL modulo the epoch_us hop; same
+    // oracle as funnel_conversion.
+    checked("sql_funnel_conversion",
+      AnalyticsQueries.funnelOracleSql) { (s, d) =>
+      eventsView(s, d)
+      s.sql(sparkDialect(AnalyticsQueries.funnelOracleSql))
+    },
+
+    // The scalar-HOF family through the parser: exists/forall/filter
+    // lambdas + any/every/count_if boolean aggregates in SQL text. The
+    // one restatement that is hand-spelled rather than dialect-rewritten
+    // (DuckDB's list/list_filter/len have different names), but the
+    // oracle is scalar_predicates' single string for both routes.
+    checked("sql_scalar_predicates",
+      ScalarQueries.scalarPredicatesOracleSql) { (s, d) =>
+      tpchViews(s, d)
+      s.sql(
+        """WITH arrs AS (SELECT l_orderkey,
+          |    collect_list(CAST(l_quantity AS BIGINT)) AS qs
+          |  FROM graft_sql_lineitem GROUP BY l_orderkey),
+          |flags AS (SELECT l_orderkey,
+          |    exists(qs, x -> x > 45) AS has_big,
+          |    forall(qs, x -> x > 0) AS all_pos,
+          |    CAST(size(filter(qs, x -> x < 10)) AS BIGINT) AS n_small
+          |  FROM arrs),
+          |j AS (SELECT o_orderpriority AS priority, has_big, all_pos, n_small
+          |  FROM flags JOIN graft_sql_orders ON l_orderkey = o_orderkey)
+          |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+          |  any(has_big) AS any_has_big,
+          |  every(all_pos) AS every_all_pos,
+          |  CAST(count_if(n_small > 0) AS BIGINT) AS n_with_small
+          |FROM j GROUP BY priority""".stripMargin)
+    },
+
     // The native-aggregate route: `freq_sketch` (Misra-Gries) called by
     // name — heavy hitters per language as SQL text, same oracle (and
     // same exact-regime contract) as text_heavy_hitters.

@@ -577,6 +577,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sql_funnel_conversion: parser route keeps every funnel hop an equi join") {
+    val p = plan("sql_funnel_conversion")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "every funnel step joins on user_id — a nested-loop means the " +
+        "strictly-after predicate leaked out of the join filter")
+    assert("Join".r.findAllIn(p).size >= 3,
+      "the 4-step funnel needs at least the three step joins")
+  }
+
+  test("sql_scalar_predicates: both routes partial-aggregate the arrays map-side") {
+    val sqlP = plan("sql_scalar_predicates")
+    val dslP = plan("scalar_predicates")
+    Seq("sql" -> sqlP, "dsl" -> dslP).foreach { case (r, p) =>
+      assert(p.contains("partial_collect_list"),
+        s"$r route must build the per-order arrays with a map-side " +
+          "partial, never shipping raw lineitem rows to one reducer")
+      assert(!p.contains("CartesianProduct"))
+    }
+    assert(shuffleCount(sqlP) == shuffleCount(dslP),
+      s"sql=${shuffleCount(sqlP)} dsl=${shuffleCount(dslP)}")
+  }
+
   test("dq_profile_approx: the HLL branch profiles without an Expand") {
     // The profiler's scale path: the approx_count_distinct aggregate must
     // stay an ordinary (sketch-register) aggregate. The declared query
