@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 
-import graft.functions.expr.{CosTopK, DotLong, FreqSketch, ShingleExplode}
+import graft.functions.expr.{CosTopK, DotLong, FreqSketch, KmvSketch, ShingleExplode}
 
 /** SQL-surface registration for the engine's native Catalyst expressions
   * (SURVEY §4.3 path (c): `SparkSessionExtensions`). Column-API users get
@@ -17,6 +17,7 @@ import graft.functions.expr.{CosTopK, DotLong, FreqSketch, ShingleExplode}
   *  - `shingle_explode(toks, n)`   generator: one row per n-token shingle
   *  - `cos_top_k(score, id, k)`    bounded-heap per-group top-k aggregate
   *  - `freq_sketch(item, k)`       Misra-Gries frequent-items aggregate
+  *  - `kmv_sketch(hash, k)`        K-Minimum-Values (theta) distinct sketch
   *  - `morton2(a, b)`              Z-order key of two 21-bit dimensions
   *                                 (expands to the codegen'd bit-op tree)
   *
@@ -85,6 +86,14 @@ object GraftExtensions {
             Cast(item, org.apache.spark.sql.types.StringType),
             intArg(k, "freq_sketch", 2))
           case _ => throw new IllegalArgumentException("freq_sketch(item, k)")
+        }),
+      "kmv_sketch" -> (
+        new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+        (args: Seq[Expression]) => args match {
+          case Seq(hash, k) => KmvSketch(
+            Cast(hash, org.apache.spark.sql.types.LongType),
+            intArg(k, "kmv_sketch", 2))
+          case _ => throw new IllegalArgumentException("kmv_sketch(hash, k)")
         }),
       "morton2" -> (
         new ExpressionInfo(graft.functions.ZOrder.getClass.getName, "morton2"),

@@ -1018,6 +1018,94 @@ object KpiQueries {
           min(col("hd") === col("hm")).as("merge_exact"))
     },
 
+    // K-Minimum-Values (theta) overlap sketch — the SET-EXPRESSION
+    // cardinality the HLL family above cannot answer: HLL unions but
+    // never intersects, and "how much of snapshot B is already in
+    // snapshot A" (train/test contamination, crawl-over-crawl novelty)
+    // is an intersection question. Two 70 %-of-corpus document snapshots
+    // (planted 40 % id overlap) are sketched IN ONE RAW SCAN — no
+    // per-text shuffle: kmv_sketch partials reduce map-side and only
+    // O(k) longs per partial cross the exchange, the 100 TB operating
+    // point where the exact per-text groupBy (kept here as the test-
+    // scale oracle side) is unpayable. Union = k smallest of the merged
+    // arrays; intersection = common hashes below θ = min(θ_a, θ_b),
+    // scaled by 1/θ (Beyer et al., SIGMOD 2007) — both PURE ARRAY
+    // ARITHMETIC over the two returned sketches, no re-scan. Contracts
+    // hashed as booleans (deterministic: xxhash64 is seed-free and the
+    // sketch is a pure function of the value set): each estimate within
+    // 10 % of exact (k=1024 → RSE ≈ 3.1 %), intersection within 10 % of
+    // the UNION (the theta-sketch error scale), and in the exact regime
+    // (distinct < k, which sf0.01 exercises) the sketch must BE the
+    // distinct hash set — union/intersection sizes exactly equal the
+    // true counts. DuckDB has no KMV, so its twin computes the exact
+    // side and asserts the measured booleans literally (sketch_rollup
+    // pattern).
+    checked("sketch_kmv_overlap",
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |t AS (SELECT text,
+        |    max(CASE WHEN doc_id <= CAST(floor(0.7 * mx) AS BIGINT)
+        |      THEN 1 ELSE 0 END) = 1 AS in_a,
+        |    max(CASE WHEN doc_id >= CAST(floor(0.3 * mx) AS BIGINT)
+        |      THEN 1 ELSE 0 END) = 1 AS in_b
+        |  FROM documents, m GROUP BY text)
+        |SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN in_a OR in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+        |  CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_intersect,
+        |  true AS est_a_ok, true AS est_b_ok, true AS est_union_ok,
+        |  true AS est_intersect_ok, true AS exact_regime_consistent
+        |FROM t""".stripMargin) { (s, d) =>
+      import graft.functions.expr.KmvSketch
+      val K = 1024
+      val M = KmvSketch.HashSpace
+      val docs = Tables.documents(s, d)
+        .crossJoin(broadcast(
+          Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))))
+        .select(col("text"),
+          xxhash64(col("text")).bitwiseAND(lit(Long.MaxValue)).as("h"),
+          (col("doc_id") <= floor(lit(0.7) * col("mx")).cast("long")).as("in_a"),
+          (col("doc_id") >= floor(lit(0.3) * col("mx")).cast("long")).as("in_b"))
+      val scan = staged(docs)
+      // Sketch side: ONE raw-scan aggregate, no per-text shuffle.
+      val sk = scan.agg(
+        KmvSketch.sketch(when(col("in_a"), col("h")), K).as("ska"),
+        KmvSketch.sketch(when(col("in_b"), col("h")), K).as("skb"))
+      // Exact side — the oracle's job at test scale; at 100 TB only the
+      // sketches are kept.
+      val exact = scan.groupBy("text")
+        .agg(max(col("in_a")).as("a"), max(col("in_b")).as("b"))
+        .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("a") || col("b"), 1L).otherwise(0L)).as("n_union"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_intersect"))
+      def kth(sk: org.apache.spark.sql.Column) = element_at(sk, K)
+      def estD(sk: org.apache.spark.sql.Column) =
+        when(size(sk) < K, size(sk).cast("double"))
+          .otherwise(lit((K - 1).toDouble) * M / kth(sk).cast("double"))
+      def kthOrMax(sk: org.apache.spark.sql.Column) =
+        when(size(sk) < K, lit(Long.MaxValue)).otherwise(kth(sk))
+      val merged = slice(array_sort(array_union(col("ska"), col("skb"))), 1, K)
+      val thr = least(kthOrMax(col("ska")), kthOrMax(col("skb")))
+      val nCommon = size(filter(array_intersect(col("ska"), col("skb")),
+        x => x < thr))
+      val estInt = when(thr === Long.MaxValue, nCommon.cast("double"))
+        .otherwise(nCommon.cast("double") * M / thr.cast("double"))
+      val bothExact = size(col("ska")) < K && size(col("skb")) < K
+      exact.crossJoin(broadcast(sk))
+        .select(col("n_a"), col("n_b"), col("n_union"), col("n_intersect"),
+          (abs(estD(col("ska")) - col("n_a")) <= lit(0.10) * col("n_a"))
+            .as("est_a_ok"),
+          (abs(estD(col("skb")) - col("n_b")) <= lit(0.10) * col("n_b"))
+            .as("est_b_ok"),
+          (abs(estD(merged) - col("n_union")) <= lit(0.10) * col("n_union"))
+            .as("est_union_ok"),
+          (abs(estInt - col("n_intersect")) <= lit(0.10) * col("n_union"))
+            .as("est_intersect_ok"),
+          when(bothExact,
+            size(merged) === col("n_union") && nCommon === col("n_intersect"))
+            .otherwise(lit(true)).as("exact_regime_consistent"))
+    },
+
     // Per-flow sequencing exposed directly (reference :407-417): IAT rows.
     checked("flow_iat",
       s"""WITH pkt AS (${FlowOps.packetViewSql}),

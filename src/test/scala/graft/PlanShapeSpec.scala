@@ -206,6 +206,15 @@ class PlanShapeSpec extends SparkSpec {
         s"exchange — O(groups x k) crossing, not one row per token; got plan:\n$p")
   }
 
+  test("sketch_kmv_overlap reduces both KMV sketches map-side, one raw scan") {
+    val p = plan("sketch_kmv_overlap")
+    assert(p.contains("partial_kmv_sketch"),
+      s"the KMV aggregate must run in partial mode before the exchange — " +
+        s"O(k) longs per partial crossing, not one row per document; got plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row sketch side must broadcast onto the exact side; got plan:\n$p")
+  }
+
   test("text_repetition is a pure projection — zero exchanges at any scale") {
     val p = plan("text_repetition")
     assert(!p.contains("Exchange"),
