@@ -289,6 +289,174 @@ object MediaOps {
   }
 
   // ---------------------------------------------------------------------
+  // Content planes: the byte region a CODEC would decode to pixels/samples.
+  // The container walk (chunk/marker/RIFF parsing) is real; what a codec
+  // would do with the extracted region is the declared stub boundary —
+  // perceptual features below operate on the raw plane bytes where
+  // production would operate on decoded pixels (same signatures, same
+  // downstream schema).
+  // ---------------------------------------------------------------------
+
+  /** The content plane of a blob: PNG → concatenated IDAT payloads (a real
+    * chunk walk, CRC-gated IHDR as in [[decodePng]]), JPEG → the
+    * entropy-coded region between SOS and EOI, WAV → the data chunk,
+    * GRFT → the post-header payload. Corrupt/unknown → empty (the blob
+    * contributes no perceptual rows — never throws). */
+  def contentPlane(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.length < 4) return Array.emptyByteArray
+    if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig)) {
+      if (decodePng(bytes)._1 == -1) return Array.emptyByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      var off = 8L
+      while (off + 8 <= bytes.length) {
+        val o = off.toInt
+        val size = u32be(bytes, o)
+        if (size > bytes.length || off + 8 + size > bytes.length) off = bytes.length
+        else {
+          if (ascii(bytes, o + 4, "IDAT")) out.write(bytes, o + 8, size.toInt)
+          off += 12L + size // len(4) + type(4) + data + crc(4)
+        }
+      }
+      out.toByteArray
+    } else if (ascii(bytes, 0, "RIFF")) {
+      if (decodeWav(bytes)._1 == -1) return Array.emptyByteArray
+      var off = 12L
+      while (off + 8 <= bytes.length) {
+        val o = off.toInt
+        val size = u32le(bytes, o + 4)
+        if (size > bytes.length) return Array.emptyByteArray
+        if (ascii(bytes, o, "data")) {
+          val n = math.min(size, bytes.length - off - 8L).toInt
+          return java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + n)
+        }
+        off += 8L + size + (size & 1L)
+      }
+      Array.emptyByteArray
+    } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      if (decodeJpeg(bytes)._1 == -1) return Array.emptyByteArray
+      // Scan for the SOS marker, then take everything up to EOI.
+      var i = 2
+      while (i + 4 <= bytes.length) {
+        if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xda) {
+          val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+          val start = i + 2 + len
+          val end = // strip the trailing EOI if present
+            if (bytes.length >= 2 && (bytes(bytes.length - 2) & 0xff) == 0xff &&
+              (bytes(bytes.length - 1) & 0xff) == 0xd9) bytes.length - 2
+            else bytes.length
+          return if (start >= end) Array.emptyByteArray
+          else java.util.Arrays.copyOfRange(bytes, start, end)
+        }
+        i += 1
+      }
+      Array.emptyByteArray
+    } else if (bytes.take(4).sameElements(Magic)) {
+      if (bytes.length <= 10) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(bytes, 10, bytes.length)
+    } else Array.emptyByteArray
+  }
+
+  /** 64-bit average-hash (blockhash family) over the content plane: the
+    * plane is split into 64 equal chunks; bit i (MSB-first) is set when
+    * chunk i's mean byte value ≥ 128 — a FIXED mid-scale threshold, not
+    * the plane mean, so a local perturbation can only flip the bits of
+    * the chunks it touches (no global coupling; this is what makes the
+    * planted-recall contract in `media_phash_dedup` structural rather
+    * than statistical). Planes shorter than 64 bytes hash to 0L exactly
+    * like empty planes — callers treat 0 as "no perceptual content".
+    * Integer-exact: bit i set ⇔ 2·chunkSum ≥ 256·chunkLen. */
+  def aHash64(plane: Array[Byte]): Long = {
+    val L = plane.length
+    if (L < 64) return 0L
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      val from = (i.toLong * L / 64).toInt
+      val to = ((i + 1).toLong * L / 64).toInt
+      var sum = 0L
+      var j = from
+      while (j < to) { sum += (plane(j) & 0xff); j += 1 }
+      if (2 * sum >= 256L * (to - from)) h |= 1L << (63 - i)
+      i += 1
+    }
+    h
+  }
+
+  /** Hamming distance between two 64-bit perceptual hashes. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ---------------------------------------------------------------------
+  // PCM sample features (the audio analogue of the frame table): real
+  // 16-bit little-endian decode of the WAV data chunk.
+  // ---------------------------------------------------------------------
+
+  /** Interleaved signed 16-bit PCM samples of a WAV blob (all channels,
+    * frame order — windowed features below don't de-interleave, matching
+    * an energy/activity pass that treats the stream as one signal).
+    * Non-WAV/corrupt/odd-length planes → empty. */
+  def pcmSamples(bytes: Array[Byte]): Array[Int] = {
+    if (!ascii(bytes, 0, "RIFF")) return Array.emptyIntArray
+    val (_, bits, _, _) = decodeWav(bytes)
+    if (bits != 16) return Array.emptyIntArray
+    val plane = contentPlane(bytes)
+    val n = plane.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((plane(2 * i) & 0xff) | (plane(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** One audio analysis window: exact integer features over [[WinSamples]]
+    * PCM samples (the last partial window is dropped — every emitted
+    * window has exactly [[WinSamples]] samples, which keeps the energy
+    * scale comparable across windows and the contract checkable). */
+  final case class AudioWindow(
+      media_id: Long,
+      rate: Int,
+      win_idx: Int,
+      n_samples: Int,
+      sum_sq: Long,
+      zero_crossings: Int,
+      peak: Int)
+
+  /** Samples per analysis window. */
+  val WinSamples = 64
+
+  /** Windowed PCM features: energy (exact Σx², BIGINT), zero-crossing
+    * count (sign changes between consecutive samples, zeros carrying the
+    * previous sign), peak |x|. flatMap shape: one row per window straight
+    * off the blob scan, no shuffle — the media_frames explosion contract
+    * applied to audio. */
+  def audioWindows(media: Dataset[MediaRow]): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val pcm = pcmSamples(r.bytes)
+      val (rate, _, _, _) = decodeWav(r.bytes)
+      if (pcm.length < WinSamples || rate <= 0) Seq.empty
+      else (0 until pcm.length / WinSamples).map { wi =>
+        var sumSq = 0L; var zc = 0; var peak = 0
+        var lastSign = 0
+        var j = wi * WinSamples
+        val end = j + WinSamples
+        while (j < end) {
+          val x = pcm(j)
+          sumSq += x.toLong * x
+          val a = math.abs(x)
+          if (a > peak) peak = a
+          val sign = if (x > 0) 1 else if (x < 0) -1 else lastSign
+          if (sign != 0 && lastSign != 0 && sign != lastSign) zc += 1
+          if (sign != 0) lastSign = sign
+          j += 1
+        }
+        AudioWindow(r.media_id, rate, wi, WinSamples, sumSq, zc, peak)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // Deterministic synthetic corpus (no media files ship with the harness;
   // the IMAGE and AUDIO blobs are real PNG/WAV bytes — a stock decoder
   // would accept their headers).
@@ -395,6 +563,59 @@ object MediaOps {
           (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte,
           3, frames.toByte) ++ payload
     }
+  }
+
+  /** Deterministic image corpus WITH PLANTED NEAR-DUPLICATES for the
+    * perceptual-dedup query: ids come in triples — 3k is a base image,
+    * 3k+1 a re-encode-style near-dup of it (same dims, same payload
+    * length, ≤ 6 bytes bumped, all within the FIRST HALF of the payload
+    * so at most 6 of the 64 aHash chunks — all in the top two 16-bit
+    * bands — can change; the bottom two bands are bit-identical BY
+    * CONSTRUCTION, which is what makes LSH-band recall a structural
+    * guarantee), 3k+2 an unrelated image. PNG/JPEG alternate per triple
+    * (the near-dup shares its base's byte format — planes must align).
+    * Every 50th id is torn garbage, as in [[corpus]]. */
+  def phashCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).select(col("id")).as[Long].map { id =>
+      MediaRow(id, "image", synthesizeNearDup(id))
+    }
+  }
+
+  /** Blob builder for [[phashCorpus]] (exposed for spec use). */
+  def synthesizeNearDup(id: Long): Array[Byte] = {
+    if (id % 50 == 49) {
+      val rnd = new scala.util.Random(id * 2654435761L + 17)
+      val junk = new Array[Byte](8 + rnd.nextInt(64))
+      rnd.nextBytes(junk)
+      return junk
+    }
+    val base = id - (id % 3)
+    val baseRnd = new scala.util.Random(base * 2654435761L + 7)
+    val w = 16 + baseRnd.nextInt(240)
+    val h = 16 + baseRnd.nextInt(240)
+    val png = base % 2 == 0
+    val basePayload = new Array[Byte](96 + baseRnd.nextInt(160))
+    baseRnd.nextBytes(basePayload)
+    val payload = (id % 3) match {
+      case 0 => basePayload
+      case 1 =>
+        val p = basePayload.clone()
+        val vr = new scala.util.Random(id * 2654435761L + 13)
+        val bumps = 1 + vr.nextInt(6)
+        (0 until bumps).foreach { _ =>
+          val pos = vr.nextInt(math.max(1, p.length / 2 - 4))
+          p(pos) = (p(pos) + 1 + vr.nextInt(16)).toByte
+        }
+        p
+      case _ =>
+        val vr = new scala.util.Random(id * 2654435761L + 29)
+        val p = new Array[Byte](basePayload.length)
+        vr.nextBytes(p)
+        p
+    }
+    if (png) synthesizePng(w, h, 2, payload)
+    else synthesizeJpeg(w, h, 3, payload)
   }
 
   /** Deterministic demo corpus. */

@@ -76,6 +76,14 @@ object SourceQueries {
   /** Oracle-dump dir for the per-frame feature rows (same lifecycle). */
   private val FrameDumpDir = TmpDirs.persistent(
     s"graft_frame_dump_${ProcessHandle.current().pid()}").getAbsolutePath
+
+  /** Oracle-dump dir for the perceptual-hash rows (same lifecycle). */
+  private val PhashDumpDir = TmpDirs.persistent(
+    s"graft_phash_dump_${ProcessHandle.current().pid()}").getAbsolutePath
+
+  /** Oracle-dump dir for the audio-window rows (same lifecycle). */
+  private val AudioDumpDir = TmpDirs.persistent(
+    s"graft_audio_dump_${ProcessHandle.current().pid()}").getAbsolutePath
   @volatile private var dumped = false
   private def packetDump(s: SparkSession): String = {
     if (!dumped) synchronized {
@@ -301,5 +309,135 @@ object SourceQueries {
           col("byte_sum_total"), col("avg_byte_sum"),
           (col("max_nf") <= 8).as("frames_capped"),
           col("offsets_ok"), col("windows_ok"))
+    },
+
+    // Perceptual near-duplicate detection over IMAGES — the multimodal
+    // analogue of dedup_simhash: a 64-bit average-hash (blockhash family)
+    // over each blob's REAL container-extracted content plane (PNG IDAT
+    // chunk walk / JPEG SOS→EOI region; the pixel decode itself is the
+    // declared stub boundary), then LSH over 4×16-bit hash bands so only
+    // band-bucket collisions are ever paired — never all-pairs — and a
+    // bit_count(xor) Hamming verify on the candidates. The corpus plants
+    // one near-dup per id-triple with perturbations confined to the first
+    // half of the plane, so the two LOW bands are bit-identical by
+    // construction: 100 % planted recall is a STRUCTURAL property here,
+    // and `recall_ok`/`low_bands_identical` gate it. Hashes are dumped
+    // once (pcap pattern) and DuckDB re-runs the ENTIRE band-join +
+    // Hamming pipeline from the dump — candidate and dup-pair counts are
+    // exact-matched, not spot-checked. Torn blobs (1 in 50) hash to the
+    // 0L no-content sentinel and are excluded before banding (a bucket of
+    // garbage zeros would otherwise all-pair with itself).
+    checked("media_phash_dedup",
+      s"""WITH h AS (SELECT media_id, phash
+         |    FROM read_parquet('$PhashDumpDir/*.parquet') WHERE phash <> 0),
+         |b AS (SELECT media_id, phash,
+         |    j * 65536 + ((phash >> (j * 16)) & 65535) AS bk
+         |  FROM h, (SELECT unnest([0, 1, 2, 3]) AS j)),
+         |cand AS (SELECT DISTINCT x.media_id AS ia, y.media_id AS ib,
+         |    x.phash AS ha, y.phash AS hb
+         |  FROM b x JOIN b y ON x.bk = y.bk AND x.media_id < y.media_id),
+         |pl AS (SELECT x.media_id AS pa, x.phash AS pha, y.phash AS phb
+         |  FROM h x JOIN h y ON y.media_id = x.media_id + 1
+         |    AND x.media_id % 3 = 0)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_hashed,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand
+         |    WHERE bit_count(xor(ha, hb)) <= 8) AS n_dup_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pl) AS n_planted,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand
+         |    WHERE bit_count(xor(ha, hb)) <= 8 AND ia % 3 = 0
+         |      AND ib = ia + 1) AS n_planted_found,
+         |  (SELECT count(*) FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+         |      AND ia % 3 = 0 AND ib = ia + 1)
+         |    = (SELECT count(*) FROM pl) AS recall_ok,
+         |  (SELECT bool_and((pha & 4294967295) = (phb & 4294967295))
+         |    FROM pl) AS low_bands_identical""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val HamThr = 8
+      val feats = MediaOps.phashCorpus(s, 1800)
+        .mapPartitions(rows => rows.map(r =>
+          (r.media_id, MediaOps.aHash64(MediaOps.contentPlane(r.bytes)))))
+        .toDF("media_id", "phash")
+      val rows = feats.collect() // bounded: 1 800 (id, hash) pairs
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), feats.schema)
+      local.coalesce(1).write.mode("overwrite").parquet(PhashDumpDir)
+      val hashed = local.filter(col("phash") =!= 0L)
+      val bands = hashed.select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("phash"), 16 * j).bitwiseAND(lit(65535L)) +
+            lit(j * 65536L)): _*)).as("bk"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bk") === col("y.bk") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("ia"), col("y.media_id").as("ib"),
+          col("x.phash").as("ha"), col("y.phash").as("hb"))
+        .distinct()
+      val ham = bit_count(col("ha").bitwiseXOR(col("hb")))
+      val candAgg = cand.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(ham <= HamThr, 1L).otherwise(0L)).as("n_dup_pairs"),
+        sum(when(ham <= HamThr && col("ia") % 3 === 0 &&
+          col("ib") === col("ia") + 1, 1L).otherwise(0L)).as("n_planted_found"))
+      val plantedAgg = hashed.as("x").join(hashed.as("y"),
+          col("y.media_id") === col("x.media_id") + 1 &&
+            col("x.media_id") % 3 === 0)
+        .agg(count(lit(1)).as("n_planted"),
+          bool_and((col("x.phash").bitwiseAND(lit(4294967295L))) ===
+            (col("y.phash").bitwiseAND(lit(4294967295L))))
+            .as("low_bands_identical"))
+      hashed.agg(count(lit(1)).as("n_hashed"))
+        .crossJoin(candAgg).crossJoin(plantedAgg)
+        .select(col("n_hashed"), col("n_candidate_pairs"), col("n_dup_pairs"),
+          col("n_planted"), col("n_planted_found"),
+          (col("n_planted_found") === col("n_planted")).as("recall_ok"),
+          col("low_bands_identical"))
+    },
+
+    // Windowed PCM features over AUDIO — the audio analogue of the
+    // media_frames explosion: every decodable WAV's data chunk is decoded
+    // as REAL signed 16-bit little-endian samples (the container walk and
+    // sample decode are genuine; no codec is involved for PCM) and
+    // flatMapped into fixed 64-sample analysis windows with exact integer
+    // features — energy Σx² (BIGINT), zero-crossing count, peak |x| —
+    // one row per window straight off the blob scan, no shuffle. Window
+    // rows are dumped once (pcap pattern) and DuckDB recomputes the
+    // whole per-sample-rate rollup from the dump; the windowing CONTRACT
+    // rides as measured booleans — every window exactly 64 samples,
+    // zero-crossings bounded by window length − 1, peak within the s16
+    // range — so a sample-decode or windowing regression flips a boolean
+    // and fails the hash.
+    checked("media_audio_features",
+      s"""SELECT rate, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+         |  CAST(sum(sum_sq) AS BIGINT) AS energy_total,
+         |  ${graft.functions.DetAgg.sqlAvg("sum_sq")} AS avg_energy,
+         |  CAST(sum(zero_crossings) AS BIGINT) AS zc_total,
+         |  CAST(max(peak) AS INTEGER) AS max_peak,
+         |  bool_and(n_samples = ${MediaOps.WinSamples}) AS windows_exact,
+         |  bool_and(zero_crossings BETWEEN 0 AND ${MediaOps.WinSamples} - 1)
+         |    AS zc_bounded,
+         |  bool_and(peak BETWEEN 0 AND 32768) AS peak_in_range
+         |FROM read_parquet('$AudioDumpDir/*.parquet')
+         |GROUP BY rate""".stripMargin) { (s, _) =>
+      import graft.functions.DetAgg.davg
+      val wins = MediaOps.audioWindows(
+        MediaOps.corpus(s, 3000).filter(_.kind == "audio")).toDF()
+      val rows = wins.collect() // bounded: ≤ 3 windows × 1 000 audio blobs
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), wins.schema)
+      local.coalesce(1).write.mode("overwrite").parquet(AudioDumpDir)
+      local.groupBy("rate")
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct(col("media_id")).as("n_media"),
+          sum(col("sum_sq")).as("energy_total"),
+          davg(col("sum_sq")).as("avg_energy"),
+          sum(col("zero_crossings")).cast("long").as("zc_total"),
+          max(col("peak")).as("max_peak"),
+          bool_and(col("n_samples") === MediaOps.WinSamples)
+            .as("windows_exact"),
+          bool_and(col("zero_crossings")
+            .between(0, MediaOps.WinSamples - 1)).as("zc_bounded"),
+          bool_and(col("peak").between(0, 32768)).as("peak_in_range"))
     })
 }

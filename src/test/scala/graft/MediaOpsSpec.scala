@@ -120,6 +120,83 @@ class MediaOpsSpec extends SparkSpec {
     assert(MediaOps.decode(MediaOps.synthesize(49, "audio")) == (-1, -1, -1, -1))
   }
 
+  test("contentPlane extracts exactly the codec payload per container") {
+    val payload = Array.tabulate(120)(i => (i * 7 + 3).toByte)
+    assert(MediaOps.contentPlane(
+      MediaOps.synthesizePng(20, 30, 2, payload)).sameElements(payload))
+    assert(MediaOps.contentPlane(
+      MediaOps.synthesizeJpeg(20, 30, 3, payload)).sameElements(payload))
+    assert(MediaOps.contentPlane(
+      MediaOps.synthesizeWav(8000, 1, 16, payload)).sameElements(payload))
+    // Corrupt blobs yield the empty plane, never throw.
+    assert(MediaOps.contentPlane(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
+    assert(MediaOps.contentPlane(null).isEmpty)
+  }
+
+  test("aHash64: fixed-threshold block bits, hand-computed") {
+    // 64-byte plane: first 32 chunks (1 byte each) at 255, rest at 0 →
+    // exactly the 32 high bits set.
+    val plane = Array.tabulate(64)(i => if (i < 32) 0xff.toByte else 0x00.toByte)
+    assert(MediaOps.aHash64(plane) == 0xFFFFFFFF00000000L)
+    // Short planes are the no-content sentinel.
+    assert(MediaOps.aHash64(new Array[Byte](63)) == 0L)
+    // A single-byte bump in the first half can only touch high-band bits.
+    val p2 = plane.clone(); p2(5) = 0x00.toByte
+    val d = MediaOps.aHash64(plane) ^ MediaOps.aHash64(p2)
+    assert((d & 0xFFFFFFFFL) == 0L && java.lang.Long.bitCount(d) == 1)
+  }
+
+  test("phash near-dup corpus: variant within 6 bits, low bands identical") {
+    (0 until 60 by 3).filter(b => b % 50 != 49 && (b + 1) % 50 != 49)
+      .foreach { b =>
+        val hb = MediaOps.aHash64(MediaOps.contentPlane(
+          MediaOps.synthesizeNearDup(b)))
+        val hv = MediaOps.aHash64(MediaOps.contentPlane(
+          MediaOps.synthesizeNearDup(b + 1)))
+        assert(hb != 0L && hv != 0L)
+        assert(MediaOps.hamming64(hb, hv) <= 6, s"triple $b drifted")
+        assert((hb & 0xFFFFFFFFL) == (hv & 0xFFFFFFFFL),
+          s"triple $b: low bands must be untouched by first-half bumps")
+      }
+    // Torn ids hash to the sentinel.
+    assert(MediaOps.aHash64(MediaOps.contentPlane(
+      MediaOps.synthesizeNearDup(49))) == 0L)
+  }
+
+  test("pcmSamples round-trips signed 16-bit little-endian PCM") {
+    val samples = Array[Int](0, 100, -100, 32767, -32768, 1, -1)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (x, i) =>
+      data(2 * i) = (x & 0xff).toByte; data(2 * i + 1) = ((x >> 8) & 0xff).toByte
+    }
+    val wav = MediaOps.synthesizeWav(16000, 1, 16, data)
+    assert(MediaOps.pcmSamples(wav).sameElements(samples))
+    assert(MediaOps.pcmSamples(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("audioWindows: exact energy/zero-crossing/peak on a square wave") {
+    import spark.implicits._
+    // 130 samples alternating +100/−100: 2 full 64-sample windows (the
+    // trailing partial 2 samples drop), every adjacent pair crosses.
+    val data = new Array[Byte](260)
+    (0 until 130).foreach { i =>
+      val x = if (i % 2 == 0) 100 else -100
+      data(2 * i) = (x & 0xff).toByte; data(2 * i + 1) = ((x >> 8) & 0xff).toByte
+    }
+    val wav = MediaOps.synthesizeWav(8000, 1, 16, data)
+    val rows = MediaOps.audioWindows(
+      Seq(MediaOps.MediaRow(7L, "audio", wav)).toDS()).collect()
+      .sortBy(_.win_idx)
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.n_samples == 64 && r.sum_sq == 64L * 10000 && r.peak == 100)
+      assert(r.rate == 8000)
+    }
+    // Window 0 starts sign-free: 63 crossings; window 1 inherits no state
+    // across windows (lastSign resets), also 63.
+    assert(rows.forall(_.zero_crossings == 63))
+  }
+
   test("extract pipeline over a mixed corpus: real dims, corrupt rows counted") {
     val feats = MediaOps.extract(MediaOps.corpus(spark, 150)).collect()
     assert(feats.length == 150)
