@@ -206,6 +206,16 @@ class PlanShapeSpec extends SparkSpec {
         s"exchange — O(groups x k) crossing, not one row per token; got plan:\n$p")
   }
 
+  test("ann_ivf_incremental: store scan dynamically prunes to probed lists") {
+    val p = plan("ann_ivf_incremental")
+    assert(p.contains("dynamicpruning"),
+      s"the list-partitioned index store must be scanned with dynamic " +
+        s"partition pruning from the broadcast probe side — only " +
+        s"nProbe/nList of the store may be read at any corpus size; got plan:\n$p")
+    assert(p.contains("partial_cos_top_k"),
+      "top-5 must reduce map-side through the bounded heap")
+  }
+
   test("sketch_kmv_overlap reduces both KMV sketches map-side, one raw scan") {
     val p = plan("sketch_kmv_overlap")
     assert(p.contains("partial_kmv_sketch"),
