@@ -148,8 +148,14 @@ object SimilarityQueries {
     * `ann_ivf_incremental` (persisted store) so both routes freeze the
     * SAME centroids — the production invariant that makes an incremental
     * index append-consistent. */
-  private def ivfAssignProbe(sv: DataFrame): (DataFrame,
-      org.apache.spark.sql.Column) = {
+  /** Frozen-quantizer plan fragments, applicable to ANY relation carrying
+    * (v, n2): `cId` assigns a row to its list, `probe` is the sorted
+    * (dist, c_id) probe array. Both are pure literal-centroid expressions,
+    * so batch and streaming routes assign identically by construction. */
+  private final case class IvfQuantizer(cId: org.apache.spark.sql.Column,
+      probe: org.apache.spark.sql.Column)
+
+  private def ivfQuantizer(sv: DataFrame): IvfQuantizer = {
     // Quantizer to the driver: IvfLists rows, bounded by construction —
     // the one collect a real IVF index also does (its centroids are
     // trained centrally and broadcast as literals/closure state).
@@ -174,14 +180,20 @@ object SimilarityQueries {
     // probe side carries real c_ids, so a sparse corpus would otherwise
     // silently lose lists in the candidate equi-join.
     val cidArr = array(dists.map(d => lit(d._1)): _*)
-    val asg = sv.select(col("vec_id"), col("v"), col("n2"),
-      element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int")).as("c_id"))
     // Query probes: lexicographic sort of (dist, c_id) structs = the
     // oracle's ORDER BY dist, c_id; callers slice the first IvfProbe.
     val probeArr = sort_array(array(dists.map { case (cid, dc) =>
       struct(dc.as("d"), lit(cid).as("c_id"))
     }: _*))
-    (asg, probeArr)
+    IvfQuantizer(
+      element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int")),
+      probeArr)
+  }
+
+  private def ivfAssignProbe(sv: DataFrame): (DataFrame,
+      org.apache.spark.sql.Column) = {
+    val q = ivfQuantizer(sv)
+    (sv.select(col("vec_id"), col("v"), col("n2"), q.cId.as("c_id")), q.probe)
   }
 
   /** Probe fan-out: queries exploded to their first IvfProbe lists. */
@@ -191,6 +203,21 @@ object SimilarityQueries {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
         explode(slice(probeArr, 1, IvfProbe)).as("p"))
       .select(col("q_id"), col("qv"), col("qn2"), col("p.c_id").as("c_id"))
+
+  /** Answer the standard top-5 THROUGH a list-partitioned parquet index
+    * store (shared tail of ann_ivf_incremental and stream_ivf_ingest).
+    * The partition column round-trips as INT directory values; restoring
+    * the quantizer's LONG c_id keeps the probe equi-join cast-free. */
+  private def ivfStoreTopK(s: SparkSession, sv: DataFrame,
+      probeArr: org.apache.spark.sql.Column, store: String): DataFrame = {
+    val idx = s.read.parquet(store)
+      .select(col("vec_id"), col("v"), col("n2"),
+        col("c_id").cast("long").as("c2"))
+    val scored = broadcast(ivfQueryProbes(sv, probeArr))
+      .join(idx, col("c_id") === col("c2") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), exactCos)
+    topK(scored, 5)
+  }
 
   private def scoredIvf(sv: DataFrame): DataFrame = {
     val (asg, probeArr) = ivfAssignProbe(sv)
@@ -986,15 +1013,82 @@ object SimilarityQueries {
           .write.mode("append").partitionBy("c_id").parquet(store)
         ready.createNewFile()
       }
-      // Partition column round-trips as INT directory values; restore the
-      // quantizer's LONG c_id so the probe equi-join stays cast-free.
-      val idx = s.read.parquet(store)
-        .select(col("vec_id"), col("v"), col("n2"),
-          col("c_id").cast("long").as("c2"))
-      val scored = broadcast(ivfQueryProbes(sv, probeArr))
-        .join(idx, col("c_id") === col("c2") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), exactCos)
-      topK(scored, 5)
+      ivfStoreTopK(s, sv, probeArr, store)
+    },
+
+    // STREAMING ingestion into the same index lifecycle — the feed side
+    // of ann_ivf_incremental: embeddings arrive as a bounded two-batch
+    // stream (base corpus, then the new batch) and a foreachBatch sink
+    // assigns each micro-batch against the FROZEN quantizer and appends
+    // it into a list-partitioned store — exactly how a production vector
+    // index absorbs a crawl feed (assignment is a pure literal-centroid
+    // projection, so ingest cost is one scan of each batch, zero
+    // shuffle; the store grows by partition-local appends). The drained
+    // store then answers the standard top-5, and the oracle is again
+    // ann_ivf's computing DuckDB chain over the raw table: the
+    // STREAM-FED index must answer byte-for-byte like a from-scratch
+    // batch build — arrival order, micro-batch boundaries, and the
+    // foreachBatch append path all provably invisible to queries.
+    checked("stream_ivf_ingest",
+      s"""WITH sv AS ($svSql),
+         |$ivfScoredSql,
+         |${rankedTailSql(5)}""".stripMargin) { (s, d) =>
+      val sv = svSpark(s, d)
+      val quant = ivfQuantizer(sv)
+      val dir = TmpDirs.scoped(s"graft_ivfstream_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "index").getAbsolutePath
+      if (!ready.exists()) {
+        // A died-mid-ingest store would double-append on retry: rebuild
+        // from scratch whenever the marker is absent.
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+        def oneFile(df: DataFrame, name: String, bumpMs: Long): java.io.File = {
+          val stage = new java.io.File(dir, s".stage_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+          val part = stage.listFiles().filter(f =>
+            f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+          val target = new java.io.File(feed, name)
+          java.nio.file.Files.move(part.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          rmTree(stage)
+          java.nio.file.Files.setLastModifiedTime(target.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() + bumpMs))
+          target
+        }
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        oneFile(emb.filter(col("vec_id") % 10 =!= 7), "base.parquet", 0L)
+        // mtime +2 s: FileStreamSource orders micro-batches by file
+        // modification time; the new batch must arrive second.
+        oneFile(emb.filter(col("vec_id") % 10 === 7), "batch.parquet", 2000L)
+        val ingest = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed.getAbsolutePath)
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.select(col("vec_id"), scaledVec(col("embedding")).as("v"))
+              .withColumn("n2", dotInt(col("v"), col("v")))
+              .select(col("vec_id"), col("v"), col("n2"),
+                quant.cId.as("c_id"))
+              .write.mode("append").partitionBy("c_id").parquet(store)
+            ()
+          }
+          .option("checkpointLocation",
+            new java.io.File(dir, "ckpt").getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        ingest.awaitTermination()
+        ready.createNewFile(): Unit
+      }
+      ivfStoreTopK(s, sv, quant.probe, store)
     },
 
     // Product quantization (the compression half of a production IVF-PQ
