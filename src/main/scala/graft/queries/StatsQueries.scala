@@ -569,6 +569,103 @@ object StatsQueries {
         graft.functions.DetAgg.r6(sse / col("n").cast("double")).as("mse"))
     },
 
+    // EXACT Shapley attribution for the ridge model above — the feature-
+    // attribution operator a model-monitoring stack runs next to drift/
+    // fairness/calibration: for a linear model the Shapley value of
+    // feature j on row x is φ_j(x) = β_j·(x_j − μ_j) in closed form
+    // (Lundberg & Lee, NeurIPS 2017, "Linear SHAP"), so global
+    // importance mean|φ_j| is computable EXACTLY — no sampling, no
+    // permutations. Determinism trick: μ_j = s_j/n makes |x_j − μ_j| =
+    // |n·x_j − s_j|/n, an INTEGER numerator — so the corpus-wide Σ|φ|
+    // reduces to one exact BIGINT sum per feature (map-side combined,
+    // order-free) and a single fixed float tree at the end; the whole
+    // attribution is two scans (Gram cells, then deviations against the
+    // 1-row broadcast model) with 10+2 cells of state at any corpus
+    // size. Output: per-feature mean|SHAP|, the importance share, and
+    // the winning feature — all bit-exact cross-engine.
+    checked("ml_shap_linear", {
+      def det3(m: Seq[String]) = sqlDet3(m)
+      val a = Seq("(CAST(n AS DOUBLE) + 10)", "CAST(s1 AS DOUBLE)",
+        "CAST(s2 AS DOUBLE)", "CAST(s1 AS DOUBLE)",
+        "(CAST(s11 AS DOUBLE) + 10)", "CAST(s12 AS DOUBLE)",
+        "CAST(s2 AS DOUBLE)", "CAST(s12 AS DOUBLE)",
+        "(CAST(s22 AS DOUBLE) + 10)")
+      val b = Seq("CAST(sy AS DOUBLE)", "CAST(s1y AS DOUBLE)",
+        "CAST(s2y AS DOUBLE)")
+      val dA = det3(a)
+      val d1 = det3(Seq(a(0), b(0), a(2), a(3), b(1), a(5), a(6), b(2), a(8)))
+      val d2 = det3(Seq(a(0), a(1), b(0), a(3), a(4), b(1), a(6), a(7), b(2)))
+      s"""WITH sv AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS y,
+         |    CAST(hour(ts) AS BIGINT) AS x1, user_id % 16 AS x2 FROM events),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+         |  FROM sv),
+         |beta AS (SELECT n, ($d1) / ($dA) AS b1, ($d2) / ($dA) AS b2 FROM g),
+         |dev AS (SELECT CAST(sum(abs(g.n * sv.x1 - g.s1)) AS BIGINT) AS a1,
+         |    CAST(sum(abs(g.n * sv.x2 - g.s2)) AS BIGINT) AS a2
+         |  FROM sv, g),
+         |ph AS (SELECT n, b1, b2, a1, a2,
+         |    abs(b1) * (CAST(a1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS p1,
+         |    abs(b2) * (CAST(a2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS p2
+         |  FROM beta, dev)
+         |SELECT n AS n_rows, ${graft.functions.DetAgg.sqlR6("b1")} AS beta1,
+         |  ${graft.functions.DetAgg.sqlR6("b2")} AS beta2,
+         |  ${graft.functions.DetAgg.sqlR6("p1")} AS mean_abs_shap_hour,
+         |  ${graft.functions.DetAgg.sqlR6("p2")} AS mean_abs_shap_segment,
+         |  ${graft.functions.DetAgg.sqlR6("p1 / (p1 + p2)")} AS hour_share,
+         |  CASE WHEN p1 >= p2 THEN 'hour' ELSE 'segment' END AS top_feature
+         |FROM ph""".stripMargin
+    }) { (s, d) =>
+      val sv = staged(Tables.events(s, d)
+        .select(mv(col("value")).as("y"), hour(col("ts")).cast("long").as("x1"),
+          expr("user_id % 16").as("x2")))
+      val g = sv.agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      def dbl(c: String) = col(c).cast("double")
+      val lam = lit(10.0)
+      val aM = Seq(dbl("n") + lam, dbl("s1"), dbl("s2"),
+        dbl("s1"), dbl("s11") + lam, dbl("s12"),
+        dbl("s2"), dbl("s12"), dbl("s22") + lam)
+      val bV = Seq(dbl("sy"), dbl("s1y"), dbl("s2y"))
+      val dA = colDet3(aM)
+      def repl(i: Int) = colDet3(aM.zipWithIndex.map { case (c, j) =>
+        if (j % 3 == i) bV(j / 3) else c
+      })
+      val model = g.select(col("n"), col("s1"), col("s2"),
+        (repl(1) / dA).as("b1"), (repl(2) / dA).as("b2"))
+      // Deviation pass: exact integer numerators against the broadcast
+      // 1-row model — |x_j − s_j/n| = |n·x_j − s_j| / n.
+      val dev = sv.crossJoin(broadcast(model))
+        .agg(sum(abs(col("n") * col("x1") - col("s1"))).as("a1"),
+          sum(abs(col("n") * col("x2") - col("s2"))).as("a2"),
+          first(col("n")).as("n"), first(col("b1")).as("b1"),
+          first(col("b2")).as("b2"))
+      val p1 = abs(col("b1")) *
+        (col("a1").cast("double") / (col("n").cast("double") * col("n").cast("double")))
+      val p2 = abs(col("b2")) *
+        (col("a2").cast("double") / (col("n").cast("double") * col("n").cast("double")))
+      import graft.functions.DetAgg.r6
+      dev.select(col("n").as("n_rows"),
+        r6(col("b1")).as("beta1"), r6(col("b2")).as("beta2"),
+        r6(p1).as("mean_abs_shap_hour"),
+        r6(p2).as("mean_abs_shap_segment"),
+        r6(p1 / (p1 + p2)).as("hour_share"),
+        when(p1 >= p2, "hour").otherwise("segment").as("top_feature"))
+    },
+
     checked("ml_gbdt_stump", {
       def fitSql(src: String, yc: String, fc: String, tag: String) =
         s"""h$tag AS (SELECT $fc AS f, CAST(count(*) AS BIGINT) AS hn,
