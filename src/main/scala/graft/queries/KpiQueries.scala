@@ -20,6 +20,26 @@ object KpiQueries {
   val SmallLen = 50.0
   val LargeLen = 400.0
 
+  /** Shared DuckDB twin of the KMV overlap contract (sketch_kmv_overlap +
+    * its parser-route restatement sql_kmv_overlap): exact snapshot
+    * cardinalities, literal-true measured booleans (sketch_rollup
+    * pattern). */
+  val kmvOverlapOracleSql: String =
+    """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+      |t AS (SELECT text,
+      |    max(CASE WHEN doc_id <= CAST(floor(0.7 * mx) AS BIGINT)
+      |      THEN 1 ELSE 0 END) = 1 AS in_a,
+      |    max(CASE WHEN doc_id >= CAST(floor(0.3 * mx) AS BIGINT)
+      |      THEN 1 ELSE 0 END) = 1 AS in_b
+      |  FROM documents, m GROUP BY text)
+      |SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN in_a OR in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+      |  CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_intersect,
+      |  true AS est_a_ok, true AS est_b_ok, true AS est_union_ok,
+      |  true AS est_intersect_ok, true AS exact_regime_consistent
+      |FROM t""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
     // Step-0 flagship: tumbling 1-hour volume KPIs per slice
     // (reference volume block, KafkaKpiPipeline.scala:108-111).
@@ -1040,21 +1060,7 @@ object KpiQueries {
     // true counts. DuckDB has no KMV, so its twin computes the exact
     // side and asserts the measured booleans literally (sketch_rollup
     // pattern).
-    checked("sketch_kmv_overlap",
-      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
-        |t AS (SELECT text,
-        |    max(CASE WHEN doc_id <= CAST(floor(0.7 * mx) AS BIGINT)
-        |      THEN 1 ELSE 0 END) = 1 AS in_a,
-        |    max(CASE WHEN doc_id >= CAST(floor(0.3 * mx) AS BIGINT)
-        |      THEN 1 ELSE 0 END) = 1 AS in_b
-        |  FROM documents, m GROUP BY text)
-        |SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |  CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        |  CAST(sum(CASE WHEN in_a OR in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
-        |  CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_intersect,
-        |  true AS est_a_ok, true AS est_b_ok, true AS est_union_ok,
-        |  true AS est_intersect_ok, true AS exact_regime_consistent
-        |FROM t""".stripMargin) { (s, d) =>
+    checked("sketch_kmv_overlap", kmvOverlapOracleSql) { (s, d) =>
       import graft.functions.expr.KmvSketch
       val K = 1024
       val M = KmvSketch.HashSpace

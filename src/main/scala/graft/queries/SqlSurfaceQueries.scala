@@ -266,6 +266,63 @@ object SqlSurfaceQueries {
            |    FROM $v)
            |  GROUP BY lang) g
            |LATERAL VIEW explode(sk) t AS e""".stripMargin)
+    },
+
+    // The theta-sketch route: `kmv_sketch` called by name, with the whole
+    // union/intersection estimator algebra stated as SQL array arithmetic
+    // (element_at / array_union / array_intersect / HOF filter) — the
+    // overlap-audit query a SQL analyst would run between two corpus
+    // snapshots. Same oracle as sketch_kmv_overlap. The 2^63 hash-space
+    // constant is spelled as a double literal that rounds to exactly
+    // 2^63 (doubles near 2^63 are 2048 apart; 9223372036854776000 sits
+    // 192 away), matching the Column route's math.pow(2, 63).
+    checked("sql_kmv_overlap", KpiQueries.kmvOverlapOracleSql) { (s, d) =>
+      val v = documentsView(s, d)
+      val K = 1024
+      val M = "9.223372036854776E18"
+      def estD(sk: String) =
+        s"""CASE WHEN size($sk) < $K THEN CAST(size($sk) AS DOUBLE)
+           |  ELSE CAST(${K - 1} AS DOUBLE) * $M
+           |    / CAST(element_at($sk, $K) AS DOUBLE) END""".stripMargin
+      def kthOrMax(sk: String) =
+        s"CASE WHEN size($sk) < $K THEN 9223372036854775807 " +
+          s"ELSE element_at($sk, $K) END"
+      s.sql(
+        s"""WITH m AS (SELECT max(doc_id) AS mx FROM $v),
+           |base AS (SELECT text,
+           |    xxhash64(text) & 9223372036854775807 AS h,
+           |    doc_id <= CAST(floor(0.7 * mx) AS BIGINT) AS in_a,
+           |    doc_id >= CAST(floor(0.3 * mx) AS BIGINT) AS in_b
+           |  FROM $v, m),
+           |sk AS (SELECT
+           |    kmv_sketch(CASE WHEN in_a THEN h END, $K) AS ska,
+           |    kmv_sketch(CASE WHEN in_b THEN h END, $K) AS skb
+           |  FROM base),
+           |ex AS (SELECT
+           |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |    CAST(sum(CASE WHEN a OR b THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+           |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_intersect
+           |  FROM (SELECT text, max(in_a) AS a, max(in_b) AS b
+           |        FROM base GROUP BY text)),
+           |alg AS (SELECT ex.*, ska, skb,
+           |    slice(array_sort(array_union(ska, skb)), 1, $K) AS mrg,
+           |    least(${kthOrMax("ska")}, ${kthOrMax("skb")}) AS thr
+           |  FROM ex CROSS JOIN sk),
+           |alg2 AS (SELECT *,
+           |    size(filter(array_intersect(ska, skb), x -> x < thr)) AS n_common
+           |  FROM alg)
+           |SELECT n_a, n_b, n_union, n_intersect,
+           |  abs(${estD("ska")} - n_a) <= 0.10 * n_a AS est_a_ok,
+           |  abs(${estD("skb")} - n_b) <= 0.10 * n_b AS est_b_ok,
+           |  abs(${estD("mrg")} - n_union) <= 0.10 * n_union AS est_union_ok,
+           |  abs(CASE WHEN thr = 9223372036854775807 THEN CAST(n_common AS DOUBLE)
+           |        ELSE CAST(n_common AS DOUBLE) * $M / CAST(thr AS DOUBLE) END
+           |      - n_intersect) <= 0.10 * n_union AS est_intersect_ok,
+           |  CASE WHEN size(ska) < $K AND size(skb) < $K
+           |    THEN size(mrg) = n_union AND n_common = n_intersect
+           |    ELSE true END AS exact_regime_consistent
+           |FROM alg2""".stripMargin)
     }
   )
 }

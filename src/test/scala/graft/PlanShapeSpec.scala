@@ -225,6 +225,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the 1-row sketch side must broadcast onto the exact side; got plan:\n$p")
   }
 
+  test("sql_kmv_overlap: the parser route reaches the same partial KMV aggregate") {
+    val p = plan("sql_kmv_overlap")
+    assert(p.contains("partial_kmv_sketch"),
+      s"kmv_sketch resolved by name from SQL text must plan the same " +
+        s"map-side partial ObjectHashAggregate as the Column route; got plan:\n$p")
+  }
+
   test("text_repetition is a pure projection — zero exchanges at any scale") {
     val p = plan("text_repetition")
     assert(!p.contains("Exchange"),
