@@ -77,6 +77,25 @@ object SourceQueries {
   private val FrameDumpDir = TmpDirs.persistent(
     s"graft_frame_dump_${ProcessHandle.current().pid()}").getAbsolutePath
 
+  /** Per-frame feature rows as a LocalRelation, dumped ONCE per JVM for
+    * the DuckDB twins (shared by media_frames and media_scene_cuts — the
+    * dump must exist for either query's oracle regardless of which of
+    * the two runs in a filtered Verify). Bounded: ≤ 8 × 3 000 rows. */
+  @volatile private var framesDumped = false
+  private def framesLocal(s: SparkSession): DataFrame = {
+    val frames = MediaOps.frameFeatures(MediaOps.corpus(s, 3000)).toDF()
+    val rows = frames.collect()
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), frames.schema)
+    if (!framesDumped) synchronized {
+      if (!framesDumped) {
+        local.coalesce(1).write.mode("overwrite").parquet(FrameDumpDir)
+        framesDumped = true
+      }
+    }
+    local
+  }
+
   /** Oracle-dump dir for the perceptual-hash rows (same lifecycle). */
   private val PhashDumpDir = TmpDirs.persistent(
     s"graft_phash_dump_${ProcessHandle.current().pid()}").getAbsolutePath
@@ -287,11 +306,7 @@ object SourceQueries {
          |  bool_and(f.win_len BETWEEN 1 AND ${MediaOps.FrameWin}) AS windows_ok
          |FROM f GROUP BY f.kind""".stripMargin) { (s, _) =>
       import graft.functions.DetAgg.davg
-      val frames = MediaOps.frameFeatures(MediaOps.corpus(s, 3000)).toDF()
-      val rows = frames.collect() // bounded: ≤ 8 × 3 000 feature rows
-      val local = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), frames.schema)
-      local.coalesce(1).write.mode("overwrite").parquet(FrameDumpDir)
+      val local = framesLocal(s)
       val perMedia = local.groupBy("kind", "media_id")
         .agg(count(lit(1)).as("nf"))
         .groupBy("kind").agg(max(col("nf")).as("max_nf"))
@@ -439,5 +454,42 @@ object SourceQueries {
           bool_and(col("zero_crossings")
             .between(0, MediaOps.WinSamples - 1)).as("zc_bounded"),
           bool_and(col("peak").between(0, 32768)).as("peak_in_range"))
+    },
+
+    // Shot-boundary (scene-cut) detection over VIDEO — the temporal
+    // analysis stage after frame sampling: consecutive sampled frames'
+    // feature deltas (here the exact byte-window sums standing in for
+    // decoded-frame histograms) mark a cut where |Δ| exceeds a fixed
+    // threshold — the classic pixel/histogram-difference detector, and
+    // the op that turns a frame table into segments for keyframe
+    // selection. One lag() window per video ordered by the unique
+    // frame_idx (deterministic under any partitioning), all-integer
+    // features, aggregated per-corpus; the oracle recomputes the same
+    // window + rollup from the shared frame dump.
+    checked("media_scene_cuts",
+      s"""WITH f AS (SELECT * FROM read_parquet('$FrameDumpDir/*.parquet')
+         |  WHERE kind = 'video'),
+         |d AS (SELECT media_id, frame_idx, byte_sum,
+         |    byte_sum - lag(byte_sum) OVER
+         |      (PARTITION BY media_id ORDER BY frame_idx) AS jump
+         |  FROM f)
+         |SELECT CAST(count(DISTINCT media_id) AS BIGINT) AS n_videos,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN abs(jump) > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cuts,
+         |  CAST(max(abs(jump)) AS BIGINT) AS max_jump,
+         |  CAST(count(DISTINCT CASE WHEN abs(jump) > 2000 THEN media_id END)
+         |    AS BIGINT) AS n_videos_with_cut
+         |FROM d""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      framesLocal(s).filter(col("kind") === "video")
+        .withColumn("jump", col("byte_sum") - lag(col("byte_sum"), 1).over(w))
+        .agg(countDistinct(col("media_id")).as("n_videos"),
+          count(lit(1)).as("n_frames"),
+          sum(when(abs(col("jump")) > 2000, 1L).otherwise(0L)).as("n_cuts"),
+          max(abs(col("jump"))).as("max_jump"),
+          countDistinct(when(abs(col("jump")) > 2000, col("media_id")))
+            .as("n_videos_with_cut"))
     })
 }
