@@ -197,6 +197,40 @@ class MediaOpsSpec extends SparkSpec {
     assert(rows.forall(_.zero_crossings == 63))
   }
 
+  test("phash banding economics: candidate pairs track planted + birthday bound") {
+    import org.apache.spark.sql.functions._
+    // The scale contract of 4×16-bit-band LSH: candidates = planted
+    // near-dups (linear in n) + accidental band collisions, whose count
+    // must match the analytic birthday rate 4·C(m,2)/2^16 — NOT a
+    // quadratic blow-up. Checked at two corpus sizes so a banding
+    // regression (e.g. a shrunken key space) fails the bound at the
+    // larger n where it hurts.
+    Seq(1800, 5400).foreach { n =>
+      import spark.implicits._
+      val hashed = graft.multimodal.MediaOps.phashCorpus(spark, n)
+        .map(r => (r.media_id,
+          graft.multimodal.MediaOps.aHash64(
+            graft.multimodal.MediaOps.contentPlane(r.bytes))))
+        .toDF("media_id", "phash").filter(col("phash") =!= 0L)
+      val bands = hashed.select(col("media_id"),
+        explode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("phash"), 16 * j).bitwiseAND(lit(65535L)) +
+            lit(j * 65536L)): _*)).as("bk"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bk") === col("y.bk") && col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id"), col("y.media_id")).distinct().count()
+      val m = hashed.count()
+      val planted = hashed.as("x").join(hashed.as("y"),
+        col("y.media_id") === col("x.media_id") + 1 &&
+          col("x.media_id") % 3 === 0).count()
+      val birthday = 4.0 * m * (m - 1) / 2 / 65536.0
+      assert(cand >= planted, s"n=$n: banding must find every planted pair")
+      assert(cand - planted <= 2 * birthday + 50,
+        s"n=$n: accidental collisions $cand-$planted exceed 2x the " +
+          s"birthday bound $birthday — band key space shrunk?")
+    }
+  }
+
   test("extract pipeline over a mixed corpus: real dims, corrupt rows counted") {
     val feats = MediaOps.extract(MediaOps.corpus(spark, 150)).collect()
     assert(feats.length == 150)
