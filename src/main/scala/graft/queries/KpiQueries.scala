@@ -20,6 +20,29 @@ object KpiQueries {
   val SmallLen = 50.0
   val LargeLen = 400.0
 
+  /** KMV estimator algebra over two sketch ARRAY columns (shared by
+    * sketch_kmv_overlap and sketch_kmv_retention): distinct estimate
+    * (k−1)/θ with the exact-regime fallback, the intersection threshold
+    * θ = min(θ_a, θ_b) in the long hash domain, and the intersection
+    * sample size below it. */
+  private object Kmv {
+    import org.apache.spark.sql.Column
+    val M: Double = graft.functions.expr.KmvSketch.HashSpace
+    def kth(sk: Column, k: Int): Column = element_at(sk, k)
+    def estD(sk: Column, k: Int): Column =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * M / kth(sk, k).cast("double"))
+    def kthOrMax(sk: Column, k: Int): Column =
+      when(size(sk) < k, lit(Long.MaxValue)).otherwise(kth(sk, k))
+    def thr(a: Column, b: Column, k: Int): Column =
+      least(kthOrMax(a, k), kthOrMax(b, k))
+    def nCommon(a: Column, b: Column, t: Column): Column =
+      size(filter(array_intersect(a, b), x => x < t))
+    def estInt(nc: Column, t: Column): Column =
+      when(t === Long.MaxValue, nc.cast("double"))
+        .otherwise(nc.cast("double") * M / t.cast("double"))
+  }
+
   /** Shared DuckDB twin of the KMV overlap contract (sketch_kmv_overlap +
     * its parser-route restatement sql_kmv_overlap): exact snapshot
     * cardinalities, literal-true measured booleans (sketch_rollup
@@ -1063,7 +1086,6 @@ object KpiQueries {
     checked("sketch_kmv_overlap", kmvOverlapOracleSql) { (s, d) =>
       import graft.functions.expr.KmvSketch
       val K = 1024
-      val M = KmvSketch.HashSpace
       val docs = Tables.documents(s, d)
         .crossJoin(broadcast(
           Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))))
@@ -1084,32 +1106,82 @@ object KpiQueries {
           sum(when(col("b"), 1L).otherwise(0L)).as("n_b"),
           sum(when(col("a") || col("b"), 1L).otherwise(0L)).as("n_union"),
           sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_intersect"))
-      def kth(sk: org.apache.spark.sql.Column) = element_at(sk, K)
-      def estD(sk: org.apache.spark.sql.Column) =
-        when(size(sk) < K, size(sk).cast("double"))
-          .otherwise(lit((K - 1).toDouble) * M / kth(sk).cast("double"))
-      def kthOrMax(sk: org.apache.spark.sql.Column) =
-        when(size(sk) < K, lit(Long.MaxValue)).otherwise(kth(sk))
       val merged = slice(array_sort(array_union(col("ska"), col("skb"))), 1, K)
-      val thr = least(kthOrMax(col("ska")), kthOrMax(col("skb")))
-      val nCommon = size(filter(array_intersect(col("ska"), col("skb")),
-        x => x < thr))
-      val estInt = when(thr === Long.MaxValue, nCommon.cast("double"))
-        .otherwise(nCommon.cast("double") * M / thr.cast("double"))
+      val thr = Kmv.thr(col("ska"), col("skb"), K)
+      val nCommon = Kmv.nCommon(col("ska"), col("skb"), thr)
+      val estInt = Kmv.estInt(nCommon, thr)
       val bothExact = size(col("ska")) < K && size(col("skb")) < K
       exact.crossJoin(broadcast(sk))
         .select(col("n_a"), col("n_b"), col("n_union"), col("n_intersect"),
-          (abs(estD(col("ska")) - col("n_a")) <= lit(0.10) * col("n_a"))
+          (abs(Kmv.estD(col("ska"), K) - col("n_a")) <= lit(0.10) * col("n_a"))
             .as("est_a_ok"),
-          (abs(estD(col("skb")) - col("n_b")) <= lit(0.10) * col("n_b"))
+          (abs(Kmv.estD(col("skb"), K) - col("n_b")) <= lit(0.10) * col("n_b"))
             .as("est_b_ok"),
-          (abs(estD(merged) - col("n_union")) <= lit(0.10) * col("n_union"))
+          (abs(Kmv.estD(merged, K) - col("n_union")) <= lit(0.10) * col("n_union"))
             .as("est_union_ok"),
           (abs(estInt - col("n_intersect")) <= lit(0.10) * col("n_union"))
             .as("est_intersect_ok"),
           when(bothExact,
             size(merged) === col("n_union") && nCommon === col("n_intersect"))
             .otherwise(lit(true)).as("exact_regime_consistent"))
+    },
+
+    // Sketch-based RETENTION — the analytical payoff of kmv_sketch: "how
+    // many of day d's users return on day d+1" is a per-day-pair set
+    // intersection, which a 100 TB deployment answers from STORED daily
+    // sketches (O(days × k) state, no raw-history rescan) — the
+    // dq_profile_sketch_store lifecycle with an operator HLL cannot
+    // serve. One scan builds per-day sketches AND exact distinct counts;
+    // the exact day-pair overlap (the oracle's side at test scale) comes
+    // from a distinct-pairs self-join; the sketch side re-derives the
+    // same overlap from array arithmetic on consecutive days' sketches.
+    // Exact columns are bit-matched cross-engine; the estimator rides as
+    // measured 10 %-of-union bounds (sf0.01 exact regime: per-day
+    // distinct < k; sf0.1 estimation regime: ~1 330 users/day > k).
+    checked("sketch_kmv_retention",
+      s"""WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+         |  FROM events),
+         |dc AS (SELECT day, CAST(count(*) AS BIGINT) AS u FROM du GROUP BY 1),
+         |pair AS (SELECT a.day AS day, CAST(count(*) AS BIGINT) AS u_both
+         |  FROM du a JOIN du b ON b.user_id = a.user_id
+         |    AND b.day = a.day + INTERVAL 1 DAY
+         |  GROUP BY 1)
+         |SELECT x.day AS day, x.u AS u_day, y.u AS u_next, p.u_both,
+         |  ${sqlR6("CAST(p.u_both AS DOUBLE) / x.u")} AS retention6,
+         |  true AS est_day_ok, true AS est_overlap_ok
+         |FROM dc x JOIN dc y ON y.day = x.day + INTERVAL 1 DAY
+         |JOIN pair p ON p.day = x.day""".stripMargin) { (s, d) =>
+      val K = 1024
+      val day = date_trunc("day", col("ts")).as("day")
+      val ev = staged(Tables.events(s, d).select(day,
+        col("user_id"),
+        xxhash64(col("user_id")).bitwiseAND(lit(Long.MaxValue)).as("h")))
+      // ONE scan: per-day sketch + exact distinct count side by side.
+      val daily = ev.groupBy("day").agg(
+        graft.functions.expr.KmvSketch.sketch(col("h"), K).as("sk"),
+        count_distinct(col("user_id")).cast("long").as("u"))
+      // Exact day-pair overlap — the oracle's job at test scale; at
+      // 100 TB only the stored sketches answer this.
+      val du = ev.select(col("day"), col("user_id")).distinct()
+      val pair = du.as("a").join(du.as("b"),
+          col("b.user_id") === col("a.user_id") &&
+            col("b.day") === col("a.day") + expr("INTERVAL 1 DAY"))
+        .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("u_both"))
+      val joined = daily.as("x").join(daily.as("y"),
+          col("y.day") === col("x.day") + expr("INTERVAL 1 DAY"))
+        .join(pair.as("p"), col("p.day") === col("x.day"))
+        .select(col("x.day").as("day"), col("x.u").as("u_day"),
+          col("y.u").as("u_next"), col("u_both"),
+          col("x.sk").as("ska"), col("y.sk").as("skb"))
+      val thr = Kmv.thr(col("ska"), col("skb"), K)
+      val estInt = Kmv.estInt(Kmv.nCommon(col("ska"), col("skb"), thr), thr)
+      val unionExact = col("u_day") + col("u_next") - col("u_both")
+      joined.select(col("day"), col("u_day"), col("u_next"), col("u_both"),
+        r6(col("u_both").cast("double") / col("u_day")).as("retention6"),
+        (abs(Kmv.estD(col("ska"), K) - col("u_day")) <=
+          lit(0.10) * col("u_day")).as("est_day_ok"),
+        (abs(estInt - col("u_both")) <= lit(0.10) * unionExact)
+          .as("est_overlap_ok"))
     },
 
     // Per-flow sequencing exposed directly (reference :407-417): IAT rows.
