@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -14,6 +15,17 @@ import graft.functions.DetAgg._
   * ORIGINAL table. */
 object FormatQueries {
   import QuerySpec._
+
+  /** Oracle-dump dir for the per-file manifest rows (pid-keyed, rewritten
+    * per execution of layout_manifest_prune — one tiny row per file).
+    * Declared BEFORE `all`: the oracle string interpolates it eagerly. */
+  private val ManifestDumpDir = TmpDirs.persistent(
+    s"graft_manifest_dump_${ProcessHandle.current().pid()}")
+
+  /** Memoized (manifest rows, raw lineitem count) per (JVM, sf dir): both
+    * are constants of the write-once layout. */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row], Long)]
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -323,34 +335,8 @@ object FormatQueries {
          |  AND l_suppkey BETWEEN b.slo AND b.shi""".stripMargin) { (s, d) =>
       import graft.functions.ZOrder
       val sfKey = QuerySpec.jvmScopedKey(d)
-      // Layout width follows the session (round-6 verdict #3): a literal 32
-      // would under-parallelize a real cluster's write. But it is ALSO a
-      // clustering granularity: each output file is one parquet row group,
-      // and row-group min/max stats are what the scan prunes on — on a
-      // 4-core Verify session, 4 files give each file a bounding box of
-      // ~half of each dimension and pruning collapses. So: parallelism for
-      // the write, floored at 32 files so the stats stay discriminating at
-      // test scale (at 100 TB the file count is data-size-driven and far
-      // above any floor). Range partitioning + in-partition sort stays
-      // deterministic for any width.
-      val width = math.max(32, s.sparkContext.defaultParallelism)
-      def ensure(tag: String)(keyed: org.apache.spark.sql.DataFrame =>
-          org.apache.spark.sql.DataFrame): String = {
-        val dir = TmpDirs.scoped(s"graft_${tag}_$sfKey")
-        if (!new java.io.File(dir, "_SUCCESS").exists()) {
-          keyed(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
-            col("l_suppkey"), col("l_quantity"), col("l_extendedprice")))
-            .write.mode("overwrite").parquet(dir.getAbsolutePath)
-        }
-        dir.getAbsolutePath
-      }
-      val zDir = ensure("zord")(df => df
-        .withColumn("zkey", ZOrder.morton2(col("l_partkey"), col("l_suppkey")))
-        .repartitionByRange(width, col("zkey"))
-        .sortWithinPartitions("zkey"))
-      val linDir = ensure("zlin")(df => df
-        .repartitionByRange(width, col("l_orderkey"))
-        .sortWithinPartitions("l_orderkey"))
+      val zDir = zorderLayoutDir(s, d)
+      val linDir = linearLayoutDir(s, d)
       // The pruning measurement is a property of the two immutable layouts,
       // so it is measured ONCE per (JVM, sf dir) and memoized (round-6
       // verdict #2): the first invocation pays the bounds head + two probe
@@ -399,7 +385,133 @@ object FormatQueries {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"),
           dsum(col("l_extendedprice")).as("revenue"))
         .withColumn("zorder_effective", lit(zScan * 2 <= linScan))
+    },
+
+    // MANIFEST-driven file planning — the table-format primitive
+    // (Iceberg/Delta manifests) on plain parquet, one level above
+    // zorder_scan's row-group pruning: a METADATA TABLE of per-file
+    // min/max/count is built from the z-ordered layout, a selective 2-D
+    // box query consults ONLY the manifest to enumerate candidate files
+    // (the planning step a real table format runs on the driver —
+    // bounded: one row per file, never a data scan), and the engine then
+    // reads just those files. At 100 TB this is the difference between
+    // listing+footer-probing a million files and reading a few-KB
+    // manifest. Correctness is the oracle equality itself: the
+    // pruned-file aggregate must equal DuckDB over the RAW table (a
+    // manifest that drops an overlapping file loses rows and fails the
+    // hash). The manifest is dumped per execution (pid-keyed, one row
+    // per file) and BOTH engines compute the file-count columns from
+    // that same dump, so `n_files_total`/`n_files_scanned`/`pruned` are
+    // exact cross-engine whatever the session's layout width.
+    checked("layout_manifest_prune",
+      s"""WITH b AS (SELECT
+         |    CAST(floor(0.40 * max(l_partkey)) AS BIGINT) AS plo,
+         |    CAST(floor(0.55 * max(l_partkey)) AS BIGINT) AS phi,
+         |    CAST(floor(0.40 * max(l_suppkey)) AS BIGINT) AS slo,
+         |    CAST(floor(0.55 * max(l_suppkey)) AS BIGINT) AS shi
+         |  FROM lineitem),
+         |m AS (SELECT * FROM read_parquet('${ManifestDumpDir.getAbsolutePath}/*.parquet'))
+         |SELECT count(*) AS n, ${sqlSum("l_quantity")} AS total_qty,
+         |  ${sqlSum("l_extendedprice")} AS revenue,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_files_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM m, b
+         |    WHERE mn_p <= b.phi AND mx_p >= b.plo
+         |      AND mn_s <= b.shi AND mx_s >= b.slo) AS n_files_scanned,
+         |  (SELECT count(*) FROM m, b
+         |    WHERE mn_p <= b.phi AND mx_p >= b.plo
+         |      AND mn_s <= b.shi AND mx_s >= b.slo)
+         |    < (SELECT count(*) FROM m) AS pruned,
+         |  (SELECT CAST(sum(n_rows) AS BIGINT) FROM m)
+         |    = (SELECT count(*) FROM lineitem) AS manifest_complete
+         |FROM lineitem, b
+         |WHERE l_partkey BETWEEN b.plo AND b.phi
+         |  AND l_suppkey BETWEEN b.slo AND b.shi""".stripMargin) { (s, d) =>
+      val zDir = zorderLayoutDir(s, d)
+      // Manifest build: one row per layout file — the bounded metadata
+      // pass a table format's commit writes. Memoized per (JVM, sf) like
+      // the layout; the pid-keyed DUMP for the oracle is rewritten per
+      // execution (cheap: #files rows) so it always reflects this run's
+      // layout, whatever sf a shared JVM ran last.
+      val (manifest, rawCount) = manifestCache.computeIfAbsent(
+        QuerySpec.jvmScopedKey(d), { _ =>
+          (s.read.parquet(zDir)
+            .groupBy(input_file_name().as("file"))
+            .agg(min(col("l_partkey")).as("mn_p"), max(col("l_partkey")).as("mx_p"),
+              min(col("l_suppkey")).as("mn_s"), max(col("l_suppkey")).as("mx_s"),
+              count(lit(1)).as("n_rows"))
+            .collect(),
+            Tables.lineitem(s, d).count())
+        })
+      val mLocal = s.createDataFrame(
+        java.util.Arrays.asList(manifest: _*),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "file STRING, mn_p BIGINT, mx_p BIGINT, mn_s BIGINT, mx_s BIGINT, n_rows BIGINT"))
+      mLocal.coalesce(1).write.mode("overwrite")
+        .parquet(ManifestDumpDir.getAbsolutePath)
+      // Bounds from the manifest's own maxima (== raw-table maxima: the
+      // layout is a lossless copy, which manifest_complete re-proves).
+      def bnds(m: Long) =
+        (math.floor(0.40 * m).toLong, math.floor(0.55 * m).toLong)
+      val (pLo, pHi) = bnds(manifest.map(_.getLong(2)).max)
+      val (sLo, sHi) = bnds(manifest.map(_.getLong(4)).max)
+      // PLANNING: enumerate candidate files from the manifest alone.
+      val files = manifest.filter(r =>
+        r.getLong(1) <= pHi && r.getLong(2) >= pLo &&
+          r.getLong(3) <= sHi && r.getLong(4) >= sLo).map(_.getString(0))
+      val nScanned = files.length.toLong
+      val nTotal = manifest.length.toLong
+      val cond = col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi)
+      s.read.parquet(files: _*).filter(cond)
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .withColumn("n_files_total", lit(nTotal))
+        .withColumn("n_files_scanned", lit(nScanned))
+        .withColumn("pruned", lit(nScanned < nTotal))
+        .withColumn("manifest_complete",
+          lit(manifest.map(_.getLong(5)).sum == rawCount))
     })
+
+  /** Write-once clustered layouts of the 5-column lineitem projection,
+    * keyed (JVM, sf dir). Layout width follows the session (round-6
+    * verdict #3): a literal 32 would under-parallelize a real cluster's
+    * write. But it is ALSO a clustering granularity: each output file is
+    * one parquet row group, and row-group min/max stats are what the
+    * scan prunes on — on a 4-core Verify session, 4 files give each file
+    * a bounding box of ~half of each dimension and pruning collapses.
+    * So: parallelism for the write, floored at 32 files so the stats
+    * stay discriminating at test scale (at 100 TB the file count is
+    * data-size-driven and far above any floor). Range partitioning +
+    * in-partition sort stays deterministic for any width. Shared by
+    * zorder_scan (row-group pruning measurement) and
+    * layout_manifest_prune (metadata-driven file planning). */
+  private def ensureLayout(s: SparkSession, d: String, tag: String)(
+      keyed: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): String = {
+    val dir = TmpDirs.scoped(s"graft_${tag}_${QuerySpec.jvmScopedKey(d)}")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      keyed(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice")))
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    }
+    dir.getAbsolutePath
+  }
+
+  private[queries] def zorderLayoutDir(s: SparkSession, d: String): String = {
+    import graft.functions.ZOrder
+    val width = math.max(32, s.sparkContext.defaultParallelism)
+    ensureLayout(s, d, "zord")(df => df
+      .withColumn("zkey", ZOrder.morton2(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(width, col("zkey"))
+      .sortWithinPartitions("zkey"))
+  }
+
+  private def linearLayoutDir(s: SparkSession, d: String): String = {
+    val width = math.max(32, s.sparkContext.defaultParallelism)
+    ensureLayout(s, d, "zlin")(df => df
+      .repartitionByRange(width, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey"))
+  }
 
   /** Memoized zorder_scan measurement per (JVM, sf dir): the layouts are
     * write-once per that key, so (bounds, scan-row counts) are constants of
