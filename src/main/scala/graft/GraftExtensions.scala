@@ -31,10 +31,15 @@ import graft.functions.expr.{CosTopK, DotLong, FreqSketch, KmvSketch, ShingleExp
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, (info, builder)) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Whole-operator surface (§4.3 path (c)): the as-of join planner
+    // strategy. Live sessions get the same strategy lazily through
+    // [[graft.plans.AsOf.ensureStrategy]].
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -72,6 +72,20 @@ object RelationalQueries {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
 
+  /** join_asof's DuckDB twin (native `ASOF LEFT JOIN`) — shared with
+    * `join_asof_exec`, which answers the identical question through the
+    * custom [[graft.plans.AsOfJoinExec]] physical operator instead of
+    * the tagged-union window composition. */
+  private[queries] val asofBackwardOracleSql: String =
+    """WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |errs AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+      |SELECT e.event_id, e.user_id,
+      |  c.click_id AS last_click_id,
+      |  CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+      |FROM errs e ASOF LEFT JOIN clicks c
+      |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin
+
   /** join_asof_nearest's DuckDB twin — shared with
     * `sql_join_asof_nearest`; the parser route differs only in
     * epoch_us -> unix_micros and DuckDB's inside-paren IGNORE NULLS
@@ -635,15 +649,7 @@ object RelationalQueries {
     // carry — ONE shuffle on (user), no range-join explosion, identical to
     // what a sorted merge as-of would do. DuckDB's native ASOF JOIN is the
     // oracle.
-    checked("join_asof",
-      """WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
-        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
-        |errs AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
-        |SELECT e.event_id, e.user_id,
-        |  c.click_id AS last_click_id,
-        |  CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
-        |FROM errs e ASOF LEFT JOIN clicks c
-        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin) { (s, d) =>
+    checked("join_asof", RelationalQueries.asofBackwardOracleSql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -709,6 +715,57 @@ object RelationalQueries {
           .when(col("next_ts").isNull, dPrev)
           .when(dPrev <= dNext, dPrev)
           .otherwise(-dNext).as("gap_us"))
+    },
+
+    // The SAME backward as-of question as join_asof, answered through the
+    // library's whole-operator extension ([[graft.plans.AsOfJoinExec]]:
+    // custom LogicalPlan → injected SparkStrategy → streaming two-pointer
+    // merge exec, SURVEY §4.3 path (c)) instead of the tagged-union
+    // window composition — one hash exchange per side, O(1) merge state,
+    // no window buffers. Bit-checked against DuckDB's native ASOF LEFT
+    // JOIN, and AsOfJoinSpec pins route-equivalence with join_asof plus
+    // the plan shape (AsOfJoinExec node, no WindowExec).
+    checked("join_asof_exec", RelationalQueries.asofBackwardOracleSql) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+          col("click_id"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOf.joinBackward(errs, clicks,
+          Seq("user_id"), Seq("r_user_id"), "ts", "r_ts")
+        .select(col("event_id"), col("user_id"),
+          col("click_id").as("last_click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+    },
+
+    // The forward direction through the same operator: each error's NEXT
+    // click at-or-after it (time-to-recovery). Forward needs NO candidate
+    // copy at all — the unconsumed right lookahead IS the match, shared
+    // by every left row that lands before it. DuckDB's `<=` ASOF (smallest
+    // right time ≥ left, verified inclusive) is the oracle.
+    checked("join_asof_fwd_exec",
+      """WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |errs AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id,
+        |  c.click_id AS next_click_id,
+        |  CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS recovery_us
+        |FROM errs e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts <= c.ts""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+          col("click_id"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOf.joinForward(errs, clicks,
+          Seq("user_id"), Seq("r_user_id"), "ts", "r_ts")
+        .select(col("event_id"), col("user_id"),
+          col("click_id").as("next_click_id"),
+          (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("recovery_us"))
     },
 
     // Forward/backward fill (SURVEY §2.5 W3 — train.py:110 ffill/bfill):

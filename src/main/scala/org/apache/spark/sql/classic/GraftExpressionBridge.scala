@@ -14,4 +14,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]` in the classic module) — the whole-operator hook
+    * [[graft.plans.AsOf]] rides: build a [[graft.plans.AsOfJoinPlan]]
+    * from analyzed children, hand it here, let the injected strategy
+    * plan it. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
 }
