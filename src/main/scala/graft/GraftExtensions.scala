@@ -36,9 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     // Whole-operator surface (§4.3 path (c)): the as-of join planner
-    // strategy. Live sessions get the same strategy lazily through
-    // [[graft.plans.AsOf.ensureStrategy]].
+    // strategy plus the SQL-route rewrite (marked LEFT JOIN →
+    // AsOfJoinPlan). Live sessions get both lazily through
+    // [[graft.plans.AsOf.ensureStrategy]] / [[graft.plans.AsOf.ensureRewrite]].
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRewrite)
   }
 }
 
@@ -100,6 +102,22 @@ object GraftExtensions {
             intArg(k, "kmv_sketch", 2))
           case _ => throw new IllegalArgumentException("kmv_sketch(hash, k)")
         }),
+      "asof_backward" -> (
+        new ExpressionInfo(classOf[graft.plans.AsOfMark].getName, "asof_backward"),
+        (args: Seq[Expression]) => args match {
+          // The SQL-route marker for the whole-operator as-of join: a
+          // LEFT JOIN conjunct `asof_backward(l_time, r_time)` is
+          // rewritten by [[graft.plans.AsOfJoinRewrite]] into
+          // AsOfJoinPlan; left unrewritten it evaluates as l >= r.
+          case Seq(l, r) => graft.plans.AsOfMark(l, r, forward = false)
+          case _ => throw new IllegalArgumentException("asof_backward(lTime, rTime)")
+        }),
+      "asof_forward" -> (
+        new ExpressionInfo(classOf[graft.plans.AsOfMark].getName, "asof_forward"),
+        (args: Seq[Expression]) => args match {
+          case Seq(l, r) => graft.plans.AsOfMark(l, r, forward = true)
+          case _ => throw new IllegalArgumentException("asof_forward(lTime, rTime)")
+        }),
       "morton2" -> (
         new ExpressionInfo(graft.functions.ZOrder.getClass.getName, "morton2"),
         (args: Seq[Expression]) => args match {
@@ -111,13 +129,17 @@ object GraftExtensions {
         }))
 
   /** Register on a LIVE session (no `spark.sql.extensions` needed): the
-    * three Catalyst builders into the session's function registry, plus
-    * the `shannon_entropy` UDAF via the UDF registry. */
+    * Catalyst builders into the session's function registry, the
+    * `shannon_entropy` UDAF via the UDF registry, and the as-of
+    * whole-operator machinery (planner strategy + join rewrite) via
+    * `experimentalMethods` — everything the extensions class injects. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, (info, builder)) =>
       registry.registerFunction(FunctionIdentifier(name), info, builder)
     }
     spark.udf.register("shannon_entropy", graft.functions.ShannonEntropy.udafFn)
+    graft.plans.AsOf.ensureStrategy(spark)
+    graft.plans.AsOf.ensureRewrite(spark)
   }
 }

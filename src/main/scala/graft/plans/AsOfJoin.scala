@@ -277,4 +277,13 @@ object AsOf {
     if (!em.extraStrategies.contains(AsOfJoinStrategy))
       em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
   }
+
+  /** Install [[AsOfJoinRewrite]] (the SQL-route marked-join rewrite) on a
+    * live session (idempotent) — the `experimentalMethods` twin of the
+    * extensions class's `injectOptimizerRule`. */
+  def ensureRewrite(spark: SparkSession): Unit = {
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraOptimizations.contains(AsOfJoinRewrite))
+      em.extraOptimizations = em.extraOptimizations :+ AsOfJoinRewrite
+  }
 }

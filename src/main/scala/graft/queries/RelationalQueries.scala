@@ -86,6 +86,20 @@ object RelationalQueries {
       |FROM errs e ASOF LEFT JOIN clicks c
       |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin
 
+  /** join_asof_fwd_exec's DuckDB twin (`<=` ASOF = smallest right time ≥
+    * left, verified inclusive) — shared with `sql_join_asof_fwd_exec`,
+    * the parser route through the [[graft.plans.AsOfJoinRewrite]]
+    * marked-join rewrite. */
+  private[queries] val asofForwardOracleSql: String =
+    """WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |errs AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+      |SELECT e.event_id, e.user_id,
+      |  c.click_id AS next_click_id,
+      |  CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS recovery_us
+      |FROM errs e ASOF LEFT JOIN clicks c
+      |  ON e.user_id = c.user_id AND e.ts <= c.ts""".stripMargin
+
   /** join_asof_nearest's DuckDB twin — shared with
     * `sql_join_asof_nearest`; the parser route differs only in
     * epoch_us -> unix_micros and DuckDB's inside-paren IGNORE NULLS
@@ -745,15 +759,7 @@ object RelationalQueries {
     // copy at all — the unconsumed right lookahead IS the match, shared
     // by every left row that lands before it. DuckDB's `<=` ASOF (smallest
     // right time ≥ left, verified inclusive) is the oracle.
-    checked("join_asof_fwd_exec",
-      """WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
-        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
-        |errs AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
-        |SELECT e.event_id, e.user_id,
-        |  c.click_id AS next_click_id,
-        |  CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS recovery_us
-        |FROM errs e ASOF LEFT JOIN clicks c
-        |  ON e.user_id = c.user_id AND e.ts <= c.ts""".stripMargin) { (s, d) =>
+    checked("join_asof_fwd_exec", RelationalQueries.asofForwardOracleSql) { (s, d) =>
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))

@@ -217,6 +217,48 @@ object SqlSurfaceQueries {
       s.sql(sparkDialect(RelationalQueries.asofNearestOracleSql))
     },
 
+    // The whole-operator as-of THROUGH THE PARSER: Spark SQL has no ASOF
+    // keyword, so the direction rides a registered marker predicate —
+    // `LEFT JOIN … ON equi AND asof_backward(e.ts, c.r_ts)` is DuckDB's
+    // `ASOF LEFT JOIN … ON equi AND e.ts >= c.ts` with the operator
+    // spelled as a function. [[graft.plans.AsOfJoinRewrite]] (injected
+    // Rule[LogicalPlan]) rewrites the marked join into AsOfJoinPlan →
+    // AsOfJoinExec (streaming two-pointer merge); if the rewrite ever
+    // declined, the marker would degrade to the bare range predicate and
+    // the hash gate would catch the changed rows. Same oracle as
+    // join_asof/join_asof_exec; AsOfJoinSpec pins the rewrite fired.
+    checked("sql_join_asof_exec",
+      RelationalQueries.asofBackwardOracleSql) { (s, d) =>
+      val v = eventsView(s, d)
+      s.sql(
+        s"""WITH clicks AS (SELECT user_id AS r_user_id, ts AS r_ts,
+           |    max(event_id) AS click_id
+           |  FROM $v WHERE event_type = 'click' GROUP BY user_id, ts),
+           |errs AS (SELECT event_id, user_id, ts
+           |  FROM $v WHERE event_type = 'error')
+           |SELECT e.event_id, e.user_id, c.click_id AS last_click_id,
+           |  unix_micros(e.ts) - unix_micros(c.r_ts) AS gap_us
+           |FROM errs e LEFT JOIN clicks c
+           |  ON e.user_id = c.r_user_id AND asof_backward(e.ts, c.r_ts)""".stripMargin)
+    },
+
+    // The forward direction of the same parser route (each error's next
+    // click at-or-after it); same oracle as join_asof_fwd_exec.
+    checked("sql_join_asof_fwd_exec",
+      RelationalQueries.asofForwardOracleSql) { (s, d) =>
+      val v = eventsView(s, d)
+      s.sql(
+        s"""WITH clicks AS (SELECT user_id AS r_user_id, ts AS r_ts,
+           |    max(event_id) AS click_id
+           |  FROM $v WHERE event_type = 'click' GROUP BY user_id, ts),
+           |errs AS (SELECT event_id, user_id, ts
+           |  FROM $v WHERE event_type = 'error')
+           |SELECT e.event_id, e.user_id, c.click_id AS next_click_id,
+           |  unix_micros(c.r_ts) - unix_micros(e.ts) AS recovery_us
+           |FROM errs e LEFT JOIN clicks c
+           |  ON e.user_id = c.r_user_id AND asof_forward(e.ts, c.r_ts)""".stripMargin)
+    },
+
     // The analytics family through the parser: the 4-step conversion
     // funnel as chained CTEs with JOIN USING and strictly-after
     // timestamps — portable to Spark SQL modulo the epoch_us hop; same

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.GraftExtensions
 import graft.plans.AsOf
 import graft.queries.QuerySpec
 
@@ -157,6 +158,43 @@ class AsOfJoinSpec extends SparkSpec {
     val exec = rows("join_asof_exec")
     val composed = rows("join_asof")
     assert(exec.nonEmpty && exec === composed)
+  }
+
+  test("sql route: the marked LEFT JOIN rewrites into the custom exec") {
+    try {
+      for (name <- Seq("sql_join_asof_exec", "sql_join_asof_fwd_exec")) {
+        val q = SparkEntry.allQueries.find(_.name == name)
+          .getOrElse(fail(s"no query named $name"))
+        val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+        assert(plan.contains("AsOfJoin"),
+          s"$name: AsOfJoinRewrite must fire on the marked join; got:\n$plan")
+        assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin")
+            && !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Window"),
+          s"$name must not fall back to a generic join or window route")
+      }
+    } finally QuerySpec.releaseStaged()
+  }
+
+  test("unrewritable marked join degrades to the bare range predicate") {
+    GraftExtensions.register(spark)
+    leftDf.createOrReplaceTempView("asof_deg_l")
+    rightDf.createOrReplaceTempView("asof_deg_r")
+    // No equi conjunct → AsOfJoinRewrite declines → plain left range join:
+    // EVERY right row with r_t <= t pairs up (not just the latest).
+    val got = spark.sql(
+      """SELECT id, rid FROM asof_deg_l l LEFT JOIN asof_deg_r r
+        |  ON l.user = r.r_user AND l.t >= r.r_t AND 1 = 1
+        |     AND asof_backward(l.t, l.t)""".stripMargin)
+    // marker args both from the left side → sides not cleanly split →
+    // rewrite declines; asof_backward(t, t) evaluates true, so the rows
+    // are the plain range join's.
+    val expect = spark.sql(
+      """SELECT id, rid FROM asof_deg_l l LEFT JOIN asof_deg_r r
+        |  ON l.user = r.r_user AND l.t >= r.r_t""".stripMargin)
+    assert(got.collect().map(_.toString).sorted.toSeq ===
+      expect.collect().map(_.toString).sorted.toSeq)
+    assert(!got.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "a marker whose sides don't split left/right must not rewrite")
   }
 
   test("plan shape: AsOfJoinExec node, no window buffers, shuffled-join exchanges") {
