@@ -813,6 +813,78 @@ object StreamingQueries {
       }, "enrich_static", OutputMode.Append)
     },
 
+    // Stream ENRICHMENT through the whole-operator as-of join: the error
+    // feed arrives as a bounded two-micro-batch stream (event-id parity
+    // split, mtime-ordered) and each micro-batch is enriched on arrival
+    // against the static click dimension via [[graft.plans.AsOf]]
+    // .joinBackward — foreachBatch hands a BATCH frame, so the custom
+    // AsOfJoinExec plans exactly as in join_asof_exec — then appended to
+    // a store behind a _READY marker (absent marker = died-mid-ingest,
+    // rebuild; same idempotence contract as stream_ivf_ingest). An error
+    // row's as-of match depends only on that row and the static
+    // dimension, so micro-batch boundaries are provably invisible: the
+    // drained store must equal the batch ASOF LEFT JOIN byte-for-byte —
+    // the SAME DuckDB oracle as join_asof/join_asof_exec. At 100 TB this
+    // is the standard fact-stream × latest-dimension-state enrichment:
+    // one hash exchange per micro-batch, O(1) merge state, store growth
+    // by partition-local appends.
+    checked("stream_asof_enrich", RelationalQueries.asofBackwardOracleSql) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_asofenrich_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      if (!ready.exists()) {
+        rmTree(dir); dir.mkdirs()
+        val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+        val errs = Tables.events(s, d)
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        def oneFile(df: org.apache.spark.sql.DataFrame, name: String,
+                    bumpMs: Long): Unit = {
+          val stage = new java.io.File(dir, s".stage_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+          val part = stage.listFiles().filter(f =>
+            f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+          val target = new java.io.File(feed, name)
+          java.nio.file.Files.move(part.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          rmTree(stage)
+          java.nio.file.Files.setLastModifiedTime(target.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() + bumpMs)): Unit
+        }
+        oneFile(errs.filter(col("event_id") % 2 === 0), "even.parquet", 0L)
+        // mtime +2 s: FileStreamSource orders micro-batches by mtime.
+        oneFile(errs.filter(col("event_id") % 2 === 1), "odd.parquet", 2000L)
+        val ingest = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed.getAbsolutePath)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val dim = Tables.events(b.sparkSession, d)
+              .filter(col("event_type") === "click")
+              .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+              .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+                col("click_id"))
+            graft.plans.AsOf.joinBackward(b, dim,
+                Seq("user_id"), Seq("r_user_id"), "ts", "r_ts")
+              .select(col("event_id"), col("user_id"),
+                col("click_id").as("last_click_id"),
+                (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+              .write.mode("append").parquet(store)
+            ()
+          }
+          .option("checkpointLocation",
+            new java.io.File(dir, "ckpt").getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        ingest.awaitTermination()
+        ready.createNewFile(): Unit
+      }
+      s.read.parquet(store)
+    },
+
     // Session windows in append mode: the state-store session MERGE (two
     // open sessions bridged by a late-but-in-watermark event collapse
     // into one) composed with append finalization — a session row is
