@@ -27,6 +27,13 @@ object FormatQueries {
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[org.apache.spark.sql.Row], Long)]
 
+  /** Oracle-dump dir for the mlog store's manifest entries (pid-keyed,
+    * rewritten per execution of dsv2_mlog_roundtrip — one tiny row per
+    * committed file). Declared BEFORE `all`: the oracle string
+    * interpolates it eagerly. */
+  private val MLogDumpDir = TmpDirs.persistent(
+    s"graft_mlog_dump_${ProcessHandle.current().pid()}")
+
   val all: Seq[QuerySpec] = Seq(
 
     // S10: CSV fallback with declared schema. Timestamps carried as exact
@@ -470,6 +477,87 @@ object FormatQueries {
         .withColumn("pruned", lit(nScanned < nTotal))
         .withColumn("manifest_complete",
           lit(manifest.map(_.getLong(5)).sum == rawCount))
+    },
+
+    // DSv2 WRITE path — the commit protocol itself as the operator
+    // ([[graft.sources.v2.MLogDataSource]]): the events ledger is written
+    // through `format("mlog")` in TWO commits (base overwrite publishing
+    // a fresh manifest, then an append that MERGES entries — executors
+    // stage attempt-unique part files, DataWriter.commit reports stats,
+    // BatchWrite.commit publishes `_mlog_manifest.json` atomically; the
+    // manifest, never the directory listing, defines the table). The
+    // k-range query reads back THROUGH the source, whose pushed filters
+    // prune files on manifest min/max before planning. Losslessness =
+    // the aggregate over the read-back equals DuckDB over the RAW events
+    // under the same predicate; the file-count columns are computed by
+    // BOTH engines from the same dumped manifest (layout_manifest_prune
+    // pattern); manifest_complete re-proves total row conservation
+    // across the two commits. At 100 TB this is the write discipline a
+    // training-data store needs: atomic publication, zombie-attempt
+    // immunity, O(files) planning state. MLogSpec pins the protocol
+    // (abort cleanup, orphan invisibility, truncate-vs-append).
+    checked("dsv2_mlog_roundtrip",
+      s"""WITH b AS (SELECT CAST(floor(0.30 * max(user_id)) AS BIGINT) AS klo,
+         |    CAST(floor(0.70 * max(user_id)) AS BIGINT) AS khi FROM events),
+         |m AS (SELECT * FROM read_parquet('${MLogDumpDir.getAbsolutePath}/*.parquet'))
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_files_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM m, b
+         |    WHERE mn_k <= b.khi AND mx_k >= b.klo) AS n_files_planned,
+         |  (SELECT count(*) FROM m, b WHERE mn_k <= b.khi AND mx_k >= b.klo)
+         |    < (SELECT count(*) FROM m) AS pruned,
+         |  (SELECT CAST(sum(n_rows) AS BIGINT) FROM m)
+         |    = (SELECT count(*) FROM events) AS manifest_complete
+         |FROM events, b WHERE user_id BETWEEN b.klo AND b.khi""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogstore_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val ledger = Tables.events(s, d).select(col("event_id").as("id"),
+        col("user_id").as("k"),
+        (unix_micros(col("ts")) % 86400000000L).as("v"))
+      if (!ready.exists()) {
+        // Absent marker = a prior run died between commits: rebuild both.
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        ledger.filter(col("id") % 5 =!= 0).repartitionByRange(7, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        ledger.filter(col("id") % 5 === 0).repartitionByRange(3, col("k"))
+          .write.format("mlog").mode("append").save(store)
+        ready.createNewFile(): Unit
+      }
+      val entries = graft.sources.v2.MLog.readManifest(
+        new org.apache.hadoop.fs.Path(store)
+          .getFileSystem(s.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(store))
+      // Pid-keyed oracle dump, rewritten per execution (one row per file).
+      val mLocal = s.createDataFrame(
+        java.util.Arrays.asList(entries.map(e => org.apache.spark.sql.Row(
+          e.name, e.rows, e.minK, e.maxK)): _*),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "file STRING, n_rows BIGINT, mn_k BIGINT, mx_k BIGINT"))
+      mLocal.coalesce(1).write.mode("overwrite")
+        .parquet(MLogDumpDir.getAbsolutePath)
+      // Bounds from the manifest's own k-maximum (== raw max(user_id):
+      // manifest_complete + the hash gate re-prove losslessness).
+      val maxK = entries.map(_.maxK).max
+      val (kLo, kHi) =
+        (math.floor(0.30 * maxK).toLong, math.floor(0.70 * maxK).toLong)
+      val planned = entries.count(e => e.minK <= kHi && e.maxK >= kLo).toLong
+      s.read.format("mlog").load(store)
+        .filter(col("k").between(kLo, kHi))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("n_files_total", lit(entries.size.toLong))
+        .withColumn("n_files_planned", lit(planned))
+        .withColumn("pruned", lit(planned < entries.size))
+        .withColumn("manifest_complete",
+          lit(entries.map(_.rows).sum == Tables.events(s, d).count()))
     })
 
   /** Write-once clustered layouts of the 5-column lineitem projection,

@@ -1,0 +1,384 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap, UUID}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{
+  DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
+  LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** `mlog` — a DataSource V2 ledger format with MANIFEST-COMMITTED writes:
+  * the miniature of a table format's snapshot commit (Iceberg/Delta), and
+  * the WRITE-side counterpart of the read-only [[PcapDataSource]]
+  * (SURVEY §2.1 S2/S9; the reference's sink stage is
+  * `KafkaKpiPipeline.scala`'s partitioned parquet write — this source
+  * re-states the commit DISCIPLINE such a sink needs at 100 TB, where
+  * "the files that happen to exist" is not a table).
+  *
+  * Layout under one directory:
+  *  - `part-<partition>-<task>-<uuid>.mlog` — fixed ledger triples
+  *    (id, k, v: all BIGINT), 8-byte magic/version header then 24-byte
+  *    big-endian rows. Executors write STAGED files named uniquely per
+  *    task attempt; nothing refers to them yet.
+  *  - `_mlog_manifest.json` — the single source of truth: committed file
+  *    names with row counts and per-file (id, k) min/max. A reader plans
+  *    from the manifest ALONE (never a directory listing), so aborted or
+  *    orphaned part files are invisible by construction.
+  *
+  * Exactly-once batch commit: each `DataWriter.commit()` returns its
+  * file's stats as the commit message; `BatchWrite.commit(messages)` runs
+  * once on the driver and publishes the manifest (write temp + rename —
+  * a real multi-writer implementation would CAS the swap; single-writer
+  * here, documented). `BatchWrite.abort()` deletes every staged file the
+  * failed job managed to report. SaveMode.Append merges entries into the
+  * existing manifest; SaveMode.Overwrite arrives as truncate + append
+  * (`SupportsTruncate`), publishing a manifest with only the new entries
+  * — superseded files become unreferenced garbage for a vacuum pass.
+  *
+  * Read path: `SupportsPushDownFilters` accepts range/equality filters on
+  * `id`/`k` and prunes FILES by manifest min/max before planning (one
+  * InputPartition per surviving file; all filters are also returned as
+  * residuals — min/max pruning is sound but inexact);
+  * `SupportsPushDownRequiredColumns` prunes the 3 columns. The reader
+  * consumes exactly `rows` triples per the manifest — the manifest, not
+  * the byte stream, decides where a file's data ends. */
+class MLogDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "mlog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MLog.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new MLogTable(properties)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object MLog {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("k", LongType),
+    StructField("v", LongType)))
+
+  val ManifestName = "_mlog_manifest.json"
+  val Magic = 0x4D4C4731 // "MLG1"
+  val Version = 1
+
+  /** One committed file: name + row count + (id, k) min/max. */
+  case class FileEntry(name: String, rows: Long, minId: Long, maxId: Long,
+                       minK: Long, maxK: Long)
+
+  /** Plan size of the last `build()` in this JVM: (survivors, total) —
+    * a test hook for pinning manifest pruning. */
+  @volatile var lastPlanned: (Int, Int) = (0, 0)
+
+  def readManifest(fs: FileSystem, dir: Path): Seq[FileEntry] = {
+    val mf = new Path(dir, ManifestName)
+    if (!fs.exists(mf)) return Seq.empty
+    val in = fs.open(mf)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(text)
+    require(root.get("format").asText() == "mlog" &&
+      root.get("version").asInt() == Version, s"unreadable manifest $mf")
+    val files = root.get("files")
+    (0 until files.size()).map { i =>
+      val f = files.get(i)
+      FileEntry(f.get("name").asText(), f.get("rows").asLong(),
+        f.get("minId").asLong(), f.get("maxId").asLong(),
+        f.get("minK").asLong(), f.get("maxK").asLong())
+    }
+  }
+
+  def writeManifest(fs: FileSystem, dir: Path, entries: Seq[FileEntry]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("format", "mlog")
+    root.put("version", Version)
+    val arr = root.putArray("files")
+    // Name-sorted: the manifest is deterministic up to the files' uuids.
+    entries.sortBy(_.name).foreach { e =>
+      val n = arr.addObject()
+      n.put("name", e.name); n.put("rows", e.rows)
+      n.put("minId", e.minId); n.put("maxId", e.maxId)
+      n.put("minK", e.minK); n.put("maxK", e.maxK): Unit
+    }
+    val tmp = new Path(dir, s".${ManifestName}.tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    val target = new Path(dir, ManifestName)
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(tmp, target), s"manifest swap failed: $tmp -> $target")
+  }
+
+  private[v2] def hadoopConf(): SerializableConfiguration =
+    new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+
+  private[v2] def pathOf(options: Map[String, String]): Path = {
+    val p = options.get("path").map(_.trim).filter(_.nonEmpty)
+    new Path(p.getOrElse(throw new IllegalArgumentException(
+      "mlog needs a path: .format(\"mlog\").save(dir) / .load(dir)")))
+  }
+}
+
+class MLogTable(properties: JMap[String, String])
+  extends Table with SupportsRead with SupportsWrite {
+
+  import scala.jdk.CollectionConverters._
+
+  override def name(): String = "mlog"
+  override def schema(): StructType = MLog.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  private def merged(options: CaseInsensitiveStringMap): Map[String, String] = {
+    val m = new java.util.HashMap[String, String](properties)
+    options.asCaseSensitiveMap().forEach((k, v) => m.put(k, v))
+    m.asScala.toMap
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MLogScanBuilder(MLog.pathOf(merged(options)), MLog.hadoopConf())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.fields.map(f => (f.name, f.dataType)).toSeq ==
+      MLog.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"mlog writes the fixed ledger schema (id, k, v: BIGINT); got ${s.simpleString}")
+    new MLogWriteBuilder(MLog.pathOf(merged(info.options())),
+      MLog.hadoopConf(), truncateFirst = false)
+  }
+}
+
+// ---------------------------------------------------------------- write
+
+class MLogWriteBuilder(dir: Path, conf: SerializableConfiguration,
+                       truncateFirst: Boolean)
+  extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new MLogWriteBuilder(dir, conf, truncateFirst = true)
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = MLogBatchWrite(dir.toString, conf, truncateFirst)
+  }
+}
+
+/** Driver-side commit: publish the manifest naming exactly the files the
+  * committed tasks reported. Until the rename lands, readers see the OLD
+  * manifest — the atomic-visibility contract. */
+case class MLogBatchWrite(dir: String, conf: SerializableConfiguration,
+                          truncateFirst: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    MLogWriterFactory(dir, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    fs.mkdirs(d)
+    val fresh = messages.toSeq.collect {
+      case m: MLogCommit if m.name != null => m.entry
+    }
+    val prev = if (truncateFirst) Seq.empty else MLog.readManifest(fs, d)
+    MLog.writeManifest(fs, d, prev ++ fresh)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    messages.foreach {
+      case m: MLogCommit if m.name != null =>
+        fs.delete(new Path(d, m.name), false): Unit
+      case _ => ()
+    }
+  }
+}
+
+case class MLogCommit(name: String, rows: Long, minId: Long, maxId: Long,
+                      minK: Long, maxK: Long) extends WriterCommitMessage {
+  def entry: MLog.FileEntry =
+    MLog.FileEntry(name, rows, minId, maxId, minK, maxK)
+}
+
+case class MLogWriterFactory(dir: String, conf: SerializableConfiguration)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      // Unique per task ATTEMPT: a zombie attempt can never collide with
+      // the committed one, and uncommitted files are unreferenced anyway.
+      private val name =
+        f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.mlog"
+      private val d = new Path(dir)
+      private val fs = d.getFileSystem(conf.value)
+      private var out: java.io.DataOutputStream = _
+      private var rows = 0L
+      private var minId, maxId, minK, maxK = 0L
+
+      override def write(row: InternalRow): Unit = {
+        require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2),
+          "mlog ledger rows must be fully non-null")
+        if (out == null) { // empty partitions create no file at all
+          fs.mkdirs(d)
+          out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(fs.create(new Path(d, name), false)))
+          out.writeInt(MLog.Magic); out.writeInt(MLog.Version)
+        }
+        val id = row.getLong(0); val k = row.getLong(1); val v = row.getLong(2)
+        if (rows == 0L) { minId = id; maxId = id; minK = k; maxK = k }
+        else {
+          if (id < minId) minId = id; if (id > maxId) maxId = id
+          if (k < minK) minK = k; if (k > maxK) maxK = k
+        }
+        out.writeLong(id); out.writeLong(k); out.writeLong(v)
+        rows += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (out != null) out.close()
+        MLogCommit(if (rows > 0) name else null, rows, minId, maxId, minK, maxK)
+      }
+
+      override def abort(): Unit = {
+        if (out != null) { out.close(); fs.delete(new Path(d, name), false): Unit }
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
+// ----------------------------------------------------------------- read
+
+class MLogScanBuilder(dir: Path, conf: SerializableConfiguration)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = MLog.Schema
+  private var prunable: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    prunable = filters.filter(f => MLogScanBuilder.bound(f).isDefined)
+    filters // ALL filters stay residual: min/max pruning is inexact
+  }
+
+  override def pushedFilters(): Array[Filter] = prunable
+
+  override def build(): Scan = {
+    val fs = dir.getFileSystem(conf.value)
+    val all = MLog.readManifest(fs, dir)
+    val survivors = all.filter(e => prunable.forall(MLogScanBuilder.accepts(e, _)))
+    MLog.lastPlanned = (survivors.length, all.length)
+    MLogScan(dir.toString, survivors, all.length, required, conf)
+  }
+}
+
+object MLogScanBuilder {
+  /** (column, op, value) for the filter shapes manifest ranges can serve. */
+  private[graft] def bound(f: Filter): Option[(String, String, Long)] = f match {
+    case EqualTo(a, v: java.lang.Long) if keyed(a) => Some((a, "=", v))
+    case GreaterThan(a, v: java.lang.Long) if keyed(a) => Some((a, ">", v))
+    case GreaterThanOrEqual(a, v: java.lang.Long) if keyed(a) => Some((a, ">=", v))
+    case LessThan(a, v: java.lang.Long) if keyed(a) => Some((a, "<", v))
+    case LessThanOrEqual(a, v: java.lang.Long) if keyed(a) => Some((a, "<=", v))
+    case _ => None
+  }
+  private def keyed(a: String): Boolean = a == "id" || a == "k"
+
+  private[graft] def accepts(e: MLog.FileEntry, f: Filter): Boolean =
+    bound(f) match {
+      case Some((col, op, v)) =>
+        val (mn, mx) = if (col == "id") (e.minId, e.maxId) else (e.minK, e.maxK)
+        op match {
+          case "=" => mn <= v && v <= mx
+          case ">" => mx > v
+          case ">=" => mx >= v
+          case "<" => mn < v
+          case "<=" => mn <= v
+        }
+      case None => true
+    }
+}
+
+case class MLogPartition(path: String, rows: Long) extends InputPartition
+
+case class MLogScan(dir: String, files: Seq[MLog.FileEntry], total: Int,
+                    required: StructType, conf: SerializableConfiguration)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"mlog ${files.length}/$total files after manifest pruning, " +
+      s"cols [${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(e =>
+      MLogPartition(new Path(new Path(dir), e.name).toString, e.rows)
+        : InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    MLogReaderFactory(required.fieldNames.toSeq, conf)
+}
+
+case class MLogReaderFactory(fields: Seq[String],
+                             conf: SerializableConfiguration)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MLogPartition]
+    new PartitionReader[InternalRow] {
+      // required-field -> triple position (id 0, k 1, v 2)
+      private val slots: Array[Int] = fields.map {
+        case "id" => 0
+        case "k" => 1
+        case "v" => 2
+        case other => throw new IllegalArgumentException(s"unknown mlog field $other")
+      }.toArray
+      private val path = new Path(p.path)
+      private val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(path.getFileSystem(conf.value).open(path)))
+      require(in.readInt() == MLog.Magic && in.readInt() == MLog.Version,
+        s"not an mlog file: $path")
+      private var read = 0L
+      private val triple = new Array[Long](3)
+      private var current: InternalRow = _
+
+      // The MANIFEST row count bounds the read — trailing bytes from a
+      // longer orphaned attempt of the same name cannot exist (names are
+      // attempt-unique), and EOF before `rows` is corruption: readLong
+      // throws EOFException rather than silently under-reading.
+      override def next(): Boolean =
+        if (read < p.rows) {
+          triple(0) = in.readLong(); triple(1) = in.readLong()
+          triple(2) = in.readLong()
+          val row = new GenericInternalRow(slots.length)
+          var i = 0
+          while (i < slots.length) { row.update(i, triple(slots(i))); i += 1 }
+          current = row
+          read += 1
+          true
+        } else false
+
+      override def get(): InternalRow = current
+      override def close(): Unit = in.close()
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.sources.v2.{MLog, MLogBatchWrite, MLogScanBuilder, MLogWriterFactory}
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThanOrEqual}
+
+/** The mlog DSv2 sink/source: manifest-committed writes (commit publishes,
+  * abort cleans, orphans are invisible), append-vs-truncate manifest
+  * lifecycle, manifest-range file pruning, and the fixed-schema contract. */
+class MLogSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("mlog_spec").toFile.getAbsolutePath
+
+  private def ledger(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, (i % 7).toLong, i.toLong * 10))
+      .toDF("id", "k", "v")
+  }
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("round-trip: overwrite commit publishes a manifest readers trust") {
+    val dir = tmp()
+    ledger(100).repartition(4).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    val entries = MLog.readManifest(fs(dir), new Path(dir))
+    assert(entries.map(_.rows).sum === 100L)
+    assert(entries.forall(_.name.endsWith(".mlog")))
+    val back = spark.read.format("mlog").load(dir)
+    assert(back.count() === 100L)
+    assert(back.agg(sum("v")).head.getLong(0) === (0 until 100).map(_ * 10L).sum)
+    // An orphaned part file (failed attempt, junk) is INVISIBLE: the
+    // manifest, not the directory listing, defines the table.
+    val junk = new java.io.File(dir, "part-junk.mlog")
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(junk))
+    out.writeInt(MLog.Magic); out.writeInt(MLog.Version)
+    out.writeLong(999L); out.writeLong(999L); out.writeLong(999L); out.close()
+    assert(spark.read.format("mlog").load(dir).count() === 100L)
+  }
+
+  test("append merges the manifest; overwrite truncates it") {
+    val dir = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    ledger(30).coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    assert(MLog.readManifest(fs(dir), new Path(dir)).size === 2)
+    assert(spark.read.format("mlog").load(dir).count() === 80L)
+    ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val after = MLog.readManifest(fs(dir), new Path(dir))
+    assert(after.size === 1 && after.head.rows === 10L)
+    assert(spark.read.format("mlog").load(dir).count() === 10L)
+  }
+
+  test("abort deletes the staged files a failed job reported") {
+    val dir = tmp()
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val w = MLogWriterFactory(dir, conf).createWriter(0, 0L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(1L, 2L, 3L))
+    val msg = w.commit()
+    val staged = Option(new java.io.File(dir).listFiles()).get
+      .filter(_.getName.endsWith(".mlog"))
+    assert(staged.length === 1)
+    MLogBatchWrite(dir, conf, truncateFirst = false)
+      .abort(Array[WriterCommitMessage](msg))
+    assert(!staged.head.exists())
+    assert(MLog.readManifest(fs(dir), new Path(dir)).isEmpty)
+  }
+
+  test("manifest range pruning plans only intersecting files; residuals re-apply") {
+    val dir = tmp()
+    // repartitionByRange clusters k: files carry disjoint-ish k ranges.
+    ledger(700).repartitionByRange(7, col("k")).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    val total = MLog.readManifest(fs(dir), new Path(dir)).size
+    val got = spark.read.format("mlog").load(dir)
+      .filter(col("k") === 3L).agg(count(lit(1)), min("id"), max("id")).head
+    val (planned, seen) = MLog.lastPlanned
+    assert(seen === total && planned < total,
+      s"k = 3 must prune some of the $total range files (planned $planned)")
+    assert(got.getLong(0) === 100L && got.getLong(1) === 3L && got.getLong(2) === 696L)
+  }
+
+  test("column pruning: narrow reads and count(*) survive") {
+    val dir = tmp()
+    ledger(60).coalesce(2).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val ks = spark.read.format("mlog").load(dir).select("k")
+    assert(ks.columns.toSeq === Seq("k"))
+    assert(ks.agg(sum("k")).head.getLong(0) === (0 until 60).map(_ % 7).sum.toLong)
+    assert(spark.read.format("mlog").load(dir).count() === 60L)
+  }
+
+  test("fixed ledger schema is enforced at write planning") {
+    val dir = tmp()
+    import spark.implicits._
+    val bad = Seq((1L, "x")).toDF("id", "k")
+    val err = intercept[Exception] {
+      bad.write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    }
+    assert(err.getMessage.contains("mlog") ||
+      err.getMessage.contains("schema") || err.getMessage.contains("column"))
+  }
+
+  test("accepts(): manifest range algebra per filter shape") {
+    val e = MLog.FileEntry("f", 10, 100, 200, 5, 9)
+    assert(MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(150L))))
+    assert(!MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(99L))))
+    assert(MLogScanBuilder.accepts(e, GreaterThan("k", java.lang.Long.valueOf(8L))))
+    assert(!MLogScanBuilder.accepts(e, GreaterThan("k", java.lang.Long.valueOf(9L))))
+    assert(MLogScanBuilder.accepts(e, LessThanOrEqual("k", java.lang.Long.valueOf(5L))))
+    assert(!MLogScanBuilder.accepts(e, LessThanOrEqual("k", java.lang.Long.valueOf(4L))))
+  }
+}
