@@ -558,6 +558,71 @@ object FormatQueries {
         .withColumn("pruned", lit(planned < entries.size))
         .withColumn("manifest_complete",
           lit(entries.map(_.rows).sum == Tables.events(s, d).count()))
+    },
+
+    // The GC half of the mlog lifecycle: an overwrite SUPERSEDES the
+    // previous commit's files (the manifest swap makes them garbage, it
+    // does not delete them), and `MLog.vacuum` reclaims exactly the
+    // unreferenced ones. Lifecycle here: commit 1 writes 7 range files,
+    // commit 2 OVERWRITES with the full ledger in 3 — so vacuum must
+    // remove exactly 7 orphans (a declared constant of the lifecycle,
+    // like the planted-dup counts) and leave the data dir ≡ the manifest
+    // (`dir_clean`, recomputed per call). The k-range aggregate over the
+    // post-vacuum read is gated against DuckDB over the RAW events:
+    // vacuuming changed nothing a reader can see. The removed count is
+    // persisted in the _READY marker so memoized re-entries re-report
+    // the same lifecycle fact.
+    checked("dsv2_mlog_vacuum",
+      s"""WITH b AS (SELECT CAST(floor(0.30 * max(user_id)) AS BIGINT) AS klo,
+         |    CAST(floor(0.70 * max(user_id)) AS BIGINT) AS khi FROM events)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  CAST(3 AS BIGINT) AS n_live_files,
+         |  CAST(7 AS BIGINT) AS orphans_removed,
+         |  true AS dir_clean
+         |FROM events, b WHERE user_id BETWEEN b.klo AND b.khi""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogvac_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val storeDir = new java.io.File(dir, "store")
+      val store = storeDir.getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val ledger = Tables.events(s, d).select(col("event_id").as("id"),
+        col("user_id").as("k"),
+        (unix_micros(col("ts")) % 86400000000L).as("v"))
+      val removed: Long = if (!ready.exists()) {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        ledger.filter(col("id") % 5 =!= 0).repartitionByRange(7, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        ledger.repartitionByRange(3, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        val n = graft.sources.v2.MLog.vacuum(fs,
+          new org.apache.hadoop.fs.Path(store))
+        java.nio.file.Files.write(ready.toPath,
+          n.toString.getBytes("UTF-8"))
+        n
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8").trim.toLong
+      val live = graft.sources.v2.MLog.readManifest(fs,
+        new org.apache.hadoop.fs.Path(store))
+      val onDisk = Option(storeDir.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.endsWith(".mlog")).toSet
+      val maxK = live.map(_.maxK).max
+      val (kLo, kHi) =
+        (math.floor(0.30 * maxK).toLong, math.floor(0.70 * maxK).toLong)
+      s.read.format("mlog").load(store)
+        .filter(col("k").between(kLo, kHi))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("n_live_files", lit(live.size.toLong))
+        .withColumn("orphans_removed", lit(removed))
+        .withColumn("dir_clean", lit(onDisk == live.map(_.name).toSet))
     })
 
   /** Write-once clustered layouts of the 5-column lineitem projection,

@@ -123,6 +123,20 @@ object MLog {
     require(fs.rename(tmp, target), s"manifest swap failed: $tmp -> $target")
   }
 
+  /** Garbage-collect every `.mlog` data file the manifest does not
+    * reference — the debris overwrite supersession and mid-write deaths
+    * leave behind. Safe at any time because readers plan from the
+    * manifest alone (a file becomes garbage the instant the manifest
+    * swap lands); returns the number removed. A real multi-writer table
+    * would fence this on manifest age to spare in-flight commits. */
+  def vacuum(fs: FileSystem, dir: Path): Long = {
+    val live = readManifest(fs, dir).map(_.name).toSet
+    val junk = fs.listStatus(dir).filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".mlog") && !live(st.getPath.getName))
+    junk.foreach(st => fs.delete(st.getPath, false))
+    junk.length.toLong
+  }
+
   private[v2] def hadoopConf(): SerializableConfiguration =
     new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())

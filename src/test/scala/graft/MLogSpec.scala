@@ -108,6 +108,21 @@ class MLogSpec extends SparkSpec {
       err.getMessage.contains("schema") || err.getMessage.contains("column"))
   }
 
+  test("vacuum removes exactly the unreferenced data files") {
+    val dir = tmp()
+    ledger(70).repartition(7).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    ledger(70).repartition(3).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    // 7 superseded orphans + 3 live; junk from a dead attempt also goes.
+    new java.io.FileOutputStream(new java.io.File(dir, "part-dead.mlog")).close()
+    val before = spark.read.format("mlog").load(dir).agg(sum("v")).head.getLong(0)
+    val removed = MLog.vacuum(fs(dir), new Path(dir))
+    assert(removed === 8L)
+    val left = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).filter(_.endsWith(".mlog")).toSet
+    assert(left === MLog.readManifest(fs(dir), new Path(dir)).map(_.name).toSet)
+    assert(spark.read.format("mlog").load(dir).agg(sum("v")).head.getLong(0) === before)
+  }
+
   test("accepts(): manifest range algebra per filter shape") {
     val e = MLog.FileEntry("f", 10, 100, 200, 5, 9)
     assert(MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(150L))))
