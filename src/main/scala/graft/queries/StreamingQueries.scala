@@ -312,20 +312,25 @@ object StreamingQueries {
     * codegen + state-store init and is discarded, the standard
     * sustained-throughput protocol (cold start is not what a rate
     * limit governs). Deterministic columns (row mass, batch count from
-    * the layout contract, final state rows = window groups) are
-    * hash-compared; the measured rate and per-batch state telemetry
-    * land as contract booleans, the sketch_cms pattern. */
+    * the layout contract, final state rows = window groups, state
+    * monotonicity) are hash-compared; the measured rate is LOGGED
+    * against the design-point floor, never hashed (see
+    * [[ThroughputRateMin]]). */
   private val ThroughputShards = 8
 
-  /** Design-point floor for the measured steady-state rate (ADVICE r11
-    * medium): the hashed `throughput_ge_design` boolean compares a REAL
-    * measurement against the reference's 2 000 events/s ingest ceiling,
-    * so on a contended host a slow-but-correct run could fail the
-    * bit-exact gate (and the drain memoizes per JVM — one bad
-    * measurement poisons the whole run). GRAFT_STREAM_RATE_MIN lowers
-    * the floor on such hosts (0 = always-pass, warn-only) without
-    * touching the deterministic columns; a malformed value keeps the
-    * strict default loudly rather than crashing or silently disabling. */
+  /** Design-point floor for the measured steady-state rate — TELEMETRY
+    * ONLY since round 13 (the ADVICE r11 medium, resolved the way its
+    * first option asked): a hashed `throughput_ge_design` boolean
+    * compared a REAL measurement against the reference's 2 000 events/s
+    * ingest ceiling, and round 13's host drift (SURVEY round-13 perf
+    * note: the same commit re-benched 1.5× slower on the same machine)
+    * proved the failure mode live — a slow-but-correct host failed the
+    * bit-exact gate with no regression anywhere. A correctness gate
+    * must not hash host performance: both drains now LOG the measured
+    * rate vs this floor (rounds 11-12 measured ≥ 2 000 events/s and
+    * recorded it; the comparison stays observable in every run's
+    * stderr) and hash only the deterministic mass/layout/eviction
+    * columns. GRAFT_STREAM_RATE_MIN still tunes the logged floor. */
   private val ThroughputRateMin: Double =
     sys.env.get("GRAFT_STREAM_RATE_MIN") match {
       case None => 2000.0
@@ -373,17 +378,16 @@ object StreamingQueries {
         val steadyMs = math.max(1L, steady.map(_.triggerMs).sum)
         val rate = steadyRows.toDouble * 1000.0 / steadyMs.toDouble
         val groups = result.count()
+        // Rate telemetry, never hashed: host performance is not
+        // correctness. The design-point comparison stays observable.
+        System.err.println(
+          f"[throughputDrain] steady-state rate $rate%.0f events/s " +
+            f"(design-point floor $ThroughputRateMin%.0f: " +
+            f"${if (rate >= ThroughputRateMin) "met" else "BELOW"})")
         val out = Seq((
           data.map(_.numInputRows).sum,          // n_events
           data.length.toLong,                    // n_batches
           data.last.stateRows,                   // state_groups (final)
-          {                                      // throughput_ge_design
-            val ok = rate >= ThroughputRateMin
-            if (!ok) System.err.println(
-              f"[throughputDrain] steady-state rate $rate%.0f events/s " +
-                f"below floor $ThroughputRateMin%.0f")
-            ok || ThroughputRateMin <= 0.0
-          },
           data.last.stateRows == groups,         // state_eq_groups
           data.sliding(2).forall {               // state_monotone
             case Seq(a, b) => a.stateRows <= b.stateRows
@@ -391,7 +395,7 @@ object StreamingQueries {
           }))
         import s.implicits._
         val df = out.toDF("n_events", "n_batches", "state_groups",
-          "throughput_ge_design", "state_eq_groups", "state_monotone")
+          "state_eq_groups", "state_monotone")
         (df.collect(), df.schema)
       })
     s.createDataFrame(
@@ -422,8 +426,9 @@ object StreamingQueries {
     *    window count — the point of eviction: state holds windows in
     *    flight (≈ one shard's span), never the whole history.
     * Rate protocol as the Complete drain: batch 0 (cold) and the 1-row
-    * sentinel batch are excluded from the steady-state figure; the
-    * same [[ThroughputRateMin]] floor (and escape hatch) applies. */
+    * sentinel batch are excluded from the steady-state figure, which is
+    * logged against the same [[ThroughputRateMin]] floor (telemetry,
+    * never hashed). */
   private def throughputAppendDrain(s: org.apache.spark.sql.SparkSession,
                                     d: String): org.apache.spark.sql.DataFrame = {
     val (rows, schema) = drainCache.computeIfAbsent(
@@ -473,26 +478,23 @@ object StreamingQueries {
         val steadyRows = steady.map(_.numInputRows).sum
         val steadyMs = math.max(1L, steady.map(_.triggerMs).sum)
         val rate = steadyRows.toDouble * 1000.0 / steadyMs.toDouble
-        val rateOk = {
-          val ok = rate >= ThroughputRateMin
-          if (!ok) System.err.println(
-            f"[throughputAppendDrain] steady-state rate $rate%.0f " +
-              f"events/s below floor $ThroughputRateMin%.0f")
-          ok || ThroughputRateMin <= 0.0
-        }
+        // Rate telemetry, never hashed (see ThroughputRateMin).
+        System.err.println(
+          f"[throughputAppendDrain] steady-state rate $rate%.0f events/s " +
+            f"(design-point floor $ThroughputRateMin%.0f: " +
+            f"${if (rate >= ThroughputRateMin) "met" else "BELOW"})")
         val removedTotal = all.map(_.stateRemoved).sum
         val out = Seq((
           data.map(_.numInputRows).sum - 1L,     // n_events (w/o sentinel)
           data.length.toLong,                    // n_batches
           emittedCnt,                            // n_windows
-          rateOk,                                // throughput_ge_design
           removedTotal == emittedCnt,            // evicted_eq_emitted
           all.last.stateRows == 1L,              // state_final_sentinel
           all.map(_.stateRows).max < emittedCnt  // state_bounded
         ))
         import s.implicits._
         val df = out.toDF("n_events", "n_batches", "n_windows",
-          "throughput_ge_design", "evicted_eq_emitted",
+          "evicted_eq_emitted",
           "state_final_sentinel", "state_bounded")
         (df.collect(), df.schema)
       })
@@ -694,7 +696,7 @@ object StreamingQueries {
          |  (SELECT CAST(count(*) AS BIGINT) FROM
          |    (SELECT DISTINCT event_type, date_trunc('hour', ts) FROM events))
          |    AS state_groups,
-         |  true AS throughput_ge_design, true AS state_eq_groups,
+         |  true AS state_eq_groups,
          |  true AS state_monotone
          |FROM events""".stripMargin) { (s, d) =>
       throughputDrain(s, d)
@@ -715,7 +717,7 @@ object StreamingQueries {
          |  (SELECT CAST(count(*) AS BIGINT) FROM
          |    (SELECT DISTINCT event_type, date_trunc('hour', ts) FROM events))
          |    AS n_windows,
-         |  true AS throughput_ge_design, true AS evicted_eq_emitted,
+         |  true AS evicted_eq_emitted,
          |  true AS state_final_sentinel, true AS state_bounded
          |FROM events""".stripMargin) { (s, d) =>
       throughputAppendDrain(s, d)
