@@ -125,6 +125,7 @@ case class AsOfJoinExec(
     val lt = leftTime
     val rt = rightTime
     val fwd = forward
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // Bind per partition: UnsafeProjections are not thread/host-safe
       // to ship pre-built.
@@ -135,6 +136,11 @@ case class AsOfJoinExec(
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
+      // Downstream operators (exchange, collect, aggregate-without-
+      // project) require UnsafeRow output — a bare JoinedRow class-casts
+      // at the first getByteArrayRdd. Same resultProj discipline as
+      // SortMergeJoinExec.
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
 
       new Iterator[InternalRow] {
         // Lookahead right row (not yet consumed into the candidate).
@@ -165,7 +171,7 @@ case class AsOfJoinExec(
           if (lKey.anyNull) {
             // Null keys never match; null-key lefts sort first, so the
             // right cursor hasn't moved past anything they could need.
-            joined(l, nullRight)
+            resultProj(joined(l, nullRight))
           } else {
             val ltRow = lTimeProj(l)
             val lTimeNull = ltRow.isNullAt(0)
@@ -200,12 +206,12 @@ case class AsOfJoinExec(
               if (rRow != null && !lTimeNull && !rTimeNull && !rKey.anyNull &&
                   keyOrd.compare(rKey, lKey) == 0 && rTime >= lTime) {
                 numMatched += 1
-                joined(l, rRow)
-              } else joined(l, nullRight)
+                resultProj(joined(l, rRow))
+              } else resultProj(joined(l, nullRight))
             } else if (cand != null && !lTimeNull) {
               numMatched += 1
-              joined(l, cand)
-            } else joined(l, nullRight)
+              resultProj(joined(l, cand))
+            } else resultProj(joined(l, nullRight))
           }
         }
       }

@@ -34,6 +34,38 @@ object FormatQueries {
   private val MLogDumpDir = TmpDirs.persistent(
     s"graft_mlog_dump_${ProcessHandle.current().pid()}")
 
+  /** The two-commit mlog store (7-file overwrite, then a 3-file append
+    * through the manifest merge) shared by dsv2_mlog_roundtrip and
+    * sql_mlog_scan — write-once per (JVM, sf) behind a _READY marker
+    * (absent marker = died between commits, rebuild both). Returns the
+    * store path and its manifest entries. */
+  private def mlogStore(s: SparkSession, d: String)
+      : (String, Seq[graft.sources.v2.MLog.FileEntry]) = {
+    val dir = TmpDirs.scoped(s"graft_mlogstore_${QuerySpec.jvmScopedKey(d)}")
+    val ready = new java.io.File(dir, "_READY")
+    val store = new java.io.File(dir, "store").getAbsolutePath
+    if (!ready.exists()) {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(): Unit
+      }
+      rmTree(dir); dir.mkdirs()
+      val ledger = Tables.events(s, d).select(col("event_id").as("id"),
+        col("user_id").as("k"),
+        (unix_micros(col("ts")) % 86400000000L).as("v"))
+      ledger.filter(col("id") % 5 =!= 0).repartitionByRange(7, col("k"))
+        .write.format("mlog").mode("overwrite").save(store)
+      ledger.filter(col("id") % 5 === 0).repartitionByRange(3, col("k"))
+        .write.format("mlog").mode("append").save(store)
+      ready.createNewFile(): Unit
+    }
+    val entries = graft.sources.v2.MLog.readManifest(
+      new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(store))
+    (store, entries)
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // S10: CSV fallback with declared schema. Timestamps carried as exact
@@ -512,29 +544,7 @@ object FormatQueries {
          |  (SELECT CAST(sum(n_rows) AS BIGINT) FROM m)
          |    = (SELECT count(*) FROM events) AS manifest_complete
          |FROM events, b WHERE user_id BETWEEN b.klo AND b.khi""".stripMargin) { (s, d) =>
-      val dir = TmpDirs.scoped(s"graft_mlogstore_${QuerySpec.jvmScopedKey(d)}")
-      val ready = new java.io.File(dir, "_READY")
-      val store = new java.io.File(dir, "store").getAbsolutePath
-      val ledger = Tables.events(s, d).select(col("event_id").as("id"),
-        col("user_id").as("k"),
-        (unix_micros(col("ts")) % 86400000000L).as("v"))
-      if (!ready.exists()) {
-        // Absent marker = a prior run died between commits: rebuild both.
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(): Unit
-        }
-        rmTree(dir); dir.mkdirs()
-        ledger.filter(col("id") % 5 =!= 0).repartitionByRange(7, col("k"))
-          .write.format("mlog").mode("overwrite").save(store)
-        ledger.filter(col("id") % 5 === 0).repartitionByRange(3, col("k"))
-          .write.format("mlog").mode("append").save(store)
-        ready.createNewFile(): Unit
-      }
-      val entries = graft.sources.v2.MLog.readManifest(
-        new org.apache.hadoop.fs.Path(store)
-          .getFileSystem(s.sessionState.newHadoopConf()),
-        new org.apache.hadoop.fs.Path(store))
+      val (store, entries) = mlogStore(s, d)
       // Pid-keyed oracle dump, rewritten per execution (one row per file).
       val mLocal = s.createDataFrame(
         java.util.Arrays.asList(entries.map(e => org.apache.spark.sql.Row(
@@ -558,6 +568,38 @@ object FormatQueries {
         .withColumn("pruned", lit(planned < entries.size))
         .withColumn("manifest_complete",
           lit(entries.map(_.rows).sum == Tables.events(s, d).count()))
+    },
+
+    // The DSv2 source through the PARSER: `CREATE TABLE … USING mlog
+    // OPTIONS (path …)` registers the store as a catalog table over the
+    // same TableProvider (direct `mlog.`path`` file-syntax is reserved
+    // for V1 FileFormats — UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY — so
+    // the catalog route IS the SQL surface for DSv2 sources), and the
+    // SELECT's k-range predicate still reaches SupportsPushDownFilters
+    // and prunes files on manifest min/max exactly as the DataFrame
+    // route (MLogSpec pins the syntax + pruning via lastPlanned).
+    // Oracle: the raw events under the identical predicate — the
+    // roundtrip's losslessness columns without the manifest-dump
+    // dependency, so this query stays self-contained under a filtered
+    // Verify.
+    checked("sql_mlog_scan",
+      s"""WITH b AS (SELECT CAST(floor(0.30 * max(user_id)) AS BIGINT) AS klo,
+         |    CAST(floor(0.70 * max(user_id)) AS BIGINT) AS khi FROM events)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id
+         |FROM events, b WHERE user_id BETWEEN b.klo AND b.khi""".stripMargin) { (s, d) =>
+      val (store, entries) = mlogStore(s, d)
+      val maxK = entries.map(_.maxK).max
+      val (kLo, kHi) =
+        (math.floor(0.30 * maxK).toLong, math.floor(0.70 * maxK).toLong)
+      val tbl = s"graft_mlog_${QuerySpec.jvmScopedKey(d)}"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING mlog OPTIONS (path '$store')")
+      s.sql(
+        s"""SELECT count(*) AS n, sum(v) AS sum_v,
+           |  min(id) AS min_id, max(id) AS max_id
+           |FROM $tbl WHERE k BETWEEN $kLo AND $kHi""".stripMargin)
     },
 
     // The GC half of the mlog lifecycle: an overwrite SUPERSEDES the

@@ -197,6 +197,25 @@ class AsOfJoinSpec extends SparkSpec {
       "a marker whose sides don't split left/right must not rewrite")
   }
 
+  test("exec metrics: numOutputRows counts lefts, numMatched the joined ones") {
+    val df = AsOf.joinBackward(leftDf, rightDf,
+      Seq("user"), Seq("r_user"), "t", "r_t")
+    df.collect()
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[graft.plans.AsOfJoinExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(q.plan)
+      case x: graft.plans.AsOfJoinExec => Some(x)
+      case other => other.children.view.flatMap(find).headOption
+    }
+    val exec = find(df.queryExecution.executedPlan)
+      .getOrElse(fail("no AsOfJoinExec in the executed plan"))
+    assert(exec.metrics("numOutputRows").value === 5L) // every left row
+    assert(exec.metrics("numMatched").value === 2L) // ids 1 and 2 only
+  }
+
   test("plan shape: AsOfJoinExec node, no window buffers, shuffled-join exchanges") {
     try {
       val q = SparkEntry.allQueries.find(_.name == "join_asof_exec").get

@@ -108,6 +108,23 @@ class MLogSpec extends SparkSpec {
       err.getMessage.contains("schema") || err.getMessage.contains("column"))
   }
 
+  test("SQL route: CREATE TABLE USING mlog resolves the provider and still prunes") {
+    val dir = tmp()
+    ledger(700).repartitionByRange(7, col("k")).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    val total = MLog.readManifest(fs(dir), new Path(dir)).size
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS mlog_spec_tbl USING mlog OPTIONS (path '$dir')")
+    try {
+      val row = spark.sql(
+        "SELECT count(*), sum(v) FROM mlog_spec_tbl WHERE k = 3").head
+      val (planned, seen) = MLog.lastPlanned
+      assert(row.getLong(0) === 100L)
+      assert(seen === total && planned < total,
+        s"the parser route must prune like the DataFrame route (planned $planned/$total)")
+    } finally spark.sql("DROP TABLE IF EXISTS mlog_spec_tbl"): Unit
+  }
+
   test("vacuum removes exactly the unreferenced data files") {
     val dir = tmp()
     ledger(70).repartition(7).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
