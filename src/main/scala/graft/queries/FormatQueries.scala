@@ -602,18 +602,71 @@ object FormatQueries {
            |FROM $tbl WHERE k BETWEEN $kLo AND $kHi""".stripMargin)
     },
 
-    // The GC half of the mlog lifecycle: an overwrite SUPERSEDES the
-    // previous commit's files (the manifest swap makes them garbage, it
-    // does not delete them), and `MLog.vacuum` reclaims exactly the
-    // unreferenced ones. Lifecycle here: commit 1 writes 7 range files,
-    // commit 2 OVERWRITES with the full ledger in 3 — so vacuum must
-    // remove exactly 7 orphans (a declared constant of the lifecycle,
-    // like the planted-dup counts) and leave the data dir ≡ the manifest
+    // TIME TRAVEL on the mlog store: every commit writes an immutable
+    // snapshot manifest before swapping the current pointer, so
+    // `.option("versionAsOf", n)` plans from commit n's manifest — the
+    // Iceberg/Delta read primitive that makes a training run
+    // REPRODUCIBLE against a table that keeps ingesting (pin the
+    // snapshot id in the run config; the reader sees that commit's
+    // files regardless of later overwrites). Lifecycle: v1 = 4/5 of
+    // the ledger, v2 = OVERWRITE with all of it; the query reads BOTH
+    // through the source — versionAsOf v1 must equal DuckDB over the
+    // raw events under v1's predicate while the current read sees
+    // everything, and n_versions pins the snapshot count.
+    checked("dsv2_mlog_time_travel",
+      s"""SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events
+         |    WHERE event_id % 5 <> 0) AS n_v1,
+         |  (SELECT CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) FROM events
+         |    WHERE event_id % 5 <> 0) AS sum_v1,
+         |  CAST(count(*) AS BIGINT) AS n_cur,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_cur,
+         |  CAST(2 AS BIGINT) AS n_versions
+         |FROM events""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogtt_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      if (!ready.exists()) {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        val ledger = Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+        ledger.filter(col("id") % 5 =!= 0).repartitionByRange(7, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        ledger.repartitionByRange(3, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        ready.createNewFile(): Unit
+      }
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val vs = graft.sources.v2.MLog.versions(fs,
+        new org.apache.hadoop.fs.Path(store))
+      val v1 = s.read.format("mlog").option("versionAsOf", vs.head)
+        .load(store)
+        .agg(count(lit(1)).as("n_v1"), sum(col("v")).as("sum_v1"))
+      val cur = s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n_cur"), sum(col("v")).as("sum_cur"))
+      v1.crossJoin(cur).withColumn("n_versions", lit(vs.size.toLong))
+    },
+
+    // The RETENTION half of the mlog lifecycle: an overwrite SUPERSEDES
+    // the previous commit’s files but its snapshot manifest still names
+    // them (time travel), so reclamation is two-phase — EXPIRE the old
+    // snapshot (`MLog.expireVersions`, keepLast = 1: exactly 1 here),
+    // THEN `MLog.vacuum` reclaims exactly the now-unreferenced files.
+    // Lifecycle: commit 1 writes 7 range files, commit 2 OVERWRITES with
+    // the full ledger in 3 — expire drops snapshot v1, vacuum removes
+    // exactly those 7 (declared lifecycle constants, like the
+    // planted-dup counts) and leaves the data dir ≡ the manifest
     // (`dir_clean`, recomputed per call). The k-range aggregate over the
     // post-vacuum read is gated against DuckDB over the RAW events:
-    // vacuuming changed nothing a reader can see. The removed count is
+    // retention changed nothing a current reader can see. The counts are
     // persisted in the _READY marker so memoized re-entries re-report
-    // the same lifecycle fact.
+    // the same lifecycle facts.
     checked("dsv2_mlog_vacuum",
       s"""WITH b AS (SELECT CAST(floor(0.30 * max(user_id)) AS BIGINT) AS klo,
          |    CAST(floor(0.70 * max(user_id)) AS BIGINT) AS khi FROM events)
@@ -622,6 +675,7 @@ object FormatQueries {
          |  CAST(min(event_id) AS BIGINT) AS min_id,
          |  CAST(max(event_id) AS BIGINT) AS max_id,
          |  CAST(3 AS BIGINT) AS n_live_files,
+         |  CAST(1 AS BIGINT) AS expired_versions,
          |  CAST(7 AS BIGINT) AS orphans_removed,
          |  true AS dir_clean
          |FROM events, b WHERE user_id BETWEEN b.klo AND b.khi""".stripMargin) { (s, d) =>
@@ -634,7 +688,7 @@ object FormatQueries {
       val ledger = Tables.events(s, d).select(col("event_id").as("id"),
         col("user_id").as("k"),
         (unix_micros(col("ts")) % 86400000000L).as("v"))
-      val removed: Long = if (!ready.exists()) {
+      val (expired, removed) = if (!ready.exists()) {
         def rmTree(f: java.io.File): Unit = {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
           f.delete(): Unit
@@ -644,13 +698,22 @@ object FormatQueries {
           .write.format("mlog").mode("overwrite").save(store)
         ledger.repartitionByRange(3, col("k"))
           .write.format("mlog").mode("overwrite").save(store)
-        val n = graft.sources.v2.MLog.vacuum(fs,
-          new org.apache.hadoop.fs.Path(store))
+        // Retention order (the Iceberg discipline): EXPIRE the snapshot
+        // still naming the superseded files, THEN vacuum — a vacuum
+        // before expiry removes nothing, because time travel to v1 must
+        // keep working while its snapshot is retained.
+        val path = new org.apache.hadoop.fs.Path(store)
+        val nExp = graft.sources.v2.MLog.expireVersions(fs, path, keepLast = 1)
+        val n = graft.sources.v2.MLog.vacuum(fs, path)
         java.nio.file.Files.write(ready.toPath,
-          n.toString.getBytes("UTF-8"))
-        n
-      } else new String(
-        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8").trim.toLong
+          s"$nExp $n".getBytes("UTF-8"))
+        (nExp.toLong, n)
+      } else {
+        val parts = new String(
+          java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+          .trim.split(" ")
+        (parts(0).toLong, parts(1).toLong)
+      }
       val live = graft.sources.v2.MLog.readManifest(fs,
         new org.apache.hadoop.fs.Path(store))
       val onDisk = Option(storeDir.listFiles()).getOrElse(Array.empty)
@@ -663,6 +726,7 @@ object FormatQueries {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
         .withColumn("n_live_files", lit(live.size.toLong))
+        .withColumn("expired_versions", lit(expired))
         .withColumn("orphans_removed", lit(removed))
         .withColumn("dir_clean", lit(onDisk == live.map(_.name).toSet))
     })

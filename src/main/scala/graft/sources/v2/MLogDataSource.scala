@@ -31,10 +31,15 @@ import org.apache.spark.util.SerializableConfiguration
   *    (id, k, v: all BIGINT), 8-byte magic/version header then 24-byte
   *    big-endian rows. Executors write STAGED files named uniquely per
   *    task attempt; nothing refers to them yet.
-  *  - `_mlog_manifest.json` — the single source of truth: committed file
-  *    names with row counts and per-file (id, k) min/max. A reader plans
-  *    from the manifest ALONE (never a directory listing), so aborted or
+  *  - `_mlog_manifest.json` — the current pointer: committed file names
+  *    with row counts and per-file (id, k) min/max. A reader plans from
+  *    a manifest ALONE (never a directory listing), so aborted or
   *    orphaned part files are invisible by construction.
+  *  - `_mlog_vNNNNN.json` — one immutable snapshot per commit (written
+  *    before the current-pointer swap): `.option("versionAsOf", n)`
+  *    plans from snapshot n — time travel; [[MLog.expireVersions]]
+  *    drops old snapshots and [[MLog.vacuum]] then reclaims data files
+  *    no retained snapshot references.
   *
   * Exactly-once batch commit: each `DataWriter.commit()` returns its
   * file's stats as the commit message; `BatchWrite.commit(messages)` runs
@@ -83,8 +88,30 @@ object MLog {
     * a test hook for pinning manifest pruning. */
   @volatile var lastPlanned: (Int, Int) = (0, 0)
 
-  def readManifest(fs: FileSystem, dir: Path): Seq[FileEntry] = {
-    val mf = new Path(dir, ManifestName)
+  def readManifest(fs: FileSystem, dir: Path): Seq[FileEntry] =
+    readManifestFile(fs, new Path(dir, ManifestName))
+
+  /** Snapshot read: the manifest exactly as commit `v` published it.
+    * Fails (rather than silently serving current) when the version was
+    * never written or has been expired. */
+  def readManifestVersion(fs: FileSystem, dir: Path, v: Int): Seq[FileEntry] = {
+    val f = versionPath(dir, v)
+    require(fs.exists(f),
+      s"mlog version $v does not exist (expired or never committed) under $dir")
+    readManifestFile(fs, f)
+  }
+
+  /** Committed snapshot versions still on disk, ascending. */
+  def versions(fs: FileSystem, dir: Path): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case VersionRe(n) => n.toInt }.sorted
+
+  private val VersionRe = """_mlog_v(\d{5})\.json""".r
+  private def versionPath(dir: Path, v: Int): Path =
+    new Path(dir, f"_mlog_v$v%05d.json")
+
+  private def readManifestFile(fs: FileSystem, mf: Path): Seq[FileEntry] = {
     if (!fs.exists(mf)) return Seq.empty
     val in = fs.open(mf)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -115,22 +142,44 @@ object MLog {
       n.put("minId", e.minId); n.put("maxId", e.maxId)
       n.put("minK", e.minK); n.put("maxK", e.maxK): Unit
     }
+    val bytes = mapper.writeValueAsBytes(root)
+    // Snapshot file FIRST (crash after it = a harmless orphan version;
+    // readers still see the old current), then the current-pointer swap.
+    val v = versions(fs, dir).lastOption.getOrElse(0) + 1
+    val vOut = fs.create(versionPath(dir, v), false)
+    try vOut.write(bytes) finally vOut.close()
     val tmp = new Path(dir, s".${ManifestName}.tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    try out.write(bytes) finally out.close()
     val target = new Path(dir, ManifestName)
     if (fs.exists(target)) fs.delete(target, false)
     require(fs.rename(tmp, target), s"manifest swap failed: $tmp -> $target")
   }
 
-  /** Garbage-collect every `.mlog` data file the manifest does not
-    * reference — the debris overwrite supersession and mid-write deaths
-    * leave behind. Safe at any time because readers plan from the
-    * manifest alone (a file becomes garbage the instant the manifest
-    * swap lands); returns the number removed. A real multi-writer table
-    * would fence this on manifest age to spare in-flight commits. */
+  /** Drop all but the newest `keepLast` snapshot manifests (never the
+    * current pointer) — the expire-snapshots half of retention; returns
+    * how many were removed. Files an expired snapshot referenced become
+    * vacuum-able once no retained snapshot names them. */
+  def expireVersions(fs: FileSystem, dir: Path, keepLast: Int): Int = {
+    val vs = versions(fs, dir)
+    val drop = vs.dropRight(math.max(0, keepLast))
+    drop.foreach(v => fs.delete(versionPath(dir, v), false))
+    drop.length
+  }
+
+  /** Garbage-collect every `.mlog` data file that NO retained snapshot
+    * manifest (nor the current pointer) references — the debris of
+    * mid-write deaths, and of superseded commits once
+    * [[expireVersions]] has dropped the snapshots naming them. A file
+    * referenced by any retained version stays: time travel to that
+    * version must keep working. Safe at any time because readers plan
+    * from manifests alone; returns the number removed. A real
+    * multi-writer table would fence this on manifest age to spare
+    * in-flight commits. */
   def vacuum(fs: FileSystem, dir: Path): Long = {
-    val live = readManifest(fs, dir).map(_.name).toSet
+    val live = (readManifest(fs, dir) ++
+      versions(fs, dir).flatMap(readManifestVersion(fs, dir, _)))
+      .map(_.name).toSet
     val junk = fs.listStatus(dir).filter(st => st.isFile &&
       st.getPath.getName.endsWith(".mlog") && !live(st.getPath.getName))
     junk.foreach(st => fs.delete(st.getPath, false))
@@ -165,8 +214,15 @@ class MLogTable(properties: JMap[String, String])
     m.asScala.toMap
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MLogScanBuilder(MLog.pathOf(merged(options)), MLog.hadoopConf())
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = merged(options)
+    // Time travel: .option("versionAsOf", n) plans from snapshot n's
+    // manifest instead of the current pointer.
+    val version = m.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.trim.toInt
+    }
+    new MLogScanBuilder(MLog.pathOf(m), MLog.hadoopConf(), version)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
@@ -278,7 +334,8 @@ case class MLogWriterFactory(dir: String, conf: SerializableConfiguration)
 
 // ----------------------------------------------------------------- read
 
-class MLogScanBuilder(dir: Path, conf: SerializableConfiguration)
+class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
+                      version: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -297,7 +354,10 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration)
 
   override def build(): Scan = {
     val fs = dir.getFileSystem(conf.value)
-    val all = MLog.readManifest(fs, dir)
+    val all = version match {
+      case Some(v) => MLog.readManifestVersion(fs, dir, v)
+      case None => MLog.readManifest(fs, dir)
+    }
     val survivors = all.filter(e => prunable.forall(MLogScanBuilder.accepts(e, _)))
     MLog.lastPlanned = (survivors.length, all.length)
     MLogScan(dir.toString, survivors, all.length, required, conf)

@@ -125,19 +125,38 @@ class MLogSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS mlog_spec_tbl"): Unit
   }
 
-  test("vacuum removes exactly the unreferenced data files") {
+  test("retention: snapshots protect superseded files; expire then vacuum") {
     val dir = tmp()
     ledger(70).repartition(7).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
     ledger(70).repartition(3).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
-    // 7 superseded orphans + 3 live; junk from a dead attempt also goes.
+    // Junk from a dead attempt is referenced by NO snapshot: only it goes.
     new java.io.FileOutputStream(new java.io.File(dir, "part-dead.mlog")).close()
     val before = spark.read.format("mlog").load(dir).agg(sum("v")).head.getLong(0)
-    val removed = MLog.vacuum(fs(dir), new Path(dir))
-    assert(removed === 8L)
+    assert(MLog.vacuum(fs(dir), new Path(dir)) === 1L,
+      "retained snapshot v1 must protect the 7 superseded files")
+    // Expire v1, then vacuum reclaims exactly the files only it named.
+    assert(MLog.expireVersions(fs(dir), new Path(dir), keepLast = 1) === 1)
+    assert(MLog.vacuum(fs(dir), new Path(dir)) === 7L)
     val left = Option(new java.io.File(dir).listFiles()).get
       .map(_.getName).filter(_.endsWith(".mlog")).toSet
     assert(left === MLog.readManifest(fs(dir), new Path(dir)).map(_.name).toSet)
     assert(spark.read.format("mlog").load(dir).agg(sum("v")).head.getLong(0) === before)
+  }
+
+  test("time travel: versionAsOf reads each commit's snapshot") {
+    val dir = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2))
+    def n(v: Int): Long = spark.read.format("mlog")
+      .option("versionAsOf", v).load(dir).count()
+    assert(n(1) === 50L && n(2) === 10L)
+    assert(spark.read.format("mlog").load(dir).count() === 10L)
+    // Expired snapshots fail loudly rather than silently serving current.
+    MLog.expireVersions(fs(dir), new Path(dir), keepLast = 1)
+    val err = intercept[Exception] { n(1) }
+    assert(err.getMessage.contains("version 1"))
+    assert(n(2) === 10L)
   }
 
   test("accepts(): manifest range algebra per filter shape") {
