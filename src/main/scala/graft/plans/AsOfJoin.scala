@@ -268,12 +268,25 @@ object AsOf {
     def attr(out: Seq[Attribute], n: String, side: String): Attribute =
       out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"as-of $side column '$n' not in [${out.map(_.name).mkString(", ")}]"))
+    // Same strictness as the SQL route's AsOfMark.checkInputDataTypes:
+    // the ordering comparison is only meaningful over ONE type — a
+    // Timestamp/Long mix would silently compare epoch-micros to raw longs.
+    val lt = attr(la.output, leftTimeCol, "left")
+    val rt = attr(ra.output, rightTimeCol, "right")
+    require(lt.dataType == rt.dataType,
+      s"as-of time columns must share a type; got $leftTimeCol: " +
+        s"${lt.dataType.simpleString} vs $rightTimeCol: ${rt.dataType.simpleString}")
+    leftOn.zip(rightOn).foreach { case (l, r) =>
+      val (lk, rk) = (attr(la.output, l, "left"), attr(ra.output, r, "right"))
+      require(lk.dataType == rk.dataType,
+        s"as-of key pair ($l, $r) must share a type; got " +
+          s"${lk.dataType.simpleString} vs ${rk.dataType.simpleString}")
+    }
     GraftExpressionBridge.ofRows(spark, AsOfJoinPlan(
       la, ra,
       leftOn.map(attr(la.output, _, "left")),
       rightOn.map(attr(ra.output, _, "right")),
-      attr(la.output, leftTimeCol, "left"),
-      attr(ra.output, rightTimeCol, "right"),
+      lt, rt,
       forward))
   }
 

@@ -77,10 +77,31 @@ case class AsOfMark(left: Expression, right: Expression, forward: Boolean)
   * executes as its bare comparison. */
 object AsOfJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(_, _, LeftOuter, Some(cond), _)
-        if cond.exists(_.isInstanceOf[AsOfMark]) =>
-      rewrite(j, cond).getOrElse(j)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val rewritten = plan.transformUp {
+      case j @ Join(_, _, LeftOuter, Some(cond), _)
+          if cond.exists(_.isInstanceOf[AsOfMark]) =>
+        rewrite(j, cond).getOrElse(j)
+    }
+    // Make the documented degrade OBSERVABLE: a marker this rule could
+    // not lift (shape unprovable here, or an earlier rule reshaped the
+    // join — e.g. EliminateOuterJoin turned the LeftOuter into Inner
+    // under a null-rejecting filter) executes as its bare range
+    // comparison, i.e. a many-to-many range join, not a single-match
+    // as-of. A user who believes the marker fired needs a signal.
+    rewritten.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case m: AsOfMark => logWarning(
+          s"${m.prettyName} marker was NOT rewritten to AsOfJoinExec at " +
+            s"${node.nodeName}; it degrades to the bare range predicate " +
+            "(many-to-many range join, not single-match as-of). " +
+            "Provable shape: LEFT OUTER join, condition = equi-key " +
+            "conjuncts AND exactly one marker with left/right sides " +
+            "from the respective join sides.")
+        case _ => ()
+      })
+    }
+    rewritten
   }
 
   private def rewrite(j: Join, cond: Expression): Option[AsOfJoinPlan] = {

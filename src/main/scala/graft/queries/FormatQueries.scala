@@ -658,15 +658,18 @@ object FormatQueries {
     // them (time travel), so reclamation is two-phase — EXPIRE the old
     // snapshot (`MLog.expireVersions`, keepLast = 1: exactly 1 here),
     // THEN `MLog.vacuum` reclaims exactly the now-unreferenced files.
-    // Lifecycle: commit 1 writes 7 range files, commit 2 OVERWRITES with
-    // the full ledger in 3 — expire drops snapshot v1, vacuum removes
-    // exactly those 7 (declared lifecycle constants, like the
-    // planted-dup counts) and leaves the data dir ≡ the manifest
-    // (`dir_clean`, recomputed per call). The k-range aggregate over the
-    // post-vacuum read is gated against DuckDB over the RAW events:
-    // retention changed nothing a current reader can see. The counts are
-    // persisted in the _READY marker so memoized re-entries re-report
-    // the same lifecycle facts.
+    // Lifecycle: commit 1 writes the 4/5 ledger range-partitioned,
+    // commit 2 OVERWRITES with the full ledger — expire drops snapshot
+    // v1, and vacuum must remove EXACTLY the files v1 named that the
+    // current manifest does not (the superseded set, measured from the
+    // two manifests BEFORE expiry — not a hard-coded file count, which
+    // would couple the gate to how many non-empty partitions the
+    // range-writer happened to produce at this SF). The data dir ends
+    // ≡ the manifest (`dir_clean`, recomputed per call) and the k-range
+    // aggregate over the post-vacuum read is gated against DuckDB over
+    // the RAW events: retention changed nothing a current reader can
+    // see. The measured lifecycle facts persist in the _READY marker so
+    // memoized re-entries re-report them.
     checked("dsv2_mlog_vacuum",
       s"""WITH b AS (SELECT CAST(floor(0.30 * max(user_id)) AS BIGINT) AS klo,
          |    CAST(floor(0.70 * max(user_id)) AS BIGINT) AS khi FROM events)
@@ -674,13 +677,13 @@ object FormatQueries {
          |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
          |  CAST(min(event_id) AS BIGINT) AS min_id,
          |  CAST(max(event_id) AS BIGINT) AS max_id,
-         |  CAST(3 AS BIGINT) AS n_live_files,
          |  CAST(1 AS BIGINT) AS expired_versions,
-         |  CAST(7 AS BIGINT) AS orphans_removed,
+         |  true AS vacuum_effective,
+         |  true AS orphans_match_superseded,
          |  true AS dir_clean
          |FROM events, b WHERE user_id BETWEEN b.klo AND b.khi""".stripMargin) { (s, d) =>
       val dir = TmpDirs.scoped(s"graft_mlogvac_${QuerySpec.jvmScopedKey(d)}")
-      val ready = new java.io.File(dir, "_READY")
+      val ready = new java.io.File(dir, "_READY2")
       val storeDir = new java.io.File(dir, "store")
       val store = storeDir.getAbsolutePath
       val fs = new org.apache.hadoop.fs.Path(store)
@@ -688,7 +691,7 @@ object FormatQueries {
       val ledger = Tables.events(s, d).select(col("event_id").as("id"),
         col("user_id").as("k"),
         (unix_micros(col("ts")) % 86400000000L).as("v"))
-      val (expired, removed) = if (!ready.exists()) {
+      val (expired, removed, superseded) = if (!ready.exists()) {
         def rmTree(f: java.io.File): Unit = {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
           f.delete(): Unit
@@ -698,21 +701,32 @@ object FormatQueries {
           .write.format("mlog").mode("overwrite").save(store)
         ledger.repartitionByRange(3, col("k"))
           .write.format("mlog").mode("overwrite").save(store)
+        val path = new org.apache.hadoop.fs.Path(store)
+        // The EXPECTED reclamation set, from the manifests themselves
+        // (pre-expiry): files snapshot v1 names that the current
+        // manifest does not. Derived, never assumed — the range writer
+        // creates no file for an empty partition, so file counts are an
+        // SF-dependent fact of the layout, not of the product code.
+        val v1 = graft.sources.v2.MLog.versions(fs, path).head
+        val v1Files = graft.sources.v2.MLog
+          .readManifestVersion(fs, path, v1).map(_.name).toSet
+        val curFiles = graft.sources.v2.MLog
+          .readManifest(fs, path).map(_.name).toSet
+        val nSuperseded = (v1Files -- curFiles).size.toLong
         // Retention order (the Iceberg discipline): EXPIRE the snapshot
         // still naming the superseded files, THEN vacuum — a vacuum
         // before expiry removes nothing, because time travel to v1 must
         // keep working while its snapshot is retained.
-        val path = new org.apache.hadoop.fs.Path(store)
         val nExp = graft.sources.v2.MLog.expireVersions(fs, path, keepLast = 1)
         val n = graft.sources.v2.MLog.vacuum(fs, path)
         java.nio.file.Files.write(ready.toPath,
-          s"$nExp $n".getBytes("UTF-8"))
-        (nExp.toLong, n)
+          s"$nExp $n $nSuperseded".getBytes("UTF-8"))
+        (nExp.toLong, n, nSuperseded)
       } else {
         val parts = new String(
           java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
           .trim.split(" ")
-        (parts(0).toLong, parts(1).toLong)
+        (parts(0).toLong, parts(1).toLong, parts(2).toLong)
       }
       val live = graft.sources.v2.MLog.readManifest(fs,
         new org.apache.hadoop.fs.Path(store))
@@ -725,9 +739,9 @@ object FormatQueries {
         .filter(col("k").between(kLo, kHi))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
-        .withColumn("n_live_files", lit(live.size.toLong))
         .withColumn("expired_versions", lit(expired))
-        .withColumn("orphans_removed", lit(removed))
+        .withColumn("vacuum_effective", lit(removed >= 1L))
+        .withColumn("orphans_match_superseded", lit(removed == superseded))
         .withColumn("dir_clean", lit(onDisk == live.map(_.name).toSet))
     })
 

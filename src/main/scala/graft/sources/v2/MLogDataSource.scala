@@ -88,8 +88,21 @@ object MLog {
     * a test hook for pinning manifest pruning. */
   @volatile var lastPlanned: (Int, Int) = (0, 0)
 
-  def readManifest(fs: FileSystem, dir: Path): Seq[FileEntry] =
-    readManifestFile(fs, new Path(dir, ManifestName))
+  /** The current table state. Normally the `_mlog_manifest.json` pointer;
+    * if the pointer is ABSENT but committed snapshots exist (a crash
+    * between delete and rename under a non-atomic-overwrite filesystem,
+    * or manual damage), recovers from the NEWEST snapshot rather than
+    * silently serving an empty table — an existing table must never read
+    * as zero files. Only a directory with neither pointer nor snapshots
+    * (a brand-new table) is legitimately empty. */
+  def readManifest(fs: FileSystem, dir: Path): Seq[FileEntry] = {
+    val current = new Path(dir, ManifestName)
+    if (fs.exists(current)) readManifestFile(fs, current)
+    else versions(fs, dir).lastOption match {
+      case Some(v) => readManifestVersion(fs, dir, v)
+      case None => Seq.empty
+    }
+  }
 
   /** Snapshot read: the manifest exactly as commit `v` published it.
     * Fails (rather than silently serving current) when the version was
@@ -107,7 +120,9 @@ object MLog {
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case VersionRe(n) => n.toInt }.sorted
 
-  private val VersionRe = """_mlog_v(\d{5})\.json""".r
+  // \d{5,}: versionPath pads to 5 digits but emits 6+ past v99999 —
+  // parsing must tolerate every width %05d can produce.
+  private val VersionRe = """_mlog_v(\d{5,})\.json""".r
   private def versionPath(dir: Path, v: Int): Path =
     new Path(dir, f"_mlog_v$v%05d.json")
 
@@ -152,8 +167,13 @@ object MLog {
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     val target = new Path(dir, ManifestName)
-    if (fs.exists(target)) fs.delete(target, false)
-    require(fs.rename(tmp, target), s"manifest swap failed: $tmp -> $target")
+    // ATOMIC pointer swap: FileContext.rename with Rename.OVERWRITE is a
+    // single atomic replace on HDFS and local — there is no window where
+    // the current pointer is absent (a delete-then-rename would expose
+    // one, and a crash inside it would strand the table pointer-less).
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, fs.getConf)
+    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Drop all but the newest `keepLast` snapshot manifests (never the

@@ -148,6 +148,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(err2.getMessage.contains("nope"))
   }
 
+  test("time and key columns must share a type (DataFrame route = SQL route strictness)") {
+    import spark.implicits._
+    // Timestamp left vs BIGINT right: epoch-micros-vs-raw-long comparison
+    // would be silently wrong — must be rejected at planning, exactly as
+    // AsOfMark.checkInputDataTypes rejects it on the SQL route.
+    val rLong = Seq((100L, "u1", 8L)).toDF("rid", "r_user", "r_t")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(leftDf, rLong, Seq("user"), Seq("r_user"), "t", "r_t")
+    }
+    assert(e1.getMessage.contains("share a type"))
+    // Mismatched equality-key types are rejected too.
+    val rKeyInt = Seq((100L, 1L, ts("2024-01-01 00:00:08")))
+      .toDF("rid", "r_user", "r_t")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(leftDf, rKeyInt, Seq("user"), Seq("r_user"), "t", "r_t")
+    }
+    assert(e2.getMessage.contains("share a type"))
+  }
+
   test("route equivalence: join_asof_exec == join_asof (composed window route)") {
     def rows(name: String): Set[String] =
       try {

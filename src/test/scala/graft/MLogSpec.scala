@@ -159,6 +159,50 @@ class MLogSpec extends SparkSpec {
     assert(n(2) === 10L)
   }
 
+  test("missing current pointer recovers from the newest snapshot, never empty") {
+    val dir = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    ledger(80).coalesce(2).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    // Simulate a crash that lost the current pointer (the window a
+    // non-atomic delete-then-rename would expose): snapshots survive.
+    fs(dir).delete(new Path(dir, "_mlog_manifest.json"), false)
+    val recovered = MLog.readManifest(fs(dir), new Path(dir))
+    assert(recovered.map(_.rows).sum === 80L,
+      "an existing table must never read as empty when snapshots remain")
+    assert(spark.read.format("mlog").load(dir).count() === 80L)
+    // A brand-new table (no pointer, no snapshots) is legitimately empty.
+    assert(MLog.readManifest(fs(tmp()), new Path(tmp())).isEmpty)
+  }
+
+  test("manifest publish is one atomic overwrite: pointer exists at every commit") {
+    val dir = tmp()
+    // Each overwrite commit REPLACES the pointer; with FileContext
+    // Rename.OVERWRITE there is no delete-then-rename window, so the
+    // pointer file must exist after every one of N rapid commits.
+    (1 to 5).foreach { i =>
+      ledger(i * 10).coalesce(1).write.format("mlog")
+        .mode(SaveMode.Overwrite).save(dir)
+      assert(fs(dir).exists(new Path(dir, "_mlog_manifest.json")))
+    }
+    assert(spark.read.format("mlog").load(dir).count() === 50L)
+  }
+
+  test("version parsing tolerates widths beyond the %05d padding") {
+    val dir = tmp()
+    ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    // A snapshot at v >= 100000 pads to six digits; versions() must see
+    // it (else the next commit recomputes the number and create(false)
+    // throws, and vacuum treats its files as dead).
+    val src = new Path(dir, "_mlog_v00001.json")
+    val wide = new Path(dir, "_mlog_v123456.json")
+    org.apache.hadoop.fs.FileUtil.copy(fs(dir), src, fs(dir), wide, false,
+      spark.sessionState.newHadoopConf())
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 123456))
+    // The next commit must go PAST the wide snapshot, not collide.
+    ledger(20).coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 123456, 123457))
+  }
+
   test("accepts(): manifest range algebra per filter shape") {
     val e = MLog.FileEntry("f", 10, 100, 200, 5, 9)
     assert(MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(150L))))
