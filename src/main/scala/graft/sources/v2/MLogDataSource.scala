@@ -206,6 +206,167 @@ object MLog {
     junk.length.toLong
   }
 
+  /** Outcome of a [[delete]]: how many files the predicate's manifest
+    * bounds touched (each rewritten without its matching rows), how many
+    * were carried into the new manifest untouched, rows removed, and the
+    * snapshot version the delete committed. */
+  case class DeleteStats(rewritten: Int, carried: Int, removedRows: Long,
+                         newVersion: Int)
+
+  /** Predicate DELETE with FILE-LEVEL pruning — the Delta/Iceberg
+    * copy-on-write delete: only files whose manifest min/max COULD hold a
+    * matching row (`mayMatch`, the conservative file-bounds test) are
+    * rewritten, each by one task, without the rows `matches` selects;
+    * every other file is carried into the new manifest by reference —
+    * zero bytes moved. The rewrite commits as a normal snapshot: readers
+    * are atomic-swapped to the new manifest, the PRE-delete snapshot
+    * still names the replaced files (time travel to before the delete
+    * keeps working until it is expired + vacuumed — the GDPR caveat a
+    * real table documents). At 100 TB a targeted delete touches the few
+    * files its key range clusters into, not the table. */
+  def delete(spark: SparkSession, dir: Path,
+             mayMatch: FileEntry => Boolean,
+             matches: (Long, Long, Long) => Boolean): DeleteStats = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = readManifest(fs, dir)
+    val (touched, carried) = cur.partition(mayMatch)
+    if (touched.isEmpty)
+      return DeleteStats(0, cur.size, 0L,
+        versions(fs, dir).lastOption.getOrElse(0))
+    val conf = hadoopConf()
+    val dirStr = dir.toString
+    val results = spark.sparkContext
+      .parallelize(touched, math.max(1, math.min(touched.size,
+        spark.sparkContext.defaultParallelism)))
+      .map(e => rewriteWithout(conf, dirStr, e, matches)).collect()
+    val kept = results.flatMap(_._1)
+    writeManifest(fs, dir, carried ++ kept)
+    DeleteStats(touched.size, carried.size, results.map(_._2).sum,
+      versions(fs, dir).last)
+  }
+
+  /** One task's copy-on-write rewrite: stream `e`, drop rows `matches`
+    * selects, restate min/max/rows for the replacement. An all-deleted
+    * file yields no replacement at all. */
+  private def rewriteWithout(conf: SerializableConfiguration, dir: String,
+      e: FileEntry, matches: (Long, Long, Long) => Boolean)
+      : (Option[FileEntry], Long) = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      fs.open(new Path(d, e.name))))
+    try {
+      require(in.readInt() == Magic && in.readInt() == Version,
+        s"not an mlog file: ${e.name}")
+      val name = s"part-del-${UUID.randomUUID()}.mlog"
+      var out: java.io.DataOutputStream = null
+      var rows = 0L; var removed = 0L
+      var minId = 0L; var maxId = 0L; var minK = 0L; var maxK = 0L
+      var i = 0L
+      while (i < e.rows) {
+        val id = in.readLong(); val k = in.readLong(); val v = in.readLong()
+        if (matches(id, k, v)) removed += 1
+        else {
+          if (out == null) {
+            out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+              fs.create(new Path(d, name), false)))
+            out.writeInt(Magic); out.writeInt(Version)
+          }
+          if (rows == 0L) { minId = id; maxId = id; minK = k; maxK = k }
+          else {
+            if (id < minId) minId = id; if (id > maxId) maxId = id
+            if (k < minK) minK = k; if (k > maxK) maxK = k
+          }
+          out.writeLong(id); out.writeLong(k); out.writeLong(v)
+          rows += 1
+        }
+        i += 1
+      }
+      if (out != null) out.close()
+      (if (rows > 0) Some(FileEntry(name, rows, minId, maxId, minK, maxK))
+       else None, removed)
+    } finally in.close()
+  }
+
+  /** Outcome of a [[compact]]: manifest entry counts before/after, how
+    * many small files were merged away, and the committed version. */
+  case class CompactStats(before: Int, after: Int, merged: Int,
+                          newVersion: Int)
+
+  /** Bin-packing compaction (Delta OPTIMIZE): files under `targetRows`
+    * are first-fit packed (name order — deterministic for a given
+    * manifest) into bins of ≤ `targetRows`, each multi-file bin merged
+    * by one task into one replacement file; files already ≥ target, and
+    * bins of one, are carried by reference. The merge is a pure payload
+    * concatenation (the ledger format is order-free rows behind a fixed
+    * header) and the replacement's stats are manifest ALGEBRA — sum of
+    * rows, min of mins, max of maxes — so compaction never re-parses a
+    * row. Commits as a normal snapshot: content is provably unchanged
+    * (same rows, new layout), the pre-compaction snapshot keeps the old
+    * layout readable. The 100 TB point: small-file debris from
+    * fine-grained commits is what kills O(files) planning; OPTIMIZE
+    * restores it without touching row content. */
+  def compact(spark: SparkSession, dir: Path, targetRows: Long): CompactStats = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = readManifest(fs, dir)
+    val (small, large) = cur.sortBy(_.name).partition(_.rows < targetRows)
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
+    small.foreach { e =>
+      bins.find(b => b.map(_.rows).sum + e.rows <= targetRows) match {
+        case Some(b) => b += e; ()
+        case None =>
+          bins += scala.collection.mutable.ArrayBuffer(e); ()
+      }
+    }
+    val (multi, single) = bins.map(_.toSeq).toSeq.partition(_.size >= 2)
+    if (multi.isEmpty)
+      return CompactStats(cur.size, cur.size, 0,
+        versions(fs, dir).lastOption.getOrElse(0))
+    val conf = hadoopConf()
+    val dirStr = dir.toString
+    val merged = spark.sparkContext
+      .parallelize(multi, math.max(1, math.min(multi.size,
+        spark.sparkContext.defaultParallelism)))
+      .map(b => mergeBin(conf, dirStr, b)).collect()
+    writeManifest(fs, dir, large ++ single.flatten ++ merged)
+    CompactStats(cur.size, large.size + single.size + merged.length,
+      multi.map(_.size).sum, versions(fs, dir).last)
+  }
+
+  /** One task's bin merge: header, then each input's payload copied
+    * byte-for-byte (exactly rows×24 bytes — the manifest, not EOF,
+    * bounds each copy). */
+  private def mergeBin(conf: SerializableConfiguration, dir: String,
+                       bin: Seq[FileEntry]): FileEntry = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    val name = s"part-cmp-${UUID.randomUUID()}.mlog"
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      fs.create(new Path(d, name), false)))
+    try {
+      out.writeInt(Magic); out.writeInt(Version)
+      val buf = new Array[Byte](1 << 16)
+      bin.foreach { e =>
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          fs.open(new Path(d, e.name))))
+        try {
+          require(in.readInt() == Magic && in.readInt() == Version,
+            s"not an mlog file: ${e.name}")
+          var left = e.rows * 24L
+          while (left > 0) {
+            val n = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+            require(n > 0, s"truncated mlog file ${e.name}")
+            out.write(buf, 0, n)
+            left -= n
+          }
+        } finally in.close()
+      }
+    } finally out.close()
+    FileEntry(name, bin.map(_.rows).sum, bin.map(_.minId).min,
+      bin.map(_.maxId).max, bin.map(_.minK).min, bin.map(_.maxK).max)
+  }
+
   private[v2] def hadoopConf(): SerializableConfiguration =
     new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
@@ -241,7 +402,13 @@ class MLogTable(properties: JMap[String, String])
     val version = m.collectFirst {
       case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.trim.toInt
     }
-    new MLogScanBuilder(MLog.pathOf(m), MLog.hadoopConf(), version)
+    // Incremental read: .option("changesSince", n) plans ONLY the files
+    // the end manifest (current, or versionAsOf's) names that snapshot n
+    // does not — the appended data, without rescanning history.
+    val since = m.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("changesSince") => v.trim.toInt
+    }
+    new MLogScanBuilder(MLog.pathOf(m), MLog.hadoopConf(), version, since)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -355,7 +522,8 @@ case class MLogWriterFactory(dir: String, conf: SerializableConfiguration)
 // ----------------------------------------------------------------- read
 
 class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
-                      version: Option[Int] = None)
+                      version: Option[Int] = None,
+                      changesSince: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -374,9 +542,21 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
 
   override def build(): Scan = {
     val fs = dir.getFileSystem(conf.value)
-    val all = version match {
+    val end = version match {
       case Some(v) => MLog.readManifestVersion(fs, dir, v)
       case None => MLog.readManifest(fs, dir)
+    }
+    // Incremental read = manifest DIFF: files the end state names that the
+    // base snapshot does not (append-only lineage; an intervening
+    // overwrite or compaction replaces files wholesale, so its diff is
+    // the whole new layout — correct, just not an increment; rewritten
+    // files surface fully, like Iceberg's incremental scan).
+    val all = changesSince match {
+      case Some(base) =>
+        val baseNames =
+          MLog.readManifestVersion(fs, dir, base).map(_.name).toSet
+        end.filterNot(e => baseNames(e.name))
+      case None => end
     }
     val survivors = all.filter(e => prunable.forall(MLogScanBuilder.accepts(e, _)))
     MLog.lastPlanned = (survivors.length, all.length)
