@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * `l >= r`, forward: `l <= r`) — the query still runs, as the plain
   * range join its syntax reads as, never silently as something else. */
 case class AsOfMark(left: Expression, right: Expression, forward: Boolean)
-    extends BinaryExpression with Predicate {
+    extends BinaryExpression with Predicate
+    with org.apache.spark.internal.Logging {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -50,9 +51,32 @@ case class AsOfMark(left: Expression, right: Expression, forward: Boolean)
     if (forward) LessThanOrEqual(left, right)
     else GreaterThanOrEqual(left, right)
 
-  override def eval(input: InternalRow): Any = cmp.eval(input)
+  /** Degrade signal, AT THE EXECUTION SITE: a rewrite that fires DROPS the
+    * marker (AsOfJoinPlan carries only its time expressions), so this
+    * expression being asked to eval/codegen proves NO rewrite lifted it —
+    * whatever reshaped the plan (marker under an OR, EliminateOuterJoin
+    * turning the join inner and pushing the predicate, …). Logged once per
+    * marker instance via the lazy val, not once per row/plan pass — the
+    * round-14 post-rewrite O(plan) warn traversal re-scanned every
+    * expression of every node on every optimizer invocation and duplicated
+    * the warning across batches (ADVICE round 14). */
+  @transient private lazy val degradeWarned: Boolean = {
+    logWarning(
+      s"$prettyName marker was NOT rewritten to AsOfJoinExec; it executes " +
+        "as the bare range predicate (many-to-many range join, not " +
+        "single-match as-of). Provable shape: LEFT OUTER join, condition " +
+        "= equi-key conjuncts AND exactly one marker with left/right " +
+        "sides from the respective join sides.")
+    true
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val _ = degradeWarned
+    cmp.eval(input)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val _ = degradeWarned
     val c = cmp.genCode(ctx)
     ev.copy(code = c.code, isNull = c.isNull, value = c.value)
   }
@@ -77,32 +101,40 @@ case class AsOfMark(left: Expression, right: Expression, forward: Boolean)
   * executes as its bare comparison. */
 object AsOfJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val rewritten = plan.transformUp {
+  // The degrade signal lives in TWO places, neither costing marker-free
+  // plans anything: (1) here, when this rule SEES a marked left-outer
+  // join and declines it (shape unprovable — logged at the decline, with
+  // the join's shape at hand); (2) in [[AsOfMark.degradeWarned]], when a
+  // marker the rule never even saw as a candidate (an earlier rule
+  // reshaped the join — e.g. EliminateOuterJoin under a null-rejecting
+  // filter) reaches execution as its bare comparison. The round-14
+  // post-rewrite warn traversal that re-walked every expression of every
+  // node on every apply() is gone (ADVICE round 14: duplicate warnings +
+  // O(plan) scans per optimizer pass for queries with no marker at all).
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
       case j @ Join(_, _, LeftOuter, Some(cond), _)
           if cond.exists(_.isInstanceOf[AsOfMark]) =>
-        rewrite(j, cond).getOrElse(j)
+        rewrite(j, cond).getOrElse {
+          // Once per join NODE, not per optimizer pass: batches re-invoke
+          // this rule on the unchanged plan, and tags survive the
+          // optimizer's node copies (copyTagsFrom).
+          if (j.getTagValue(DegradeWarnedTag).isEmpty) {
+            j.setTagValue(DegradeWarnedTag, true)
+            logWarning(
+              "as-of marker join was NOT rewritten to AsOfJoinExec (shape " +
+                "unprovable: need equi-key conjuncts AND exactly one " +
+                "marker with left/right sides from the respective join " +
+                "sides); the marker degrades to its bare range predicate " +
+                "— a many-to-many range join, not single-match as-of.")
+          }
+          j
+        }
     }
-    // Make the documented degrade OBSERVABLE: a marker this rule could
-    // not lift (shape unprovable here, or an earlier rule reshaped the
-    // join — e.g. EliminateOuterJoin turned the LeftOuter into Inner
-    // under a null-rejecting filter) executes as its bare range
-    // comparison, i.e. a many-to-many range join, not a single-match
-    // as-of. A user who believes the marker fired needs a signal.
-    rewritten.foreach { node =>
-      node.expressions.foreach(_.foreach {
-        case m: AsOfMark => logWarning(
-          s"${m.prettyName} marker was NOT rewritten to AsOfJoinExec at " +
-            s"${node.nodeName}; it degrades to the bare range predicate " +
-            "(many-to-many range join, not single-match as-of). " +
-            "Provable shape: LEFT OUTER join, condition = equi-key " +
-            "conjuncts AND exactly one marker with left/right sides " +
-            "from the respective join sides.")
-        case _ => ()
-      })
-    }
-    rewritten
-  }
+
+  private val DegradeWarnedTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean](
+      "graft.asof.degradeWarned")
 
   private def rewrite(j: Join, cond: Expression): Option[AsOfJoinPlan] = {
     val (marks, rest) =

@@ -167,13 +167,21 @@ object MLog {
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     val target = new Path(dir, ManifestName)
-    // ATOMIC pointer swap: FileContext.rename with Rename.OVERWRITE is a
-    // single atomic replace on HDFS and local — there is no window where
-    // the current pointer is absent (a delete-then-rename would expose
-    // one, and a crash inside it would strand the table pointer-less).
+    // Pointer swap via FileContext.rename(Rename.OVERWRITE). On HDFS this
+    // is a single atomic replace — no window where the pointer is absent.
+    // On the LOCAL filesystem it is NOT: Hadoop's default
+    // AbstractFileSystem.renameInternal(src, dst, overwrite) is
+    // delete-then-rename and RawLocalFs does not override it, so a crash
+    // inside the window can strand the table pointer-less — which is
+    // exactly the case readManifest's newest-snapshot recovery covers.
+    // The FileContext is derived from the FileSystem HANDLE's own URI
+    // (never the scheme-less target resolved against fs.defaultFS, which
+    // can name a different filesystem than the one the tmp file was just
+    // written to), and both paths are qualified against it.
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, fs.getConf)
-    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      fs.getUri, fs.getConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Drop all but the newest `keepLast` snapshot manifests (never the
@@ -209,7 +217,10 @@ object MLog {
   /** Outcome of a [[delete]]: how many files the predicate's manifest
     * bounds touched (each rewritten without its matching rows), how many
     * were carried into the new manifest untouched, rows removed, and the
-    * snapshot version the delete committed. */
+    * snapshot version the delete committed. NO-OP CASE: when the bounds
+    * touch nothing (`rewritten == 0`), NOTHING is committed — no new
+    * snapshot exists — and `newVersion` reports the pre-existing latest
+    * version (0 for an empty table), not a version the delete created. */
   case class DeleteStats(rewritten: Int, carried: Int, removedRows: Long,
                          newVersion: Int)
 
@@ -289,7 +300,10 @@ object MLog {
   }
 
   /** Outcome of a [[compact]]: manifest entry counts before/after, how
-    * many small files were merged away, and the committed version. */
+    * many small files were merged away, and the committed version.
+    * NO-OP CASE: when no bin holds ≥ 2 files (`merged == 0`), nothing is
+    * committed and `newVersion` reports the pre-existing latest version
+    * (0 for an empty table), mirroring [[DeleteStats]]. */
   case class CompactStats(before: Int, after: Int, merged: Int,
                           newVersion: Int)
 

@@ -203,6 +203,167 @@ class MLogSpec extends SparkSpec {
     assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 123456, 123457))
   }
 
+  test("delete: partial rewrite restates rows/min/max; untouched files carried by reference") {
+    val dir = tmp()
+    ledger(100).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    ledger(100).select((col("id") + 1000L).as("id"), col("k"), col("v")).coalesce(1)
+      .write.format("mlog").mode(SaveMode.Append).save(dir)
+    val pre = MLog.readManifest(fs(dir), new Path(dir))
+    assert(pre.size === 2)
+    val preByName = pre.map(e => e.name -> e).toMap
+    val preVersion = MLog.versions(fs(dir), new Path(dir)).last
+    // Bounds touch only the low-id file; matches drops its ids < 50.
+    val stats = MLog.delete(spark, new Path(dir),
+      e => e.minId < 100, (id, _, _) => id < 50)
+    assert(stats.rewritten === 1 && stats.carried === 1)
+    assert(stats.removedRows === 50L)
+    assert(stats.newVersion === preVersion + 1)
+    val post = MLog.readManifest(fs(dir), new Path(dir))
+    assert(post.size === 2)
+    // The untouched file is carried BY REFERENCE: same name, same stats.
+    val carried = post.filter(e => preByName.contains(e.name))
+    assert(carried.size === 1 && carried.head === preByName(carried.head.name))
+    // The replacement restates rows and (id, k) min/max from survivors.
+    val rewritten = post.filterNot(e => preByName.contains(e.name)).head
+    assert(rewritten.rows === 50L)
+    assert(rewritten.minId === 50L && rewritten.maxId === 99L)
+    assert(rewritten.minK === 0L && rewritten.maxK === 6L)
+    // Content: only the matching rows are gone.
+    val back = spark.read.format("mlog").load(dir)
+    assert(back.count() === 150L)
+    assert(back.filter(col("id") < 50).count() === 0L)
+    assert(back.agg(sum("v")).head.getLong(0) ===
+      ((50 until 100) ++ (0 until 100)).map(_ * 10L).sum)
+    // Restated stats stay pruning-effective: id < 50 plans ZERO files.
+    spark.read.format("mlog").load(dir).filter(col("id") < 50)
+      .count(): Unit
+    assert(MLog.lastPlanned === ((0, 2)))
+    // Time travel to the pre-delete snapshot still serves deleted rows.
+    assert(spark.read.format("mlog").option("versionAsOf", preVersion)
+      .load(dir).filter(col("id") < 50).count() === 50L)
+  }
+
+  test("delete: an all-deleted file yields no replacement at all") {
+    val dir = tmp()
+    // One file per k: bounds isolate exactly the k = 3 file.
+    (0 until 7).foreach { kk =>
+      ledger(700).filter(col("k") === kk.toLong).coalesce(1)
+        .write.format("mlog")
+        .mode(if (kk == 0) SaveMode.Overwrite else SaveMode.Append).save(dir)
+    }
+    val pre = MLog.readManifest(fs(dir), new Path(dir))
+    assert(pre.size === 7)
+    val stats = MLog.delete(spark, new Path(dir),
+      e => e.minK <= 3L && 3L <= e.maxK, (_, k, _) => k == 3L)
+    assert(stats.rewritten === 1 && stats.carried === 6)
+    assert(stats.removedRows === 100L)
+    val post = MLog.readManifest(fs(dir), new Path(dir))
+    assert(post.size === 6, "a fully-deleted file must leave NO manifest entry")
+    assert(post.toSet === pre.filterNot(e => e.minK <= 3L && 3L <= e.maxK).toSet)
+    assert(spark.read.format("mlog").load(dir).count() === 600L)
+    // GDPR completion: expire pre-delete snapshots, vacuum — the deleted
+    // rows' file is physically gone and time travel to it fails loudly.
+    val preVersions = MLog.versions(fs(dir), new Path(dir)).init
+    MLog.expireVersions(fs(dir), new Path(dir), keepLast = 1)
+    assert(MLog.vacuum(fs(dir), new Path(dir)) === 1L,
+      "exactly the all-deleted file becomes unreferenced")
+    val err = intercept[Exception] {
+      spark.read.format("mlog").option("versionAsOf", preVersions.last)
+        .load(dir).count()
+    }
+    assert(err.getMessage.contains("version"))
+  }
+
+  test("delete: bounds touching nothing commits nothing") {
+    val dir = tmp()
+    ledger(40).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val preVersions = MLog.versions(fs(dir), new Path(dir))
+    val stats = MLog.delete(spark, new Path(dir),
+      e => e.minId > 1000000L, (_, _, _) => true)
+    assert(stats.rewritten === 0 && stats.carried === 1)
+    assert(stats.removedRows === 0L)
+    // Documented no-op: newVersion is the PRE-EXISTING latest, and no new
+    // snapshot was written.
+    assert(stats.newVersion === preVersions.last)
+    assert(MLog.versions(fs(dir), new Path(dir)) === preVersions)
+    assert(spark.read.format("mlog").load(dir).count() === 40L)
+  }
+
+  test("compact: bin-packing preserves exact content and manifest stats algebra") {
+    val dir = tmp()
+    // 6 small files of 10 rows + 1 large of 100: target 35 packs the
+    // small ones 3-per-bin (first-fit in name order), carries the large.
+    (0 until 6).foreach { i =>
+      ledger(10).select((col("id") + i * 10L).as("id"), col("k"), col("v"))
+        .coalesce(1).write.format("mlog")
+        .mode(if (i == 0) SaveMode.Overwrite else SaveMode.Append).save(dir)
+    }
+    ledger(100).select((col("id") + 1000L).as("id"), col("k"), col("v")).coalesce(1)
+      .write.format("mlog").mode(SaveMode.Append).save(dir)
+    val pre = MLog.readManifest(fs(dir), new Path(dir))
+    val preRows = spark.read.format("mlog").load(dir)
+      .orderBy("id", "k", "v").collect().toSeq
+    val preVersion = MLog.versions(fs(dir), new Path(dir)).last
+    val stats = MLog.compact(spark, new Path(dir), targetRows = 35L)
+    assert(stats.before === 7 && stats.merged === 6)
+    assert(stats.after === 3, "6 × 10-row files first-fit into 2 bins of 30 + the carried large file")
+    assert(stats.newVersion === preVersion + 1)
+    val post = MLog.readManifest(fs(dir), new Path(dir))
+    assert(post.size === 3)
+    // The ≥-target file is carried by reference (same name, same stats).
+    val large = pre.find(_.rows === 100L).get
+    assert(post.contains(large))
+    // Manifest stats algebra: rows sum, min of mins, max of maxes.
+    assert(post.map(_.rows).sum === pre.map(_.rows).sum)
+    assert(post.map(_.minId).min === pre.map(_.minId).min)
+    assert(post.map(_.maxId).max === pre.map(_.maxId).max)
+    assert(post.map(_.minK).min === pre.map(_.minK).min)
+    assert(post.map(_.maxK).max === pre.map(_.maxK).max)
+    // Row content is EXACTLY preserved (byte-copied payloads).
+    val postRows = spark.read.format("mlog").load(dir)
+      .orderBy("id", "k", "v").collect().toSeq
+    assert(postRows === preRows)
+    // The pre-compaction snapshot keeps the old layout readable.
+    spark.read.format("mlog").option("versionAsOf", preVersion).load(dir)
+      .count(): Unit
+    assert(MLog.lastPlanned === ((7, 7)))
+  }
+
+  test("compact: nothing under target commits nothing") {
+    val dir = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    val preVersions = MLog.versions(fs(dir), new Path(dir))
+    val stats = MLog.compact(spark, new Path(dir), targetRows = 50L)
+    assert(stats.merged === 0 && stats.before === 2 && stats.after === 2)
+    assert(stats.newVersion === preVersions.last)
+    assert(MLog.versions(fs(dir), new Path(dir)) === preVersions)
+    // A lone under-target file (a bin of one) is also carried, not
+    // rewritten: merging one file with itself would move bytes for
+    // nothing.
+    val stats2 = MLog.compact(spark, new Path(dir), targetRows = 60L)
+    assert(stats2.merged === 0 && stats2.after === 2)
+  }
+
+  test("changesSince: the manifest diff is exactly the appended files") {
+    val dir = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir) // v1
+    ledger(30).coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)    // v2
+    ledger(20).coalesce(2).write.format("mlog").mode(SaveMode.Append).save(dir)    // v3
+    def since(v: Int) = spark.read.format("mlog")
+      .option("changesSince", v).load(dir)
+    assert(since(1).count() === 50L, "v1→current adds the 30-row and 20-row commits")
+    assert(since(2).count() === 20L)
+    assert(since(3).count() === 0L, "no changes since the current snapshot")
+    // Bounded end: versionAsOf composes — files v2 names that v1 does not.
+    assert(spark.read.format("mlog").option("versionAsOf", 2)
+      .option("changesSince", 1).load(dir).count() === 30L)
+    // Across an OVERWRITE the diff is the whole new layout (documented:
+    // rewritten files surface fully, like Iceberg's incremental scan).
+    ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir) // v4
+    assert(since(3).count() === 10L)
+  }
+
   test("accepts(): manifest range algebra per filter shape") {
     val e = MLog.FileEntry("f", 10, 100, 200, 5, 9)
     assert(MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(150L))))
