@@ -743,6 +743,227 @@ object FormatQueries {
         .withColumn("vacuum_effective", lit(removed >= 1L))
         .withColumn("orphans_match_superseded", lit(removed == superseded))
         .withColumn("dir_clean", lit(onDisk == live.map(_.name).toSet))
+    },
+
+    // COPY-ON-WRITE DELETE — the mlog row-lifecycle primitive
+    // ([[graft.sources.v2.MLog.delete]]): a predicate delete touches ONLY
+    // the files whose manifest (k) bounds could hold a match (each
+    // rewritten by one task without its matching rows; an all-deleted
+    // file leaves no replacement), every other file is carried into the
+    // new manifest BY REFERENCE — zero bytes moved, the reason a
+    // targeted delete at 100 TB costs its key range's files, not the
+    // table. Lifecycle gated end-to-end: rewritten/carried are pinned
+    // against counts DERIVED from the pre-delete manifest (never
+    // hard-coded — the range writer's file count is an SF fact, not a
+    // product fact); time travel to the pre-delete snapshot still serves
+    // every deleted row (copy-on-write, not erase); then the GDPR
+    // completion — expire the pre-delete snapshots + vacuum — makes them
+    // unrecoverable (snapshot read fails loudly, exactly the superseded
+    // files reclaimed, the dir holds only live files). The post-delete
+    // store must equal DuckDB over the raw events MINUS the predicate,
+    // and removed_rows equals DuckDB's count OF the predicate. Facts are
+    // measured once per (JVM, sf) and persisted in the _READY marker so
+    // memoized re-entries re-report them (dsv2_mlog_vacuum pattern).
+    checked("dsv2_mlog_delete",
+      s"""WITH b AS (SELECT CAST(floor(0.30 * max(user_id)) AS BIGINT) AS klo,
+         |    CAST(floor(0.70 * max(user_id)) AS BIGINT) AS khi FROM events)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events, b
+         |    WHERE user_id BETWEEN b.klo AND b.khi AND event_id % 3 = 0)
+         |    AS removed_rows,
+         |  true AS rewritten_match, true AS carried_match,
+         |  true AS pre_delete_visible, true AS gdpr_unrecoverable
+         |FROM events, b
+         |WHERE NOT (user_id BETWEEN b.klo AND b.khi AND event_id % 3 = 0)
+         |""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogdel_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      val facts = if (!ready.exists()) {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+          .repartitionByRange(7, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        val pre = MLog.readManifest(fs, path)
+        val preNames = pre.map(_.name).toSet
+        val preVersion = MLog.versions(fs, path).last
+        val total = pre.map(_.rows).sum
+        // Bounds from the manifest's own k-maximum (== raw max(user_id);
+        // the hash gate re-proves the equality via the oracle's b CTE).
+        val maxK = pre.map(_.maxK).max
+        val (kLo, kHi) =
+          (math.floor(0.30 * maxK).toLong, math.floor(0.70 * maxK).toLong)
+        val touchedExp = pre.count(e => e.minK <= kHi && e.maxK >= kLo)
+        val stats = MLog.delete(s, path,
+          e => e.minK <= kHi && e.maxK >= kLo,
+          (id, k, _) => k >= kLo && k <= kHi && id % 3 == 0)
+        // Copy-on-write proof, measured BEFORE retention erases it: the
+        // pre-delete snapshot still serves the whole table.
+        val preVisible = s.read.format("mlog")
+          .option("versionAsOf", preVersion).load(store).count() == total
+        val postNames = MLog.readManifest(fs, path).map(_.name).toSet
+        val superseded = (preNames -- postNames).size.toLong
+        // GDPR completion: drop every pre-delete snapshot, then reclaim.
+        MLog.expireVersions(fs, path, keepLast = 1)
+        val vacuumed = MLog.vacuum(fs, path)
+        val ttGone =
+          try { MLog.readManifestVersion(fs, path, preVersion); false }
+          catch { case _: Exception => true }
+        val onDisk = Option(new java.io.File(store).listFiles())
+          .getOrElse(Array.empty)
+          .map(_.getName).filter(_.endsWith(".mlog")).toSet
+        val f = Seq(stats.removedRows,
+          if (stats.rewritten == touchedExp &&
+            stats.newVersion == preVersion + 1) 1L else 0L,
+          if (stats.carried == pre.size - touchedExp) 1L else 0L,
+          if (preVisible) 1L else 0L,
+          if (ttGone && vacuumed == superseded && onDisk == postNames) 1L
+          else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("removed_rows", lit(facts(0)))
+        .withColumn("rewritten_match", lit(facts(1) == 1L))
+        .withColumn("carried_match", lit(facts(2) == 1L))
+        .withColumn("pre_delete_visible", lit(facts(3) == 1L))
+        .withColumn("gdpr_unrecoverable", lit(facts(4) == 1L))
+    },
+
+    // BIN-PACKING COMPACTION — the mlog row-lifecycle primitive, part 2
+    // ([[graft.sources.v2.MLog.compact]], Delta OPTIMIZE): files under
+    // the target are first-fit packed and each multi-file bin merged by
+    // one task via pure payload byte-copy; files already at target (and
+    // bins of one) are carried by reference, and the replacement's
+    // manifest stats are ALGEBRA (sum of rows, min of mins, max of
+    // maxes) — compaction never re-parses a row. Gated: the post-compact
+    // read is bit-equal to DuckDB over the raw events (content identity
+    // — OPTIMIZE changes layout, never rows), rows/global-min/max are
+    // conserved across the manifest restatement, the file count strictly
+    // drops with >= 2 files merged, and the PRE-compaction snapshot
+    // still reads the old layout (its planned file count is the
+    // pre-compact manifest's). The 100 TB point: small-file debris from
+    // fine-grained commits is what kills O(files) planning; this
+    // restores it without touching row content. Facts persist in the
+    // _READY marker for memoized re-entries.
+    checked("dsv2_mlog_compact",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  true AS files_reduced, true AS rows_conserved,
+         |  true AS stats_algebra_ok, true AS old_layout_readable
+         |FROM events""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogcmp_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      val facts = if (!ready.exists()) {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        // Small-file debris on purpose: 12 range files of ~1/12 of the
+        // ledger each, the shape fine-grained commits leave behind.
+        Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+          .repartitionByRange(12, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        val pre = MLog.readManifest(fs, path)
+        val preVersion = MLog.versions(fs, path).last
+        val total = pre.map(_.rows).sum
+        val stats = MLog.compact(s, path, targetRows = total / 3 + 1)
+        val post = MLog.readManifest(fs, path)
+        val reduced = stats.after < stats.before && stats.merged >= 2 &&
+          stats.before == pre.size && stats.after == post.size &&
+          stats.newVersion == preVersion + 1
+        val conserved = post.map(_.rows).sum == total
+        val algebra = post.map(_.minId).min == pre.map(_.minId).min &&
+          post.map(_.maxId).max == pre.map(_.maxId).max &&
+          post.map(_.minK).min == pre.map(_.minK).min &&
+          post.map(_.maxK).max == pre.map(_.maxK).max
+        // The pre-compaction snapshot keeps the OLD layout readable:
+        // same rows, planned from the pre-compact manifest's files.
+        val oldN = s.read.format("mlog").option("versionAsOf", preVersion)
+          .load(store).count()
+        val oldLayout = oldN == total && MLog.lastPlanned == ((pre.size, pre.size))
+        val f = Seq(reduced, conserved, algebra, oldLayout)
+          .map(b => if (b) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("files_reduced", lit(facts(0) == 1L))
+        .withColumn("rows_conserved", lit(facts(1) == 1L))
+        .withColumn("stats_algebra_ok", lit(facts(2) == 1L))
+        .withColumn("old_layout_readable", lit(facts(3) == 1L))
+    },
+
+    // INCREMENTAL SCAN — the mlog row-lifecycle primitive, part 3
+    // (`.option("changesSince", v)`): the reader plans ONLY the files
+    // the end manifest names that snapshot v does not — the appended
+    // data as a manifest DIFF, no per-row change log, no rescan of
+    // history. Reuses the shared two-commit store (commit 1 = 4/5 of
+    // the ledger, commit 2 = the id % 5 = 0 fifth appended), so the
+    // diff since v1 must equal DuckDB over EXACTLY the appended rows.
+    // diff_is_file_level pins that the planned diff is the manifest
+    // name-set difference; base_plus_diff_is_total re-proves the
+    // decomposition (versionAsOf v1) ∪ (changesSince v1) = current with
+    // no overlap. This is the 100 TB shape of incremental pipelines —
+    // a downstream dedup/clean pass reads the DIFF between the snapshot
+    // it last processed and now, paying for new data only.
+    checked("dsv2_mlog_changes",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  true AS diff_is_file_level, true AS base_plus_diff_is_total
+         |FROM events WHERE event_id % 5 = 0""".stripMargin) { (s, d) =>
+      val (store, entries) = mlogStore(s, d)
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      val base = MLog.versions(fs, path).head
+      val baseNames = MLog.readManifestVersion(fs, path, base)
+        .map(_.name).toSet
+      val diffExp = entries.count(e => !baseNames(e.name))
+      val diff = s.read.format("mlog").option("changesSince", base)
+        .load(store)
+      val nDiff = diff.count()
+      val fileLevelDiff = MLog.lastPlanned == ((diffExp, diffExp))
+      val nBase = s.read.format("mlog").option("versionAsOf", base)
+        .load(store).count()
+      val nCur = s.read.format("mlog").load(store).count()
+      diff.agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("diff_is_file_level", lit(fileLevelDiff))
+        .withColumn("base_plus_diff_is_total", lit(nBase + nDiff == nCur))
     })
 
   /** Write-once clustered layouts of the 5-column lineitem projection,
