@@ -1135,5 +1135,110 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"),
           dsum(col("value")).as("total_value"),
           dsum(col("k")).as("total_k"))
+    },
+
+    // STREAMING → TABLE FORMAT, exactly-once (the Delta-sink primitive a
+    // 100 TB ingest actually runs): the events ledger arrives as a
+    // 3-file bounded stream (one micro-batch per file) and each
+    // foreachBatch commits THROUGH the mlog manifest protocol with the
+    // batchId recorded in the manifest's transaction ledger
+    // (txnAppId/txnVersion — data files and idempotence marker publish
+    // in ONE atomic manifest swap, Delta's SetTransaction shape). The
+    // failure mode this buys out: a sink that wrote but whose checkpoint
+    // didn't advance re-runs the batch on restart; here the replay is
+    // REFUSED by the ledger and its staged files are cleaned. Gated:
+    // the drained store equals DuckDB over the raw events (byte-for-byte
+    // batch/stream agreement), a SIMULATED RETRY of the last batch
+    // (same txnVersion, re-executed after the drain) changes neither
+    // snapshot count nor file set nor a single row, n_commits pins one
+    // manifest commit per micro-batch, and ledger_recorded pins the
+    // final (app -> batchId) entry. Died-mid-ingest (absent _READY
+    // marker) rebuilds from scratch — the stream_ivf_ingest contract.
+    checked("stream_mlog_ingest",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  CAST(3 AS BIGINT) AS n_commits,
+         |  true AS replay_noop, true AS ledger_recorded
+         |FROM events""".stripMargin) { (s, d) =>
+      import graft.sources.v2.MLog
+      val dir = TmpDirs.scoped(s"graft_mlogstream_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      val app = "stream_mlog_ingest"
+      val facts = if (!ready.exists()) {
+        rmTree(dir); dir.mkdirs()
+        val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+        val ledger = Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+        // One feed file per micro-batch; FileStreamSource orders batches
+        // by modification time, so batchIds follow the mtime bumps.
+        (0 to 2).foreach { i =>
+          val stage = new java.io.File(dir, s".stage_$i")
+          ledger.filter(pmod(col("id"), lit(3)) === i).coalesce(1)
+            .write.mode("overwrite").parquet(stage.getAbsolutePath)
+          val part = stage.listFiles().filter(f =>
+            f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+          val target = new java.io.File(feed, s"b$i.parquet")
+          java.nio.file.Files.move(part.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          rmTree(stage)
+          java.nio.file.Files.setLastModifiedTime(target.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() + i * 2000L))
+        }
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, k BIGINT, v BIGINT"))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed.getAbsolutePath)
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              b.select("id", "k", "v").write.format("mlog").mode("append")
+                .option("txnAppId", app).option("txnVersion", batchId)
+                .save(store)
+          }
+          .option("checkpointLocation",
+            new java.io.File(dir, "ckpt").getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val nCommits = MLog.versions(fs, path).size.toLong
+        val preNames = MLog.readManifest(fs, path).map(_.name).toSet
+        val preCount = s.read.format("mlog").load(store).count()
+        // SIMULATED RETRY: the last batch re-executes its commit with the
+        // same (appId, batchId) — the ledger must refuse it wholesale.
+        s.read.parquet(new java.io.File(feed, "b2.parquet").getAbsolutePath)
+          .select("id", "k", "v").write.format("mlog").mode("append")
+          .option("txnAppId", app).option("txnVersion", 2L).save(store)
+        val onDisk = Option(new java.io.File(store).listFiles())
+          .getOrElse(Array.empty)
+          .map(_.getName).filter(_.endsWith(".mlog")).toSet
+        val replayNoop =
+          MLog.versions(fs, path).size.toLong == nCommits &&
+          MLog.readManifest(fs, path).map(_.name).toSet == preNames &&
+          s.read.format("mlog").load(store).count() == preCount &&
+          onDisk == preNames
+        val ledgerOk =
+          MLog.readManifestFull(fs, path).txn == Map(app -> 2L)
+        val f = Seq(nCommits, if (replayNoop) 1L else 0L,
+          if (ledgerOk) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("n_commits", lit(facts(0)))
+        .withColumn("replay_noop", lit(facts(1) == 1L))
+        .withColumn("ledger_recorded", lit(facts(2) == 1L))
     })
 }

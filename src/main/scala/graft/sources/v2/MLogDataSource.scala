@@ -84,6 +84,18 @@ object MLog {
   case class FileEntry(name: String, rows: Long, minId: Long, maxId: Long,
                        minK: Long, maxK: Long)
 
+  /** The full table state one manifest publishes: the committed files
+    * plus the TRANSACTION LEDGER — per writer-application id, the highest
+    * version (e.g. a streaming batchId) that application has committed.
+    * This is Delta's SetTransaction/txnAppId primitive: because the
+    * ledger rides in the SAME atomic manifest publish as the data files,
+    * "did batch N land?" has exactly one answer, and a replayed
+    * foreachBatch commit (sink wrote, checkpoint didn't advance, batch
+    * re-runs) can be refused without any window where data and marker
+    * disagree. Carried forward across appends, overwrites, deletes and
+    * compactions — idempotence records must survive table rewrites. */
+  case class Manifest(files: Seq[FileEntry], txn: Map[String, Long])
+
   /** Plan size of the last `build()` in this JVM: (survivors, total) —
     * a test hook for pinning manifest pruning. */
   @volatile var lastPlanned: (Int, Int) = (0, 0)
@@ -95,19 +107,26 @@ object MLog {
     * silently serving an empty table — an existing table must never read
     * as zero files. Only a directory with neither pointer nor snapshots
     * (a brand-new table) is legitimately empty. */
-  def readManifest(fs: FileSystem, dir: Path): Seq[FileEntry] = {
+  def readManifest(fs: FileSystem, dir: Path): Seq[FileEntry] =
+    readManifestFull(fs, dir).files
+
+  /** [[readManifest]] plus the transaction ledger. */
+  def readManifestFull(fs: FileSystem, dir: Path): Manifest = {
     val current = new Path(dir, ManifestName)
     if (fs.exists(current)) readManifestFile(fs, current)
     else versions(fs, dir).lastOption match {
-      case Some(v) => readManifestVersion(fs, dir, v)
-      case None => Seq.empty
+      case Some(v) => readManifestVersionFull(fs, dir, v)
+      case None => Manifest(Seq.empty, Map.empty)
     }
   }
 
   /** Snapshot read: the manifest exactly as commit `v` published it.
     * Fails (rather than silently serving current) when the version was
     * never written or has been expired. */
-  def readManifestVersion(fs: FileSystem, dir: Path, v: Int): Seq[FileEntry] = {
+  def readManifestVersion(fs: FileSystem, dir: Path, v: Int): Seq[FileEntry] =
+    readManifestVersionFull(fs, dir, v).files
+
+  private def readManifestVersionFull(fs: FileSystem, dir: Path, v: Int): Manifest = {
     val f = versionPath(dir, v)
     require(fs.exists(f),
       s"mlog version $v does not exist (expired or never committed) under $dir")
@@ -126,8 +145,8 @@ object MLog {
   private def versionPath(dir: Path, v: Int): Path =
     new Path(dir, f"_mlog_v$v%05d.json")
 
-  private def readManifestFile(fs: FileSystem, mf: Path): Seq[FileEntry] = {
-    if (!fs.exists(mf)) return Seq.empty
+  private def readManifestFile(fs: FileSystem, mf: Path): Manifest = {
+    if (!fs.exists(mf)) return Manifest(Seq.empty, Map.empty)
     val in = fs.open(mf)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
@@ -136,15 +155,24 @@ object MLog {
     require(root.get("format").asText() == "mlog" &&
       root.get("version").asInt() == Version, s"unreadable manifest $mf")
     val files = root.get("files")
-    (0 until files.size()).map { i =>
+    val entries = (0 until files.size()).map { i =>
       val f = files.get(i)
       FileEntry(f.get("name").asText(), f.get("rows").asLong(),
         f.get("minId").asLong(), f.get("maxId").asLong(),
         f.get("minK").asLong(), f.get("maxK").asLong())
     }
+    // "txn" is OPTIONAL: manifests written before the transaction ledger
+    // existed (and by writers that never set one) parse as empty.
+    val txn = Option(root.get("txn")).fold(Map.empty[String, Long]) { t =>
+      val b = Map.newBuilder[String, Long]
+      t.properties().forEach(e => b += (e.getKey -> e.getValue.asLong()))
+      b.result()
+    }
+    Manifest(entries, txn)
   }
 
-  def writeManifest(fs: FileSystem, dir: Path, entries: Seq[FileEntry]): Unit = {
+  def writeManifest(fs: FileSystem, dir: Path, entries: Seq[FileEntry],
+                    txn: Map[String, Long] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("format", "mlog")
@@ -156,6 +184,10 @@ object MLog {
       n.put("name", e.name); n.put("rows", e.rows)
       n.put("minId", e.minId); n.put("maxId", e.maxId)
       n.put("minK", e.minK); n.put("maxK", e.maxK): Unit
+    }
+    if (txn.nonEmpty) {
+      val t = root.putObject("txn")
+      txn.toSeq.sortBy(_._1).foreach { case (a, v) => t.put(a, v): Unit }
     }
     val bytes = mapper.writeValueAsBytes(root)
     // Snapshot file FIRST (crash after it = a harmless orphan version;
@@ -239,7 +271,8 @@ object MLog {
              mayMatch: FileEntry => Boolean,
              matches: (Long, Long, Long) => Boolean): DeleteStats = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val cur = readManifest(fs, dir)
+    val full = readManifestFull(fs, dir)
+    val cur = full.files
     val (touched, carried) = cur.partition(mayMatch)
     if (touched.isEmpty)
       return DeleteStats(0, cur.size, 0L,
@@ -251,7 +284,7 @@ object MLog {
         spark.sparkContext.defaultParallelism)))
       .map(e => rewriteWithout(conf, dirStr, e, matches)).collect()
     val kept = results.flatMap(_._1)
-    writeManifest(fs, dir, carried ++ kept)
+    writeManifest(fs, dir, carried ++ kept, full.txn)
     DeleteStats(touched.size, carried.size, results.map(_._2).sum,
       versions(fs, dir).last)
   }
@@ -322,7 +355,8 @@ object MLog {
     * restores it without touching row content. */
   def compact(spark: SparkSession, dir: Path, targetRows: Long): CompactStats = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val cur = readManifest(fs, dir)
+    val full = readManifestFull(fs, dir)
+    val cur = full.files
     val (small, large) = cur.sortBy(_.name).partition(_.rows < targetRows)
     val bins = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
@@ -343,7 +377,7 @@ object MLog {
       .parallelize(multi, math.max(1, math.min(multi.size,
         spark.sparkContext.defaultParallelism)))
       .map(b => mergeBin(conf, dirStr, b)).collect()
-    writeManifest(fs, dir, large ++ single.flatten ++ merged)
+    writeManifest(fs, dir, large ++ single.flatten ++ merged, full.txn)
     CompactStats(cur.size, large.size + single.size + merged.length,
       multi.map(_.size).sum, versions(fs, dir).last)
   }
@@ -430,30 +464,52 @@ class MLogTable(properties: JMap[String, String])
     require(s.fields.map(f => (f.name, f.dataType)).toSeq ==
       MLog.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"mlog writes the fixed ledger schema (id, k, v: BIGINT); got ${s.simpleString}")
-    new MLogWriteBuilder(MLog.pathOf(merged(info.options())),
-      MLog.hadoopConf(), truncateFirst = false)
+    val m = merged(info.options())
+    // Idempotent-writer options (Delta's txnAppId/txnVersion): the commit
+    // records (appId -> version) in the manifest's transaction ledger and
+    // REFUSES a version the ledger has already seen — the exactly-once
+    // contract a replayed streaming foreachBatch relies on.
+    val app = m.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("txnAppId") => v
+    }
+    val ver = m.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("txnVersion") => v.trim.toLong
+    }
+    require(app.isDefined == ver.isDefined,
+      "mlog txnAppId and txnVersion must be set together")
+    new MLogWriteBuilder(MLog.pathOf(m), MLog.hadoopConf(),
+      truncateFirst = false, txn = app.zip(ver).headOption)
   }
 }
 
 // ---------------------------------------------------------------- write
 
 class MLogWriteBuilder(dir: Path, conf: SerializableConfiguration,
-                       truncateFirst: Boolean)
+                       truncateFirst: Boolean,
+                       txn: Option[(String, Long)] = None)
   extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
-    new MLogWriteBuilder(dir, conf, truncateFirst = true)
+    new MLogWriteBuilder(dir, conf, truncateFirst = true, txn)
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = MLogBatchWrite(dir.toString, conf, truncateFirst)
+    override def toBatch: BatchWrite =
+      MLogBatchWrite(dir.toString, conf, truncateFirst, txn)
   }
 }
 
 /** Driver-side commit: publish the manifest naming exactly the files the
   * committed tasks reported. Until the rename lands, readers see the OLD
-  * manifest — the atomic-visibility contract. */
+  * manifest — the atomic-visibility contract. With a `txn` identity, the
+  * commit is IDEMPOTENT: a (txnAppId, txnVersion) the ledger has already
+  * recorded publishes NOTHING — the staged files are deleted exactly as
+  * an abort would, and the table state (data AND ledger, one manifest)
+  * is untouched. This is what makes a replayed streaming batch a no-op
+  * instead of a duplicate append. */
 case class MLogBatchWrite(dir: String, conf: SerializableConfiguration,
-                          truncateFirst: Boolean) extends BatchWrite {
+                          truncateFirst: Boolean,
+                          txn: Option[(String, Long)] = None)
+  extends BatchWrite with org.apache.spark.internal.Logging {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     MLogWriterFactory(dir, conf)
@@ -465,8 +521,21 @@ case class MLogBatchWrite(dir: String, conf: SerializableConfiguration,
     val fresh = messages.toSeq.collect {
       case m: MLogCommit if m.name != null => m.entry
     }
-    val prev = if (truncateFirst) Seq.empty else MLog.readManifest(fs, d)
-    MLog.writeManifest(fs, d, prev ++ fresh)
+    val full = MLog.readManifestFull(fs, d)
+    val replayed = txn.exists { case (app, ver) =>
+      full.txn.get(app).exists(_ >= ver)
+    }
+    if (replayed) {
+      logInfo(s"mlog commit refused: txn $txn already in the ledger " +
+        s"(${full.txn}); dropping ${fresh.size} staged files")
+      abort(messages)
+    } else {
+      val prev = if (truncateFirst) Seq.empty else full.files
+      val newTxn = txn.fold(full.txn) { case (app, ver) =>
+        full.txn + (app -> ver)
+      }
+      MLog.writeManifest(fs, d, prev ++ fresh, newTxn)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

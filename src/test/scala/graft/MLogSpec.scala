@@ -364,6 +364,54 @@ class MLogSpec extends SparkSpec {
     assert(since(3).count() === 10L)
   }
 
+  test("txn ledger: a replayed (appId, version) commit is a no-op; ledger survives rewrites") {
+    val dir = tmp()
+    def writeTxn(df: DataFrame, ver: Long): Unit =
+      df.coalesce(1).write.format("mlog").mode(SaveMode.Append)
+        .option("txnAppId", "spec_app").option("txnVersion", ver).save(dir)
+    writeTxn(ledger(50), 0L)
+    writeTxn(ledger(30), 1L)
+    assert(spark.read.format("mlog").load(dir).count() === 80L)
+    val preVersions = MLog.versions(fs(dir), new Path(dir))
+    val preNames = MLog.readManifest(fs(dir), new Path(dir)).map(_.name).toSet
+    // REPLAY of batch 1 (same app, same version): data and ledger are one
+    // atomic manifest, so the commit publishes nothing — no new snapshot,
+    // no new manifest entries, and the staged files are cleaned up.
+    writeTxn(ledger(30), 1L)
+    assert(spark.read.format("mlog").load(dir).count() === 80L,
+      "a replayed batch must not duplicate rows")
+    assert(MLog.versions(fs(dir), new Path(dir)) === preVersions)
+    val onDisk = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).filter(_.endsWith(".mlog")).toSet
+    assert(onDisk === preNames, "replayed staged files must be deleted")
+    // An OLDER version is equally refused (ledger records the max).
+    writeTxn(ledger(30), 0L)
+    assert(spark.read.format("mlog").load(dir).count() === 80L)
+    // The NEXT version commits; a different appId has its own sequence.
+    writeTxn(ledger(10), 2L)
+    assert(spark.read.format("mlog").load(dir).count() === 90L)
+    ledger(5).coalesce(1).write.format("mlog").mode(SaveMode.Append)
+      .option("txnAppId", "other_app").option("txnVersion", 0L).save(dir)
+    assert(spark.read.format("mlog").load(dir).count() === 95L)
+    assert(MLog.readManifestFull(fs(dir), new Path(dir)).txn ===
+      Map("spec_app" -> 2L, "other_app" -> 0L))
+    // The ledger SURVIVES table rewrites: plain append, delete, compact.
+    ledger(5).coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    MLog.delete(spark, new Path(dir), _ => true, (id, _, _) => id >= 1000000L)
+    MLog.compact(spark, new Path(dir), targetRows = 1000L)
+    assert(MLog.readManifestFull(fs(dir), new Path(dir)).txn ===
+      Map("spec_app" -> 2L, "other_app" -> 0L))
+    // After all of which the replay is STILL refused.
+    writeTxn(ledger(30), 2L)
+    assert(spark.read.format("mlog").load(dir).count() === 100L)
+    // Half-set txn options fail loudly at write planning.
+    val err = intercept[Exception] {
+      ledger(1).coalesce(1).write.format("mlog").mode(SaveMode.Append)
+        .option("txnAppId", "spec_app").save(dir)
+    }
+    assert(err.getMessage.contains("txn"))
+  }
+
   test("accepts(): manifest range algebra per filter shape") {
     val e = MLog.FileEntry("f", 10, 100, 200, 5, 9)
     assert(MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(150L))))
