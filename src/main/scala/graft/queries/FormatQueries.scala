@@ -925,6 +925,99 @@ object FormatQueries {
         .withColumn("old_layout_readable", lit(facts(3) == 1L))
     },
 
+    // MERGE INTO on the mlog store ([[graft.sources.v2.MLog.merge]]) —
+    // the upsert the two lifecycle primitives compose into, in ONE
+    // snapshot commit: base = 4/5 of the events ledger id-range-
+    // partitioned; source = an id-bounded CDC batch (ids in the middle
+    // 30-70% with id % 3 = 0, each carrying a bumped v). Matched ids
+    // are REPLACED (their files rewritten without them, the source row
+    // standing in), new ids (the id % 5 = 0 fifth, absent from base)
+    // are INSERTED, and files outside the source's id bounds are
+    // carried by reference — the file-pruned merge shape (Delta's
+    // low-shuffle merge: bounded source broadcast, touched files only).
+    // Oracle: DuckDB computes the same upsert relationally (base anti
+    // source ∪ source), plus updated/inserted counts from the raw
+    // tables — the engine's file-rewrite arithmetic must agree with
+    // set algebra. single_commit pins exactly one new snapshot for the
+    // whole merge; pruned_merge pins rewritten == the pre-merge
+    // manifest's touched count with >= 1 file carried. Facts persist in
+    // the _READY marker for memoized re-entries.
+    checked("dsv2_mlog_merge",
+      s"""WITH bb AS (SELECT CAST(floor(0.30 * max(event_id)) AS BIGINT) AS ilo,
+         |    CAST(floor(0.70 * max(event_id)) AS BIGINT) AS ihi
+         |  FROM events WHERE event_id % 5 <> 0),
+         |base AS (SELECT event_id AS id, user_id AS k,
+         |    epoch_us(ts) % 86400000000 AS v
+         |  FROM events WHERE event_id % 5 <> 0),
+         |src AS (SELECT event_id AS id, user_id AS k,
+         |    epoch_us(ts) % 86400000000 + 1 AS v
+         |  FROM events, bb
+         |  WHERE event_id BETWEEN bb.ilo AND bb.ihi AND event_id % 3 = 0),
+         |merged AS (SELECT * FROM base WHERE id NOT IN (SELECT id FROM src)
+         |  UNION ALL SELECT * FROM src)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS sum_v,
+         |  CAST(min(id) AS BIGINT) AS min_id,
+         |  CAST(max(id) AS BIGINT) AS max_id,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM src
+         |    WHERE id IN (SELECT id FROM base)) AS updated_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM src
+         |    WHERE id NOT IN (SELECT id FROM base)) AS inserted_rows,
+         |  true AS single_commit, true AS pruned_merge
+         |FROM merged""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogmrg_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      val facts = if (!ready.exists()) {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        val ledger = Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+        ledger.filter(col("id") % 5 =!= 0).repartitionByRange(7, col("id"))
+          .write.format("mlog").mode("overwrite").save(store)
+        val pre = MLog.readManifest(fs, path)
+        val preVersion = MLog.versions(fs, path).last
+        // Source bounds from the base manifest's own id-maximum (== raw
+        // max(event_id) over the id % 5 <> 0 rows, the oracle's bb CTE).
+        val maxId = pre.map(_.maxId).max
+        val (iLo, iHi) =
+          (math.floor(0.30 * maxId).toLong, math.floor(0.70 * maxId).toLong)
+        val source = ledger
+          .filter(col("id").between(iLo, iHi) && col("id") % 3 === 0)
+          .withColumn("v", col("v") + 1L)
+          .repartitionByRange(3, col("id"))
+        val srcCount = source.count()
+        val touchedExp = pre.count(e => e.minId <= iHi && e.maxId >= iLo)
+        val stats = MLog.merge(s, path, source)
+        val singleCommit =
+          MLog.versions(fs, path) == (1 to preVersion + 1) &&
+          stats.newVersion == preVersion + 1
+        val prunedMerge = stats.rewritten == touchedExp &&
+          stats.carried == pre.size - touchedExp && stats.carried >= 1
+        val f = Seq(stats.updatedRows, srcCount - stats.updatedRows,
+          if (singleCommit) 1L else 0L, if (prunedMerge) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("updated_rows", lit(facts(0)))
+        .withColumn("inserted_rows", lit(facts(1)))
+        .withColumn("single_commit", lit(facts(2) == 1L))
+        .withColumn("pruned_merge", lit(facts(3) == 1L))
+    },
+
     // INCREMENTAL SCAN — the mlog row-lifecycle primitive, part 3
     // (`.option("changesSince", v)`): the reader plans ONLY the files
     // the end manifest names that snapshot v does not — the appended

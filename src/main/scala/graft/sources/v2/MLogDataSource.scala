@@ -332,6 +332,86 @@ object MLog {
     } finally in.close()
   }
 
+  /** Outcome of a [[merge]]: files the source's id bounds touched (each
+    * rewritten without the matched rows), files carried by reference,
+    * rows the source REPLACED (matched ids removed from base files), new
+    * files staged from the source, and the snapshot the merge committed.
+    * NO-OP CASE: an empty source commits nothing and `newVersion` is the
+    * pre-existing latest version. */
+  case class MergeStats(rewritten: Int, carried: Int, updatedRows: Long,
+                        insertedFiles: Int, newVersion: Int)
+
+  /** MERGE INTO keyed on `id` (upsert): every base row whose id appears
+    * in `source` is replaced by the source row; source rows with new ids
+    * are inserted — WHEN MATCHED THEN UPDATE ∘ WHEN NOT MATCHED THEN
+    * INSERT, the Delta/Iceberg upsert. Composition of the two lifecycle
+    * primitives in ONE snapshot commit: (1) file-level pruning — only
+    * base files whose manifest id bounds overlap the source's id range
+    * are rewritten (one task each, dropping rows whose id is in the
+    * source key set); every other file is carried by reference; (2) the
+    * source rows are staged as new ledger files by their own tasks; (3)
+    * a single manifest publish swaps in carried + rewritten + staged —
+    * readers see the whole merge or none of it, and the pre-merge
+    * snapshot keeps serving the old rows. The source key set is
+    * collected and broadcast: a merge SOURCE is a bounded batch (a CDC
+    * slice, a micro-batch) by construction — Delta's low-shuffle merge
+    * makes the same assumption; an unbounded source would use a
+    * join-based rewrite instead. At 100 TB the cost is the source's id
+    * range's files plus the source itself, never the table. */
+  def merge(spark: SparkSession, dir: Path,
+            source: org.apache.spark.sql.DataFrame): MergeStats = {
+    require(source.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"mlog merge takes the fixed ledger schema (id, k, v: BIGINT); " +
+        s"got ${source.schema.simpleString}")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val full = readManifestFull(fs, dir)
+    val ids = source.select("id").distinct().collect().map(_.getLong(0))
+    if (ids.isEmpty)
+      return MergeStats(0, full.files.size, 0L, 0,
+        versions(fs, dir).lastOption.getOrElse(0))
+    val keySet = spark.sparkContext.broadcast(ids.toSet)
+    val (lo, hi) = (ids.min, ids.max)
+    val (touched, carried) =
+      full.files.partition(e => e.minId <= hi && e.maxId >= lo)
+    val conf = hadoopConf()
+    val dirStr = dir.toString
+    val results =
+      if (touched.isEmpty) Array.empty[(Option[FileEntry], Long)]
+      else spark.sparkContext
+        .parallelize(touched, math.max(1, math.min(touched.size,
+          spark.sparkContext.defaultParallelism)))
+        .map(e => rewriteWithout(conf, dirStr, e,
+          (id, _, _) => keySet.value(id))).collect()
+    val staged = writeFiles(dir, source)
+    writeManifest(fs, dir,
+      carried ++ results.flatMap(_._1) ++ staged, full.txn)
+    MergeStats(touched.size, carried.size, results.map(_._2).sum,
+      staged.size, versions(fs, dir).last)
+  }
+
+  /** Stage a DataFrame's partitions as ledger files WITHOUT publishing a
+    * manifest — the building block [[merge]] composes with a rewrite
+    * into one commit. One file per non-empty partition, attempt-unique
+    * names, stats from the writer; a failed task aborts its own file and
+    * Spark's task retry stages a fresh one (the orphan is invisible:
+    * nothing references it until the caller's single publish). */
+  private def writeFiles(dir: Path,
+      df: org.apache.spark.sql.DataFrame): Seq[FileEntry] = {
+    val conf = hadoopConf()
+    val dirStr = dir.toString
+    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val w = MLogWriterFactory(dirStr, conf).createWriter(pid, pid.toLong)
+      var ok = false
+      try {
+        rows.foreach(w.write)
+        val m = w.commit().asInstanceOf[MLogCommit]
+        ok = true
+        if (m.name != null) Iterator.single(m.entry) else Iterator.empty
+      } finally if (!ok) w.abort()
+    }.collect().toSeq
+  }
+
   /** Outcome of a [[compact]]: manifest entry counts before/after, how
     * many small files were merged away, and the committed version.
     * NO-OP CASE: when no bin holds ≥ 2 files (`merged == 0`), nothing is

@@ -412,6 +412,51 @@ class MLogSpec extends SparkSpec {
     assert(err.getMessage.contains("txn"))
   }
 
+  test("merge: upsert by id in ONE commit; files outside the source's id range carried") {
+    val dir = tmp()
+    // Base: two id-clustered files [0, 99] and [1000, 1099].
+    ledger(100).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    ledger(100).select((col("id") + 1000L).as("id"), col("k"), col("v"))
+      .coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    val pre = MLog.readManifest(fs(dir), new Path(dir))
+    val preByName = pre.map(e => e.name -> e).toMap
+    val preVersion = MLog.versions(fs(dir), new Path(dir)).last
+    import spark.implicits._
+    // Source: ids 50..79 updated (v = 7), ids 200..209 inserted.
+    val source = ((50 until 80) ++ (200 until 210))
+      .map(i => (i.toLong, (i % 7).toLong, 7L)).toDF("id", "k", "v")
+      .coalesce(1)
+    val stats = MLog.merge(spark, new Path(dir), source)
+    // Only the low file's bounds overlap [50, 209]; the high file is
+    // carried by reference. The WHOLE merge is one snapshot commit.
+    assert(stats.rewritten === 1 && stats.carried === 1)
+    assert(stats.updatedRows === 30L)
+    assert(stats.insertedFiles === 1)
+    assert(stats.newVersion === preVersion + 1)
+    assert(MLog.versions(fs(dir), new Path(dir)).last === preVersion + 1)
+    val post = MLog.readManifest(fs(dir), new Path(dir))
+    assert(post.size === 3)
+    assert(post.count(e => preByName.get(e.name).contains(e)) === 1)
+    // Content: matched rows replaced, unmatched kept, new ids inserted.
+    val back = spark.read.format("mlog").load(dir)
+    assert(back.count() === 210L)
+    assert(back.filter(col("id").between(50, 79)).agg(sum("v"))
+      .head.getLong(0) === 30L * 7L)
+    assert(back.filter(col("id") >= 200 && col("id") < 210).count() === 10L)
+    assert(back.filter(col("id") < 50).agg(sum("v")).head.getLong(0) ===
+      (0 until 50).map(_ * 10L).sum)
+    // Pre-merge snapshot still serves the old values.
+    assert(spark.read.format("mlog").option("versionAsOf", preVersion)
+      .load(dir).filter(col("id").between(50, 79)).agg(sum("v"))
+      .head.getLong(0) === (50 until 80).map(_ * 10L).sum)
+    // Empty source: documented no-op.
+    val noop = MLog.merge(spark, new Path(dir),
+      Seq.empty[(Long, Long, Long)].toDF("id", "k", "v"))
+    assert(noop.rewritten === 0 && noop.updatedRows === 0L &&
+      noop.insertedFiles === 0)
+    assert(noop.newVersion === preVersion + 1)
+  }
+
   test("accepts(): manifest range algebra per filter shape") {
     val e = MLog.FileEntry("f", 10, 100, 200, 5, 9)
     assert(MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(150L))))
