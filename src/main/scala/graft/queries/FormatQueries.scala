@@ -66,6 +66,38 @@ object FormatQueries {
     (store, entries)
   }
 
+  /** The two-version time-travel store (v1 = 4/5 of the ledger, v2 =
+    * OVERWRITE with all of it), write-once per (JVM, sf) behind a _READY
+    * marker; shared READ-ONLY by dsv2_mlog_time_travel (the
+    * `.option("versionAsOf", …)` route) and sql_mlog_time_travel (the
+    * `VERSION AS OF` parser route via [[graft.sources.v2.GraftMLogCatalog]])
+    * so route equivalence is pinned over ONE store. Returns the store
+    * path and its snapshot versions, ascending. */
+  private def mlogTtStore(s: SparkSession, d: String): (String, Seq[Int]) = {
+    val dir = TmpDirs.scoped(s"graft_mlogtt_${QuerySpec.jvmScopedKey(d)}")
+    val ready = new java.io.File(dir, "_READY")
+    val store = new java.io.File(dir, "store").getAbsolutePath
+    if (!ready.exists()) {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(): Unit
+      }
+      rmTree(dir); dir.mkdirs()
+      val ledger = Tables.events(s, d).select(col("event_id").as("id"),
+        col("user_id").as("k"),
+        (unix_micros(col("ts")) % 86400000000L).as("v"))
+      ledger.filter(col("id") % 5 =!= 0).repartitionByRange(7, col("k"))
+        .write.format("mlog").mode("overwrite").save(store)
+      ledger.repartitionByRange(3, col("k"))
+        .write.format("mlog").mode("overwrite").save(store)
+      ready.createNewFile(): Unit
+    }
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    (store, graft.sources.v2.MLog.versions(fs,
+      new org.apache.hadoop.fs.Path(store)))
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // S10: CSV fallback with declared schema. Timestamps carried as exact
@@ -623,34 +655,47 @@ object FormatQueries {
          |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_cur,
          |  CAST(2 AS BIGINT) AS n_versions
          |FROM events""".stripMargin) { (s, d) =>
-      val dir = TmpDirs.scoped(s"graft_mlogtt_${QuerySpec.jvmScopedKey(d)}")
-      val ready = new java.io.File(dir, "_READY")
-      val store = new java.io.File(dir, "store").getAbsolutePath
-      if (!ready.exists()) {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(): Unit
-        }
-        rmTree(dir); dir.mkdirs()
-        val ledger = Tables.events(s, d).select(col("event_id").as("id"),
-          col("user_id").as("k"),
-          (unix_micros(col("ts")) % 86400000000L).as("v"))
-        ledger.filter(col("id") % 5 =!= 0).repartitionByRange(7, col("k"))
-          .write.format("mlog").mode("overwrite").save(store)
-        ledger.repartitionByRange(3, col("k"))
-          .write.format("mlog").mode("overwrite").save(store)
-        ready.createNewFile(): Unit
-      }
-      val fs = new org.apache.hadoop.fs.Path(store)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      val vs = graft.sources.v2.MLog.versions(fs,
-        new org.apache.hadoop.fs.Path(store))
+      val (store, vs) = mlogTtStore(s, d)
       val v1 = s.read.format("mlog").option("versionAsOf", vs.head)
         .load(store)
         .agg(count(lit(1)).as("n_v1"), sum(col("v")).as("sum_v1"))
       val cur = s.read.format("mlog").load(store)
         .agg(count(lit(1)).as("n_cur"), sum(col("v")).as("sum_cur"))
       v1.crossJoin(cur).withColumn("n_versions", lit(vs.size.toLong))
+    },
+
+    // The PARSER route to the same time travel — `SELECT … FROM
+    // graft.mlog.`store` VERSION AS OF n` — through
+    // [[graft.sources.v2.GraftMLogCatalog]], the Delta-catalog shape:
+    // Spark's session catalog refuses loadTable(ident, version) for
+    // provider tables, so (exactly as Delta does) the route is a
+    // custom TableCatalog whose loadTable(ident, version) pins the
+    // snapshot manifest. Registered on the LIVE session by conf
+    // (catalogs instantiate lazily on first reference — no session
+    // rebuild needed). Same store, same oracle as the DataFrame route:
+    // the two routes must agree bit-for-bit, which is the route-
+    // equivalence pin; MLogSpec additionally pins pushdown-through-
+    // catalog and the TIMESTAMP AS OF / unknown-version refusals.
+    checked("sql_mlog_time_travel",
+      s"""SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events
+         |    WHERE event_id % 5 <> 0) AS n_v1,
+         |  (SELECT CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) FROM events
+         |    WHERE event_id % 5 <> 0) AS sum_v1,
+         |  CAST(count(*) AS BIGINT) AS n_cur,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_cur,
+         |  CAST(2 AS BIGINT) AS n_versions
+         |FROM events""".stripMargin) { (s, d) =>
+      val (store, vs) = mlogTtStore(s, d)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.GraftMLogCatalog].getName)
+      s.sql(
+        s"""SELECT v1.n_v1, v1.sum_v1, cur.n_cur, cur.sum_cur,
+           |  CAST(${vs.size} AS BIGINT) AS n_versions
+           |FROM (SELECT count(*) AS n_v1, sum(v) AS sum_v1
+           |      FROM graft.mlog.`$store` VERSION AS OF ${vs.head}) v1
+           |CROSS JOIN (SELECT count(*) AS n_cur, sum(v) AS sum_cur
+           |            FROM graft.mlog.`$store`) cur""".stripMargin)
     },
 
     // The RETENTION half of the mlog lifecycle: an overwrite SUPERSEDES

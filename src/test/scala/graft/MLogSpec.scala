@@ -457,6 +457,51 @@ class MLogSpec extends SparkSpec {
     assert(noop.newVersion === preVersion + 1)
   }
 
+  test("SQL VERSION AS OF via the graft catalog equals the versionAsOf option route") {
+    val dir = tmp()
+    ledger(700).repartitionByRange(7, col("k")).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    // LIVE-session registration: catalogs instantiate lazily on first
+    // reference, so no session rebuild (the parser-injection route would
+    // need one — exactly why the catalog is the right surface).
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftMLogCatalog].getName)
+    def one(sql: String): Long = spark.sql(sql).head.getLong(0)
+    assert(one(s"SELECT count(*) FROM graft.mlog.`$dir`") === 10L)
+    assert(one(s"SELECT count(*) FROM graft.mlog.`$dir` VERSION AS OF 1") === 700L)
+    assert(one(s"SELECT count(*) FROM graft.mlog.`$dir` VERSION AS OF 2") === 10L)
+    // Route equivalence beyond counts: same rows as the option route.
+    val viaSql = spark.sql(
+      s"SELECT sum(v) FROM graft.mlog.`$dir` VERSION AS OF 1").head.getLong(0)
+    val viaOpt = spark.read.format("mlog").option("versionAsOf", 1)
+      .load(dir).agg(sum("v")).head.getLong(0)
+    assert(viaSql === viaOpt)
+    // Manifest min/max pruning still fires THROUGH the catalog route.
+    val total = MLog.readManifestVersion(fs(dir), new Path(dir), 1).size
+    assert(one(
+      s"SELECT count(*) FROM graft.mlog.`$dir` VERSION AS OF 1 WHERE k = 3") === 100L)
+    val (planned, seen) = MLog.lastPlanned
+    assert(seen === total && planned < total,
+      s"catalog-route k = 3 must prune the v1 range files (planned $planned/$total)")
+    // Refusals are loud: timestamp travel and unknown versions.
+    val ts = intercept[Exception] {
+      spark.sql(
+        s"SELECT count(*) FROM graft.mlog.`$dir` TIMESTAMP AS OF '2024-01-01'")
+        .head
+    }
+    assert(ts.getMessage.contains("VERSION AS OF"))
+    val gone = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM graft.mlog.`$dir` VERSION AS OF 99").head
+    }
+    assert(gone.getMessage.contains("version 99"))
+    // Mutations are refused: the catalog is a read/time-travel surface.
+    val drop = intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.mlog.`$dir`")
+    }
+    assert(drop.getMessage.contains("format"))
+  }
+
   test("accepts(): manifest range algebra per filter shape") {
     val e = MLog.FileEntry("f", 10, 100, 200, 5, 9)
     assert(MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(150L))))
