@@ -146,8 +146,20 @@ object Bench {
     // compact final summary line with no per-query maps — whatever tail
     // window the driver applies, the LAST line always parses to the
     // headline total.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_flagged":$flagged,"agreed_slow":$agreedSlow,"shuffle_bytes":$sh}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"steal_flagged":$flagged}""")
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_flagged":$flagged,"agreed_slow":$agreedSlow,"shuffle_bytes":$sh}"""
+    println(detail)
+    // The full detail line exceeds any tail window (round-14 verdict #7:
+    // the driver's 2000-char tail keeps the shuffle map but loses the
+    // per-query WALLS, so a judge can't name a regressed query without a
+    // local rerun). Persist it as a repo artifact: cwd is the repo when
+    // the driver runs sbt, and the end-of-round snapshot commits it.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_DETAIL.json: $e")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"steal_flagged":$flagged,"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }
