@@ -970,6 +970,99 @@ object FormatQueries {
         .withColumn("old_layout_readable", lit(facts(3) == 1L))
     },
 
+    // MERGE-ON-READ DELETE — the deletion-vector flavor
+    // ([[graft.sources.v2.MLog.deleteMor]]), the contrast query to
+    // dsv2_mlog_delete's copy-on-write route: the SAME predicate-delete
+    // semantics (and the same oracle shape — DuckDB over raw events
+    // minus the predicate), but ZERO data bytes rewritten. One task per
+    // bounds-touched file records the matching physical row positions in
+    // a .dvec sidecar the manifest points at; readers skip the positions
+    // in lockstep with the physical row counter. Pinned:
+    // zero_bytes_rewritten — the post-delete manifest names EXACTLY the
+    // pre-delete data files with every byte size unchanged, and the
+    // vectored-file count equals the manifest-derived touched count;
+    // vectors_cover_removed — the published vectors mask exactly
+    // removed_rows positions; pre_delete_visible — the pre-delete
+    // snapshot still serves every masked row. The 100 TB contrast: a
+    // delete matching few rows of many large files costs O(matched
+    // positions) here vs O(touched-file bytes) for copy-on-write — the
+    // write-amplification trade every production table format offers
+    // both sides of. Facts persist in the _READY marker.
+    checked("dsv2_mlog_delete_mor",
+      s"""WITH b AS (SELECT CAST(floor(0.30 * max(user_id)) AS BIGINT) AS klo,
+         |    CAST(floor(0.70 * max(user_id)) AS BIGINT) AS khi FROM events)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events, b
+         |    WHERE user_id BETWEEN b.klo AND b.khi AND event_id % 4 = 0)
+         |    AS removed_rows,
+         |  true AS zero_bytes_rewritten, true AS vectors_cover_removed,
+         |  true AS pre_delete_visible
+         |FROM events, b
+         |WHERE NOT (user_id BETWEEN b.klo AND b.khi AND event_id % 4 = 0)
+         |""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogmor_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      val facts = if (!ready.exists()) {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+          .repartitionByRange(7, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        val pre = MLog.readManifest(fs, path)
+        val preVersion = MLog.versions(fs, path).last
+        val total = pre.map(_.rows).sum
+        val preSizes = pre.map(e =>
+          e.name -> new java.io.File(store, e.name).length()).toMap
+        val maxK = pre.map(_.maxK).max
+        val (kLo, kHi) =
+          (math.floor(0.30 * maxK).toLong, math.floor(0.70 * maxK).toLong)
+        val touchedExp = pre.count(e => e.minK <= kHi && e.maxK >= kLo)
+        val stats = MLog.deleteMor(s, path,
+          e => e.minK <= kHi && e.maxK >= kLo,
+          (id, k, _) => k >= kLo && k <= kHi && id % 4 == 0)
+        val post = MLog.readManifest(fs, path)
+        val zeroBytes =
+          post.map(_.name).toSet == pre.map(_.name).toSet &&
+          post.forall(e =>
+            new java.io.File(store, e.name).length() == preSizes(e.name)) &&
+          stats.vectored == touchedExp &&
+          stats.newVersion == preVersion + 1
+        val vectorsCover =
+          post.flatMap(_.dv).map(_.rows).sum == stats.removedRows &&
+          post.count(_.dv.isDefined) == touchedExp
+        val preVisible = s.read.format("mlog")
+          .option("versionAsOf", preVersion).load(store).count() == total
+        val f = Seq(stats.removedRows,
+          if (zeroBytes) 1L else 0L,
+          if (vectorsCover) 1L else 0L,
+          if (preVisible) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("removed_rows", lit(facts(0)))
+        .withColumn("zero_bytes_rewritten", lit(facts(1) == 1L))
+        .withColumn("vectors_cover_removed", lit(facts(2) == 1L))
+        .withColumn("pre_delete_visible", lit(facts(3) == 1L))
+    },
+
     // MERGE INTO on the mlog store ([[graft.sources.v2.MLog.merge]]) —
     // the upsert the two lifecycle primitives compose into, in ONE
     // snapshot commit: base = 4/5 of the events ledger id-range-

@@ -80,9 +80,21 @@ object MLog {
   val Magic = 0x4D4C4731 // "MLG1"
   val Version = 1
 
-  /** One committed file: name + row count + (id, k) min/max. */
+  /** A deletion-vector sidecar: `name` is a `.dvec` file holding `rows`
+    * sorted physical row POSITIONS of its data file that are logically
+    * deleted. The data file's bytes are untouched; readers skip the
+    * positions at scan time — the MERGE-ON-READ delete (Delta deletion
+    * vectors / Iceberg positional deletes), the flavor that makes a
+    * small delete O(matches) instead of O(touched-file bytes). */
+  case class DvRef(name: String, rows: Long)
+
+  /** One committed file: name + PHYSICAL row count + (id, k) min/max,
+    * plus the optional deletion vector masking some of those rows. With
+    * a `dv`, `rows` still counts physical rows (the byte-stream bound)
+    * and min/max still bound ALL physical rows — conservative but sound
+    * for pruning; the logical row count is `rows - dv.rows`. */
   case class FileEntry(name: String, rows: Long, minId: Long, maxId: Long,
-                       minK: Long, maxK: Long)
+                       minK: Long, maxK: Long, dv: Option[DvRef] = None)
 
   /** The full table state one manifest publishes: the committed files
     * plus the TRANSACTION LEDGER — per writer-application id, the highest
@@ -157,9 +169,12 @@ object MLog {
     val files = root.get("files")
     val entries = (0 until files.size()).map { i =>
       val f = files.get(i)
+      // "dv" is OPTIONAL: pre-deletion-vector manifests parse as None.
+      val dv = Option(f.get("dv")).map(d =>
+        DvRef(d.asText(), f.get("dvRows").asLong()))
       FileEntry(f.get("name").asText(), f.get("rows").asLong(),
         f.get("minId").asLong(), f.get("maxId").asLong(),
-        f.get("minK").asLong(), f.get("maxK").asLong())
+        f.get("minK").asLong(), f.get("maxK").asLong(), dv)
     }
     // "txn" is OPTIONAL: manifests written before the transaction ledger
     // existed (and by writers that never set one) parse as empty.
@@ -184,6 +199,7 @@ object MLog {
       n.put("name", e.name); n.put("rows", e.rows)
       n.put("minId", e.minId); n.put("maxId", e.maxId)
       n.put("minK", e.minK); n.put("maxK", e.maxK): Unit
+      e.dv.foreach { d => n.put("dv", d.name); n.put("dvRows", d.rows): Unit }
     }
     if (txn.nonEmpty) {
       val t = root.putObject("txn")
@@ -237,11 +253,16 @@ object MLog {
     * multi-writer table would fence this on manifest age to spare
     * in-flight commits. */
   def vacuum(fs: FileSystem, dir: Path): Long = {
-    val live = (readManifest(fs, dir) ++
-      versions(fs, dir).flatMap(readManifestVersion(fs, dir, _)))
-      .map(_.name).toSet
-    val junk = fs.listStatus(dir).filter(st => st.isFile &&
-      st.getPath.getName.endsWith(".mlog") && !live(st.getPath.getName))
+    val entries = readManifest(fs, dir) ++
+      versions(fs, dir).flatMap(readManifestVersion(fs, dir, _))
+    // Deletion-vector sidecars are referenced state too: a superseded
+    // .dvec (its file re-vectored or rewritten) ages out with the
+    // snapshots naming it, exactly like a superseded data file.
+    val live = (entries.map(_.name) ++ entries.flatMap(_.dv).map(_.name)).toSet
+    val junk = fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && (n.endsWith(".mlog") || n.endsWith(".dvec")) && !live(n)
+    }
     junk.foreach(st => fs.delete(st.getPath, false))
     junk.length.toLong
   }
@@ -289,14 +310,18 @@ object MLog {
       versions(fs, dir).last)
   }
 
-  /** One task's copy-on-write rewrite: stream `e`, drop rows `matches`
-    * selects, restate min/max/rows for the replacement. An all-deleted
-    * file yields no replacement at all. */
+  /** One task's copy-on-write rewrite: stream `e`, drop the rows its
+    * deletion vector already masks (NOT counted as removed — they were
+    * deleted before this rewrite) and the live rows `matches` selects,
+    * restate min/max/rows for the replacement. The replacement carries
+    * no vector — a rewrite MATERIALIZES the DV. An all-deleted file
+    * yields no replacement at all. */
   private def rewriteWithout(conf: SerializableConfiguration, dir: String,
       e: FileEntry, matches: (Long, Long, Long) => Boolean)
       : (Option[FileEntry], Long) = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf.value)
+    val masked = e.dv.map(dv => readDv(fs, d, dv)).getOrElse(Array.empty[Long])
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       fs.open(new Path(d, e.name))))
     try {
@@ -306,10 +331,11 @@ object MLog {
       var out: java.io.DataOutputStream = null
       var rows = 0L; var removed = 0L
       var minId = 0L; var maxId = 0L; var minK = 0L; var maxK = 0L
-      var i = 0L
+      var i = 0L; var mi = 0
       while (i < e.rows) {
         val id = in.readLong(); val k = in.readLong(); val v = in.readLong()
-        if (matches(id, k, v)) removed += 1
+        if (mi < masked.length && masked(mi) == i) mi += 1 // already deleted
+        else if (matches(id, k, v)) removed += 1
         else {
           if (out == null) {
             out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
@@ -330,6 +356,112 @@ object MLog {
       (if (rows > 0) Some(FileEntry(name, rows, minId, maxId, minK, maxK))
        else None, removed)
     } finally in.close()
+  }
+
+  val DvMagic = 0x4D4C4456 // "MLDV"
+
+  /** Read a deletion-vector sidecar: sorted physical row positions. */
+  private[v2] def readDv(fs: FileSystem, dir: Path, dv: DvRef): Array[Long] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      fs.open(new Path(dir, dv.name))))
+    try {
+      require(in.readInt() == DvMagic && in.readInt() == Version,
+        s"not an mlog deletion vector: ${dv.name}")
+      val n = in.readLong()
+      require(n == dv.rows,
+        s"deletion vector ${dv.name} holds $n positions; manifest says ${dv.rows}")
+      val out = new Array[Long](n.toInt)
+      var i = 0
+      while (i < out.length) { out(i) = in.readLong(); i += 1 }
+      out
+    } finally in.close()
+  }
+
+  private def writeDv(fs: FileSystem, dir: Path,
+                      positions: Array[Long]): DvRef = {
+    val name = s"dv-${UUID.randomUUID()}.dvec"
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      fs.create(new Path(dir, name), false)))
+    try {
+      out.writeInt(DvMagic); out.writeInt(Version)
+      out.writeLong(positions.length.toLong)
+      positions.foreach(out.writeLong)
+    } finally out.close()
+    DvRef(name, positions.length.toLong)
+  }
+
+  /** Outcome of a [[deleteMor]]: files the bounds touched (each gaining
+    * or extending a deletion vector — ZERO data bytes rewritten), files
+    * carried untouched, rows newly masked, and the committed snapshot.
+    * Same no-op contract as [[DeleteStats]]. */
+  case class MorDeleteStats(vectored: Int, carried: Int, removedRows: Long,
+                            newVersion: Int)
+
+  /** MERGE-ON-READ predicate delete (Delta deletion vectors / Iceberg
+    * positional deletes) — same pruning and same result rows as
+    * [[delete]], different cost shape: instead of REWRITING each touched
+    * file, one task per file records the matching physical row POSITIONS
+    * in a `.dvec` sidecar (union'd with any existing vector; a file whose
+    * every row ends up masked leaves the manifest entirely), and the
+    * manifest entry points at the vector. Data bytes are never copied —
+    * a delete that touches few rows of many large files costs O(matched
+    * positions), not O(file bytes), which is the 100 TB reason this
+    * flavor exists; the read-side price (skip-while-scanning) is paid
+    * until a rewrite (delete/merge) or explicit rewrite materializes the
+    * vector. Commits as a normal snapshot: the pre-delete snapshot still
+    * serves the masked rows. */
+  def deleteMor(spark: SparkSession, dir: Path,
+                mayMatch: FileEntry => Boolean,
+                matches: (Long, Long, Long) => Boolean): MorDeleteStats = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val full = readManifestFull(fs, dir)
+    val (touched, carried) = full.files.partition(mayMatch)
+    if (touched.isEmpty)
+      return MorDeleteStats(0, full.files.size, 0L,
+        versions(fs, dir).lastOption.getOrElse(0))
+    val conf = hadoopConf()
+    val dirStr = dir.toString
+    val results = spark.sparkContext
+      .parallelize(touched, math.max(1, math.min(touched.size,
+        spark.sparkContext.defaultParallelism)))
+      .map(e => vectorize(conf, dirStr, e, matches)).collect()
+    writeManifest(fs, dir, carried ++ results.flatMap(_._1), full.txn)
+    MorDeleteStats(touched.size, carried.size, results.map(_._2).sum,
+      versions(fs, dir).last)
+  }
+
+  /** One task's vectorization: scan `e`'s live rows, collect the physical
+    * positions `matches` selects, publish old ∪ new as a fresh sidecar
+    * (the old one becomes snapshot-retained garbage). Returns the updated
+    * entry — None when every physical row is now masked — and the count
+    * of NEWLY masked rows. */
+  private def vectorize(conf: SerializableConfiguration, dir: String,
+      e: FileEntry, matches: (Long, Long, Long) => Boolean)
+      : (Option[FileEntry], Long) = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    val old = e.dv.map(dv => readDv(fs, d, dv)).getOrElse(Array.empty[Long])
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      fs.open(new Path(d, e.name))))
+    try {
+      require(in.readInt() == Magic && in.readInt() == Version,
+        s"not an mlog file: ${e.name}")
+      var i = 0L; var oi = 0
+      while (i < e.rows) {
+        val id = in.readLong(); val k = in.readLong(); val v = in.readLong()
+        if (oi < old.length && old(oi) == i) oi += 1 // already masked
+        else if (matches(id, k, v)) fresh += i
+        i += 1
+      }
+    } finally in.close()
+    if (fresh.isEmpty) (Some(e), 0L)
+    else {
+      val union = (old ++ fresh).sorted.toArray
+      if (union.length.toLong == e.rows) (None, fresh.length.toLong)
+      else (Some(e.copy(dv = Some(writeDv(fs, d, union)))),
+        fresh.length.toLong)
+    }
   }
 
   /** Outcome of a [[merge]]: files the source's id bounds touched (each
@@ -437,7 +569,12 @@ object MLog {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val full = readManifestFull(fs, dir)
     val cur = full.files
-    val (small, large) = cur.sortBy(_.name).partition(_.rows < targetRows)
+    // Files carrying a deletion vector are CARRIED, not packed: the bin
+    // merge is a pure byte-copy and must stay one; materializing DVs is
+    // the rewrite job of delete/merge (Delta's OPTIMIZE rewrites DVs —
+    // this one defers to the rewriting primitives, documented).
+    val (small, large) = cur.sortBy(_.name)
+      .partition(e => e.rows < targetRows && e.dv.isEmpty)
     val bins = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
     small.foreach { e =>
@@ -754,7 +891,9 @@ object MLogScanBuilder {
     }
 }
 
-case class MLogPartition(path: String, rows: Long) extends InputPartition
+case class MLogPartition(path: String, rows: Long,
+                         dvPath: Option[String], dvRows: Long)
+  extends InputPartition
 
 case class MLogScan(dir: String, files: Seq[MLog.FileEntry], total: Int,
                     required: StructType, conf: SerializableConfiguration)
@@ -768,8 +907,9 @@ case class MLogScan(dir: String, files: Seq[MLog.FileEntry], total: Int,
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map(e =>
-      MLogPartition(new Path(new Path(dir), e.name).toString, e.rows)
-        : InputPartition).toArray
+      MLogPartition(new Path(new Path(dir), e.name).toString, e.rows,
+        e.dv.map(d => new Path(new Path(dir), d.name).toString),
+        e.dv.fold(0L)(_.rows)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     MLogReaderFactory(required.fieldNames.toSeq, conf)
@@ -790,10 +930,21 @@ case class MLogReaderFactory(fields: Seq[String],
         case other => throw new IllegalArgumentException(s"unknown mlog field $other")
       }.toArray
       private val path = new Path(p.path)
+      private val fsys = path.getFileSystem(conf.value)
       private val in = new java.io.DataInputStream(
-        new java.io.BufferedInputStream(path.getFileSystem(conf.value).open(path)))
+        new java.io.BufferedInputStream(fsys.open(path)))
       require(in.readInt() == MLog.Magic && in.readInt() == MLog.Version,
         s"not an mlog file: $path")
+      // Deletion vector: sorted masked positions, walked in lockstep with
+      // the physical row counter — O(1) per row, no hashing.
+      private val masked: Array[Long] = p.dvPath match {
+        case Some(dp) =>
+          val dvp = new Path(dp)
+          MLog.readDv(dvp.getFileSystem(conf.value), dvp.getParent,
+            MLog.DvRef(dvp.getName, p.dvRows))
+        case None => Array.empty[Long]
+      }
+      private var maskIdx = 0
       private var read = 0L
       private val triple = new Array[Long](3)
       private var current: InternalRow = _
@@ -801,18 +952,26 @@ case class MLogReaderFactory(fields: Seq[String],
       // The MANIFEST row count bounds the read — trailing bytes from a
       // longer orphaned attempt of the same name cannot exist (names are
       // attempt-unique), and EOF before `rows` is corruption: readLong
-      // throws EOFException rather than silently under-reading.
-      override def next(): Boolean =
-        if (read < p.rows) {
+      // throws EOFException rather than silently under-reading. Rows the
+      // deletion vector masks are consumed from the stream but never
+      // surfaced.
+      override def next(): Boolean = {
+        while (read < p.rows) {
           triple(0) = in.readLong(); triple(1) = in.readLong()
           triple(2) = in.readLong()
-          val row = new GenericInternalRow(slots.length)
-          var i = 0
-          while (i < slots.length) { row.update(i, triple(slots(i))); i += 1 }
-          current = row
+          val pos = read
           read += 1
-          true
-        } else false
+          if (maskIdx < masked.length && masked(maskIdx) == pos) maskIdx += 1
+          else {
+            val row = new GenericInternalRow(slots.length)
+            var i = 0
+            while (i < slots.length) { row.update(i, triple(slots(i))); i += 1 }
+            current = row
+            return true
+          }
+        }
+        false
+      }
 
       override def get(): InternalRow = current
       override def close(): Unit = in.close()

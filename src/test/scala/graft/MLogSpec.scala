@@ -502,6 +502,104 @@ class MLogSpec extends SparkSpec {
     assert(drop.getMessage.contains("format"))
   }
 
+  test("merge-on-read delete: vectors mask rows with zero data bytes rewritten") {
+    val dir = tmp()
+    ledger(100).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    ledger(100).select((col("id") + 1000L).as("id"), col("k"), col("v"))
+      .coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    val pre = MLog.readManifest(fs(dir), new Path(dir))
+    val preVersion = MLog.versions(fs(dir), new Path(dir)).last
+    def sizeOf(name: String): Long = new java.io.File(dir, name).length()
+    val preSizes = pre.map(e => e.name -> sizeOf(e.name)).toMap
+    val stats = MLog.deleteMor(spark, new Path(dir),
+      e => e.minId < 100, (id, _, _) => id < 50)
+    assert(stats.vectored === 1 && stats.carried === 1)
+    assert(stats.removedRows === 50L && stats.newVersion === preVersion + 1)
+    val post = MLog.readManifest(fs(dir), new Path(dir))
+    // SAME data files — only a sidecar appeared; bytes untouched.
+    assert(post.map(_.name).toSet === pre.map(_.name).toSet)
+    post.foreach(e => assert(sizeOf(e.name) === preSizes(e.name)))
+    assert(post.flatMap(_.dv).size === 1)
+    assert(post.flatMap(_.dv).head.rows === 50L)
+    // Readers skip the masked positions.
+    val back = spark.read.format("mlog").load(dir)
+    assert(back.count() === 150L)
+    assert(back.filter(col("id") < 50).count() === 0L)
+    assert(back.agg(sum("v")).head.getLong(0) ===
+      ((50 until 100) ++ (0 until 100)).map(_ * 10L).sum)
+    // Pre-delete snapshot still serves the masked rows.
+    assert(spark.read.format("mlog").option("versionAsOf", preVersion)
+      .load(dir).count() === 200L)
+    // A SECOND MoR delete unions into a fresh vector (old one becomes
+    // snapshot-retained garbage), and a file whose every physical row is
+    // masked leaves the manifest entirely.
+    val s2 = MLog.deleteMor(spark, new Path(dir),
+      e => e.minId < 100, (id, _, _) => id < 100)
+    assert(s2.removedRows === 50L)
+    val post2 = MLog.readManifest(fs(dir), new Path(dir))
+    assert(post2.size === 1 && post2.head.minId === 1000L,
+      "a fully-masked file must leave no manifest entry")
+    assert(spark.read.format("mlog").load(dir).count() === 100L)
+    // Nothing-touched no-op mirrors delete's contract.
+    val noop = MLog.deleteMor(spark, new Path(dir),
+      e => e.minId > 1000000L, (_, _, _) => true)
+    assert(noop.vectored === 0 && noop.removedRows === 0L)
+    assert(noop.newVersion === MLog.versions(fs(dir), new Path(dir)).last)
+  }
+
+  test("deletion vectors compose with rewrite, compact, and vacuum") {
+    val dir = tmp()
+    ledger(100).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    // Mask ids < 30 by vector, then COPY-ON-WRITE delete ids 30..49: the
+    // rewrite must materialize the vector (skip its rows uncounted) and
+    // count only the live matches it removed.
+    MLog.deleteMor(spark, new Path(dir),
+      _ => true, (id, _, _) => id < 30)
+    val cow = MLog.delete(spark, new Path(dir),
+      _ => true, (id, _, _) => id >= 30 && id < 50)
+    assert(cow.removedRows === 20L,
+      "vector-masked rows are not re-counted by the rewrite")
+    val afterCow = MLog.readManifest(fs(dir), new Path(dir))
+    assert(afterCow.size === 1 && afterCow.head.dv.isEmpty,
+      "a rewrite materializes the deletion vector")
+    assert(afterCow.head.rows === 50L && afterCow.head.minId === 50L)
+    assert(spark.read.format("mlog").load(dir).agg(sum("v")).head.getLong(0)
+      === (50 until 100).map(_ * 10L).sum)
+    // merge over a vectored file: updates target live rows only.
+    MLog.deleteMor(spark, new Path(dir), _ => true, (id, _, _) => id < 60)
+    import spark.implicits._
+    val mrg = MLog.merge(spark, new Path(dir),
+      ((55 until 65).map(i => (i.toLong, 0L, 1L))).toDF("id", "k", "v")
+        .coalesce(1))
+    assert(mrg.updatedRows === 5L,
+      "ids 55..59 are already masked; only 60..64 are live matches")
+    assert(spark.read.format("mlog").load(dir)
+      .filter(col("id").between(55, 64)).agg(sum("v")).head.getLong(0) === 10L,
+      "all ten merge rows serve v = 1 afterwards")
+    // compact carries vectored files instead of byte-packing them.
+    ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    MLog.deleteMor(spark, new Path(dir),
+      e => e.maxId >= 65 && e.minId >= 50, (id, _, _) => id == 99L)
+    val preCmp = MLog.readManifest(fs(dir), new Path(dir))
+    val vectored = preCmp.filter(_.dv.isDefined).map(_.name).toSet
+    assert(vectored.nonEmpty)
+    val cs = MLog.compact(spark, new Path(dir), targetRows = 1000L)
+    val postCmp = MLog.readManifest(fs(dir), new Path(dir))
+    assert(vectored.subsetOf(postCmp.map(_.name).toSet),
+      "vectored files are carried by compaction, never byte-packed")
+    assert(spark.read.format("mlog").load(dir).count() ===
+      preCmp.map(e => e.rows - e.dv.fold(0L)(_.rows)).sum)
+    // vacuum reclaims superseded .dvec sidecars once snapshots expire,
+    // and keeps the live one.
+    MLog.expireVersions(fs(dir), new Path(dir), keepLast = 1)
+    MLog.vacuum(fs(dir), new Path(dir))
+    val onDisk = Option(new java.io.File(dir).listFiles()).get.map(_.getName)
+    val liveDv = postCmp.flatMap(_.dv).map(_.name).toSet
+    assert(onDisk.filter(_.endsWith(".dvec")).toSet === liveDv)
+    assert(cs.newVersion === MLog.versions(fs(dir), new Path(dir)).last)
+  }
+
   test("accepts(): manifest range algebra per filter shape") {
     val e = MLog.FileEntry("f", 10, 100, 200, 5, 9)
     assert(MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(150L))))
