@@ -1063,6 +1063,54 @@ object FormatQueries {
         .withColumn("pre_delete_visible", lit(facts(3) == 1L))
     },
 
+    // The incremental CONSUMER of the diff scan — why changesSince
+    // exists at 100 TB: an incremental dedup/clean pass reads ONLY the
+    // DIFF between the snapshot it last processed and now, classifying
+    // the increment's keys against the already-processed base (new vs
+    // returning — the keyed anti-join every incremental corpus-clean
+    // runs). The diff side is the appended files alone (diff_only_scan
+    // pins the planned file set to the manifest name-diff via
+    // lastPlanned); the base side reduces to DISTINCT keys map-side
+    // before its one shuffle, so the join crosses distinct keys, not
+    // rows. Oracle: DuckDB recomputes the classification from the raw
+    // events under the same commit predicates.
+    checked("dsv2_mlog_incremental",
+      s"""WITH base AS (SELECT DISTINCT user_id AS k FROM events
+         |  WHERE event_id % 5 <> 0),
+         |diff AS (SELECT event_id, user_id AS k FROM events
+         |  WHERE event_id % 5 = 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_diff,
+         |  CAST(count(DISTINCT k) AS BIGINT) AS n_diff_keys,
+         |  (SELECT CAST(count(DISTINCT k) AS BIGINT) FROM diff
+         |    WHERE k NOT IN (SELECT k FROM base)) AS n_new_keys,
+         |  (SELECT CAST(count(DISTINCT k) AS BIGINT) FROM diff
+         |    WHERE k IN (SELECT k FROM base)) AS n_returning_keys,
+         |  true AS diff_only_scan
+         |FROM diff""".stripMargin) { (s, d) =>
+      val (store, entries) = mlogStore(s, d)
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      val base = MLog.versions(fs, path).head
+      val baseNames = MLog.readManifestVersion(fs, path, base)
+        .map(_.name).toSet
+      val diffExp = entries.count(e => !baseNames(e.name))
+      val diff = s.read.format("mlog").option("changesSince", base)
+        .load(store).select(col("id"), col("k"))
+      val nDiff = diff.count()
+      val diffOnly = MLog.lastPlanned == ((diffExp, diffExp))
+      val baseKeys = s.read.format("mlog").option("versionAsOf", base)
+        .load(store).select(col("k")).distinct()
+      val diffKeys = QuerySpec.staged(diff.select(col("k")).distinct())
+      val newKeys = diffKeys.join(baseKeys, Seq("k"), "left_anti").count()
+      val retKeys = diffKeys.join(baseKeys, Seq("k"), "left_semi").count()
+      diff.agg(count(lit(1)).as("n_diff"),
+          count_distinct(col("k")).as("n_diff_keys"))
+        .withColumn("n_new_keys", lit(newKeys))
+        .withColumn("n_returning_keys", lit(retKeys))
+        .withColumn("diff_only_scan", lit(diffOnly && nDiff > 0L))
+    },
+
     // MERGE INTO on the mlog store ([[graft.sources.v2.MLog.merge]]) —
     // the upsert the two lifecycle primitives compose into, in ONE
     // snapshot commit: base = 4/5 of the events ledger id-range-
