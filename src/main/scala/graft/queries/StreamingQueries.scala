@@ -1137,6 +1137,94 @@ object StreamingQueries {
           dsum(col("k")).as("total_k"))
     },
 
+    // TABLE FORMAT → STREAMING — the read-side dual of stream_mlog_ingest
+    // (Delta's streaming source): `readStream.format("mlog")` turns the
+    // manifest-committed store into a stream whose offsets are snapshot
+    // VERSIONS and whose micro-batches are manifest DIFFS — batch 0 is
+    // the table as of stream start, then each commit's files arrive
+    // exactly once, planned from manifests alone (no directory listing,
+    // no per-row change log; [[graft.sources.v2.MLogMicroBatchStream]]).
+    // The lifecycle is interleaved to pin INCREMENTAL delivery, not just
+    // totals: commit 1 (4/5 of the ledger) → drain (phase-0 batches must
+    // carry exactly commit 1's rows) → append the id % 5 = 0 fifth →
+    // drain again (phase-1 batches must carry exactly the appended rows,
+    // nothing re-delivered). The oracle computes both phases from the
+    // raw events under the commit predicates, and the totals from the
+    // full table. The non-append failure contract and checkpoint-restart
+    // no-redelivery are MLogSpec-pinned. At 100 TB this is the CDC feed
+    // a downstream incremental pipeline tails: cost per pull = the new
+    // files, never the table. Facts persist in the _READY marker.
+    checked("stream_mlog_source",
+      s"""SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events
+         |    WHERE event_id % 5 <> 0) AS n_b0,
+         |  (SELECT CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+         |    FROM events WHERE event_id % 5 <> 0) AS sum_vb0,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events
+         |    WHERE event_id % 5 = 0) AS n_b1,
+         |  (SELECT CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+         |    FROM events WHERE event_id % 5 = 0) AS sum_vb1,
+         |  CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  true AS incremental
+         |FROM events""".stripMargin) { (s, d) =>
+      import graft.sources.v2.MLog
+      val dir = TmpDirs.scoped(s"graft_mlogsrc_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val facts = if (!ready.exists()) {
+        rmTree(dir); dir.mkdirs()
+        val ledger = Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+        ledger.filter(col("id") % 5 =!= 0).repartitionByRange(4, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        // Per-phase accumulators, bumped on the driver by foreachBatch;
+        // processAllAvailable() is the phase barrier.
+        val phase = new java.util.concurrent.atomic.AtomicInteger(0)
+        val acc = Array.fill(2)(
+          (new java.util.concurrent.atomic.AtomicLong,
+           new java.util.concurrent.atomic.AtomicLong))
+        val q = s.readStream.format("mlog").load(store)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val r = b.agg(count(lit(1)), sum(col("v"))).head
+            val p = acc(phase.get())
+            p._1.addAndGet(r.getLong(0))
+            if (!r.isNullAt(1)) p._2.addAndGet(r.getLong(1))
+            ()
+          }
+          .option("checkpointLocation",
+            new java.io.File(dir, "ckpt").getAbsolutePath)
+          .start()
+        q.processAllAvailable()
+        phase.set(1)
+        ledger.filter(col("id") % 5 === 0).repartitionByRange(2, col("k"))
+          .write.format("mlog").mode("append").save(store)
+        q.processAllAvailable()
+        q.stop()
+        val f = Seq(acc(0)._1.get(), acc(0)._2.get(),
+          acc(1)._1.get(), acc(1)._2.get())
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      val totals = s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n_total"), sum(col("v")).as("sum_v"))
+      totals
+        .withColumn("n_b0", lit(facts(0)))
+        .withColumn("sum_vb0", lit(facts(1)))
+        .withColumn("n_b1", lit(facts(2)))
+        .withColumn("sum_vb1", lit(facts(3)))
+        .select(col("n_b0"), col("sum_vb0"), col("n_b1"), col("sum_vb1"),
+          col("n_total"), col("sum_v"),
+          (col("n_b0") + col("n_b1") === col("n_total") &&
+            col("sum_vb0") + col("sum_vb1") === col("sum_v"))
+            .as("incremental"))
+    },
+
     // STREAMING → TABLE FORMAT, exactly-once (the Delta-sink primitive a
     // 100 TB ingest actually runs): the events ledger arrives as a
     // 3-file bounded stream (one micro-batch per file) and each

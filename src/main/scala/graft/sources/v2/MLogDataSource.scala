@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{
   SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{
   DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
@@ -106,7 +107,8 @@ object MLog {
     * re-runs) can be refused without any window where data and marker
     * disagree. Carried forward across appends, overwrites, deletes and
     * compactions — idempotence records must survive table rewrites. */
-  case class Manifest(files: Seq[FileEntry], txn: Map[String, Long])
+  case class Manifest(files: Seq[FileEntry], txn: Map[String, Long],
+                      version: Int = 0)
 
   /** Plan size of the last `build()` in this JVM: (survivors, total) —
     * a test hook for pinning manifest pruning. */
@@ -122,13 +124,29 @@ object MLog {
   def readManifest(fs: FileSystem, dir: Path): Seq[FileEntry] =
     readManifestFull(fs, dir).files
 
-  /** [[readManifest]] plus the transaction ledger. */
+  /** [[readManifest]] plus the transaction ledger and version. The
+    * pointer is a CACHE of the newest snapshot: concurrent winners of
+    * different versions can swap it out of order (and a crash can leave
+    * it lagging or absent), so when snapshots newer than the pointer's
+    * recorded version exist, the newest snapshot — the log, not the
+    * cache — is served. Legacy manifests without a recorded version
+    * (v = 0) keep the old pointer-wins behavior. */
   def readManifestFull(fs: FileSystem, dir: Path): Manifest = {
     val current = new Path(dir, ManifestName)
-    if (fs.exists(current)) readManifestFile(fs, current)
-    else versions(fs, dir).lastOption match {
-      case Some(v) => readManifestVersionFull(fs, dir, v)
-      case None => Manifest(Seq.empty, Map.empty)
+    // The local-FS pointer swap is delete-then-rename: a reader racing
+    // it can pass exists() and still miss the open — treat exactly like
+    // an absent pointer (the snapshot log arbitrates).
+    val pointer =
+      try {
+        if (fs.exists(current)) Some(readManifestFile(fs, current)) else None
+      } catch { case _: java.io.FileNotFoundException => None }
+    val newest = versions(fs, dir).lastOption
+    (pointer, newest) match {
+      case (Some(p), Some(v)) if p.version > 0 && v > p.version =>
+        readManifestVersionFull(fs, dir, v)
+      case (Some(p), _) => p
+      case (None, Some(v)) => readManifestVersionFull(fs, dir, v)
+      case (None, None) => Manifest(Seq.empty, Map.empty)
     }
   }
 
@@ -183,15 +201,75 @@ object MLog {
       t.properties().forEach(e => b += (e.getKey -> e.getValue.asLong()))
       b.result()
     }
-    Manifest(entries, txn)
+    // "v" (this manifest's own snapshot number) is absent in legacy
+    // manifests — 0 means "unknown", and the pointer-vs-snapshot
+    // arbitration falls back to pointer-wins.
+    Manifest(entries, txn, Option(root.get("v")).fold(0)(_.asInt()))
   }
 
-  def writeManifest(fs: FileSystem, dir: Path, entries: Seq[FileEntry],
-                    txn: Map[String, Long] = Map.empty): Unit = {
+  /** Optimistically-concurrent APPEND/OVERWRITE commit: loop { read the
+    * current state; refuse a replayed (appId, version); re-merge `fresh`
+    * into it (or replace it, for truncate); CAS-publish as the next
+    * snapshot }. Losing the CAS means a concurrent commit landed — a
+    * blind re-merge of fresh files against the NEW state is always
+    * valid (they reference only this committer's staged files), so the
+    * retry is safe where a mutator's would not be. Returns false when
+    * the txn ledger refused the commit (caller cleans its staged
+    * files). */
+  def commitAppend(fs: FileSystem, dir: Path, fresh: Seq[FileEntry],
+                   txnUpdate: Option[(String, Long)],
+                   truncate: Boolean): Boolean = {
+    var attempts = 0
+    while (true) {
+      val full = readManifestFull(fs, dir)
+      if (txnUpdate.exists { case (app, ver) =>
+          full.txn.get(app).exists(_ >= ver) }) return false
+      val base = baseOf(fs, dir, full)
+      val state = if (truncate) fresh else full.files ++ fresh
+      val newTxn = txnUpdate.fold(full.txn) { case (app, ver) =>
+        full.txn + (app -> ver)
+      }
+      if (tryPublish(fs, dir, base + 1, state, newTxn)) return true
+      attempts += 1
+      require(attempts < 50,
+        s"mlog append lost $attempts version races under $dir — " +
+          "a runaway concurrent committer?")
+    }
+    false // unreachable
+  }
+
+  // Same-JVM committers to one store serialize here: HDFS's namenode
+  // makes create(overwrite = false) a true CAS across processes, but
+  // RawLocalFileSystem's is check-then-act — atomic enough for separate
+  // processes only by luck. In-process (a driver running concurrent
+  // write jobs — the case local mode actually has) the lock closes it.
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** CAS-publish `entries` + `txn` as snapshot `v`: the snapshot file is
+    * created with overwrite = false, which is the ONE atomically
+    * contended resource — two committers whose reads were both current
+    * race to the same version number, and exactly one create() wins
+    * (atomic on HDFS/object stores; same-JVM local committers serialize
+    * on [[publishLocks]]). Returns false when this committer lost (the
+    * version exists). On a win, the current-pointer cache is swapped
+    * after the snapshot lands; because concurrent winners of DIFFERENT
+    * versions can swap the pointer out of order, the pointer records
+    * its own version and [[readManifestFull]] serves whichever of
+    * {pointer, newest snapshot} is newer — the pointer is a cache, the
+    * snapshots are the log. */
+  private def tryPublish(fs: FileSystem, dir: Path, v: Int,
+      entries: Seq[FileEntry], txn: Map[String, Long]): Boolean =
+    publishLocks.computeIfAbsent(dir.toString, _ => new Object)
+      .synchronized { tryPublishLocked(fs, dir, v, entries, txn) }
+
+  private def tryPublishLocked(fs: FileSystem, dir: Path, v: Int,
+      entries: Seq[FileEntry], txn: Map[String, Long]): Boolean = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("format", "mlog")
     root.put("version", Version)
+    root.put("v", v) // which snapshot this state IS (pointer-lag arbiter)
     val arr = root.putArray("files")
     // Name-sorted: the manifest is deterministic up to the files' uuids.
     entries.sortBy(_.name).foreach { e =>
@@ -203,14 +281,29 @@ object MLog {
     }
     if (txn.nonEmpty) {
       val t = root.putObject("txn")
-      txn.toSeq.sortBy(_._1).foreach { case (a, v) => t.put(a, v): Unit }
+      txn.toSeq.sortBy(_._1).foreach { case (a, m) => t.put(a, m): Unit }
     }
     val bytes = mapper.writeValueAsBytes(root)
-    // Snapshot file FIRST (crash after it = a harmless orphan version;
-    // readers still see the old current), then the current-pointer swap.
-    val v = versions(fs, dir).lastOption.getOrElse(0) + 1
-    val vOut = fs.create(versionPath(dir, v), false)
+    // Snapshot file FIRST (crash after it = a committed version whose
+    // pointer lags — readers arbitrate by version), then the pointer.
+    // The snapshot is NEVER written in place: content goes to a hidden
+    // temp (its name cannot match VersionRe, so listers never see it),
+    // then ONE rename claims the version slot — readers see a version
+    // file only complete, never mid-write (the claimed-but-empty window
+    // an in-place create(false)+write would expose to a concurrent
+    // reader's versions() listing, on HDFS as much as locally). The
+    // rename is the CAS: on HDFS it atomically fails when the slot is
+    // taken; same-JVM local committers already hold [[publishLocks]],
+    // making the exists() check under the lock authoritative.
+    val slot = versionPath(dir, v)
+    if (fs.exists(slot)) return false // lost: that version committed first
+    val vTmp = new Path(dir, s".mlog_vtmp-${UUID.randomUUID()}")
+    val vOut = fs.create(vTmp, true)
     try vOut.write(bytes) finally vOut.close()
+    if (!fs.rename(vTmp, slot)) {
+      fs.delete(vTmp, false)
+      return false // lost the race on the slot itself
+    }
     val tmp = new Path(dir, s".${ManifestName}.tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
@@ -230,6 +323,27 @@ object MLog {
       fs.getUri, fs.getConf)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    true
+  }
+
+  /** Conflict-DETECTING publish for table mutators (delete, compact,
+    * merge): the caller read the table at `baseVersion` and computed a
+    * whole-state rewrite from it; if ANY other commit landed since —
+    * equivalently, if snapshot `baseVersion + 1` is taken — that rewrite
+    * is stale (it would silently drop the concurrent commit's files), so
+    * this fails with a retryable conflict instead of publishing. This is
+    * the mutator half of optimistic concurrency; appends re-merge and
+    * retry ([[writeManifest]]) because a blind re-merge of fresh files
+    * is always valid. */
+  private[v2] def publishExclusive(fs: FileSystem, dir: Path,
+      baseVersion: Int, entries: Seq[FileEntry],
+      txn: Map[String, Long]): Unit = {
+    if (versions(fs, dir).lastOption.getOrElse(0) != baseVersion ||
+        !tryPublish(fs, dir, baseVersion + 1, entries, txn))
+      throw new java.util.ConcurrentModificationException(
+        s"mlog table under $dir changed since snapshot $baseVersion was " +
+          "read; the computed rewrite is stale — re-read and retry the " +
+          "operation")
   }
 
   /** Drop all but the newest `keepLast` snapshot manifests (never the
@@ -267,6 +381,13 @@ object MLog {
     junk.length.toLong
   }
 
+  /** The snapshot a commit's read is based on (its conflict token): the
+    * NEWER of the manifest's recorded version and the newest listed
+    * snapshot — covers legacy manifests that record no version (0) and
+    * any state where the served content lags the snapshot log. */
+  private def baseOf(fs: FileSystem, dir: Path, m: Manifest): Int =
+    math.max(m.version, versions(fs, dir).lastOption.getOrElse(0))
+
   /** Outcome of a [[delete]]: how many files the predicate's manifest
     * bounds touched (each rewritten without its matching rows), how many
     * were carried into the new manifest untouched, rows removed, and the
@@ -293,11 +414,11 @@ object MLog {
              matches: (Long, Long, Long) => Boolean): DeleteStats = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val full = readManifestFull(fs, dir)
+    val base = baseOf(fs, dir, full)
     val cur = full.files
     val (touched, carried) = cur.partition(mayMatch)
     if (touched.isEmpty)
-      return DeleteStats(0, cur.size, 0L,
-        versions(fs, dir).lastOption.getOrElse(0))
+      return DeleteStats(0, cur.size, 0L, base)
     val conf = hadoopConf()
     val dirStr = dir.toString
     val results = spark.sparkContext
@@ -305,9 +426,8 @@ object MLog {
         spark.sparkContext.defaultParallelism)))
       .map(e => rewriteWithout(conf, dirStr, e, matches)).collect()
     val kept = results.flatMap(_._1)
-    writeManifest(fs, dir, carried ++ kept, full.txn)
-    DeleteStats(touched.size, carried.size, results.map(_._2).sum,
-      versions(fs, dir).last)
+    publishExclusive(fs, dir, base, carried ++ kept, full.txn)
+    DeleteStats(touched.size, carried.size, results.map(_._2).sum, base + 1)
   }
 
   /** One task's copy-on-write rewrite: stream `e`, drop the rows its
@@ -415,19 +535,20 @@ object MLog {
                 matches: (Long, Long, Long) => Boolean): MorDeleteStats = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val full = readManifestFull(fs, dir)
+    val base = baseOf(fs, dir, full)
     val (touched, carried) = full.files.partition(mayMatch)
     if (touched.isEmpty)
-      return MorDeleteStats(0, full.files.size, 0L,
-        versions(fs, dir).lastOption.getOrElse(0))
+      return MorDeleteStats(0, full.files.size, 0L, base)
     val conf = hadoopConf()
     val dirStr = dir.toString
     val results = spark.sparkContext
       .parallelize(touched, math.max(1, math.min(touched.size,
         spark.sparkContext.defaultParallelism)))
       .map(e => vectorize(conf, dirStr, e, matches)).collect()
-    writeManifest(fs, dir, carried ++ results.flatMap(_._1), full.txn)
+    publishExclusive(fs, dir, base, carried ++ results.flatMap(_._1),
+      full.txn)
     MorDeleteStats(touched.size, carried.size, results.map(_._2).sum,
-      versions(fs, dir).last)
+      base + 1)
   }
 
   /** One task's vectorization: scan `e`'s live rows, collect the physical
@@ -498,10 +619,10 @@ object MLog {
         s"got ${source.schema.simpleString}")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val full = readManifestFull(fs, dir)
+    val base = baseOf(fs, dir, full)
     val ids = source.select("id").distinct().collect().map(_.getLong(0))
     if (ids.isEmpty)
-      return MergeStats(0, full.files.size, 0L, 0,
-        versions(fs, dir).lastOption.getOrElse(0))
+      return MergeStats(0, full.files.size, 0L, 0, base)
     val keySet = spark.sparkContext.broadcast(ids.toSet)
     val (lo, hi) = (ids.min, ids.max)
     val (touched, carried) =
@@ -516,10 +637,10 @@ object MLog {
         .map(e => rewriteWithout(conf, dirStr, e,
           (id, _, _) => keySet.value(id))).collect()
     val staged = writeFiles(dir, source)
-    writeManifest(fs, dir,
+    publishExclusive(fs, dir, base,
       carried ++ results.flatMap(_._1) ++ staged, full.txn)
     MergeStats(touched.size, carried.size, results.map(_._2).sum,
-      staged.size, versions(fs, dir).last)
+      staged.size, base + 1)
   }
 
   /** Stage a DataFrame's partitions as ledger files WITHOUT publishing a
@@ -568,6 +689,7 @@ object MLog {
   def compact(spark: SparkSession, dir: Path, targetRows: Long): CompactStats = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val full = readManifestFull(fs, dir)
+    val base = baseOf(fs, dir, full)
     val cur = full.files
     // Files carrying a deletion vector are CARRIED, not packed: the bin
     // merge is a pure byte-copy and must stay one; materializing DVs is
@@ -586,17 +708,17 @@ object MLog {
     }
     val (multi, single) = bins.map(_.toSeq).toSeq.partition(_.size >= 2)
     if (multi.isEmpty)
-      return CompactStats(cur.size, cur.size, 0,
-        versions(fs, dir).lastOption.getOrElse(0))
+      return CompactStats(cur.size, cur.size, 0, base)
     val conf = hadoopConf()
     val dirStr = dir.toString
     val merged = spark.sparkContext
       .parallelize(multi, math.max(1, math.min(multi.size,
         spark.sparkContext.defaultParallelism)))
       .map(b => mergeBin(conf, dirStr, b)).collect()
-    writeManifest(fs, dir, large ++ single.flatten ++ merged, full.txn)
+    publishExclusive(fs, dir, base, large ++ single.flatten ++ merged,
+      full.txn)
     CompactStats(cur.size, large.size + single.size + merged.length,
-      multi.map(_.size).sum, versions(fs, dir).last)
+      multi.map(_.size).sum, base + 1)
   }
 
   /** One task's bin merge: header, then each input's payload copied
@@ -652,6 +774,7 @@ class MLogTable(properties: JMap[String, String])
   override def schema(): StructType = MLog.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   private def merged(options: CaseInsensitiveStringMap): Map[String, String] = {
@@ -673,7 +796,14 @@ class MLogTable(properties: JMap[String, String])
     val since = m.collectFirst {
       case (k, v) if k.equalsIgnoreCase("changesSince") => v.trim.toInt
     }
-    new MLogScanBuilder(MLog.pathOf(m), MLog.hadoopConf(), version, since)
+    // Streaming-read relaxation (Delta's option of the same name): accept
+    // rewritten files re-surfacing instead of failing on non-append
+    // changes between snapshots.
+    val ignoreChanges = m.exists { case (k, v) =>
+      k.equalsIgnoreCase("ignoreChanges") && v.trim.equalsIgnoreCase("true")
+    }
+    new MLogScanBuilder(MLog.pathOf(m), MLog.hadoopConf(), version, since,
+      ignoreChanges)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -738,20 +868,15 @@ case class MLogBatchWrite(dir: String, conf: SerializableConfiguration,
     val fresh = messages.toSeq.collect {
       case m: MLogCommit if m.name != null => m.entry
     }
-    val full = MLog.readManifestFull(fs, d)
-    val replayed = txn.exists { case (app, ver) =>
-      full.txn.get(app).exists(_ >= ver)
-    }
-    if (replayed) {
-      logInfo(s"mlog commit refused: txn $txn already in the ledger " +
-        s"(${full.txn}); dropping ${fresh.size} staged files")
+    // Optimistically-concurrent commit: commitAppend loops
+    // read → replay-check → re-merge → CAS-publish, so a lost race
+    // re-merges against the NEW state (an append's fresh files stay
+    // valid under any concurrent commit). A txn-ledger refusal returns
+    // false — the staged files are dropped exactly as an abort would.
+    if (!MLog.commitAppend(fs, d, fresh, txn, truncateFirst)) {
+      logInfo(s"mlog commit refused: txn $txn already in the ledger; " +
+        s"dropping ${fresh.size} staged files")
       abort(messages)
-    } else {
-      val prev = if (truncateFirst) Seq.empty else full.files
-      val newTxn = txn.fold(full.txn) { case (app, ver) =>
-        full.txn + (app -> ver)
-      }
-      MLog.writeManifest(fs, d, prev ++ fresh, newTxn)
     }
   }
 
@@ -823,7 +948,8 @@ case class MLogWriterFactory(dir: String, conf: SerializableConfiguration)
 
 class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
                       version: Option[Int] = None,
-                      changesSince: Option[Int] = None)
+                      changesSince: Option[Int] = None,
+                      ignoreChanges: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -860,7 +986,8 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
     }
     val survivors = all.filter(e => prunable.forall(MLogScanBuilder.accepts(e, _)))
     MLog.lastPlanned = (survivors.length, all.length)
-    MLogScan(dir.toString, survivors, all.length, required, conf)
+    MLogScan(dir.toString, survivors, all.length, required, conf,
+      prunable, ignoreChanges)
   }
 }
 
@@ -896,11 +1023,20 @@ case class MLogPartition(path: String, rows: Long,
   extends InputPartition
 
 case class MLogScan(dir: String, files: Seq[MLog.FileEntry], total: Int,
-                    required: StructType, conf: SerializableConfiguration)
+                    required: StructType, conf: SerializableConfiguration,
+                    prunable: Array[Filter] = Array.empty,
+                    ignoreChanges: Boolean = false)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // Streaming read: micro-batches are manifest diffs between snapshot
+  // versions ([[MLogMicroBatchStream]]); the batch-path file list above
+  // is ignored — the stream replans per offset range. Column pruning and
+  // manifest min/max pruning flow through unchanged.
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MLogMicroBatchStream(dir, conf, required, prunable, ignoreChanges)
   override def description(): String =
     s"mlog ${files.length}/$total files after manifest pruning, " +
       s"cols [${required.fieldNames.mkString(",")}]"

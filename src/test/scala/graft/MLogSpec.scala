@@ -600,6 +600,91 @@ class MLogSpec extends SparkSpec {
     assert(cs.newVersion === MLog.versions(fs(dir), new Path(dir)).last)
   }
 
+  test("streaming source: micro-batches are manifest diffs; exactly once per commit") {
+    val dir = tmp()
+    val ckpt = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def drainWith(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      try q.processAllAvailable() finally q.stop()
+    val q = spark.readStream.format("mlog").load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val r = b.agg(count(lit(1)), sum("v")).head
+        seen += ((id, r.getLong(0), r.getLong(1))); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    // Batch 0 = the whole table as of stream start.
+    assert(seen.map(_._2).sum === 50L)
+    // A commit while the stream runs arrives as ITS OWN diff batch.
+    ledger(30).select((col("id") + 100L).as("id"), col("k"), col("v"))
+      .coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    q.processAllAvailable()
+    assert(seen.map(_._2).sum === 80L)
+    assert(seen.last._2 === 30L, "the new batch is the appended files ONLY")
+    assert(seen.last._3 === (0 until 30).map(_ * 10L).sum)
+    q.stop()
+    // Restart from the checkpoint: nothing new → no re-delivery.
+    val n0 = seen.size
+    drainWith(spark.readStream.format("mlog").load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val r = b.agg(count(lit(1)), sum("v")).head
+        seen += ((id, r.getLong(0), r.getLong(1))); ()
+      }
+      .option("checkpointLocation", ckpt).start())
+    assert(seen.drop(n0).map(_._2).sum === 0L,
+      "a restarted stream must not re-deliver committed snapshots")
+  }
+
+  test("streaming source: non-append changes fail loudly; ignoreChanges opts in") {
+    val dir = tmp()
+    val ckpt = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val got = new java.util.concurrent.atomic.AtomicLong
+    def stream(extra: Map[String, String]) = {
+      val r = spark.readStream.format("mlog")
+      extra.foreach { case (k, v) => r.option(k, v) }
+      r.load(dir).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    val q = stream(Map.empty)
+    q.processAllAvailable(); q.stop()
+    assert(got.get() === 50L)
+    // OVERWRITE between pulls: delivered files vanish from the manifest.
+    ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val q2 = stream(Map.empty)
+    val err = intercept[Exception] { q2.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("NON-APPEND")),
+      s"expected the non-append failure, got: ${messages(err).mkString(" | ")}")
+    q2.stop()
+    // ignoreChanges accepts the rewritten layout re-surfacing wholesale.
+    val q3 = stream(Map("ignoreChanges" -> "true"))
+    q3.processAllAvailable(); q3.stop()
+    assert(got.get() === 60L, "the replanned batch delivers the new layout's files")
+  }
+
+  test("streaming source: offset json round-trips") {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val stream = new graft.sources.v2.MLogMicroBatchStream(
+      tmp(), conf, MLog.Schema, Array.empty, ignoreChanges = false)
+    assert(stream.deserializeOffset(
+      graft.sources.v2.MLogOffset(7).json()) ===
+      graft.sources.v2.MLogOffset(7))
+    assert(stream.initialOffset() === graft.sources.v2.MLogOffset(0))
+    assert(stream.latestOffset() === graft.sources.v2.MLogOffset(0),
+      "an empty store's latest offset is 0 — no batch planned")
+  }
+
   test("accepts(): manifest range algebra per filter shape") {
     val e = MLog.FileEntry("f", 10, 100, 200, 5, 9)
     assert(MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(150L))))

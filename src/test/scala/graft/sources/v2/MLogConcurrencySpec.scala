@@ -1,0 +1,140 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.apache.spark.util.SerializableConfiguration
+
+/** Optimistic concurrency of the mlog commit protocol. Lives in the
+  * source's package to reach `publishExclusive` — the mutator-conflict
+  * half can only be exercised deterministically by publishing against a
+  * base the test itself made stale. */
+class MLogConcurrencySpec extends graft.SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("mlog_occ").toFile.getAbsolutePath
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def conf() =
+    new SerializableConfiguration(spark.sessionState.newHadoopConf())
+
+  test("concurrent appends: every commit survives via CAS + re-merge") {
+    val dir = tmp()
+    val c = conf()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val tasks = (0 until 12).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val w = MLogWriterFactory(dir, c).createWriter(i, i.toLong)
+            w.write(InternalRow(i.toLong, (i % 7).toLong, i * 10L))
+            val msg = w.commit()
+            MLogBatchWrite(dir, c, truncateFirst = false)
+              .commit(Array[WriterCommitMessage](msg))
+          }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // No lost updates: 12 files, 12 rows, 12 distinct snapshot versions,
+    // and the arbitrated read serves the newest state even if the
+    // pointer cache lagged an out-of-order swap.
+    val m = MLog.readManifestFull(fs(dir), new Path(dir))
+    assert(m.files.size === 12)
+    assert(m.files.map(_.rows).sum === 12L)
+    assert(m.version === 12)
+    assert(MLog.versions(fs(dir), new Path(dir)) === (1 to 12))
+    assert(spark.read.format("mlog").load(dir).count() === 12L)
+    assert(spark.read.format("mlog").load(dir)
+      .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) ===
+      (0 until 12).map(_ * 10L).sum)
+  }
+
+  test("concurrent idempotent commits: one (appId, version) lands exactly once") {
+    val dir = tmp()
+    val c = conf()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      // 8 committers all claim txn ("app", 1) with one row each: the
+      // ledger must admit exactly ONE; the rest clean their staged files.
+      val tasks = (0 until 8).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val w = MLogWriterFactory(dir, c).createWriter(i, 100L + i)
+            w.write(InternalRow(i.toLong, 0L, 1L))
+            val msg = w.commit()
+            new MLogWriteBuilder(new Path(dir), c, truncateFirst = false,
+              txn = Some(("app", 1L)))
+              .build().toBatch.commit(Array[WriterCommitMessage](msg))
+          }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val m = MLog.readManifestFull(fs(dir), new Path(dir))
+    assert(m.files.size === 1, "exactly one of the racing replays commits")
+    assert(m.txn === Map("app" -> 1L))
+    assert(spark.read.format("mlog").load(dir).count() === 1L)
+    // Losers' staged files were dropped like an abort.
+    val onDisk = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).filter(_.endsWith(".mlog")).toSet
+    assert(onDisk === m.files.map(_.name).toSet)
+  }
+
+  test("publishExclusive: a mutator's stale rewrite is refused, not silently applied") {
+    val dir = tmp()
+    import spark.implicits._
+    def ledger(n: Int, shift: Long = 0L) =
+      (0 until n).map(i => (i + shift, (i % 7).toLong, i * 10L))
+        .toDF("id", "k", "v")
+    ledger(50).coalesce(1).write.format("mlog")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(dir)
+    // A mutator reads the table at base = 1 …
+    val read = MLog.readManifestFull(fs(dir), new Path(dir))
+    assert(read.version === 1)
+    // … then a concurrent commit lands (base moves to 2) …
+    ledger(10, 1000L).coalesce(1).write.format("mlog")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    // … so publishing the rewrite computed from base 1 must fail: it
+    // would silently drop the concurrent commit's files.
+    val err = intercept[java.util.ConcurrentModificationException] {
+      MLog.publishExclusive(fs(dir), new Path(dir), baseVersion = 1,
+        read.files, read.txn)
+    }
+    assert(err.getMessage.contains("stale"))
+    // The table is untouched by the refused publish.
+    assert(spark.read.format("mlog").load(dir).count() === 60L)
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2))
+    // Re-read and retry — the fresh base publishes fine (delete nothing:
+    // republish the re-read state).
+    val again = MLog.readManifestFull(fs(dir), new Path(dir))
+    MLog.publishExclusive(fs(dir), new Path(dir), again.version,
+      again.files, again.txn)
+    assert(spark.read.format("mlog").load(dir).count() === 60L)
+    assert(MLog.readManifestFull(fs(dir), new Path(dir)).version === 3)
+  }
+
+  test("pointer lagging behind newer snapshots is out-arbitrated by readers") {
+    val dir = tmp()
+    import spark.implicits._
+    (0 until 30).map(i => (i.toLong, 0L, 1L)).toDF("id", "k", "v")
+      .coalesce(1).write.format("mlog")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(dir)
+    (0 until 20).map(i => (i + 100L, 0L, 1L)).toDF("id", "k", "v")
+      .coalesce(1).write.format("mlog")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(dir)
+    // Regress the pointer cache to v1's bytes (an out-of-order swap by a
+    // slower concurrent winner): reads must serve snapshot 2 regardless.
+    val f = fs(dir)
+    val v1 = new Path(dir, "_mlog_v00001.json")
+    val ptr = new Path(dir, MLog.ManifestName)
+    f.delete(ptr, false)
+    org.apache.hadoop.fs.FileUtil.copy(f, v1, f, ptr, false,
+      spark.sessionState.newHadoopConf())
+    val m = MLog.readManifestFull(f, new Path(dir))
+    assert(m.version === 2, "the newest snapshot out-arbitrates a lagging pointer")
+    assert(spark.read.format("mlog").load(dir).count() === 50L)
+  }
+}
