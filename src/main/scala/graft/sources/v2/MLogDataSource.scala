@@ -44,13 +44,16 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * Exactly-once batch commit: each `DataWriter.commit()` returns its
   * file's stats as the commit message; `BatchWrite.commit(messages)` runs
-  * once on the driver and publishes the manifest (write temp + rename —
-  * a real multi-writer implementation would CAS the swap; single-writer
-  * here, documented). `BatchWrite.abort()` deletes every staged file the
-  * failed job managed to report. SaveMode.Append merges entries into the
-  * existing manifest; SaveMode.Overwrite arrives as truncate + append
-  * (`SupportsTruncate`), publishing a manifest with only the new entries
-  * — superseded files become unreferenced garbage for a vacuum pass.
+  * once on the driver and publishes the manifest OPTIMISTICALLY
+  * CONCURRENTLY ([[MLog.commitAppend]]: read → txn-replay check →
+  * re-merge → CAS on the snapshot slot, retrying a lost race against the
+  * re-read state; mutators instead conflict-detect via
+  * [[MLog.publishExclusive]]). `BatchWrite.abort()` deletes every staged
+  * file the failed job managed to report. SaveMode.Append merges entries
+  * into the existing manifest; SaveMode.Overwrite arrives as truncate +
+  * append (`SupportsTruncate`), publishing a manifest with only the new
+  * entries — superseded files become unreferenced garbage for a vacuum
+  * pass.
   *
   * Read path: `SupportsPushDownFilters` accepts range/equality filters on
   * `id`/`k` and prunes FILES by manifest min/max before planning (one
