@@ -672,6 +672,30 @@ class MLogSpec extends SparkSpec {
     assert(got.get() === 60L, "the replanned batch delivers the new layout's files")
   }
 
+  test("streaming source: batch 0 applies deletion vectors, not physical rows") {
+    val dir = tmp()
+    ledger(100).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    // The table already carries a vector when the stream starts: the
+    // initial batch must deliver the MASKED state (the diff planner
+    // forwards each entry's dv to the partition reader).
+    MLog.deleteMor(spark, new Path(dir), _ => true, (id, _, _) => id < 40)
+    val got = new java.util.concurrent.atomic.AtomicLong
+    val vSum = new java.util.concurrent.atomic.AtomicLong
+    val q = spark.readStream.format("mlog").load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val r = b.agg(count(lit(1)), sum("v")).head
+        got.addAndGet(r.getLong(0))
+        if (!r.isNullAt(1)) vSum.addAndGet(r.getLong(1))
+        ()
+      }
+      .option("checkpointLocation", tmp())
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(got.get() === 60L, "masked rows must not stream")
+    assert(vSum.get() === (40 until 100).map(_ * 10L).sum)
+  }
+
   test("streaming source: offset json round-trips") {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
