@@ -132,9 +132,19 @@ object MLog {
     * different versions can swap it out of order (and a crash can leave
     * it lagging or absent), so when snapshots newer than the pointer's
     * recorded version exist, the newest snapshot — the log, not the
-    * cache — is served. Legacy manifests without a recorded version
-    * (v = 0) keep the old pointer-wins behavior. */
+    * cache — is served.
+    *
+    * The returned [[Manifest.version]] is the commit protocol's CONFLICT
+    * TOKEN: it is always the version of the content actually served, and
+    * it is derived from observations taken AT OR BEFORE the content read
+    * (the log is listed FIRST, then the pointer is read). A commit that
+    * lands after this read therefore always targets a version this
+    * token's successor collides with — never a fresh slot built on stale
+    * files, which was round 15's lost-update gap (the base was re-listed
+    * AFTER the read, so an interleaved commit advanced the base past the
+    * served content and its files silently vanished from the publish). */
   def readManifestFull(fs: FileSystem, dir: Path): Manifest = {
+    val newest = versions(fs, dir).lastOption
     val current = new Path(dir, ManifestName)
     // The local-FS pointer swap is delete-then-rename: a reader racing
     // it can pass exists() and still miss the open — treat exactly like
@@ -143,12 +153,15 @@ object MLog {
       try {
         if (fs.exists(current)) Some(readManifestFile(fs, current)) else None
       } catch { case _: java.io.FileNotFoundException => None }
-    val newest = versions(fs, dir).lastOption
     (pointer, newest) match {
-      case (Some(p), Some(v)) if p.version > 0 && v > p.version =>
-        readManifestVersionFull(fs, dir, v)
-      case (Some(p), _) => p
-      case (None, Some(v)) => readManifestVersionFull(fs, dir, v)
+      // Pointer serves only when at least as new as the newest LISTED
+      // snapshot (it can be newer — a swap that landed after our listing;
+      // its snapshot exists, written before the swap, so the token is
+      // still exactly the served content's version). A legacy pointer
+      // recording no version (0) loses to any listed snapshot.
+      case (Some(p), Some(v)) if p.version >= v => p
+      case (_, Some(v)) => readManifestVersionFull(fs, dir, v)
+      case (Some(p), None) => p
       case (None, None) => Manifest(Seq.empty, Map.empty)
     }
   }
@@ -163,7 +176,10 @@ object MLog {
     val f = versionPath(dir, v)
     require(fs.exists(f),
       s"mlog version $v does not exist (expired or never committed) under $dir")
-    readManifestFile(fs, f)
+    // The snapshot file IS version v by its path — stamp it so a legacy
+    // snapshot body (recorded v = 0) still carries the correct conflict
+    // token; the path, not the body, is what the CAS contended on.
+    readManifestFile(fs, f).copy(version = v)
   }
 
   /** Committed snapshot versions still on disk, ascending. */
@@ -227,11 +243,16 @@ object MLog {
       val full = readManifestFull(fs, dir)
       if (txnUpdate.exists { case (app, ver) =>
           full.txn.get(app).exists(_ >= ver) }) return false
-      val base = baseOf(fs, dir, full)
+      // The base is the version of the content ACTUALLY READ — never a
+      // fresher listing: a commit interleaving after the read must
+      // collide on slot base + 1 (CAS loss → re-read → re-merge), not
+      // publish this attempt's stale file set into a free fresh slot.
+      val base = full.version
       val state = if (truncate) fresh else full.files ++ fresh
       val newTxn = txnUpdate.fold(full.txn) { case (app, ver) =>
         full.txn + (app -> ver)
       }
+      commitRaceHook()
       if (tryPublish(fs, dir, base + 1, state, newTxn)) return true
       attempts += 1
       require(attempts < 50,
@@ -240,6 +261,15 @@ object MLog {
     }
     false // unreachable
   }
+
+  /** TEST-ONLY interleaving hook, invoked on every commit attempt between
+    * the state read (the conflict token's observation) and the publish.
+    * A spec installs a one-shot competing commit here to FORCE the
+    * interleaving the protocol must survive — CAS loss → re-merge retry
+    * for appends, ConcurrentModificationException for mutators — instead
+    * of hoping a free-running race catches it. Default no-op; never set
+    * outside tests. */
+  @volatile private[v2] var commitRaceHook: () => Unit = () => ()
 
   // Same-JVM committers to one store serialize here: HDFS's namenode
   // makes create(overwrite = false) a true CAS across processes, but
@@ -341,6 +371,7 @@ object MLog {
   private[v2] def publishExclusive(fs: FileSystem, dir: Path,
       baseVersion: Int, entries: Seq[FileEntry],
       txn: Map[String, Long]): Unit = {
+    commitRaceHook()
     if (versions(fs, dir).lastOption.getOrElse(0) != baseVersion ||
         !tryPublish(fs, dir, baseVersion + 1, entries, txn))
       throw new java.util.ConcurrentModificationException(
@@ -384,13 +415,6 @@ object MLog {
     junk.length.toLong
   }
 
-  /** The snapshot a commit's read is based on (its conflict token): the
-    * NEWER of the manifest's recorded version and the newest listed
-    * snapshot — covers legacy manifests that record no version (0) and
-    * any state where the served content lags the snapshot log. */
-  private def baseOf(fs: FileSystem, dir: Path, m: Manifest): Int =
-    math.max(m.version, versions(fs, dir).lastOption.getOrElse(0))
-
   /** Outcome of a [[delete]]: how many files the predicate's manifest
     * bounds touched (each rewritten without its matching rows), how many
     * were carried into the new manifest untouched, rows removed, and the
@@ -417,7 +441,7 @@ object MLog {
              matches: (Long, Long, Long) => Boolean): DeleteStats = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val full = readManifestFull(fs, dir)
-    val base = baseOf(fs, dir, full)
+    val base = full.version // the version of the content actually read
     val cur = full.files
     val (touched, carried) = cur.partition(mayMatch)
     if (touched.isEmpty)
@@ -493,6 +517,12 @@ object MLog {
       val n = in.readLong()
       require(n == dv.rows,
         s"deletion vector ${dv.name} holds $n positions; manifest says ${dv.rows}")
+      // Bound BEFORE allocating: a corrupt/hostile count would otherwise
+      // throw NegativeArraySizeException or silently mis-size via the
+      // toInt wrap instead of naming the file.
+      require(n >= 0 && n <= Int.MaxValue.toLong,
+        s"deletion vector ${dv.name} declares $n positions — negative or " +
+          "beyond the Int.MaxValue positions a single vector can hold")
       val out = new Array[Long](n.toInt)
       var i = 0
       while (i < out.length) { out(i) = in.readLong(); i += 1 }
@@ -538,7 +568,7 @@ object MLog {
                 matches: (Long, Long, Long) => Boolean): MorDeleteStats = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val full = readManifestFull(fs, dir)
-    val base = baseOf(fs, dir, full)
+    val base = full.version // the version of the content actually read
     val (touched, carried) = full.files.partition(mayMatch)
     if (touched.isEmpty)
       return MorDeleteStats(0, full.files.size, 0L, base)
@@ -597,6 +627,11 @@ object MLog {
   case class MergeStats(rewritten: Int, carried: Int, updatedRows: Long,
                         insertedFiles: Int, newVersion: Int)
 
+  /** Driver-side budget for [[merge]]'s broadcast key set: 10 M longs ≈
+    * 80 MB plus set overhead — comfortably inside a production driver,
+    * far beyond any CDC slice or micro-batch. */
+  val DefaultMaxMergeSourceKeys: Long = 10000000L
+
   /** MERGE INTO keyed on `id` (upsert): every base row whose id appears
     * in `source` is replaced by the source row; source rows with new ids
     * are inserted — WHEN MATCHED THEN UPDATE ∘ WHEN NOT MATCHED THEN
@@ -615,14 +650,34 @@ object MLog {
     * join-based rewrite instead. At 100 TB the cost is the source's id
     * range's files plus the source itself, never the table. */
   def merge(spark: SparkSession, dir: Path,
-            source: org.apache.spark.sql.DataFrame): MergeStats = {
+            source: org.apache.spark.sql.DataFrame,
+            maxSourceKeys: Long = DefaultMaxMergeSourceKeys): MergeStats = {
     require(source.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       Schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"mlog merge takes the fixed ledger schema (id, k, v: BIGINT); " +
         s"got ${source.schema.simpleString}")
+    // The bounded-batch assumption, ENFORCED (not just documented): one
+    // distributed agg pass proves (a) no duplicate source keys — two
+    // source rows for one id would both insert after the matched base row
+    // is removed, the ambiguity Delta/Iceberg MERGE refuse as "multiple
+    // source rows matched" — and (b) the key set fits the driver-side
+    // broadcast budget. An over-budget source must be split (or merged
+    // via a join-based full rewrite) — failing LOUDLY here beats an OOM
+    // mid-collect.
+    val shape = source.selectExpr("count(*)", "count(DISTINCT id)").head
+    val (nSrc, nKeys) = (shape.getLong(0), shape.getLong(1))
+    require(nSrc == nKeys,
+      s"mlog merge source has duplicate ids ($nSrc rows over $nKeys " +
+        "distinct) — a target key would match multiple source rows; " +
+        "de-duplicate the source first")
+    require(nKeys <= maxSourceKeys,
+      s"mlog merge collects the source key set to the driver (the " +
+        s"bounded-batch low-shuffle-merge shape); $nKeys keys exceed " +
+        s"maxSourceKeys = $maxSourceKeys — split the source into bounded " +
+        "batches, or raise the budget deliberately")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val full = readManifestFull(fs, dir)
-    val base = baseOf(fs, dir, full)
+    val base = full.version // the version of the content actually read
     val ids = source.select("id").distinct().collect().map(_.getLong(0))
     if (ids.isEmpty)
       return MergeStats(0, full.files.size, 0L, 0, base)
@@ -692,7 +747,7 @@ object MLog {
   def compact(spark: SparkSession, dir: Path, targetRows: Long): CompactStats = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val full = readManifestFull(fs, dir)
-    val base = baseOf(fs, dir, full)
+    val base = full.version // the version of the content actually read
     val cur = full.files
     // Files carrying a deletion vector are CARRIED, not packed: the bin
     // merge is a pure byte-copy and must stay one; materializing DVs is

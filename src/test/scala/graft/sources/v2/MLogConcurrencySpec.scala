@@ -21,35 +21,112 @@ class MLogConcurrencySpec extends graft.SparkSpec {
     new SerializableConfiguration(spark.sessionState.newHadoopConf())
 
   test("concurrent appends: every commit survives via CAS + re-merge") {
+    // Repeated free-running race: a lucky scheduler green-lit round 15's
+    // lost-update bug ~50-75 % of the time, so one pass is not a gate —
+    // 8 independent 12-way races drive the pass-by-luck odds to noise.
+    // The DETERMINISTIC version of the same interleaving is the forced-
+    // interleave test below; this one keeps real scheduler chaos in play.
+    for (round <- 0 until 8) {
+      val dir = tmp()
+      val c = conf()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      try {
+        val tasks = (0 until 12).map { i =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              val w = MLogWriterFactory(dir, c).createWriter(i, i.toLong)
+              w.write(InternalRow(i.toLong, (i % 7).toLong, i * 10L))
+              val msg = w.commit()
+              MLogBatchWrite(dir, c, truncateFirst = false)
+                .commit(Array[WriterCommitMessage](msg))
+            }
+          })
+        }
+        tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+      // No lost updates: 12 files, 12 rows, 12 distinct snapshot versions,
+      // and the arbitrated read serves the newest state even if the
+      // pointer cache lagged an out-of-order swap.
+      val m = MLog.readManifestFull(fs(dir), new Path(dir))
+      assert(m.files.size === 12, s"round $round lost a commit")
+      assert(m.files.map(_.rows).sum === 12L)
+      assert(m.version === 12)
+      assert(MLog.versions(fs(dir), new Path(dir)) === (1 to 12))
+      assert(spark.read.format("mlog").load(dir).count() === 12L)
+      assert(spark.read.format("mlog").load(dir)
+        .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) ===
+        (0 until 12).map(_ * 10L).sum)
+    }
+  }
+
+  /** One staged single-row file + its commit, the competing committer the
+    * forced-interleave tests inject through [[MLog.commitRaceHook]]. */
+  private def appendOne(dir: String, c: SerializableConfiguration,
+                        id: Long): Unit = {
+    val w = MLogWriterFactory(dir, c).createWriter(id.toInt, id)
+    w.write(InternalRow(id, 0L, id * 10L))
+    MLogBatchWrite(dir, c, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](w.commit()))
+  }
+
+  test("forced interleave: a commit landing between read and publish " +
+      "costs the append its CAS, never its data") {
     val dir = tmp()
     val c = conf()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
-    try {
-      val tasks = (0 until 12).map { i =>
-        pool.submit(new Runnable {
-          override def run(): Unit = {
-            val w = MLogWriterFactory(dir, c).createWriter(i, i.toLong)
-            w.write(InternalRow(i.toLong, (i % 7).toLong, i * 10L))
-            val msg = w.commit()
-            MLogBatchWrite(dir, c, truncateFirst = false)
-              .commit(Array[WriterCommitMessage](msg))
-          }
-        })
-      }
-      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
-    } finally pool.shutdown()
-    // No lost updates: 12 files, 12 rows, 12 distinct snapshot versions,
-    // and the arbitrated read serves the newest state even if the
-    // pointer cache lagged an out-of-order swap.
+    // The hook fires between commitAppend's state read and its publish —
+    // EXACTLY the window round 15's baseOf re-listing turned into a lost
+    // update (the competing commit's files vanished from the next
+    // manifest while the CAS still succeeded). One-shot: the competing
+    // append's own commit re-enters the hook and must not recurse.
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    MLog.commitRaceHook = () =>
+      if (fired.compareAndSet(false, true)) appendOne(dir, c, 100L)
+    try appendOne(dir, c, 1L)
+    finally MLog.commitRaceHook = () => ()
+    assert(fired.get(), "the interleaving was not exercised")
+    // Deterministic contract: the interleaved commit won slot v1, the
+    // outer append lost the CAS, re-read, re-merged, published v2 — both
+    // rows and both files survive.
     val m = MLog.readManifestFull(fs(dir), new Path(dir))
-    assert(m.files.size === 12)
-    assert(m.files.map(_.rows).sum === 12L)
-    assert(m.version === 12)
-    assert(MLog.versions(fs(dir), new Path(dir)) === (1 to 12))
-    assert(spark.read.format("mlog").load(dir).count() === 12L)
+    assert(m.version === 2)
+    assert(m.files.size === 2)
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2))
     assert(spark.read.format("mlog").load(dir)
-      .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) ===
-      (0 until 12).map(_ * 10L).sum)
+      .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) === 1010L)
+  }
+
+  test("forced interleave: a mutator whose base went stale mid-flight is " +
+      "refused, and a retry from the fresh read succeeds") {
+    val dir = tmp()
+    val c = conf()
+    import spark.implicits._
+    (0 until 60).map(i => (i.toLong, (i % 7).toLong, i * 10L))
+      .toDF("id", "k", "v").coalesce(2).write.format("mlog")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(dir)
+    // The hook fires inside publishExclusive, between the mutator's
+    // content read (base = v1) and its conflict check: the injected
+    // append moves the table to v2, so the delete's whole-state rewrite
+    // is provably stale and MUST be refused — silently publishing it
+    // would drop the appended file.
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    MLog.commitRaceHook = () =>
+      if (fired.compareAndSet(false, true)) appendOne(dir, c, 1000L)
+    val err =
+      try intercept[java.util.ConcurrentModificationException] {
+        MLog.delete(spark, new Path(dir),
+          _ => true, (id, _, _) => id < 10L)
+      } finally MLog.commitRaceHook = () => ()
+    assert(fired.get(), "the interleaving was not exercised")
+    assert(err.getMessage.contains("stale"))
+    // Nothing was lost: both the original rows and the injected append
+    // survive the refused publish.
+    assert(spark.read.format("mlog").load(dir).count() === 61L)
+    // The documented recovery — re-read and retry — now succeeds and
+    // deletes from the CURRENT state, injected row included.
+    val stats = MLog.delete(spark, new Path(dir),
+      _ => true, (id, _, _) => id < 10L)
+    assert(stats.removedRows === 10L)
+    assert(spark.read.format("mlog").load(dir).count() === 51L)
   }
 
   test("concurrent idempotent commits: one (appId, version) lands exactly once") {
