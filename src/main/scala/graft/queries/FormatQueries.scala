@@ -609,7 +609,7 @@ object FormatQueries {
     // the catalog route IS the SQL surface for DSv2 sources), and the
     // SELECT's k-range predicate still reaches SupportsPushDownFilters
     // and prunes files on manifest min/max exactly as the DataFrame
-    // route (MLogSpec pins the syntax + pruning via lastPlanned).
+    // route (MLogSpec pins the syntax + pruning via MLog.planned).
     // Oracle: the raw events under the identical predicate — the
     // roundtrip's losslessness columns without the manifest-dump
     // dependency, so this query stays self-contained under a filtered
@@ -950,9 +950,11 @@ object FormatQueries {
           post.map(_.maxK).max == pre.map(_.maxK).max
         // The pre-compaction snapshot keeps the OLD layout readable:
         // same rows, planned from the pre-compact manifest's files.
-        val oldN = s.read.format("mlog").option("versionAsOf", preVersion)
-          .load(store).count()
-        val oldLayout = oldN == total && MLog.lastPlanned == ((pre.size, pre.size))
+        val oldDf = s.read.format("mlog").option("versionAsOf", preVersion)
+          .load(store)
+        val oldN = oldDf.count()
+        val oldLayout = oldN == total &&
+          MLog.planned(oldDf) == ((pre.size, pre.size))
         val f = Seq(reduced, conserved, algebra, oldLayout)
           .map(b => if (b) 1L else 0L)
         java.nio.file.Files.write(ready.toPath,
@@ -1070,7 +1072,7 @@ object FormatQueries {
     // returning — the keyed anti-join every incremental corpus-clean
     // runs). The diff side is the appended files alone (diff_only_scan
     // pins the planned file set to the manifest name-diff via
-    // lastPlanned); the base side reduces to DISTINCT keys map-side
+    // MLog.planned); the base side reduces to DISTINCT keys map-side
     // before its one shuffle, so the join crosses distinct keys, not
     // rows. Oracle: DuckDB recomputes the classification from the raw
     // events under the same commit predicates.
@@ -1098,7 +1100,7 @@ object FormatQueries {
       val diff = s.read.format("mlog").option("changesSince", base)
         .load(store).select(col("id"), col("k"))
       val nDiff = diff.count()
-      val diffOnly = MLog.lastPlanned == ((diffExp, diffExp))
+      val diffOnly = MLog.planned(diff) == ((diffExp, diffExp))
       val baseKeys = s.read.format("mlog").option("versionAsOf", base)
         .load(store).select(col("k")).distinct()
       val diffKeys = QuerySpec.staged(diff.select(col("k")).distinct())
@@ -1235,7 +1237,7 @@ object FormatQueries {
       val diff = s.read.format("mlog").option("changesSince", base)
         .load(store)
       val nDiff = diff.count()
-      val fileLevelDiff = MLog.lastPlanned == ((diffExp, diffExp))
+      val fileLevelDiff = MLog.planned(diff) == ((diffExp, diffExp))
       val nBase = s.read.format("mlog").option("versionAsOf", base)
         .load(store).count()
       val nCur = s.read.format("mlog").load(store).count()

@@ -113,9 +113,23 @@ object MLog {
   case class Manifest(files: Seq[FileEntry], txn: Map[String, Long],
                       version: Int = 0)
 
-  /** Plan size of the last `build()` in this JVM: (survivors, total) —
-    * a test hook for pinning manifest pruning. */
-  @volatile var lastPlanned: (Int, Int) = (0, 0)
+  /** (files planned after manifest min/max pruning, files the manifest
+    * names) for the mlog scan inside `df`'s physical plan — read from the
+    * scan INSTANCE itself, so the measurement is scan-local: two
+    * concurrent reads of two stores cannot race it (the round-15 shape, a
+    * shared `lastPlanned` static, could). The plan is inspected
+    * pre-adaptive (`sparkPlan`), where the DSv2 `BatchScanExec` is always
+    * visible; building it re-runs the scan builder, which is
+    * deterministic for a pinned manifest (versionAsOf/changesSince, or a
+    * write-once store). */
+  def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[MLogScan] => b.scan.asInstanceOf[MLogScan]
+    }.getOrElse(throw new IllegalStateException(
+      "no mlog scan in this DataFrame's plan"))
+    (scan.files.length, scan.total)
+  }
 
   /** The current table state. Normally the `_mlog_manifest.json` pointer;
     * if the pointer is ABSENT but committed snapshots exist (a crash
@@ -1043,7 +1057,6 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
       case None => end
     }
     val survivors = all.filter(e => prunable.forall(MLogScanBuilder.accepts(e, _)))
-    MLog.lastPlanned = (survivors.length, all.length)
     MLogScan(dir.toString, survivors, all.length, required, conf,
       prunable, ignoreChanges)
   }

@@ -79,7 +79,6 @@ class MLogMicroBatchStream(dir: String, conf: SerializableConfiguration,
     val fresh = endEntries.filterNot(x => startNames(x.name))
     val survivors =
       fresh.filter(x => prunable.forall(MLogScanBuilder.accepts(x, _)))
-    MLog.lastPlanned = (survivors.length, fresh.length)
     survivors.map(x =>
       MLogPartition(new Path(new Path(dir), x.name).toString, x.rows,
         x.dv.map(d => new Path(new Path(dir), d.name).toString),

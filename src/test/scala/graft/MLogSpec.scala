@@ -80,9 +80,10 @@ class MLogSpec extends SparkSpec {
     ledger(700).repartitionByRange(7, col("k")).write.format("mlog")
       .mode(SaveMode.Overwrite).save(dir)
     val total = MLog.readManifest(fs(dir), new Path(dir)).size
-    val got = spark.read.format("mlog").load(dir)
-      .filter(col("k") === 3L).agg(count(lit(1)), min("id"), max("id")).head
-    val (planned, seen) = MLog.lastPlanned
+    val q = spark.read.format("mlog").load(dir)
+      .filter(col("k") === 3L).agg(count(lit(1)), min("id"), max("id"))
+    val got = q.head
+    val (planned, seen) = MLog.planned(q)
     assert(seen === total && planned < total,
       s"k = 3 must prune some of the $total range files (planned $planned)")
     assert(got.getLong(0) === 100L && got.getLong(1) === 3L && got.getLong(2) === 696L)
@@ -116,9 +117,10 @@ class MLogSpec extends SparkSpec {
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS mlog_spec_tbl USING mlog OPTIONS (path '$dir')")
     try {
-      val row = spark.sql(
-        "SELECT count(*), sum(v) FROM mlog_spec_tbl WHERE k = 3").head
-      val (planned, seen) = MLog.lastPlanned
+      val q = spark.sql(
+        "SELECT count(*), sum(v) FROM mlog_spec_tbl WHERE k = 3")
+      val row = q.head
+      val (planned, seen) = MLog.planned(q)
       assert(row.getLong(0) === 100L)
       assert(seen === total && planned < total,
         s"the parser route must prune like the DataFrame route (planned $planned/$total)")
@@ -235,9 +237,9 @@ class MLogSpec extends SparkSpec {
     assert(back.agg(sum("v")).head.getLong(0) ===
       ((50 until 100) ++ (0 until 100)).map(_ * 10L).sum)
     // Restated stats stay pruning-effective: id < 50 plans ZERO files.
-    spark.read.format("mlog").load(dir).filter(col("id") < 50)
-      .count(): Unit
-    assert(MLog.lastPlanned === ((0, 2)))
+    val none = spark.read.format("mlog").load(dir).filter(col("id") < 50)
+    assert(none.count() === 0L)
+    assert(MLog.planned(none) === ((0, 2)))
     // Time travel to the pre-delete snapshot still serves deleted rows.
     assert(spark.read.format("mlog").option("versionAsOf", preVersion)
       .load(dir).filter(col("id") < 50).count() === 50L)
@@ -324,9 +326,10 @@ class MLogSpec extends SparkSpec {
       .orderBy("id", "k", "v").collect().toSeq
     assert(postRows === preRows)
     // The pre-compaction snapshot keeps the old layout readable.
-    spark.read.format("mlog").option("versionAsOf", preVersion).load(dir)
-      .count(): Unit
-    assert(MLog.lastPlanned === ((7, 7)))
+    val old = spark.read.format("mlog").option("versionAsOf", preVersion)
+      .load(dir)
+    old.count(): Unit
+    assert(MLog.planned(old) === ((7, 7)))
   }
 
   test("compact: nothing under target commits nothing") {
@@ -457,6 +460,32 @@ class MLogSpec extends SparkSpec {
     assert(noop.newVersion === preVersion + 1)
   }
 
+  test("merge: the bounded-source contract is enforced loudly, not assumed") {
+    val dir = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val preVersions = MLog.versions(fs(dir), new Path(dir))
+    import spark.implicits._
+    // Duplicate source ids: a target key matching multiple source rows is
+    // the ambiguity Delta/Iceberg MERGE refuse — so does this one.
+    val dup = intercept[IllegalArgumentException] {
+      MLog.merge(spark, new Path(dir),
+        Seq((1L, 0L, 7L), (1L, 0L, 8L)).toDF("id", "k", "v"))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // Over-budget key set: fails BEFORE the driver-side collect with the
+    // split-or-rewrite guidance, instead of OOMing mid-collect.
+    val big = intercept[IllegalArgumentException] {
+      MLog.merge(spark, new Path(dir),
+        spark.range(10L).select(col("id"), (col("id") % 7).as("k"),
+          (col("id") * 10L).as("v")),
+        maxSourceKeys = 5L)
+    }
+    assert(big.getMessage.contains("maxSourceKeys"))
+    // Neither refusal committed anything.
+    assert(MLog.versions(fs(dir), new Path(dir)) === preVersions)
+    assert(spark.read.format("mlog").load(dir).count() === 50L)
+  }
+
   test("SQL VERSION AS OF via the graft catalog equals the versionAsOf option route") {
     val dir = tmp()
     ledger(700).repartitionByRange(7, col("k")).write.format("mlog")
@@ -479,9 +508,10 @@ class MLogSpec extends SparkSpec {
     assert(viaSql === viaOpt)
     // Manifest min/max pruning still fires THROUGH the catalog route.
     val total = MLog.readManifestVersion(fs(dir), new Path(dir), 1).size
-    assert(one(
-      s"SELECT count(*) FROM graft.mlog.`$dir` VERSION AS OF 1 WHERE k = 3") === 100L)
-    val (planned, seen) = MLog.lastPlanned
+    val prq = spark.sql(
+      s"SELECT count(*) FROM graft.mlog.`$dir` VERSION AS OF 1 WHERE k = 3")
+    assert(prq.head.getLong(0) === 100L)
+    val (planned, seen) = MLog.planned(prq)
     assert(seen === total && planned < total,
       s"catalog-route k = 3 must prune the v1 range files (planned $planned/$total)")
     // Refusals are loud: timestamp travel and unknown versions.
