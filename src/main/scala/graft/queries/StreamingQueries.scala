@@ -1328,5 +1328,104 @@ object StreamingQueries {
         .withColumn("n_commits", lit(facts(0)))
         .withColumn("replay_noop", lit(facts(1) == 1L))
         .withColumn("ledger_recorded", lit(facts(2) == 1L))
+    },
+
+    // STREAMING ADMISSION CONTROL over the table-format source — the
+    // Delta maxFilesPerTrigger/maxBytesPerTrigger primitive
+    // ([[graft.sources.v2.MLogMicroBatchStream]]): a stream starting
+    // against a 3-commit BACKLOG would otherwise plan the whole
+    // outstanding diff as ONE micro-batch; with
+    // .option("maxVersionsPerTrigger", 1) under Trigger.AvailableNow the
+    // drain is PACED — each commit arrives as its own micro-batch, in
+    // commit order, and the run then stops at the target pinned when the
+    // trigger started. Per-batch (rows, sum) are gated against DuckDB
+    // over the raw events under each commit's predicate — the pacing is
+    // not just counted, the batch CONTENTS are per-commit exact. The
+    // 100 TB point: offsets are fine-grained (one per commit, with an
+    // intra-commit file index for maxFilesPerTrigger — MLogSpec pins
+    // that split), so recovery never needs a micro-batch sized like the
+    // backlog. Facts persist in the _READY marker.
+    checked("stream_mlog_backlog",
+      s"""SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events
+         |    WHERE event_id % 3 = 0) AS n_c0,
+         |  (SELECT CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+         |    FROM events WHERE event_id % 3 = 0) AS sum_c0,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events
+         |    WHERE event_id % 3 = 1) AS n_c1,
+         |  (SELECT CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+         |    FROM events WHERE event_id % 3 = 1) AS sum_c1,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events
+         |    WHERE event_id % 3 = 2) AS n_c2,
+         |  (SELECT CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+         |    FROM events WHERE event_id % 3 = 2) AS sum_c2,
+         |  CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  true AS paced_one_commit_per_batch
+         |FROM events""".stripMargin) { (s, d) =>
+      import graft.sources.v2.MLog
+      val dir = TmpDirs.scoped(s"graft_mlogback_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val facts = if (!ready.exists()) {
+        rmTree(dir); dir.mkdirs()
+        val ledger = Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+        // The backlog: three commits, ALL landed before the stream starts.
+        ledger.filter(pmod(col("id"), lit(3)) === 0)
+          .repartitionByRange(2, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        (1 to 2).foreach { i =>
+          ledger.filter(pmod(col("id"), lit(3)) === i)
+            .repartitionByRange(2, col("k"))
+            .write.format("mlog").mode("append").save(store)
+        }
+        val batches =
+          new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+        val q = s.readStream.format("mlog")
+          .option("maxVersionsPerTrigger", 1)
+          .load(store)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val r = b.agg(count(lit(1)), sum(col("v"))).head
+            if (r.getLong(0) > 0L)
+              batches.add((r.getLong(0), r.getLong(1))): Unit
+            ()
+          }
+          .option("checkpointLocation",
+            new java.io.File(dir, "ckpt").getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        val got = batches.asScala.toSeq
+        val paced = got.size == 3
+        // Fixed 7-slot shape even if pacing broke: a wrong batch split
+        // then surfaces as an oracle value mismatch, not an index error.
+        val padded = got.take(3).padTo(3, (-1L, -1L))
+        val f = padded.flatMap { case (n, sv) => Seq(n, sv) } ++
+          Seq(if (paced) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      // Batch i's content IS commit i's rows: the per-batch aggregates
+      // are emitted as the per-commit columns the oracle recomputes from
+      // the raw events — delivery order follows snapshot order.
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n_total"), sum(col("v")).as("sum_v"))
+        .withColumn("n_c0", lit(facts(0)))
+        .withColumn("sum_c0", lit(facts(1)))
+        .withColumn("n_c1", lit(facts(2)))
+        .withColumn("sum_c1", lit(facts(3)))
+        .withColumn("n_c2", lit(facts(4)))
+        .withColumn("sum_c2", lit(facts(5)))
+        .withColumn("paced_one_commit_per_batch", lit(facts(6) == 1L))
+        .select(col("n_c0"), col("sum_c0"), col("n_c1"), col("sum_c1"),
+          col("n_c2"), col("sum_c2"), col("n_total"), col("sum_v"),
+          col("paced_one_commit_per_batch"))
     })
 }

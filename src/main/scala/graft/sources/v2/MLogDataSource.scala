@@ -874,8 +874,17 @@ class MLogTable(properties: JMap[String, String])
     val ignoreChanges = m.exists { case (k, v) =>
       k.equalsIgnoreCase("ignoreChanges") && v.trim.equalsIgnoreCase("true")
     }
+    // Streaming admission control (Delta's maxFilesPerTrigger shape):
+    // bound a micro-batch by snapshot versions and/or added files; see
+    // [[MLogMicroBatchStream]]. Batch reads ignore both.
+    val maxVersions = m.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.trim.toInt
+    }
+    val maxFiles = m.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v.trim.toInt
+    }
     new MLogScanBuilder(MLog.pathOf(m), MLog.hadoopConf(), version, since,
-      ignoreChanges)
+      ignoreChanges, maxVersions, maxFiles)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1021,7 +1030,9 @@ case class MLogWriterFactory(dir: String, conf: SerializableConfiguration)
 class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
                       version: Option[Int] = None,
                       changesSince: Option[Int] = None,
-                      ignoreChanges: Boolean = false)
+                      ignoreChanges: Boolean = false,
+                      maxVersionsPerTrigger: Option[Int] = None,
+                      maxFilesPerTrigger: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -1044,11 +1055,16 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
       case Some(v) => MLog.readManifestVersion(fs, dir, v)
       case None => MLog.readManifest(fs, dir)
     }
-    // Incremental read = manifest DIFF: files the end state names that the
-    // base snapshot does not (append-only lineage; an intervening
-    // overwrite or compaction replaces files wholesale, so its diff is
-    // the whole new layout — correct, just not an increment; rewritten
-    // files surface fully, like Iceberg's incremental scan).
+    // Incremental read = manifest DIFF by NAME: files the end state names
+    // that the base snapshot does not (append-only lineage; an
+    // intervening overwrite or compaction replaces files wholesale, so
+    // its diff is the whole new layout — correct, just not an increment;
+    // rewritten files surface fully, like Iceberg's incremental scan).
+    // LIMITATION, documented: a merge-on-read delete re-vectors a file IN
+    // PLACE (same name, new .dvec), so a DV-only change does NOT surface
+    // here — changesSince answers "what data was ADDED", not "what rows
+    // were deleted"; a deletion-aware consumer diffs manifests itself or
+    // streams with ignoreChanges, which re-delivers changed entries.
     val all = changesSince match {
       case Some(base) =>
         val baseNames =
@@ -1058,7 +1074,7 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
     }
     val survivors = all.filter(e => prunable.forall(MLogScanBuilder.accepts(e, _)))
     MLogScan(dir.toString, survivors, all.length, required, conf,
-      prunable, ignoreChanges)
+      prunable, ignoreChanges, maxVersionsPerTrigger, maxFilesPerTrigger)
   }
 }
 
@@ -1096,7 +1112,9 @@ case class MLogPartition(path: String, rows: Long,
 case class MLogScan(dir: String, files: Seq[MLog.FileEntry], total: Int,
                     required: StructType, conf: SerializableConfiguration,
                     prunable: Array[Filter] = Array.empty,
-                    ignoreChanges: Boolean = false)
+                    ignoreChanges: Boolean = false,
+                    maxVersionsPerTrigger: Option[Int] = None,
+                    maxFilesPerTrigger: Option[Int] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -1104,10 +1122,12 @@ case class MLogScan(dir: String, files: Seq[MLog.FileEntry], total: Int,
 
   // Streaming read: micro-batches are manifest diffs between snapshot
   // versions ([[MLogMicroBatchStream]]); the batch-path file list above
-  // is ignored — the stream replans per offset range. Column pruning and
-  // manifest min/max pruning flow through unchanged.
+  // is ignored — the stream replans per offset range. Column pruning,
+  // manifest min/max pruning, and the per-trigger admission budgets flow
+  // through unchanged.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MLogMicroBatchStream(dir, conf, required, prunable, ignoreChanges)
+    new MLogMicroBatchStream(dir, conf, required, prunable, ignoreChanges,
+      maxVersionsPerTrigger, maxFilesPerTrigger)
   override def description(): String =
     s"mlog ${files.length}/$total files after manifest pruning, " +
       s"cols [${required.fieldNames.mkString(",")}]"

@@ -727,16 +727,124 @@ class MLogSpec extends SparkSpec {
   }
 
   test("streaming source: offset json round-trips") {
+    import graft.sources.v2.MLogOffset
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val stream = new graft.sources.v2.MLogMicroBatchStream(
       tmp(), conf, MLog.Schema, Array.empty, ignoreChanges = false)
-    assert(stream.deserializeOffset(
-      graft.sources.v2.MLogOffset(7).json()) ===
-      graft.sources.v2.MLogOffset(7))
-    assert(stream.initialOffset() === graft.sources.v2.MLogOffset(0))
-    assert(stream.latestOffset() === graft.sources.v2.MLogOffset(0),
-      "an empty store's latest offset is 0 — no batch planned")
+    assert(stream.deserializeOffset(MLogOffset(7).json()) === MLogOffset(7))
+    // A split-version offset keeps its add index.
+    assert(stream.deserializeOffset(MLogOffset(7, 3).json()) ===
+      MLogOffset(7, 3))
+    // Pre-admission-control checkpoints carry no index: complete version.
+    assert(stream.deserializeOffset("""{"version":7}""") === MLogOffset(7, -1))
+    assert(stream.initialOffset() === MLogOffset(0))
+    assert(stream.latestOffset(MLogOffset(0), ReadLimit.allAvailable()) ===
+      MLogOffset(0),
+      "an empty store's latest offset is the start — no batch planned")
+  }
+
+  test("streaming source: maxVersionsPerTrigger paces a backlog drain " +
+      "one commit per micro-batch") {
+    val dir = tmp()
+    // A 3-commit backlog BEFORE the stream starts: without admission
+    // control batch 0 would deliver all of it at once.
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    ledger(30).select((col("id") + 100L).as("id"), col("k"), col("v"))
+      .coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    ledger(20).select((col("id") + 200L).as("id"), col("k"), col("v"))
+      .coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // Trigger.AvailableNow exercises prepareForTriggerAvailableNow: the
+    // drain target is pinned at start and reached in budget-sized steps.
+    val q = spark.readStream.format("mlog")
+      .option("maxVersionsPerTrigger", 1)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches += b.count(); ()
+      }
+      .option("checkpointLocation", tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(batches.filter(_ > 0L) === Seq(50L, 30L, 20L),
+      s"each commit must arrive as its own micro-batch, got $batches")
+  }
+
+  test("streaming source: maxFilesPerTrigger splits a whole-table batch 0 " +
+      "inside one commit") {
+    val dir = tmp()
+    // ONE commit of 5 files: a version budget cannot split it; the file
+    // budget must, via intra-version (version, index) offsets.
+    ledger(100).repartition(5).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    assert(MLog.readManifest(fs(dir), new Path(dir)).size === 5)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("mlog")
+      .option("maxFilesPerTrigger", 2)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches += b.count(); ()
+      }
+      .option("checkpointLocation", tmp())
+      .start()
+    q.processAllAvailable()
+    // 5 files under a budget of 2 → 3 non-empty batches (2 + 2 + 1 files),
+    // 100 rows exactly once.
+    assert(batches.count(_ > 0L) === 3,
+      s"5 files / budget 2 must take 3 micro-batches, got $batches")
+    assert(batches.sum === 100L)
+    // The pacing holds for a LIVE commit too — and resumes mid-stream.
+    ledger(60).select((col("id") + 500L).as("id"), col("k"), col("v"))
+      .repartition(3).write.format("mlog").mode(SaveMode.Append).save(dir)
+    val before = batches.size
+    q.processAllAvailable()
+    val fresh = batches.drop(before).filter(_ > 0L)
+    assert(fresh.size === 2, s"3 new files / budget 2 → 2 batches, got $fresh")
+    assert(fresh.sum === 60L)
+    q.stop()
+  }
+
+  test("streaming source: ignoreChanges re-delivers a file whose deletion " +
+      "vector changed in place; strict mode fails loudly") {
+    val dir = tmp()
+    val ckpt = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val got = new java.util.concurrent.atomic.AtomicLong
+    def stream(extra: Map[String, String]) = {
+      val r = spark.readStream.format("mlog")
+      extra.foreach { case (k, v) => r.option(k, v) }
+      r.load(dir).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    val q = stream(Map.empty)
+    q.processAllAvailable(); q.stop()
+    assert(got.get() === 50L)
+    // Merge-on-read delete: SAME file name, a .dvec appears — the change
+    // a name-only diff silently skips.
+    MLog.deleteMor(spark, new Path(dir), _ => true, (id, _, _) => id < 10)
+    // Strict mode: a re-vectored delivered file is a NON-APPEND change.
+    val q2 = stream(Map.empty)
+    val err = intercept[Exception] { q2.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("NON-APPEND")))
+    q2.stop()
+    // ignoreChanges: the changed ENTRY re-surfaces wholesale — the file
+    // re-delivers with its vector applied (40 live rows), exactly Delta's
+    // re-surfacing semantics, not a silent skip.
+    got.set(0L)
+    val q3 = stream(Map("ignoreChanges" -> "true"))
+    q3.processAllAvailable(); q3.stop()
+    assert(got.get() === 40L,
+      "the DV-only change must re-deliver the file's masked state")
   }
 
   test("accepts(): manifest range algebra per filter shape") {
