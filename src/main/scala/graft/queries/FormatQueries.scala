@@ -698,6 +698,276 @@ object FormatQueries {
            |            FROM graft.mlog.`$store`) cur""".stripMargin)
     },
 
+    // SQL DELETE FROM on the mlog store — the parser route to the
+    // copy-on-write delete, via [[graft.sources.v2.GraftMLogCatalog]] +
+    // `SupportsDelete`: an exactly-evaluable WHERE (all nodes are boolean
+    // algebra over id/k/v comparisons) takes Spark's METADATA-ONLY path
+    // (OptimizeMetadataOnlyDeleteFromTable → MLog.delete — manifest-
+    // pruned, no query executed); anything else falls back to the
+    // group-based row-level rewrite (sql_mlog_update's route). Pinned:
+    // files outside the predicate's k bounds are carried BY REFERENCE
+    // (identical manifest entries), the whole delete is ONE snapshot,
+    // and the pre-delete snapshot still serves every deleted row.
+    // Oracle: DuckDB over the raw events minus the predicate, plus the
+    // predicate's own count as removed_rows. MLogRowLevelSqlSpec pins
+    // the path choice itself (metadata-only vs group rewrite).
+    checked("sql_mlog_delete",
+      s"""WITH b AS (SELECT CAST(floor(0.30 * max(user_id)) AS BIGINT) AS klo,
+         |    CAST(floor(0.70 * max(user_id)) AS BIGINT) AS khi FROM events)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events, b
+         |    WHERE user_id BETWEEN b.klo AND b.khi) AS removed_rows,
+         |  true AS carried_match, true AS single_commit,
+         |  true AS pre_delete_visible
+         |FROM events, b
+         |WHERE NOT (user_id BETWEEN b.klo AND b.khi)""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogsqldel_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.GraftMLogCatalog].getName)
+      val facts = if (!ready.exists()) {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+          .repartitionByRange(7, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        val pre = MLog.readManifest(fs, path)
+        val preVersion = MLog.versions(fs, path).last
+        val total = pre.map(_.rows).sum
+        val maxK = pre.map(_.maxK).max
+        val (kLo, kHi) =
+          (math.floor(0.30 * maxK).toLong, math.floor(0.70 * maxK).toLong)
+        val touchedExp = pre.count(e => e.minK <= kHi && e.maxK >= kLo)
+        s.sql(s"DELETE FROM graft.mlog.`$store` " +
+          s"WHERE k BETWEEN $kLo AND $kHi")
+        val post = MLog.readManifest(fs, path)
+        val removed = total - post.map(_.rows).sum
+        val preSet = pre.toSet
+        val carriedOk =
+          post.count(preSet.contains) == pre.size - touchedExp
+        val singleCommit =
+          MLog.versions(fs, path) == (1 to preVersion + 1)
+        val preVisible = s.read.format("mlog")
+          .option("versionAsOf", preVersion).load(store).count() == total
+        val f = Seq(removed, if (carriedOk) 1L else 0L,
+          if (singleCommit) 1L else 0L, if (preVisible) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("removed_rows", lit(facts(0)))
+        .withColumn("carried_match", lit(facts(1) == 1L))
+        .withColumn("single_commit", lit(facts(2) == 1L))
+        .withColumn("pre_delete_visible", lit(facts(3) == 1L))
+    },
+
+    // SQL UPDATE on the mlog store — the GROUP-BASED row-level rewrite
+    // (`SupportsRowLevelOperations`, the Iceberg copy-on-write shape):
+    // Spark's RewriteUpdateTable reads the affected groups through the
+    // operation's scan, recomputes their rows, and the replace-data
+    // write swaps exactly those files in one snapshot. GROUP = data
+    // file, keyed by the `_file` METADATA column; Spark's runtime group
+    // filtering plans a subquery for the DISTINCT `_file` of matching
+    // rows, so the rewrite touches EXACTLY the files containing matches
+    // — pinned by deriving the expected touched set from a `_file`
+    // scan under the same predicate (exact, not bounds-approximate) and
+    // checking every other file carried by reference. Oracle: DuckDB
+    // recomputes the conditional bump over the raw events.
+    checked("sql_mlog_update",
+      s"""WITH bb AS (SELECT CAST(floor(0.30 * max(event_id)) AS BIGINT) AS ilo,
+         |    CAST(floor(0.70 * max(event_id)) AS BIGINT) AS ihi FROM events)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN event_id BETWEEN bb.ilo AND bb.ihi
+         |      AND event_id % 3 = 0
+         |    THEN epoch_us(ts) % 86400000000 + 5
+         |    ELSE epoch_us(ts) % 86400000000 END) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events, bb
+         |    WHERE event_id BETWEEN bb.ilo AND bb.ihi AND event_id % 3 = 0)
+         |    AS updated_rows,
+         |  true AS group_filtered, true AS single_commit
+         |FROM events, bb""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogsqlupd_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.GraftMLogCatalog].getName)
+      val facts = if (!ready.exists()) {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+          .repartitionByRange(7, col("id"))
+          .write.format("mlog").mode("overwrite").save(store)
+        val pre = MLog.readManifest(fs, path)
+        val preVersion = MLog.versions(fs, path).last
+        val maxId = pre.map(_.maxId).max
+        val (iLo, iHi) =
+          (math.floor(0.30 * maxId).toLong, math.floor(0.70 * maxId).toLong)
+        val predicate = col("id").between(iLo, iHi) && col("id") % 3 === 0
+        // EXACT expected touch set: the files that hold matching rows,
+        // read through the `_file` metadata column (what the runtime
+        // group filter itself computes).
+        val touchedExp = s.read.format("mlog").load(store)
+          .filter(predicate).select(col("_file")).distinct().count()
+        val updExp = s.read.format("mlog").load(store)
+          .filter(predicate).count()
+        s.sql(s"UPDATE graft.mlog.`$store` SET v = v + 5 " +
+          s"WHERE id BETWEEN $iLo AND $iHi AND id % 3 = 0")
+        val post = MLog.readManifest(fs, path)
+        val preSet = pre.toSet
+        val grouped =
+          post.count(preSet.contains) == pre.size - touchedExp &&
+          touchedExp < pre.size
+        val singleCommit =
+          MLog.versions(fs, path) == (1 to preVersion + 1)
+        val f = Seq(updExp, if (grouped) 1L else 0L,
+          if (singleCommit) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("updated_rows", lit(facts(0)))
+        .withColumn("group_filtered", lit(facts(1) == 1L))
+        .withColumn("single_commit", lit(facts(2) == 1L))
+    },
+
+    // SQL MERGE INTO on the mlog store — the parser route to the upsert,
+    // same oracle SHAPE as dsv2_mlog_merge but planned entirely by
+    // Spark's RewriteMergeIntoTable over the group-based row-level
+    // operation: matched rows update, unmatched source rows insert,
+    // and the runtime group filter restricts the rewrite to the files
+    // holding MATCHED rows (derived exactly via a `_file` scan of the
+    // base under the source-key predicate); every other file carries by
+    // reference, the whole merge is ONE snapshot, and the pre-merge
+    // snapshot still serves the old values. Unlike the API route
+    // (MLog.merge — broadcast-key low-shuffle upsert), this route
+    // supports ARBITRARY WHEN clauses because Spark computes the
+    // semantics and the format only swaps files; the two routes must
+    // agree on the upsert they both express.
+    checked("sql_mlog_merge",
+      s"""WITH bb AS (SELECT CAST(floor(0.30 * max(event_id)) AS BIGINT) AS ilo,
+         |    CAST(floor(0.70 * max(event_id)) AS BIGINT) AS ihi
+         |  FROM events WHERE event_id % 5 <> 0),
+         |base AS (SELECT event_id AS id, user_id AS k,
+         |    epoch_us(ts) % 86400000000 AS v
+         |  FROM events WHERE event_id % 5 <> 0),
+         |src AS (SELECT event_id AS id, user_id AS k,
+         |    epoch_us(ts) % 86400000000 + 1 AS v
+         |  FROM events, bb
+         |  WHERE event_id BETWEEN bb.ilo AND bb.ihi AND event_id % 3 = 0),
+         |merged AS (SELECT * FROM base WHERE id NOT IN (SELECT id FROM src)
+         |  UNION ALL SELECT * FROM src)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS sum_v,
+         |  CAST(min(id) AS BIGINT) AS min_id,
+         |  CAST(max(id) AS BIGINT) AS max_id,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM src
+         |    WHERE id IN (SELECT id FROM base)) AS updated_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM src
+         |    WHERE id NOT IN (SELECT id FROM base)) AS inserted_rows,
+         |  true AS single_commit, true AS group_filtered,
+         |  true AS pre_merge_visible
+         |FROM merged""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogsqlmrg_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.GraftMLogCatalog].getName)
+      val facts = if (!ready.exists()) {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        val ledger = Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+        ledger.filter(col("id") % 5 =!= 0).repartitionByRange(7, col("id"))
+          .write.format("mlog").mode("overwrite").save(store)
+        val pre = MLog.readManifest(fs, path)
+        val preVersion = MLog.versions(fs, path).last
+        val baseCount = pre.map(_.rows).sum
+        val maxId = pre.map(_.maxId).max
+        val (iLo, iHi) =
+          (math.floor(0.30 * maxId).toLong, math.floor(0.70 * maxId).toLong)
+        val view = s"mlog_sqlmrg_src_${QuerySpec.jvmScopedKey(d)}"
+        ledger.filter(col("id").between(iLo, iHi) && col("id") % 3 === 0)
+          .withColumn("v", col("v") + 1L)
+          .createOrReplaceTempView(view)
+        val srcCount = s.table(view).count()
+        // EXACT expected touch set: base files holding a matched row.
+        val touchedExp = s.read.format("mlog").load(store)
+          .filter(col("id").between(iLo, iHi) && col("id") % 3 === 0)
+          .select(col("_file")).distinct().count()
+        s.sql(
+          s"""MERGE INTO graft.mlog.`$store` t USING $view s
+             |ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val post = MLog.readManifest(fs, path)
+        val postCount = s.read.format("mlog").load(store).count()
+        val inserted = postCount - baseCount
+        val updated = srcCount - inserted
+        val singleCommit =
+          MLog.versions(fs, path) == (1 to preVersion + 1)
+        val preSet = pre.toSet
+        val grouped =
+          post.count(preSet.contains) == pre.size - touchedExp &&
+          touchedExp < pre.size
+        val preVisible = s.read.format("mlog")
+          .option("versionAsOf", preVersion).load(store).count() == baseCount
+        val f = Seq(updated, inserted, if (singleCommit) 1L else 0L,
+          if (grouped) 1L else 0L, if (preVisible) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("updated_rows", lit(facts(0)))
+        .withColumn("inserted_rows", lit(facts(1)))
+        .withColumn("single_commit", lit(facts(2) == 1L))
+        .withColumn("group_filtered", lit(facts(3) == 1L))
+        .withColumn("pre_merge_visible", lit(facts(4) == 1L))
+    },
+
     // The RETENTION half of the mlog lifecycle: an overwrite SUPERSEDES
     // the previous commit’s files but its snapshot manifest still names
     // them (time travel), so reclamation is two-phase — EXPIRE the old

@@ -31,8 +31,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `… TIMESTAMP AS OF …` is refused: mlog snapshots are numbered, not
   *    timestamped (the manifest records no commit wall-clock).
   *
-  * Writes stay on the `format("mlog")` path: this catalog is a READ
-  * surface, so every mutating method refuses. */
+  * Row-level SQL (`DELETE FROM` / `UPDATE` / `MERGE INTO`) works through
+  * this catalog too — those commands mutate the TABLE, not the catalog,
+  * and [[MLogTable]] carries the interfaces (`SupportsDelete`,
+  * `SupportsRowLevelOperations`). Only catalog-level DDL (CREATE / DROP /
+  * ALTER / RENAME) refuses: stores are path-addressed, and bulk writes
+  * stay on the `format("mlog")` path. */
 class GraftMLogCatalog extends TableCatalog {
 
   private var catalogName: String = _

@@ -84,6 +84,13 @@ object MLog {
   val Magic = 0x4D4C4731 // "MLG1"
   val Version = 1
 
+  /** The `_file` METADATA column (Iceberg's column of the same name): the
+    * data file a row lives in. Exposed on every scan via
+    * `SupportsMetadataColumns`; row-level SQL commands key their rewrite
+    * groups on it (`requiredMetadataAttributes` + runtime group
+    * filtering). */
+  val FileColumn = "_file"
+
   /** A deletion-vector sidecar: `name` is a `.dvec` file holding `rows`
     * sorted physical row POSITIONS of its data file that are logically
     * deleted. The data file's bytes are untouched; readers skip the
@@ -838,7 +845,10 @@ object MLog {
 }
 
 class MLogTable(properties: JMap[String, String])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   import scala.jdk.CollectionConverters._
 
@@ -848,6 +858,63 @@ class MLogTable(properties: JMap[String, String])
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** A time-travel (or diff) load must never be a mutation target. */
+  private def pinnedRead: Boolean = properties.asScala.keys.exists(k =>
+    k.equalsIgnoreCase("versionAsOf") || k.equalsIgnoreCase("changesSince"))
+
+  /** `_file` (Iceberg's metadata column of the same name): which data
+    * file a row lives in — selectable from any scan, and the group key
+    * SQL row-level commands rewrite by. NOT preserved through row-level
+    * rewrites: the replace-data write takes exactly the ledger schema. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = MLog.FileColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "data file this row lives in"
+      override def metadataInJSON(): String =
+        """{"__preserve_on_delete": false, "__preserve_on_update": false,
+          | "__preserve_on_reinsert": false}""".stripMargin
+    })
+
+  /** Metadata-only DELETE (`SupportsDelete`, Iceberg's fast path): a
+    * WHERE whose every node evaluates exactly over the ledger triple runs
+    * through [[MLog.delete]] — manifest-pruned copy-on-write, no query
+    * executed. Spark's OptimizeMetadataOnlyDeleteFromTable asks
+    * [[canDeleteWhere]] first and falls back to the group-based
+    * row-level rewrite below when this path declines. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !pinnedRead && filters.forall(MLogFilterEval.evaluable)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    MLog.delete(spark, MLog.pathOf(properties.asScala.toMap),
+      e => filters.forall(f => MLogScanBuilder.accepts(e, f)),
+      (id, k, v) =>
+        filters.forall(f => MLogFilterEval.eval(f, id, k, v))): Unit
+  }
+
+  /** Group-based row-level operations (`SupportsRowLevelOperations`) —
+    * what makes SQL `DELETE`/`UPDATE`/`MERGE INTO` against an mlog table
+    * plan through Spark's own RewriteDeleteFromTable / RewriteUpdateTable
+    * / RewriteMergeIntoTable: the rewrite reads the affected GROUPS
+    * (files, runtime-filtered via `_file`), recomputes their rows, and
+    * [[MLogReplaceDataWrite]] swaps exactly those files in one snapshot
+    * commit. See [[MLogRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!pinnedRead,
+      "mlog row-level operations target the CURRENT table state; a " +
+        "versionAsOf/changesSince load is a pinned read, not a mutation " +
+        "target")
+    () => new MLogRowLevelOperation(
+      MLog.pathOf(properties.asScala.toMap).toString, MLog.hadoopConf(),
+      info.command())
+  }
 
   private def merged(options: CaseInsensitiveStringMap): Map[String, String] = {
     val m = new java.util.HashMap[String, String](properties)
@@ -1105,6 +1172,74 @@ object MLogScanBuilder {
     }
 }
 
+/** Exact row-level evaluation of V1 source Filters over the ledger
+  * triple — the metadata-only DELETE contract: [[evaluable]] accepts a
+  * filter only when EVERY node of it is one this evaluator computes
+  * exactly (boolean algebra over id/k/v comparisons with integral
+  * literals), so `canDeleteWhere` never admits a predicate the rewrite
+  * would approximate. The ledger columns are non-null by construction,
+  * which pins the IsNull/IsNotNull answers. */
+private[v2] object MLogFilterEval {
+  import org.apache.spark.sql.sources.{
+    AlwaysFalse, AlwaysTrue, And, EqualNullSafe, In, IsNotNull, IsNull,
+    Not, Or}
+
+  private def col(a: String): Boolean = a == "id" || a == "k" || a == "v"
+
+  private def longOf(x: Any): Option[Long] = x match {
+    case n: java.lang.Long => Some(n)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Byte => Some(n.longValue)
+    case _ => None
+  }
+
+  def evaluable(f: Filter): Boolean = f match {
+    case And(l, r) => evaluable(l) && evaluable(r)
+    case Or(l, r) => evaluable(l) && evaluable(r)
+    case Not(c) => evaluable(c)
+    case EqualTo(a, x) => col(a) && longOf(x).isDefined
+    case EqualNullSafe(a, x) => col(a) && longOf(x).isDefined
+    case GreaterThan(a, x) => col(a) && longOf(x).isDefined
+    case GreaterThanOrEqual(a, x) => col(a) && longOf(x).isDefined
+    case LessThan(a, x) => col(a) && longOf(x).isDefined
+    case LessThanOrEqual(a, x) => col(a) && longOf(x).isDefined
+    case In(a, xs) => col(a) && xs.forall(x => longOf(x).isDefined)
+    case IsNull(a) => col(a)
+    case IsNotNull(a) => col(a)
+    case _: AlwaysTrue => true
+    case _: AlwaysFalse => true
+    case _ => false
+  }
+
+  def eval(f: Filter, id: Long, k: Long, v: Long): Boolean = {
+    def value(a: String): Long = a match {
+      case "id" => id
+      case "k" => k
+      case _ => v
+    }
+    f match {
+      case And(l, r) => eval(l, id, k, v) && eval(r, id, k, v)
+      case Or(l, r) => eval(l, id, k, v) || eval(r, id, k, v)
+      case Not(c) => !eval(c, id, k, v)
+      case EqualTo(a, x) => value(a) == longOf(x).get
+      case EqualNullSafe(a, x) => value(a) == longOf(x).get
+      case GreaterThan(a, x) => value(a) > longOf(x).get
+      case GreaterThanOrEqual(a, x) => value(a) >= longOf(x).get
+      case LessThan(a, x) => value(a) < longOf(x).get
+      case LessThanOrEqual(a, x) => value(a) <= longOf(x).get
+      case In(a, xs) => xs.exists(x => longOf(x).contains(value(a)))
+      case IsNull(_) => false // ledger rows are fully non-null
+      case IsNotNull(_) => true
+      case _: AlwaysTrue => true
+      case _: AlwaysFalse => false
+      case other => throw new IllegalArgumentException(
+        s"unevaluable mlog delete filter $other — canDeleteWhere admits " +
+          "only exactly-evaluable filter trees")
+    }
+  }
+}
+
 case class MLogPartition(path: String, rows: Long,
                          dvPath: Option[String], dvRows: Long)
   extends InputPartition
@@ -1149,14 +1284,19 @@ case class MLogReaderFactory(fields: Seq[String],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MLogPartition]
     new PartitionReader[InternalRow] {
-      // required-field -> triple position (id 0, k 1, v 2)
+      // required-field -> triple position (id 0, k 1, v 2); -1 is the
+      // `_file` METADATA column (the data file's name — what row-level
+      // runtime group filtering keys its rewrite groups on).
       private val slots: Array[Int] = fields.map {
         case "id" => 0
         case "k" => 1
         case "v" => 2
+        case MLog.FileColumn => -1
         case other => throw new IllegalArgumentException(s"unknown mlog field $other")
       }.toArray
       private val path = new Path(p.path)
+      private val fileName =
+        org.apache.spark.unsafe.types.UTF8String.fromString(path.getName)
       private val fsys = path.getFileSystem(conf.value)
       private val in = new java.io.DataInputStream(
         new java.io.BufferedInputStream(fsys.open(path)))
@@ -1192,7 +1332,11 @@ case class MLogReaderFactory(fields: Seq[String],
           else {
             val row = new GenericInternalRow(slots.length)
             var i = 0
-            while (i < slots.length) { row.update(i, triple(slots(i))); i += 1 }
+            while (i < slots.length) {
+              if (slots(i) < 0) row.update(i, fileName)
+              else row.update(i, triple(slots(i)))
+              i += 1
+            }
             current = row
             return true
           }

@@ -1,0 +1,207 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** GROUP-BASED row-level operation over an mlog store — the engine-side
+  * machinery behind SQL `DELETE FROM` / `UPDATE` / `MERGE INTO` (the
+  * Iceberg copy-on-write shape; SURVEY §2.1 S9+). Spark's own analyzer
+  * rules (RewriteDeleteFromTable / RewriteUpdateTable /
+  * RewriteMergeIntoTable) do the semantics: they build a rewrite query
+  * that reads the affected GROUPS through [[newScanBuilder]], recompute
+  * those groups' surviving/updated/inserted rows, and hand the result to
+  * [[newWriteBuilder]]'s write. This class contributes the two
+  * table-format halves:
+  *
+  *  - GROUP = data file, announced by `requiredMetadataAttributes =
+  *    [_file]`: Spark's RowLevelOperationRuntimeGroupFiltering plans a
+  *    subquery for the DISTINCT `_file` values of rows matching the
+  *    command's condition and pushes it into the rewrite scan via
+  *    [[SupportsRuntimeV2Filtering]] — so a targeted MERGE/DELETE/UPDATE
+  *    rewrites only the files that contain matches, not the table (the
+  *    100 TB property; files outside the match set are carried into the
+  *    new manifest by reference, zero bytes moved).
+  *  - The commit ([[MLogReplaceDataWrite]]) publishes carried + rewritten
+  *    + inserted files as ONE snapshot via the conflict-detecting
+  *    [[MLog.publishExclusive]], based on the manifest version the
+  *    rewrite scan actually read — a commit interleaving between scan
+  *    and publish is refused as stale, never silently dropped.
+  *
+  * The scan, the runtime group filter, and the commit all speak about one
+  * snapshot: [[base]] is read ONCE when the rewrite scan builds, and
+  * [[replaced]] is exactly the file set the scan finally planned. */
+class MLogRowLevelOperation(dir: String, conf: SerializableConfiguration,
+                            cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  /** Manifest the rewrite is based on — the commit's conflict token. */
+  @volatile private[v2] var base: MLog.Manifest = _
+  /** Files the rewrite scan planned (post group filtering): exactly the
+    * groups the write replaces. */
+  @volatile private[v2] var replaced: Set[String] = Set.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"mlog row-level $cmd"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(MLog.FileColumn))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MLogRowLevelScanBuilder(this, dir, conf)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.fields.map(f => (f.name, f.dataType)).toSeq ==
+      MLog.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"mlog row-level $cmd writes the fixed ledger schema (id, k, v: " +
+        s"BIGINT); got ${s.simpleString}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          MLogReplaceDataWrite(MLogRowLevelOperation.this, dir, conf)
+      }
+    }
+  }
+}
+
+/** Scan builder for the rewrite side of a row-level operation: reads the
+  * CURRENT manifest exactly once and records it (and the initial
+  * whole-table group set) on the operation. Column pruning is honored —
+  * the rewrite projects `_file` plus the ledger columns. */
+class MLogRowLevelScanBuilder(op: MLogRowLevelOperation, dir: String,
+                              conf: SerializableConfiguration)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = MLog.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val d = new Path(dir)
+    val m = MLog.readManifestFull(d.getFileSystem(conf.value), d)
+    op.base = m
+    op.replaced = m.files.map(_.name).toSet
+    new MLogRowLevelScan(op, dir, m.files, required, conf)
+  }
+}
+
+/** The rewrite scan: plans one partition per (possibly group-filtered)
+  * file, deletion vectors applied exactly like a batch read. The runtime
+  * group filter arrives as `_file IN (…)` / `_file = …` V2 predicates —
+  * the DISTINCT file names of condition-matching rows; unrecognized
+  * predicate shapes are ignored (keeping every file is sound, just less
+  * pruned). */
+class MLogRowLevelScan(op: MLogRowLevelOperation, dir: String,
+                       all: Seq[MLog.FileEntry], required: StructType,
+                       conf: SerializableConfiguration)
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var chosen: Seq[MLog.FileEntry] = all
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"mlog row-level rewrite scan ${chosen.length}/${all.length} files"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(MLog.FileColumn))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keeps = predicates.flatMap(MLogRowLevelScan.fileNamesOf)
+    if (keeps.nonEmpty) {
+      val keep = keeps.reduce(_ intersect _)
+      chosen = all.filter(e => keep(e.name))
+      op.replaced = chosen.map(_.name).toSet
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    chosen.map(e =>
+      MLogPartition(new Path(new Path(dir), e.name).toString, e.rows,
+        e.dv.map(x => new Path(new Path(dir), x.name).toString),
+        e.dv.fold(0L)(_.rows)): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    MLogReaderFactory(required.fieldNames.toSeq, conf)
+}
+
+object MLogRowLevelScan {
+  /** Extract the file-name set of a `_file IN (…)` / `_file = …` runtime
+    * predicate; None for shapes that are not a `_file` group filter. */
+  private[v2] def fileNamesOf(p: Predicate): Option[Set[String]] = {
+    def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case n: NamedReference => n.fieldNames().sameElements(Array(MLog.FileColumn))
+      case _ => false
+    }
+    def str(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case l: Literal[_] if l.value() != null => Some(l.value().toString)
+      case _ => None
+    }
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.nonEmpty && isFileRef(ch.head) =>
+        val vs = ch.tail.map(str)
+        if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+      case "=" if ch.length == 2 && isFileRef(ch.head) =>
+        str(ch(1)).map(Set(_))
+      case "=" if ch.length == 2 && isFileRef(ch(1)) =>
+        str(ch.head).map(Set(_))
+      case _ => None
+    }
+  }
+}
+
+/** The replace-data commit: executors stage the rewrite query's output
+  * through the ordinary [[MLogWriterFactory]]; the driver then publishes
+  * (base manifest MINUS the replaced groups) PLUS the staged files as one
+  * snapshot — readers see the whole row-level operation or none of it,
+  * and the pre-operation snapshot still serves the old rows (time travel
+  * / vacuum semantics identical to the API-route delete and merge).
+  * [[MLog.publishExclusive]] refuses the publish if ANY commit landed
+  * since the rewrite scan read its manifest — the same optimistic
+  * conflict detection every mlog mutator uses. */
+case class MLogReplaceDataWrite(op: MLogRowLevelOperation, dir: String,
+                                conf: SerializableConfiguration)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    MLogWriterFactory(dir, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    require(op.base != null,
+      "mlog replace-data commit without a rewrite scan — the row-level " +
+        "operation's scan must plan before its write commits")
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    val fresh = messages.toSeq.collect {
+      case m: MLogCommit if m.name != null => m.entry
+    }
+    val carried = op.base.files.filterNot(e => op.replaced(e.name))
+    MLog.publishExclusive(fs, d, op.base.version, carried ++ fresh,
+      op.base.txn)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    messages.foreach {
+      case m: MLogCommit if m.name != null =>
+        fs.delete(new Path(d, m.name), false): Unit
+      case _ => ()
+    }
+  }
+}

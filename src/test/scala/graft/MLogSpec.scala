@@ -847,6 +847,21 @@ class MLogSpec extends SparkSpec {
       "the DV-only change must re-deliver the file's masked state")
   }
 
+  test("_file metadata column: selectable, matches the manifest, absent " +
+      "from star expansion") {
+    val dir = tmp()
+    ledger(60).repartition(3).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val names = MLog.readManifest(fs(dir), new Path(dir)).map(_.name).toSet
+    val df = spark.read.format("mlog").load(dir)
+    // SELECT * must NOT leak the metadata column (Spark's contract).
+    assert(df.columns.toSeq === Seq("id", "k", "v"))
+    val got = df.select(col("_file"), col("id"))
+    val byFile = got.groupBy("_file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFile.keySet === names, "every row's _file is a manifest name")
+    assert(byFile.values.sum === 60L)
+  }
+
   test("accepts(): manifest range algebra per filter shape") {
     val e = MLog.FileEntry("f", 10, 100, 200, 5, 9)
     assert(MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(150L))))
