@@ -802,9 +802,13 @@ object SimilarityQueries {
         .join(dg.select(col("u").as("y"), col("deg").as("degy")), "y")
         .withColumn("score", col("common").cast("double") /
           (col("degx") + col("degy") - col("common")).cast("double"))
-      sc.withColumn("rnk", row_number().over(
+      // Global top-20 as a bounded TakeOrderedAndProject (per-partition
+      // heaps, never a single-partition sort of every scored pair); the
+      // rank is then restated by a window over the ALREADY-BOUNDED 20
+      // rows — same total order, same output, no global funnel.
+      sc.orderBy(col("score").desc, col("x"), col("y")).limit(20)
+        .withColumn("rnk", row_number().over(
           Window.orderBy(col("score").desc, col("x"), col("y"))))
-        .filter(col("rnk") <= 20)
         .join(hold.select(col("doc_a").as("x"), col("doc_b").as("y"),
           lit(true).as("ishold")), Seq("x", "y"), "left")
         .select(col("x"), col("y"), col("common"), col("degx"), col("degy"),

@@ -395,7 +395,7 @@ class PlanShapeSpec extends SparkSpec {
       s"int8 quantization must not shuffle at any scale; got:\n$p")
   }
 
-  test("graph_link_pred joins equi only") {
+  test("graph_link_pred joins equi only; global top-20 is a bounded TakeOrdered") {
     // The kNN edge list is staged (lineage truncated to an ExistingRDD
     // scan), so its partial_cos_top_k subtree doesn't print here — the
     // map-side top-k shape is pinned by the ml_knn_classify test over
@@ -403,6 +403,17 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("graph_link_pred")
     assert(!p.contains("CartesianProduct"),
       s"wedge/holdout joins must stay equi; got:\n$p")
+    // The top-20 must be per-partition heaps (TakeOrderedAndProject),
+    // never a single-partition Window over EVERY scored candidate pair;
+    // the only Window left re-ranks the already-bounded 20 rows above
+    // the TakeOrdered in the plan.
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the global top-20 must be a bounded TakeOrdered; got:\n$p")
+    val winAt = p.indexOf("Window")
+    val takeAt = p.indexOf("TakeOrderedAndProject")
+    assert(winAt < 0 || winAt < takeAt,
+      "any Window must sit ABOVE the TakeOrdered (bounded 20-row rerank," +
+        s" not a global funnel); got:\n$p")
   }
 
   test("ml_gbdt_stump histograms reduce map-side; no cartesian") {
