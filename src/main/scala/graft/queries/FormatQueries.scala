@@ -968,6 +968,86 @@ object FormatQueries {
         .withColumn("pre_merge_visible", lit(facts(4) == 1L))
     },
 
+    // SQL TABLE MAINTENANCE through stored procedures — `CALL
+    // graft.system.{compact, expire_versions, vacuum}` (Spark 4's
+    // ProcedureCatalog on [[graft.sources.v2.GraftMLogCatalog]], the
+    // Iceberg maintenance surface; [[graft.sources.v2.MLogProcedures]]):
+    // the lifecycle primitives that are COMMANDS rather than queries,
+    // reachable from pure SQL with each call returning its measured
+    // receipt as a result row. Lifecycle exercised end-to-end on
+    // 12-file small-file debris: OPTIMIZE packs it (receipts pinned
+    // against the manifest restatement: files strictly drop, >= 2
+    // merged, one new snapshot), expire_versions(keep_last = 1) drops
+    // the pre-compaction snapshot, vacuum reclaims EXACTLY the
+    // superseded small files (receipt == the manifest name-diff), and
+    // the store then reads bit-equal to DuckDB over the raw events —
+    // maintenance changes layout, never content. Facts persist in the
+    // _READY marker for memoized re-entries.
+    checked("sql_mlog_maintenance",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  true AS compact_receipt_ok, true AS expire_receipt_ok,
+         |  true AS vacuum_receipt_ok, true AS dir_clean
+         |FROM events""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogsqlmnt_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val storeDir = new java.io.File(dir, "store")
+      val store = storeDir.getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.GraftMLogCatalog].getName)
+      val facts = if (!ready.exists()) {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+          .repartitionByRange(12, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        val pre = MLog.readManifest(fs, path)
+        val preVersion = MLog.versions(fs, path).last
+        val total = pre.map(_.rows).sum
+        val cmp = s.sql(
+          s"CALL graft.system.compact('$store', ${total / 3 + 1})").head
+        val post = MLog.readManifest(fs, path)
+        val compactOk = cmp.getInt(0) == pre.size &&
+          cmp.getInt(1) == post.size && cmp.getInt(1) < cmp.getInt(0) &&
+          cmp.getInt(2) >= 2 && cmp.getInt(3) == preVersion + 1 &&
+          post.map(_.rows).sum == total
+        val superseded =
+          (pre.map(_.name).toSet -- post.map(_.name).toSet).size.toLong
+        val exp = s.sql(
+          s"CALL graft.system.expire_versions('$store', 1)").head
+        val expireOk = exp.getInt(0) == preVersion // all pre-compact snaps
+        val vac = s.sql(s"CALL graft.system.vacuum('$store')").head
+        val vacuumOk = vac.getLong(0) == superseded
+        val onDisk = Option(storeDir.listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(_.endsWith(".mlog")).toSet
+        val dirClean = onDisk == post.map(_.name).toSet
+        val f = Seq(compactOk, expireOk, vacuumOk, dirClean)
+          .map(b => if (b) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("compact_receipt_ok", lit(facts(0) == 1L))
+        .withColumn("expire_receipt_ok", lit(facts(1) == 1L))
+        .withColumn("vacuum_receipt_ok", lit(facts(2) == 1L))
+        .withColumn("dir_clean", lit(facts(3) == 1L))
+    },
+
     // The RETENTION half of the mlog lifecycle: an overwrite SUPERSEDES
     // the previous commit’s files but its snapshot manifest still names
     // them (time travel), so reclamation is two-phase — EXPIRE the old

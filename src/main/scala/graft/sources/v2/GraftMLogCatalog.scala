@@ -3,7 +3,8 @@ package graft.sources.v2
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, Table, TableCatalog, TableChange}
+  Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,7 +38,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `SupportsRowLevelOperations`). Only catalog-level DDL (CREATE / DROP /
   * ALTER / RENAME) refuses: stores are path-addressed, and bulk writes
   * stay on the `format("mlog")` path. */
-class GraftMLogCatalog extends TableCatalog {
+class GraftMLogCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
 
@@ -74,6 +75,25 @@ class GraftMLogCatalog extends TableCatalog {
     }
     new MLogTable(props)
   }
+
+  /** Table-maintenance stored procedures (`CALL graft.system.…` —
+    * Spark 4's ProcedureCatalog, the Iceberg maintenance surface):
+    * compact / expire_versions / vacuum, each returning its measured
+    * stats as a one-row result. See [[MLogProcedures]]. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"$catalogName procedures live under $catalogName.system; got $ident")
+    MLogProcedures.All.getOrElse(ident.name().toLowerCase,
+      throw new UnsupportedOperationException(
+        s"unknown mlog procedure ${ident.name()}; available: " +
+          MLogProcedures.All.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      MLogProcedures.All.keys.toSeq.sorted
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

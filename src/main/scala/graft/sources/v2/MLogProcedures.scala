@@ -1,0 +1,113 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{
+  BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{
+  IntegerType, LongType, StringType, StructField, StructType}
+
+/** SQL stored procedures for mlog TABLE MAINTENANCE — the Iceberg `CALL
+  * catalog.system.…` surface (Spark 4's `ProcedureCatalog`), exposed by
+  * [[GraftMLogCatalog]] so the lifecycle primitives that are commands
+  * rather than queries are reachable from pure SQL:
+  *
+  *  - `CALL graft.system.compact('/path', target_rows)` — bin-packing
+  *    OPTIMIZE ([[MLog.compact]]); returns (before, after, merged,
+  *    new_version).
+  *  - `CALL graft.system.expire_versions('/path', keep_last)` — snapshot
+  *    retention ([[MLog.expireVersions]]); returns (expired_snapshots).
+  *  - `CALL graft.system.vacuum('/path')` — reclaim files no retained
+  *    snapshot references ([[MLog.vacuum]]); returns (removed_files).
+  *
+  * Each runs the SAME primitive the API route runs (one snapshot commit
+  * where a commit is involved, conflict-detected via
+  * [[MLog.publishExclusive]] inside the primitive) and returns its
+  * measured stats as a one-row result set (a [[LocalScan]]), so `CALL`'s
+  * output is the operation's receipt, not a blind OK. */
+object MLogProcedures {
+
+  val All: Map[String, UnboundProcedure] = Map(
+    "compact" -> Compact,
+    "expire_versions" -> ExpireVersions,
+    "vacuum" -> Vacuum)
+
+  private def fsAndPath(table: String) = {
+    val p = new Path(table)
+    (p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()), p)
+  }
+
+  private def result(schema: StructType, values: Any*)
+      : java.util.Iterator[Scan] = {
+    val row = new GenericInternalRow(values.toArray)
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+    }).iterator()
+  }
+
+  /** Shared shell: every maintenance procedure binds to itself (the
+    * parameter list is fixed; Spark's own coercion aligns arguments)
+    * and is non-deterministic by nature — it mutates or inspects store
+    * state. */
+  sealed abstract class Maintenance(procName: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  object Compact extends Maintenance("compact") {
+    override def description(): String =
+      "bin-packing compaction (OPTIMIZE): files under target_rows are " +
+        "first-fit packed and merged by pure payload byte-copy; one " +
+        "snapshot commit"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("mlog store path").build(),
+      ProcedureParameter.in("target_rows", LongType)
+        .comment("pack bins up to this many rows").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val stats = MLog.compact(SparkSession.active,
+        new Path(input.getUTF8String(0).toString), input.getLong(1))
+      result(StructType(Seq(
+        StructField("before", IntegerType), StructField("after", IntegerType),
+        StructField("merged", IntegerType),
+        StructField("new_version", IntegerType))),
+        stats.before, stats.after, stats.merged, stats.newVersion)
+    }
+  }
+
+  object ExpireVersions extends Maintenance("expire_versions") {
+    override def description(): String =
+      "drop all but the newest keep_last snapshot manifests (never the " +
+        "current pointer) — the expire half of retention"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("mlog store path").build(),
+      ProcedureParameter.in("keep_last", IntegerType)
+        .comment("snapshots to retain").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (fs, p) = fsAndPath(input.getUTF8String(0).toString)
+      val n = MLog.expireVersions(fs, p, input.getInt(1))
+      result(StructType(Seq(StructField("expired_snapshots", IntegerType))), n)
+    }
+  }
+
+  object Vacuum extends Maintenance("vacuum") {
+    override def description(): String =
+      "reclaim data files and deletion-vector sidecars no retained " +
+        "snapshot references — the GC half of retention"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("mlog store path").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (fs, p) = fsAndPath(input.getUTF8String(0).toString)
+      val n = MLog.vacuum(fs, p)
+      result(StructType(Seq(StructField("removed_files", LongType))), n)
+    }
+  }
+}

@@ -161,6 +161,39 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
     assert(back.filter(col("id") > 44).count() === 5L)
   }
 
+  test("CALL graft.system.{compact, expire_versions, vacuum}: the SQL " +
+      "maintenance surface runs the API primitives and returns receipts") {
+    val dir = tmp()
+    // Small-file debris: 6 one-file commits.
+    (0 until 6).foreach { i =>
+      ledger(10, i * 100L).coalesce(1).write.format("mlog")
+        .mode(if (i == 0) SaveMode.Overwrite else SaveMode.Append).save(dir)
+    }
+    val c = cat()
+    assert(MLog.readManifest(fs(dir), new Path(dir)).size === 6)
+    // OPTIMIZE through SQL: receipts match the manifest restatement.
+    val cmp = spark.sql(
+      s"CALL graft.system.compact('$dir', 60)").head
+    assert(cmp.getInt(0) === 6 && cmp.getInt(1) === 1 && cmp.getInt(2) === 6)
+    assert(cmp.getInt(3) === MLog.versions(fs(dir), new Path(dir)).last)
+    assert(spark.read.format("mlog").load(dir).count() === 60L)
+    // Retention through SQL: expire all but the newest snapshot, then
+    // vacuum exactly the superseded small files.
+    val exp = spark.sql(
+      s"CALL graft.system.expire_versions('$dir', 1)").head
+    assert(exp.getInt(0) === 6, "7 snapshots, keep 1 -> 6 expired")
+    val vac = spark.sql(s"CALL graft.system.vacuum('$dir')").head
+    assert(vac.getLong(0) === 6L, "the 6 packed-away files are reclaimed")
+    assert(spark.read.format("mlog").load(dir).count() === 60L)
+    // Named-argument form and the unknown-procedure refusal.
+    assert(spark.sql(
+      s"CALL graft.system.vacuum(table => '$dir')").head.getLong(0) === 0L)
+    val bad = intercept[Exception] {
+      spark.sql(s"CALL graft.system.frobnicate('$dir')").collect()
+    }
+    assert(bad.getMessage.contains("frobnicate"))
+  }
+
   test("row-level ops refuse a pinned (time-travel) target") {
     val dir = tmp()
     ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
