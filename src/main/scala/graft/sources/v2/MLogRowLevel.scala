@@ -190,6 +190,11 @@ case class MLogReplaceDataWrite(op: MLogRowLevelOperation, dir: String,
     val fresh = messages.toSeq.collect {
       case m: MLogCommit if m.name != null => m.entry
     }
+    // NO-OP CASE (the API routes' contract): a command that replaced no
+    // groups and staged no rows — a DELETE/UPDATE/MERGE whose condition
+    // matched nothing — publishes NOTHING; the table keeps its version
+    // instead of burning a content-identical snapshot.
+    if (op.replaced.isEmpty && fresh.isEmpty) return
     val carried = op.base.files.filterNot(e => op.replaced(e.name))
     MLog.publishExclusive(fs, d, op.base.version, carried ++ fresh,
       op.base.txn)

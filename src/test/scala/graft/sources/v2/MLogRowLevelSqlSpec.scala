@@ -194,6 +194,25 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
     assert(bad.getMessage.contains("frobnicate"))
   }
 
+  test("a row-level command matching nothing commits nothing; SHOW " +
+      "PROCEDURES lists the maintenance surface") {
+    val dir = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val c = cat()
+    val preVersions = MLog.versions(fs(dir), new Path(dir))
+    // The group filter yields zero files and the rewrite stages zero
+    // rows: the replace-data commit must be a NO-OP, not a
+    // content-identical snapshot burn.
+    spark.sql(s"DELETE FROM $c.`$dir` WHERE id % 10 = 3 AND id > 100000")
+    spark.sql(s"UPDATE $c.`$dir` SET v = v + 1 WHERE id % 10 = 3 AND id > 100000")
+    assert(MLog.versions(fs(dir), new Path(dir)) === preVersions,
+      "no-match row-level commands must not publish a snapshot")
+    assert(spark.read.format("mlog").load(dir).count() === 50L)
+    val procs = spark.sql("SHOW PROCEDURES IN graft.system")
+      .select("procedure_name").collect().map(_.getString(0)).toSet
+    assert(procs === Set("compact", "expire_versions", "vacuum"))
+  }
+
   test("row-level ops refuse a pinned (time-travel) target") {
     val dir = tmp()
     ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
