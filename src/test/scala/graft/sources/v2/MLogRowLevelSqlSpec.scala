@@ -213,6 +213,18 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
     assert(procs === Set("compact", "expire_versions", "vacuum"))
   }
 
+  test("DELETE FROM without WHERE empties the table through the manifest") {
+    val dir = tmp()
+    ledger(40).coalesce(2).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val c = cat()
+    val preVersion = MLog.versions(fs(dir), new Path(dir)).last
+    spark.sql(s"DELETE FROM $c.`$dir`")
+    assert(spark.read.format("mlog").load(dir).count() === 0L)
+    // Still a snapshot commit: the pre-delete state time-travels.
+    assert(spark.read.format("mlog").option("versionAsOf", preVersion)
+      .load(dir).count() === 40L)
+  }
+
   test("row-level ops refuse a pinned (time-travel) target") {
     val dir = tmp()
     ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
