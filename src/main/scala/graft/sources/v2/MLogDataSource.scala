@@ -167,13 +167,23 @@ object MLog {
   def readManifestFull(fs: FileSystem, dir: Path): Manifest = {
     val newest = versions(fs, dir).lastOption
     val current = new Path(dir, ManifestName)
-    // The local-FS pointer swap is delete-then-rename: a reader racing
-    // it can pass exists() and still miss the open — treat exactly like
-    // an absent pointer (the snapshot log arbitrates).
+    // The local-FS pointer swap is delete-then-rename, and the local
+    // CHECKSUMMED filesystem renames the data file and its .crc sidecar
+    // in two steps: a reader racing the swap can miss the open entirely
+    // (FileNotFoundException) or read one version's bytes against the
+    // other's checksum (ChecksumException — observed live under mixed
+    // append/compact/delete concurrency). Both are the same condition —
+    // the pointer CACHE is mid-swap — and both degrade the same way:
+    // treat the pointer as absent and let the snapshot log arbitrate
+    // (snapshots are write-once, their checksums never change). On HDFS
+    // the swap is one atomic replace and neither window exists.
     val pointer =
       try {
         if (fs.exists(current)) Some(readManifestFile(fs, current)) else None
-      } catch { case _: java.io.FileNotFoundException => None }
+      } catch {
+        case _: java.io.FileNotFoundException => None
+        case _: org.apache.hadoop.fs.ChecksumException => None
+      }
     (pointer, newest) match {
       // Pointer serves only when at least as new as the newest LISTED
       // snapshot (it can be newer — a swap that landed after our listing;

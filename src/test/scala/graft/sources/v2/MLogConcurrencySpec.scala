@@ -129,6 +129,70 @@ class MLogConcurrencySpec extends graft.SparkSpec {
     assert(spark.read.format("mlog").load(dir).count() === 51L)
   }
 
+  test("mixed concurrency: appenders race retrying mutators; rows are " +
+      "exactly the survivors, versions stay contiguous") {
+    val dir = tmp()
+    val c = conf()
+    import spark.implicits._
+    // Seed: ids 0..19 across two files.
+    (0 until 20).map(i => (i.toLong, (i % 7).toLong, i * 10L))
+      .toDF("id", "k", "v").coalesce(2).write.format("mlog")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(dir)
+    val path = new Path(dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    def retrying(what: String)(body: => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { body; done = true }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            attempts += 1
+            assert(attempts < 200, s"$what starved of its retry window")
+        }
+      }
+    }
+    try {
+      val tasks =
+        // 8 appenders, one row each (ids 100..107).
+        (0 until 8).map { i =>
+          pool.submit(new Runnable {
+            override def run(): Unit = appendOne(dir, c, 100L + i)
+          })
+        } ++ Seq(
+          // A compactor that retries lost conflicts — content-neutral,
+          // but every retry exercises publishExclusive's staleness check
+          // against live appends.
+          pool.submit(new Runnable {
+            override def run(): Unit = (0 until 3).foreach { _ =>
+              retrying("compact") {
+                MLog.compact(spark, path, targetRows = 1000L): Unit
+              }
+            }
+          }),
+          // A deleter that must eventually land: drop ids < 5.
+          pool.submit(new Runnable {
+            override def run(): Unit = retrying("delete") {
+              MLog.delete(spark, path,
+                e => e.minId < 5L, (id, _, _) => id < 5L): Unit
+            }
+          }))
+      tasks.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // Exactly the survivors: seed minus ids < 5, plus the 8 appends —
+    // no commit lost to any interleaving, no deleted row resurrected by
+    // a stale rewrite.
+    val back = spark.read.format("mlog").load(dir)
+    assert(back.count() === 23L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) ===
+      (5 until 20).map(_ * 10L).sum + (0 until 8).map(i => (100L + i) * 10L).sum)
+    // The manifest agrees with the data, and the version log is
+    // CONTIGUOUS — every winner took exactly the next slot.
+    val m = MLog.readManifestFull(fs(dir), new Path(dir))
+    assert(m.files.map(_.rows).sum === 23L)
+    assert(MLog.versions(fs(dir), new Path(dir)) === (1 to m.version))
+  }
+
   test("concurrent idempotent commits: one (appId, version) lands exactly once") {
     val dir = tmp()
     val c = conf()
