@@ -225,6 +225,51 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
       .load(dir).count() === 40L)
   }
 
+  test("two SQL merges racing one store: a conflicting rewrite refuses, " +
+      "nothing silently drops") {
+    val dir = tmp()
+    ledger(100).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val c = cat()
+    // Each merge inserts ONE distinct new id (insert-only upserts): if
+    // both land, 102 rows; if one loses the conflict check, it throws
+    // ConcurrentModificationException and 101 remain — what must NEVER
+    // happen is both "succeeding" with one silently dropped (the
+    // round-15 lost-update shape, now on the SQL route). Row-level op
+    // state (base manifest + replaced set) is per-command: two racing
+    // commands must not share it.
+    (0 until 2).foreach { i =>
+      ledger(1, 5000L + i).createOrReplaceTempView(s"mlog_race_src_$i")
+    }
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (0 until 2).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try spark.sql(
+              s"""MERGE INTO $c.`$dir` t USING mlog_race_src_$i s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin): Unit
+            catch {
+              case e: Throwable =>
+                def isCme(t: Throwable): Boolean = t != null &&
+                  (t.isInstanceOf[java.util.ConcurrentModificationException] ||
+                    isCme(t.getCause))
+                if (isCme(e)) refused.incrementAndGet(): Unit
+                else throw e
+            }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val back = spark.read.format("mlog").load(dir)
+    assert(back.count() === 100L + (2 - refused.get()),
+      s"${refused.get()} refused merge(s) must account for every missing row")
+    // The seed is intact either way — no stale rewrite dropped it.
+    assert(back.filter(col("id") < 100).count() === 100L)
+  }
+
   test("row-level ops refuse a pinned (time-travel) target") {
     val dir = tmp()
     ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
