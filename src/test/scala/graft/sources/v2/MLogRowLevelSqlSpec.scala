@@ -270,6 +270,27 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
     assert(back.filter(col("id") < 100).count() === 100L)
   }
 
+  test("row-level rewrite plans a _file group-filter subquery whose scan " +
+      "is itself manifest-pruned") {
+    val dir = tmp()
+    ledger(100).coalesce(2).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val c = cat()
+    val p = spark.sql(s"EXPLAIN FORMATTED UPDATE $c.`$dir` " +
+      "SET v = v + 1 WHERE id % 10 = 3 AND id < 10").head.getString(0)
+    // Spark's RowLevelOperationRuntimeGroupFiltering planned the dynamic
+    // group filter against our rewrite scan…
+    assert(p.contains("IN subquery"),
+      s"the rewrite must be runtime group-filtered on _file; got:\n$p")
+    assert(p.contains("row-level rewrite scan"),
+      s"the rewrite side must be the row-level scan; got:\n$p")
+    // …and the subquery computing the matching _file set runs through the
+    // NORMAL mlog scan, where its id bound already prunes files by
+    // manifest min/max — group discovery pays for the candidate range,
+    // not the table.
+    assert(p.contains("1/2 files after manifest pruning"),
+      s"the group-filter subquery's scan must manifest-prune; got:\n$p")
+  }
+
   test("row-level ops refuse a pinned (time-travel) target") {
     val dir = tmp()
     ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
