@@ -862,6 +862,79 @@ class MLogSpec extends SparkSpec {
     assert(byFile.values.sum === 60L)
   }
 
+  test("corruption fails loudly: truncated data, missing data, damaged " +
+      "pointer, mis-counted deletion vector") {
+    import graft.sources.v2.{MLogDataSource => _, _}
+    // 1. TRUNCATED data file: the manifest's row count bounds the read,
+    // so bytes ending early are corruption — EOF, never a silent
+    // under-read.
+    val d1 = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(d1)
+    val f1 = MLog.readManifest(fs(d1), new Path(d1)).head
+    val localFs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    def rewriteWith(dir: String, name: String,
+                    mutate: Array[Byte] => Array[Byte]): Unit = {
+      // Re-written through the checksummed local fs so the .crc sidecar
+      // tracks the damage — the CONTENT defect, not a checksum artifact,
+      // is what each case pins.
+      val bytes = mutate(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, name).toPath))
+      val o = localFs.create(new Path(dir, name), true)
+      o.write(bytes); o.close()
+    }
+    rewriteWith(d1, f1.name, _.dropRight(16))
+    val e1 = intercept[Exception] {
+      spark.read.format("mlog").load(d1).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    def hasEof(t: Throwable): Boolean = t != null &&
+      (t.isInstanceOf[java.io.EOFException] ||
+        Option(t.getMessage).exists(_.contains("EOF")) || hasEof(t.getCause))
+    assert(hasEof(e1), s"truncation must surface as EOF, got $e1")
+
+    // 2. MISSING data file (manifest names it, disk lost it): loud, named.
+    val d2 = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(d2)
+    val f2 = MLog.readManifest(fs(d2), new Path(d2)).head
+    assert(new java.io.File(d2, f2.name).delete())
+    val e2 = intercept[Exception] {
+      spark.read.format("mlog").load(d2).count()
+    }
+    assert(messages(e2).exists(_.contains(f2.name)) ||
+      e2.toString.contains(f2.name),
+      s"the missing file must be NAMED, got $e2")
+
+    // 3. DAMAGED pointer (garbage bytes, NOT a mid-swap artifact): loud —
+    // real damage must never be silently out-arbitrated like a cache
+    // mid-swap is.
+    val d3 = tmp()
+    ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(d3)
+    rewriteWith(d3, MLog.ManifestName, _ => "not json at all".getBytes("UTF-8"))
+    val e3 = intercept[Exception] { MLog.readManifest(fs(d3), new Path(d3)) }
+    assert(e3 != null) // Jackson parse or format require — loud either way
+
+    // 4. Deletion vector whose header count disagrees with the manifest
+    // (its first 8 bytes are magic+version; the count is at offset 8):
+    // named refusal before any row is served.
+    val d4 = tmp()
+    ledger(60).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(d4)
+    MLog.deleteMor(spark, new Path(d4), _ => true, (id, _, _) => id < 10)
+    val dv = MLog.readManifest(fs(d4), new Path(d4)).flatMap(_.dv).head
+    rewriteWith(d4, dv.name, { bytes =>
+      java.nio.ByteBuffer.wrap(bytes).putLong(8, dv.rows + 1)
+      bytes
+    })
+    val e4 = intercept[Exception] {
+      spark.read.format("mlog").load(d4).count()
+    }
+    assert(messages(e4).exists(_.contains(dv.name)) ||
+      e4.toString.contains(dv.name),
+      s"the mis-counted vector must be NAMED, got $e4")
+  }
+
   test("accepts(): manifest range algebra per filter shape") {
     val e = MLog.FileEntry("f", 10, 100, 200, 5, 9)
     assert(MLogScanBuilder.accepts(e, EqualTo("id", java.lang.Long.valueOf(150L))))

@@ -291,6 +291,15 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
       s"the group-filter subquery's scan must manifest-prune; got:\n$p")
   }
 
+  test("DESCRIBE PROCEDURE surfaces name and description") {
+    cat()
+    val desc = spark.sql("DESCRIBE PROCEDURE graft.system.compact")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("compact"))
+    assert(desc.contains("bin-packing") || desc.contains("OPTIMIZE"),
+      s"the procedure's description must surface, got:\n$desc")
+  }
+
   test("row-level ops refuse a pinned (time-travel) target") {
     val dir = tmp()
     ledger(10).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
