@@ -16,6 +16,13 @@ import graft.functions.DetAgg._
 object FormatQueries {
   import QuerySpec._
 
+  /** Recursive delete of a fixture dir (shared by every write-once
+    * _READY-marker store in this file). */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
   /** Oracle-dump dir for the per-file manifest rows (pid-keyed, rewritten
     * per execution of layout_manifest_prune — one tiny row per file).
     * Declared BEFORE `all`: the oracle string interpolates it eagerly. */
@@ -45,10 +52,6 @@ object FormatQueries {
     val ready = new java.io.File(dir, "_READY")
     val store = new java.io.File(dir, "store").getAbsolutePath
     if (!ready.exists()) {
-      def rmTree(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-        f.delete(): Unit
-      }
       rmTree(dir); dir.mkdirs()
       val ledger = Tables.events(s, d).select(col("event_id").as("id"),
         col("user_id").as("k"),
@@ -78,10 +81,6 @@ object FormatQueries {
     val ready = new java.io.File(dir, "_READY")
     val store = new java.io.File(dir, "store").getAbsolutePath
     if (!ready.exists()) {
-      def rmTree(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-        f.delete(): Unit
-      }
       rmTree(dir); dir.mkdirs()
       val ledger = Tables.events(s, d).select(col("event_id").as("id"),
         col("user_id").as("k"),
@@ -733,10 +732,6 @@ object FormatQueries {
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.v2.GraftMLogCatalog].getName)
       val facts = if (!ready.exists()) {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(): Unit
-        }
         rmTree(dir); dir.mkdirs()
         Tables.events(s, d).select(col("event_id").as("id"),
           col("user_id").as("k"),
@@ -814,10 +809,6 @@ object FormatQueries {
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.v2.GraftMLogCatalog].getName)
       val facts = if (!ready.exists()) {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(): Unit
-        }
         rmTree(dir); dir.mkdirs()
         Tables.events(s, d).select(col("event_id").as("id"),
           col("user_id").as("k"),
@@ -908,10 +899,6 @@ object FormatQueries {
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.v2.GraftMLogCatalog].getName)
       val facts = if (!ready.exists()) {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(): Unit
-        }
         rmTree(dir); dir.mkdirs()
         val ledger = Tables.events(s, d).select(col("event_id").as("id"),
           col("user_id").as("k"),
@@ -1001,10 +988,6 @@ object FormatQueries {
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.v2.GraftMLogCatalog].getName)
       val facts = if (!ready.exists()) {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(): Unit
-        }
         rmTree(dir); dir.mkdirs()
         Tables.events(s, d).select(col("event_id").as("id"),
           col("user_id").as("k"),
@@ -1087,10 +1070,6 @@ object FormatQueries {
         col("user_id").as("k"),
         (unix_micros(col("ts")) % 86400000000L).as("v"))
       val (expired, removed, superseded) = if (!ready.exists()) {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(): Unit
-        }
         rmTree(dir); dir.mkdirs()
         ledger.filter(col("id") % 5 =!= 0).repartitionByRange(7, col("k"))
           .write.format("mlog").mode("overwrite").save(store)
@@ -1181,10 +1160,6 @@ object FormatQueries {
       val fs = path.getFileSystem(s.sessionState.newHadoopConf())
       import graft.sources.v2.MLog
       val facts = if (!ready.exists()) {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(): Unit
-        }
         rmTree(dir); dir.mkdirs()
         Tables.events(s, d).select(col("event_id").as("id"),
           col("user_id").as("k"),
@@ -1273,10 +1248,6 @@ object FormatQueries {
       val fs = path.getFileSystem(s.sessionState.newHadoopConf())
       import graft.sources.v2.MLog
       val facts = if (!ready.exists()) {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(): Unit
-        }
         rmTree(dir); dir.mkdirs()
         // Small-file debris on purpose: 12 range files of ~1/12 of the
         // ledger each, the shape fine-grained commits leave behind.
@@ -1362,10 +1333,6 @@ object FormatQueries {
       val fs = path.getFileSystem(s.sessionState.newHadoopConf())
       import graft.sources.v2.MLog
       val facts = if (!ready.exists()) {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(): Unit
-        }
         rmTree(dir); dir.mkdirs()
         Tables.events(s, d).select(col("event_id").as("id"),
           col("user_id").as("k"),
@@ -1510,10 +1477,6 @@ object FormatQueries {
       val fs = path.getFileSystem(s.sessionState.newHadoopConf())
       import graft.sources.v2.MLog
       val facts = if (!ready.exists()) {
-        def rmTree(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          f.delete(): Unit
-        }
         rmTree(dir); dir.mkdirs()
         val ledger = Tables.events(s, d).select(col("event_id").as("id"),
           col("user_id").as("k"),

@@ -891,20 +891,42 @@ class MLogTable(properties: JMap[String, String])
     })
 
   /** Metadata-only DELETE (`SupportsDelete`, Iceberg's fast path): a
-    * WHERE whose every node evaluates exactly over the ledger triple runs
-    * through [[MLog.delete]] — manifest-pruned copy-on-write, no query
-    * executed. Spark's OptimizeMetadataOnlyDeleteFromTable asks
+    * WHERE whose every node evaluates exactly over the ledger triple AND
+    * whose top-level conjuncts include at least one manifest-prunable
+    * id/k bound runs through [[MLog.delete]] — manifest-pruned
+    * copy-on-write, no query executed. A predicate with no prunable
+    * bound (e.g. only on `v`, or an Or/In tree) is DECLINED even though
+    * it is exactly evaluable: `mayMatch` would mark every file touched
+    * and this "fast path" would byte-rewrite the whole table, where the
+    * group-based rewrite below (runtime `_file` group filtering) touches
+    * only the files that actually contain matches. The one trivial
+    * shape, an unqualified DELETE (all AlwaysTrue), IS taken: it
+    * publishes an empty manifest directly — O(1), no row read; the
+    * superseded files age out through expire + vacuum exactly like an
+    * overwrite's. Spark's OptimizeMetadataOnlyDeleteFromTable asks
     * [[canDeleteWhere]] first and falls back to the group-based
-    * row-level rewrite below when this path declines. */
+    * row-level rewrite when this path declines. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    !pinnedRead && filters.forall(MLogFilterEval.evaluable)
+    !pinnedRead && filters.forall(MLogFilterEval.evaluable) &&
+      (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) ||
+        filters.exists(f => MLogScanBuilder.bound(f).isDefined))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
-    MLog.delete(spark, MLog.pathOf(properties.asScala.toMap),
-      e => filters.forall(f => MLogScanBuilder.accepts(e, f)),
-      (id, k, v) =>
-        filters.forall(f => MLogFilterEval.eval(f, id, k, v))): Unit
+    val p = MLog.pathOf(properties.asScala.toMap)
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])) {
+      // Unqualified DELETE = manifest truncate: one snapshot commit
+      // naming zero files, zero rows read.
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val full = MLog.readManifestFull(fs, p)
+      if (full.files.nonEmpty)
+        MLog.publishExclusive(fs, p, full.version, Seq.empty, full.txn)
+    } else {
+      MLog.delete(spark, p,
+        e => filters.forall(f => MLogScanBuilder.accepts(e, f)),
+        (id, k, v) =>
+          filters.forall(f => MLogFilterEval.eval(f, id, k, v))): Unit
+    }
   }
 
   /** Group-based row-level operations (`SupportsRowLevelOperations`) —

@@ -17,11 +17,20 @@ import org.apache.spark.util.SerializableConfiguration
   * ordered, durable, each naming its complete file set); the index is
   * what lets admission control split one large commit — or the batch-0
   * whole-table backlog — across several micro-batches without inventing
-  * a finer log. `{"version":v}` (no index) deserializes as complete, so
+  * a finer log.
+  *
+  * `of` records the SLICING BASIS of a split offset: how many adds the
+  * version had when the offset was minted. The adds list depends on the
+  * read options (ignoreChanges changes what counts as an add), so a
+  * checkpoint restarted with different options would silently mis-slice
+  * — planning revalidates `of` against the recomputed list and fails
+  * loudly on disagreement instead. `-1` = not split / legacy.
+  * `{"version":v}` (no index) deserializes as complete, so
   * pre-admission-control checkpoints restart cleanly. */
-case class MLogOffset(version: Int, index: Int = -1) extends Offset {
+case class MLogOffset(version: Int, index: Int = -1, of: Int = -1)
+  extends Offset {
   override def json(): String =
-    s"""{"version":$version,"index":$index}"""
+    s"""{"version":$version,"index":$index,"of":$of}"""
 }
 
 /** mlog as a STREAMING SOURCE (the Delta streaming-source shape, and the
@@ -168,18 +177,20 @@ class MLogMicroBatchStream(dir: String, conf: SerializableConfiguration,
         // step must be restartable).
         var prev = manifestAt(s.version)
         if (s.index >= 0 && s.version > 0) {
-          val rem =
-            addsBetween(manifestAt(s.version - 1), prev).size.toLong - s.index
+          val adds = addsBetween(manifestAt(s.version - 1), prev).size
+          checkBasis(s, adds)
+          val rem = adds.toLong - s.index
           if (rem > remaining)
-            return MLogOffset(s.version, s.index + remaining.toInt)
+            return MLogOffset(s.version, s.index + remaining.toInt, adds)
           remaining -= rem
         }
         while (w < endV && remaining > 0) {
           w += 1
           val curr = manifestAt(w)
-          val n = addsBetween(prev, curr).size.toLong
-          if (n > remaining) return MLogOffset(w, remaining.toInt)
-          remaining -= n
+          val n = addsBetween(prev, curr).size
+          if (n.toLong > remaining)
+            return MLogOffset(w, remaining.toInt, n)
+          remaining -= n.toLong
           prev = curr
         }
         if (w == s.version && s.index < 0) s else MLogOffset(w)
@@ -190,8 +201,22 @@ class MLogMicroBatchStream(dir: String, conf: SerializableConfiguration,
     val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     // Pre-admission-control offsets carry no index: complete version.
     MLogOffset(m.get("version").asInt(),
-      Option(m.get("index")).fold(-1)(_.asInt()))
+      Option(m.get("index")).fold(-1)(_.asInt()),
+      Option(m.get("of")).fold(-1)(_.asInt()))
   }
+
+  /** A split offset's recorded adds-count must match the list recomputed
+    * NOW: a disagreement means the slicing basis changed under a
+    * checkpoint — read options (ignoreChanges) toggled across a restart,
+    * or snapshot history mutated — and slicing on would silently skip or
+    * re-deliver files. */
+  private def checkBasis(o: MLogOffset, adds: Int): Unit =
+    require(o.of < 0 || o.of == adds,
+      s"mlog stream checkpoint offset $o sliced version ${o.version} " +
+        s"into ${o.of} adds, but the manifest diff now yields $adds — " +
+        "the stream's read options (e.g. ignoreChanges) changed across a " +
+        "restart, or the snapshot history was rewritten; restart from a " +
+        "fresh checkpoint with the original options.")
 
   /** Plan the batch for (start, end]: per-version NAME lists (consecutive
     * manifest diffs, name-sorted) give the deterministic order the offset
@@ -215,6 +240,8 @@ class MLogMicroBatchStream(dir: String, conf: SerializableConfiguration,
       // Remainder of a split start version.
       val curr = manifestAt(s.version)
       val adds = addsBetween(manifestAt(s.version - 1), curr).map(_.name)
+      checkBasis(s, adds.size)
+      if (e.version == s.version && e.index >= 0) checkBasis(e, adds.size)
       val hi = if (e.version == s.version && e.index >= 0) e.index
                else adds.size
       names ++= adds.slice(s.index, hi)
@@ -228,6 +255,7 @@ class MLogMicroBatchStream(dir: String, conf: SerializableConfiguration,
       w += 1
       val curr = if (w == e.version) endEntries else manifestAt(w)
       val adds = addsBetween(prevM, curr).map(_.name)
+      if (w == e.version && e.index >= 0) checkBasis(e, adds.size)
       val hi = if (w == e.version && e.index >= 0) e.index else adds.size
       names ++= adds.slice(0, hi)
       prevM = curr

@@ -862,6 +862,29 @@ class MLogSpec extends SparkSpec {
     assert(byFile.values.sum === 60L)
   }
 
+  test("a split offset whose slicing basis changed is refused, not mis-sliced") {
+    import graft.sources.v2.{MLogMicroBatchStream, MLogOffset}
+    val dir = tmp()
+    ledger(60).repartition(3).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val stream = new MLogMicroBatchStream(
+      dir, conf, MLog.Schema, Array.empty, ignoreChanges = false)
+    // The matching basis plans the remaining 2 of 3 adds.
+    assert(stream.planInputPartitions(
+      MLogOffset(1, 1, of = 3), MLogOffset(1)).length === 2)
+    // A recorded basis of 5 against the recomputed 3 means the slicing
+    // list changed under the checkpoint (read options toggled across a
+    // restart, or history rewritten): loud refusal, never a silent skip.
+    val err = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(MLogOffset(1, 1, of = 5), MLogOffset(1))
+    }
+    assert(err.getMessage.contains("read options"))
+    // Legacy split offsets (no recorded basis) still plan.
+    assert(stream.planInputPartitions(
+      MLogOffset(1, 1), MLogOffset(1)).length === 2)
+  }
+
   test("corruption fails loudly: truncated data, missing data, damaged " +
       "pointer, mis-counted deletion vector") {
     import graft.sources.v2.{MLogDataSource => _, _}

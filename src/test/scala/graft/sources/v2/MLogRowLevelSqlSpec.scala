@@ -79,6 +79,29 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
         (0 until 100).map(_ * 10L).sum)
   }
 
+  test("a v-only DELETE declines the metadata path and group-rewrites " +
+      "only the files containing matches") {
+    val dir = tmp()
+    // Two files with DISJOINT v ranges (ids overlap neither predicate):
+    // the metadata path cannot prune on v (no manifest bounds), so taking
+    // it would byte-rewrite BOTH files; the group rewrite must carry the
+    // unmatched file by reference — entry identity distinguishes the two.
+    ledger(100).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    ledger(100, 1000L).withColumn("v", col("v") + 100000L)
+      .coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    val c = cat()
+    val pre = MLog.readManifestFull(fs(dir), new Path(dir))
+    spark.sql(s"DELETE FROM $c.`$dir` WHERE v < 100")
+    val back = spark.read.format("mlog").load(dir)
+    assert(back.count() === 190L) // v in {0,10,…,90} -> ids 0..9 gone
+    assert(back.filter(col("id") < 10).count() === 0L)
+    val post = MLog.readManifestFull(fs(dir), new Path(dir))
+    assert(post.version === pre.version + 1)
+    assert(post.files.count(e => pre.files.contains(e)) === 1,
+      "the v-disjoint file must be carried BY REFERENCE — a metadata-path " +
+        "delete would have byte-rewritten it under a new name")
+  }
+
   test("SQL UPDATE rewrites only the group-filtered files in one commit") {
     val dir = tmp()
     ledger(100).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
