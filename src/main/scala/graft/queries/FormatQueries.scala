@@ -1009,7 +1009,8 @@ object FormatQueries {
         val exp = s.sql(
           s"CALL graft.system.expire_versions('$store', 1)").head
         val expireOk = exp.getInt(0) == preVersion // all pre-compact snaps
-        val vac = s.sql(s"CALL graft.system.vacuum('$store')").head
+        // min_age_seconds = 0: single-writer fixture, nothing is in flight.
+        val vac = s.sql(s"CALL graft.system.vacuum('$store', 0)").head
         val vacuumOk = vac.getLong(0) == superseded
         val onDisk = Option(storeDir.listFiles()).getOrElse(Array.empty)
           .map(_.getName).filter(_.endsWith(".mlog")).toSet
@@ -1092,7 +1093,8 @@ object FormatQueries {
         // before expiry removes nothing, because time travel to v1 must
         // keep working while its snapshot is retained.
         val nExp = graft.sources.v2.MLog.expireVersions(fs, path, keepLast = 1)
-        val n = graft.sources.v2.MLog.vacuum(fs, path)
+        // minAgeMs = 0: single-writer fixture, nothing is in flight.
+        val n = graft.sources.v2.MLog.vacuum(fs, path, minAgeMs = 0L)
         java.nio.file.Files.write(ready.toPath,
           s"$nExp $n $nSuperseded".getBytes("UTF-8"))
         (nExp.toLong, n, nSuperseded)
@@ -1187,7 +1189,7 @@ object FormatQueries {
         val superseded = (preNames -- postNames).size.toLong
         // GDPR completion: drop every pre-delete snapshot, then reclaim.
         MLog.expireVersions(fs, path, keepLast = 1)
-        val vacuumed = MLog.vacuum(fs, path)
+        val vacuumed = MLog.vacuum(fs, path, minAgeMs = 0L)
         val ttGone =
           try { MLog.readManifestVersion(fs, path, preVersion); false }
           catch { case _: Exception => true }

@@ -81,12 +81,19 @@ class GraftMLogCatalog extends TableCatalog with ProcedureCatalog {
     * compact / expire_versions / vacuum, each returning its measured
     * stats as a one-row result. See [[MLogProcedures]]. */
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
-    require(ident.namespace().sameElements(Array("system")),
-      s"$catalogName procedures live under $catalogName.system; got $ident")
-    MLogProcedures.All.getOrElse(ident.name().toLowerCase,
-      throw new UnsupportedOperationException(
-        s"unknown mlog procedure ${ident.name()}; available: " +
-          MLogProcedures.All.keys.toSeq.sorted.mkString(", ")))
+    // Unknown namespace/procedure raises Spark's own ROUTINE_NOT_FOUND
+    // error class (this Spark ships no NoSuchProcedureException type), so
+    // engine-level error handling and exists-style probes around CALL see
+    // a standard condition, not a generic runtime error.
+    def notFound(): Nothing =
+      throw new org.apache.spark.sql.AnalysisException("ROUTINE_NOT_FOUND",
+        Map("routineName" ->
+          (s"`$catalogName`." + ident.namespace().map(n => s"`$n`")
+            .mkString(".") + s".`${ident.name()}` (available: " +
+            MLogProcedures.All.keys.toSeq.sorted
+              .map(p => s"$catalogName.system.$p").mkString(", ") + ")")))
+    if (!ident.namespace().sameElements(Array("system"))) notFound()
+    MLogProcedures.All.getOrElse(ident.name().toLowerCase, notFound())
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =

@@ -61,7 +61,18 @@ import org.apache.spark.util.SerializableConfiguration
   * residuals — min/max pruning is sound but inexact);
   * `SupportsPushDownRequiredColumns` prunes the 3 columns. The reader
   * consumes exactly `rows` triples per the manifest — the manifest, not
-  * the byte stream, decides where a file's data ends. */
+  * the byte stream, decides where a file's data ends.
+  *
+  * SCOPE: the ledger schema `(id, k, v): BIGINT` is FIXED by design.
+  * mlog exists to state the table-format DISCIPLINES — manifest-committed
+  * atomic visibility, optimistic concurrency, snapshots/time travel,
+  * deletion vectors, row-level SQL, retention, streaming both directions,
+  * per-file stats — in their smallest complete form; a general row
+  * encoding (arbitrary StructType, per-column stats, column evolution)
+  * is parquet's job, and the production shape for that is these same
+  * commit/manifest protocols OVER parquet files (Delta/Iceberg). Every
+  * write path validates the fixed schema loudly, so the boundary is an
+  * error message, never a silent coercion. */
 class MLogDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mlog"
 
@@ -411,36 +422,66 @@ object MLog {
           "operation")
   }
 
+  /** Destructive maintenance must name a REAL store: a directory with
+    * neither a manifest pointer nor any committed snapshot (a typo'd
+    * path, or a directory that is simply not an mlog table) has an empty
+    * live set, so a vacuum there would delete every `.mlog`/`.dvec` file
+    * it finds — refuse loudly instead. A brand-new store becomes
+    * maintainable at its first commit. */
+  private def requireStore(fs: FileSystem, dir: Path, what: String): Unit =
+    require(fs.exists(new Path(dir, ManifestName)) ||
+        versions(fs, dir).nonEmpty,
+      s"$dir is not an mlog store (no manifest pointer and no committed " +
+        s"snapshots) — refusing to $what a directory this format does " +
+        "not own")
+
   /** Drop all but the newest `keepLast` snapshot manifests (never the
     * current pointer) — the expire-snapshots half of retention; returns
     * how many were removed. Files an expired snapshot referenced become
     * vacuum-able once no retained snapshot names them. */
   def expireVersions(fs: FileSystem, dir: Path, keepLast: Int): Int = {
+    requireStore(fs, dir, "expire snapshots under")
     val vs = versions(fs, dir)
     val drop = vs.dropRight(math.max(0, keepLast))
     drop.foreach(v => fs.delete(versionPath(dir, v), false))
     drop.length
   }
 
+  /** In-flight-commit fence for [[vacuum]]: a staged-but-unpublished file
+    * (an executor wrote it; the driver has not yet published the manifest
+    * naming it) is unreferenced BY DESIGN until its commit lands, so a
+    * concurrent vacuum must not reclaim it. Files younger than the grace
+    * are spared regardless of reference state; 10 minutes bounds any
+    * realistic stage-to-publish window (Delta's deletedFileRetention
+    * plays the same role at 7 days for its longer-lived staging).
+    * Deterministic tests and single-writer maintenance pass 0
+    * explicitly. */
+  val DefaultVacuumGraceMs: Long = 600000L
+
   /** Garbage-collect every `.mlog` data file that NO retained snapshot
     * manifest (nor the current pointer) references — the debris of
     * mid-write deaths, and of superseded commits once
     * [[expireVersions]] has dropped the snapshots naming them. A file
     * referenced by any retained version stays: time travel to that
-    * version must keep working. Safe at any time because readers plan
-    * from manifests alone; returns the number removed. A real
-    * multi-writer table would fence this on manifest age to spare
-    * in-flight commits. */
-  def vacuum(fs: FileSystem, dir: Path): Long = {
+    * version must keep working. Readers plan from manifests alone, so a
+    * vacuum never races a READ; concurrent WRITERS are fenced by
+    * `minAgeMs` — only unreferenced files whose modification time is at
+    * least that old are reclaimed, sparing files a concurrent committer
+    * has staged but not yet published. Returns the number removed. */
+  def vacuum(fs: FileSystem, dir: Path,
+             minAgeMs: Long = DefaultVacuumGraceMs): Long = {
+    requireStore(fs, dir, "vacuum")
     val entries = readManifest(fs, dir) ++
       versions(fs, dir).flatMap(readManifestVersion(fs, dir, _))
     // Deletion-vector sidecars are referenced state too: a superseded
     // .dvec (its file re-vectored or rewritten) ages out with the
     // snapshots naming it, exactly like a superseded data file.
     val live = (entries.map(_.name) ++ entries.flatMap(_.dv).map(_.name)).toSet
+    val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMs)
     val junk = fs.listStatus(dir).filter { st =>
       val n = st.getPath.getName
-      st.isFile && (n.endsWith(".mlog") || n.endsWith(".dvec")) && !live(n)
+      st.isFile && (n.endsWith(".mlog") || n.endsWith(".dvec")) &&
+        !live(n) && st.getModificationTime <= cutoff
     }
     junk.foreach(st => fs.delete(st.getPath, false))
     junk.length.toLong
@@ -694,42 +735,50 @@ object MLog {
     // source rows matched" — and (b) the key set fits the driver-side
     // broadcast budget. An over-budget source must be split (or merged
     // via a join-based full rewrite) — failing LOUDLY here beats an OOM
-    // mid-collect.
-    val shape = source.selectExpr("count(*)", "count(DISTINCT id)").head
-    val (nSrc, nKeys) = (shape.getLong(0), shape.getLong(1))
-    require(nSrc == nKeys,
-      s"mlog merge source has duplicate ids ($nSrc rows over $nKeys " +
-        "distinct) — a target key would match multiple source rows; " +
-        "de-duplicate the source first")
-    require(nKeys <= maxSourceKeys,
-      s"mlog merge collects the source key set to the driver (the " +
-        s"bounded-batch low-shuffle-merge shape); $nKeys keys exceed " +
-        s"maxSourceKeys = $maxSourceKeys — split the source into bounded " +
-        "batches, or raise the budget deliberately")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val full = readManifestFull(fs, dir)
-    val base = full.version // the version of the content actually read
-    val ids = source.select("id").distinct().collect().map(_.getLong(0))
-    if (ids.isEmpty)
-      return MergeStats(0, full.files.size, 0L, 0, base)
-    val keySet = spark.sparkContext.broadcast(ids.toSet)
-    val (lo, hi) = (ids.min, ids.max)
-    val (touched, carried) =
-      full.files.partition(e => e.minId <= hi && e.maxId >= lo)
-    val conf = hadoopConf()
-    val dirStr = dir.toString
-    val results =
-      if (touched.isEmpty) Array.empty[(Option[FileEntry], Long)]
-      else spark.sparkContext
-        .parallelize(touched, math.max(1, math.min(touched.size,
-          spark.sparkContext.defaultParallelism)))
-        .map(e => rewriteWithout(conf, dirStr, e,
-          (id, _, _) => keySet.value(id))).collect()
-    val staged = writeFiles(dir, source)
-    publishExclusive(fs, dir, base,
-      carried ++ results.flatMap(_._1) ++ staged, full.txn)
-    MergeStats(touched.size, carried.size, results.map(_._2).sum,
-      staged.size, base + 1)
+    // mid-collect. The source is PERSISTED first so the guard, the key
+    // collect, and the staging write all see ONE materialization: a
+    // non-deterministic source (sample, limit, unordered dedup) could
+    // otherwise pass the distinct-count check yet yield different rows
+    // when collected or staged, letting a duplicate slip past the guard.
+    val src = source.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val shape = src.selectExpr("count(*)", "count(DISTINCT id)").head
+      val (nSrc, nKeys) = (shape.getLong(0), shape.getLong(1))
+      require(nSrc == nKeys,
+        s"mlog merge source has duplicate ids ($nSrc rows over $nKeys " +
+          "distinct) — a target key would match multiple source rows; " +
+          "de-duplicate the source first")
+      require(nKeys <= maxSourceKeys,
+        s"mlog merge collects the source key set to the driver (the " +
+          s"bounded-batch low-shuffle-merge shape); $nKeys keys exceed " +
+          s"maxSourceKeys = $maxSourceKeys — split the source into bounded " +
+          "batches, or raise the budget deliberately")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val full = readManifestFull(fs, dir)
+      val base = full.version // the version of the content actually read
+      val ids = src.select("id").collect().map(_.getLong(0))
+      if (ids.isEmpty)
+        return MergeStats(0, full.files.size, 0L, 0, base)
+      val keySet = spark.sparkContext.broadcast(ids.toSet)
+      val (lo, hi) = (ids.min, ids.max)
+      val (touched, carried) =
+        full.files.partition(e => e.minId <= hi && e.maxId >= lo)
+      val conf = hadoopConf()
+      val dirStr = dir.toString
+      val results =
+        if (touched.isEmpty) Array.empty[(Option[FileEntry], Long)]
+        else spark.sparkContext
+          .parallelize(touched, math.max(1, math.min(touched.size,
+            spark.sparkContext.defaultParallelism)))
+          .map(e => rewriteWithout(conf, dirStr, e,
+            (id, _, _) => keySet.value(id))).collect()
+      val staged = writeFiles(dir, src)
+      publishExclusive(fs, dir, base,
+        carried ++ results.flatMap(_._1) ++ staged, full.txn)
+      MergeStats(touched.size, carried.size, results.map(_._2).sum,
+        staged.size, base + 1)
+    } finally src.unpersist(blocking = false)
   }
 
   /** Stage a DataFrame's partitions as ledger files WITHOUT publishing a

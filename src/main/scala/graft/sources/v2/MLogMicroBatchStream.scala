@@ -155,10 +155,15 @@ class MLogMicroBatchStream(dir: String, conf: SerializableConfiguration,
     val head = MLog.versions(fs, new Path(dir)).lastOption.getOrElse(0)
     val newest = availableNowCap.fold(head)(math.min(head, _))
     if (newest < s.version) return s
-    // Version budget first (it is offset-aligned): a mid-version start
-    // finishes its version as trigger 1 of the catch-up.
+    // Version budget first (it is offset-aligned). A mid-version start
+    // counts the split remainder as the FIRST version of this trigger's
+    // budget: completing it consumes one version's allowance, and any
+    // leftover budget admits further versions — a tiny remainder no
+    // longer pins the whole trigger to an under-filled batch (with
+    // maxVersionsPerTrigger = 1 this still means "finish the split
+    // version only", the offset-aligned minimum).
     val endV = maxVersionsPerTrigger match {
-      case Some(v) if s.index >= 0 => s.version // finish the split version
+      case Some(v) if s.index >= 0 => math.min(newest, s.version + v - 1)
       case Some(v) => math.min(newest, s.version + v)
       case None => newest
     }

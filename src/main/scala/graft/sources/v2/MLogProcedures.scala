@@ -100,13 +100,22 @@ object MLogProcedures {
   object Vacuum extends Maintenance("vacuum") {
     override def description(): String =
       "reclaim data files and deletion-vector sidecars no retained " +
-        "snapshot references — the GC half of retention"
+        "snapshot references — the GC half of retention; refuses a " +
+        "directory that is not an mlog store, and spares unreferenced " +
+        "files younger than min_age_seconds (in-flight commit fence)"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)
-        .comment("mlog store path").build())
+        .comment("mlog store path").build(),
+      // Optional: defaults to the library-wide grace. 0 = reclaim
+      // everything unreferenced NOW — correct only when no concurrent
+      // writer can be mid-commit (deterministic tests, single-writer
+      // maintenance windows).
+      ProcedureParameter.in("min_age_seconds", LongType)
+        .defaultValue((MLog.DefaultVacuumGraceMs / 1000L).toString)
+        .comment("spare unreferenced files younger than this").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val (fs, p) = fsAndPath(input.getUTF8String(0).toString)
-      val n = MLog.vacuum(fs, p)
+      val n = MLog.vacuum(fs, p, minAgeMs = input.getLong(1) * 1000L)
       result(StructType(Seq(StructField("removed_files", LongType))), n)
     }
   }

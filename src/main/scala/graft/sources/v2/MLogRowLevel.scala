@@ -44,11 +44,32 @@ class MLogRowLevelOperation(dir: String, conf: SerializableConfiguration,
                             cmd: RowLevelOperation.Command)
   extends RowLevelOperation {
 
-  /** Manifest the rewrite is based on — the commit's conflict token. */
+  /** Manifest the rewrite is based on — the commit's conflict token.
+    * Captured EXACTLY ONCE per operation ([[ensureBase]]): a scan rebuild
+    * (plan reuse, replan) must keep rewriting against the manifest the
+    * operation started from, never silently re-read a newer one — the
+    * conflict check in [[MLogReplaceDataWrite]] is only sound if base is
+    * the version every part of this operation actually saw. */
   @volatile private[v2] var base: MLog.Manifest = _
   /** Files the rewrite scan planned (post group filtering): exactly the
-    * groups the write replaces. */
+    * groups the write replaces. Stamped by the executed scan at
+    * planInputPartitions time — a scan instance that is built but never
+    * planned (an abandoned rebuild) cannot widen or stale this set. */
   @volatile private[v2] var replaced: Set[String] = Set.empty
+
+  /** Idempotent base capture: the first scan build reads the manifest and
+    * initializes the replaced set to the full file list; every later
+    * build (plan reuse / replan rebuilds the ScanBuilder) reuses the SAME
+    * manifest, so a rebuild can never pair a newer base with an older
+    * group-filter file set at commit time. */
+  private[v2] def ensureBase(): MLog.Manifest = synchronized {
+    if (base == null) {
+      val d = new Path(dir)
+      base = MLog.readManifestFull(d.getFileSystem(conf.value), d)
+      replaced = base.files.map(_.name).toSet
+    }
+    base
+  }
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -75,10 +96,13 @@ class MLogRowLevelOperation(dir: String, conf: SerializableConfiguration,
   }
 }
 
-/** Scan builder for the rewrite side of a row-level operation: reads the
-  * CURRENT manifest exactly once and records it (and the initial
-  * whole-table group set) on the operation. Column pruning is honored —
-  * the rewrite projects `_file` plus the ledger columns. */
+/** Scan builder for the rewrite side of a row-level operation: the FIRST
+  * build reads the current manifest and records it on the operation
+  * ([[MLogRowLevelOperation.ensureBase]]); rebuilds reuse it — build() is
+  * idempotent, so plan reuse or a replan after runtime group filtering
+  * can neither advance the base nor widen the replaced set. Column
+  * pruning is honored — the rewrite projects `_file` plus the ledger
+  * columns. */
 class MLogRowLevelScanBuilder(op: MLogRowLevelOperation, dir: String,
                               conf: SerializableConfiguration)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
@@ -88,13 +112,8 @@ class MLogRowLevelScanBuilder(op: MLogRowLevelOperation, dir: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val d = new Path(dir)
-    val m = MLog.readManifestFull(d.getFileSystem(conf.value), d)
-    op.base = m
-    op.replaced = m.files.map(_.name).toSet
-    new MLogRowLevelScan(op, dir, m.files, required, conf)
-  }
+  override def build(): Scan =
+    new MLogRowLevelScan(op, dir, op.ensureBase().files, required, conf)
 }
 
 /** The rewrite scan: plans one partition per (possibly group-filtered)
@@ -123,15 +142,21 @@ class MLogRowLevelScan(op: MLogRowLevelOperation, dir: String,
     if (keeps.nonEmpty) {
       val keep = keeps.reduce(_ intersect _)
       chosen = all.filter(e => keep(e.name))
-      op.replaced = chosen.map(_.name).toSet
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  // The EXECUTED scan stamps the replaced set: planInputPartitions runs
+  // when this scan's batch actually plans, so op.replaced is always the
+  // file set of the scan instance whose rows the rewrite recomputes — a
+  // built-but-abandoned rebuild (which would still see filter() or not)
+  // never reaches here and cannot stale the commit's group set.
+  override def planInputPartitions(): Array[InputPartition] = {
+    op.replaced = chosen.map(_.name).toSet
     chosen.map(e =>
       MLogPartition(new Path(new Path(dir), e.name).toString, e.rows,
         e.dv.map(x => new Path(new Path(dir), x.name).toString),
         e.dv.fold(0L)(_.rows)): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     MLogReaderFactory(required.fieldNames.toSeq, conf)

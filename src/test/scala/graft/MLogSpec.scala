@@ -134,11 +134,11 @@ class MLogSpec extends SparkSpec {
     // Junk from a dead attempt is referenced by NO snapshot: only it goes.
     new java.io.FileOutputStream(new java.io.File(dir, "part-dead.mlog")).close()
     val before = spark.read.format("mlog").load(dir).agg(sum("v")).head.getLong(0)
-    assert(MLog.vacuum(fs(dir), new Path(dir)) === 1L,
+    assert(MLog.vacuum(fs(dir), new Path(dir), minAgeMs = 0L) === 1L,
       "retained snapshot v1 must protect the 7 superseded files")
     // Expire v1, then vacuum reclaims exactly the files only it named.
     assert(MLog.expireVersions(fs(dir), new Path(dir), keepLast = 1) === 1)
-    assert(MLog.vacuum(fs(dir), new Path(dir)) === 7L)
+    assert(MLog.vacuum(fs(dir), new Path(dir), minAgeMs = 0L) === 7L)
     val left = Option(new java.io.File(dir).listFiles()).get
       .map(_.getName).filter(_.endsWith(".mlog")).toSet
     assert(left === MLog.readManifest(fs(dir), new Path(dir)).map(_.name).toSet)
@@ -267,7 +267,7 @@ class MLogSpec extends SparkSpec {
     // rows' file is physically gone and time travel to it fails loudly.
     val preVersions = MLog.versions(fs(dir), new Path(dir)).init
     MLog.expireVersions(fs(dir), new Path(dir), keepLast = 1)
-    assert(MLog.vacuum(fs(dir), new Path(dir)) === 1L,
+    assert(MLog.vacuum(fs(dir), new Path(dir), minAgeMs = 0L) === 1L,
       "exactly the all-deleted file becomes unreferenced")
     val err = intercept[Exception] {
       spark.read.format("mlog").option("versionAsOf", preVersions.last)
@@ -623,7 +623,7 @@ class MLogSpec extends SparkSpec {
     // vacuum reclaims superseded .dvec sidecars once snapshots expire,
     // and keeps the live one.
     MLog.expireVersions(fs(dir), new Path(dir), keepLast = 1)
-    MLog.vacuum(fs(dir), new Path(dir))
+    MLog.vacuum(fs(dir), new Path(dir), minAgeMs = 0L)
     val onDisk = Option(new java.io.File(dir).listFiles()).get.map(_.getName)
     val liveDv = postCmp.flatMap(_.dv).map(_.name).toSet
     assert(onDisk.filter(_.endsWith(".dvec")).toSet === liveDv)

@@ -205,16 +205,34 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
     val exp = spark.sql(
       s"CALL graft.system.expire_versions('$dir', 1)").head
     assert(exp.getInt(0) === 6, "7 snapshots, keep 1 -> 6 expired")
-    val vac = spark.sql(s"CALL graft.system.vacuum('$dir')").head
+    // min_age_seconds DEFAULTS to the in-flight-commit grace: the six
+    // superseded files are seconds old, so a default vacuum spares them
+    // all — reclaiming them NOW takes an explicit 0 (single-writer
+    // maintenance window, nothing in flight).
+    assert(spark.sql(s"CALL graft.system.vacuum('$dir')").head
+      .getLong(0) === 0L, "default grace spares fresh unreferenced files")
+    val vac = spark.sql(s"CALL graft.system.vacuum('$dir', 0)").head
     assert(vac.getLong(0) === 6L, "the 6 packed-away files are reclaimed")
     assert(spark.read.format("mlog").load(dir).count() === 60L)
     // Named-argument form and the unknown-procedure refusal.
     assert(spark.sql(
       s"CALL graft.system.vacuum(table => '$dir')").head.getLong(0) === 0L)
-    val bad = intercept[Exception] {
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(s"CALL graft.system.frobnicate('$dir')").collect()
     }
     assert(bad.getMessage.contains("frobnicate"))
+    // Engine-level error class: exists-style handling around CALL sees
+    // Spark's standard ROUTINE_NOT_FOUND, not a generic runtime error.
+    assert(bad.getCondition === "ROUTINE_NOT_FOUND")
+    // A misnamed path must refuse rather than GC a directory the format
+    // does not own (vacuum with an empty live set would otherwise delete
+    // every .mlog file it finds there).
+    val notStore = tmp()
+    new java.io.File(notStore).mkdirs()
+    val refuse = intercept[Exception] {
+      spark.sql(s"CALL graft.system.vacuum('$notStore', 0)").collect()
+    }
+    assert(refuse.getMessage.contains("not an mlog store"))
   }
 
   test("a row-level command matching nothing commits nothing; SHOW " +
