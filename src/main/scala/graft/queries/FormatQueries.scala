@@ -633,6 +633,54 @@ object FormatQueries {
            |FROM $tbl WHERE k BETWEEN $kLo AND $kHi""".stripMargin)
     },
 
+    // SCAN STATISTICS from the manifest (`SupportsReportStatistics`): the
+    // mlog scan reports the PLANNED file set's exact logical row count
+    // and on-disk bytes to Catalyst — no file I/O, the manifest already
+    // knows — so a join against a small mlog dimension AUTO-BROADCASTS
+    // with no hint (without the interface a DSv2 relation defaults to
+    // spark.sql.defaultSizeInBytes = Long.MaxValue and every such join is
+    // a sort-merge join; at 100× scale that is a shuffle of the fact
+    // table where a broadcast fits). Pinned from the plan itself:
+    // auto_broadcast = a BroadcastHashJoinExec is present with NO hint in
+    // the query, stats_exact = the optimized logical plan's rowCount for
+    // the dim equals nation's true cardinality. Oracle: the same
+    // region-rollup computed by DuckDB joining the raw tables.
+    checked("join_mlog_broadcast",
+      s"""SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+         |  CAST(count(*) AS BIGINT) AS n_cust,
+         |  CAST(sum(c_custkey) AS BIGINT) AS sum_ck,
+         |  true AS auto_broadcast, true AS stats_exact
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogdim_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      if (!ready.exists()) {
+        rmTree(dir); dir.mkdirs()
+        Tables.nation(s, d).select(
+          col("n_nationkey").cast("long").as("id"),
+          col("n_regionkey").cast("long").as("k"),
+          col("n_nationkey").cast("long").as("v"))
+          .coalesce(1).write.format("mlog").mode("overwrite").save(store)
+        ready.createNewFile(): Unit
+      }
+      val dim = s.read.format("mlog").load(store)
+      val nNation = Tables.nation(s, d).count()
+      // Exact manifest-sourced stats visible to the optimizer.
+      val stats = dim.queryExecution.optimizedPlan.stats
+      val statsExact = stats.rowCount.exists(_.toLong == nNation)
+      val agg = Tables.customer(s, d)
+        .join(dim, col("c_nationkey") === col("id"))
+        .groupBy(col("k").as("region_key"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("c_custkey")).as("sum_ck"))
+      // The strategy pin: chosen by STATISTICS, not by hint (none here).
+      val autoBroadcast = agg.queryExecution.sparkPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.isDefined
+      agg.withColumn("auto_broadcast", lit(autoBroadcast))
+        .withColumn("stats_exact", lit(statsExact))
+    },
+
     // TIME TRAVEL on the mlog store: every commit writes an immutable
     // snapshot manifest before swapping the current pointer, so
     // `.option("versionAsOf", n)` plans from commit n's manifest — the

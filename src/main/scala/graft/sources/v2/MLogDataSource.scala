@@ -114,9 +114,21 @@ object MLog {
     * plus the optional deletion vector masking some of those rows. With
     * a `dv`, `rows` still counts physical rows (the byte-stream bound)
     * and min/max still bound ALL physical rows — conservative but sound
-    * for pruning; the logical row count is `rows - dv.rows`. */
+    * for pruning; the logical row count is `rows - dv.rows`.
+    *
+    * `bytes` is the file's on-disk size, recorded at write time — what
+    * scan statistics ([[MLogScan.estimateStatistics]]) and the streaming
+    * `maxBytesPerTrigger` budget meter. -1 = a legacy manifest that
+    * predates the field; [[sizeBytes]] then derives it from the fixed
+    * row width (header + 24 B/row — exact for this format, which is why
+    * the fallback is safe rather than a guess). */
   case class FileEntry(name: String, rows: Long, minId: Long, maxId: Long,
-                       minK: Long, maxK: Long, dv: Option[DvRef] = None)
+                       minK: Long, maxK: Long, dv: Option[DvRef] = None,
+                       bytes: Long = -1L) {
+    def sizeBytes: Long = if (bytes >= 0) bytes else 8L + 24L * rows
+    /** Rows a reader actually surfaces: physical minus DV-masked. */
+    def logicalRows: Long = rows - dv.fold(0L)(_.rows)
+  }
 
   /** The full table state one manifest publishes: the committed files
     * plus the TRANSACTION LEDGER — per writer-application id, the highest
@@ -251,9 +263,11 @@ object MLog {
       // "dv" is OPTIONAL: pre-deletion-vector manifests parse as None.
       val dv = Option(f.get("dv")).map(d =>
         DvRef(d.asText(), f.get("dvRows").asLong()))
+      // "bytes" is OPTIONAL: legacy manifests derive it (fixed row width).
       FileEntry(f.get("name").asText(), f.get("rows").asLong(),
         f.get("minId").asLong(), f.get("maxId").asLong(),
-        f.get("minK").asLong(), f.get("maxK").asLong(), dv)
+        f.get("minK").asLong(), f.get("maxK").asLong(), dv,
+        Option(f.get("bytes")).fold(-1L)(_.asLong()))
     }
     // "txn" is OPTIONAL: manifests written before the transaction ledger
     // existed (and by writers that never set one) parse as empty.
@@ -351,7 +365,8 @@ object MLog {
       val n = arr.addObject()
       n.put("name", e.name); n.put("rows", e.rows)
       n.put("minId", e.minId); n.put("maxId", e.maxId)
-      n.put("minK", e.minK); n.put("maxK", e.maxK): Unit
+      n.put("minK", e.minK); n.put("maxK", e.maxK)
+      n.put("bytes", e.sizeBytes): Unit
       e.dv.foreach { d => n.put("dv", d.name); n.put("dvRows", d.rows): Unit }
     }
     if (txn.nonEmpty) {
@@ -572,7 +587,8 @@ object MLog {
         i += 1
       }
       if (out != null) out.close()
-      (if (rows > 0) Some(FileEntry(name, rows, minId, maxId, minK, maxK))
+      (if (rows > 0) Some(FileEntry(name, rows, minId, maxId, minK, maxK,
+         bytes = 8L + 24L * rows))
        else None, removed)
     } finally in.close()
   }
@@ -888,8 +904,10 @@ object MLog {
         } finally in.close()
       }
     } finally out.close()
-    FileEntry(name, bin.map(_.rows).sum, bin.map(_.minId).min,
-      bin.map(_.maxId).max, bin.map(_.minK).min, bin.map(_.maxK).max)
+    val rows = bin.map(_.rows).sum
+    FileEntry(name, rows, bin.map(_.minId).min,
+      bin.map(_.maxId).max, bin.map(_.minK).min, bin.map(_.maxK).max,
+      bytes = 8L + 24L * rows)
   }
 
   private[v2] def hadoopConf(): SerializableConfiguration =
@@ -1123,7 +1141,8 @@ case class MLogBatchWrite(dir: String, conf: SerializableConfiguration,
 case class MLogCommit(name: String, rows: Long, minId: Long, maxId: Long,
                       minK: Long, maxK: Long) extends WriterCommitMessage {
   def entry: MLog.FileEntry =
-    MLog.FileEntry(name, rows, minId, maxId, minK, maxK)
+    MLog.FileEntry(name, rows, minId, maxId, minK, maxK,
+      bytes = 8L + 24L * rows)
 }
 
 case class MLogWriterFactory(dir: String, conf: SerializableConfiguration)
@@ -1330,11 +1349,27 @@ case class MLogScan(dir: String, files: Seq[MLog.FileEntry], total: Int,
                     prunable: Array[Filter] = Array.empty,
                     ignoreChanges: Boolean = false,
                     maxVersionsPerTrigger: Option[Int] = None,
-                    maxFilesPerTrigger: Option[Int] = None)
-  extends Scan with Batch {
+                    maxFilesPerTrigger: Option[Int] = None,
+                    maxBytesPerTrigger: Option[Long] = None)
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Exact table statistics FROM THE MANIFEST — no file I/O: the planned
+    * (post-pruning) file set's logical row count (physical minus
+    * DV-masked) and on-disk bytes. This is what lets Catalyst
+    * auto-broadcast a small mlog side of a join (the manifest already
+    * knows the answer a FileScan would estimate from footers), and it
+    * reports the PRUNED set — a scan a predicate narrowed to one file
+    * advertises one file's weight, so join strategy and AQE see the real
+    * post-pruning cost, not the table's. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_.sizeBytes).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_.logicalRows).sum)
+  }
 
   // Streaming read: micro-batches are manifest diffs between snapshot
   // versions ([[MLogMicroBatchStream]]); the batch-path file list above

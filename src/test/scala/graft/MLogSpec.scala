@@ -967,4 +967,46 @@ class MLogSpec extends SparkSpec {
     assert(MLogScanBuilder.accepts(e, LessThanOrEqual("k", java.lang.Long.valueOf(5L))))
     assert(!MLogScanBuilder.accepts(e, LessThanOrEqual("k", java.lang.Long.valueOf(4L))))
   }
+
+  test("scan statistics come from the manifest: exact rows/bytes, pruned " +
+      "set, DV-adjusted; a small mlog join side auto-broadcasts") {
+    val dir = tmp()
+    ledger(700).repartitionByRange(7, col("k")).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    val entries = MLog.readManifest(fs(dir), new Path(dir))
+    // The manifest records each file's true on-disk length.
+    entries.foreach { e =>
+      assert(e.bytes === new java.io.File(dir, e.name).length(),
+        s"${e.name} manifest bytes vs disk")
+      assert(e.sizeBytes === 8L + 24L * e.rows)
+    }
+    def statsOf(df: DataFrame) = df.queryExecution.optimizedPlan.stats
+    val full = statsOf(spark.read.format("mlog").load(dir))
+    assert(full.rowCount.exists(_.toLong === 700L))
+    assert(full.sizeInBytes === BigInt(entries.map(_.sizeBytes).sum))
+    // A pruned scan reports the PRUNED set's stats, not the table's.
+    val lone = entries.minBy(_.minK)
+    val pruned = statsOf(spark.read.format("mlog").load(dir)
+      .filter(col("k") <= lone.maxK && col("k") >= lone.minK))
+    assert(pruned.sizeInBytes < full.sizeInBytes,
+      s"pruned ${pruned.sizeInBytes} vs full ${full.sizeInBytes}")
+    // A deletion vector lowers the LOGICAL row count the scan reports
+    // (physical bytes unchanged — the data file is untouched).
+    MLog.deleteMor(spark, new Path(dir), _ => true, (id, _, _) => id % 2 == 0L)
+    val masked = statsOf(spark.read.format("mlog").load(dir))
+    assert(masked.rowCount.exists(_.toLong === 350L))
+    // The 100 TB point: a join against a small mlog dimension chooses
+    // BROADCAST from these stats alone — no hint anywhere.
+    val dim = tmp()
+    ledger(25).coalesce(1).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dim)
+    val fact = spark.range(0, 10000L).selectExpr("id % 25 AS fk", "id AS x")
+    val joined = fact.join(
+      spark.read.format("mlog").load(dim), col("fk") === col("id"))
+    val bhj = joined.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.isDefined,
+      s"expected stats-chosen broadcast join, got\n${joined.queryExecution.sparkPlan}")
+  }
 }
