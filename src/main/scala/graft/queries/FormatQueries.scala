@@ -681,6 +681,97 @@ object FormatQueries {
         .withColumn("stats_exact", lit(statsExact))
     },
 
+    // SQL WRITE PATH, creation half — `CREATE TABLE … USING mlog AS
+    // SELECT …` (CTAS) through [[graft.sources.v2.GraftMLogCatalog]]:
+    // catalog DDL completes the lifecycle that was previously API-only
+    // for ingestion (df.write.format("mlog")). CTAS is TWO commits by
+    // construction (v1 = the create's empty snapshot, v2 = the append
+    // that fills it — pinned), and the created store must read
+    // identically through the catalog route and the DataFrame route
+    // (route_equal). Oracle: DuckDB over the raw events the CTAS
+    // selected.
+    checked("sql_mlog_ctas",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  true AS two_commits, true AS route_equal
+         |FROM events WHERE event_id % 4 <> 0""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogctas_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.GraftMLogCatalog].getName)
+      if (!ready.exists()) {
+        rmTree(dir); dir.mkdirs()
+        val view = s"mlog_ctas_src_${QuerySpec.jvmScopedKey(d)}"
+        Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+          .filter(col("id") % 4 =!= 0)
+          .createOrReplaceTempView(view)
+        s.sql(s"CREATE TABLE graft.mlog.`$store` USING mlog AS " +
+          s"SELECT * FROM $view")
+        ready.createNewFile(): Unit
+      }
+      val twoCommits =
+        MLog.versions(fs, new org.apache.hadoop.fs.Path(store)) == Seq(1, 2)
+      val routeEqual = s.sql(s"SELECT * FROM graft.mlog.`$store`").count() ==
+        s.read.format("mlog").load(store).count()
+      s.sql(
+        s"""SELECT count(*) AS n, sum(v) AS sum_v,
+           |  min(id) AS min_id, max(id) AS max_id
+           |FROM graft.mlog.`$store`""".stripMargin)
+        .withColumn("two_commits", lit(twoCommits))
+        .withColumn("route_equal", lit(routeEqual))
+    },
+
+    // SQL WRITE PATH, ingestion half — `CREATE TABLE` then `INSERT INTO
+    // … SELECT` through the catalog: every INSERT is ONE snapshot commit
+    // (pinned: versions == (1, 2) — the create plus the insert), planned
+    // by Spark's AppendData against the same manifest-committed
+    // BatchWrite the DataFrame route uses. Oracle: DuckDB over the raw
+    // events the INSERT selected.
+    checked("sql_mlog_insert",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  true AS insert_single_commit
+         |FROM events WHERE event_id % 4 = 0""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mloginsert_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.GraftMLogCatalog].getName)
+      if (!ready.exists()) {
+        rmTree(dir); dir.mkdirs()
+        val view = s"mlog_ins_src_${QuerySpec.jvmScopedKey(d)}"
+        Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+          .filter(col("id") % 4 === 0)
+          .createOrReplaceTempView(view)
+        s.sql(s"CREATE TABLE graft.mlog.`$store` " +
+          "(id BIGINT, k BIGINT, v BIGINT) USING mlog")
+        s.sql(s"INSERT INTO graft.mlog.`$store` SELECT * FROM $view")
+        ready.createNewFile(): Unit
+      }
+      val singleCommit =
+        MLog.versions(fs, new org.apache.hadoop.fs.Path(store)) == Seq(1, 2)
+      s.sql(
+        s"""SELECT count(*) AS n, sum(v) AS sum_v,
+           |  min(id) AS min_id, max(id) AS max_id
+           |FROM graft.mlog.`$store`""".stripMargin)
+        .withColumn("insert_single_commit", lit(singleCommit))
+    },
+
     // TIME TRAVEL on the mlog store: every commit writes an immutable
     // snapshot manifest before swapping the current pointer, so
     // `.option("versionAsOf", n)` plans from commit n's manifest — the

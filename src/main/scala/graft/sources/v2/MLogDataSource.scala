@@ -335,6 +335,19 @@ object MLog {
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** CAS-create for `CREATE TABLE`: publish snapshot v1 naming zero
+    * files iff the store does not exist yet. Unlike [[commitAppend]]
+    * this NEVER retries a lost race — a competing creator (or any
+    * commit) winning slot v1 means the table exists, which is exactly
+    * the condition CREATE must report, not absorb. Returns false when
+    * the store already exists or the v1 CAS was lost. */
+  private[v2] def createEmpty(fs: FileSystem, dir: Path): Boolean = {
+    if (fs.exists(new Path(dir, ManifestName)) || versions(fs, dir).nonEmpty)
+      return false
+    fs.mkdirs(dir)
+    tryPublish(fs, dir, 1, Seq.empty, Map.empty)
+  }
+
   /** CAS-publish `entries` + `txn` as snapshot `v`: the snapshot file is
     * created with overwrite = false, which is the ONE atomically
     * contended resource — two committers whose reads were both current

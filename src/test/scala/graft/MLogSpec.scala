@@ -525,11 +525,16 @@ class MLogSpec extends SparkSpec {
       spark.sql(s"SELECT count(*) FROM graft.mlog.`$dir` VERSION AS OF 99").head
     }
     assert(gone.getMessage.contains("version 99"))
-    // Mutations are refused: the catalog is a read/time-travel surface.
-    val drop = intercept[Exception] {
-      spark.sql(s"DROP TABLE graft.mlog.`$dir`")
+    // ALTER stays refused (the ledger schema is fixed by design); DROP
+    // is part of the SQL lifecycle since round 17 — it removes the store
+    // (MLogCatalogDdlSpec owns the full DDL contract).
+    val alter = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.mlog.`$dir` ADD COLUMN extra BIGINT")
     }
-    assert(drop.getMessage.contains("format"))
+    assert(alter.getMessage.contains("fixed"))
+    spark.sql(s"DROP TABLE graft.mlog.`$dir`")
+    assert(MLog.versions(fs(dir), new Path(dir)).isEmpty,
+      "DROP removes every snapshot the format owns")
   }
 
   test("merge-on-read delete: vectors mask rows with zero data bytes rewritten") {

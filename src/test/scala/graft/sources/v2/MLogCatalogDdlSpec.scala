@@ -1,0 +1,187 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.catalyst.analysis.{
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.functions._
+
+/** SQL write-path DDL on [[GraftMLogCatalog]] — CREATE TABLE / CTAS /
+  * INSERT INTO / INSERT OVERWRITE / DROP TABLE: the half of the SQL
+  * lifecycle that addresses the CATALOG rather than a table's rows.
+  * Lives in the source's package to read manifest internals. */
+class MLogCatalogDdlSpec extends graft.SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("mlog_ddl").toFile.getAbsolutePath
+
+  private def store(): String = tmp() + "/store"
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def cat(): String = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftMLogCatalog].getName)
+    "graft.mlog"
+  }
+
+  private def ledger(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, (i % 7).toLong, i * 10L))
+      .toDF("id", "k", "v")
+  }
+
+  test("CREATE TABLE publishes snapshot v1 with zero files; existence is " +
+      "manifest-defined; IF NOT EXISTS and re-CREATE behave") {
+    val dir = store()
+    val c = cat()
+    // Before creation the table does not exist: SELECT resolves through
+    // loadTable, which must raise the engine's standard condition.
+    val missing = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $c.`$dir`").collect()
+    }
+    assert(missing.getCondition === "TABLE_OR_VIEW_NOT_FOUND")
+    spark.sql(s"CREATE TABLE $c.`$dir` (id BIGINT, k BIGINT, v BIGINT) " +
+      "USING mlog")
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1),
+      "creation IS a commit: snapshot v1, zero files")
+    assert(MLog.readManifest(fs(dir), new Path(dir)).isEmpty)
+    assert(spark.sql(s"SELECT * FROM $c.`$dir`").count() === 0L)
+    // Re-CREATE collides; IF NOT EXISTS tolerates.
+    intercept[TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE $c.`$dir` (id BIGINT, k BIGINT, v BIGINT) " +
+        "USING mlog")
+    }
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $c.`$dir` " +
+      "(id BIGINT, k BIGINT, v BIGINT) USING mlog")
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1),
+      "IF NOT EXISTS on an existing table must not commit anything")
+    // A schemaless CREATE takes the ledger schema; wrong shapes refuse.
+    val dir2 = store()
+    spark.sql(s"CREATE TABLE $c.`$dir2` USING mlog")
+    assert(spark.table(s"$c.`$dir2`").schema === MLog.Schema)
+    val dir3 = store()
+    val bad = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.`$dir3` (a STRING) USING mlog")
+    }
+    assert(bad.getMessage.contains("fixed ledger schema"))
+    val part = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.`$dir3` (id BIGINT, k BIGINT, v BIGINT) " +
+        "USING mlog PARTITIONED BY (k)")
+    }
+    assert(part.getMessage.contains("PARTITIONED BY"))
+    assert(!exists(dir3), "a refused CREATE must leave nothing behind")
+  }
+
+  private def exists(dir: String): Boolean =
+    fs(dir).exists(new Path(dir, MLog.ManifestName)) ||
+      MLog.versions(fs(dir), new Path(dir)).nonEmpty
+
+  test("INSERT INTO appends one snapshot per statement; INSERT OVERWRITE " +
+      "truncates; both equal the DataFrame route") {
+    val dir = store()
+    val c = cat()
+    spark.sql(s"CREATE TABLE $c.`$dir` (id BIGINT, k BIGINT, v BIGINT) " +
+      "USING mlog")
+    spark.sql(s"INSERT INTO $c.`$dir` VALUES (1, 2, 3), (4, 5, 6)")
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2))
+    ledger(50).createOrReplaceTempView("mlog_ddl_src")
+    spark.sql(s"INSERT INTO $c.`$dir` SELECT * FROM mlog_ddl_src")
+    assert(spark.table(s"$c.`$dir`").count() === 52L)
+    // Route equivalence: the catalog write and the DataFrame write are
+    // the same manifest-committed append.
+    val dirB = store()
+    spark.sql(s"CREATE TABLE $c.`$dirB` USING mlog")
+    ledger(50).write.format("mlog").mode(SaveMode.Append).save(dirB)
+    val viaSql = spark.sql(
+      s"SELECT * FROM $c.`$dir` WHERE NOT ((id = 1 AND k = 2 AND v = 3) " +
+        "OR (id = 4 AND k = 5 AND v = 6))")
+      .orderBy("id", "k", "v").collect().toSeq
+    val viaDf = spark.table(s"$c.`$dirB`")
+      .orderBy("id", "k", "v").collect().toSeq
+    assert(viaSql === viaDf)
+    // INSERT OVERWRITE = truncate + append, one snapshot.
+    val pre = MLog.versions(fs(dir), new Path(dir)).last
+    spark.sql(s"INSERT OVERWRITE $c.`$dir` VALUES (9, 9, 9)")
+    assert(MLog.versions(fs(dir), new Path(dir)).last === pre + 1)
+    assert(spark.table(s"$c.`$dir`").collect().map(_.getLong(0)).toSeq
+      === Seq(9L))
+  }
+
+  test("CTAS creates and fills in the ordinary commit discipline; a CTAS " +
+      "of the wrong shape refuses and leaves nothing") {
+    val dir = store()
+    val c = cat()
+    ledger(80).createOrReplaceTempView("mlog_ctas_src")
+    spark.sql(s"CREATE TABLE $c.`$dir` USING mlog AS " +
+      "SELECT * FROM mlog_ctas_src")
+    assert(spark.table(s"$c.`$dir`").count() === 80L)
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2),
+      "CTAS = create commit (v1, empty) + append commit (v2, the rows)")
+    intercept[TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE $c.`$dir` USING mlog AS " +
+        "SELECT * FROM mlog_ctas_src")
+    }
+    val dir2 = store()
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.`$dir2` USING mlog AS " +
+        "SELECT id, k FROM mlog_ctas_src")
+    }
+    assert(!exists(dir2), "a refused CTAS must leave no table behind")
+  }
+
+  test("DROP TABLE removes exactly what the format owns; foreign files " +
+      "and their directory survive") {
+    val dir = store()
+    val c = cat()
+    ledger(60).coalesce(2).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    MLog.deleteMor(spark, new Path(dir), _ => true, (id, _, _) => id < 5)
+    // A foreign file the format does not own.
+    val foreign = new java.io.File(dir, "README.txt")
+    java.nio.file.Files.write(foreign.toPath, "keep me".getBytes("UTF-8"))
+    assert(spark.sql(s"DROP TABLE $c.`$dir`").collect().isEmpty)
+    assert(foreign.exists(), "DROP must never touch foreign files")
+    val left = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(left === Set("README.txt"),
+      s"only the foreign file may remain, got $left")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $c.`$dir`").collect()
+    }
+    // IF EXISTS on a gone table is quiet; plain DROP is not.
+    spark.sql(s"DROP TABLE IF EXISTS $c.`$dir`")
+    val gone = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"DROP TABLE $c.`$dir`")
+    }
+    assert(gone.getCondition === "TABLE_OR_VIEW_NOT_FOUND")
+    // An empty created table drops cleanly including its directory.
+    val dir2 = store()
+    spark.sql(s"CREATE TABLE $c.`$dir2` USING mlog")
+    spark.sql(s"DROP TABLE $c.`$dir2`")
+    assert(!new java.io.File(dir2).exists(),
+      "an all-owned directory is removed with its table")
+  }
+
+  test("racing CREATEs: exactly one wins the v1 slot, the loser reports " +
+      "TableAlreadyExists — never a silent second commit") {
+    val dir = store()
+    cat()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val results =
+      try {
+        val futures = (0 until 8).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            override def call(): Boolean =
+              try MLog.createEmpty(fs(dir), new Path(dir))
+              catch { case _: Exception => false }
+          })
+        }
+        futures.map(_.get()).toList
+      } finally pool.shutdown()
+    assert(results.count(identity) === 1,
+      s"exactly one creator may win, got $results")
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1))
+  }
+}
