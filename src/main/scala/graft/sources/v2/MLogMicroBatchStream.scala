@@ -227,11 +227,21 @@ class MLogMicroBatchStream(dir: String, conf: SerializableConfiguration,
     * manifest diffs, name-sorted) give the deterministic order the offset
     * indexes slice; each name then delivers ONCE, with its entry as of
     * the END snapshot — so a file that appears and is re-vectored within
-    * the span streams its final masked state, and a file superseded
-    * within the span (ignoreChanges) is skipped in favor of its
-    * replacement. The append-only contract is checked span-endpoint to
-    * span-endpoint: only files the start snapshot named (delivered or
-    * deliverable before this span) may not change. */
+    * the span streams its final masked state. The append-only contract
+    * has two halves:
+    *  - files the START snapshot named (delivered or deliverable before
+    *    this span) must appear unchanged in the end snapshot
+    *    ([[checkAppendOnly]]);
+    *  - a file added AND REMOVED within the span (committed at v2,
+    *    rewritten away by a delete/compact/overwrite at v4, span v1→v4)
+    *    FAILS STRICT MODE too — Delta's semantics: any remove in the
+    *    range is a non-append change, even of a file this stream never
+    *    delivered. Silently delivering the net state would hide that a
+    *    mutator ran inside the span; the operator must either restart
+    *    from a snapshot after the rewrite or opt into
+    *    `ignoreChanges`, under which the vanished file is skipped in
+    *    favor of its replacement (net-state delivery, the documented
+    *    relaxation). */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[MLogOffset]
     val e = end.asInstanceOf[MLogOffset]
@@ -267,8 +277,21 @@ class MLogMicroBatchStream(dir: String, conf: SerializableConfiguration,
     }
     val endByName = endEntries.map(x => x.name -> x).toMap
     val seen = scala.collection.mutable.HashSet.empty[String]
-    val out = names.result()
-      .flatMap(n => if (seen.add(n)) endByName.get(n) else None)
+    val out = names.result().flatMap { n =>
+      if (!seen.add(n)) None
+      else {
+        val entry = endByName.get(n)
+        require(entry.isDefined || ignoreChanges,
+          s"mlog stream detected a NON-APPEND change inside the planned " +
+            s"span ${s.version}->${e.version}: file $n was committed and " +
+            "then removed (overwrite, delete, or compact rewrote it) " +
+            "within the span. Restart from a snapshot after the rewrite, " +
+            "or set .option(\"ignoreChanges\", \"true\") to accept " +
+            "net-state delivery (the replacement files instead of the " +
+            "vanished one).")
+        entry
+      }
+    }
     val survivors =
       out.filter(x => prunable.forall(MLogScanBuilder.accepts(x, _)))
     survivors.map(x =>

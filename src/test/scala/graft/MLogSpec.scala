@@ -707,6 +707,61 @@ class MLogSpec extends SparkSpec {
     assert(got.get() === 60L, "the replanned batch delivers the new layout's files")
   }
 
+  test("streaming source: a file added AND removed within one planned span " +
+      "fails strict mode; ignoreChanges delivers the net state") {
+    val dir = tmp()
+    val ckpt = tmp()
+    ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    val got = new java.util.concurrent.atomic.AtomicLong
+    def stream(extra: Map[String, String]) = {
+      val r = spark.readStream.format("mlog")
+      extra.foreach { case (k, v) => r.option(k, v) }
+      r.load(dir).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    // Batch 0 delivers v1; the stream then sleeps at offset v1.
+    val q = stream(Map.empty)
+    q.processAllAvailable(); q.stop()
+    assert(got.get() === 50L)
+    // The forced interleaving: v2 commits a file, v3 deletes every row of
+    // it (an all-deleted file leaves the manifest entirely) — both while
+    // the stream is NOT pulling, so its next span is v1 -> v3. The v1
+    // files are untouched (checkAppendOnly passes); the removal is of a
+    // file this stream NEVER delivered.
+    ledger(30).select((col("id") + 1000L).as("id"), col("k"), col("v"))
+      .coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    MLog.delete(spark, new Path(dir),
+      e => e.minId >= 1000L, (id, _, _) => id >= 1000L)
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2, 3))
+    // Strict mode fails LOUDLY (Delta's contract: any remove in the range
+    // is a non-append change) — silently delivering zero rows would hide
+    // that a mutator ran inside the span.
+    val q2 = stream(Map.empty)
+    val err = intercept[Exception] { q2.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(m =>
+      m.contains("NON-APPEND") && m.contains("within the span")),
+      s"expected the within-span removal failure, got: ${messages(err).mkString(" | ")}")
+    q2.stop()
+    // ignoreChanges = net-state delivery: the vanished file is skipped
+    // (nothing replaced it — zero new rows), and the stream advances past
+    // the span instead of wedging on it.
+    val n0 = got.get()
+    val q3 = stream(Map("ignoreChanges" -> "true"))
+    q3.processAllAvailable()
+    assert(got.get() === n0, "net state across add+remove is zero new rows")
+    // …and a later ordinary append still arrives exactly once.
+    ledger(10).select((col("id") + 5000L).as("id"), col("k"), col("v"))
+      .coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    q3.processAllAvailable(); q3.stop()
+    assert(got.get() === n0 + 10L)
+  }
+
   test("streaming source: batch 0 applies deletion vectors, not physical rows") {
     val dir = tmp()
     ledger(100).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)

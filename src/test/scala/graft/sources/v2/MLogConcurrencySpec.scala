@@ -129,8 +129,8 @@ class MLogConcurrencySpec extends graft.SparkSpec {
     assert(spark.read.format("mlog").load(dir).count() === 51L)
   }
 
-  test("mixed concurrency: appenders race retrying mutators; rows are " +
-      "exactly the survivors, versions stay contiguous") {
+  test("mixed concurrency: appenders race retrying mutators and a fenced " +
+      "vacuum; rows are exactly the survivors, versions stay contiguous") {
     val dir = tmp()
     val c = conf()
     import spark.implicits._
@@ -139,6 +139,18 @@ class MLogConcurrencySpec extends graft.SparkSpec {
       .toDF("id", "k", "v").coalesce(2).write.format("mlog")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).save(dir)
     val path = new Path(dir)
+    // Debris a crashed writer left LONG ago (mtime an hour back): the
+    // racing vacuum below must reclaim exactly this — unreferenced AND
+    // old — while sparing every file the live appenders/mutators stage
+    // mid-race (unreferenced but inside the grace window).
+    val debris = new java.io.File(dir, "part-dead-writer.mlog")
+    val dout = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(debris))
+    dout.writeInt(MLog.Magic); dout.writeInt(MLog.Version)
+    dout.writeLong(7L); dout.writeLong(7L); dout.writeLong(7L); dout.close()
+    fs(dir).setTimes(new Path(debris.getAbsolutePath),
+      System.currentTimeMillis() - 3600000L, -1L)
+    val vacuumed = new java.util.concurrent.atomic.AtomicLong(0L)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     def retrying(what: String)(body: => Unit): Unit = {
       var attempts = 0
@@ -176,9 +188,25 @@ class MLogConcurrencySpec extends graft.SparkSpec {
               MLog.delete(spark, path,
                 e => e.minId < 5L, (id, _, _) => id < 5L): Unit
             }
+          }),
+          // A vacuum racing it all, fenced by the min-age grace: free to
+          // run at ANY point of the race because files staged by live
+          // committers are seconds old — only the hour-old debris
+          // qualifies. Without the fence this racer deletes
+          // staged-but-unpublished files and some append publishes a
+          // manifest naming a missing file.
+          pool.submit(new Runnable {
+            override def run(): Unit = (0 until 3).foreach { _ =>
+              vacuumed.addAndGet(
+                MLog.vacuum(fs(dir), path, minAgeMs = 60000L)): Unit
+            }
           }))
       tasks.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
     } finally pool.shutdown()
+    // The fence held: the old debris was reclaimed (by one of the vacuum
+    // passes), nothing else was.
+    assert(vacuumed.get() === 1L, "exactly the hour-old debris is reclaimed")
+    assert(!debris.exists())
     // Exactly the survivors: seed minus ids < 5, plus the 8 appends —
     // no commit lost to any interleaving, no deleted row resurrected by
     // a stale rewrite.
@@ -255,6 +283,42 @@ class MLogConcurrencySpec extends graft.SparkSpec {
       again.files, again.txn)
     assert(spark.read.format("mlog").load(dir).count() === 60L)
     assert(MLog.readManifestFull(fs(dir), new Path(dir)).version === 3)
+  }
+
+  test("vacuum grace: a staged-but-unpublished file inside the window " +
+      "survives; past it, it is reclaimable debris") {
+    val dir = tmp()
+    val c = conf()
+    import spark.implicits._
+    (0 until 30).map(i => (i.toLong, 0L, 1L)).toDF("id", "k", "v")
+      .coalesce(1).write.format("mlog")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(dir)
+    // An executor stages a file; the driver has NOT published yet — this
+    // is the in-flight window the fence exists for.
+    val w = MLogWriterFactory(dir, c).createWriter(0, 99L)
+    w.write(InternalRow(500L, 0L, 1L))
+    val msg = w.commit().asInstanceOf[MLogCommit]
+    val staged = new java.io.File(dir, msg.name)
+    assert(staged.exists())
+    // Default-grace vacuum spares it (and reports zero): the commit can
+    // still land.
+    assert(MLog.vacuum(fs(dir), new Path(dir)) === 0L)
+    assert(staged.exists(), "a fenced vacuum must spare in-flight staging")
+    MLogBatchWrite(dir, c, truncateFirst = false)
+      .commit(Array[WriterCommitMessage](msg))
+    assert(spark.read.format("mlog").load(dir).count() === 31L)
+    // The same file pattern aged past the grace with no commit = a dead
+    // writer's debris; a fresh orphan plays that role here.
+    val w2 = MLogWriterFactory(dir, c).createWriter(1, 100L)
+    w2.write(InternalRow(600L, 0L, 1L))
+    val orphan = new java.io.File(dir,
+      w2.commit().asInstanceOf[MLogCommit].name)
+    fs(dir).setTimes(new Path(orphan.getAbsolutePath),
+      System.currentTimeMillis() - MLog.DefaultVacuumGraceMs - 1000L, -1L)
+    assert(MLog.vacuum(fs(dir), new Path(dir)) === 1L)
+    assert(!orphan.exists())
+    assert(spark.read.format("mlog").load(dir).count() === 31L,
+      "reclaiming debris never changes the table")
   }
 
   test("pointer lagging behind newer snapshots is out-arbitrated by readers") {
