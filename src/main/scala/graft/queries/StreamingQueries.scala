@@ -1361,7 +1361,8 @@ object StreamingQueries {
          |    FROM events WHERE event_id % 3 = 2) AS sum_c2,
          |  CAST(count(*) AS BIGINT) AS n_total,
          |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
-         |  true AS paced_one_commit_per_batch
+         |  true AS paced_one_commit_per_batch,
+         |  true AS bytes_paced
          |FROM events""".stripMargin) { (s, d) =>
       import graft.sources.v2.MLog
       val dir = TmpDirs.scoped(s"graft_mlogback_${QuerySpec.jvmScopedKey(d)}")
@@ -1401,11 +1402,39 @@ object StreamingQueries {
         import scala.jdk.CollectionConverters._
         val got = batches.asScala.toSeq
         val paced = got.size == 3
-        // Fixed 7-slot shape even if pacing broke: a wrong batch split
+        // Second drain, BYTES-paced (fresh checkpoint): budget = the
+        // smallest file's manifest-recorded size, so every trigger admits
+        // exactly one file (the soft max admits a file while bytes
+        // remain, then stops) — batches == the manifest's file count and
+        // the drain totals the identical rows. This is the knob an
+        // operator actually sets at 100 TB, where "one commit" can be
+        // terabytes but "N bytes" is a latency promise.
+        val path2 = new org.apache.hadoop.fs.Path(store)
+        val fs2 = path2.getFileSystem(s.sessionState.newHadoopConf())
+        val manifest = MLog.readManifest(fs2, path2)
+        val byteBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val byteRows = new java.util.concurrent.atomic.AtomicLong(0L)
+        val q2 = s.readStream.format("mlog")
+          .option("maxBytesPerTrigger", manifest.map(_.sizeBytes).min)
+          .load(store)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val n = b.count()
+            if (n > 0L) { byteBatches.incrementAndGet(); byteRows.addAndGet(n) }
+            ()
+          }
+          .option("checkpointLocation",
+            new java.io.File(dir, "ckpt_bytes").getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q2.awaitTermination()
+        val bytesPaced = byteBatches.get() == manifest.size.toLong &&
+          byteRows.get() == got.map(_._1).sum
+        // Fixed 8-slot shape even if pacing broke: a wrong batch split
         // then surfaces as an oracle value mismatch, not an index error.
         val padded = got.take(3).padTo(3, (-1L, -1L))
         val f = padded.flatMap { case (n, sv) => Seq(n, sv) } ++
-          Seq(if (paced) 1L else 0L)
+          Seq(if (paced) 1L else 0L, if (bytesPaced) 1L else 0L)
         java.nio.file.Files.write(ready.toPath,
           f.mkString(" ").getBytes("UTF-8"))
         f
@@ -1424,8 +1453,9 @@ object StreamingQueries {
         .withColumn("n_c2", lit(facts(4)))
         .withColumn("sum_c2", lit(facts(5)))
         .withColumn("paced_one_commit_per_batch", lit(facts(6) == 1L))
+        .withColumn("bytes_paced", lit(facts(7) == 1L))
         .select(col("n_c0"), col("sum_c0"), col("n_c1"), col("sum_c1"),
           col("n_c2"), col("sum_c2"), col("n_total"), col("sum_v"),
-          col("paced_one_commit_per_batch"))
+          col("paced_one_commit_per_batch"), col("bytes_paced"))
     })
 }

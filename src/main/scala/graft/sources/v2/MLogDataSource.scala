@@ -1062,8 +1062,11 @@ class MLogTable(properties: JMap[String, String])
     val maxFiles = m.collectFirst {
       case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v.trim.toInt
     }
+    val maxBytes = m.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxBytesPerTrigger") => v.trim.toLong
+    }
     new MLogScanBuilder(MLog.pathOf(m), MLog.hadoopConf(), version, since,
-      ignoreChanges, maxVersions, maxFiles)
+      ignoreChanges, maxVersions, maxFiles, maxBytes)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1212,7 +1215,8 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
                       changesSince: Option[Int] = None,
                       ignoreChanges: Boolean = false,
                       maxVersionsPerTrigger: Option[Int] = None,
-                      maxFilesPerTrigger: Option[Int] = None)
+                      maxFilesPerTrigger: Option[Int] = None,
+                      maxBytesPerTrigger: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -1254,7 +1258,8 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
     }
     val survivors = all.filter(e => prunable.forall(MLogScanBuilder.accepts(e, _)))
     MLogScan(dir.toString, survivors, all.length, required, conf,
-      prunable, ignoreChanges, maxVersionsPerTrigger, maxFilesPerTrigger)
+      prunable, ignoreChanges, maxVersionsPerTrigger, maxFilesPerTrigger,
+      maxBytesPerTrigger)
   }
 }
 
@@ -1391,7 +1396,7 @@ case class MLogScan(dir: String, files: Seq[MLog.FileEntry], total: Int,
   // through unchanged.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MLogMicroBatchStream(dir, conf, required, prunable, ignoreChanges,
-      maxVersionsPerTrigger, maxFilesPerTrigger)
+      maxVersionsPerTrigger, maxFilesPerTrigger, maxBytesPerTrigger)
   override def description(): String =
     s"mlog ${files.length}/$total files after manifest pruning, " +
       s"cols [${required.fieldNames.mkString(",")}]"

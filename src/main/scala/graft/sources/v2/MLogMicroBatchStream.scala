@@ -45,13 +45,20 @@ case class MLogOffset(version: Int, index: Int = -1, of: Int = -1)
   * ADMISSION CONTROL (Delta's maxFilesPerTrigger/maxBytesPerTrigger
   * shape): without it, a stream starting against a large table — or
   * recovering a backlog — plans the whole outstanding diff as ONE
-  * micro-batch. Two write options bound a trigger:
+  * micro-batch. Three read options bound a trigger:
   *  - `maxVersionsPerTrigger` — at most that many snapshot versions per
   *    micro-batch (offsets stay version-aligned);
   *  - `maxFilesPerTrigger` — at most that many ADDED files per
   *    micro-batch, splitting inside a version when a single commit (or
-  *    batch 0's whole-table backlog) exceeds the budget.
-  * Both default to unlimited, preserving the drain-everything behavior.
+  *    batch 0's whole-table backlog) exceeds the budget;
+  *  - `maxBytesPerTrigger` — a SOFT byte budget over the added files'
+  *    manifest-recorded sizes (Delta's semantics: files are admitted
+  *    until the budget is exceeded, and at least one file is always
+  *    admitted so an over-budget file cannot wedge the stream), also
+  *    splitting inside a version.
+  * All default to unlimited, preserving the drain-everything behavior;
+  * set together they compose — a file is admitted only while every
+  * budget has room.
   * `Trigger.AvailableNow` composes: the target is pinned at
   * [[prepareForTriggerAvailableNow]] and the stream drains to it in
   * budget-sized steps, then stops.
@@ -76,7 +83,8 @@ class MLogMicroBatchStream(dir: String, conf: SerializableConfiguration,
                            required: StructType, prunable: Array[Filter],
                            ignoreChanges: Boolean,
                            maxVersionsPerTrigger: Option[Int] = None,
-                           maxFilesPerTrigger: Option[Int] = None)
+                           maxFilesPerTrigger: Option[Int] = None,
+                           maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -84,6 +92,8 @@ class MLogMicroBatchStream(dir: String, conf: SerializableConfiguration,
     "mlog maxVersionsPerTrigger must be >= 1")
   require(maxFilesPerTrigger.forall(_ >= 1),
     "mlog maxFilesPerTrigger must be >= 1")
+  require(maxBytesPerTrigger.forall(_ >= 1),
+    "mlog maxBytesPerTrigger must be >= 1")
 
   private def fs = new Path(dir).getFileSystem(conf.value)
 
@@ -167,38 +177,50 @@ class MLogMicroBatchStream(dir: String, conf: SerializableConfiguration,
       case Some(v) => math.min(newest, s.version + v)
       case None => newest
     }
-    maxFilesPerTrigger match {
-      case None =>
-        val end = MLogOffset(endV)
-        // A complete start at the head must return the START offset
-        // unchanged (same json => no empty batch is planned).
-        if (endV == s.version && s.index < 0) s else end
-      case Some(budget) =>
-        var remaining = budget.toLong
-        var w = s.version
-        // Consume the remainder of a split version before advancing. Only
-        // a split start needs version - 1's manifest (the retention
-        // contract covers it: both endpoints of a checkpointed split
-        // step must be restartable).
-        var prev = manifestAt(s.version)
-        if (s.index >= 0 && s.version > 0) {
-          val adds = addsBetween(manifestAt(s.version - 1), prev).size
-          checkBasis(s, adds)
-          val rem = adds.toLong - s.index
-          if (rem > remaining)
-            return MLogOffset(s.version, s.index + remaining.toInt, adds)
-          remaining -= rem
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) {
+      val end = MLogOffset(endV)
+      // A complete start at the head must return the START offset
+      // unchanged (same json => no empty batch is planned).
+      if (endV == s.version && s.index < 0) s else end
+    } else {
+      // Unified file/byte budget walk. The FILE budget is hard (at most
+      // that many adds); the BYTE budget is soft — a file is admitted
+      // while bytes remain, so one over-budget file still makes progress
+      // (Delta's at-least-one-file semantics) and the budget can end a
+      // trigger mid-version via a (version, index) split offset.
+      var filesLeft = maxFilesPerTrigger.fold(Long.MaxValue)(_.toLong)
+      var bytesLeft = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+      def admit(adds: Seq[MLog.FileEntry], from: Int): Int = {
+        var i = from
+        while (i < adds.size && filesLeft > 0 && bytesLeft > 0) {
+          filesLeft -= 1
+          bytesLeft -= adds(i).sizeBytes // may go negative: soft max
+          i += 1
         }
-        while (w < endV && remaining > 0) {
-          w += 1
-          val curr = manifestAt(w)
-          val n = addsBetween(prev, curr).size
-          if (n.toLong > remaining)
-            return MLogOffset(w, remaining.toInt, n)
-          remaining -= n.toLong
-          prev = curr
-        }
-        if (w == s.version && s.index < 0) s else MLogOffset(w)
+        i - from
+      }
+      var w = s.version
+      // Consume the remainder of a split version before advancing. Only
+      // a split start needs version - 1's manifest (the retention
+      // contract covers it: both endpoints of a checkpointed split
+      // step must be restartable).
+      var prev = manifestAt(s.version)
+      if (s.index >= 0 && s.version > 0) {
+        val adds = addsBetween(manifestAt(s.version - 1), prev)
+        checkBasis(s, adds.size)
+        val n = admit(adds, s.index)
+        if (s.index + n < adds.size)
+          return MLogOffset(s.version, s.index + n, adds.size)
+      }
+      while (w < endV && filesLeft > 0 && bytesLeft > 0) {
+        w += 1
+        val curr = manifestAt(w)
+        val adds = addsBetween(prev, curr)
+        val n = admit(adds, 0)
+        if (n < adds.size) return MLogOffset(w, n, adds.size)
+        prev = curr
+      }
+      if (w == s.version && s.index < 0) s else MLogOffset(w)
     }
   }
 

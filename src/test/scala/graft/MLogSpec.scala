@@ -907,6 +907,50 @@ class MLogSpec extends SparkSpec {
       "the DV-only change must re-deliver the file's masked state")
   }
 
+  test("streaming source: maxBytesPerTrigger splits a commit on the " +
+      "manifest's byte sizes; an over-budget file still makes progress") {
+    val dir = tmp()
+    // ONE commit of 5 equal files (20 rows each = 488 bytes on disk).
+    ledger(100).repartition(5).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    val entries = MLog.readManifest(fs(dir), new Path(dir))
+    assert(entries.size === 5 && entries.forall(_.sizeBytes === 488L))
+    def drain(bytes: Long): Seq[Long] = {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("mlog")
+        .option("maxBytesPerTrigger", bytes)
+        .load(dir)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          batches += b.count(); ()
+        }
+        .option("checkpointLocation", tmp())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      batches.toSeq.filter(_ > 0L)
+    }
+    // Soft max at 900 B: file 1 (488) leaves 412 > 0 so file 2 is
+    // admitted (overshoot allowed), file 3 is not → (2, 2, 1) files.
+    assert(drain(900L) === Seq(40L, 40L, 20L))
+    // A budget SMALLER than any file still admits one file per trigger —
+    // an oversized file must never wedge the stream.
+    assert(drain(100L) === Seq(20L, 20L, 20L, 20L, 20L))
+    // Composed with the file budget: the tighter constraint ends each
+    // trigger (3-file budget, bytes end it at 2).
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("mlog")
+      .option("maxBytesPerTrigger", 900L).option("maxFilesPerTrigger", 3)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => batches += b.count(); () }
+      .option("checkpointLocation", tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(batches.toSeq.filter(_ > 0L) === Seq(40L, 40L, 20L))
+  }
+
   test("_file metadata column: selectable, matches the manifest, absent " +
       "from star expansion") {
     val dir = tmp()
