@@ -1115,7 +1115,8 @@ object FormatQueries {
          |  CAST(min(event_id) AS BIGINT) AS min_id,
          |  CAST(max(event_id) AS BIGINT) AS max_id,
          |  true AS compact_receipt_ok, true AS expire_receipt_ok,
-         |  true AS vacuum_receipt_ok, true AS dir_clean
+         |  true AS vacuum_receipt_ok, true AS dir_clean,
+         |  true AS history_receipt_ok
          |FROM events""".stripMargin) { (s, d) =>
       val dir = TmpDirs.scoped(s"graft_mlogsqlmnt_${QuerySpec.jvmScopedKey(d)}")
       val ready = new java.io.File(dir, "_READY")
@@ -1145,16 +1146,34 @@ object FormatQueries {
           post.map(_.rows).sum == total
         val superseded =
           (pre.map(_.name).toSet -- post.map(_.name).toSet).size.toLong
+        // DESCRIBE HISTORY through CALL: one row per retained snapshot,
+        // ascending, each (files, rows, bytes) equal to that snapshot's
+        // manifest read directly — checked while history is deep, and
+        // again after retention when exactly the survivor must remain.
+        def historyRows() = s.sql(s"CALL graft.system.history('$store')")
+          .collect().map(r =>
+            (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+        val histDeep = historyRows()
+        val histDeepOk = histDeep.map(_._1) == (1 to preVersion + 1) &&
+          histDeep.forall { case (v, nf, nr, nb) =>
+            val m = MLog.readManifestVersion(fs, path, v)
+            nf == m.size && nr == m.map(_.logicalRows).sum &&
+              nb == m.map(_.sizeBytes).sum
+          }
         val exp = s.sql(
           s"CALL graft.system.expire_versions('$store', 1)").head
         val expireOk = exp.getInt(0) == preVersion // all pre-compact snaps
         // min_age_seconds = 0: single-writer fixture, nothing is in flight.
         val vac = s.sql(s"CALL graft.system.vacuum('$store', 0)").head
         val vacuumOk = vac.getLong(0) == superseded
+        val histAfter = historyRows()
+        val historyOk = histDeepOk &&
+          histAfter.map(_._1) == Seq(preVersion + 1) &&
+          histAfter.head._3 == total
         val onDisk = Option(storeDir.listFiles()).getOrElse(Array.empty)
           .map(_.getName).filter(_.endsWith(".mlog")).toSet
         val dirClean = onDisk == post.map(_.name).toSet
-        val f = Seq(compactOk, expireOk, vacuumOk, dirClean)
+        val f = Seq(compactOk, expireOk, vacuumOk, dirClean, historyOk)
           .map(b => if (b) 1L else 0L)
         java.nio.file.Files.write(ready.toPath,
           f.mkString(" ").getBytes("UTF-8"))
@@ -1169,6 +1188,7 @@ object FormatQueries {
         .withColumn("expire_receipt_ok", lit(facts(1) == 1L))
         .withColumn("vacuum_receipt_ok", lit(facts(2) == 1L))
         .withColumn("dir_clean", lit(facts(3) == 1L))
+        .withColumn("history_receipt_ok", lit(facts(4) == 1L))
     },
 
     // The RETENTION half of the mlog lifecycle: an overwrite SUPERSEDES

@@ -456,7 +456,7 @@ object MLog {
     * live set, so a vacuum there would delete every `.mlog`/`.dvec` file
     * it finds — refuse loudly instead. A brand-new store becomes
     * maintainable at its first commit. */
-  private def requireStore(fs: FileSystem, dir: Path, what: String): Unit =
+  private[v2] def requireStore(fs: FileSystem, dir: Path, what: String): Unit =
     require(fs.exists(new Path(dir, ManifestName)) ||
         versions(fs, dir).nonEmpty,
       s"$dir is not an mlog store (no manifest pointer and no committed " +

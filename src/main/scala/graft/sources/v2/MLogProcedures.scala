@@ -33,7 +33,8 @@ object MLogProcedures {
   val All: Map[String, UnboundProcedure] = Map(
     "compact" -> Compact,
     "expire_versions" -> ExpireVersions,
-    "vacuum" -> Vacuum)
+    "vacuum" -> Vacuum,
+    "history" -> History)
 
   private def fsAndPath(table: String) = {
     val p = new Path(table)
@@ -41,13 +42,15 @@ object MLogProcedures {
   }
 
   private def result(schema: StructType, values: Any*)
-      : java.util.Iterator[Scan] = {
-    val row = new GenericInternalRow(values.toArray)
+      : java.util.Iterator[Scan] =
+    resultRows(schema, Array(new GenericInternalRow(values.toArray)))
+
+  private def resultRows(schema: StructType, rs: Array[InternalRow])
+      : java.util.Iterator[Scan] =
     java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
+      override def rows(): Array[InternalRow] = rs
       override def readSchema(): StructType = schema
     }).iterator()
-  }
 
   /** Shared shell: every maintenance procedure binds to itself (the
     * parameter list is fixed; Spark's own coercion aligns arguments)
@@ -117,6 +120,35 @@ object MLogProcedures {
       val (fs, p) = fsAndPath(input.getUTF8String(0).toString)
       val n = MLog.vacuum(fs, p, minAgeMs = input.getLong(1) * 1000L)
       result(StructType(Seq(StructField("removed_files", LongType))), n)
+    }
+  }
+
+  /** `DESCRIBE HISTORY` for mlog stores (Delta's command / Iceberg's
+    * `$snapshots` table, as a procedure): which snapshot versions are
+    * retained and what each holds — the introspection that tells an
+    * operator what `VERSION AS OF` can still reach, what retention
+    * would drop, and how the table's footprint grew commit by commit. */
+  object History extends Maintenance("history") {
+    override def description(): String =
+      "one row per RETAINED snapshot, ascending: its version, file " +
+        "count, logical row count (physical minus DV-masked), and " +
+        "on-disk data bytes — what time travel can still reach"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("mlog store path").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (fs, p) = fsAndPath(input.getUTF8String(0).toString)
+      MLog.requireStore(fs, p, "describe the history of")
+      val rows = MLog.versions(fs, p).map { v =>
+        val m = MLog.readManifestVersion(fs, p, v)
+        new GenericInternalRow(Array[Any](v, m.size,
+          m.map(_.logicalRows).sum, m.map(_.sizeBytes).sum)): InternalRow
+      }
+      resultRows(StructType(Seq(
+        StructField("version", IntegerType),
+        StructField("n_files", IntegerType),
+        StructField("n_rows", LongType),
+        StructField("n_bytes", LongType))), rows.toArray)
     }
   }
 }

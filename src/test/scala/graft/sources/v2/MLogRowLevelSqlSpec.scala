@@ -251,7 +251,22 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
     assert(spark.read.format("mlog").load(dir).count() === 50L)
     val procs = spark.sql("SHOW PROCEDURES IN graft.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(procs === Set("compact", "expire_versions", "vacuum"))
+    assert(procs === Set("compact", "expire_versions", "vacuum", "history"))
+    // DESCRIBE-style pin: the history procedure is introspectable and
+    // returns one row per retained snapshot with manifest-exact stats.
+    assert(spark.sql("DESCRIBE PROCEDURE graft.system.history")
+      .collect().map(_.getString(0)).mkString("\n").contains("history"))
+    val hist = spark.sql(s"CALL graft.system.history('$dir')")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(hist.map(_._1).toSeq === MLog.versions(fs(dir), new Path(dir)),
+      "one history row per retained snapshot, ascending")
+    assert(hist.last._3 === 50L, "rows of the newest snapshot")
+    val notStore = tmp()
+    new java.io.File(notStore).mkdirs()
+    val refuse = intercept[Exception] {
+      spark.sql(s"CALL graft.system.history('$notStore')").collect()
+    }
+    assert(refuse.getMessage.contains("not an mlog store"))
   }
 
   test("DELETE FROM without WHERE empties the table through the manifest") {
