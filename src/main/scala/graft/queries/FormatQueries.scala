@@ -681,6 +681,73 @@ object FormatQueries {
         .withColumn("stats_exact", lit(statsExact))
     },
 
+    // RUNTIME file pruning over the mlog manifest
+    // (`SupportsRuntimeV2Filtering`) — dynamic partition pruning with the
+    // manifest playing the partition index: the dimension's predicate is
+    // on the DAY (derived from ts), not on the join key, so no static
+    // bound on `id` is inferable; the only way the fact scan learns the
+    // surviving event_ids is the DynamicPruningSubquery Spark plans over
+    // the broadcast dim at EXECUTION time. Because event_id is monotone
+    // with ts, the first day's ids cluster into the id-range layout's
+    // first file(s) — the runtime IN-set prunes the rest of the fact's
+    // files before their partitions are planned (dpp_pruned, measured
+    // from the executed scan instance; dpp_planned pins that the filter
+    // was planned at all). At 100 TB this is the difference between
+    // scanning a day's key range and scanning the table when the query
+    // only states the day. Oracle: DuckDB over the raw events under the
+    // same first-day predicate.
+    checked("join_mlog_dpp",
+      s"""WITH d0 AS (SELECT min(date_trunc('day', ts)) AS d FROM events)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  true AS dpp_planned, true AS dpp_pruned
+         |FROM events, d0
+         |WHERE date_trunc('day', ts) = d0.d""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogdpp_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      if (!ready.exists()) {
+        rmTree(dir); dir.mkdirs()
+        Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+          .repartitionByRange(8, col("id"))
+          .write.format("mlog").mode("overwrite").save(store)
+        ready.createNewFile(): Unit
+      }
+      val firstDay = Tables.events(s, d)
+        .agg(min(date_trunc("day", col("ts")))).head.getTimestamp(0)
+      val dim = Tables.events(s, d)
+        .filter(date_trunc("day", col("ts")) === lit(firstDay))
+        .select(col("event_id").as("fid"))
+      val fact = s.read.format("mlog").load(store)
+      val joined = fact.join(dim, col("id") === col("fid"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      val row = joined.collect().head
+      // Probe the EXECUTED scan (AQE re-plans; descend to the final plan).
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b)
+          case other => other.children.flatMap(scans)
+        }
+      val scanExec = scans(joined.queryExecution.executedPlan)
+        .find(_.scan.isInstanceOf[graft.sources.v2.MLogScan]).get
+      val (runtime, static) =
+        scanExec.scan.asInstanceOf[graft.sources.v2.MLogScan].runtimePlanned
+      s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          row.getLong(0), row.getLong(1),
+          scanExec.runtimeFilters.nonEmpty, runtime < static)),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "n BIGINT, sum_v BIGINT, dpp_planned BOOLEAN, dpp_pruned BOOLEAN"))
+    },
+
     // SQL WRITE PATH, creation half — `CREATE TABLE … USING mlog AS
     // SELECT …` (CTAS) through [[graft.sources.v2.GraftMLogCatalog]]:
     // catalog DDL completes the lifecycle that was previously API-only

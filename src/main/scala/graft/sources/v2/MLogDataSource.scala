@@ -1369,10 +1369,45 @@ case class MLogScan(dir: String, files: Seq[MLog.FileEntry], total: Int,
                     maxVersionsPerTrigger: Option[Int] = None,
                     maxFilesPerTrigger: Option[Int] = None,
                     maxBytesPerTrigger: Option[Long] = None)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** RUNTIME file pruning (`SupportsRuntimeV2Filtering`) — dynamic
+    * partition pruning, with the manifest playing the partition index:
+    * when an mlog fact table joins a filtered dimension on `id`/`k`,
+    * Spark plans a DynamicPruningSubquery over the (broadcast) build
+    * side and hands its values here as an `IN` predicate at execution
+    * time; files whose manifest min/max cannot contain any value are
+    * dropped BEFORE their partitions are planned. Static pushdown prunes
+    * on literals the query states; this prunes on values only the join
+    * discovers — at 100 TB the difference between scanning the fact
+    * table's key range and scanning the table. Narrowing is monotonic
+    * (repeated calls intersect), and unrecognized predicate shapes are
+    * ignored — keeping a file is always sound because every filter also
+    * re-applies as a residual. */
+  @volatile private var chosen: Seq[MLog.FileEntry] = files
+
+  // Only the manifest-bounded columns the PRUNED schema still carries:
+  // Spark resolves these against the scan's output, so advertising a
+  // column this scan no longer reads fails analysis.
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Seq("id", "k").filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter
+        .Predicate]): Unit =
+    chosen = chosen.filter(e =>
+      predicates.forall(p => MLogScan.mayMatch(e, p)))
+
+  /** (files surviving runtime filtering, files the static plan held) —
+    * the [[MLog.planned]]-style probe for DPP pins. */
+  def runtimePlanned: (Int, Int) = (chosen.length, files.length)
 
   /** Exact table statistics FROM THE MANIFEST — no file I/O: the planned
     * (post-pruning) file set's logical row count (physical minus
@@ -1402,13 +1437,63 @@ case class MLogScan(dir: String, files: Seq[MLog.FileEntry], total: Int,
       s"cols [${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(e =>
+    chosen.map(e =>
       MLogPartition(new Path(new Path(dir), e.name).toString, e.rows,
         e.dv.map(d => new Path(new Path(dir), d.name).toString),
         e.dv.fold(0L)(_.rows)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     MLogReaderFactory(required.fieldNames.toSeq, conf)
+}
+
+object MLogScan {
+  import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  /** Can file `e` hold any row matching runtime predicate `p`? Sound
+    * manifest-bounds algebra over the shapes DPP actually produces — an
+    * `IN (v1…vn)` / `= v` on `id` or `k` (the broadcast side's key
+    * values); every other shape answers true (kept; the residual filter
+    * still applies row-level). */
+  private[v2] def mayMatch(e: MLog.FileEntry, p: Predicate): Boolean = {
+    def colOf(x: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = x match {
+      case n: NamedReference if n.fieldNames().length == 1 &&
+          (n.fieldNames().head == "id" || n.fieldNames().head == "k") =>
+        Some(n.fieldNames().head)
+      case _ => None
+    }
+    def longOf(x: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = x match {
+      case l: Literal[_] => l.value() match {
+        case n: java.lang.Long => Some(n)
+        case n: java.lang.Integer => Some(n.longValue)
+        case n: java.lang.Short => Some(n.longValue)
+        case n: java.lang.Byte => Some(n.longValue)
+        case _ => None
+      }
+      case _ => None
+    }
+    def bounds(col: String): (Long, Long) =
+      if (col == "id") (e.minId, e.maxId) else (e.minK, e.maxK)
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.nonEmpty && colOf(ch.head).isDefined =>
+        val (mn, mx) = bounds(colOf(ch.head).get)
+        val vs = ch.tail.map(longOf)
+        // Any non-literal value makes the set unbound — keep the file.
+        vs.exists(_.isEmpty) || vs.flatten.exists(v => mn <= v && v <= mx)
+      case "=" if ch.length == 2 =>
+        (colOf(ch.head), longOf(ch(1)), colOf(ch(1)), longOf(ch.head)) match {
+          case (Some(c), Some(v), _, _) =>
+            val (mn, mx) = bounds(c); mn <= v && v <= mx
+          case (_, _, Some(c), Some(v)) =>
+            val (mn, mx) = bounds(c); mn <= v && v <= mx
+          case _ => true
+        }
+      case _ => true
+    }
+  }
 }
 
 case class MLogReaderFactory(fields: Seq[String],

@@ -907,6 +907,57 @@ class MLogSpec extends SparkSpec {
       "the DV-only change must re-deliver the file's masked state")
   }
 
+  test("runtime file pruning: a join's dynamic pruning subquery drops " +
+      "files whose manifest bounds miss the build side's keys") {
+    val dir = tmp()
+    // 7 id-clustered files over ids 0..699.
+    ledger(700).select(col("id"), col("id").as("k"), col("v"))
+      .repartitionByRange(7, col("id")).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    val entries = MLog.readManifest(fs(dir), new Path(dir))
+    assert(entries.size === 7)
+    // A SELECTIVE dimension whose predicate is on tag, NOT the join key:
+    // constraint propagation cannot infer any id bound from it (a filter
+    // on fid itself would be inferred onto id and prune STATICALLY), so
+    // the only way the fact scan learns the surviving keys — fids 0..99,
+    // one file's range — is the DynamicPruningSubquery at runtime.
+    import spark.implicits._
+    val dimDir = tmp()
+    (0 until 700).map(i => (i.toLong, i / 100))
+      .toDF("fid", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === 0)
+    val fact = spark.read.format("mlog").load(dir)
+    val joined = fact.join(dim, col("id") === col("fid"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    // collect(), not head(): head plans a SEPARATE limited query, and the
+    // probe below must inspect the QueryExecution that actually ran.
+    val r = joined.collect().head
+    assert(r.getLong(0) === 100L &&
+      r.getLong(1) === (0 until 100).map(_ * 10L).sum)
+    // The EXECUTED scan (AQE re-plans; the pre-adaptive instance is not
+    // the one runtime filtering narrowed — descend into the final plan).
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case other => other.children.flatMap(scans)
+      }
+    val scanExec = scans(joined.queryExecution.executedPlan)
+      .find(_.scan.isInstanceOf[graft.sources.v2.MLogScan]).get
+    assert(scanExec.runtimeFilters.nonEmpty,
+      s"expected a planned runtime filter on the mlog scan, got\n" +
+        joined.queryExecution.executedPlan)
+    val (runtime, static) =
+      scanExec.scan.asInstanceOf[graft.sources.v2.MLogScan].runtimePlanned
+    assert(static === 7 && runtime === 1,
+      s"100 keys in one file's bounds must prune 7 -> 1, got $runtime/$static")
+  }
+
   test("streaming source: maxBytesPerTrigger splits a commit on the " +
       "manifest's byte sizes; an over-budget file still makes progress") {
     val dir = tmp()

@@ -164,6 +164,29 @@ class MLogCatalogDdlSpec extends graft.SparkSpec {
       "an all-owned directory is removed with its table")
   }
 
+  test("TRUNCATE TABLE and CREATE OR REPLACE complete the lifecycle") {
+    val dir = store()
+    val c = cat()
+    ledger(40).coalesce(1).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    // TRUNCATE TABLE rides SupportsDelete's unqualified-delete fast path:
+    // one snapshot naming zero files, zero rows read; prior snapshots
+    // still serve the truncated rows until retention drops them.
+    val preV = MLog.versions(fs(dir), new Path(dir)).last
+    spark.sql(s"TRUNCATE TABLE $c.`$dir`")
+    assert(spark.table(s"$c.`$dir`").count() === 0L)
+    assert(MLog.versions(fs(dir), new Path(dir)).last === preV + 1)
+    assert(spark.read.format("mlog").option("versionAsOf", preV)
+      .load(dir).count() === 40L)
+    // CREATE OR REPLACE on a non-staging catalog = drop + create.
+    ledger(10).createOrReplaceTempView("mlog_ddl_repl")
+    spark.sql(s"CREATE OR REPLACE TABLE $c.`$dir` USING mlog AS " +
+      "SELECT * FROM mlog_ddl_repl")
+    assert(spark.table(s"$c.`$dir`").count() === 10L)
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2),
+      "replace starts a fresh store lifecycle: create + fill")
+  }
+
   test("racing CREATEs: exactly one wins the v1 slot, the loser reports " +
       "TableAlreadyExists — never a silent second commit") {
     val dir = store()
