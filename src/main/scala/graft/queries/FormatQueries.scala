@@ -1550,7 +1550,7 @@ object FormatQueries {
          |    WHERE user_id BETWEEN b.klo AND b.khi AND event_id % 4 = 0)
          |    AS removed_rows,
          |  true AS zero_bytes_rewritten, true AS vectors_cover_removed,
-         |  true AS pre_delete_visible
+         |  true AS pre_delete_visible, true AS dv_materialized
          |FROM events, b
          |WHERE NOT (user_id BETWEEN b.klo AND b.khi AND event_id % 4 = 0)
          |""".stripMargin) { (s, d) =>
@@ -1591,10 +1591,30 @@ object FormatQueries {
           post.count(_.dv.isDefined) == touchedExp
         val preVisible = s.read.format("mlog")
           .option("versionAsOf", preVersion).load(store).count() == total
+        // The third step of the merge-on-read lifecycle: MATERIALIZE the
+        // vectors (CALL graft.system.rewrite_dvs — Delta's REORG PURGE):
+        // every vectored file is rewritten without its masked rows in
+        // one snapshot, no vector remains, untouched files are carried
+        // by reference, and current readers see the identical rows (the
+        // oracle equality below gates that — the final read happens
+        // AFTER materialization).
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.v2.GraftMLogCatalog].getName)
+        val rw = s.sql(s"CALL graft.system.rewrite_dvs('$store')").head
+        val postRw = MLog.readManifest(fs, path)
+        val postSet = post.toSet
+        val dvMaterialized =
+          rw.getInt(0) == touchedExp &&
+          rw.getLong(1) == stats.removedRows &&
+          rw.getInt(2) == preVersion + 2 &&
+          postRw.forall(_.dv.isEmpty) &&
+          postRw.count(postSet.contains) == post.size - touchedExp &&
+          postRw.map(_.logicalRows).sum == total - stats.removedRows
         val f = Seq(stats.removedRows,
           if (zeroBytes) 1L else 0L,
           if (vectorsCover) 1L else 0L,
-          if (preVisible) 1L else 0L)
+          if (preVisible) 1L else 0L,
+          if (dvMaterialized) 1L else 0L)
         java.nio.file.Files.write(ready.toPath,
           f.mkString(" ").getBytes("UTF-8"))
         f
@@ -1608,6 +1628,7 @@ object FormatQueries {
         .withColumn("zero_bytes_rewritten", lit(facts(1) == 1L))
         .withColumn("vectors_cover_removed", lit(facts(2) == 1L))
         .withColumn("pre_delete_visible", lit(facts(3) == 1L))
+        .withColumn("dv_materialized", lit(facts(4) == 1L))
     },
 
     // The incremental CONSUMER of the diff scan — why changesSince

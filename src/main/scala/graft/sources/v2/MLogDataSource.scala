@@ -832,6 +832,47 @@ object MLog {
     }.collect().toSeq
   }
 
+  /** Outcome of a [[rewriteDvs]]: files whose deletion vector was
+    * materialized (each rewritten without its masked rows, vector
+    * dropped), rows physically removed by the materialization, and the
+    * committed snapshot. NO-OP CASE: a table with no vectored files
+    * commits nothing and `newVersion` reports the pre-existing latest
+    * version. */
+  case class RewriteDvStats(rewritten: Int, materializedRows: Long,
+                            newVersion: Int)
+
+  /** MATERIALIZE deletion vectors (Delta's `REORG TABLE … APPLY (PURGE)`
+    * / Iceberg's rewrite_position_delete_files): every file carrying a
+    * `.dvec` is rewritten WITHOUT its masked rows by one task, and the
+    * replacement carries no vector — paying the copy cost once to retire
+    * the per-read skip cost, and returning the file to [[compact]]'s
+    * bin-packing (which deliberately carries DV'd files, since its merge
+    * is a pure byte-copy). The superseded data files and sidecars stay
+    * snapshot-retained until expire + vacuum, like any rewrite. This is
+    * the missing third step of the merge-on-read lifecycle: delete cheap
+    * (vector), read with skips, then materialize when the skip cost has
+    * been paid often enough to matter. */
+  def rewriteDvs(spark: SparkSession, dir: Path): RewriteDvStats = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val full = readManifestFull(fs, dir)
+    val base = full.version // the version of the content actually read
+    val (vectored, clean) = full.files.partition(_.dv.isDefined)
+    if (vectored.isEmpty)
+      return RewriteDvStats(0, 0L, base)
+    val conf = hadoopConf()
+    val dirStr = dir.toString
+    // rewriteWithout with a never-matching predicate: masked rows are
+    // dropped as "already deleted" (not counted), live rows copy through
+    // with restated stats — exactly a materialization.
+    val results = spark.sparkContext
+      .parallelize(vectored, math.max(1, math.min(vectored.size,
+        spark.sparkContext.defaultParallelism)))
+      .map(e => rewriteWithout(conf, dirStr, e, (_, _, _) => false)).collect()
+    publishExclusive(fs, dir, base, clean ++ results.flatMap(_._1), full.txn)
+    RewriteDvStats(vectored.size, vectored.flatMap(_.dv).map(_.rows).sum,
+      base + 1)
+  }
+
   /** Outcome of a [[compact]]: manifest entry counts before/after, how
     * many small files were merged away, and the committed version.
     * NO-OP CASE: when no bin holds ≥ 2 files (`merged == 0`), nothing is

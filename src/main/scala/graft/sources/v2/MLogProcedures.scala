@@ -34,7 +34,8 @@ object MLogProcedures {
     "compact" -> Compact,
     "expire_versions" -> ExpireVersions,
     "vacuum" -> Vacuum,
-    "history" -> History)
+    "history" -> History,
+    "rewrite_dvs" -> RewriteDvs)
 
   private def fsAndPath(table: String) = {
     val p = new Path(table)
@@ -120,6 +121,28 @@ object MLogProcedures {
       val (fs, p) = fsAndPath(input.getUTF8String(0).toString)
       val n = MLog.vacuum(fs, p, minAgeMs = input.getLong(1) * 1000L)
       result(StructType(Seq(StructField("removed_files", LongType))), n)
+    }
+  }
+
+  /** Delta's `REORG TABLE … APPLY (PURGE)` / Iceberg's
+    * rewrite_position_delete_files: pay the copy once, retire the
+    * per-read skip cost, return the files to compact's bin-packing. */
+  object RewriteDvs extends Maintenance("rewrite_dvs") {
+    override def description(): String =
+      "materialize deletion vectors: rewrite each vectored file without " +
+        "its masked rows (one task per file) and drop the vector; one " +
+        "snapshot commit, content unchanged for current readers"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("mlog store path").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val stats = MLog.rewriteDvs(SparkSession.active,
+        new Path(input.getUTF8String(0).toString))
+      result(StructType(Seq(
+        StructField("rewritten_files", IntegerType),
+        StructField("materialized_rows", LongType),
+        StructField("new_version", IntegerType))),
+        stats.rewritten, stats.materializedRows, stats.newVersion)
     }
   }
 

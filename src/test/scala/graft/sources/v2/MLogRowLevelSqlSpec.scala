@@ -235,6 +235,42 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
     assert(refuse.getMessage.contains("not an mlog store"))
   }
 
+  test("CALL graft.system.rewrite_dvs materializes deletion vectors: " +
+      "vectored files rewritten, clean files carried, content unchanged") {
+    val dir = tmp()
+    // Two id-clustered files: [0, 99] masked in part, [1000, 1099] clean.
+    ledger(100).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    ledger(100, 1000L).coalesce(1).write.format("mlog").mode(SaveMode.Append).save(dir)
+    val c = cat()
+    MLog.deleteMor(spark, new Path(dir),
+      e => e.minId < 100, (id, _, _) => id < 30)
+    val pre = MLog.readManifest(fs(dir), new Path(dir))
+    assert(pre.count(_.dv.isDefined) === 1)
+    val preVersion = MLog.versions(fs(dir), new Path(dir)).last
+    val preRows = spark.read.format("mlog").load(dir)
+      .orderBy("id").collect().toSeq
+    val r = spark.sql(s"CALL graft.system.rewrite_dvs('$dir')").head
+    assert(r.getInt(0) === 1 && r.getLong(1) === 30L &&
+      r.getInt(2) === preVersion + 1)
+    val post = MLog.readManifest(fs(dir), new Path(dir))
+    // No vectors remain; the clean file was carried BY REFERENCE; the
+    // rewritten file's physical rows now equal its logical rows.
+    assert(post.forall(_.dv.isEmpty))
+    assert(post.count(pre.contains) === 1)
+    assert(post.map(_.logicalRows).sum === 170L)
+    assert(spark.read.format("mlog").load(dir).orderBy("id").collect().toSeq
+      === preRows, "materialization must not change what readers see")
+    // The file is back in compaction's reach (compact carries DV'd
+    // files by design — its bin merge is a pure byte-copy).
+    val cmp = MLog.compact(spark, new Path(dir), targetRows = 1000L)
+    assert(cmp.merged === 2 && cmp.after === 1)
+    // No-op case: nothing vectored, nothing committed.
+    val v = MLog.versions(fs(dir), new Path(dir)).last
+    val r2 = spark.sql(s"CALL graft.system.rewrite_dvs('$dir')").head
+    assert(r2.getInt(0) === 0 && r2.getInt(2) === v)
+    assert(MLog.versions(fs(dir), new Path(dir)).last === v)
+  }
+
   test("a row-level command matching nothing commits nothing; SHOW " +
       "PROCEDURES lists the maintenance surface") {
     val dir = tmp()
@@ -251,7 +287,8 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
     assert(spark.read.format("mlog").load(dir).count() === 50L)
     val procs = spark.sql("SHOW PROCEDURES IN graft.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(procs === Set("compact", "expire_versions", "vacuum", "history"))
+    assert(procs === Set("compact", "expire_versions", "vacuum", "history",
+      "rewrite_dvs"))
     // DESCRIBE-style pin: the history procedure is introspectable and
     // returns one row per retained snapshot with manifest-exact stats.
     assert(spark.sql("DESCRIBE PROCEDURE graft.system.history")
