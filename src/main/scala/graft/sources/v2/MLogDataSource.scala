@@ -1541,6 +1541,104 @@ case class MLogReaderFactory(fields: Seq[String],
                              conf: SerializableConfiguration)
   extends PartitionReaderFactory {
 
+  /** VECTORIZED reads: the scan emits [[ColumnarBatch]]es, so the plan
+    * above it is `ColumnarToRow` feeding whole-stage codegen — the same
+    * shape Spark's parquet reader has, and the scan-path lever that
+    * matters at 100 TB (per-row GenericInternalRow allocation becomes a
+    * per-4096-rows vector fill; the row reader below is kept as the
+    * contract-mandated fallback). The fixed 24-byte row makes the fill
+    * trivial: one chunked readFully per batch, three strided getLongs
+    * per row, deletion-vector positions skipped in the same pass. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  private val BatchRows = 4096
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.{
+      ConstantColumnVector, OnHeapColumnVector}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    val p = partition.asInstanceOf[MLogPartition]
+    new PartitionReader[ColumnarBatch] {
+      private val path = new Path(p.path)
+      private val fsys = path.getFileSystem(conf.value)
+      private val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(fsys.open(path)))
+      require(in.readInt() == MLog.Magic && in.readInt() == MLog.Version,
+        s"not an mlog file: $path")
+      private val masked: Array[Long] = p.dvPath match {
+        case Some(dp) =>
+          val dvp = new Path(dp)
+          MLog.readDv(dvp.getFileSystem(conf.value), dvp.getParent,
+            MLog.DvRef(dvp.getName, p.dvRows))
+        case None => Array.empty[Long]
+      }
+      // One vector per required field; the `_file` metadata column is a
+      // per-partition CONSTANT vector (the batch never copies the name).
+      private val longs: Array[OnHeapColumnVector] =
+        fields.filter(_ != MLog.FileColumn)
+          .map(_ => new OnHeapColumnVector(BatchRows, LongType)).toArray
+      private val cols: Array[ColumnVector] = {
+        var li = -1
+        fields.map {
+          case MLog.FileColumn =>
+            val c = new ConstantColumnVector(BatchRows, StringType)
+            c.setUtf8String(org.apache.spark.unsafe.types.UTF8String
+              .fromString(path.getName))
+            c: ColumnVector
+          case _ => li += 1; longs(li): ColumnVector
+        }.toArray
+      }
+      // required-field -> triple position (id 0, k 1, v 2), `_file`
+      // excluded (it has no slot in the 24-byte row).
+      private val slots: Array[Int] = fields.filter(_ != MLog.FileColumn).map {
+        case "id" => 0
+        case "k" => 1
+        case "v" => 2
+        case other =>
+          throw new IllegalArgumentException(s"unknown mlog field $other")
+      }.toArray
+      private val batch = new ColumnarBatch(cols)
+      private val chunk = new Array[Byte](BatchRows * 24)
+      private var read = 0L
+      private var maskIdx = 0
+
+      override def next(): Boolean = {
+        if (read >= p.rows) return false
+        val phys = math.min(BatchRows.toLong, p.rows - read).toInt
+        in.readFully(chunk, 0, phys * 24)
+        longs.foreach(_.reset())
+        val bb = java.nio.ByteBuffer.wrap(chunk) // big-endian, the format
+        var out = 0
+        var i = 0
+        while (i < phys) {
+          if (maskIdx < masked.length && masked(maskIdx) == read + i) {
+            maskIdx += 1 // deletion-vector masked: consumed, not surfaced
+          } else {
+            val base = i * 24
+            var c = 0
+            while (c < slots.length) {
+              longs(c).putLong(out, bb.getLong(base + slots(c) * 8))
+              c += 1
+            }
+            out += 1
+          }
+          i += 1
+        }
+        read += phys
+        batch.setNumRows(out)
+        // An all-masked chunk yields an EMPTY batch rather than recursing
+        // to the next chunk — legal for consumers, simpler to reason
+        // about (bounded work per next()).
+        true
+      }
+
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = in.close()
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MLogPartition]
     new PartitionReader[InternalRow] {

@@ -907,6 +907,31 @@ class MLogSpec extends SparkSpec {
       "the DV-only change must re-deliver the file's masked state")
   }
 
+  test("vectorized read path: the scan emits ColumnarBatches under a " +
+      "ColumnarToRow, and masked/pruned/metadata columns stay exact") {
+    val dir = tmp()
+    // > one batch (4096) of rows, a deletion vector, and a multi-file
+    // layout: every wrinkle of the columnar fill in one store.
+    import spark.implicits._
+    (0 until 10000).map(i => (i.toLong, (i % 7).toLong, i * 10L))
+      .toDF("id", "k", "v").repartitionByRange(3, col("id"))
+      .write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    MLog.deleteMor(spark, new Path(dir), _ => true, (id, _, _) => id % 3 == 0L)
+    val df = spark.read.format("mlog").load(dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"expected the vectorized route (ColumnarToRow over the scan), got\n$plan")
+    assert(df.count() === (0 until 10000).count(_ % 3 != 0).toLong)
+    assert(df.agg(sum("v")).head.getLong(0) ===
+      (0 until 10000).filter(_ % 3 != 0).map(_ * 10L).sum)
+    // Column pruning + the _file metadata column ride the same batches.
+    val perFile = df.select(col("_file"), col("k")).groupBy("_file")
+      .count().collect()
+    assert(perFile.length === 3)
+    assert(perFile.map(_.getLong(1)).sum ===
+      (0 until 10000).count(_ % 3 != 0).toLong)
+  }
+
   test("runtime file pruning: a join's dynamic pruning subquery drops " +
       "files whose manifest bounds miss the build side's keys") {
     val dir = tmp()
