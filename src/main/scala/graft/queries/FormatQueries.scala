@@ -681,6 +681,35 @@ object FormatQueries {
         .withColumn("stats_exact", lit(statsExact))
     },
 
+    // METADATA-ONLY aggregates (`SupportsPushDownAggregates` — the
+    // Delta/Iceberg stats-answered COUNT): an unfiltered, ungrouped
+    // COUNT / MIN / MAX over the ledger columns is answered straight
+    // from the manifest — zero data files opened (the plan's scan is the
+    // one-row "mlog metadata-only aggregate", pinned as metadata_only) —
+    // because the manifest is EXACT: logical row counts carry the
+    // deletion-vector adjustment and per-file min/max were computed from
+    // the rows themselves. At 100 TB this is a driver-side metadata
+    // lookup where a naive engine runs a full-table scan. Oracle: DuckDB
+    // computes the same aggregates from the raw events.
+    checked("agg_mlog_metadata",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(epoch_us(ts)) AS BIGINT) AS nv,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  CAST(min(user_id) AS BIGINT) AS min_k,
+         |  CAST(max(user_id) AS BIGINT) AS max_k,
+         |  true AS metadata_only
+         |FROM events""".stripMargin) { (s, d) =>
+      val (store, _) = mlogStore(s, d)
+      val agg = s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      val metadataOnly = agg.queryExecution.executedPlan.toString
+        .contains("metadata-only")
+      agg.withColumn("metadata_only", lit(metadataOnly))
+    },
+
     // RUNTIME file pruning over the mlog manifest
     // (`SupportsRuntimeV2Filtering`) — dynamic partition pruning with the
     // manifest playing the partition index: the dimension's predicate is

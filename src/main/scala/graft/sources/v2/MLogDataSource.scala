@@ -1259,49 +1259,163 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
                       maxFilesPerTrigger: Option[Int] = None,
                       maxBytesPerTrigger: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = MLog.Schema
   private var prunable: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var aggValues: Option[Seq[Long]] = None
+  private var aggSchema: StructType = _
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
     prunable = filters.filter(f => MLogScanBuilder.bound(f).isDefined)
     filters // ALL filters stay residual: min/max pruning is inexact
   }
 
   override def pushedFilters(): Array[Filter] = prunable
 
-  override def build(): Scan = {
+  /** The planned file set, memoized: one manifest read serves the
+    * aggregate translation AND build(), so the two can never disagree
+    * about table state (a commit landing between them would otherwise
+    * let a pushed COUNT answer for a different snapshot than the scan
+    * plans). Incremental read = manifest DIFF by NAME: files the end
+    * state names that the base snapshot does not (append-only lineage;
+    * an intervening overwrite or compaction replaces files wholesale, so
+    * its diff is the whole new layout — correct, just not an increment;
+    * rewritten files surface fully, like Iceberg's incremental scan).
+    * LIMITATION, documented: a merge-on-read delete re-vectors a file IN
+    * PLACE (same name, new .dvec), so a DV-only change does NOT surface
+    * here — changesSince answers "what data was ADDED", not "what rows
+    * were deleted"; a deletion-aware consumer diffs manifests itself or
+    * streams with ignoreChanges, which re-delivers changed entries. */
+  private lazy val planned: Seq[MLog.FileEntry] = {
     val fs = dir.getFileSystem(conf.value)
     val end = version match {
       case Some(v) => MLog.readManifestVersion(fs, dir, v)
       case None => MLog.readManifest(fs, dir)
     }
-    // Incremental read = manifest DIFF by NAME: files the end state names
-    // that the base snapshot does not (append-only lineage; an
-    // intervening overwrite or compaction replaces files wholesale, so
-    // its diff is the whole new layout — correct, just not an increment;
-    // rewritten files surface fully, like Iceberg's incremental scan).
-    // LIMITATION, documented: a merge-on-read delete re-vectors a file IN
-    // PLACE (same name, new .dvec), so a DV-only change does NOT surface
-    // here — changesSince answers "what data was ADDED", not "what rows
-    // were deleted"; a deletion-aware consumer diffs manifests itself or
-    // streams with ignoreChanges, which re-delivers changed entries.
-    val all = changesSince match {
+    changesSince match {
       case Some(base) =>
         val baseNames =
           MLog.readManifestVersion(fs, dir, base).map(_.name).toSet
         end.filterNot(e => baseNames(e.name))
       case None => end
     }
-    val survivors = all.filter(e => prunable.forall(MLogScanBuilder.accepts(e, _)))
-    MLogScan(dir.toString, survivors, all.length, required, conf,
-      prunable, ignoreChanges, maxVersionsPerTrigger, maxFilesPerTrigger,
-      maxBytesPerTrigger)
   }
+
+  /** METADATA-ONLY aggregates (`SupportsPushDownAggregates`, the
+    * Delta/Iceberg stats-answered COUNT): an unfiltered, ungrouped
+    * COUNT(*) / COUNT(col) / MIN / MAX over the ledger columns is
+    * answered from the manifest — zero data files opened, O(manifest)
+    * on the driver, and at 100 TB the difference between a metadata
+    * lookup and a full-table scan. Sound because the manifest is exact:
+    * logical row counts carry the DV adjustment, so COUNT pushes even
+    * on vectored tables; per-file min/max bound PHYSICAL rows, so
+    * MIN/MAX push only when NO file carries a vector (a mask could hide
+    * the extreme row). COUNT(col) == COUNT(*) because ledger columns
+    * are non-null by construction. Any filter, grouping, DISTINCT, or
+    * other function declines — the ordinary scan path serves it. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = translate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggValues = translate(agg)
+    // A completely-pushed scan must REPORT the aggregate's output schema
+    // itself (the engine maps its attributes positionally onto it; it
+    // does not re-prune columns after the push).
+    if (aggValues.isDefined)
+      aggSchema = StructType(agg.aggregateExpressions().map(f =>
+        StructField(f.toString, LongType, nullable = false)))
+    aggValues.isDefined
+  }
+
+  private def translate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[Long]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{
+      Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.{
+      Expression => VExpr, NamedReference}
+    if (sawFilters || agg.groupByExpressions.nonEmpty) return None
+    if (planned.isEmpty) return None // empty table: MIN/MAX are null —
+                                     // let the ordinary path produce them
+    val anyDv = planned.exists(_.dv.isDefined)
+    def keyed(e: VExpr): Option[String] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 &&
+          (n.fieldNames().head == "id" || n.fieldNames().head == "k") =>
+        Some(n.fieldNames().head)
+      case _ => None
+    }
+    def ledgerCol(e: VExpr): Boolean = e match {
+      case n: NamedReference => n.fieldNames().length == 1 &&
+        Seq("id", "k", "v").contains(n.fieldNames().head)
+      case _ => false
+    }
+    val rows = planned.map(_.logicalRows).sum
+    val vals = agg.aggregateExpressions().map {
+      case _: CountStar => Some(rows)
+      case c: Count if !c.isDistinct && ledgerCol(c.column) =>
+        Some(rows) // non-null by construction
+      case m: Min if !anyDv => keyed(m.column).map {
+        case "id" => planned.map(_.minId).min
+        case _ => planned.map(_.minK).min
+      }
+      case m: Max if !anyDv => keyed(m.column).map {
+        case "id" => planned.map(_.maxId).max
+        case _ => planned.map(_.maxK).max
+      }
+      case _ => None
+    }
+    if (vals.forall(_.isDefined)) Some(vals.toSeq.map(_.get)) else None
+  }
+
+  override def build(): Scan = aggValues match {
+    case Some(values) =>
+      MLogAggScan(dir.toString, values, aggSchema)
+    case None =>
+      val survivors =
+        planned.filter(e => prunable.forall(MLogScanBuilder.accepts(e, _)))
+      MLogScan(dir.toString, survivors, planned.length, required, conf,
+        prunable, ignoreChanges, maxVersionsPerTrigger, maxFilesPerTrigger,
+        maxBytesPerTrigger)
+  }
+}
+
+/** The one-row result of a manifest-answered aggregate: no data file is
+  * opened — the partition carries the values. */
+case class MLogAggPartition(values: Seq[Long]) extends InputPartition
+
+case class MLogAggScan(dir: String, values: Seq[Long], required: StructType)
+  extends Scan with Batch {
+  require(required.fields.length == values.length,
+    s"pushed aggregate schema ${required.simpleString} does not match " +
+      s"${values.length} manifest-answered values")
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"mlog metadata-only aggregate [${required.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MLogAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+        private val vs = partition.asInstanceOf[MLogAggPartition].values
+        private var served = false
+        override def next(): Boolean = { val r = !served; served = true; r }
+        override def get(): InternalRow =
+          new GenericInternalRow(vs.map(v => v: Any).toArray)
+        override def close(): Unit = ()
+      }
+    }
 }
 
 object MLogScanBuilder {

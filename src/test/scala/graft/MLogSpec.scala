@@ -907,6 +907,44 @@ class MLogSpec extends SparkSpec {
       "the DV-only change must re-deliver the file's masked state")
   }
 
+  test("metadata-only aggregates: unfiltered COUNT/MIN/MAX answer from " +
+      "the manifest; filters, DISTINCT, and DV-masked extremes decline") {
+    val dir = tmp()
+    ledger(700).repartitionByRange(7, col("k")).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    def isMeta(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("metadata-only")
+    val agg = spark.read.format("mlog").load(dir)
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"),
+        min(col("k")).as("mnk"), max(col("k")).as("mxk"))
+    assert(isMeta(agg), "unfiltered count/min/max must push to the manifest:\n" +
+      agg.queryExecution.executedPlan)
+    assert(agg.collect().head.toSeq === Seq(700L, 700L, 0L, 699L, 0L, 6L))
+    // A filter declines (residuals must re-apply row-level) …
+    val filtered = spark.read.format("mlog").load(dir)
+      .filter(col("k") > 3).agg(count(lit(1)))
+    assert(!isMeta(filtered))
+    assert(filtered.head.getLong(0) === ledger(700)
+      .filter(col("k") > 3).count())
+    // … DISTINCT declines …
+    val distinct = spark.read.format("mlog").load(dir)
+      .agg(countDistinct(col("k")))
+    assert(!isMeta(distinct) && distinct.head.getLong(0) === 7L)
+    // … and on a vectored table COUNT still pushes (logical rows carry
+    // the DV adjustment) while MIN/MAX declines (a mask could hide the
+    // extreme physical row).
+    MLog.deleteMor(spark, new Path(dir), _ => true, (id, _, _) => id < 10)
+    val cnt = spark.read.format("mlog").load(dir).agg(count(lit(1)))
+    assert(isMeta(cnt) && cnt.head.getLong(0) === 690L)
+    val mn = spark.read.format("mlog").load(dir).agg(min(col("id")))
+    assert(!isMeta(mn) && mn.head.getLong(0) === 10L)
+    // Time travel composes: the pinned snapshot's manifest answers.
+    val tt = spark.read.format("mlog").option("versionAsOf", 1).load(dir)
+      .agg(count(lit(1)), max(col("id")))
+    assert(isMeta(tt) && tt.head.toSeq === Seq(700L, 699L))
+  }
+
   test("vectorized read path: the scan emits ColumnarBatches under a " +
       "ColumnarToRow, and masked/pruned/metadata columns stay exact") {
     val dir = tmp()
@@ -1087,8 +1125,13 @@ class MLogSpec extends SparkSpec {
       o.write(bytes); o.close()
     }
     rewriteWith(d1, f1.name, _.dropRight(16))
+    // Documented tradeoff of metadata-answered aggregates: a bare
+    // count() is served from the MANIFEST and succeeds — corruption is
+    // detected when data is READ, exactly like Delta's stats-answered
+    // COUNT over a damaged parquet file.
+    assert(spark.read.format("mlog").load(d1).count() === 50L)
     val e1 = intercept[Exception] {
-      spark.read.format("mlog").load(d1).count()
+      spark.read.format("mlog").load(d1).agg(sum("v")).head
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
@@ -1104,7 +1147,7 @@ class MLogSpec extends SparkSpec {
     val f2 = MLog.readManifest(fs(d2), new Path(d2)).head
     assert(new java.io.File(d2, f2.name).delete())
     val e2 = intercept[Exception] {
-      spark.read.format("mlog").load(d2).count()
+      spark.read.format("mlog").load(d2).agg(sum("v")).head
     }
     assert(messages(e2).exists(_.contains(f2.name)) ||
       e2.toString.contains(f2.name),
@@ -1131,7 +1174,7 @@ class MLogSpec extends SparkSpec {
       bytes
     })
     val e4 = intercept[Exception] {
-      spark.read.format("mlog").load(d4).count()
+      spark.read.format("mlog").load(d4).agg(sum("v")).head
     }
     assert(messages(e4).exists(_.contains(dv.name)) ||
       e4.toString.contains(dv.name),
