@@ -138,26 +138,45 @@ class PcapScanBuilder(options: Map[String, String])
     // Driver-side listing only (the reference's S1 stage): directories
     // expand to their .pcap children, files pass through.
     val fs = new Path(paths.head).getFileSystem(hadoopConf)
+    // (path, on-disk bytes): the listing already holds the lengths, and
+    // they feed the scan's statistics below.
     val files = paths.flatMap { p =>
       val path = new Path(p)
-      if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).toSeq.filter(_.isFile)
-          .map(_.getPath).filter(_.getName.endsWith(".pcap")).map(_.toString)
-      else Seq(p)
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).toSeq
+          .filter(x => x.isFile && x.getPath.getName.endsWith(".pcap"))
+          .map(x => (x.getPath.toString, x.getLen))
+      else Seq((p, st.getLen))
     }
-    PcapScan(files, required, maxPackets,
-      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+    PcapScan(files.map(_._1), required, maxPackets,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf),
+      files.map(_._2).sum)
   }
 }
 
 case class PcapInputPartition(path: String, slice: String) extends InputPartition
 
 case class PcapScan(files: Seq[String], required: StructType, maxPackets: Int,
-                    hadoopConf: org.apache.spark.util.SerializableConfiguration)
-  extends Scan with Batch {
+                    hadoopConf: org.apache.spark.util.SerializableConfiguration,
+                    totalBytes: Long = 0L)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** On-disk bytes from the driver-side listing (row count unknown until
+    * decode): enough for Catalyst to judge a small pcap side broadcastable
+    * instead of assuming the DSv2 default of Long.MaxValue. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(totalBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   override def description(): String =
     s"pcap ${files.length} files, ${required.fieldNames.mkString(",")}"
 

@@ -42,6 +42,16 @@ class PcapV2Spec extends SparkSpec {
       .collect().toSet == Set("eMBB", "URLLC"))
   }
 
+  test("scan statistics report the listed files' on-disk bytes") {
+    val root = writeCorpus()
+    val df = spark.read.format("pcap").load(s"$root/eMBB")
+    val expected = Option(new java.io.File(s"$root/eMBB").listFiles())
+      .get.filter(_.getName.endsWith(".pcap")).map(_.length()).sum
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes === BigInt(expected),
+      "Catalyst must see the real byte size, not the DSv2 Long.MaxValue default")
+  }
+
   test("column pruning reaches the scan; count(*) works on zero columns") {
     val root = writeCorpus()
     val df = spark.read.format("pcap").load(root + "/eMBB").select("protocol", "srcPort")
