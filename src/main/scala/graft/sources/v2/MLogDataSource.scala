@@ -1260,13 +1260,29 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
                       maxBytesPerTrigger: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = MLog.Schema
   private var prunable: Array[Filter] = Array.empty
   private var sawFilters = false
   private var aggValues: Option[Seq[Long]] = None
   private var aggSchema: StructType = _
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown, PARTIAL (`isPartiallyPushed` stays true — the
+    * engine keeps its own Limit; this is an I/O bound, not a semantic
+    * one): with no filters in play, a `LIMIT n` needs at most the file
+    * PREFIX whose logical rows reach n — the other files are never
+    * planned, never opened. At 100 TB a `SELECT * … LIMIT 100` plans one
+    * file instead of the table's million. Declined defensively when any
+    * filter was offered (rows are filtered after the scan, so no file
+    * count bounds the surviving rows — the engine does not push a limit
+    * through residual filters anyway). */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -1383,7 +1399,19 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
     case None =>
       val survivors =
         planned.filter(e => prunable.forall(MLogScanBuilder.accepts(e, _)))
-      MLogScan(dir.toString, survivors, planned.length, required, conf,
+      // Limit-bounded file prefix — only when NO filter was offered
+      // (filtered rows make any file-count bound unsound).
+      val limited = limit match {
+        case Some(n) if !sawFilters =>
+          var need = n.toLong
+          survivors.takeWhile { e =>
+            val take = need > 0
+            need -= e.logicalRows
+            take
+          }
+        case _ => survivors
+      }
+      MLogScan(dir.toString, limited, planned.length, required, conf,
         prunable, ignoreChanges, maxVersionsPerTrigger, maxFilesPerTrigger,
         maxBytesPerTrigger)
   }

@@ -907,6 +907,30 @@ class MLogSpec extends SparkSpec {
       "the DV-only change must re-deliver the file's masked state")
   }
 
+  test("limit pushdown plans only the file prefix covering n rows; a " +
+      "filter declines the bound") {
+    val dir = tmp()
+    ledger(700).repartitionByRange(7, col("k")).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    // 7 files of ~100 rows: LIMIT 5 needs exactly one.
+    val tiny = spark.read.format("mlog").load(dir).limit(5)
+    assert(tiny.collect().length === 5)
+    val (plannedFiles, total) = MLog.planned(tiny)
+    assert(total === 7 && plannedFiles === 1,
+      s"LIMIT 5 must plan 1/7 files, planned $plannedFiles/$total")
+    // A limit spanning file boundaries takes the covering prefix.
+    val two = spark.read.format("mlog").load(dir).limit(150)
+    assert(two.collect().length === 150)
+    assert(MLog.planned(two)._1 === 2)
+    // With a residual filter the engine keeps the limit above the
+    // filter, and the scan must NOT bound its files.
+    val filtered = spark.read.format("mlog").load(dir)
+      .filter(col("v") >= 0).limit(5)
+    assert(filtered.collect().length === 5)
+    assert(MLog.planned(filtered)._1 === 7,
+      "a filtered scan must not limit-prune files")
+  }
+
   test("metadata-only aggregates: unfiltered COUNT/MIN/MAX answer from " +
       "the manifest; filters, DISTINCT, and DV-masked extremes decline") {
     val dir = tmp()
