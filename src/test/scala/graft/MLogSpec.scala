@@ -931,6 +931,21 @@ class MLogSpec extends SparkSpec {
       "a filtered scan must not limit-prune files")
   }
 
+  test("zero-column columnar batches: count over a limited scan reads " +
+      "rows with no columns and still counts masked files right") {
+    val dir = tmp()
+    ledger(700).repartitionByRange(7, col("k")).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    // count() over LIMIT: the aggregate cannot push (a Limit sits
+    // between), the scan prunes to ZERO columns, and the columnar reader
+    // must produce empty-schema batches whose row counts are exact.
+    assert(spark.read.format("mlog").load(dir).limit(5).count() === 5L)
+    assert(spark.read.format("mlog").load(dir).limit(150).count() === 150L)
+    // Same path over a deletion vector: masked rows must not count.
+    MLog.deleteMor(spark, new Path(dir), _ => true, (id, _, _) => id % 2 == 0L)
+    assert(spark.read.format("mlog").load(dir).limit(100000).count() === 350L)
+  }
+
   test("metadata-only aggregates: unfiltered COUNT/MIN/MAX answer from " +
       "the manifest; filters, DISTINCT, and DV-masked extremes decline") {
     val dir = tmp()
