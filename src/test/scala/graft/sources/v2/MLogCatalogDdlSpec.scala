@@ -187,6 +187,31 @@ class MLogCatalogDdlSpec extends graft.SparkSpec {
       "replace starts a fresh store lifecycle: create + fill")
   }
 
+  test("the catalog route inherits every scan pushdown: metadata-only " +
+      "aggregates, manifest stats, and the VERSION AS OF composition") {
+    val dir = store()
+    val c = cat()
+    ledger(700).repartitionByRange(7, col("k")).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    ledger(300).write.format("mlog").mode(SaveMode.Overwrite).save(dir)
+    // SQL COUNT through the catalog is the same manifest answer the
+    // DataFrame route gives — pinned via the one-row metadata scan.
+    val cnt = spark.sql(s"SELECT count(*) AS n, min(id) AS mn, " +
+      s"max(k) AS mx FROM $c.`$dir`")
+    assert(cnt.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(cnt.collect().head.toSeq === Seq(300L, 0L, 6L))
+    // …and composed with time travel, the PINNED snapshot's manifest
+    // answers.
+    val tt = spark.sql(s"SELECT count(*) AS n FROM $c.`$dir` VERSION AS OF 1")
+    assert(tt.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(tt.collect().head.getLong(0) === 700L)
+    // Manifest statistics flow through loadTable: the optimizer sees the
+    // true size, not the DSv2 default.
+    val stats = spark.sql(s"SELECT * FROM $c.`$dir`")
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_.toLong === 300L))
+  }
+
   test("racing CREATEs: exactly one wins the v1 slot, the loser reports " +
       "TableAlreadyExists — never a silent second commit") {
     val dir = store()
