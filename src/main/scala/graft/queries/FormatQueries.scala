@@ -87,6 +87,10 @@ object FormatQueries {
         (unix_micros(col("ts")) % 86400000000L).as("v"))
       ledger.filter(col("id") % 5 =!= 0).repartitionByRange(7, col("k"))
         .write.format("mlog").mode("overwrite").save(store)
+      // Distinct commit wall-clocks: TIMESTAMP AS OF resolves on the
+      // stamped ms clock, so "between v1 and v2" must be a real instant
+      // (two commits inside one millisecond would leave no gap to pin).
+      Thread.sleep(5)
       ledger.repartitionByRange(3, col("k"))
         .write.format("mlog").mode("overwrite").save(store)
       ready.createNewFile(): Unit
@@ -688,9 +692,12 @@ object FormatQueries {
     // one-row "mlog metadata-only aggregate", pinned as metadata_only) —
     // because the manifest is EXACT: logical row counts carry the
     // deletion-vector adjustment and per-file min/max were computed from
-    // the rows themselves. At 100 TB this is a driver-side metadata
-    // lookup where a naive engine runs a full-table scan. Oracle: DuckDB
-    // computes the same aggregates from the raw events.
+    // the rows themselves — ALL THREE ledger columns, since every writer
+    // also records per-file v bounds (legacy entries without them make
+    // MIN/MAX(v) decline, pinned in MLogSpec). At 100 TB this is a
+    // driver-side metadata lookup where a naive engine runs a
+    // full-table scan. Oracle: DuckDB computes the same aggregates from
+    // the raw events.
     checked("agg_mlog_metadata",
       s"""SELECT CAST(count(*) AS BIGINT) AS n,
          |  CAST(count(epoch_us(ts)) AS BIGINT) AS nv,
@@ -698,13 +705,16 @@ object FormatQueries {
          |  CAST(max(event_id) AS BIGINT) AS max_id,
          |  CAST(min(user_id) AS BIGINT) AS min_k,
          |  CAST(max(user_id) AS BIGINT) AS max_k,
+         |  CAST(min(epoch_us(ts) % 86400000000) AS BIGINT) AS min_v,
+         |  CAST(max(epoch_us(ts) % 86400000000) AS BIGINT) AS max_v,
          |  true AS metadata_only
          |FROM events""".stripMargin) { (s, d) =>
       val (store, _) = mlogStore(s, d)
       val agg = s.read.format("mlog").load(store)
         .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"),
-          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
       val metadataOnly = agg.queryExecution.executedPlan.toString
         .contains("metadata-only")
       agg.withColumn("metadata_only", lit(metadataOnly))
@@ -780,18 +790,20 @@ object FormatQueries {
     // SQL WRITE PATH, creation half — `CREATE TABLE … USING mlog AS
     // SELECT …` (CTAS) through [[graft.sources.v2.GraftMLogCatalog]]:
     // catalog DDL completes the lifecycle that was previously API-only
-    // for ingestion (df.write.format("mlog")). CTAS is TWO commits by
-    // construction (v1 = the create's empty snapshot, v2 = the append
-    // that fills it — pinned), and the created store must read
-    // identically through the catalog route and the DataFrame route
-    // (route_equal). Oracle: DuckDB over the raw events the CTAS
-    // selected.
+    // for ingestion (df.write.format("mlog")). CTAS is ATOMIC
+    // (`StagingTableCatalog`, the Delta/Iceberg shape): the SELECT's
+    // output is STAGED as unreferenced ledger files and ONE v1 CAS
+    // publishes them — pinned as atomic_create (versions == Seq(1)), so
+    // a failure mid-SELECT leaves no table (MLogCatalogDdlSpec pins the
+    // failure half). The created store must read identically through
+    // the catalog route and the DataFrame route (route_equal). Oracle:
+    // DuckDB over the raw events the CTAS selected.
     checked("sql_mlog_ctas",
       s"""SELECT CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
          |  CAST(min(event_id) AS BIGINT) AS min_id,
          |  CAST(max(event_id) AS BIGINT) AS max_id,
-         |  true AS two_commits, true AS route_equal
+         |  true AS atomic_create, true AS route_equal
          |FROM events WHERE event_id % 4 <> 0""".stripMargin) { (s, d) =>
       val dir = TmpDirs.scoped(s"graft_mlogctas_${QuerySpec.jvmScopedKey(d)}")
       val ready = new java.io.File(dir, "_READY")
@@ -813,31 +825,37 @@ object FormatQueries {
           s"SELECT * FROM $view")
         ready.createNewFile(): Unit
       }
-      val twoCommits =
-        MLog.versions(fs, new org.apache.hadoop.fs.Path(store)) == Seq(1, 2)
+      val atomicCreate =
+        MLog.versions(fs, new org.apache.hadoop.fs.Path(store)) == Seq(1)
       val routeEqual = s.sql(s"SELECT * FROM graft.mlog.`$store`").count() ==
         s.read.format("mlog").load(store).count()
       s.sql(
         s"""SELECT count(*) AS n, sum(v) AS sum_v,
            |  min(id) AS min_id, max(id) AS max_id
            |FROM graft.mlog.`$store`""".stripMargin)
-        .withColumn("two_commits", lit(twoCommits))
+        .withColumn("atomic_create", lit(atomicCreate))
         .withColumn("route_equal", lit(routeEqual))
     },
 
-    // SQL WRITE PATH, ingestion half — `CREATE TABLE` then `INSERT INTO
-    // … SELECT` through the catalog: every INSERT is ONE snapshot commit
-    // (pinned: versions == (1, 2) — the create plus the insert), planned
-    // by Spark's AppendData against the same manifest-committed
-    // BatchWrite the DataFrame route uses. Oracle: DuckDB over the raw
-    // events the INSERT selected.
+    // SQL WRITE PATH, ingestion half — `CREATE TABLE`, `INSERT INTO …
+    // SELECT`, then `INSERT OVERWRITE … SELECT` through the catalog:
+    // every statement is ONE snapshot commit (pinned: versions ==
+    // (1, 2, 3) — create, insert, overwrite), the INSERT planned by
+    // Spark's AppendData and the OVERWRITE by OverwriteByExpression
+    // riding the table's TRUNCATE capability, both against the same
+    // manifest-committed BatchWrite the DataFrame route uses. The final
+    // state is EXACTLY the overwrite's selection (the insert's rows are
+    // superseded — still served by snapshot v2 until retention), which
+    // is what the oracle checks; pre_overwrite_visible pins the
+    // superseded snapshot. Oracle: DuckDB over the raw events the
+    // OVERWRITE selected.
     checked("sql_mlog_insert",
       s"""SELECT CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
          |  CAST(min(event_id) AS BIGINT) AS min_id,
          |  CAST(max(event_id) AS BIGINT) AS max_id,
-         |  true AS insert_single_commit
-         |FROM events WHERE event_id % 4 = 0""".stripMargin) { (s, d) =>
+         |  true AS statement_per_commit, true AS pre_overwrite_visible
+         |FROM events WHERE event_id % 8 = 2""".stripMargin) { (s, d) =>
       val dir = TmpDirs.scoped(s"graft_mloginsert_${QuerySpec.jvmScopedKey(d)}")
       val ready = new java.io.File(dir, "_READY")
       val store = new java.io.File(dir, "store").getAbsolutePath
@@ -852,20 +870,29 @@ object FormatQueries {
         Tables.events(s, d).select(col("event_id").as("id"),
           col("user_id").as("k"),
           (unix_micros(col("ts")) % 86400000000L).as("v"))
-          .filter(col("id") % 4 === 0)
           .createOrReplaceTempView(view)
         s.sql(s"CREATE TABLE graft.mlog.`$store` " +
           "(id BIGINT, k BIGINT, v BIGINT) USING mlog")
-        s.sql(s"INSERT INTO graft.mlog.`$store` SELECT * FROM $view")
+        s.sql(s"INSERT INTO graft.mlog.`$store` " +
+          s"SELECT * FROM $view WHERE id % 4 = 0")
+        s.sql(s"INSERT OVERWRITE graft.mlog.`$store` " +
+          s"SELECT * FROM $view WHERE id % 8 = 2")
         ready.createNewFile(): Unit
       }
-      val singleCommit =
-        MLog.versions(fs, new org.apache.hadoop.fs.Path(store)) == Seq(1, 2)
+      val p = new org.apache.hadoop.fs.Path(store)
+      val statementPerCommit = MLog.versions(fs, p) == Seq(1, 2, 3)
+      // The overwritten state (the INSERT INTO's rows) stays
+      // time-travelable at v2 until retention drops it.
+      val insertRows = Tables.events(s, d)
+        .filter(col("event_id") % 4 === 0).count()
+      val preVisible = s.read.format("mlog").option("versionAsOf", 2)
+        .load(store).count() == insertRows
       s.sql(
         s"""SELECT count(*) AS n, sum(v) AS sum_v,
            |  min(id) AS min_id, max(id) AS max_id
            |FROM graft.mlog.`$store`""".stripMargin)
-        .withColumn("insert_single_commit", lit(singleCommit))
+        .withColumn("statement_per_commit", lit(statementPerCommit))
+        .withColumn("pre_overwrite_visible", lit(preVisible))
     },
 
     // TIME TRAVEL on the mlog store: every commit writes an immutable
@@ -908,14 +935,24 @@ object FormatQueries {
     // (catalogs instantiate lazily on first reference — no session
     // rebuild needed). Same store, same oracle as the DataFrame route:
     // the two routes must agree bit-for-bit, which is the route-
-    // equivalence pin; MLogSpec additionally pins pushdown-through-
-    // catalog and the TIMESTAMP AS OF / unknown-version refusals.
+    // equivalence pin. `TIMESTAMP AS OF` is the third route — Delta's
+    // reproducibility idiom: every commit stamps its wall-clock into the
+    // snapshot manifest, loadTable(ident, ts) resolves "the newest
+    // snapshot <= ts" (here: 1 ms before v2's commit = v1 — the
+    // n_ts/sum_ts legs must equal the VERSION AS OF legs bit-for-bit).
+    // MLogCatalogDdlSpec pins the between/at/before-first resolution and
+    // the expired-state refusal; MLogSpec pins pushdown-through-catalog
+    // and the unknown-version refusal.
     checked("sql_mlog_time_travel",
       s"""SELECT
          |  (SELECT CAST(count(*) AS BIGINT) FROM events
          |    WHERE event_id % 5 <> 0) AS n_v1,
          |  (SELECT CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) FROM events
          |    WHERE event_id % 5 <> 0) AS sum_v1,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events
+         |    WHERE event_id % 5 <> 0) AS n_ts,
+         |  (SELECT CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) FROM events
+         |    WHERE event_id % 5 <> 0) AS sum_ts,
          |  CAST(count(*) AS BIGINT) AS n_cur,
          |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_cur,
          |  CAST(2 AS BIGINT) AS n_versions
@@ -923,11 +960,21 @@ object FormatQueries {
       val (store, vs) = mlogTtStore(s, d)
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.v2.GraftMLogCatalog].getName)
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      // The instant just before the newest commit: resolves to v1 (the
+      // fixture guarantees the ms clock ticked between the commits).
+      val betweenMs =
+        graft.sources.v2.MLog.commitTimeMs(fs, p, vs.last) - 1
       s.sql(
-        s"""SELECT v1.n_v1, v1.sum_v1, cur.n_cur, cur.sum_cur,
+        s"""SELECT v1.n_v1, v1.sum_v1, ts.n_ts, ts.sum_ts,
+           |  cur.n_cur, cur.sum_cur,
            |  CAST(${vs.size} AS BIGINT) AS n_versions
            |FROM (SELECT count(*) AS n_v1, sum(v) AS sum_v1
            |      FROM graft.mlog.`$store` VERSION AS OF ${vs.head}) v1
+           |CROSS JOIN (SELECT count(*) AS n_ts, sum(v) AS sum_ts
+           |            FROM graft.mlog.`$store`
+           |            TIMESTAMP AS OF timestamp_millis(${betweenMs}L)) ts
            |CROSS JOIN (SELECT count(*) AS n_cur, sum(v) AS sum_cur
            |            FROM graft.mlog.`$store`) cur""".stripMargin)
     },
@@ -1243,17 +1290,20 @@ object FormatQueries {
         val superseded =
           (pre.map(_.name).toSet -- post.map(_.name).toSet).size.toLong
         // DESCRIBE HISTORY through CALL: one row per retained snapshot,
-        // ascending, each (files, rows, bytes) equal to that snapshot's
-        // manifest read directly — checked while history is deep, and
-        // again after retention when exactly the survivor must remain.
+        // ascending, each (commit_at, files, rows, bytes) equal to that
+        // snapshot's manifest read directly (commit_at = the stamped
+        // wall-clock TIMESTAMP AS OF resolves by) — checked while
+        // history is deep, and again after retention when exactly the
+        // survivor must remain.
         def historyRows() = s.sql(s"CALL graft.system.history('$store')")
-          .collect().map(r =>
-            (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+          .collect().map(r => (r.getInt(0), r.getTimestamp(1),
+            r.getInt(2), r.getLong(3), r.getLong(4))).toSeq
         val histDeep = historyRows()
         val histDeepOk = histDeep.map(_._1) == (1 to preVersion + 1) &&
-          histDeep.forall { case (v, nf, nr, nb) =>
+          histDeep.forall { case (v, ts, nf, nr, nb) =>
             val m = MLog.readManifestVersion(fs, path, v)
-            nf == m.size && nr == m.map(_.logicalRows).sum &&
+            ts != null && ts.getTime == MLog.commitTimeMs(fs, path, v) &&
+              nf == m.size && nr == m.map(_.logicalRows).sum &&
               nb == m.map(_.sizeBytes).sum
           }
         val exp = s.sql(
@@ -1265,7 +1315,7 @@ object FormatQueries {
         val histAfter = historyRows()
         val historyOk = histDeepOk &&
           histAfter.map(_._1) == Seq(preVersion + 1) &&
-          histAfter.head._3 == total
+          histAfter.head._4 == total
         val onDisk = Option(storeDir.listFiles()).getOrElse(Array.empty)
           .map(_.getName).filter(_.endsWith(".mlog")).toSet
         val dirClean = onDisk == post.map(_.name).toSet

@@ -1457,5 +1457,83 @@ object StreamingQueries {
         .select(col("n_c0"), col("sum_c0"), col("n_c1"), col("sum_c1"),
           col("n_c2"), col("sum_c2"), col("n_total"), col("sum_v"),
           col("paced_one_commit_per_batch"), col("bytes_paced"))
+    },
+
+    // CATALOG-ROUTE STREAMING — `spark.readStream.table("graft.mlog.…")`
+    // (the Delta idiom: streams address the TABLE, not a path+format):
+    // [[graft.sources.v2.GraftMLogCatalog]].loadTable hands back the same
+    // MLogTable the format route builds, MICRO_BATCH_READ plans the same
+    // [[graft.sources.v2.MLogMicroBatchStream]], and DataStreamReader
+    // options flow into the scan builder — so ADMISSION CONTROL
+    // (maxBytesPerTrigger here) paces the catalog route exactly like the
+    // format route. Pinned by running BOTH routes over one store with the
+    // identical byte budget and fresh checkpoints: route_equal = the two
+    // drains produce the SAME ordered (rows, sum) batch sequence;
+    // catalog_paced = the catalog drain split into one batch per file
+    // (the budget = the smallest file, so admission demonstrably flowed
+    // through the catalog). Oracle: totals from the raw events. Facts
+    // persist in the _READY marker.
+    checked("stream_mlog_catalog",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  true AS route_equal, true AS catalog_paced
+         |FROM events""".stripMargin) { (s, d) =>
+      import graft.sources.v2.MLog
+      val dir = TmpDirs.scoped(s"graft_mlogcatstrm_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.GraftMLogCatalog].getName)
+      val facts = if (!ready.exists()) {
+        rmTree(dir); dir.mkdirs()
+        Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+          .repartitionByRange(4, col("k"))
+          .write.format("mlog").mode("overwrite").save(store)
+        val path = new org.apache.hadoop.fs.Path(store)
+        val fsys = path.getFileSystem(s.sessionState.newHadoopConf())
+        val manifest = MLog.readManifest(fsys, path)
+        val budget = manifest.map(_.sizeBytes).min
+        // One drain per route, identical budget, fresh checkpoints; the
+        // batch sequences must agree element-for-element.
+        def drain(ckpt: String)(
+            src: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+          val batches =
+            new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+          val q = src.writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              val r = b.agg(count(lit(1)), sum(col("v"))).head
+              if (r.getLong(0) > 0L)
+                batches.add((r.getLong(0), r.getLong(1))): Unit
+              ()
+            }
+            .option("checkpointLocation",
+              new java.io.File(dir, ckpt).getAbsolutePath)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          import scala.jdk.CollectionConverters._
+          batches.asScala.toSeq
+        }
+        val viaFormat = drain("ckpt_format")(
+          s.readStream.format("mlog")
+            .option("maxBytesPerTrigger", budget).load(store))
+        val viaCatalog = drain("ckpt_catalog")(
+          s.readStream.option("maxBytesPerTrigger", budget)
+            .table(s"graft.mlog.`$store`"))
+        val routeEqual = viaCatalog == viaFormat
+        val catalogPaced = viaCatalog.size == manifest.size
+        val f = Seq(if (routeEqual) 1L else 0L, if (catalogPaced) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.sql(s"SELECT count(*) AS n_total, sum(v) AS sum_v " +
+        s"FROM graft.mlog.`$store`")
+        .withColumn("route_equal", lit(facts(0) == 1L))
+        .withColumn("catalog_paced", lit(facts(1) == 1L))
     })
 }

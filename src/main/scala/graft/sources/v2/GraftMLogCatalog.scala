@@ -7,9 +7,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{
   NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+  Column, Identifier, ProcedureCatalog, StagedTable,
+  StagingTableCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -33,8 +37,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `… VERSION AS OF n` loads the table pinned to snapshot n's
   *    manifest — identical to `.option("versionAsOf", n)`; an expired or
   *    never-committed version fails loudly at scan build.
-  *  - `… TIMESTAMP AS OF …` is refused: mlog snapshots are numbered, not
-  *    timestamped (the manifest records no commit wall-clock).
+  *  - `… TIMESTAMP AS OF ts` resolves to the NEWEST retained snapshot
+  *    whose commit time (stamped into every snapshot manifest at publish;
+  *    legacy snapshots fall back to the manifest file's mtime) is <= ts —
+  *    Delta's reproducibility idiom ("the table as this morning's run
+  *    saw it"), via [[MLog.resolveTimestamp]]. A timestamp before the
+  *    first retained snapshot fails loudly: that state is unknown or
+  *    expired, and silently serving the oldest would be a lie.
   *
   * Row-level SQL (`DELETE FROM` / `UPDATE` / `MERGE INTO`) works through
   * this catalog too — those commands mutate the TABLE, not the catalog,
@@ -52,8 +61,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    omitted or must equal the fixed ledger schema; PARTITIONED BY is
   *    refused (layout is the writer's repartitioning, pruning is
   *    manifest min/max).
-  *  - `CREATE TABLE … USING mlog AS SELECT …` (CTAS) — create + append
-  *    through the ordinary manifest-committed write.
+  *  - `CREATE TABLE … USING mlog AS SELECT …` (CTAS) — ATOMIC, via
+  *    `StagingTableCatalog` (the Delta/Iceberg shape): the SELECT's
+  *    output is staged as ordinary unreferenced ledger files, and
+  *    `commitStagedChanges` CAS-publishes snapshot v1 naming them — ONE
+  *    commit, so a failure anywhere during the SELECT leaves NO table
+  *    behind (`abortStagedChanges` deletes the staged files), and a
+  *    racing creator loses the v1 slot loudly. `REPLACE TABLE … AS
+  *    SELECT` / `CREATE OR REPLACE` stage the same way and publish one
+  *    truncate-commit (base + 1 — history and the txn ledger survive,
+  *    the pre-replace snapshot stays time-travelable, like Delta).
   *  - `INSERT INTO` / `INSERT OVERWRITE` — the table's own
   *    BATCH_WRITE/TRUNCATE capabilities; every insert is one snapshot
   *    commit.
@@ -63,7 +80,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    foreign files are never touched and make the directory survive.
   * ALTER and RENAME stay refused: the schema is fixed by design and a
   * path-addressed table's name IS its location. */
-class GraftMLogCatalog extends TableCatalog with ProcedureCatalog {
+class GraftMLogCatalog extends TableCatalog with ProcedureCatalog
+  with StagingTableCatalog {
 
   private var catalogName: String = _
 
@@ -95,10 +113,25 @@ class GraftMLogCatalog extends TableCatalog with ProcedureCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     table(ident, Some(version))
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "mlog time travel is by snapshot VERSION AS OF n; snapshots carry " +
-        "no commit timestamp")
+  /** `TIMESTAMP AS OF`: Spark hands the evaluated timestamp in
+    * MICROSECONDS since epoch; commit times are stored in ms, so the
+    * resolution floor-divides (a ts inside a commit's millisecond counts
+    * as at-or-after it). Resolution happens HERE, once — the loaded
+    * table is the same pinned `versionAsOf` table the version route
+    * builds, so everything downstream (pinned-read refusal for mutations,
+    * scan build, pushdown) is shared, not re-implemented. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    requireNs(ident)
+    if (!exists(ident.name())) throw new NoSuchTableException(ident)
+    val p = new Path(ident.name())
+    val v = MLog.resolveTimestamp(fsOf(p), p, Math.floorDiv(timestamp, 1000L))
+    table(ident, Some(v.toString))
+  }
+
+  private def requireNs(ident: Identifier): Unit =
+    require(ident.namespace().sameElements(Array("mlog")),
+      s"$catalogName addresses stores as $catalogName.mlog.`/path`; got " +
+        ident.toString)
 
   private def table(ident: Identifier, version: Option[String]): Table = {
     require(ident.namespace().sameElements(Array("mlog")),
@@ -153,9 +186,23 @@ class GraftMLogCatalog extends TableCatalog with ProcedureCatalog {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    require(ident.namespace().sameElements(Array("mlog")),
-      s"$catalogName addresses stores as $catalogName.mlog.`/path`; got " +
-        ident.toString)
+    validateDdl(ident, schema, partitions, properties)
+    val p = new Path(ident.name())
+    // CAS-create: snapshot v1 with zero files. A racing creator (or any
+    // commit) winning the v1 slot means the table exists — CREATE must
+    // REPORT that, never absorb it the way an append retry would.
+    if (!MLog.createEmpty(fsOf(p), p))
+      throw new TableAlreadyExistsException(ident)
+    loadTable(ident)
+  }
+
+  /** Shared DDL validation: namespace, no PARTITIONED BY, provider mlog,
+    * and the fixed ledger schema (absent = plain `CREATE TABLE t USING
+    * mlog`, or the triple). */
+  private def validateDdl(ident: Identifier, schema: StructType,
+                          partitions: Array[Transform],
+                          properties: JMap[String, String]): Unit = {
+    requireNs(ident)
     require(partitions.isEmpty,
       "mlog tables take no PARTITIONED BY: layout is the writer's " +
         "repartitioning, pruning is manifest min/max")
@@ -167,13 +214,50 @@ class GraftMLogCatalog extends TableCatalog with ProcedureCatalog {
           MLog.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"mlog tables have the fixed ledger schema (id, k, v: BIGINT); " +
         s"got ${schema.simpleString}")
-    val p = new Path(ident.name())
-    // CAS-create: snapshot v1 with zero files. A racing creator (or any
-    // commit) winning the v1 slot means the table exists — CREATE must
-    // REPORT that, never absorb it the way an append retry would.
-    if (!MLog.createEmpty(fsOf(p), p))
-      throw new TableAlreadyExistsException(ident)
-    loadTable(ident)
+  }
+
+  /** ATOMIC CTAS/RTAS (`StagingTableCatalog`, the Delta/Iceberg shape):
+    * the returned [[MLogStagedTable]] collects the SELECT's committed
+    * task files WITHOUT publishing any manifest — the store does not
+    * exist until `commitStagedChanges` publishes exactly one snapshot
+    * (a v1 CAS for CREATE; a truncate-commit for REPLACE / CREATE OR
+    * REPLACE, which therefore PRESERVES snapshot history and the txn
+    * ledger). A failure during the SELECT aborts the staged files and
+    * leaves no table — closing the two-commit window where a plain
+    * create-then-append CTAS strands a committed empty table. */
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): StagedTable =
+    stage(ident, columns, partitions, properties, MLogStagedTable.Create)
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+                            partitions: Array[Transform],
+                            properties: JMap[String, String]): StagedTable = {
+    // REPLACE (no OR CREATE) targets an EXISTING table; checked here so
+    // the SELECT never runs against a typo'd path.
+    if (!exists(ident.name())) throw new NoSuchTableException(ident)
+    stage(ident, columns, partitions, properties, MLogStagedTable.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+                                    partitions: Array[Transform],
+                                    properties: JMap[String, String])
+      : StagedTable =
+    stage(ident, columns, partitions, properties,
+      MLogStagedTable.CreateOrReplace)
+
+  private def stage(ident: Identifier, columns: Array[Column],
+                    partitions: Array[Transform],
+                    properties: JMap[String, String],
+                    kind: MLogStagedTable.Kind): StagedTable = {
+    // name + dataType are all the fixed-schema check reads (Spark's own
+    // v2ColumnsToStructType is private[sql]).
+    validateDdl(ident,
+      StructType(columns.map(c =>
+        org.apache.spark.sql.types.StructField(c.name, c.dataType,
+          c.nullable)).toSeq),
+      partitions, properties)
+    new MLogStagedTable(ident, kind)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -185,23 +269,52 @@ class GraftMLogCatalog extends TableCatalog with ProcedureCatalog {
     * temps, and the local filesystem's `.crc` sidecars for any of those
     * — then the directory iff it is empty. Foreign files are never
     * touched (a typo'd path that is not a store raises
-    * NoSuchTableException before anything is deleted). */
+    * NoSuchTableException before anything is deleted).
+    *
+    * Concurrent-committer fence: within each pass the LOG goes first
+    * (pointer, then snapshots) so the store stops existing before its
+    * data files do — a committer interleaving with the drop re-reads an
+    * empty state rather than extending the one being deleted — and the
+    * listing is REPEATED until a pass finds nothing owned, so a commit
+    * that republished between the list and the deletes is swept rather
+    * than left as a half-dropped store. A committer that keeps writing
+    * FOREVER makes DROP fail loudly after bounded passes (like any
+    * destructive maintenance, DROP under sustained concurrent writes is
+    * an operator error — quiesce the writers). */
   override def dropTable(ident: Identifier): Boolean = {
     if (!ident.namespace().sameElements(Array("mlog"))) return false
     if (!exists(ident.name())) return false
     val p = new Path(ident.name())
     val fs = fsOf(p)
-    def owned(n: String): Boolean = {
-      val core = if (n.startsWith(".") && n.endsWith(".crc"))
+    def core(n: String): String =
+      if (n.startsWith(".") && n.endsWith(".crc"))
         n.stripPrefix(".").stripSuffix(".crc") else n
-      core == MLog.ManifestName || core.startsWith("_mlog_v") ||
-        core.endsWith(".mlog") || core.endsWith(".dvec") ||
-        core.startsWith(".mlog_vtmp-") ||
-        core.startsWith(s".${MLog.ManifestName}.tmp-")
+    def isLog(n: String): Boolean = {
+      val c = core(n)
+      c == MLog.ManifestName || c.startsWith("_mlog_v") ||
+        c.startsWith(".mlog_vtmp-") ||
+        c.startsWith(s".${MLog.ManifestName}.tmp-")
     }
-    fs.listStatus(p).foreach { st =>
-      if (st.isFile && owned(st.getPath.getName))
-        fs.delete(st.getPath, false): Unit
+    def isData(n: String): Boolean = {
+      val c = core(n)
+      c.endsWith(".mlog") || c.endsWith(".dvec")
+    }
+    var passes = 0
+    var sweeping = true
+    while (sweeping) {
+      passes += 1
+      require(passes <= 8,
+        s"mlog DROP TABLE under $p found fresh store files on every one " +
+          "of 8 sweep passes — a concurrent committer is still writing; " +
+          "quiesce writers and retry")
+      val owned = fs.listStatus(p).filter(st =>
+        st.isFile && (isLog(st.getPath.getName) || isData(st.getPath.getName)))
+      // Log before data within the pass: once the pointer and snapshots
+      // are gone the table no longer EXISTS, so the data files deleted
+      // after them were already unreachable through the format.
+      val (log, data) = owned.partition(st => isLog(st.getPath.getName))
+      (log ++ data).foreach(st => fs.delete(st.getPath, false): Unit)
+      sweeping = owned.nonEmpty
     }
     if (fs.listStatus(p).isEmpty) fs.delete(p, false): Unit
     true
@@ -213,4 +326,95 @@ class GraftMLogCatalog extends TableCatalog with ProcedureCatalog {
   private def refuse(what: String, why: String): Nothing =
     throw new UnsupportedOperationException(
       s"$catalogName does not support $what: $why")
+}
+
+object MLogStagedTable {
+  sealed trait Kind
+  case object Create extends Kind
+  case object Replace extends Kind
+  case object CreateOrReplace extends Kind
+}
+
+/** The staged half of an atomic CTAS / RTAS: a normal [[MLogTable]] whose
+  * WRITE does everything an mlog write does EXCEPT publish — executors
+  * stage attempt-unique ledger files exactly as any append (unreferenced
+  * by construction), and the driver-side `BatchWrite.commit` only
+  * RECORDS their entries here. The single manifest publish happens in
+  * [[commitStagedChanges]]:
+  *  - Create: a v1 CAS naming the staged files ([[MLog.createWith]]) —
+  *    losing the slot (a racing creator, or any commit) reports
+  *    TableAlreadyExists after deleting the staged files; nothing of
+  *    this CTAS survives.
+  *  - Replace / CreateOrReplace: one truncate-commit
+  *    ([[MLog.commitAppend]]) — base + 1 names only the staged files, so
+  *    history and the txn ledger SURVIVE a replace (the pre-replace
+  *    snapshot stays time-travelable until expired), unlike a
+  *    drop-and-recreate.
+  * `abortStagedChanges` (the engine calls it when the SELECT fails)
+  * deletes the staged files — no manifest was ever touched, so the
+  * store's existence is exactly what it was before the statement. */
+class MLogStagedTable(ident: Identifier, kind: MLogStagedTable.Kind)
+  extends MLogTable({
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", ident.name())
+    props
+  }) with StagedTable {
+
+  private val dir = new Path(ident.name())
+  private val conf = MLog.hadoopConf()
+  @volatile private var staged: Seq[MLog.FileEntry] = Seq.empty
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.fields.map(f => (f.name, f.dataType)).toSeq ==
+      MLog.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"mlog writes the fixed ledger schema (id, k, v: BIGINT); got " +
+        s.simpleString)
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // RTAS plans an unconditional OverwriteByExpression over the staged
+      // table; truncation here is a no-op BY CONSTRUCTION — the staged
+      // write publishes nothing, and commitStagedChanges' single
+      // truncate-commit (or v1 CAS) is what replaces the old state.
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(info: PhysicalWriteInfo)
+              : DataWriterFactory = MLogWriterFactory(dir.toString, conf)
+          // Stage only — the publish is commitStagedChanges' single
+          // snapshot, after the engine decides the whole statement won.
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            staged = messages.toSeq.collect {
+              case m: MLogCommit if m.name != null => m.entry
+            }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            MLogBatchWrite(dir.toString, conf, truncateFirst = false)
+              .abort(messages)
+        }
+      }
+    }
+  }
+
+  override def commitStagedChanges(): Unit = {
+    val fs = dir.getFileSystem(conf.value)
+    kind match {
+      case MLogStagedTable.Create =>
+        if (!MLog.createWith(fs, dir, staged)) {
+          abortStagedChanges()
+          throw new TableAlreadyExistsException(ident)
+        }
+      case MLogStagedTable.Replace | MLogStagedTable.CreateOrReplace =>
+        fs.mkdirs(dir)
+        // Truncate-commit: retries a lost CAS against the re-read state
+        // (replacing whatever won is exactly REPLACE's semantics); no
+        // txn identity, so the refusal path cannot trigger.
+        MLog.commitAppend(fs, dir, staged, None, truncate = true): Unit
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val fs = dir.getFileSystem(conf.value)
+    staged.foreach(e => fs.delete(new Path(dir, e.name), false): Unit)
+    staged = Seq.empty
+  }
 }

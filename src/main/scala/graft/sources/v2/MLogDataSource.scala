@@ -72,7 +72,21 @@ import org.apache.spark.util.SerializableConfiguration
   * is parquet's job, and the production shape for that is these same
   * commit/manifest protocols OVER parquet files (Delta/Iceberg). Every
   * write path validates the fixed schema loudly, so the boundary is an
-  * error message, never a silent coercion. */
+  * error message, never a silent coercion.
+  *
+  * SNAPSHOT-LOG SCALING, scope-pinned like the schema: the HOT path —
+  * planning a read — goes through the current pointer (one manifest
+  * read) or one named snapshot, never a history walk; commit CAS-es one
+  * slot. What is O(#retained-commits) is the log itself: [[versions]]
+  * lists the snapshot directory, so history/expire/vacuum/timestamp
+  * resolution are listing-bound (timestamp resolution then reads
+  * newest-first and stops at the first hit, so a near-head timestamp —
+  * the common pin — opens O(1) manifests). A store carried to 10⁶
+  * retained commits makes those MAINTENANCE operations listing-bound;
+  * the production answer is the retention loop this format already has
+  * (expireVersions keeps the listed set bounded — Delta/Iceberg ship the
+  * same contract: log retention is what keeps their history enumerable),
+  * not a second index over the log. */
 class MLogDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mlog"
 
@@ -121,10 +135,17 @@ object MLog {
     * `maxBytesPerTrigger` budget meter. -1 = a legacy manifest that
     * predates the field; [[sizeBytes]] then derives it from the fixed
     * row width (header + 24 B/row — exact for this format, which is why
-    * the fallback is safe rather than a guess). */
+    * the fallback is safe rather than a guess).
+    *
+    * `vb` is the file's (min, max) over the `v` column — recorded by
+    * every writer since the field existed, None for legacy manifest
+    * entries (unknown bounds: a `v` filter keeps the file, MIN/MAX(`v`)
+    * declines to push). Like the id/k bounds it covers ALL physical
+    * rows, masked included — conservative but sound for pruning. */
   case class FileEntry(name: String, rows: Long, minId: Long, maxId: Long,
                        minK: Long, maxK: Long, dv: Option[DvRef] = None,
-                       bytes: Long = -1L) {
+                       bytes: Long = -1L,
+                       vb: Option[(Long, Long)] = None) {
     def sizeBytes: Long = if (bytes >= 0) bytes else 8L + 24L * rows
     /** Rows a reader actually surfaces: physical minus DV-masked. */
     def logicalRows: Long = rows - dv.fold(0L)(_.rows)
@@ -139,9 +160,17 @@ object MLog {
     * foreachBatch commit (sink wrote, checkpoint didn't advance, batch
     * re-runs) can be refused without any window where data and marker
     * disagree. Carried forward across appends, overwrites, deletes and
-    * compactions — idempotence records must survive table rewrites. */
+    * compactions — idempotence records must survive table rewrites.
+    *
+    * `commitTimeMs` is the publishing driver's wall clock at CAS time —
+    * what `TIMESTAMP AS OF` resolves against ([[resolveTimestamp]]) and
+    * `CALL …history` surfaces. -1 = a legacy snapshot that predates the
+    * field; resolution then falls back to the snapshot FILE's
+    * modification time (the store's clock, close enough for a
+    * reproducibility pin and the same fallback Delta applies to its
+    * checkpointed commits). */
   case class Manifest(files: Seq[FileEntry], txn: Map[String, Long],
-                      version: Int = 0)
+                      version: Int = 0, commitTimeMs: Long = -1L)
 
   /** (files planned after manifest min/max pruning, files the manifest
     * names) for the mlog scan inside `df`'s physical plan — read from the
@@ -264,10 +293,16 @@ object MLog {
       val dv = Option(f.get("dv")).map(d =>
         DvRef(d.asText(), f.get("dvRows").asLong()))
       // "bytes" is OPTIONAL: legacy manifests derive it (fixed row width).
+      // "minV"/"maxV" are OPTIONAL: legacy entries parse as unbounded
+      // (None) — a v filter keeps them, MIN/MAX(v) declines to push.
+      val vb = (Option(f.get("minV")), Option(f.get("maxV"))) match {
+        case (Some(lo), Some(hi)) => Some((lo.asLong(), hi.asLong()))
+        case _ => None
+      }
       FileEntry(f.get("name").asText(), f.get("rows").asLong(),
         f.get("minId").asLong(), f.get("maxId").asLong(),
         f.get("minK").asLong(), f.get("maxK").asLong(), dv,
-        Option(f.get("bytes")).fold(-1L)(_.asLong()))
+        Option(f.get("bytes")).fold(-1L)(_.asLong()), vb)
     }
     // "txn" is OPTIONAL: manifests written before the transaction ledger
     // existed (and by writers that never set one) parse as empty.
@@ -278,8 +313,42 @@ object MLog {
     }
     // "v" (this manifest's own snapshot number) is absent in legacy
     // manifests — 0 means "unknown", and the pointer-vs-snapshot
-    // arbitration falls back to pointer-wins.
-    Manifest(entries, txn, Option(root.get("v")).fold(0)(_.asInt()))
+    // arbitration falls back to pointer-wins. "ts" (commit wall-clock,
+    // ms) is likewise absent in legacy snapshots: -1 = unknown,
+    // timestamp resolution falls back to the snapshot file's mtime.
+    Manifest(entries, txn, Option(root.get("v")).fold(0)(_.asInt()),
+      Option(root.get("ts")).fold(-1L)(_.asLong()))
+  }
+
+  /** Snapshot `v`'s commit wall-clock (ms since epoch): the manifest
+    * body's recorded "ts", falling back to the snapshot FILE's
+    * modification time for legacy snapshots that predate the field. */
+  def commitTimeMs(fs: FileSystem, dir: Path, v: Int): Long = {
+    val f = versionPath(dir, v)
+    require(fs.exists(f),
+      s"mlog version $v does not exist (expired or never committed) under $dir")
+    val recorded = readManifestFile(fs, f).commitTimeMs
+    if (recorded >= 0) recorded else fs.getFileStatus(f).getModificationTime
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the NEWEST retained snapshot whose
+    * commit time is <= `tsMs` — Delta's semantics (a timestamp pins the
+    * table state a reader at that wall-clock would have seen). Walks the
+    * retained snapshot list NEWEST-FIRST and stops at the first
+    * qualifying version, so a near-head timestamp (the common
+    * reproducibility pin) reads O(1) snapshot manifests, not O(history).
+    * Fails loudly when `tsMs` predates the first retained snapshot —
+    * serving the oldest anyway would silently hand back a state that did
+    * not exist at that time (or whose true state was expired). */
+  def resolveTimestamp(fs: FileSystem, dir: Path, tsMs: Long): Int = {
+    val vs = versions(fs, dir)
+    require(vs.nonEmpty, s"no committed mlog snapshots under $dir")
+    vs.reverseIterator.find(v => commitTimeMs(fs, dir, v) <= tsMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"mlog TIMESTAMP AS OF $tsMs ms predates the first retained " +
+          s"snapshot under $dir (v${vs.head} committed at " +
+          s"${commitTimeMs(fs, dir, vs.head)} ms) — the state at that " +
+          "time is unknown or expired"))
   }
 
   /** Optimistically-concurrent APPEND/OVERWRITE commit: loop { read the
@@ -335,17 +404,22 @@ object MLog {
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** CAS-create for `CREATE TABLE`: publish snapshot v1 naming zero
-    * files iff the store does not exist yet. Unlike [[commitAppend]]
+  /** CAS-create for `CREATE TABLE` (and, with `entries`, the atomic
+    * publish of a staged CTAS): publish snapshot v1 naming exactly
+    * `entries` iff the store does not exist yet. Unlike [[commitAppend]]
     * this NEVER retries a lost race — a competing creator (or any
     * commit) winning slot v1 means the table exists, which is exactly
     * the condition CREATE must report, not absorb. Returns false when
     * the store already exists or the v1 CAS was lost. */
-  private[v2] def createEmpty(fs: FileSystem, dir: Path): Boolean = {
+  private[v2] def createEmpty(fs: FileSystem, dir: Path): Boolean =
+    createWith(fs, dir, Seq.empty)
+
+  private[v2] def createWith(fs: FileSystem, dir: Path,
+                             entries: Seq[FileEntry]): Boolean = {
     if (fs.exists(new Path(dir, ManifestName)) || versions(fs, dir).nonEmpty)
       return false
     fs.mkdirs(dir)
-    tryPublish(fs, dir, 1, Seq.empty, Map.empty)
+    tryPublish(fs, dir, 1, entries, Map.empty)
   }
 
   /** CAS-publish `entries` + `txn` as snapshot `v`: the snapshot file is
@@ -372,6 +446,11 @@ object MLog {
     root.put("format", "mlog")
     root.put("version", Version)
     root.put("v", v) // which snapshot this state IS (pointer-lag arbiter)
+    // Commit wall-clock: what TIMESTAMP AS OF resolves against. The
+    // publishing driver's clock, stamped at CAS time — snapshot order is
+    // still the version number; the timestamp is a resolution index, not
+    // an ordering claim (two drivers' clocks can disagree).
+    root.put("ts", System.currentTimeMillis())
     val arr = root.putArray("files")
     // Name-sorted: the manifest is deterministic up to the files' uuids.
     entries.sortBy(_.name).foreach { e =>
@@ -380,6 +459,8 @@ object MLog {
       n.put("minId", e.minId); n.put("maxId", e.maxId)
       n.put("minK", e.minK); n.put("maxK", e.maxK)
       n.put("bytes", e.sizeBytes): Unit
+      e.vb.foreach { case (lo, hi) =>
+        n.put("minV", lo); n.put("maxV", hi): Unit }
       e.dv.foreach { d => n.put("dv", d.name); n.put("dvRows", d.rows): Unit }
     }
     if (txn.nonEmpty) {
@@ -479,12 +560,16 @@ object MLog {
     * (an executor wrote it; the driver has not yet published the manifest
     * naming it) is unreferenced BY DESIGN until its commit lands, so a
     * concurrent vacuum must not reclaim it. Files younger than the grace
-    * are spared regardless of reference state; 10 minutes bounds any
-    * realistic stage-to-publish window (Delta's deletedFileRetention
-    * plays the same role at 7 days for its longer-lived staging).
-    * Deterministic tests and single-writer maintenance pass 0
-    * explicitly. */
-  val DefaultVacuumGraceMs: Long = 600000L
+    * are spared regardless of reference state. 24 HOURS: the fence must
+    * exceed the longest stage-to-publish window any write job can have —
+    * at the scale this format targets, a large append/merge can stage
+    * files for hours before its single publish (Delta's equivalent fence
+    * defaults to 7 days), and the fence trusts store mtimes against the
+    * vacuuming driver's clock, so it also has to absorb clock skew.
+    * A vacuum concurrent with a writer whose job runs LONGER than the
+    * grace still needs an explicitly larger min_age. Deterministic tests
+    * and single-writer maintenance pass 0 explicitly. */
+  val DefaultVacuumGraceMs: Long = 24L * 3600000L
 
   /** Garbage-collect every `.mlog` data file that NO retained snapshot
     * manifest (nor the current pointer) references — the debris of
@@ -578,6 +663,7 @@ object MLog {
       var out: java.io.DataOutputStream = null
       var rows = 0L; var removed = 0L
       var minId = 0L; var maxId = 0L; var minK = 0L; var maxK = 0L
+      var minV = 0L; var maxV = 0L
       var i = 0L; var mi = 0
       while (i < e.rows) {
         val id = in.readLong(); val k = in.readLong(); val v = in.readLong()
@@ -589,10 +675,12 @@ object MLog {
               fs.create(new Path(d, name), false)))
             out.writeInt(Magic); out.writeInt(Version)
           }
-          if (rows == 0L) { minId = id; maxId = id; minK = k; maxK = k }
-          else {
+          if (rows == 0L) {
+            minId = id; maxId = id; minK = k; maxK = k; minV = v; maxV = v
+          } else {
             if (id < minId) minId = id; if (id > maxId) maxId = id
             if (k < minK) minK = k; if (k > maxK) maxK = k
+            if (v < minV) minV = v; if (v > maxV) maxV = v
           }
           out.writeLong(id); out.writeLong(k); out.writeLong(v)
           rows += 1
@@ -601,7 +689,7 @@ object MLog {
       }
       if (out != null) out.close()
       (if (rows > 0) Some(FileEntry(name, rows, minId, maxId, minK, maxK,
-         bytes = 8L + 24L * rows))
+         bytes = 8L + 24L * rows, vb = Some((minV, maxV))))
        else None, removed)
     } finally in.close()
   }
@@ -769,8 +857,14 @@ object MLog {
     // non-deterministic source (sample, limit, unordered dedup) could
     // otherwise pass the distinct-count check yet yield different rows
     // when collected or staged, letting a duplicate slip past the guard.
-    val src = source.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A source the CALLER already persisted is used as-is (it is already
+    // one materialization) and left cached on exit — re-persisting at a
+    // different level throws, and unpersisting a caller's cache behind
+    // its back silently changes the caller's cost model.
+    val callerCached = source.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val src = if (callerCached) source
+      else source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val shape = src.selectExpr("count(*)", "count(DISTINCT id)").head
       val (nSrc, nKeys) = (shape.getLong(0), shape.getLong(1))
@@ -807,7 +901,7 @@ object MLog {
         carried ++ results.flatMap(_._1) ++ staged, full.txn)
       MergeStats(touched.size, carried.size, results.map(_._2).sum,
         staged.size, base + 1)
-    } finally src.unpersist(blocking = false)
+    } finally if (!callerCached) src.unpersist(blocking = false)
   }
 
   /** Stage a DataFrame's partitions as ledger files WITHOUT publishing a
@@ -959,9 +1053,13 @@ object MLog {
       }
     } finally out.close()
     val rows = bin.map(_.rows).sum
+    // v bounds are manifest algebra too — but only when EVERY input
+    // carries them (one legacy unbounded input makes the union unbounded).
+    val vb = if (bin.forall(_.vb.isDefined))
+      Some((bin.map(_.vb.get._1).min, bin.map(_.vb.get._2).max)) else None
     FileEntry(name, rows, bin.map(_.minId).min,
       bin.map(_.maxId).max, bin.map(_.minK).min, bin.map(_.maxK).max,
-      bytes = 8L + 24L * rows)
+      bytes = 8L + 24L * rows, vb = vb)
   }
 
   private[v2] def hadoopConf(): SerializableConfiguration =
@@ -1015,12 +1113,14 @@ class MLogTable(properties: JMap[String, String])
     * WHERE whose every node evaluates exactly over the ledger triple AND
     * whose top-level conjuncts include at least one manifest-prunable
     * id/k bound runs through [[MLog.delete]] — manifest-pruned
-    * copy-on-write, no query executed. A predicate with no prunable
+    * copy-on-write, no query executed. A predicate with no id/k
     * bound (e.g. only on `v`, or an Or/In tree) is DECLINED even though
-    * it is exactly evaluable: `mayMatch` would mark every file touched
-    * and this "fast path" would byte-rewrite the whole table, where the
-    * group-based rewrite below (runtime `_file` group filtering) touches
-    * only the files that actually contain matches. The one trivial
+    * it is exactly evaluable: legacy entries carry no `v` bounds, so
+    * `mayMatch` could mark every file touched and this "fast path" would
+    * byte-rewrite files containing zero matches, where the group-based
+    * rewrite below (runtime `_file` group filtering) touches only the
+    * files that actually contain matches. (An id/k-bounded delete still
+    * prunes on `v` bounds too, where the entries carry them.) The one trivial
     * shape, an unqualified DELETE (all AlwaysTrue), IS taken: it
     * publishes an empty manifest directly — O(1), no row read; the
     * superseded files age out through expire + vacuum exactly like an
@@ -1030,7 +1130,7 @@ class MLogTable(properties: JMap[String, String])
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     !pinnedRead && filters.forall(MLogFilterEval.evaluable) &&
       (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) ||
-        filters.exists(f => MLogScanBuilder.bound(f).isDefined))
+        filters.exists(f => MLogScanBuilder.bound(f).exists(_._1 != "v")))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
@@ -1196,10 +1296,12 @@ case class MLogBatchWrite(dir: String, conf: SerializableConfiguration,
 }
 
 case class MLogCommit(name: String, rows: Long, minId: Long, maxId: Long,
-                      minK: Long, maxK: Long) extends WriterCommitMessage {
+                      minK: Long, maxK: Long,
+                      minV: Long = 0L, maxV: Long = 0L)
+  extends WriterCommitMessage {
   def entry: MLog.FileEntry =
     MLog.FileEntry(name, rows, minId, maxId, minK, maxK,
-      bytes = 8L + 24L * rows)
+      bytes = 8L + 24L * rows, vb = Some((minV, maxV)))
 }
 
 case class MLogWriterFactory(dir: String, conf: SerializableConfiguration)
@@ -1215,7 +1317,7 @@ case class MLogWriterFactory(dir: String, conf: SerializableConfiguration)
       private val fs = d.getFileSystem(conf.value)
       private var out: java.io.DataOutputStream = _
       private var rows = 0L
-      private var minId, maxId, minK, maxK = 0L
+      private var minId, maxId, minK, maxK, minV, maxV = 0L
 
       override def write(row: InternalRow): Unit = {
         require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2),
@@ -1227,10 +1329,12 @@ case class MLogWriterFactory(dir: String, conf: SerializableConfiguration)
           out.writeInt(MLog.Magic); out.writeInt(MLog.Version)
         }
         val id = row.getLong(0); val k = row.getLong(1); val v = row.getLong(2)
-        if (rows == 0L) { minId = id; maxId = id; minK = k; maxK = k }
-        else {
+        if (rows == 0L) {
+          minId = id; maxId = id; minK = k; maxK = k; minV = v; maxV = v
+        } else {
           if (id < minId) minId = id; if (id > maxId) maxId = id
           if (k < minK) minK = k; if (k > maxK) maxK = k
+          if (v < minV) minV = v; if (v > maxV) maxV = v
         }
         out.writeLong(id); out.writeLong(k); out.writeLong(v)
         rows += 1
@@ -1238,7 +1342,8 @@ case class MLogWriterFactory(dir: String, conf: SerializableConfiguration)
 
       override def commit(): WriterCommitMessage = {
         if (out != null) out.close()
-        MLogCommit(if (rows > 0) name else null, rows, minId, maxId, minK, maxK)
+        MLogCommit(if (rows > 0) name else null, rows, minId, maxId, minK,
+          maxK, minV, maxV)
       }
 
       override def abort(): Unit = {
@@ -1331,11 +1436,15 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
     * on the driver, and at 100 TB the difference between a metadata
     * lookup and a full-table scan. Sound because the manifest is exact:
     * logical row counts carry the DV adjustment, so COUNT pushes even
-    * on vectored tables; per-file min/max bound PHYSICAL rows, so
-    * MIN/MAX push only when NO file carries a vector (a mask could hide
-    * the extreme row). COUNT(col) == COUNT(*) because ledger columns
-    * are non-null by construction. Any filter, grouping, DISTINCT, or
-    * other function declines — the ordinary scan path serves it. */
+    * on vectored tables; per-file min/max bound PHYSICAL rows, so a
+    * MIN/MAX pushes exactly when some file ATTAINING the global extreme
+    * is vector-free (its bound row is live and unbeatable — most
+    * post-delete tables keep pushing; only an extreme held solely by
+    * vectored files declines). MIN/MAX(`v`) additionally needs every
+    * planned entry to carry v bounds (legacy entries do not). COUNT(col)
+    * == COUNT(*) because ledger columns are non-null by construction.
+    * Any filter, grouping, DISTINCT, or other function declines — the
+    * ordinary scan path serves it. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = translate(agg).isDefined
@@ -1363,31 +1472,43 @@ class MLogScanBuilder(dir: Path, conf: SerializableConfiguration,
     if (sawFilters || agg.groupByExpressions.nonEmpty) return None
     if (planned.isEmpty) return None // empty table: MIN/MAX are null —
                                      // let the ordinary path produce them
-    val anyDv = planned.exists(_.dv.isDefined)
-    def keyed(e: VExpr): Option[String] = e match {
+    def colOf(e: VExpr): Option[String] = e match {
       case n: NamedReference if n.fieldNames().length == 1 &&
-          (n.fieldNames().head == "id" || n.fieldNames().head == "k") =>
+          Seq("id", "k", "v").contains(n.fieldNames().head) =>
         Some(n.fieldNames().head)
       case _ => None
     }
-    def ledgerCol(e: VExpr): Boolean = e match {
-      case n: NamedReference => n.fieldNames().length == 1 &&
-        Seq("id", "k", "v").contains(n.fieldNames().head)
-      case _ => false
+    // Per-file (min, max) for a ledger column — None when any planned
+    // entry lacks it (a legacy entry's `v` bounds), which declines the
+    // push: an unbounded file could hold the true extreme.
+    def rangeOf(e: MLog.FileEntry, col: String): Option[(Long, Long)] =
+      col match {
+        case "id" => Some((e.minId, e.maxId))
+        case "k" => Some((e.minK, e.maxK))
+        case _ => e.vb
+      }
+    // MIN/MAX push DV-aware, per extreme: per-file bounds cover PHYSICAL
+    // rows, so the global physical extreme is EXACT AND ATTAINED exactly
+    // when some file attaining it carries no deletion vector (its bound
+    // row is live; no other file can beat it). A vectored table whose
+    // extreme sits in a vector-free file still pushes — only an extreme
+    // attained solely by vectored files declines (the mask could hide
+    // the bound row, making the true extreme unknowable from metadata).
+    def extreme(col: String, isMin: Boolean): Option[Long] = {
+      val ranges = planned.map(e => rangeOf(e, col).map(r =>
+        (e, if (isMin) r._1 else r._2)))
+      if (ranges.exists(_.isEmpty)) return None
+      val vs = ranges.flatten
+      val x = if (isMin) vs.map(_._2).min else vs.map(_._2).max
+      if (vs.exists(p => p._2 == x && p._1.dv.isEmpty)) Some(x) else None
     }
     val rows = planned.map(_.logicalRows).sum
     val vals = agg.aggregateExpressions().map {
       case _: CountStar => Some(rows)
-      case c: Count if !c.isDistinct && ledgerCol(c.column) =>
+      case c: Count if !c.isDistinct && colOf(c.column).isDefined =>
         Some(rows) // non-null by construction
-      case m: Min if !anyDv => keyed(m.column).map {
-        case "id" => planned.map(_.minId).min
-        case _ => planned.map(_.minK).min
-      }
-      case m: Max if !anyDv => keyed(m.column).map {
-        case "id" => planned.map(_.maxId).max
-        case _ => planned.map(_.maxK).max
-      }
+      case m: Min => colOf(m.column).flatMap(extreme(_, isMin = true))
+      case m: Max => colOf(m.column).flatMap(extreme(_, isMin = false))
       case _ => None
     }
     if (vals.forall(_.isDefined)) Some(vals.toSeq.map(_.get)) else None
@@ -1447,7 +1568,11 @@ case class MLogAggScan(dir: String, values: Seq[Long], required: StructType)
 }
 
 object MLogScanBuilder {
-  /** (column, op, value) for the filter shapes manifest ranges can serve. */
+  /** (column, op, value) for the filter shapes manifest ranges can serve.
+    * All three ledger columns qualify: id/k bounds have always been in
+    * the manifest; `v` bounds exist on every entry written since the
+    * field did (a legacy entry has NO v bounds and [[accepts]] keeps
+    * it — pruning degrades, soundness does not). */
   private[graft] def bound(f: Filter): Option[(String, String, Long)] = f match {
     case EqualTo(a, v: java.lang.Long) if keyed(a) => Some((a, "=", v))
     case GreaterThan(a, v: java.lang.Long) if keyed(a) => Some((a, ">", v))
@@ -1456,18 +1581,29 @@ object MLogScanBuilder {
     case LessThanOrEqual(a, v: java.lang.Long) if keyed(a) => Some((a, "<=", v))
     case _ => None
   }
-  private def keyed(a: String): Boolean = a == "id" || a == "k"
+  private def keyed(a: String): Boolean = a == "id" || a == "k" || a == "v"
+
+  /** File `e`'s manifest (min, max) for `col` — None when unknown (a
+    * legacy entry's `v`), which every caller must treat as "keep". */
+  private def rangeOf(e: MLog.FileEntry, col: String): Option[(Long, Long)] =
+    col match {
+      case "id" => Some((e.minId, e.maxId))
+      case "k" => Some((e.minK, e.maxK))
+      case _ => e.vb
+    }
 
   private[graft] def accepts(e: MLog.FileEntry, f: Filter): Boolean =
     bound(f) match {
       case Some((col, op, v)) =>
-        val (mn, mx) = if (col == "id") (e.minId, e.maxId) else (e.minK, e.maxK)
-        op match {
-          case "=" => mn <= v && v <= mx
-          case ">" => mx > v
-          case ">=" => mx >= v
-          case "<" => mn < v
-          case "<=" => mn <= v
+        rangeOf(e, col) match {
+          case Some((mn, mx)) => op match {
+            case "=" => mn <= v && v <= mx
+            case ">" => mx > v
+            case ">=" => mx >= v
+            case "<" => mn < v
+            case "<=" => mn <= v
+          }
+          case None => true // unknown bounds: keep (residual re-applies)
         }
       case None => true
     }

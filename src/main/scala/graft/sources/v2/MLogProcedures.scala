@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.procedures.{
   BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types.{
-  IntegerType, LongType, StringType, StructField, StructType}
+  IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** SQL stored procedures for mlog TABLE MAINTENANCE — the Iceberg `CALL
   * catalog.system.…` surface (Spark 4's `ProcedureCatalog`), exposed by
@@ -153,7 +153,8 @@ object MLogProcedures {
     * would drop, and how the table's footprint grew commit by commit. */
   object History extends Maintenance("history") {
     override def description(): String =
-      "one row per RETAINED snapshot, ascending: its version, file " +
+      "one row per RETAINED snapshot, ascending: its version, commit " +
+        "wall-clock (what TIMESTAMP AS OF resolves against), file " +
         "count, logical row count (physical minus DV-masked), and " +
         "on-disk data bytes — what time travel can still reach"
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -164,11 +165,16 @@ object MLogProcedures {
       MLog.requireStore(fs, p, "describe the history of")
       val rows = MLog.versions(fs, p).map { v =>
         val m = MLog.readManifestVersion(fs, p, v)
-        new GenericInternalRow(Array[Any](v, m.size,
+        // Commit time as a TIMESTAMP (µs internally): the body's stamped
+        // "ts", or the snapshot file's mtime for legacy snapshots — the
+        // same value MLog.resolveTimestamp resolves TIMESTAMP AS OF by.
+        val tsUs = MLog.commitTimeMs(fs, p, v) * 1000L
+        new GenericInternalRow(Array[Any](v, tsUs, m.size,
           m.map(_.logicalRows).sum, m.map(_.sizeBytes).sum)): InternalRow
       }
       resultRows(StructType(Seq(
         StructField("version", IntegerType),
+        StructField("commit_at", TimestampType),
         StructField("n_files", IntegerType),
         StructField("n_rows", LongType),
         StructField("n_bytes", LongType))), rows.toArray)

@@ -514,13 +514,19 @@ class MLogSpec extends SparkSpec {
     val (planned, seen) = MLog.planned(prq)
     assert(seen === total && planned < total,
       s"catalog-route k = 3 must prune the v1 range files (planned $planned/$total)")
-    // Refusals are loud: timestamp travel and unknown versions.
+    // TIMESTAMP AS OF resolves against stamped commit times ("the newest
+    // snapshot <= ts"): a current timestamp sees the current state; one
+    // BEFORE the first retained snapshot is a loud refusal (that state is
+    // unknown or expired), never a silent oldest. Unknown versions stay
+    // loud too. (MLogCatalogDdlSpec owns the between-snapshots pin.)
+    assert(one(s"SELECT count(*) FROM graft.mlog.`$dir` " +
+      "TIMESTAMP AS OF current_timestamp()") === 10L)
     val ts = intercept[Exception] {
       spark.sql(
         s"SELECT count(*) FROM graft.mlog.`$dir` TIMESTAMP AS OF '2024-01-01'")
         .head
     }
-    assert(ts.getMessage.contains("VERSION AS OF"))
+    assert(ts.getMessage.contains("predates the first retained snapshot"))
     val gone = intercept[Exception] {
       spark.sql(s"SELECT count(*) FROM graft.mlog.`$dir` VERSION AS OF 99").head
     }
@@ -956,10 +962,12 @@ class MLogSpec extends SparkSpec {
     val agg = spark.read.format("mlog").load(dir)
       .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
         min(col("id")).as("mn"), max(col("id")).as("mx"),
-        min(col("k")).as("mnk"), max(col("k")).as("mxk"))
+        min(col("k")).as("mnk"), max(col("k")).as("mxk"),
+        min(col("v")).as("mnv"), max(col("v")).as("mxv"))
     assert(isMeta(agg), "unfiltered count/min/max must push to the manifest:\n" +
       agg.queryExecution.executedPlan)
-    assert(agg.collect().head.toSeq === Seq(700L, 700L, 0L, 699L, 0L, 6L))
+    assert(agg.collect().head.toSeq ===
+      Seq(700L, 700L, 0L, 699L, 0L, 6L, 0L, 6990L))
     // A filter declines (residuals must re-apply row-level) …
     val filtered = spark.read.format("mlog").load(dir)
       .filter(col("k") > 3).agg(count(lit(1)))
@@ -971,8 +979,13 @@ class MLogSpec extends SparkSpec {
       .agg(countDistinct(col("k")))
     assert(!isMeta(distinct) && distinct.head.getLong(0) === 7L)
     // … and on a vectored table COUNT still pushes (logical rows carry
-    // the DV adjustment) while MIN/MAX declines (a mask could hide the
-    // extreme physical row).
+    // the DV adjustment), while MIN/MAX is decided PER EXTREME: it
+    // pushes iff some file attaining the global extreme is vector-free
+    // (its bound row is live and unbeatable), and declines only when
+    // every attaining file is masked (the extreme row's liveness is
+    // unknowable from metadata). ids 0..9 spread over all 7 k-range
+    // files, so every file gains a vector here — both id extremes sit
+    // in vectored files and decline.
     MLog.deleteMor(spark, new Path(dir), _ => true, (id, _, _) => id < 10)
     val cnt = spark.read.format("mlog").load(dir).agg(count(lit(1)))
     assert(isMeta(cnt) && cnt.head.getLong(0) === 690L)
@@ -982,6 +995,90 @@ class MLogSpec extends SparkSpec {
     val tt = spark.read.format("mlog").option("versionAsOf", 1).load(dir)
       .agg(count(lit(1)), max(col("id")))
     assert(isMeta(tt) && tt.head.toSeq === Seq(700L, 699L))
+    // The sharpened half: vector only SOME files, extremes still
+    // attained by vector-free files keep pushing — the common
+    // post-delete table does not lose the metadata answer.
+    val dir2 = tmp()
+    ledger(700).repartitionByRange(7, col("id")).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir2)
+    // Mask rows only in the MIDDLE id file: both id extremes (0, 699)
+    // live in vector-free edge files; max(v)=6990 rides with id 699.
+    MLog.deleteMor(spark, new Path(dir2), _ => true,
+      (id, _, _) => id >= 330 && id < 340)
+    val sharp = spark.read.format("mlog").load(dir2)
+      .agg(count(lit(1)), min(col("id")), max(col("id")), max(col("v")))
+    assert(isMeta(sharp),
+      "extremes attained by vector-free files must still push under DVs:\n" +
+        sharp.queryExecution.executedPlan)
+    assert(sharp.collect().head.toSeq === Seq(690L, 0L, 699L, 6990L))
+    // …while an extreme attained ONLY by a vectored file declines: mask
+    // something in the id-min file and min(id) must fall back to a scan.
+    MLog.deleteMor(spark, new Path(dir2), _ => true, (id, _, _) => id == 3)
+    val edge = spark.read.format("mlog").load(dir2).agg(min(col("id")))
+    assert(!isMeta(edge) && edge.head.getLong(0) === 0L)
+    val still = spark.read.format("mlog").load(dir2).agg(max(col("id")))
+    assert(isMeta(still) && still.head.getLong(0) === 699L,
+      "the other extreme's file is still vector-free — max keeps pushing")
+  }
+
+  test("per-file v bounds: a v predicate prunes files like id/k; a " +
+      "legacy manifest without them stays readable, keeps every file, " +
+      "and declines the v metadata-extremes") {
+    val dir = tmp()
+    // v-clustered layout: v = id * 10, so an id-range layout IS a
+    // v-range layout — a v filter must cut files on manifest bounds.
+    ledger(700).repartitionByRange(7, col("id")).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    val total = MLog.readManifest(fs(dir), new Path(dir)).size
+    val q = spark.read.format("mlog").load(dir).filter(col("v") < 500L)
+    val (planned, seen) = MLog.planned(q)
+    assert(seen === total && planned < total,
+      s"v < 500 must prune v-clustered files (planned $planned/$total)")
+    assert(q.count() === 50L)
+    // LEGACY manifest: strip minV/maxV (and the commit "ts") from the
+    // CURRENT pointer and every snapshot — the store a pre-upgrade
+    // writer left behind. Reads stay green, a v filter keeps all files
+    // (unknown bounds are kept, residuals re-apply), MIN/MAX(v)
+    // declines while id/k extremes still push, and TIMESTAMP AS OF
+    // falls back to snapshot-file mtimes.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    new java.io.File(dir).listFiles().filter(f =>
+      f.getName == MLog.ManifestName || f.getName.startsWith("_mlog_v"))
+      .foreach { f =>
+        val root = mapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        root.remove("ts")
+        root.get("files").forEach { n =>
+          n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .remove(java.util.List.of("minV", "maxV")): Unit
+        }
+        // The local FS keeps a .crc sidecar per file: drop it so the
+        // rewritten manifest does not read as a checksum mismatch.
+        new java.io.File(dir, s".${f.getName}.crc").delete()
+        java.nio.file.Files.write(f.toPath, mapper.writeValueAsBytes(root))
+        ()
+      }
+    val legacy = spark.read.format("mlog").load(dir)
+    assert(legacy.count() === 700L, "a legacy manifest must read green")
+    val lq = legacy.filter(col("v") < 500L)
+    val (lPlanned, lSeen) = MLog.planned(lq)
+    assert(lSeen === total && lPlanned === total,
+      "unknown v bounds must KEEP every file, never guess")
+    assert(lq.count() === 50L)
+    def isMeta(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("metadata-only")
+    val mv = spark.read.format("mlog").load(dir).agg(min(col("v")))
+    assert(!isMeta(mv) && mv.head.getLong(0) === 0L,
+      "MIN(v) must decline on unbounded legacy entries")
+    val mi = spark.read.format("mlog").load(dir)
+      .agg(min(col("id")), max(col("k")))
+    assert(isMeta(mi) && mi.head.toSeq === Seq(0L, 6L),
+      "id/k extremes still push — their bounds never left the manifest")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftMLogCatalog].getName)
+    assert(spark.sql(s"SELECT count(*) FROM graft.mlog.`$dir` " +
+      "TIMESTAMP AS OF current_timestamp()").head.getLong(0) === 700L,
+      "legacy snapshots resolve TIMESTAMP AS OF by file mtime")
   }
 
   test("vectorized read path: the scan emits ColumnarBatches under a " +

@@ -109,16 +109,17 @@ class MLogCatalogDdlSpec extends graft.SparkSpec {
       === Seq(9L))
   }
 
-  test("CTAS creates and fills in the ordinary commit discipline; a CTAS " +
-      "of the wrong shape refuses and leaves nothing") {
+  test("CTAS is ATOMIC (StagingTableCatalog): one v1 commit naming the " +
+      "staged files; a CTAS of the wrong shape refuses and leaves nothing") {
     val dir = store()
     val c = cat()
     ledger(80).createOrReplaceTempView("mlog_ctas_src")
     spark.sql(s"CREATE TABLE $c.`$dir` USING mlog AS " +
       "SELECT * FROM mlog_ctas_src")
     assert(spark.table(s"$c.`$dir`").count() === 80L)
-    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2),
-      "CTAS = create commit (v1, empty) + append commit (v2, the rows)")
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1),
+      "atomic CTAS = ONE commit: v1 names the SELECT's staged files " +
+        "directly (no committed-empty-table window)")
     intercept[TableAlreadyExistsException] {
       spark.sql(s"CREATE TABLE $c.`$dir` USING mlog AS " +
         "SELECT * FROM mlog_ctas_src")
@@ -129,6 +130,35 @@ class MLogCatalogDdlSpec extends graft.SparkSpec {
         "SELECT id, k FROM mlog_ctas_src")
     }
     assert(!exists(dir2), "a refused CTAS must leave no table behind")
+  }
+
+  test("a CTAS whose SELECT fails mid-flight leaves NO table and no " +
+      "staged debris is referenced; REPLACE of a missing table refuses") {
+    val dir = store()
+    val c = cat()
+    // A SELECT that dies on the executors AFTER the statement began: the
+    // staged-write abort + abortStagedChanges path, the exact window a
+    // two-commit CTAS strands a committed empty table in.
+    val boom = udf((i: Long) =>
+      if (i > 40) throw new RuntimeException("ctas boom") else i)
+    spark.udf.register("mlog_ctas_boom", boom)
+    ledger(80).createOrReplaceTempView("mlog_ctas_fail_src")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.`$dir` USING mlog AS " +
+        "SELECT mlog_ctas_boom(id) AS id, k, v FROM mlog_ctas_fail_src")
+    }
+    assert(!exists(dir),
+      "an atomic CTAS that failed mid-SELECT must leave no table")
+    // REPLACE (without OR CREATE) names an existing table or refuses
+    // before the SELECT runs.
+    val missing = intercept[Exception] {
+      spark.sql(s"REPLACE TABLE $c.`$dir` USING mlog AS " +
+        "SELECT * FROM mlog_ctas_fail_src")
+    }
+    assert(missing.isInstanceOf[NoSuchTableException] ||
+      missing.getMessage.toUpperCase.contains("NOT_FOUND"),
+      s"REPLACE of a missing table must be a standard condition, got $missing")
+    assert(!exists(dir))
   }
 
   test("DROP TABLE removes exactly what the format owns; foreign files " +
@@ -178,13 +208,19 @@ class MLogCatalogDdlSpec extends graft.SparkSpec {
     assert(MLog.versions(fs(dir), new Path(dir)).last === preV + 1)
     assert(spark.read.format("mlog").option("versionAsOf", preV)
       .load(dir).count() === 40L)
-    // CREATE OR REPLACE on a non-staging catalog = drop + create.
+    // CREATE OR REPLACE on the STAGING catalog is one truncate-commit:
+    // history and the pre-replace snapshots SURVIVE (time travel to the
+    // pre-replace state keeps working until retention drops it) —
+    // Delta's REPLACE semantics, not a drop-and-recreate.
     ledger(10).createOrReplaceTempView("mlog_ddl_repl")
     spark.sql(s"CREATE OR REPLACE TABLE $c.`$dir` USING mlog AS " +
       "SELECT * FROM mlog_ddl_repl")
     assert(spark.table(s"$c.`$dir`").count() === 10L)
-    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2),
-      "replace starts a fresh store lifecycle: create + fill")
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2, 3),
+      "replace is ONE commit on the existing lifecycle, not a fresh store")
+    assert(spark.read.format("mlog").option("versionAsOf", preV)
+      .load(dir).count() === 40L,
+      "the pre-replace snapshot must stay time-travelable")
   }
 
   test("the catalog route inherits every scan pushdown: metadata-only " +
@@ -210,6 +246,52 @@ class MLogCatalogDdlSpec extends graft.SparkSpec {
     val stats = spark.sql(s"SELECT * FROM $c.`$dir`")
       .queryExecution.optimizedPlan.stats
     assert(stats.rowCount.exists(_.toLong === 300L))
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest snapshot <= ts; between " +
+      "commits it pins the earlier one; before the first it refuses; " +
+      "history surfaces the commit wall-clock") {
+    val dir = store()
+    val c = cat()
+    ledger(40).coalesce(1).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    // Distinct commit wall-clocks: the ms clock must tick between the
+    // two snapshots for "between" to be a real instant.
+    Thread.sleep(5)
+    ledger(90).coalesce(1).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    val p = new Path(dir)
+    val t1 = MLog.commitTimeMs(fs(dir), p, 1)
+    val t2 = MLog.commitTimeMs(fs(dir), p, 2)
+    assert(t1 < t2, "commit times must be stamped and ascending here")
+    def at(tsMs: Long): Long = spark.sql(
+      s"SELECT count(*) FROM $c.`$dir` " +
+        s"TIMESTAMP AS OF timestamp_millis(${tsMs}L)").head.getLong(0)
+    // Exactly at a commit = that commit; strictly between = the earlier;
+    // at-or-after the head = the head.
+    assert(at(t1) === 40L)
+    assert(at(t2 - 1) === 40L, "between v1 and v2 resolves to v1")
+    assert(at(t2) === 90L)
+    assert(at(System.currentTimeMillis() + 60000L) === 90L)
+    // Route equivalence: the resolved table IS the versionAsOf table.
+    assert(spark.sql(s"SELECT sum(v) FROM $c.`$dir` " +
+        s"TIMESTAMP AS OF timestamp_millis(${t1}L)").head.getLong(0) ===
+      spark.read.format("mlog").option("versionAsOf", 1).load(dir)
+        .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0))
+    // Before the first retained snapshot: loud, named refusal.
+    val early = intercept[Exception] { at(t1 - 1000L) }
+    assert(early.getMessage.contains("predates the first retained snapshot"))
+    // CALL history surfaces the same wall-clocks TIMESTAMP AS OF
+    // resolves by, one TIMESTAMP row per retained snapshot, ascending.
+    val hist = spark.sql(s"CALL graft.system.history('$dir')").collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(hist.map(_.getTimestamp(1).getTime).toSeq === Seq(t1, t2),
+      "history's commit_at must be the stamped commit time")
+    // Expire v1: a timestamp that used to resolve there now refuses —
+    // expired state is unknown state, not silently the oldest survivor.
+    MLog.expireVersions(fs(dir), p, keepLast = 1)
+    val expired = intercept[Exception] { at(t1) }
+    assert(expired.getMessage.contains("predates the first retained snapshot"))
   }
 
   test("racing CREATEs: exactly one wins the v1 slot, the loser reports " +

@@ -294,10 +294,13 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
     assert(spark.sql("DESCRIBE PROCEDURE graft.system.history")
       .collect().map(_.getString(0)).mkString("\n").contains("history"))
     val hist = spark.sql(s"CALL graft.system.history('$dir')")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r =>
+        (r.getInt(0), r.getTimestamp(1), r.getInt(2), r.getLong(3)))
     assert(hist.map(_._1).toSeq === MLog.versions(fs(dir), new Path(dir)),
       "one history row per retained snapshot, ascending")
-    assert(hist.last._3 === 50L, "rows of the newest snapshot")
+    assert(hist.forall(_._2 != null),
+      "every retained snapshot surfaces its commit wall-clock")
+    assert(hist.last._4 === 50L, "rows of the newest snapshot")
     val notStore = tmp()
     new java.io.File(notStore).mkdirs()
     val refuse = intercept[Exception] {
