@@ -62,7 +62,14 @@ object Bench {
     // the wall clock doesn't.
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional scoping: extra args = exact query names (the Verify
+    // convention) — an A/B of one suspect query shouldn't pay the full
+    // suite twice. No args = the whole declared surface.
+    val names = args.toSet
+    val ordered = SparkEntry.queries.toSeq
+      .filter(q => names.isEmpty || names(q._1)).sortBy(_._1)
+    require(names.isEmpty || ordered.size == names.size,
+      s"unknown bench query names: ${names -- ordered.map(_._1)}")
 
     // Untimed warm-up: JVM/codegen/parquet-footer startup costs otherwise
     // land entirely on whichever query happens to run first.

@@ -1330,6 +1330,83 @@ object StreamingQueries {
         .withColumn("ledger_recorded", lit(facts(2) == 1L))
     },
 
+    // NATIVE STREAMING SINK — `df.writeStream.format("mlog")`
+    // (STREAMING_WRITE, the Delta ingest idiom), the engine-managed
+    // sibling of stream_mlog_ingest's foreachBatch route: each epoch's
+    // staged files publish as ONE snapshot with (queryId, epochId)
+    // recorded in the manifest's transaction ledger
+    // ([[graft.sources.v2.MLogStreamingWrite]] — the queryId is the
+    // StreamingQuery's STABLE id, persisted in the checkpoint, so a
+    // commit-then-crash replay after restart hits the slot the original
+    // commit recorded and is refused; MLogSpec pins the replay and the
+    // restart-continues-epochs halves). Gated: the drained store equals
+    // DuckDB over the raw events, commit_per_epoch pins one snapshot per
+    // micro-batch, ledger_recorded pins the final (queryId -> epoch)
+    // entry. Facts persist in the _READY marker.
+    checked("stream_mlog_sink",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  true AS commit_per_epoch, true AS ledger_recorded
+         |FROM events""".stripMargin) { (s, d) =>
+      import graft.sources.v2.MLog
+      val dir = TmpDirs.scoped(s"graft_mlogsink_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      val facts = if (!ready.exists()) {
+        rmTree(dir); dir.mkdirs()
+        val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+        val ledger = Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+        // One feed file per micro-batch, mtime-ordered (the
+        // stream_mlog_ingest fixture shape).
+        (0 to 2).foreach { i =>
+          val stage = new java.io.File(dir, s".stage_$i")
+          ledger.filter(pmod(col("id"), lit(3)) === i).coalesce(1)
+            .write.mode("overwrite").parquet(stage.getAbsolutePath)
+          val part = stage.listFiles().filter(f =>
+            f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+          val target = new java.io.File(feed, s"b$i.parquet")
+          java.nio.file.Files.move(part.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          rmTree(stage)
+          java.nio.file.Files.setLastModifiedTime(target.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() + i * 2000L))
+        }
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, k BIGINT, v BIGINT"))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed.getAbsolutePath)
+          .writeStream
+          .format("mlog")
+          .option("checkpointLocation",
+            new java.io.File(dir, "ckpt").getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(store)
+        q.awaitTermination()
+        val commitPerEpoch = MLog.versions(fs, path).size == 3
+        val ledgerOk = MLog.readManifestFull(fs, path).txn ==
+          Map(s"mlog-stream-${q.id}" -> 2L)
+        val f = Seq(if (commitPerEpoch) 1L else 0L, if (ledgerOk) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("commit_per_epoch", lit(facts(0) == 1L))
+        .withColumn("ledger_recorded", lit(facts(1) == 1L))
+    },
+
     // STREAMING ADMISSION CONTROL over the table-format source — the
     // Delta maxFilesPerTrigger/maxBytesPerTrigger primitive
     // ([[graft.sources.v2.MLogMicroBatchStream]]): a stream starting

@@ -1086,7 +1086,8 @@ class MLogTable(properties: JMap[String, String])
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   /** A time-travel (or diff) load must never be a mutation target. */
   private def pinnedRead: Boolean = properties.asScala.keys.exists(k =>
@@ -1229,7 +1230,8 @@ class MLogTable(properties: JMap[String, String])
     require(app.isDefined == ver.isDefined,
       "mlog txnAppId and txnVersion must be set together")
     new MLogWriteBuilder(MLog.pathOf(m), MLog.hadoopConf(),
-      truncateFirst = false, txn = app.zip(ver).headOption)
+      truncateFirst = false, txn = app.zip(ver).headOption,
+      queryId = info.queryId())
   }
 }
 
@@ -1237,16 +1239,81 @@ class MLogTable(properties: JMap[String, String])
 
 class MLogWriteBuilder(dir: Path, conf: SerializableConfiguration,
                        truncateFirst: Boolean,
-                       txn: Option[(String, Long)] = None)
+                       txn: Option[(String, Long)] = None,
+                       queryId: String = "")
   extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
-    new MLogWriteBuilder(dir, conf, truncateFirst = true, txn)
+    new MLogWriteBuilder(dir, conf, truncateFirst = true, txn, queryId)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       MLogBatchWrite(dir.toString, conf, truncateFirst, txn)
+    // Native streaming sink (`df.writeStream.format("mlog")` — the Delta
+    // ingest idiom, STREAMING_WRITE): identity is (queryId, epochId).
+    // The engine's queryId is the StreamingQuery's STABLE id (persisted
+    // in the checkpoint, unchanged across restarts), so a replayed epoch
+    // after a commit-then-crash restart hits the same ledger slot the
+    // original commit recorded — exactly-once without the user wiring
+    // txnAppId/txnVersion through foreachBatch (that route still exists
+    // for multi-sink batches; its options are batch-write-only).
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      MLogStreamingWrite(dir.toString, conf, truncateFirst,
+        s"mlog-stream-$queryId")
   }
+}
+
+/** Epoch-committed streaming sink: each micro-batch's staged files
+  * publish through [[MLog.commitAppend]] with (appId, epochId) recorded
+  * in the manifest's transaction ledger — ONE atomic snapshot per epoch,
+  * Delta's streaming-sink shape. A replayed epoch (sink committed, the
+  * checkpoint didn't advance, the restart re-runs it) is REFUSED by the
+  * ledger and its staged files are deleted — the exactly-once contract,
+  * native instead of via foreachBatch. OutputMode.Complete arrives as
+  * `truncate()` on the builder: every epoch then replaces the table
+  * (prior snapshots keep serving history until retention). */
+case class MLogStreamingWrite(dir: String, conf: SerializableConfiguration,
+                              truncateEachEpoch: Boolean, appId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite
+  with org.apache.spark.internal.Logging {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    MLogStreamingWriterFactory(dir, conf)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    fs.mkdirs(d)
+    val fresh = messages.toSeq.collect {
+      case m: MLogCommit if m.name != null => m.entry
+    }
+    if (!MLog.commitAppend(fs, d, fresh, Some((appId, epochId)),
+        truncateEachEpoch)) {
+      logInfo(s"mlog streaming sink: epoch $epochId of $appId already in " +
+        s"the ledger (a replay); dropping ${fresh.size} staged files")
+      abort(epochId, messages)
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    MLogBatchWrite(dir, conf, truncateFirst = false).abort(messages)
+}
+
+case class MLogStreamingWriterFactory(dir: String,
+                                      conf: SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.streaming
+    .StreamingDataWriterFactory {
+  // The batch writer is epoch-safe as-is: staged names are attempt-unique
+  // (partition, task, uuid), and nothing references a staged file until
+  // its epoch's commit publishes it.
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    MLogWriterFactory(dir, conf).createWriter(partitionId, taskId)
 }
 
 /** Driver-side commit: publish the manifest naming exactly the files the

@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
-import graft.sources.v2.{MLog, MLogBatchWrite, MLogScanBuilder, MLogWriterFactory}
+import graft.sources.v2.{MLog, MLogBatchWrite, MLogCommit, MLogScanBuilder,
+  MLogStreamingWrite, MLogWriterFactory}
 import org.apache.spark.sql.connector.write.WriterCommitMessage
 import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThanOrEqual}
 
@@ -639,6 +640,86 @@ class MLogSpec extends SparkSpec {
     val liveDv = postCmp.flatMap(_.dv).map(_.name).toSet
     assert(onDisk.filter(_.endsWith(".dvec")).toSet === liveDv)
     assert(cs.newVersion === MLog.versions(fs(dir), new Path(dir)).last)
+  }
+
+  test("native streaming sink: one ledger-stamped snapshot per epoch; a " +
+      "restart continues epochs; a replayed epoch is refused wholesale") {
+    val dir = tmp()
+    val feed = java.nio.file.Files.createTempDirectory("mlog_sink_feed")
+      .toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("mlog_sink_ckpt")
+      .toFile.getAbsolutePath
+    import spark.implicits._
+    def feedFile(i: Int): Unit = {
+      val stage = new java.io.File(feed, s".stage_$i")
+      (0 until 20).map(j => (i * 100L + j, j.toLong % 3, j * 10L))
+        .toDF("id", "k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(feed, s"b$i.parquet").toPath)
+      // mtime-ordered so FileStreamSource batches follow feed order.
+      java.nio.file.Files.setLastModifiedTime(
+        new java.io.File(feed, s"b$i.parquet").toPath,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + i * 2000L))
+      ()
+    }
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, k BIGINT, v BIGINT"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed.getAbsolutePath)
+        .writeStream.format("mlog")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dir)
+      q.awaitTermination(); q
+    }
+    feedFile(0); feedFile(1)
+    val q1 = drain()
+    val app = s"mlog-stream-${q1.id}"
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2),
+      "one snapshot per epoch")
+    assert(MLog.readManifestFull(fs(dir), new Path(dir)).txn ===
+      Map(app -> 1L))
+    assert(spark.read.format("mlog").load(dir).count() === 40L)
+    // RESTART from the same checkpoint with new data: the query id is
+    // stable, epochs CONTINUE (2), and the ledger advances — not resets.
+    feedFile(2)
+    val q2 = drain()
+    assert(q2.id === q1.id, "restart keeps the stable query id")
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2, 3))
+    assert(MLog.readManifestFull(fs(dir), new Path(dir)).txn ===
+      Map(app -> 2L))
+    assert(spark.read.format("mlog").load(dir).count() === 60L)
+    // REPLAYED EPOCH (sink committed, checkpoint didn't advance, restart
+    // re-runs it): same (appId, epochId) — refused wholesale, staged
+    // file deleted, zero new snapshots, zero new rows.
+    val c = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val w = MLogWriterFactory(dir, c).createWriter(0, 777L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(9999L, 0L, 1L))
+    val msg = w.commit().asInstanceOf[MLogCommit]
+    MLogStreamingWrite(dir, c, truncateEachEpoch = false, app)
+      .commit(2L, Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage](msg))
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2, 3),
+      "a replayed epoch must publish nothing")
+    assert(spark.read.format("mlog").load(dir).count() === 60L)
+    assert(!new java.io.File(dir, msg.name).exists(),
+      "the replay's staged file is cleaned like an abort")
+    // A NEW epoch through the same write commits normally.
+    val w2 = MLogWriterFactory(dir, c).createWriter(0, 778L)
+    w2.write(org.apache.spark.sql.catalyst.InternalRow(9999L, 0L, 1L))
+    MLogStreamingWrite(dir, c, truncateEachEpoch = false, app)
+      .commit(3L, Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage](w2.commit()))
+    assert(spark.read.format("mlog").load(dir).count() === 61L)
+    assert(MLog.readManifestFull(fs(dir), new Path(dir)).txn ===
+      Map(app -> 3L))
   }
 
   test("streaming source: micro-batches are manifest diffs; exactly once per commit") {
