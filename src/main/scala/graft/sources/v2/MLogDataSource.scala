@@ -38,7 +38,9 @@ import org.apache.spark.util.SerializableConfiguration
   *    orphaned part files are invisible by construction.
   *  - `_mlog_vNNNNN.json` — one immutable snapshot per commit (written
   *    before the current-pointer swap): `.option("versionAsOf", n)`
-  *    plans from snapshot n — time travel; [[MLog.expireVersions]]
+  *    plans from snapshot n — time travel (`.option("timestampAsOf",
+  *    ts)` resolves by the stamped commit wall-clock the same way the
+  *    catalog's TIMESTAMP AS OF does); [[MLog.expireVersions]]
   *    drops old snapshots and [[MLog.vacuum]] then reclaims data files
   *    no retained snapshot references.
   *
@@ -1073,6 +1075,26 @@ object MLog {
   }
 }
 
+object MLogTable {
+  /** `timestampAsOf` option value -> epoch ms. Accepted shapes, in try
+    * order: all-digits epoch MILLISECONDS; ISO-8601 carrying a zone or
+    * offset (`2026-08-16T12:00:00Z`); zone-less SQL/ISO date or
+    * datetime, read as UTC. */
+  private[v2] def parseTsMs(t: String): Long =
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        val local =
+          try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDate.parse(t).atStartOfDay()
+          }
+        local.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+}
+
 class MLogTable(properties: JMap[String, String])
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -1091,7 +1113,8 @@ class MLogTable(properties: JMap[String, String])
 
   /** A time-travel (or diff) load must never be a mutation target. */
   private def pinnedRead: Boolean = properties.asScala.keys.exists(k =>
-    k.equalsIgnoreCase("versionAsOf") || k.equalsIgnoreCase("changesSince"))
+    k.equalsIgnoreCase("versionAsOf") || k.equalsIgnoreCase("changesSince") ||
+      k.equalsIgnoreCase("timestampAsOf"))
 
   /** `_file` (Iceberg's metadata column of the same name): which data
     * file a row lives in — selectable from any scan, and the group key
@@ -1179,10 +1202,27 @@ class MLogTable(properties: JMap[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = merged(options)
     // Time travel: .option("versionAsOf", n) plans from snapshot n's
-    // manifest instead of the current pointer.
-    val version = m.collectFirst {
+    // manifest instead of the current pointer; .option("timestampAsOf",
+    // ts) resolves ts to a version the same way the catalog's TIMESTAMP
+    // AS OF does ([[MLog.resolveTimestamp]]: newest snapshot <= ts,
+    // loud before-first refusal) — Delta ships both options under these
+    // names. ts is epoch MILLISECONDS (all digits), ISO-8601 with a
+    // zone/offset, or a zone-less `yyyy-MM-dd[ HH:mm:ss[.S]]` read as
+    // UTC (the library pins the session zone to UTC; a zone-less string
+    // must not silently depend on the JVM default).
+    val tsOf = m.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("timestampAsOf") => v.trim
+    }
+    val explicitVersion = m.collectFirst {
       case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.trim.toInt
     }
+    require(explicitVersion.isEmpty || tsOf.isEmpty,
+      "mlog takes versionAsOf OR timestampAsOf, not both")
+    val version = explicitVersion.orElse(tsOf.map { t =>
+      val p = MLog.pathOf(m)
+      MLog.resolveTimestamp(p.getFileSystem(MLog.hadoopConf().value), p,
+        MLogTable.parseTsMs(t))
+    })
     // Incremental read: .option("changesSince", n) plans ONLY the files
     // the end manifest (current, or versionAsOf's) names that snapshot n
     // does not — the appended data, without rescanning history.

@@ -281,6 +281,19 @@ class MLogCatalogDdlSpec extends graft.SparkSpec {
     // Before the first retained snapshot: loud, named refusal.
     val early = intercept[Exception] { at(t1 - 1000L) }
     assert(early.getMessage.contains("predates the first retained snapshot"))
+    // The OPTION route (Delta's .option("timestampAsOf", …)) resolves
+    // identically: epoch-ms digits, ISO-8601 with zone, and both options
+    // together refuse.
+    assert(spark.read.format("mlog").option("timestampAsOf", t1.toString)
+      .load(dir).count() === 40L)
+    assert(spark.read.format("mlog")
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(t2).toString)
+      .load(dir).count() === 90L)
+    val both = intercept[Exception] {
+      spark.read.format("mlog").option("timestampAsOf", t1.toString)
+        .option("versionAsOf", 1).load(dir).count()
+    }
+    assert(both.getMessage.contains("not both"))
     // CALL history surfaces the same wall-clocks TIMESTAMP AS OF
     // resolves by, one TIMESTAMP row per retained snapshot, ascending.
     val hist = spark.sql(s"CALL graft.system.history('$dir')").collect()
@@ -292,6 +305,44 @@ class MLogCatalogDdlSpec extends graft.SparkSpec {
     MLog.expireVersions(fs(dir), p, keepLast = 1)
     val expired = intercept[Exception] { at(t1) }
     assert(expired.getMessage.contains("predates the first retained snapshot"))
+  }
+
+  test("DataFrameWriterV2 and writeStream.toTable address the catalog: " +
+      "append, truncate-overwrite, and the native streaming sink ride " +
+      "the same manifest commits") {
+    val dir = store()
+    val c = cat()
+    spark.sql(s"CREATE TABLE $c.`$dir` USING mlog")
+    // writeTo(...).append() — AppendData through loadTable.
+    ledger(30).writeTo(s"$c.`$dir`").append()
+    assert(spark.table(s"$c.`$dir`").count() === 30L)
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2))
+    // writeTo(...).overwrite(true) — OverwriteByExpression riding the
+    // table's TRUNCATE capability: one commit, history preserved.
+    ledger(10).writeTo(s"$c.`$dir`").overwrite(lit(true))
+    assert(spark.table(s"$c.`$dir`").count() === 10L)
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2, 3))
+    assert(spark.read.format("mlog").option("versionAsOf", 2)
+      .load(dir).count() === 30L)
+    // writeStream.toTable — the catalog route to the STREAMING_WRITE
+    // sink: same epoch-ledger commits as the format route.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    mem.addData((1000L, 0L, 1L), (1001L, 1L, 2L))
+    val q = mem.toDF().toDF("id", "k", "v")
+      .writeStream
+      .option("checkpointLocation", tmp() + "/ckpt")
+      .toTable(s"$c.`$dir`")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(s"$c.`$dir`").count() === 12L)
+    assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1, 2, 3, 4),
+      "one snapshot per streamed epoch through the catalog route")
+    assert(MLog.readManifestFull(fs(dir), new Path(dir)).txn ===
+      Map(s"mlog-stream-${q.id}" -> 0L),
+      "the epoch ledger rides the catalog route too")
   }
 
   test("racing CREATEs: exactly one wins the v1 slot, the loser reports " +
