@@ -722,6 +722,46 @@ class MLogSpec extends SparkSpec {
       Map(app -> 3L))
   }
 
+  test("native streaming sink, Complete mode: every epoch REPLACES the " +
+      "table in one truncate-commit; history and the ledger survive") {
+    val dir = tmp()
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val agg = mem.toDF().toDF("k", "v")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(col("k").as("id"), col("k"), col("n").as("v"))
+    val ckpt = java.nio.file.Files.createTempDirectory("mlog_cm_ckpt")
+      .toFile.getAbsolutePath
+    val q = agg.writeStream.format("mlog")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    mem.addData((0L, 1L), (1L, 1L), (0L, 1L))
+    q.processAllAvailable()
+    // Epoch 0: counts {0 -> 2, 1 -> 1}.
+    assert(spark.read.format("mlog").load(dir).orderBy("k")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L), (1L, 1L)))
+    mem.addData((1L, 1L), (2L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    // Epoch 1 REPLACED the table with the new complete result — no
+    // stale epoch-0 rows — in one truncate-commit; the epoch-0 snapshot
+    // still time-travels and the ledger advanced through the rewrite.
+    assert(spark.read.format("mlog").load(dir).orderBy("k")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L), (1L, 2L), (2L, 1L)))
+    val vs = MLog.versions(fs(dir), new Path(dir))
+    assert(vs === Seq(1, 2), "one truncate-commit per epoch")
+    assert(spark.read.format("mlog").option("versionAsOf", 1).load(dir)
+      .count() === 2L, "the pre-replace epoch stays time-travelable")
+    assert(MLog.readManifestFull(fs(dir), new Path(dir)).txn ===
+      Map(s"mlog-stream-${q.id}" -> 1L),
+      "the idempotence ledger survives the truncate-commits")
+  }
+
   test("streaming source: micro-batches are manifest diffs; exactly once per commit") {
     val dir = tmp()
     val ckpt = tmp()
