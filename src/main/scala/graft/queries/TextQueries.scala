@@ -1127,6 +1127,64 @@ object TextQueries {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
     },
 
+    // Overlapping-window CHUNKING — corpus_pack's dual, and the other
+    // half every training/RAG pipeline needs: split each document into
+    // fixed-token-budget windows (W = 64 tokens, stride 56 — 8-token
+    // overlap so no boundary context is lost), chunk i covering tokens
+    // [i*56, i*56+64) with the last chunk allowed shorter — every token
+    // lands in a chunk, consecutive chunks share exactly the overlap,
+    // and a doc within budget is one chunk. Pure per-row fan-out: tokens → a computed
+    // chunk-count → posexplode of the start sequence → slice + join —
+    // the chunk TEXT exists only inside the projection (hashed to the
+    // cross-engine 60-bit fingerprint before any shuffle), so at 100 TB
+    // this is a codegen'd map whose only shuffle is the per-language
+    // rollup of 24-byte rows. Oracle: DuckDB rebuilds the identical
+    // chunking with range/list-slice and the same h60.
+    checked("corpus_chunk",
+      s"""WITH t AS (SELECT lang, doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents),
+         |n AS (SELECT lang, doc_id, toks, len(toks) AS n FROM t),
+         |c AS (SELECT lang, doc_id, toks, n,
+         |    unnest(range(CASE WHEN n = 0 THEN 0 WHEN n <= 64 THEN 1
+         |      ELSE 1 + CAST(ceil((n - 64) / 56.0) AS BIGINT) END)) AS i
+         |  FROM n),
+         |ch AS (SELECT lang, doc_id, i,
+         |    CAST(i * 56 AS BIGINT) AS st,
+         |    CAST(LEAST(i * 56 + 64, n) - i * 56 AS BIGINT) AS leng,
+         |    array_to_string(toks[i * 56 + 1 : i * 56 + LEAST(i * 56 + 64, n) - i * 56], ' ') AS chunk
+         |  FROM c)
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(leng) AS BIGINT) AS sum_chunk_tokens,
+         |  CAST(max(leng) AS BIGINT) AS max_chunk_tokens,
+         |  CAST(count(DISTINCT ${sqlH60("chunk")}) AS BIGINT) AS n_distinct
+         |FROM ch GROUP BY 1""".stripMargin) { (s, d) =>
+      val W = 64L; val S = 56L
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("nc",
+          when(col("n") === 0L, lit(0L))
+            .when(col("n") <= W, lit(1L))
+            .otherwise(lit(1L) +
+              ceil((col("n") - W).cast("double") / S).cast("long")))
+        .withColumn("i", explode(
+          when(col("nc") === 0L, array().cast("array<long>"))
+            .otherwise(sequence(lit(0L), col("nc") - 1L))))
+        .withColumn("st", col("i") * S)
+        .withColumn("leng", least(col("st") + W, col("n")) - col("st"))
+        .withColumn("chunk", array_join(
+          slice(col("toks"), (col("st") + 1L).cast("int"),
+            col("leng").cast("int")), " "))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("leng")).as("sum_chunk_tokens"),
+          max(col("leng")).as("max_chunk_tokens"),
+          countDistinct(h60(col("chunk")))
+            .as("n_distinct"))
+    },
+
     // PII scrubbing — the redaction pass every pretraining pipeline runs
     // before text ships: emails → <EMAIL>, IPv4 → <IP>, phone-shaped
     // digit groups → <PHONE>, with per-class match counts. Pure per-row
