@@ -92,6 +92,190 @@ object TextQueries {
     3 -> Seq("dup", "vector", "hash"))
   val Bm25TopK = 10
 
+  /** Reciprocal-rank-fusion knobs: the canonical k = 60 (Cormack et al.
+    * 2009 — large enough that rank-1 doesn't dominate, small enough that
+    * depth still matters) and an integer contribution grid. Each side's
+    * contribution is RrfScale div (RrfK + rank) — exact BIGINT division
+    * in both engines, so the fused SUM is exact integer arithmetic in any
+    * accumulation order (the LmLogScale lesson applied to 1/(k+r)). The
+    * fused query set is the Bm25Queries ids, with the query VECTOR for
+    * qid q being embedding vec_id = q (the suite's doc_id ≡ vec_id
+    * convention — see dedup_semantic / ann_*). */
+  val RrfK = 60L
+  val RrfScale = 1000000000L
+  val RrfQueries: Int = Bm25Queries.length
+
+  /** Shared BM25 scored set (query_id, doc_id, score_scaled) — one
+    * definition consumed by text_bm25 AND the retrieval_rrf fusion pair,
+    * so the lexical ranking can never diverge between the standalone and
+    * fused paths. SQL twin = the CTE chain [[bm25AggSqlCtes]]. */
+  private def bm25AggSpark(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val qdf = broadcast(
+      Bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "t"))
+    val qVocab = Bm25Queries.flatMap(_._2).distinct
+    val toks = staged(Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk")))
+    val stats = broadcast(toks.agg(
+      count(lit(1)).as("n"),
+      (sum(size(col("tk"))).cast("double") / count(lit(1))).as("avgdl")))
+    val dl = toks.select(col("doc_id"), size(col("tk")).as("dl"))
+    // Vocabulary filter BEFORE the aggregation: the per-token stream is
+    // cut to query terms in the scan projection, so the tf groupBy
+    // shuffles O(matched docs × query terms), not O(corpus tokens).
+    val tf = staged(toks
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .filter(col("t").isInCollection(qVocab))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val idf = broadcast(dfT.crossJoin(stats)
+      .select(col("t"),
+        floor(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) * LmLogScale + lit(0.5)).as("iidf")))
+    val tfn = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    val sc = qdf.join(tf, "t").join(idf, "t").join(dl, "doc_id")
+      .crossJoin(stats)
+      .select(col("query_id"), col("doc_id"),
+        floor(col("iidf").cast("double") * tfn + lit(0.5)).as("ic"))
+    sc.groupBy("query_id", "doc_id")
+      .agg(sum(col("ic")).as("score_scaled"))
+  }
+
+  /** The SQL spelling of [[bm25AggSpark]]: CTEs `toks` → `agg`
+    * (query_id, doc_id, score_scaled), for inclusion in a WITH chain. */
+  private def bm25AggSqlCtes: String = {
+    val sqlQ = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""toks AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |stats AS (SELECT count(*) AS n,
+       |    CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+       |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+       |q AS (SELECT * FROM (VALUES $sqlQ) v(query_id, t)),
+       |tf AS (SELECT doc_id, t, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) u
+       |  WHERE t IN (SELECT DISTINCT t FROM q) GROUP BY doc_id, t),
+       |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |idf AS (SELECT t,
+       |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * $LmLogScale + 0.5)
+       |      AS BIGINT) AS iidf
+       |  FROM df, stats),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(floor(iidf * ((CAST(tf AS DOUBLE) * 2.2)
+       |        / (CAST(tf AS DOUBLE)
+       |           + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+       |      + 0.5) AS BIGINT) AS ic
+       |  FROM q JOIN tf USING (t) JOIN idf USING (t) JOIN dl USING (doc_id), stats),
+       |agg AS (SELECT query_id, doc_id, CAST(sum(ic) AS BIGINT) AS score_scaled
+       |  FROM sc GROUP BY query_id, doc_id)""".stripMargin
+  }
+
+  /** Lexical top-Bm25TopK per query: (query_id, doc_id, lex_rank). */
+  private def bm25LexRank(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    bm25AggSpark(s, d)
+      .withColumn("lex_rank", row_number().over(w).cast("long"))
+      .filter(col("lex_rank") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  /** Vector top-Bm25TopK per query — exhaustive exact cosine over the
+    * embeddings corpus (query side broadcast, one shuffle-free corpus
+    * pass: the ann_cosine_topk shape; a deployment with a built index
+    * swaps in the ann_ivf probe path, same output contract):
+    * (query_id, doc_id, vec_rank). doc_id ≡ vec_id by the suite's id
+    * convention; self-match excluded, ties → lowest doc_id. */
+  private def rrfVecRank(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val sv = staged(Tables.embeddings(s, d)
+      .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
+      .withColumn("n2", dotInt(col("v"), col("v"))))
+    val q = sv.filter(col("vec_id") < RrfQueries)
+      .select(col("vec_id").cast("int").as("query_id"),
+        col("v").as("qv"), col("n2").as("qn2"))
+    val scored = broadcast(q).join(sv, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (dotInt(col("qv"), col("v")) /
+          (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))
+    scored.withColumn("vec_rank", row_number().over(w).cast("long"))
+      .filter(col("vec_rank") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+  }
+
+  /** SQL twin of [[rrfVecRank]]: CTEs `vsv` → `vr`. */
+  private def rrfVecSqlCtes: String = {
+    val dim = SimilarityQueries.Dim
+    s"""vsv AS (SELECT vec_id, ${sqlScaledVec("embedding")} AS v FROM embeddings),
+       |vsn AS (SELECT vec_id, v, ${sqlDotInt("v", "v", dim)} AS n2 FROM vsv),
+       |vq AS (SELECT CAST(vec_id AS INT) AS query_id, v AS qv, n2 AS qn2
+       |  FROM vsn WHERE vec_id < $RrfQueries),
+       |vsc AS (SELECT query_id, vec_id AS doc_id,
+       |    ${sqlDotInt("qv", "v", dim)} / (sqrt(qn2) * sqrt(n2)) AS cos
+       |  FROM vq JOIN vsn ON vec_id <> query_id),
+       |vr AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS vec_rank
+       |  FROM (SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+       |    FROM vsc) r WHERE rn <= $Bm25TopK)""".stripMargin
+  }
+
+  /** RRF fusion of the two bounded rankings: full candidate set =
+    * lexr ∪ vr (≤ 2·topK rows per query — NOTHING corpus-sized crosses
+    * this join), contribution RrfScale div (RrfK + rank) per side a doc
+    * appears on, fused rank by (score desc, doc_id). Absent-side ranks
+    * surface as 0 (the "not retrieved by this side" marker). */
+  private def rrfFused(lexr: org.apache.spark.sql.DataFrame,
+                       vr: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ids = lexr.select(col("query_id"), col("doc_id"))
+      .union(vr.select(col("query_id"), col("doc_id"))).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+    // Both ranking frames are ≤ queries·topK rows BY CONSTRUCTION (the
+    // rank filter is the bound), so broadcast them explicitly — the
+    // checkpointed sides carry no stats AQE trusts statically.
+    ids.join(broadcast(lexr), Seq("query_id", "doc_id"), "left")
+      .join(broadcast(vr), Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        (coalesce(expr(s"$RrfScale div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfK + vec_rank)"), lit(0L)))
+          .as("rrf_scaled"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** SQL twin of [[rrfFused]]: CTEs `lexr` → `frank` (assumes `agg` and
+    * `vr` are already in the WITH chain). */
+  private def rrfFusedSqlCtes: String =
+    s"""lexr AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank
+       |  FROM (SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rn
+       |    FROM agg) r WHERE rn <= $Bm25TopK),
+       |fids AS (SELECT query_id, doc_id FROM lexr
+       |  UNION SELECT query_id, doc_id FROM vr),
+       |fsc AS (SELECT i.query_id, i.doc_id,
+       |    CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+       |    CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+       |    CAST(COALESCE($RrfScale // ($RrfK + l.lex_rank), 0)
+       |       + COALESCE($RrfScale // ($RrfK + v.vec_rank), 0) AS BIGINT)
+       |      AS rrf_scaled
+       |  FROM fids i LEFT JOIN lexr l USING (query_id, doc_id)
+       |    LEFT JOIN vr v USING (query_id, doc_id)),
+       |frank AS (SELECT query_id, doc_id, lex_rank, vec_rank, rrf_scaled,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fsc)""".stripMargin
+
   /** BPE merge-table size for text_bpe_apply (the text_bpe_pairs top-k). */
   val BpeMerges = 20
 
@@ -1453,78 +1637,115 @@ object TextQueries {
     // accumulation order. Ranking is a per-query window over the matched
     // set (ties → lowest doc_id); a deployment with huge posting lists
     // swaps in the partial_cos_top_k bounded-heap pattern.
-    checked("text_bm25", {
-      val sqlQ = Bm25Queries
-        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
-        .mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
-         |stats AS (SELECT count(*) AS n,
-         |    CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM toks),
-         |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
-         |q AS (SELECT * FROM (VALUES $sqlQ) v(query_id, t)),
-         |tf AS (SELECT doc_id, t, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) u
-         |  WHERE t IN (SELECT DISTINCT t FROM q) GROUP BY doc_id, t),
-         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-         |idf AS (SELECT t,
-         |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * $LmLogScale + 0.5)
-         |      AS BIGINT) AS iidf
-         |  FROM df, stats),
-         |sc AS (SELECT q.query_id, tf.doc_id,
-         |    CAST(floor(iidf * ((CAST(tf AS DOUBLE) * 2.2)
-         |        / (CAST(tf AS DOUBLE)
-         |           + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
-         |      + 0.5) AS BIGINT) AS ic
-         |  FROM q JOIN tf USING (t) JOIN idf USING (t) JOIN dl USING (doc_id), stats),
-         |agg AS (SELECT query_id, doc_id, CAST(sum(ic) AS BIGINT) AS score_scaled
-         |  FROM sc GROUP BY query_id, doc_id)
+    checked("text_bm25",
+      s"""WITH $bm25AggSqlCtes
          |SELECT query_id, doc_id, score_scaled,
          |  ${sqlR6(s"CAST(score_scaled AS DOUBLE) / $LmLogScale.0")} AS score6,
          |  CAST(rn AS BIGINT) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY score_scaled DESC, doc_id) AS rn FROM agg) r
-         |WHERE rn <= $Bm25TopK""".stripMargin
-    }) { (s, d) =>
-      import s.implicits._
-      val qdf = broadcast(
-        Bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-          .toDF("query_id", "t"))
-      val qVocab = Bm25Queries.flatMap(_._2).distinct
-      val toks = staged(Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("tk")))
-      val stats = broadcast(toks.agg(
-        count(lit(1)).as("n"),
-        (sum(size(col("tk"))).cast("double") / count(lit(1))).as("avgdl")))
-      val dl = toks.select(col("doc_id"), size(col("tk")).as("dl"))
-      // Vocabulary filter BEFORE the aggregation: the per-token stream is
-      // cut to query terms in the scan projection, so the tf groupBy
-      // shuffles O(matched docs × query terms), not O(corpus tokens).
-      val tf = staged(toks
-        .select(col("doc_id"), explode(col("tk")).as("t"))
-        .filter(col("t").isInCollection(qVocab))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
-      val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      val idf = broadcast(dfT.crossJoin(stats)
-        .select(col("t"),
-          floor(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-            + lit(1.0)) * LmLogScale + lit(0.5)).as("iidf")))
-      val tfn = (col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
-      val sc = qdf.join(tf, "t").join(idf, "t").join(dl, "doc_id")
-        .crossJoin(stats)
-        .select(col("query_id"), col("doc_id"),
-          floor(col("iidf").cast("double") * tfn + lit(0.5)).as("ic"))
-      val agg = sc.groupBy("query_id", "doc_id")
-        .agg(sum(col("ic")).as("score_scaled"))
+         |WHERE rn <= $Bm25TopK""".stripMargin) { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("score_scaled").desc, col("doc_id"))
-      agg.withColumn("rank", row_number().over(w).cast("long"))
+      bm25AggSpark(s, d)
+        .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= Bm25TopK)
         .select(col("query_id"), col("doc_id"), col("score_scaled"),
           r6(col("score_scaled").cast("double") / LmLogScale).as("score6"),
           col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // HYBRID RETRIEVAL FUSION — reciprocal-rank fusion (Cormack, Clarke
+    // & Büttcher, SIGIR 2009) of the suite's two retrieval modalities:
+    // the BM25 lexical ranking (text_bm25's exact chain, shared helper)
+    // and the exact-cosine vector ranking (ann_cosine_topk's shape) —
+    // the standard step between them in every RAG pipeline. Per query,
+    // each side contributes its bounded top-k; a candidate's fused score
+    // is Σ_sides RrfScale div (RrfK + rank) — exact integer arithmetic,
+    // so the fusion is hash-pinned cross-engine. Shape at 100 TB: both
+    // inputs are already rank-bounded (queries × topK rows), so the
+    // fusion joins and the final window touch only O(queries · 2k) rows
+    // — the corpus-scale work is entirely inside the two upstream
+    // retrievals, each individually scale-shaped (vocabulary-pruned
+    // inverted index; broadcast-query corpus pass, IVF-swappable).
+    // Absent-side rank surfaces as 0: lex-only docs (no embedding, or
+    // outside vector top-k) and vec-only docs fuse on one contribution.
+    checked("retrieval_rrf",
+      s"""WITH $bm25AggSqlCtes,
+         |$rrfVecSqlCtes,
+         |$rrfFusedSqlCtes
+         |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_scaled,
+         |  ${sqlR6(s"CAST(rrf_scaled AS DOUBLE) / $RrfScale.0")} AS rrf6,
+         |  rank
+         |FROM frank WHERE rank <= $Bm25TopK""".stripMargin) { (s, d) =>
+      val lexr = staged(bm25LexRank(s, d))
+      val vr = staged(rrfVecRank(s, d))
+      rrfFused(lexr, vr)
+        .filter(col("rank") <= Bm25TopK)
+        .select(col("query_id"), col("doc_id"), col("lex_rank"),
+          col("vec_rank"), col("rrf_scaled"),
+          r6(col("rrf_scaled").cast("double") / RrfScale).as("rrf6"),
+          col("rank"))
+    },
+
+    // Retrieval-quality harness for the fusion (the ann_recall pattern
+    // extended to RRF): recall@k of the fused top-k and of BM25-only,
+    // both against the exhaustive-cosine truth — the measurement a real
+    // pipeline reads to decide fusion depth/weights. The vector side IS
+    // the exhaustive ranking here, so its recall is computed (not
+    // assumed) and pinned at 1 via the truth_complete boolean + the
+    // hash-checked n_truth/recall columns; rrf/bm25 recalls are genuine
+    // measurements (lex-only docs CAN displace truth: the minimum vector
+    // contribution RrfScale div (RrfK + topK) is below a rank-1 lexical
+    // contribution). Everything downstream of the two retrievals is
+    // O(queries · k) — the eval costs nothing beyond the rankings.
+    checked("retrieval_rrf_recall",
+      s"""WITH $bm25AggSqlCtes,
+         |$rrfVecSqlCtes,
+         |$rrfFusedSqlCtes,
+         |truth AS (SELECT query_id, doc_id FROM vr),
+         |rtop AS (SELECT query_id, doc_id FROM frank WHERE rank <= $Bm25TopK),
+         |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+         |  FROM truth GROUP BY query_id),
+         |hr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT * FROM rtop INTERSECT SELECT * FROM truth) i
+         |  GROUP BY query_id),
+         |hb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT query_id, doc_id FROM lexr
+         |        INTERSECT SELECT * FROM truth) i
+         |  GROUP BY query_id)
+         |SELECT nt.query_id, n_truth,
+         |  COALESCE(hr.c, 0) AS n_hits_rrf,
+         |  COALESCE(hb.c, 0) AS n_hits_bm25,
+         |  ${sqlR6("CAST(COALESCE(hr.c, 0) AS DOUBLE) / n_truth")}
+         |    AS recall_rrf6,
+         |  ${sqlR6("CAST(COALESCE(hb.c, 0) AS DOUBLE) / n_truth")}
+         |    AS recall_bm25_6,
+         |  n_truth = $Bm25TopK AS truth_complete
+         |FROM nt LEFT JOIN hr USING (query_id) LEFT JOIN hb USING (query_id)
+         |""".stripMargin) { (s, d) =>
+      val lexr = staged(bm25LexRank(s, d))
+      val vr = staged(rrfVecRank(s, d))
+      val truth = vr.select(col("query_id"), col("doc_id"))
+      val rtop = rrfFused(lexr, vr).filter(col("rank") <= Bm25TopK)
+        .select(col("query_id"), col("doc_id"))
+      val nt = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      val hr = rtop.join(truth, Seq("query_id", "doc_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("c_rrf"))
+      val hb = lexr.select(col("query_id"), col("doc_id"))
+        .join(truth, Seq("query_id", "doc_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("c_bm25"))
+      nt.join(hr, Seq("query_id"), "left").join(hb, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_truth"),
+          coalesce(col("c_rrf"), lit(0L)).as("n_hits_rrf"),
+          coalesce(col("c_bm25"), lit(0L)).as("n_hits_bm25"),
+          r6(coalesce(col("c_rrf"), lit(0L)).cast("double") / col("n_truth"))
+            .as("recall_rrf6"),
+          r6(coalesce(col("c_bm25"), lit(0L)).cast("double") / col("n_truth"))
+            .as("recall_bm25_6"),
+          (col("n_truth") === Bm25TopK).as("truth_complete"))
     },
 
     // Feature hashing (the "hashing trick" vectorizer): every document

@@ -283,6 +283,29 @@ class PlanShapeSpec extends SparkSpec {
         s"matched set, not sort-merge the corpus; got plan:\n$p")
   }
 
+  test("retrieval_rrf: fusion joins only rank-bounded frames; no cartesian") {
+    // The fused tail is AQE-planned over two localCheckpointed rankings,
+    // so probe the EXECUTED plan (the static one is isFinalPlan=false and
+    // pessimistic about the tiny checkpointed sides).
+    val p = try {
+      val q = SparkEntry.allQueries.find(_.name == "retrieval_rrf")
+        .getOrElse(fail("no query named retrieval_rrf"))
+      val df = q.fn(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    } finally QuerySpec.releaseStaged()
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian product may appear anywhere in the fused plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2,
+      s"only the BM25 side's single-row N/avgdl stats broadcasts may be " +
+        s"nested-loop joins — the fusion itself joins rank-bounded frames " +
+        s"on (query_id, doc_id); found $bnlj in plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"every join in the fused plan has a ≤ queries·topK-row side — at " +
+        s"execution all must run broadcast, none sort-merge; got plan:\n$p")
+  }
+
   test("corpus_mixture broadcasts the threshold table onto the corpus") {
     val p = plan("corpus_mixture")
     assert(p.contains("BroadcastHashJoin"),
