@@ -105,6 +105,14 @@ object TextQueries {
   val RrfScale = 1000000000L
   val RrfQueries: Int = Bm25Queries.length
 
+  /** corpus_chunk_index coarse quantizer: centroid = the FIRST chunk's
+    * hashed vector of each doc in [CciBase, CciBase+CciLists) — the
+    * fixed-id sampled-init convention of ann_ivf/dedup_semantic, in doc
+    * space (every doc has ≥ 1 chunk: the synthetic corpus has no empty
+    * text, and the query require()s the seed set is gap-free). */
+  val CciBase = 40L
+  val CciLists = 8
+
   /** Shared BM25 scored set (query_id, doc_id, score_scaled) — one
     * definition consumed by text_bm25 AND the retrieval_rrf fusion pair,
     * so the lexical ranking can never diverge between the standalone and
@@ -1367,6 +1375,113 @@ object TextQueries {
           max(col("leng")).as("max_chunk_tokens"),
           countDistinct(h60(col("chunk")))
             .as("n_distinct"))
+    },
+
+    // CHUNK → EMBED → INDEX — the full RAG ingest shape end-to-end:
+    // corpus_chunk's overlapping windows (W = 64, stride 56) feed the
+    // ml_feature_hash vectorizer (per CHUNK instead of per doc — same
+    // h60/sign/width scheme, so the embedding needs no vocabulary pass),
+    // and each chunk vector is assigned to its nearest coarse-quantizer
+    // list (the ann_ivf/dedup_semantic fixed-id init, here the first
+    // chunk of docs CciBase..CciBase+CciLists). Shape at 100 TB: the
+    // chunk fan-out and token hashing are codegen'd projections; the
+    // ONLY data-sized shuffle is the two-level vector assembly
+    // (map-side-combined to ≤ FhDim cells per chunk, then one row per
+    // chunk); the centroid set is bounded driver model state inlined as
+    // literals, so the IVF assignment itself is a pure argmin projection
+    // — zero shuffle, exactly the stream_ivf_ingest contract but fed by
+    // chunks. All-integer distances (counts, not floats): the argmin is
+    // hash-pinned, ties → lowest c_id.
+    checked("corpus_chunk_index", {
+      val sign = s"CASE WHEN (h // $FhDim) % 2 = 0 THEN 1 ELSE -1 END"
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |c AS (SELECT doc_id, toks, n,
+         |    unnest(range(CASE WHEN n = 0 THEN 0 WHEN n <= 64 THEN 1
+         |      ELSE 1 + CAST(ceil((n - 64) / 56.0) AS BIGINT) END)) AS i
+         |  FROM n),
+         |ch AS (SELECT doc_id, i,
+         |    CAST(LEAST(i * 56 + 64, n) - i * 56 AS BIGINT) AS leng,
+         |    list_transform(
+         |      toks[i * 56 + 1 : i * 56 + LEAST(i * 56 + 64, n) - i * 56],
+         |      tk -> ${sqlH60("tk")}) AS th
+         |  FROM c),
+         |vecs AS (SELECT doc_id, i, leng,
+         |    list_transform(range(1, ${FhDim + 1}), x ->
+         |      CAST(COALESCE(list_aggregate(list_transform(th, h ->
+         |        CASE WHEN h % $FhDim = x - 1 THEN $sign ELSE 0 END), 'sum'), 0)
+         |        AS BIGINT)) AS vv
+         |  FROM ch),
+         |vn AS (SELECT doc_id, i, leng, vv,
+         |    ${sqlDotInt("vv", "vv", FhDim)} AS n2 FROM vecs),
+         |cent AS (SELECT doc_id - $CciBase AS c_id, vv AS cv, n2 AS cn2
+         |  FROM vn WHERE i = 0 AND doc_id >= $CciBase
+         |    AND doc_id < ${CciBase + CciLists}),
+         |dist AS (SELECT v.doc_id, v.i, v.leng, c.c_id,
+         |    v.n2 - 2 * ${sqlDotInt("v.vv", "c.cv", FhDim)} + c.cn2 AS dd
+         |  FROM vn v CROSS JOIN cent c)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_i, leng AS n_tokens,
+         |  CAST(c_id AS BIGINT) AS c_id, CAST(dd AS BIGINT) AS dist
+         |FROM (SELECT doc_id, i, leng, c_id, dd, row_number() OVER (
+         |    PARTITION BY doc_id, i ORDER BY dd, c_id) AS rn FROM dist) r
+         |WHERE rn = 1""".stripMargin
+    }) { (s, d) =>
+      val W = 64L; val S = 56L
+      // Chunk fan-out (corpus_chunk's exact windowing), then hash each
+      // chunk token in the exploded stream — whole-stage codegen'd, no
+      // interpreted array lambda on the hot path.
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("nc",
+          when(col("n") === 0L, lit(0L))
+            .when(col("n") <= W, lit(1L))
+            .otherwise(lit(1L) +
+              ceil((col("n") - W).cast("double") / S).cast("long")))
+        .withColumn("i", explode(
+          when(col("nc") === 0L, array().cast("array<long>"))
+            .otherwise(sequence(lit(0L), col("nc") - 1L))))
+        .withColumn("st", col("i") * S)
+        .withColumn("leng", least(col("st") + W, col("n")) - col("st"))
+        .select(col("doc_id"), col("i"), col("leng"),
+          explode(slice(col("toks"), (col("st") + 1L).cast("int"),
+            col("leng").cast("int"))).as("t"))
+        .withColumn("h", h60(col("t")))
+        .select(col("doc_id"), col("i"), col("leng"),
+          pmod(col("h"), lit(FhDim.toLong)).as("idx"),
+          when(shiftright(col("h"), 6) % 2 === 0, 1L).otherwise(-1L).as("sg"))
+      val cell = ex.groupBy("doc_id", "i", "leng", "idx")
+        .agg(sum(col("sg")).as("f"))
+      val vecs = staged(cell.groupBy("doc_id", "i", "leng")
+        .agg(map_from_entries(collect_list(struct(col("idx"), col("f"))))
+          .as("mp"))
+        .withColumn("vv", transform(sequence(lit(0L), lit(FhDim - 1L)),
+          x => coalesce(element_at(col("mp"), x), lit(0L))))
+        .select(col("doc_id"), col("i"), col("leng"), col("vv"))
+        .withColumn("n2", dotInt(col("vv"), col("vv"))))
+      // Quantizer to the driver: CciLists rows of FhDim longs — bounded
+      // model state, inlined as literals (the dedup_semantic pattern).
+      val cent = vecs
+        .filter(col("i") === 0L && col("doc_id") >= CciBase &&
+          col("doc_id") < CciBase + CciLists)
+        .select((col("doc_id") - CciBase).as("c_id"), col("vv"), col("n2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+        .sortBy(_._1)
+      require(cent.length == CciLists,
+        s"chunk-index centroid seeds not gap-free: ${cent.length} != $CciLists")
+      val dists = cent.map { case (cid, cv, cn2) =>
+        (cid, col("n2") - lit(2.0) * dotInt(col("vv"), array(cv.map(lit): _*))
+          + lit(cn2))
+      }
+      val dArr = array(dists.map(_._2): _*)
+      val cidArr = array(dists.map(x => lit(x._1)): _*)
+      vecs.select(col("doc_id"), col("i").as("chunk_i"),
+        col("leng").as("n_tokens"),
+        element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int"))
+          .as("c_id"),
+        array_min(dArr).cast("long").as("dist"))
     },
 
     // PII scrubbing — the redaction pass every pretraining pipeline runs

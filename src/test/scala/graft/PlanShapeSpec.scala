@@ -306,6 +306,17 @@ class PlanShapeSpec extends SparkSpec {
         s"execution all must run broadcast, none sort-merge; got plan:\n$p")
   }
 
+  test("corpus_chunk_index: IVF assignment is a projection — no join, no window") {
+    val p = plan("corpus_chunk_index")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the centroid set is inlined literal model state: assignment must " +
+        s"be an argmin projection over the chunk-vector frame, never a " +
+        s"join against a centroid relation; got plan:\n$p")
+    assert(!p.contains("Window"),
+      "no window operator may pick the nearest list (argmin is " +
+        "array_position over the literal distance array)")
+  }
+
   test("corpus_mixture broadcasts the threshold table onto the corpus") {
     val p = plan("corpus_mixture")
     assert(p.contains("BroadcastHashJoin"),
