@@ -1600,6 +1600,82 @@ object FormatQueries {
         .withColumn("old_layout_readable", lit(facts(3) == 1L))
     },
 
+    // CLUSTERED OPTIMIZE — compact(cluster_by => 'k'): where plain
+    // bin-packing UNIONS the merged files' bounds (pruning gets coarser
+    // after maintenance), the clustered rewrite globally sorts the small
+    // files by k through a real distributed range-partitioned sort, so
+    // each output owns a disjoint k slice and the same k predicate plans
+    // FEWER files after OPTIMIZE than before — the OPTIMIZE ZORDER
+    // contract, pinned end-to-end: the store is built hash-partitioned
+    // on id (every file spans the whole k range, the pruning worst
+    // case), a k-range scan pre-compaction plans ALL files, and
+    // post-compaction a strict subset. rows_conserved + the
+    // oracle-checked count/sum/min/max prove the rewrite moved every
+    // row exactly once. Facts persist in the _READY marker.
+    checked("dsv2_mlog_cluster",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_v,
+         |  CAST(min(event_id) AS BIGINT) AS min_id,
+         |  CAST(max(event_id) AS BIGINT) AS max_id,
+         |  true AS pre_scan_unpruned, true AS ranges_disjoint,
+         |  true AS pruning_tighter, true AS rows_conserved
+         |FROM events""".stripMargin) { (s, d) =>
+      val dir = TmpDirs.scoped(s"graft_mlogclu_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "store").getAbsolutePath
+      val path = new org.apache.hadoop.fs.Path(store)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      import graft.sources.v2.MLog
+      val facts = if (!ready.exists()) {
+        rmTree(dir); dir.mkdirs()
+        // Hash-partitioned on id: each of the 12 files spans (almost)
+        // the WHOLE k range — k pruning is defeated by construction.
+        Tables.events(s, d).select(col("event_id").as("id"),
+          col("user_id").as("k"),
+          (unix_micros(col("ts")) % 86400000000L).as("v"))
+          .repartition(12, col("id"))
+          .write.format("mlog").mode("overwrite").save(store)
+        val pre = MLog.readManifest(fs, path)
+        val total = pre.map(_.rows).sum
+        val khi = pre.map(_.maxK).max / 4
+        def kScan() = s.read.format("mlog").load(store)
+          .filter(col("k") <= khi)
+        val preScan = kScan(); preScan.count()
+        val preUnpruned = MLog.planned(preScan) == ((pre.size, pre.size))
+        val stats = MLog.compact(s, path, targetRows = total / 4 + 1,
+          clusterBy = Some("k"))
+        val post = MLog.readManifest(fs, path)
+        val ranges = post.map(e => (e.minK, e.maxK)).sortBy(_._1)
+        // Disjoint slices; a run of EQUAL ks may touch at one boundary
+        // value (ties straddle a range-partition bound), never overlap
+        // beyond it.
+        val disjoint = post.size == stats.after &&
+          ranges.sliding(2).forall {
+            case Seq(a, b) => a._2 <= b._1
+            case _ => true
+          }
+        val postScan = kScan(); postScan.count()
+        val (plannedN, totalN) = MLog.planned(postScan)
+        val tighter = totalN == post.size && plannedN < totalN
+        val conserved = post.map(_.rows).sum == total &&
+          stats.merged == pre.size
+        val f = Seq(preUnpruned, disjoint, tighter, conserved)
+          .map(b => if (b) 1L else 0L)
+        java.nio.file.Files.write(ready.toPath,
+          f.mkString(" ").getBytes("UTF-8"))
+        f
+      } else new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8")
+        .trim.split(" ").toSeq.map(_.toLong)
+      s.read.format("mlog").load(store)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .withColumn("pre_scan_unpruned", lit(facts(0) == 1L))
+        .withColumn("ranges_disjoint", lit(facts(1) == 1L))
+        .withColumn("pruning_tighter", lit(facts(2) == 1L))
+        .withColumn("rows_conserved", lit(facts(3) == 1L))
+    },
+
     // MERGE-ON-READ DELETE — the deletion-vector flavor
     // ([[graft.sources.v2.MLog.deleteMor]]), the contrast query to
     // dsv2_mlog_delete's copy-on-write route: the SAME predicate-delete

@@ -990,9 +990,12 @@ object MLog {
     * layout readable. The 100 TB point: small-file debris from
     * fine-grained commits is what kills O(files) planning; OPTIMIZE
     * restores it without touching row content. */
-  def compact(spark: SparkSession, dir: Path, targetRows: Long): CompactStats = {
+  def compact(spark: SparkSession, dir: Path, targetRows: Long,
+              clusterBy: Option[String] = None): CompactStats = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val full = readManifestFull(fs, dir)
+    if (clusterBy.isDefined)
+      return compactClustered(spark, fs, dir, full, targetRows, clusterBy.get)
     val base = full.version // the version of the content actually read
     val cur = full.files
     // Files carrying a deletion vector are CARRIED, not packed: the bin
@@ -1023,6 +1026,106 @@ object MLog {
       full.txn)
     CompactStats(cur.size, large.size + single.size + merged.length,
       multi.map(_.size).sum, base + 1)
+  }
+
+  /** Cluster-by-key compaction (Delta's OPTIMIZE ZORDER analogue for a
+    * single key): instead of first-fit byte-copy bins — whose merged
+    * minId/maxId/minK/maxK/vb union across unrelated inputs, so pruning
+    * and metadata MIN/MAX get strictly COARSER after maintenance — the
+    * under-target vector-free files are globally SORT-REWRITTEN by the
+    * chosen column. The shape is a real distributed sort (one partition
+    * per input file feeding RDD.sortBy's range-partitioned shuffle into
+    * ceil(rows/targetRows) writers, each emitting one file), so at 100 TB
+    * this is the same plan Spark gives any sort: sampled range bounds, no
+    * driver-side row traffic. Each output file owns a contiguous slice of
+    * the key space — per-file bounds are disjoint (a run of EQUAL keys
+    * can straddle a boundary, touching at that one value, exactly like
+    * Delta's clustering), so a key-predicate scan plans FEWER files after
+    * OPTIMIZE than before, and the per-file bounds are recomputed from
+    * the rows actually written (exact, never the carried union). Files
+    * with deletion vectors are carried, as in bin-packing: materializing
+    * masks is rewrite_dvs's job. The sort key is the full (key, rest…)
+    * triple, so output content is deterministic, not just the ranges. */
+  private def compactClustered(spark: SparkSession, fs: FileSystem,
+                               dir: Path, full: Manifest, targetRows: Long,
+                               key: String): CompactStats = {
+    val keyFn: ((Long, Long, Long)) => (Long, Long, Long) = key match {
+      case "id" => identity
+      case "k" => t => (t._2, t._1, t._3)
+      case "v" => t => (t._3, t._1, t._2)
+      case other => throw new IllegalArgumentException(
+        s"cluster_by must be one of id|k|v, got '$other'")
+    }
+    val base = full.version
+    val cur = full.files
+    val (small, large) = cur.sortBy(_.name)
+      .partition(e => e.rows < targetRows && e.dv.isEmpty)
+    // A lone under-target file gains nothing from a self-sort that the
+    // manifest can see (its BOUNDS are already its own); same no-op
+    // contract as bin-packing's bin-of-one.
+    if (small.size < 2) return CompactStats(cur.size, cur.size, 0, base)
+    val conf = hadoopConf()
+    val dirStr = dir.toString
+    val nOut = math.max(1, math.ceil(
+      small.map(_.rows).sum.toDouble / targetRows).toInt)
+    val entries = spark.sparkContext
+      .parallelize(small, math.max(1, math.min(small.size,
+        spark.sparkContext.defaultParallelism)))
+      .flatMap(e => readRowsPlain(conf, dirStr, e))
+      .sortBy(keyFn, ascending = true, numPartitions = nOut)
+      .mapPartitions(it => writeRowsFile(conf, dirStr, "part-clu", it))
+      .collect().toSeq
+    publishExclusive(fs, dir, base, large ++ entries, full.txn)
+    CompactStats(cur.size, large.size + entries.size, small.size, base + 1)
+  }
+
+  /** All rows of a vector-free data file, manifest-bounded (EOF before
+    * `rows` triples is corruption). Bounded per input by the compaction
+    * target: callers only pass under-target files. */
+  private def readRowsPlain(conf: SerializableConfiguration, dir: String,
+                            e: FileEntry): Array[(Long, Long, Long)] = {
+    require(e.dv.isEmpty, s"readRowsPlain on a vectored file: ${e.name}")
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      fs.open(new Path(d, e.name))))
+    try {
+      require(in.readInt() == Magic && in.readInt() == Version,
+        s"not an mlog file: ${e.name}")
+      Array.fill(e.rows.toInt)((in.readLong(), in.readLong(), in.readLong()))
+    } finally in.close()
+  }
+
+  /** One task's sorted-slice write: stream the partition's rows into one
+    * fresh data file, tracking exact (id, k, v) bounds as written. An
+    * empty partition (range sampling can under-fill) emits nothing. */
+  private def writeRowsFile(conf: SerializableConfiguration, dir: String,
+                            prefix: String, it: Iterator[(Long, Long, Long)])
+      : Iterator[FileEntry] = {
+    if (!it.hasNext) return Iterator.empty
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    val name = s"$prefix-${UUID.randomUUID()}.mlog"
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      fs.create(new Path(d, name), false)))
+    var rows = 0L
+    var minId, maxId, minK, maxK, minV, maxV = 0L
+    try {
+      out.writeInt(Magic); out.writeInt(Version)
+      it.foreach { case (id, k, v) =>
+        if (rows == 0L) {
+          minId = id; maxId = id; minK = k; maxK = k; minV = v; maxV = v
+        } else {
+          if (id < minId) minId = id; if (id > maxId) maxId = id
+          if (k < minK) minK = k; if (k > maxK) maxK = k
+          if (v < minV) minV = v; if (v > maxV) maxV = v
+        }
+        out.writeLong(id); out.writeLong(k); out.writeLong(v)
+        rows += 1
+      }
+    } finally out.close()
+    Iterator.single(FileEntry(name, rows, minId, maxId, minK, maxK,
+      bytes = 8L + 24L * rows, vb = Some((minV, maxV))))
   }
 
   /** One task's bin merge: header, then each input's payload copied

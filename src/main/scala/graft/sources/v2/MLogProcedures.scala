@@ -68,15 +68,25 @@ object MLogProcedures {
     override def description(): String =
       "bin-packing compaction (OPTIMIZE): files under target_rows are " +
         "first-fit packed and merged by pure payload byte-copy; one " +
-        "snapshot commit"
+        "snapshot commit. With cluster_by => 'id'|'k'|'v' the small " +
+        "files are instead globally sort-rewritten by that column " +
+        "(OPTIMIZE ZORDER's single-key analogue) so each output owns a " +
+        "disjoint key range and pruning gets TIGHTER after maintenance"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType)
         .comment("mlog store path").build(),
       ProcedureParameter.in("target_rows", LongType)
-        .comment("pack bins up to this many rows").build())
+        .comment("pack bins up to this many rows").build(),
+      // Optional: empty = plain bin-packing (byte-copy, union bounds).
+      ProcedureParameter.in("cluster_by", StringType)
+        .defaultValue("''")
+        .comment("sort-rewrite small files by this column (id|k|v)").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val clusterBy = Option(input.getUTF8String(2))
+        .map(_.toString.trim).filter(_.nonEmpty)
       val stats = MLog.compact(SparkSession.active,
-        new Path(input.getUTF8String(0).toString), input.getLong(1))
+        new Path(input.getUTF8String(0).toString), input.getLong(1),
+        clusterBy)
       result(StructType(Seq(
         StructField("before", IntegerType), StructField("after", IntegerType),
         StructField("merged", IntegerType),

@@ -349,6 +349,81 @@ class MLogSpec extends SparkSpec {
     assert(stats2.merged === 0 && stats2.after === 2)
   }
 
+  test("compact cluster_by: sort-rewrite yields disjoint key ranges, tighter pruning") {
+    val dir = tmp()
+    import spark.implicits._
+    // 4 small files, each holding every 4th k across 0..79 — fully
+    // overlapping (minK, maxK) ranges, the worst case for pruning (and
+    // what first-fit byte-copy compaction would PRESERVE: its merged
+    // bounds are unions).
+    (0 until 4).foreach { i =>
+      (0 until 20).map(j =>
+        ((i * 20 + j).toLong, (j * 4 + i).toLong, (i * 20 + j) * 10L))
+        .toDF("id", "k", "v")
+        .coalesce(1).write.format("mlog")
+        .mode(if (i == 0) SaveMode.Overwrite else SaveMode.Append).save(dir)
+    }
+    val pre = MLog.readManifest(fs(dir), new Path(dir))
+    assert(pre.size === 4)
+    val preScan = spark.read.format("mlog").load(dir).filter(col("k") < 20L)
+    assert(preScan.count() === 20L)
+    assert(MLog.planned(preScan) === ((4, 4)),
+      "pre-compaction, the interleaved layout defeats k pruning entirely")
+    val preRows = spark.read.format("mlog").load(dir)
+      .orderBy("id", "k", "v").collect().toSeq
+    val preVersion = MLog.versions(fs(dir), new Path(dir)).last
+
+    val stats = MLog.compact(spark, new Path(dir), targetRows = 25L,
+      clusterBy = Some("k"))
+    assert(stats.before === 4 && stats.merged === 4)
+    assert(stats.newVersion === preVersion + 1)
+    val post = MLog.readManifest(fs(dir), new Path(dir))
+    assert(post.size === stats.after && post.nonEmpty)
+    // Each output owns a DISJOINT k range (ks are unique here, so
+    // strictly disjoint — no boundary touch).
+    val ranges = post.map(e => (e.minK, e.maxK)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1,
+        s"post-compact k ranges must be disjoint, got $ranges")
+      case _ => ()
+    }
+    // Bounds are recomputed from rows actually written — exact, and the
+    // global algebra still matches the pre state.
+    assert(post.map(_.rows).sum === pre.map(_.rows).sum)
+    assert(post.map(_.minK).min === pre.map(_.minK).min)
+    assert(post.map(_.maxK).max === pre.map(_.maxK).max)
+    assert(post.flatMap(_.vb).map(_._1).min === pre.flatMap(_.vb).map(_._1).min)
+    assert(post.flatMap(_.vb).map(_._2).max === pre.flatMap(_.vb).map(_._2).max)
+    // Row content exactly preserved by the rewrite.
+    val postRows = spark.read.format("mlog").load(dir)
+      .orderBy("id", "k", "v").collect().toSeq
+    assert(postRows === preRows)
+    // THE point: the same k predicate now plans a strict file subset.
+    val postScan = spark.read.format("mlog").load(dir).filter(col("k") < 20L)
+    assert(postScan.count() === 20L)
+    val (plannedN, totalN) = MLog.planned(postScan)
+    assert(totalN === post.size && plannedN < totalN,
+      s"clustered layout must prune: planned $plannedN/$totalN")
+    // The pre-compaction snapshot keeps the old layout readable.
+    val old = spark.read.format("mlog").option("versionAsOf", preVersion)
+      .load(dir)
+    assert(old.count() === 80L)
+    // An unknown cluster key is refused before any work.
+    intercept[IllegalArgumentException] {
+      MLog.compact(spark, new Path(dir), targetRows = 25L,
+        clusterBy = Some("nope"))
+    }
+    // A lone under-target file is a no-op, as in bin-packing.
+    val dir2 = tmp()
+    ledger(10).coalesce(1).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir2)
+    ledger(50).coalesce(1).write.format("mlog")
+      .mode(SaveMode.Append).save(dir2)
+    val stats2 = MLog.compact(spark, new Path(dir2), targetRows = 20L,
+      clusterBy = Some("k"))
+    assert(stats2.merged === 0 && stats2.after === 2)
+  }
+
   test("changesSince: the manifest diff is exactly the appended files") {
     val dir = tmp()
     ledger(50).coalesce(1).write.format("mlog").mode(SaveMode.Overwrite).save(dir) // v1

@@ -217,6 +217,30 @@ class MLogRowLevelSqlSpec extends graft.SparkSpec {
     // Named-argument form and the unknown-procedure refusal.
     assert(spark.sql(
       s"CALL graft.system.vacuum(table => '$dir')").head.getLong(0) === 0L)
+    // Clustered OPTIMIZE through SQL: cluster_by sort-rewrites the small
+    // files so each output owns a disjoint k range (the one 60-row file
+    // from the plain compact above is under the 100-row target, but a
+    // lone small file is a no-op — append a second overlapping one
+    // first, then the receipt shows both rewritten).
+    ledger(10, 0L).coalesce(1).write.format("mlog")
+      .mode(SaveMode.Append).save(dir)
+    val clu = spark.sql(
+      s"CALL graft.system.compact('$dir', 100, cluster_by => 'k')").head
+    assert(clu.getInt(2) === 2, "both under-target files sort-rewritten")
+    val ranges = MLog.readManifest(fs(dir), new Path(dir))
+      .map(e => (e.minK, e.maxK)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1,
+        s"clustered outputs must own ordered k ranges, got $ranges")
+      case _ => ()
+    }
+    assert(spark.read.format("mlog").load(dir).count() === 70L)
+    // An unknown cluster key surfaces as the procedure's refusal.
+    intercept[Exception] {
+      spark.sql(
+        s"CALL graft.system.compact('$dir', 100, cluster_by => 'z')")
+        .collect()
+    }
     val bad = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(s"CALL graft.system.frobnicate('$dir')").collect()
     }
