@@ -83,6 +83,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftMLogCatalog extends TableCatalog with ProcedureCatalog
   with StagingTableCatalog {
 
+  import GraftMLogCatalog.DropOrphanGraceMs
+
   private var catalogName: String = _
 
   override def initialize(name: String,
@@ -280,10 +282,15 @@ class GraftMLogCatalog extends TableCatalog with ProcedureCatalog
     * than left as a half-dropped store. A committer that keeps writing
     * FOREVER makes DROP fail loudly after bounded passes (like any
     * destructive maintenance, DROP under sustained concurrent writes is
-    * an operator error — quiesce the writers). */
+    * an operator error — quiesce the writers, but the failed attempt's
+    * data-only leftovers stay COLLECTABLE: a later DROP on a
+    * no-longer-existing store sweeps aged orphan data files, below).
+    *
+    * Racing DROPs are idempotent: the directory vanishing between
+    * passes (the other drop finished) means the table is dropped —
+    * mission accomplished, return true — never an internal error. */
   override def dropTable(ident: Identifier): Boolean = {
     if (!ident.namespace().sameElements(Array("mlog"))) return false
-    if (!exists(ident.name())) return false
     val p = new Path(ident.name())
     val fs = fsOf(p)
     def core(n: String): String =
@@ -299,16 +306,47 @@ class GraftMLogCatalog extends TableCatalog with ProcedureCatalog
       val c = core(n)
       c.endsWith(".mlog") || c.endsWith(".dvec")
     }
+    // Directory-gone is a terminal SUCCESS state for any listing below:
+    // a racing drop (or rmdir) finished the job. The local filesystem
+    // reports a just-unlinked directory as FileNotFound OR as
+    // AccessDenied (File.list() returns null mid-unlink and Hadoop wraps
+    // it) — any listing failure whose directory is in fact gone is the
+    // same condition; a listing failure with the directory still there
+    // is a real error and propagates.
+    def listOwned(): Option[Array[org.apache.hadoop.fs.FileStatus]] =
+      try Some(fs.listStatus(p).filter(st => st.isFile &&
+        (isLog(st.getPath.getName) || isData(st.getPath.getName))))
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case e: java.io.IOException => if (!fs.exists(p)) None else throw e
+      }
+    if (!exists(ident.name())) {
+      // Not a table — but a PREVIOUS drop that gave up under a sustained
+      // concurrent writer can have left data files with no log (the log
+      // goes first within each pass, so the store stopped existing
+      // before its data did). Those orphans are unreachable through the
+      // format forever; sweep the AGED ones here so the debris stays
+      // collectable through the catalog. The age gate (same 24 h grace
+      // as vacuum) protects an in-flight atomic CTAS, whose staged
+      // ledger files are also data-with-no-log — but young.
+      listOwned().foreach { owned =>
+        val cutoff = System.currentTimeMillis() - DropOrphanGraceMs
+        owned.filter(st => isData(st.getPath.getName) &&
+            st.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, false): Unit)
+      }
+      return false
+    }
     var passes = 0
     var sweeping = true
     while (sweeping) {
       passes += 1
-      require(passes <= 8,
+      val owned = listOwned().getOrElse(return true)
+      require(passes <= 8 || owned.isEmpty,
         s"mlog DROP TABLE under $p found fresh store files on every one " +
           "of 8 sweep passes — a concurrent committer is still writing; " +
-          "quiesce writers and retry")
-      val owned = fs.listStatus(p).filter(st =>
-        st.isFile && (isLog(st.getPath.getName) || isData(st.getPath.getName)))
+          "quiesce writers and retry (this attempt's data-only leftovers " +
+          "are swept by a later DROP once aged past the orphan grace)")
       // Log before data within the pass: once the pointer and snapshots
       // are gone the table no longer EXISTS, so the data files deleted
       // after them were already unreachable through the format.
@@ -316,7 +354,12 @@ class GraftMLogCatalog extends TableCatalog with ProcedureCatalog
       (log ++ data).foreach(st => fs.delete(st.getPath, false): Unit)
       sweeping = owned.nonEmpty
     }
-    if (fs.listStatus(p).isEmpty) fs.delete(p, false): Unit
+    // Best-effort rmdir: the TABLE is already gone. The directory can
+    // vanish under the listing/delete (the racing drop got there first —
+    // local-FS delete surfaces that as a generic IOException, not FNF)
+    // or refill mid-call (a racing creator); neither failure un-drops.
+    try if (fs.listStatus(p).isEmpty) fs.delete(p, false): Unit
+    catch { case _: java.io.IOException => () }
     true
   }
 
@@ -326,6 +369,14 @@ class GraftMLogCatalog extends TableCatalog with ProcedureCatalog
   private def refuse(what: String, why: String): Nothing =
     throw new UnsupportedOperationException(
       s"$catalogName does not support $what: $why")
+}
+
+object GraftMLogCatalog {
+  /** Age gate for DROP's orphan-debris sweep (data files with no log,
+    * left by a drop that gave up under a sustained concurrent writer):
+    * the same 24 h grace vacuum uses — old enough that no in-flight
+    * atomic CTAS still references its staged (also log-less) files. */
+  val DropOrphanGraceMs: Long = MLog.DefaultVacuumGraceMs
 }
 
 object MLogStagedTable {
@@ -403,11 +454,27 @@ class MLogStagedTable(ident: Identifier, kind: MLogStagedTable.Kind)
           abortStagedChanges()
           throw new TableAlreadyExistsException(ident)
         }
-      case MLogStagedTable.Replace | MLogStagedTable.CreateOrReplace =>
+      case MLogStagedTable.Replace =>
+        // stageReplace checked existence BEFORE the SELECT ran; a
+        // concurrent DROP during the SELECT makes REPLACE's target
+        // vanish, and a blind truncate-commit here would silently turn
+        // REPLACE into CREATE — re-check at commit time and refuse with
+        // the same error a never-existing target gets. (The residual
+        // check-to-commit window now spans one manifest publish, not
+        // the whole SELECT; a drop landing inside it is
+        // last-writer-wins, the same outcome as DROP racing any commit.)
+        if (!fs.exists(new Path(dir, MLog.ManifestName)) &&
+            MLog.versions(fs, dir).isEmpty) {
+          abortStagedChanges()
+          throw new NoSuchTableException(ident)
+        }
+        MLog.commitAppend(fs, dir, staged, None, truncate = true): Unit
+      case MLogStagedTable.CreateOrReplace =>
         fs.mkdirs(dir)
         // Truncate-commit: retries a lost CAS against the re-read state
-        // (replacing whatever won is exactly REPLACE's semantics); no
-        // txn identity, so the refusal path cannot trigger.
+        // (replacing whatever won is exactly REPLACE's semantics,
+        // create-when-absent is exactly OR REPLACE's); no txn identity,
+        // so the refusal path cannot trigger.
         MLog.commitAppend(fs, dir, staged, None, truncate = true): Unit
     }
   }

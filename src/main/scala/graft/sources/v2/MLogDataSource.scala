@@ -269,9 +269,21 @@ object MLog {
 
   /** Committed snapshot versions still on disk, ascending. */
   def versions(fs: FileSystem, dir: Path): Seq[Int] =
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case VersionRe(n) => n.toInt }.sorted
+    try {
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case VersionRe(n) => n.toInt }.sorted
+    } catch {
+      // The directory itself vanished between the probe and the listing
+      // (a racing DROP): no directory, no snapshots — same answer the
+      // probe would have given a moment later. The local filesystem
+      // reports the mid-unlink window as FileNotFound OR AccessDenied
+      // (File.list() returns null and Hadoop wraps it); a failure with
+      // the directory still present is a real error and propagates.
+      case _: java.io.FileNotFoundException => Seq.empty
+      case e: java.io.IOException =>
+        if (!fs.exists(dir)) Seq.empty else throw e
+    }
 
   // \d{5,}: versionPath pads to 5 digits but emits 6+ past v99999 —
   // parsing must tolerate every width %05d can produce.
@@ -333,24 +345,71 @@ object MLog {
     if (recorded >= 0) recorded else fs.getFileStatus(f).getModificationTime
   }
 
+  /** Snapshot `v`'s commit time, or None when the snapshot file is no
+    * longer there — a concurrent [[expireVersions]] can remove it
+    * between a versions() listing and the manifest read; to a resolver
+    * that version is simply EXPIRED, not an error. */
+  private def commitTimeIfRetained(fs: FileSystem, dir: Path,
+                                   v: Int): Option[Long] =
+    try {
+      val f = versionPath(dir, v)
+      if (!fs.exists(f)) None
+      else {
+        val recorded = readManifestFile(fs, f).commitTimeMs
+        Some(if (recorded >= 0) recorded
+             else fs.getFileStatus(f).getModificationTime)
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+
   /** `TIMESTAMP AS OF` resolution: the NEWEST retained snapshot whose
     * commit time is <= `tsMs` — Delta's semantics (a timestamp pins the
     * table state a reader at that wall-clock would have seen). Walks the
     * retained snapshot list NEWEST-FIRST and stops at the first
     * qualifying version, so a near-head timestamp (the common
     * reproducibility pin) reads O(1) snapshot manifests, not O(history).
-    * Fails loudly when `tsMs` predates the first retained snapshot —
-    * serving the oldest anyway would silently hand back a state that did
-    * not exist at that time (or whose true state was expired). */
+    * Snapshots a concurrent [[expireVersions]] removed mid-walk are
+    * skipped as expired; if the entire listing vanished, the walk
+    * re-lists ONCE before concluding the store is empty. Fails loudly
+    * when `tsMs` predates the first retained snapshot — serving the
+    * oldest anyway would silently hand back a state that did not exist
+    * at that time (or whose true state was expired).
+    *
+    * ORDERING: stamped commit times are monotonic BY CONSTRUCTION — the
+    * publish clamps each snapshot's ts to strictly after its
+    * predecessor's (Delta's in-commit-timestamp rule), so first-hit
+    * newest-first IS the clamped resolution. The one residual anomaly is
+    * a PRE-STAMP legacy store whose mtime-fallback times interleave
+    * non-monotonically with stamped ones (or were back-dated by a copy):
+    * there the first newest-first hit can pin a version even though an
+    * OLDER version carries a later commit time; resolution stays
+    * first-hit (re-reading the whole history every pin would forfeit the
+    * O(1) near-head walk for a case only legacy stores can exhibit). */
   def resolveTimestamp(fs: FileSystem, dir: Path, tsMs: Long): Int = {
-    val vs = versions(fs, dir)
-    require(vs.nonEmpty, s"no committed mlog snapshots under $dir")
-    vs.reverseIterator.find(v => commitTimeMs(fs, dir, v) <= tsMs)
-      .getOrElse(throw new IllegalArgumentException(
-        s"mlog TIMESTAMP AS OF $tsMs ms predates the first retained " +
-          s"snapshot under $dir (v${vs.head} committed at " +
-          s"${commitTimeMs(fs, dir, vs.head)} ms) — the state at that " +
-          "time is unknown or expired"))
+    var relisted = false
+    while (true) {
+      val vs = versions(fs, dir)
+      require(vs.nonEmpty, s"no committed mlog snapshots under $dir")
+      val walk = vs.reverseIterator
+        .flatMap(v => commitTimeIfRetained(fs, dir, v).map(t => (v, t)))
+      var oldestSeen: (Int, Long) = null
+      while (walk.hasNext) {
+        val vt = walk.next()
+        oldestSeen = vt
+        if (vt._2 <= tsMs) return vt._1
+      }
+      if (oldestSeen != null)
+        throw new IllegalArgumentException(
+          s"mlog TIMESTAMP AS OF $tsMs ms predates the first retained " +
+            s"snapshot under $dir (v${oldestSeen._1} committed at " +
+            s"${oldestSeen._2} ms) — the state at that time is unknown " +
+            "or expired")
+      // Every listed snapshot vanished mid-walk (a racing expire, or a
+      // racing DROP): one fresh listing sees either the survivors / a
+      // fresh commit, or a genuinely empty store.
+      require(!relisted, s"no committed mlog snapshots under $dir")
+      relisted = true
+    }
+    -1 // unreachable
   }
 
   /** Optimistically-concurrent APPEND/OVERWRITE commit: loop { read the
@@ -449,10 +508,17 @@ object MLog {
     root.put("version", Version)
     root.put("v", v) // which snapshot this state IS (pointer-lag arbiter)
     // Commit wall-clock: what TIMESTAMP AS OF resolves against. The
-    // publishing driver's clock, stamped at CAS time — snapshot order is
-    // still the version number; the timestamp is a resolution index, not
-    // an ordering claim (two drivers' clocks can disagree).
-    root.put("ts", System.currentTimeMillis())
+    // publishing driver's clock, stamped at CAS time and CLAMPED to
+    // strictly after the predecessor snapshot's commit time (Delta's
+    // in-commit-timestamp monotonicity rule): cross-driver clock skew —
+    // or a stamped snapshot landing after a legacy mtime-fallback one —
+    // can otherwise publish v+1 with an EARLIER time than v, and a
+    // timestamp pin between the two would resolve to state that includes
+    // neither-or-both commits depending on walk order. One extra O(1)
+    // manifest read per commit buys resolveTimestamp its first-hit walk.
+    root.put("ts", math.max(System.currentTimeMillis(),
+      (if (v > 1) commitTimeIfRetained(fs, dir, v - 1).getOrElse(-1L)
+       else -1L) + 1L))
     val arr = root.putArray("files")
     // Name-sorted: the manifest is deterministic up to the files' uuids.
     entries.sortBy(_.name).foreach { e =>
@@ -859,14 +925,28 @@ object MLog {
     // non-deterministic source (sample, limit, unordered dedup) could
     // otherwise pass the distinct-count check yet yield different rows
     // when collected or staged, letting a duplicate slip past the guard.
-    // A source the CALLER already persisted is used as-is (it is already
-    // one materialization) and left cached on exit — re-persisting at a
-    // different level throws, and unpersisting a caller's cache behind
-    // its back silently changes the caller's cost model.
-    val callerCached = source.storageLevel !=
-      org.apache.spark.storage.StorageLevel.NONE
-    val src = if (callerCached) source
-      else source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A DISK-BACKED caller persist is used as-is (a stored partition
+    // survives memory pressure, so guard/collect/staging read one
+    // materialization) and left cached on exit. A MEMORY-ONLY caller
+    // persist is NOT one materialization — an evicted partition is
+    // RECOMPUTED, reopening the non-deterministic-source window the
+    // persist exists to close — but re-persisting the caller's plan at a
+    // different level throws and unpersisting it behind the caller's
+    // back changes their cost model; instead the source is re-anchored
+    // through a fresh LogicalRDD (a distinct plan the cache manager does
+    // not identify with the caller's) and THAT copy is disk-persisted:
+    // each partition is computed once — through the caller's cache while
+    // it is warm — and every later read hits this merge's own store.
+    val ownPersist = !source.storageLevel.useDisk
+    val src =
+      if (!ownPersist) source
+      else {
+        val anchored =
+          if (source.storageLevel ==
+              org.apache.spark.storage.StorageLevel.NONE) source
+          else spark.createDataFrame(source.rdd, source.schema)
+        anchored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     try {
       val shape = src.selectExpr("count(*)", "count(DISTINCT id)").head
       val (nSrc, nKeys) = (shape.getLong(0), shape.getLong(1))
@@ -903,7 +983,7 @@ object MLog {
         carried ++ results.flatMap(_._1) ++ staged, full.txn)
       MergeStats(touched.size, carried.size, results.map(_._2).sum,
         staged.size, base + 1)
-    } finally if (!callerCached) src.unpersist(blocking = false)
+    } finally if (ownPersist) src.unpersist(blocking = false)
   }
 
   /** Stage a DataFrame's partitions as ledger files WITHOUT publishing a
@@ -1180,11 +1260,15 @@ object MLog {
 
 object MLogTable {
   /** `timestampAsOf` option value -> epoch ms. Accepted shapes, in try
-    * order: all-digits epoch MILLISECONDS; ISO-8601 carrying a zone or
-    * offset (`2026-08-16T12:00:00Z`); zone-less SQL/ISO date or
-    * datetime, read as UTC. */
+    * order: all-digits epoch MILLISECONDS — but only at a plausible
+    * width (>= 10 digits, ~Nov 1970 onward), so a compact digit-only
+    * date like `20260816` raises a PARSE error instead of silently
+    * reading as 1970 epoch-ms and surfacing as a baffling
+    * "predates the first retained snapshot" refusal; ISO-8601 carrying
+    * a zone or offset (`2026-08-16T12:00:00Z`); zone-less SQL/ISO date
+    * or datetime, read as UTC. */
   private[v2] def parseTsMs(t: String): Long =
-    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    if (t.length >= 10 && t.forall(_.isDigit)) t.toLong
     else try java.time.Instant.parse(t).toEpochMilli
     catch {
       case _: java.time.format.DateTimeParseException =>

@@ -562,6 +562,28 @@ class MLogSpec extends SparkSpec {
     assert(spark.read.format("mlog").load(dir).count() === 50L)
   }
 
+  test("merge: a MEMORY_ONLY caller cache is re-anchored to a disk-backed " +
+      "copy — eviction cannot recompute the source mid-merge — and the " +
+      "caller's cache level is untouched") {
+    val dir = tmp()
+    ledger(100).coalesce(1).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    import spark.implicits._
+    val source = (50 until 60).map(i => (i.toLong, (i % 7).toLong, 7L))
+      .toDF("id", "k", "v").coalesce(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      val stats = MLog.merge(spark, new Path(dir), source)
+      assert(stats.updatedRows === 10L)
+      assert(source.storageLevel ===
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY,
+        "merge must neither unpersist nor re-level the caller's cache")
+      assert(spark.read.format("mlog").load(dir)
+        .filter(col("id").between(50, 59)).agg(sum("v"))
+        .head.getLong(0) === 70L)
+    } finally { source.unpersist(): Unit }
+  }
+
   test("SQL VERSION AS OF via the graft catalog equals the versionAsOf option route") {
     val dir = tmp()
     ledger(700).repartitionByRange(7, col("k")).write.format("mlog")

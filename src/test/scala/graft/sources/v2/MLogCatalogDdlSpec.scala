@@ -365,4 +365,91 @@ class MLogCatalogDdlSpec extends graft.SparkSpec {
       s"exactly one creator may win, got $results")
     assert(MLog.versions(fs(dir), new Path(dir)) === Seq(1))
   }
+
+  test("REPLACE racing DROP refuses at commit instead of recreating; " +
+      "CREATE OR REPLACE keeps create-when-absent; a compact digit-only " +
+      "timestamp is a parse error, not a 'predates' refusal") {
+    val dir = store()
+    cat()
+    ledger(20).coalesce(1).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    val catalog = new GraftMLogCatalog
+    catalog.initialize("graft_rtas",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap[String, String]()))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("mlog"), dir)
+    // Stage the REPLACE while the table exists (the pre-SELECT existence
+    // check passes), then DROP mid-"SELECT": commitStagedChanges must
+    // re-check and refuse — a blind truncate-commit would silently turn
+    // REPLACE into CREATE, resurrecting the dropped table.
+    val stagedReplace = catalog.stageReplace(ident,
+      Array.empty[org.apache.spark.sql.connector.catalog.Column],
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    assert(catalog.dropTable(ident), "the racing DROP itself succeeds")
+    intercept[NoSuchTableException] {
+      stagedReplace.asInstanceOf[MLogStagedTable].commitStagedChanges()
+    }
+    assert(!exists(dir),
+      "REPLACE of a concurrently-dropped table must NOT recreate it")
+    // CREATE OR REPLACE under the same interleaving DOES create — that
+    // is its contract.
+    val stagedCor = catalog.stageCreateOrReplace(ident,
+      Array.empty[org.apache.spark.sql.connector.catalog.Column],
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    stagedCor.asInstanceOf[MLogStagedTable].commitStagedChanges()
+    assert(exists(dir), "CREATE OR REPLACE creates when absent")
+    // timestampAsOf = '20260816' looks like a compact ISO date, not epoch
+    // ms (which would read as ~1970 and surface as a baffling 'predates
+    // the first retained snapshot'): it must fail as a PARSE error.
+    val compact = intercept[Exception] {
+      spark.read.format("mlog").option("timestampAsOf", "20260816")
+        .load(dir).count()
+    }
+    assert(!compact.getMessage.contains("predates"),
+      s"a compact date must not be read as epoch ms, got: $compact")
+    assert(compact.getMessage.contains("could not be parsed") ||
+      compact.isInstanceOf[java.time.format.DateTimeParseException],
+      s"expected a parse error, got: $compact")
+  }
+
+  test("DROP on a non-table sweeps AGED data-only debris (a gave-up " +
+      "drop's leftovers) but spares young log-less files (an in-flight " +
+      "atomic CTAS's staged writes)") {
+    val dir = store()
+    cat()
+    ledger(30).coalesce(2).write.format("mlog")
+      .mode(SaveMode.Overwrite).save(dir)
+    // Manufacture the give-up state by hand: remove the LOG (pointer,
+    // snapshots, their local .crc sidecars), stranding data files with
+    // no log — exactly what a DROP that threw after its log-first passes
+    // leaves when a concurrent committer kept writing.
+    val d = new java.io.File(dir)
+    def core(n: String): String =
+      if (n.startsWith(".") && n.endsWith(".crc"))
+        n.stripPrefix(".").stripSuffix(".crc") else n
+    d.listFiles().filter { x =>
+      val c = core(x.getName)
+      c == MLog.ManifestName || c.startsWith("_mlog_v")
+    }.foreach(x => assert(x.delete()))
+    val debris = d.listFiles().filter(_.getName.endsWith(".mlog"))
+    assert(debris.length === 2, "two stranded data files to arbitrate")
+    // One AGED past the orphan grace (collectable), one YOUNG (could be
+    // an in-flight CTAS's staged file — must survive).
+    val aged = debris.head
+    assert(aged.setLastModified(
+      System.currentTimeMillis() - GraftMLogCatalog.DropOrphanGraceMs - 3600000L))
+    val young = debris.last
+    val catalog = new GraftMLogCatalog
+    catalog.initialize("graft_orphan",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap[String, String]()))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("mlog"), dir)
+    assert(!catalog.dropTable(ident), "no log = no table: DROP reports false")
+    assert(!aged.exists(), "aged orphan debris must be swept")
+    assert(young.exists(), "young log-less files must be spared")
+  }
 }

@@ -342,4 +342,57 @@ class MLogConcurrencySpec extends graft.SparkSpec {
     assert(m.version === 2, "the newest snapshot out-arbitrates a lagging pointer")
     assert(spark.read.format("mlog").load(dir).count() === 50L)
   }
+
+  test("commit timestamps are strictly monotonic even when commits land " +
+      "inside one millisecond (the in-commit-timestamp clamp)") {
+    val dir = tmp()
+    val p = new Path(dir)
+    val f = fs(dir)
+    assert(MLog.createEmpty(f, p))
+    // 40 driver-only commits run in well under 40 ms total: without the
+    // clamp, same-millisecond stamps are near-certain, and a TIMESTAMP
+    // AS OF between two equal stamps could not distinguish the states.
+    for (_ <- 0 until 40)
+      assert(MLog.commitAppend(f, p, Seq.empty, None, truncate = false))
+    val vs = MLog.versions(f, p)
+    assert(vs.size === 41)
+    val ts = vs.map(v => MLog.commitTimeMs(f, p, v))
+    assert(ts === ts.sorted, s"commit times must ascend, got $ts")
+    assert(ts.distinct.size === ts.size,
+      s"commit times must be STRICTLY ascending (no same-ms ties), got $ts")
+  }
+
+  test("racing DROPs are idempotent: both complete without error and the " +
+      "store is gone") {
+    val catalog = new GraftMLogCatalog
+    catalog.initialize("graft_drop_race",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap[String, String]()))
+    import spark.implicits._
+    for (round <- 0 until 6) {
+      val dir = tmp() + "/store"
+      (0 until 60).map(i => (i.toLong, (i % 7).toLong, i * 10L))
+        .toDF("id", "k", "v").coalesce(3).write.format("mlog")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save(dir)
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("mlog"), dir)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val results =
+        try {
+          val fut = (0 until 2).map(_ =>
+            pool.submit(new java.util.concurrent.Callable[Boolean] {
+              override def call(): Boolean = catalog.dropTable(ident)
+            }))
+          // get() rethrows any exception a drop surfaced — the directory
+          // vanishing under the slower drop must be SUCCESS, not an
+          // internal FileNotFoundException.
+          fut.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS)).toList
+        } finally pool.shutdown()
+      assert(results.contains(true),
+        s"round $round: at least one racing drop observes the table")
+      assert(MLog.versions(fs(dir), new Path(dir)).isEmpty &&
+        !fs(dir).exists(new Path(dir, MLog.ManifestName)),
+        s"round $round: the store must be gone after both drops")
+    }
+  }
 }
