@@ -113,6 +113,27 @@ object TextQueries {
   val CciBase = 40L
   val CciLists = 8
 
+  /** rag_chunk_retrieve: probed lists per query (the IvfProbe convention
+    * applied to the chunk index) and retrieved chunks per query. */
+  val CciProbe = 2
+  val RagTopK = 5
+
+  /** retrieval_fusion_weighted — normalized-score linear fusion (CombSUM
+    * with min-max normalization, Vogt & Cottrell 1999; the hybrid-search
+    * "alpha" Elasticsearch/Weaviate expose as RRF's alternative). Each
+    * side's retained top-k scores are min-max normalized onto the
+    * FwScale integer grid with BIGINT division; the fused score is the
+    * exact integer combination FwLex·lex + FwVec·vec (weights sum 10 —
+    * alpha = 0.7 toward the vector side, the common starting point when
+    * the lexical side is the noisier ranker). FwCosScale puts the raw
+    * cosine on an integer grid first (floor(cos·1e9 + 0.5) — the same
+    * one-float-op-then-floor move as LmLogScale), so normalization and
+    * fusion are exact integer arithmetic in any order. */
+  val FwScale = 1000000L
+  val FwLex = 3L
+  val FwVec = 7L
+  val FwCosScale = 1000000000L
+
   /** Shared BM25 scored set (query_id, doc_id, score_scaled) — one
     * definition consumed by text_bm25 AND the retrieval_rrf fusion pair,
     * so the lexical ranking can never diverge between the standalone and
@@ -200,24 +221,182 @@ object TextQueries {
     * swaps in the ann_ivf probe path, same output contract):
     * (query_id, doc_id, vec_rank). doc_id ≡ vec_id by the suite's id
     * convention; self-match excluded, ties → lowest doc_id. */
-  private def rrfVecRank(s: org.apache.spark.sql.SparkSession,
-                         d: String): org.apache.spark.sql.DataFrame = {
+  private def rrfVecScored(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
     val sv = staged(Tables.embeddings(s, d)
       .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
       .withColumn("n2", dotInt(col("v"), col("v"))))
     val q = sv.filter(col("vec_id") < RrfQueries)
       .select(col("vec_id").cast("int").as("query_id"),
         col("v").as("qv"), col("n2").as("qn2"))
-    val scored = broadcast(q).join(sv, col("vec_id") =!= col("query_id"))
+    broadcast(q).join(sv, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         (dotInt(col("qv"), col("v")) /
           (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+  }
+
+  private def rrfVecRank(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))
-    scored.withColumn("vec_rank", row_number().over(w).cast("long"))
+    rrfVecScored(s, d)
+      .withColumn("vec_rank", row_number().over(w).cast("long"))
       .filter(col("vec_rank") <= Bm25TopK)
       .select(col("query_id"), col("doc_id"), col("vec_rank"))
   }
+
+  /** Vector top-Bm25TopK per query with the cosine retained on the
+    * FwCosScale integer grid — the weighted fusion needs SCORES, not
+    * just ranks. Ranked by the gridded integer itself so the retained
+    * set and its normalization read the same number. */
+  private def fwVecTop(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    val scored = rrfVecScored(s, d).select(col("query_id"), col("doc_id"),
+      floor(col("cos") * FwCosScale + lit(0.5)).cast("long").as("cos_scaled"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_scaled").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("cos_scaled"))
+  }
+
+  /** Lexical top-Bm25TopK per query with the BM25 integer score
+    * retained. */
+  private def fwLexTop(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    bm25AggSpark(s, d).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("score_scaled"))
+  }
+
+  /** Per-(query, side) min-max normalization onto the FwScale integer
+    * grid: (s − mn)·FwScale div (mx − mn), all-tied sides collapse to
+    * the full grid value (every retained doc IS the max). The min/max
+    * frame is queries-sized — broadcast. */
+  private def fwNorm(top: org.apache.spark.sql.DataFrame, scoreCol: String,
+                     outCol: String): org.apache.spark.sql.DataFrame = {
+    val mm = top.groupBy("query_id")
+      .agg(min(col(scoreCol)).as("mn"), max(col(scoreCol)).as("mx"))
+    top.join(broadcast(mm), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        when(col("mx") === col("mn"), lit(FwScale)).otherwise(
+          expr(s"(($scoreCol - mn) * $FwScale) div (mx - mn)")).as(outCol))
+  }
+
+  /** The h60-sign convention of the feature-hash scheme, SQL spelling. */
+  private val cciSignSql = s"CASE WHEN (h // $FhDim) % 2 = 0 THEN 1 ELSE -1 END"
+
+  /** Chunk → hashed-vector frame (doc_id, i, leng, vv, n2): corpus_chunk's
+    * exact windowing (W = 64, stride 56) feeding the ml_feature_hash
+    * vectorizer per CHUNK — the shared front half of corpus_chunk_index
+    * and rag_chunk_retrieve. Tokens are hashed in the exploded stream
+    * (whole-stage codegen'd — no interpreted array lambda on the hot
+    * path), map-side-combined to ≤ FhDim cells per chunk, then assembled
+    * into one dense row per chunk. Staged: both consumers walk it twice
+    * (centroid collect + corpus pass). */
+  private def cciVecs(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame = {
+    val W = 64L; val S = 56L
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nc",
+        when(col("n") === 0L, lit(0L))
+          .when(col("n") <= W, lit(1L))
+          .otherwise(lit(1L) +
+            ceil((col("n") - W).cast("double") / S).cast("long")))
+      .withColumn("i", explode(
+        when(col("nc") === 0L, array().cast("array<long>"))
+          .otherwise(sequence(lit(0L), col("nc") - 1L))))
+      .withColumn("st", col("i") * S)
+      .withColumn("leng", least(col("st") + W, col("n")) - col("st"))
+      .select(col("doc_id"), col("i"), col("leng"),
+        explode(slice(col("toks"), (col("st") + 1L).cast("int"),
+          col("leng").cast("int"))).as("t"))
+      .withColumn("h", h60(col("t")))
+      .select(col("doc_id"), col("i"), col("leng"),
+        pmod(col("h"), lit(FhDim.toLong)).as("idx"),
+        when(shiftright(col("h"), 6) % 2 === 0, 1L).otherwise(-1L).as("sg"))
+    val cell = ex.groupBy("doc_id", "i", "leng", "idx")
+      .agg(sum(col("sg")).as("f"))
+    staged(cell.groupBy("doc_id", "i", "leng")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("f"))))
+        .as("mp"))
+      .withColumn("vv", transform(sequence(lit(0L), lit(FhDim - 1L)),
+        x => coalesce(element_at(col("mp"), x), lit(0L))))
+      .select(col("doc_id"), col("i"), col("leng"), col("vv"))
+      .withColumn("n2", dotInt(col("vv"), col("vv"))))
+  }
+
+  /** The CciLists coarse centroids (c_id, vector, ‖·‖²): the first
+    * chunk's hashed vector of docs CciBase..CciBase+CciLists — CciLists
+    * rows of FhDim longs to the driver, bounded model state inlined as
+    * literals (the dedup_semantic pattern). */
+  private def cciCentroids(vecs: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Seq[Long], Double)] = {
+    val cent = vecs
+      .filter(col("i") === 0L && col("doc_id") >= CciBase &&
+        col("doc_id") < CciBase + CciLists)
+      .select((col("doc_id") - CciBase).as("c_id"), col("vv"), col("n2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    require(cent.length == CciLists,
+      s"chunk-index centroid seeds not gap-free: ${cent.length} != $CciLists")
+    cent
+  }
+
+  /** Nearest-list assignment against the literal centroids — a pure
+    * codegen'd argmin projection, zero shuffle: (doc_id, i, leng, vv,
+    * n2, c_id, dist). All-integer distances; ties → lowest c_id (the
+    * array_position-of-min convention: the first minimal slot wins and
+    * the distance array is c_id-ordered). */
+  private def cciAssign(vecs: org.apache.spark.sql.DataFrame,
+                        cent: Seq[(Long, Seq[Long], Double)])
+      : org.apache.spark.sql.DataFrame = {
+    val dists = cent.map { case (cid, cv, cn2) =>
+      (cid, col("n2") - lit(2.0) * dotInt(col("vv"), array(cv.map(lit): _*))
+        + lit(cn2))
+    }
+    val dArr = array(dists.map(_._2): _*)
+    val cidArr = array(dists.map(x => lit(x._1)): _*)
+    vecs.select(col("doc_id"), col("i"), col("leng"), col("vv"), col("n2"),
+      element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int"))
+        .as("c_id"),
+      array_min(dArr).cast("long").as("dist"))
+  }
+
+  /** SQL twin of the shared chain: CTEs t → n → c → ch → vecs → vn →
+    * cent, exactly [[cciVecs]] + [[cciCentroids]]. */
+  private def cciChainSqlCtes: String =
+    s"""t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+       |  FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+       |c AS (SELECT doc_id, toks, n,
+       |    unnest(range(CASE WHEN n = 0 THEN 0 WHEN n <= 64 THEN 1
+       |      ELSE 1 + CAST(ceil((n - 64) / 56.0) AS BIGINT) END)) AS i
+       |  FROM n),
+       |ch AS (SELECT doc_id, i,
+       |    CAST(LEAST(i * 56 + 64, n) - i * 56 AS BIGINT) AS leng,
+       |    list_transform(
+       |      toks[i * 56 + 1 : i * 56 + LEAST(i * 56 + 64, n) - i * 56],
+       |      tk -> ${sqlH60("tk")}) AS th
+       |  FROM c),
+       |vecs AS (SELECT doc_id, i, leng,
+       |    list_transform(range(1, ${FhDim + 1}), x ->
+       |      CAST(COALESCE(list_aggregate(list_transform(th, h ->
+       |        CASE WHEN h % $FhDim = x - 1 THEN $cciSignSql ELSE 0 END), 'sum'), 0)
+       |        AS BIGINT)) AS vv
+       |  FROM ch),
+       |vn AS (SELECT doc_id, i, leng, vv,
+       |    ${sqlDotInt("vv", "vv", FhDim)} AS n2 FROM vecs),
+       |cent AS (SELECT doc_id - $CciBase AS c_id, vv AS cv, n2 AS cn2
+       |  FROM vn WHERE i = 0 AND doc_id >= $CciBase
+       |    AND doc_id < ${CciBase + CciLists})""".stripMargin
 
   /** SQL twin of [[rrfVecRank]]: CTEs `vsv` → `vr`. */
   private def rrfVecSqlCtes: String = {
@@ -1392,32 +1571,8 @@ object TextQueries {
     // — zero shuffle, exactly the stream_ivf_ingest contract but fed by
     // chunks. All-integer distances (counts, not floats): the argmin is
     // hash-pinned, ties → lowest c_id.
-    checked("corpus_chunk_index", {
-      val sign = s"CASE WHEN (h // $FhDim) % 2 = 0 THEN 1 ELSE -1 END"
-      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
-         |  FROM documents),
-         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-         |c AS (SELECT doc_id, toks, n,
-         |    unnest(range(CASE WHEN n = 0 THEN 0 WHEN n <= 64 THEN 1
-         |      ELSE 1 + CAST(ceil((n - 64) / 56.0) AS BIGINT) END)) AS i
-         |  FROM n),
-         |ch AS (SELECT doc_id, i,
-         |    CAST(LEAST(i * 56 + 64, n) - i * 56 AS BIGINT) AS leng,
-         |    list_transform(
-         |      toks[i * 56 + 1 : i * 56 + LEAST(i * 56 + 64, n) - i * 56],
-         |      tk -> ${sqlH60("tk")}) AS th
-         |  FROM c),
-         |vecs AS (SELECT doc_id, i, leng,
-         |    list_transform(range(1, ${FhDim + 1}), x ->
-         |      CAST(COALESCE(list_aggregate(list_transform(th, h ->
-         |        CASE WHEN h % $FhDim = x - 1 THEN $sign ELSE 0 END), 'sum'), 0)
-         |        AS BIGINT)) AS vv
-         |  FROM ch),
-         |vn AS (SELECT doc_id, i, leng, vv,
-         |    ${sqlDotInt("vv", "vv", FhDim)} AS n2 FROM vecs),
-         |cent AS (SELECT doc_id - $CciBase AS c_id, vv AS cv, n2 AS cn2
-         |  FROM vn WHERE i = 0 AND doc_id >= $CciBase
-         |    AND doc_id < ${CciBase + CciLists}),
+    checked("corpus_chunk_index",
+      s"""WITH $cciChainSqlCtes,
          |dist AS (SELECT v.doc_id, v.i, v.leng, c.c_id,
          |    v.n2 - 2 * ${sqlDotInt("v.vv", "c.cv", FhDim)} + c.cn2 AS dd
          |  FROM vn v CROSS JOIN cent c)
@@ -1425,63 +1580,109 @@ object TextQueries {
          |  CAST(c_id AS BIGINT) AS c_id, CAST(dd AS BIGINT) AS dist
          |FROM (SELECT doc_id, i, leng, c_id, dd, row_number() OVER (
          |    PARTITION BY doc_id, i ORDER BY dd, c_id) AS rn FROM dist) r
-         |WHERE rn = 1""".stripMargin
+         |WHERE rn = 1""".stripMargin) { (s, d) =>
+      val vecs = cciVecs(s, d)
+      val cent = cciCentroids(vecs)
+      cciAssign(vecs, cent).select(col("doc_id"), col("i").as("chunk_i"),
+        col("leng").as("n_tokens"), col("c_id"), col("dist"))
+    },
+
+    // QUERY → CHUNK retrieval THROUGH the chunk index — the read half of
+    // the RAG loop corpus_chunk_index ingests for: each BM25 query's
+    // term bag is embedded by the SAME no-vocabulary feature-hash scheme
+    // (query-side consistency is the whole point of hashing vectorizers:
+    // no vocab to ship), probes its CciProbe nearest coarse lists, and
+    // retrieves the RagTopK nearest chunks WITHIN the probed lists by
+    // exact integer distance. Shape at 100 TB: query vectors and their
+    // probe lists are bounded driver model state (|queries| rows),
+    // broadcast into a join that touches only the probed lists'
+    // chunks — CciProbe/CciLists of the corpus, partition-prunable when
+    // the index is persisted list-partitioned (ann_ivf_incremental's
+    // layout); the per-query top-k reduces map-side. All-integer
+    // distances: the ranking is hash-pinned, ties → (doc_id, chunk_i).
+    checked("rag_chunk_retrieve", {
+      val sqlQ = Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      s"""WITH $cciChainSqlCtes,
+         |adist AS (SELECT v.doc_id, v.i, v.vv, v.n2, c.c_id,
+         |    v.n2 - 2 * ${sqlDotInt("v.vv", "c.cv", FhDim)} + c.cn2 AS dd
+         |  FROM vn v CROSS JOIN cent c),
+         |asg AS (SELECT doc_id, i, vv, n2, c_id
+         |  FROM (SELECT doc_id, i, vv, n2, c_id, row_number() OVER (
+         |      PARTITION BY doc_id, i ORDER BY dd, c_id) AS rn FROM adist) r
+         |  WHERE rn = 1),
+         |q AS (SELECT * FROM (VALUES $sqlQ) v(query_id, t)),
+         |qth AS (SELECT query_id, list(${sqlH60("t")}) AS th
+         |  FROM q GROUP BY query_id),
+         |qvv AS (SELECT query_id, list_transform(range(1, ${FhDim + 1}), x ->
+         |    CAST(COALESCE(list_aggregate(list_transform(th, h ->
+         |      CASE WHEN h % $FhDim = x - 1 THEN $cciSignSql ELSE 0 END), 'sum'), 0)
+         |      AS BIGINT)) AS qv
+         |  FROM qth),
+         |qvn AS (SELECT query_id, qv,
+         |    ${sqlDotInt("qv", "qv", FhDim)} AS qn2 FROM qvv),
+         |qpr AS (SELECT query_id, c_id, qv, qn2
+         |  FROM (SELECT q.query_id, c.c_id, q.qv, q.qn2, row_number() OVER (
+         |      PARTITION BY q.query_id ORDER BY
+         |        q.qn2 - 2 * ${sqlDotInt("q.qv", "c.cv", FhDim)} + c.cn2,
+         |        c.c_id) AS rn
+         |    FROM qvn q CROSS JOIN cent c) r WHERE rn <= $CciProbe),
+         |cand AS (SELECT p.query_id, a.doc_id, a.i,
+         |    p.qn2 - 2 * ${sqlDotInt("p.qv", "a.vv", FhDim)} + a.n2 AS dd
+         |  FROM qpr p JOIN asg a USING (c_id))
+         |SELECT CAST(query_id AS INT) AS query_id, doc_id,
+         |  CAST(i AS BIGINT) AS chunk_i, CAST(dd AS BIGINT) AS dist,
+         |  CAST(rn AS BIGINT) AS rank
+         |FROM (SELECT query_id, doc_id, i, dd, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dd, doc_id, i) AS rn FROM cand) r
+         |WHERE rn <= $RagTopK""".stripMargin
     }) { (s, d) =>
-      val W = 64L; val S = 56L
-      // Chunk fan-out (corpus_chunk's exact windowing), then hash each
-      // chunk token in the exploded stream — whole-stage codegen'd, no
-      // interpreted array lambda on the hot path.
-      val ex = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("n", size(col("toks")).cast("long"))
-        .withColumn("nc",
-          when(col("n") === 0L, lit(0L))
-            .when(col("n") <= W, lit(1L))
-            .otherwise(lit(1L) +
-              ceil((col("n") - W).cast("double") / S).cast("long")))
-        .withColumn("i", explode(
-          when(col("nc") === 0L, array().cast("array<long>"))
-            .otherwise(sequence(lit(0L), col("nc") - 1L))))
-        .withColumn("st", col("i") * S)
-        .withColumn("leng", least(col("st") + W, col("n")) - col("st"))
-        .select(col("doc_id"), col("i"), col("leng"),
-          explode(slice(col("toks"), (col("st") + 1L).cast("int"),
-            col("leng").cast("int"))).as("t"))
-        .withColumn("h", h60(col("t")))
-        .select(col("doc_id"), col("i"), col("leng"),
-          pmod(col("h"), lit(FhDim.toLong)).as("idx"),
+      import s.implicits._
+      val vecs = cciVecs(s, d)
+      val cent = cciCentroids(vecs)
+      val asg = staged(cciAssign(vecs, cent))
+      // Query vectors through the SAME hashing expressions the corpus
+      // side runs (not a Scala reimplementation of the hash), then
+      // collected: |queries| rows of FhDim longs — bounded model state.
+      val qdf = Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "t")
+      val qex = qdf.withColumn("h", h60(col("t")))
+        .select(col("query_id"), pmod(col("h"), lit(FhDim.toLong)).as("idx"),
           when(shiftright(col("h"), 6) % 2 === 0, 1L).otherwise(-1L).as("sg"))
-      val cell = ex.groupBy("doc_id", "i", "leng", "idx")
-        .agg(sum(col("sg")).as("f"))
-      val vecs = staged(cell.groupBy("doc_id", "i", "leng")
+      val qvec = qex.groupBy("query_id", "idx").agg(sum(col("sg")).as("f"))
+        .groupBy("query_id")
         .agg(map_from_entries(collect_list(struct(col("idx"), col("f"))))
           .as("mp"))
-        .withColumn("vv", transform(sequence(lit(0L), lit(FhDim - 1L)),
+        .withColumn("qv", transform(sequence(lit(0L), lit(FhDim - 1L)),
           x => coalesce(element_at(col("mp"), x), lit(0L))))
-        .select(col("doc_id"), col("i"), col("leng"), col("vv"))
-        .withColumn("n2", dotInt(col("vv"), col("vv"))))
-      // Quantizer to the driver: CciLists rows of FhDim longs — bounded
-      // model state, inlined as literals (the dedup_semantic pattern).
-      val cent = vecs
-        .filter(col("i") === 0L && col("doc_id") >= CciBase &&
-          col("doc_id") < CciBase + CciLists)
-        .select((col("doc_id") - CciBase).as("c_id"), col("vv"), col("n2"))
+        .select(col("query_id"), col("qv"))
+        .withColumn("qn2", dotInt(col("qv"), col("qv")))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
-        .sortBy(_._1)
-      require(cent.length == CciLists,
-        s"chunk-index centroid seeds not gap-free: ${cent.length} != $CciLists")
-      val dists = cent.map { case (cid, cv, cn2) =>
-        (cid, col("n2") - lit(2.0) * dotInt(col("vv"), array(cv.map(lit): _*))
-          + lit(cn2))
+        .map(r => (r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
+      // Probe selection driver-side in exact Long arithmetic (the same
+      // integers the executors would compute), CciProbe lists per query.
+      val probed = qvec.toSeq.flatMap { case (qid, qv, qn2) =>
+        cent.map { case (cid, cv, cn2) =>
+          val dot = qv.iterator.zip(cv.iterator).map { case (a, b) => a * b }.sum
+          (cid, qn2 - 2.0 * dot + cn2)
+        }.sortBy { case (cid, dd) => (dd, cid) }.take(CciProbe)
+          .map { case (cid, _) => (qid, qv, qn2, cid) }
       }
-      val dArr = array(dists.map(_._2): _*)
-      val cidArr = array(dists.map(x => lit(x._1)): _*)
-      vecs.select(col("doc_id"), col("i").as("chunk_i"),
-        col("leng").as("n_tokens"),
-        element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int"))
-          .as("c_id"),
-        array_min(dArr).cast("long").as("dist"))
+      val qpr = broadcast(probed.toDF("query_id", "qv", "qn2", "c_id"))
+      val cand = qpr.join(asg, Seq("c_id"))
+        .select(col("query_id"), col("doc_id"), col("i"),
+          (col("qn2") - lit(2.0) * dotInt(col("qv"), col("vv")) + col("n2"))
+            .as("dd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dd"), col("doc_id"), col("i"))
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= RagTopK)
+        .select(col("query_id").cast("int").as("query_id"), col("doc_id"),
+          col("i").as("chunk_i"), col("dd").cast("long").as("dist"),
+          col("rank"))
     },
 
     // PII scrubbing — the redaction pass every pretraining pipeline runs
@@ -1861,6 +2062,86 @@ object TextQueries {
           r6(coalesce(col("c_bm25"), lit(0L)).cast("double") / col("n_truth"))
             .as("recall_bm25_6"),
           (col("n_truth") === Bm25TopK).as("truth_complete"))
+    },
+
+    // WEIGHTED NORMALIZED-SCORE FUSION — the other standard hybrid
+    // besides RRF (CombSUM with min-max normalization, Vogt & Cottrell
+    // 1999; the "alpha" knob Elasticsearch/Weaviate expose): rank-based
+    // RRF discards score MAGNITUDE, so a side that is very confident
+    // about its #1 counts the same as one that barely separates — the
+    // weighted variant keeps magnitudes, normalized per (query, side)
+    // onto an integer grid so neither side's raw scale dominates. Fused
+    // score = FwLex·lex_norm + FwVec·vec_norm, exact BIGINT arithmetic
+    // throughout (gridded cosine → min-max div → weighted sum), so the
+    // fusion is hash-pinned cross-engine. Same 100-TB shape as
+    // retrieval_rrf: both inputs rank-bounded (queries × topK rows), the
+    // min-max frames are queries-sized broadcasts, nothing corpus-sized
+    // crosses any fusion join. Absent-side norm surfaces as 0 (the
+    // "not retrieved by this side" marker, matching RRF's rank-0).
+    checked("retrieval_fusion_weighted",
+      s"""WITH $bm25AggSqlCtes,
+         |$rrfVecSqlCtes,
+         |ltop AS (SELECT query_id, doc_id, score_scaled
+         |  FROM (SELECT query_id, doc_id, score_scaled, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rn
+         |    FROM agg) r WHERE rn <= $Bm25TopK),
+         |vst AS (SELECT query_id, doc_id,
+         |    CAST(floor(cos * $FwCosScale + 0.5) AS BIGINT) AS cos_scaled
+         |  FROM vsc),
+         |vtop AS (SELECT query_id, doc_id, cos_scaled
+         |  FROM (SELECT query_id, doc_id, cos_scaled, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos_scaled DESC, doc_id) AS rn
+         |    FROM vst) r WHERE rn <= $Bm25TopK),
+         |lmm AS (SELECT query_id, min(score_scaled) AS mn,
+         |    max(score_scaled) AS mx FROM ltop GROUP BY query_id),
+         |lnorm AS (SELECT l.query_id, l.doc_id,
+         |    CASE WHEN mx = mn THEN $FwScale
+         |      ELSE ((score_scaled - mn) * $FwScale) // (mx - mn) END AS lex_norm
+         |  FROM ltop l JOIN lmm USING (query_id)),
+         |vmm AS (SELECT query_id, min(cos_scaled) AS mn,
+         |    max(cos_scaled) AS mx FROM vtop GROUP BY query_id),
+         |vnorm AS (SELECT v.query_id, v.doc_id,
+         |    CASE WHEN mx = mn THEN $FwScale
+         |      ELSE ((cos_scaled - mn) * $FwScale) // (mx - mn) END AS vec_norm
+         |  FROM vtop v JOIN vmm USING (query_id)),
+         |wids AS (SELECT query_id, doc_id FROM lnorm
+         |  UNION SELECT query_id, doc_id FROM vnorm),
+         |wsc AS (SELECT i.query_id, i.doc_id,
+         |    CAST(COALESCE(l.lex_norm, 0) AS BIGINT) AS lex_norm,
+         |    CAST(COALESCE(v.vec_norm, 0) AS BIGINT) AS vec_norm,
+         |    CAST($FwLex * COALESCE(l.lex_norm, 0)
+         |       + $FwVec * COALESCE(v.vec_norm, 0) AS BIGINT) AS fused_scaled
+         |  FROM wids i LEFT JOIN lnorm l USING (query_id, doc_id)
+         |    LEFT JOIN vnorm v USING (query_id, doc_id))
+         |SELECT query_id, doc_id, lex_norm, vec_norm, fused_scaled,
+         |  ${sqlR6(s"CAST(fused_scaled AS DOUBLE) / ${(FwLex + FwVec) * FwScale}.0")}
+         |    AS fused6,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, doc_id, lex_norm, vec_norm, fused_scaled,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY fused_scaled DESC, doc_id) AS rank FROM wsc) r
+         |WHERE rank <= $Bm25TopK""".stripMargin) { (s, d) =>
+      val lexN = staged(fwNorm(fwLexTop(s, d), "score_scaled", "lex_norm"))
+      val vecN = staged(fwNorm(fwVecTop(s, d), "cos_scaled", "vec_norm"))
+      val ids = lexN.select(col("query_id"), col("doc_id"))
+        .union(vecN.select(col("query_id"), col("doc_id"))).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("fused_scaled").desc, col("doc_id"))
+      ids.join(broadcast(lexN), Seq("query_id", "doc_id"), "left")
+        .join(broadcast(vecN), Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("lex_norm"), lit(0L)).as("lex_norm"),
+          coalesce(col("vec_norm"), lit(0L)).as("vec_norm"),
+          (lit(FwLex) * coalesce(col("lex_norm"), lit(0L)) +
+            lit(FwVec) * coalesce(col("vec_norm"), lit(0L)))
+            .as("fused_scaled"))
+        .withColumn("fused6", r6(col("fused_scaled").cast("double") /
+          ((FwLex + FwVec) * FwScale).toDouble))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= Bm25TopK)
+        .select(col("query_id"), col("doc_id"), col("lex_norm"),
+          col("vec_norm"), col("fused_scaled"), col("fused6"), col("rank"))
     },
 
     // Feature hashing (the "hashing trick" vectorizer): every document

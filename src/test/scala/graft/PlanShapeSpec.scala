@@ -306,6 +306,45 @@ class PlanShapeSpec extends SparkSpec {
         s"execution all must run broadcast, none sort-merge; got plan:\n$p")
   }
 
+  test("retrieval_fusion_weighted: fusion joins only rank-bounded frames; " +
+      "no cartesian, no sort-merge at execution") {
+    val p = try {
+      val q = SparkEntry.allQueries.find(_.name == "retrieval_fusion_weighted")
+        .getOrElse(fail("no query named retrieval_fusion_weighted"))
+      val df = q.fn(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    } finally QuerySpec.releaseStaged()
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian product may appear anywhere in the weighted-fusion plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2,
+      s"only the BM25 side's single-row N/avgdl stats broadcasts may be " +
+        s"nested-loop joins; found $bnlj in plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"every fusion join has a ≤ queries·topK-row side (the min-max " +
+        s"frames are queries-sized) — all must run broadcast; got plan:\n$p")
+  }
+
+  test("rag_chunk_retrieve: the probe join broadcasts the bounded query " +
+      "side onto the assigned chunks; no cartesian") {
+    val p = try {
+      val q = SparkEntry.allQueries.find(_.name == "rag_chunk_retrieve")
+        .getOrElse(fail("no query named rag_chunk_retrieve"))
+      val df = q.fn(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    } finally QuerySpec.releaseStaged()
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product may appear in the retrieval plan; got:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (query, probed-list) side is bounded model state and must " +
+        s"broadcast onto the chunk-assignment frame; got plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing corpus-sized may shuffle for the candidate join — the " +
+        s"probe side is |queries|·CciProbe rows; got plan:\n$p")
+  }
+
   test("corpus_chunk_index: IVF assignment is a projection — no join, no window") {
     val p = plan("corpus_chunk_index")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
