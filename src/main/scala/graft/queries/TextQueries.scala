@@ -287,6 +287,69 @@ object TextQueries {
           expr(s"(($scoreCol - mn) * $FwScale) div (mx - mn)")).as(outCol))
   }
 
+  /** Weighted fusion of the two normalized sides (the [[rrfFused]]
+    * shape with scores instead of ranks): candidate set = union of the
+    * retained top-k ids, fused = FwLex·lex_norm + FwVec·vec_norm,
+    * absent side → 0, rank by (fused desc, doc_id). */
+  private def fwFused(lexN: org.apache.spark.sql.DataFrame,
+                      vecN: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ids = lexN.select(col("query_id"), col("doc_id"))
+      .union(vecN.select(col("query_id"), col("doc_id"))).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("fused_scaled").desc, col("doc_id"))
+    ids.join(broadcast(lexN), Seq("query_id", "doc_id"), "left")
+      .join(broadcast(vecN), Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_norm"), lit(0L)).as("lex_norm"),
+        coalesce(col("vec_norm"), lit(0L)).as("vec_norm"),
+        (lit(FwLex) * coalesce(col("lex_norm"), lit(0L)) +
+          lit(FwVec) * coalesce(col("vec_norm"), lit(0L)))
+          .as("fused_scaled"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** SQL twin of the weighted-fusion chain: CTEs ltop → wrank (assumes
+    * `agg` and `vsc` are already in the WITH chain). */
+  private def fwFusedSqlCtes: String =
+    s"""ltop AS (SELECT query_id, doc_id, score_scaled
+       |  FROM (SELECT query_id, doc_id, score_scaled, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rn
+       |    FROM agg) r WHERE rn <= $Bm25TopK),
+       |vst AS (SELECT query_id, doc_id,
+       |    CAST(floor(cos * $FwCosScale + 0.5) AS BIGINT) AS cos_scaled
+       |  FROM vsc),
+       |vtop AS (SELECT query_id, doc_id, cos_scaled
+       |  FROM (SELECT query_id, doc_id, cos_scaled, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos_scaled DESC, doc_id) AS rn
+       |    FROM vst) r WHERE rn <= $Bm25TopK),
+       |lmm AS (SELECT query_id, min(score_scaled) AS mn,
+       |    max(score_scaled) AS mx FROM ltop GROUP BY query_id),
+       |lnorm AS (SELECT l.query_id, l.doc_id,
+       |    CASE WHEN mx = mn THEN $FwScale
+       |      ELSE ((score_scaled - mn) * $FwScale) // (mx - mn) END AS lex_norm
+       |  FROM ltop l JOIN lmm USING (query_id)),
+       |vmm AS (SELECT query_id, min(cos_scaled) AS mn,
+       |    max(cos_scaled) AS mx FROM vtop GROUP BY query_id),
+       |vnorm AS (SELECT v.query_id, v.doc_id,
+       |    CASE WHEN mx = mn THEN $FwScale
+       |      ELSE ((cos_scaled - mn) * $FwScale) // (mx - mn) END AS vec_norm
+       |  FROM vtop v JOIN vmm USING (query_id)),
+       |wids AS (SELECT query_id, doc_id FROM lnorm
+       |  UNION SELECT query_id, doc_id FROM vnorm),
+       |wsc AS (SELECT i.query_id, i.doc_id,
+       |    CAST(COALESCE(l.lex_norm, 0) AS BIGINT) AS lex_norm,
+       |    CAST(COALESCE(v.vec_norm, 0) AS BIGINT) AS vec_norm,
+       |    CAST($FwLex * COALESCE(l.lex_norm, 0)
+       |       + $FwVec * COALESCE(v.vec_norm, 0) AS BIGINT) AS fused_scaled
+       |  FROM wids i LEFT JOIN lnorm l USING (query_id, doc_id)
+       |    LEFT JOIN vnorm v USING (query_id, doc_id)),
+       |wrank AS (SELECT query_id, doc_id, lex_norm, vec_norm, fused_scaled,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY fused_scaled DESC, doc_id) AS BIGINT) AS rank
+       |  FROM wsc)""".stripMargin
+
   /** The h60-sign convention of the feature-hash scheme, SQL spelling. */
   private val cciSignSql = s"CASE WHEN (h // $FhDim) % 2 = 0 THEN 1 ELSE -1 END"
 
@@ -2081,67 +2144,77 @@ object TextQueries {
     checked("retrieval_fusion_weighted",
       s"""WITH $bm25AggSqlCtes,
          |$rrfVecSqlCtes,
-         |ltop AS (SELECT query_id, doc_id, score_scaled
-         |  FROM (SELECT query_id, doc_id, score_scaled, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rn
-         |    FROM agg) r WHERE rn <= $Bm25TopK),
-         |vst AS (SELECT query_id, doc_id,
-         |    CAST(floor(cos * $FwCosScale + 0.5) AS BIGINT) AS cos_scaled
-         |  FROM vsc),
-         |vtop AS (SELECT query_id, doc_id, cos_scaled
-         |  FROM (SELECT query_id, doc_id, cos_scaled, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY cos_scaled DESC, doc_id) AS rn
-         |    FROM vst) r WHERE rn <= $Bm25TopK),
-         |lmm AS (SELECT query_id, min(score_scaled) AS mn,
-         |    max(score_scaled) AS mx FROM ltop GROUP BY query_id),
-         |lnorm AS (SELECT l.query_id, l.doc_id,
-         |    CASE WHEN mx = mn THEN $FwScale
-         |      ELSE ((score_scaled - mn) * $FwScale) // (mx - mn) END AS lex_norm
-         |  FROM ltop l JOIN lmm USING (query_id)),
-         |vmm AS (SELECT query_id, min(cos_scaled) AS mn,
-         |    max(cos_scaled) AS mx FROM vtop GROUP BY query_id),
-         |vnorm AS (SELECT v.query_id, v.doc_id,
-         |    CASE WHEN mx = mn THEN $FwScale
-         |      ELSE ((cos_scaled - mn) * $FwScale) // (mx - mn) END AS vec_norm
-         |  FROM vtop v JOIN vmm USING (query_id)),
-         |wids AS (SELECT query_id, doc_id FROM lnorm
-         |  UNION SELECT query_id, doc_id FROM vnorm),
-         |wsc AS (SELECT i.query_id, i.doc_id,
-         |    CAST(COALESCE(l.lex_norm, 0) AS BIGINT) AS lex_norm,
-         |    CAST(COALESCE(v.vec_norm, 0) AS BIGINT) AS vec_norm,
-         |    CAST($FwLex * COALESCE(l.lex_norm, 0)
-         |       + $FwVec * COALESCE(v.vec_norm, 0) AS BIGINT) AS fused_scaled
-         |  FROM wids i LEFT JOIN lnorm l USING (query_id, doc_id)
-         |    LEFT JOIN vnorm v USING (query_id, doc_id))
+         |$fwFusedSqlCtes
          |SELECT query_id, doc_id, lex_norm, vec_norm, fused_scaled,
          |  ${sqlR6(s"CAST(fused_scaled AS DOUBLE) / ${(FwLex + FwVec) * FwScale}.0")}
          |    AS fused6,
-         |  CAST(rank AS BIGINT) AS rank
-         |FROM (SELECT query_id, doc_id, lex_norm, vec_norm, fused_scaled,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY fused_scaled DESC, doc_id) AS rank FROM wsc) r
-         |WHERE rank <= $Bm25TopK""".stripMargin) { (s, d) =>
+         |  rank
+         |FROM wrank WHERE rank <= $Bm25TopK""".stripMargin) { (s, d) =>
       val lexN = staged(fwNorm(fwLexTop(s, d), "score_scaled", "lex_norm"))
       val vecN = staged(fwNorm(fwVecTop(s, d), "cos_scaled", "vec_norm"))
-      val ids = lexN.select(col("query_id"), col("doc_id"))
-        .union(vecN.select(col("query_id"), col("doc_id"))).distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("fused_scaled").desc, col("doc_id"))
-      ids.join(broadcast(lexN), Seq("query_id", "doc_id"), "left")
-        .join(broadcast(vecN), Seq("query_id", "doc_id"), "left")
-        .select(col("query_id"), col("doc_id"),
-          coalesce(col("lex_norm"), lit(0L)).as("lex_norm"),
-          coalesce(col("vec_norm"), lit(0L)).as("vec_norm"),
-          (lit(FwLex) * coalesce(col("lex_norm"), lit(0L)) +
-            lit(FwVec) * coalesce(col("vec_norm"), lit(0L)))
-            .as("fused_scaled"))
+      fwFused(lexN, vecN)
+        .filter(col("rank") <= Bm25TopK)
         .withColumn("fused6", r6(col("fused_scaled").cast("double") /
           ((FwLex + FwVec) * FwScale).toDouble))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= Bm25TopK)
         .select(col("query_id"), col("doc_id"), col("lex_norm"),
           col("vec_norm"), col("fused_scaled"), col("fused6"), col("rank"))
+    },
+
+    // The fusion-weight decision measurement: recall@k of BOTH fusion
+    // strategies — rank-based RRF and score-based weighted — against the
+    // exhaustive-cosine truth, side by side with BM25-only (the
+    // retrieval_rrf_recall harness widened to the second fusion). This
+    // is the table a real pipeline reads to pick between RRF and an
+    // alpha-weighted combination (and to tune alpha): identical truth,
+    // identical candidate generation, only the fusion rule differs.
+    // Everything downstream of the retrievals is O(queries · k).
+    checked("retrieval_fusion_recall",
+      s"""WITH $bm25AggSqlCtes,
+         |$rrfVecSqlCtes,
+         |$rrfFusedSqlCtes,
+         |$fwFusedSqlCtes,
+         |truth AS (SELECT query_id, doc_id FROM vr),
+         |rtop AS (SELECT query_id, doc_id FROM frank WHERE rank <= $Bm25TopK),
+         |wtop AS (SELECT query_id, doc_id FROM wrank WHERE rank <= $Bm25TopK),
+         |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+         |  FROM truth GROUP BY query_id),
+         |hr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT * FROM rtop INTERSECT SELECT * FROM truth) i
+         |  GROUP BY query_id),
+         |hw AS (SELECT query_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT * FROM wtop INTERSECT SELECT * FROM truth) i
+         |  GROUP BY query_id)
+         |SELECT nt.query_id, n_truth,
+         |  COALESCE(hr.c, 0) AS n_hits_rrf,
+         |  COALESCE(hw.c, 0) AS n_hits_weighted,
+         |  ${sqlR6("CAST(COALESCE(hr.c, 0) AS DOUBLE) / n_truth")}
+         |    AS recall_rrf6,
+         |  ${sqlR6("CAST(COALESCE(hw.c, 0) AS DOUBLE) / n_truth")}
+         |    AS recall_weighted6
+         |FROM nt LEFT JOIN hr USING (query_id) LEFT JOIN hw USING (query_id)
+         |""".stripMargin) { (s, d) =>
+      val lexr = staged(bm25LexRank(s, d))
+      val vr = staged(rrfVecRank(s, d))
+      val lexN = staged(fwNorm(fwLexTop(s, d), "score_scaled", "lex_norm"))
+      val vecN = staged(fwNorm(fwVecTop(s, d), "cos_scaled", "vec_norm"))
+      val truth = vr.select(col("query_id"), col("doc_id"))
+      val rtop = rrfFused(lexr, vr).filter(col("rank") <= Bm25TopK)
+        .select(col("query_id"), col("doc_id"))
+      val wtop = fwFused(lexN, vecN).filter(col("rank") <= Bm25TopK)
+        .select(col("query_id"), col("doc_id"))
+      val nt = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      val hr = rtop.join(truth, Seq("query_id", "doc_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("c_rrf"))
+      val hw = wtop.join(truth, Seq("query_id", "doc_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("c_w"))
+      nt.join(hr, Seq("query_id"), "left").join(hw, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_truth"),
+          coalesce(col("c_rrf"), lit(0L)).as("n_hits_rrf"),
+          coalesce(col("c_w"), lit(0L)).as("n_hits_weighted"),
+          r6(coalesce(col("c_rrf"), lit(0L)).cast("double") / col("n_truth"))
+            .as("recall_rrf6"),
+          r6(coalesce(col("c_w"), lit(0L)).cast("double") / col("n_truth"))
+            .as("recall_weighted6"))
     },
 
     // Feature hashing (the "hashing trick" vectorizer): every document
