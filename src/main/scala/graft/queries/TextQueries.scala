@@ -433,6 +433,106 @@ object TextQueries {
       array_min(dArr).cast("long").as("dist"))
   }
 
+  /** Query-side of the chunk-index retrieval: each BM25 query's term bag
+    * embedded through the SAME hashing expressions the corpus side runs
+    * (not a Scala reimplementation of the hash), collected — |queries|
+    * rows of FhDim longs, bounded model state — then probe-fanned to its
+    * CciProbe nearest coarse lists in exact driver-side Long arithmetic
+    * (the same integers the executors would compute). Returned broadcast:
+    * (query_id, qv, qn2, c_id), |queries|·CciProbe rows. */
+  private def ragQueryProbes(s: org.apache.spark.sql.SparkSession,
+                             cent: Seq[(Long, Seq[Long], Double)])
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val qdf = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "t")
+    val qex = qdf.withColumn("h", h60(col("t")))
+      .select(col("query_id"), pmod(col("h"), lit(FhDim.toLong)).as("idx"),
+        when(shiftright(col("h"), 6) % 2 === 0, 1L).otherwise(-1L).as("sg"))
+    val qvec = qex.groupBy("query_id", "idx").agg(sum(col("sg")).as("f"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("f"))))
+        .as("mp"))
+      .withColumn("qv", transform(sequence(lit(0L), lit(FhDim - 1L)),
+        x => coalesce(element_at(col("mp"), x), lit(0L))))
+      .select(col("query_id"), col("qv"))
+      .withColumn("qn2", dotInt(col("qv"), col("qv")))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
+    val probed = qvec.toSeq.flatMap { case (qid, qv, qn2) =>
+      cent.map { case (cid, cv, cn2) =>
+        val dot = qv.iterator.zip(cv.iterator).map { case (a, b) => a * b }.sum
+        (cid, qn2 - 2.0 * dot + cn2)
+      }.sortBy { case (cid, dd) => (dd, cid) }.take(CciProbe)
+        .map { case (cid, _) => (qid, qv, qn2, cid) }
+    }
+    broadcast(probed.toDF("query_id", "qv", "qn2", "c_id"))
+  }
+
+  /** The retrieval tail: candidate join of the broadcast probe frame
+    * onto an assigned-chunk frame (doc_id, i, vv, n2, c_id) — only the
+    * probed lists' chunks are touched — exact integer distance, per-query
+    * RagTopK by (dist, doc_id, chunk_i). */
+  private def ragRetrieve(qpr: org.apache.spark.sql.DataFrame,
+                          asg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cand = qpr.join(asg, Seq("c_id"))
+      .select(col("query_id"), col("doc_id"), col("i"),
+        (col("qn2") - lit(2.0) * dotInt(col("qv"), col("vv")) + col("n2"))
+          .as("dd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dd"), col("doc_id"), col("i"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= RagTopK)
+      .select(col("query_id").cast("int").as("query_id"), col("doc_id"),
+        col("i").as("chunk_i"), col("dd").cast("long").as("dist"),
+        col("rank"))
+  }
+
+  /** The full computing SQL of query→chunk retrieval (shared by
+    * rag_chunk_retrieve and — as the store-vs-computed IDENTITY oracle —
+    * rag_chunk_incremental). */
+  private def ragRetrieveSql: String = {
+    val sqlQ = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH $cciChainSqlCtes,
+       |adist AS (SELECT v.doc_id, v.i, v.vv, v.n2, c.c_id,
+       |    v.n2 - 2 * ${sqlDotInt("v.vv", "c.cv", FhDim)} + c.cn2 AS dd
+       |  FROM vn v CROSS JOIN cent c),
+       |asg AS (SELECT doc_id, i, vv, n2, c_id
+       |  FROM (SELECT doc_id, i, vv, n2, c_id, row_number() OVER (
+       |      PARTITION BY doc_id, i ORDER BY dd, c_id) AS rn FROM adist) r
+       |  WHERE rn = 1),
+       |q AS (SELECT * FROM (VALUES $sqlQ) v(query_id, t)),
+       |qth AS (SELECT query_id, list(${sqlH60("t")}) AS th
+       |  FROM q GROUP BY query_id),
+       |qvv AS (SELECT query_id, list_transform(range(1, ${FhDim + 1}), x ->
+       |    CAST(COALESCE(list_aggregate(list_transform(th, h ->
+       |      CASE WHEN h % $FhDim = x - 1 THEN $cciSignSql ELSE 0 END), 'sum'), 0)
+       |      AS BIGINT)) AS qv
+       |  FROM qth),
+       |qvn AS (SELECT query_id, qv,
+       |    ${sqlDotInt("qv", "qv", FhDim)} AS qn2 FROM qvv),
+       |qpr AS (SELECT query_id, c_id, qv, qn2
+       |  FROM (SELECT q.query_id, c.c_id, q.qv, q.qn2, row_number() OVER (
+       |      PARTITION BY q.query_id ORDER BY
+       |        q.qn2 - 2 * ${sqlDotInt("q.qv", "c.cv", FhDim)} + c.cn2,
+       |        c.c_id) AS rn
+       |    FROM qvn q CROSS JOIN cent c) r WHERE rn <= $CciProbe),
+       |cand AS (SELECT p.query_id, a.doc_id, a.i,
+       |    p.qn2 - 2 * ${sqlDotInt("p.qv", "a.vv", FhDim)} + a.n2 AS dd
+       |  FROM qpr p JOIN asg a USING (c_id))
+       |SELECT CAST(query_id AS INT) AS query_id, doc_id,
+       |  CAST(i AS BIGINT) AS chunk_i, CAST(dd AS BIGINT) AS dist,
+       |  CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT query_id, doc_id, i, dd, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dd, doc_id, i) AS rn FROM cand) r
+       |WHERE rn <= $RagTopK""".stripMargin
+  }
+
   /** SQL twin of the shared chain: CTEs t → n → c → ch → vecs → vn →
     * cent, exactly [[cciVecs]] + [[cciCentroids]]. */
   private def cciChainSqlCtes: String =
@@ -1663,89 +1763,48 @@ object TextQueries {
     // the index is persisted list-partitioned (ann_ivf_incremental's
     // layout); the per-query top-k reduces map-side. All-integer
     // distances: the ranking is hash-pinned, ties → (doc_id, chunk_i).
-    checked("rag_chunk_retrieve", {
-      val sqlQ = Bm25Queries
-        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
-        .mkString(", ")
-      s"""WITH $cciChainSqlCtes,
-         |adist AS (SELECT v.doc_id, v.i, v.vv, v.n2, c.c_id,
-         |    v.n2 - 2 * ${sqlDotInt("v.vv", "c.cv", FhDim)} + c.cn2 AS dd
-         |  FROM vn v CROSS JOIN cent c),
-         |asg AS (SELECT doc_id, i, vv, n2, c_id
-         |  FROM (SELECT doc_id, i, vv, n2, c_id, row_number() OVER (
-         |      PARTITION BY doc_id, i ORDER BY dd, c_id) AS rn FROM adist) r
-         |  WHERE rn = 1),
-         |q AS (SELECT * FROM (VALUES $sqlQ) v(query_id, t)),
-         |qth AS (SELECT query_id, list(${sqlH60("t")}) AS th
-         |  FROM q GROUP BY query_id),
-         |qvv AS (SELECT query_id, list_transform(range(1, ${FhDim + 1}), x ->
-         |    CAST(COALESCE(list_aggregate(list_transform(th, h ->
-         |      CASE WHEN h % $FhDim = x - 1 THEN $cciSignSql ELSE 0 END), 'sum'), 0)
-         |      AS BIGINT)) AS qv
-         |  FROM qth),
-         |qvn AS (SELECT query_id, qv,
-         |    ${sqlDotInt("qv", "qv", FhDim)} AS qn2 FROM qvv),
-         |qpr AS (SELECT query_id, c_id, qv, qn2
-         |  FROM (SELECT q.query_id, c.c_id, q.qv, q.qn2, row_number() OVER (
-         |      PARTITION BY q.query_id ORDER BY
-         |        q.qn2 - 2 * ${sqlDotInt("q.qv", "c.cv", FhDim)} + c.cn2,
-         |        c.c_id) AS rn
-         |    FROM qvn q CROSS JOIN cent c) r WHERE rn <= $CciProbe),
-         |cand AS (SELECT p.query_id, a.doc_id, a.i,
-         |    p.qn2 - 2 * ${sqlDotInt("p.qv", "a.vv", FhDim)} + a.n2 AS dd
-         |  FROM qpr p JOIN asg a USING (c_id))
-         |SELECT CAST(query_id AS INT) AS query_id, doc_id,
-         |  CAST(i AS BIGINT) AS chunk_i, CAST(dd AS BIGINT) AS dist,
-         |  CAST(rn AS BIGINT) AS rank
-         |FROM (SELECT query_id, doc_id, i, dd, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY dd, doc_id, i) AS rn FROM cand) r
-         |WHERE rn <= $RagTopK""".stripMargin
-    }) { (s, d) =>
-      import s.implicits._
+    checked("rag_chunk_retrieve", ragRetrieveSql) { (s, d) =>
       val vecs = cciVecs(s, d)
       val cent = cciCentroids(vecs)
       val asg = staged(cciAssign(vecs, cent))
-      // Query vectors through the SAME hashing expressions the corpus
-      // side runs (not a Scala reimplementation of the hash), then
-      // collected: |queries| rows of FhDim longs — bounded model state.
-      val qdf = Bm25Queries
-        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-        .toDF("query_id", "t")
-      val qex = qdf.withColumn("h", h60(col("t")))
-        .select(col("query_id"), pmod(col("h"), lit(FhDim.toLong)).as("idx"),
-          when(shiftright(col("h"), 6) % 2 === 0, 1L).otherwise(-1L).as("sg"))
-      val qvec = qex.groupBy("query_id", "idx").agg(sum(col("sg")).as("f"))
-        .groupBy("query_id")
-        .agg(map_from_entries(collect_list(struct(col("idx"), col("f"))))
-          .as("mp"))
-        .withColumn("qv", transform(sequence(lit(0L), lit(FhDim - 1L)),
-          x => coalesce(element_at(col("mp"), x), lit(0L))))
-        .select(col("query_id"), col("qv"))
-        .withColumn("qn2", dotInt(col("qv"), col("qv")))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
-      // Probe selection driver-side in exact Long arithmetic (the same
-      // integers the executors would compute), CciProbe lists per query.
-      val probed = qvec.toSeq.flatMap { case (qid, qv, qn2) =>
-        cent.map { case (cid, cv, cn2) =>
-          val dot = qv.iterator.zip(cv.iterator).map { case (a, b) => a * b }.sum
-          (cid, qn2 - 2.0 * dot + cn2)
-        }.sortBy { case (cid, dd) => (dd, cid) }.take(CciProbe)
-          .map { case (cid, _) => (qid, qv, qn2, cid) }
+      ragRetrieve(ragQueryProbes(s, cent),
+        asg.select(col("doc_id"), col("i"), col("vv"), col("n2"),
+          col("c_id")))
+    },
+
+    // PERSISTED incremental chunk index — ann_ivf_incremental's store
+    // lifecycle applied to the RAG read path: the chunk index is built
+    // ONCE per (JVM, sf) as a list-partitioned parquet store in two
+    // writes — a base build (doc_id % 10 <> 7) and an appended "new
+    // shard" (doc_id % 10 = 7) assigned against the SAME frozen
+    // centroids — and the query answers THROUGH the store. The oracle is
+    // rag_chunk_retrieve's own computing chain, so the gate is the
+    // store-vs-computed IDENTITY: an incrementally-built index must
+    // answer byte-for-byte like the from-scratch computation (frozen
+    // quantizer ⇒ assignment is arrival-order-free). Shape at 100 TB:
+    // ingest appends are partition-local (no old-list rewrite when a
+    // shard lands), and the probe join prunes to the probed lists'
+    // PARTITIONS of the store — CciProbe/CciLists of the index ever
+    // read, at any corpus size.
+    checked("rag_chunk_incremental", ragRetrieveSql) { (s, d) =>
+      val vecs = cciVecs(s, d)
+      val cent = cciCentroids(vecs)
+      val dir = TmpDirs.scoped(s"graft_ragstore_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "index").getAbsolutePath
+      if (!ready.exists()) {
+        val asg = cciAssign(vecs, cent)
+          .select(col("doc_id"), col("i"), col("vv"), col("n2"), col("c_id"))
+        asg.filter(col("doc_id") % 10 =!= 7)
+          .write.mode("overwrite").partitionBy("c_id").parquet(store)
+        asg.filter(col("doc_id") % 10 === 7)
+          .write.mode("append").partitionBy("c_id").parquet(store)
+        ready.createNewFile(): Unit
       }
-      val qpr = broadcast(probed.toDF("query_id", "qv", "qn2", "c_id"))
-      val cand = qpr.join(asg, Seq("c_id"))
-        .select(col("query_id"), col("doc_id"), col("i"),
-          (col("qn2") - lit(2.0) * dotInt(col("qv"), col("vv")) + col("n2"))
-            .as("dd"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("dd"), col("doc_id"), col("i"))
-      cand.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= RagTopK)
-        .select(col("query_id").cast("int").as("query_id"), col("doc_id"),
-          col("i").as("chunk_i"), col("dd").cast("long").as("dist"),
-          col("rank"))
+      val idx = s.read.parquet(store)
+        .select(col("doc_id"), col("i"), col("vv"), col("n2"),
+          col("c_id").cast("long").as("c_id"))
+      ragRetrieve(ragQueryProbes(s, cent), idx)
     },
 
     // PII scrubbing — the redaction pass every pretraining pipeline runs

@@ -345,6 +345,30 @@ class PlanShapeSpec extends SparkSpec {
         s"probe side is |queries|·CciProbe rows; got plan:\n$p")
   }
 
+  test("rag_chunk_incremental: the store answers like the computation and " +
+      "its scan prunes to the probed list partitions") {
+    val (p, prunedOk) = try {
+      val q = SparkEntry.allQueries.find(_.name == "rag_chunk_incremental")
+        .getOrElse(fail("no query named rag_chunk_incremental"))
+      val df = q.fn(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // The store is partitioned by c_id and the probe frame bounds the
+      // lists: the parquet scan must carry a PartitionFilters entry on
+      // c_id (static in-set from the broadcast literals, or DPP) — a
+      // scan reading all CciLists partitions for a CciProbe-list probe
+      // is the bug this pin exists to catch.
+      val scans = "PartitionFilters: \\[[^\\]]*c_id[^\\]]*\\]".r
+        .findAllIn(plan).toList
+      (plan, scans.exists(s => !s.contains("PartitionFilters: []")))
+    } finally QuerySpec.releaseStaged()
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe side must broadcast onto the store scan; got plan:\n$p")
+    assert(prunedOk,
+      s"the store scan must prune on the c_id partition column; got plan:\n$p")
+  }
+
   test("corpus_chunk_index: IVF assignment is a projection — no join, no window") {
     val p = plan("corpus_chunk_index")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
