@@ -2276,6 +2276,84 @@ object TextQueries {
             .as("recall_weighted6"))
     },
 
+    // NDCG@k of both fusion strategies — the position-sensitive half of
+    // the fusion-eval pair (recall says WHETHER truth was retrieved,
+    // NDCG says WHERE it landed): relevance = membership in the
+    // exhaustive-cosine truth top-k, discounts are the ml_ndcg
+    // pre-quantized literals (round(1e6/log₂(i+1)) injected into BOTH
+    // engines — no runtime transcendental), DCG/IDCG exact integer sums,
+    // IDCG a literal prefix-sum lookup at n_hits, one IEEE division per
+    // (query, strategy). O(queries · k) beyond the rankings.
+    checked("retrieval_ndcg", {
+      val wDisc = (1 to Bm25TopK).map(i =>
+        math.round(1e6 / (math.log(i + 1) / math.log(2))))
+      val prefix = wDisc.scanLeft(0L)(_ + _)
+      val wCase = (1 to Bm25TopK).map(i => s"WHEN ${i} THEN ${wDisc(i - 1)}")
+        .mkString("CASE rnk ", " ", " END")
+      val prefixList = prefix.mkString("[", ", ", "]")
+      def ndcgSel(h: String): String =
+        s"""CASE WHEN $h.n_hits = 0 THEN 0.0 ELSE
+           |    ${sqlR6(s"CAST($h.dcg AS DOUBLE) / " +
+               s"CAST(($prefixList)[$h.n_hits + 1] AS DOUBLE)")} END""".stripMargin
+      s"""WITH $bm25AggSqlCtes,
+         |$rrfVecSqlCtes,
+         |$rrfFusedSqlCtes,
+         |$fwFusedSqlCtes,
+         |truth AS (SELECT query_id, doc_id FROM vr),
+         |rh AS (SELECT f.query_id,
+         |    CAST(sum(CASE WHEN t.doc_id IS NOT NULL THEN $wCase ELSE 0 END)
+         |      AS BIGINT) AS dcg,
+         |    CAST(count(t.doc_id) AS BIGINT) AS n_hits
+         |  FROM (SELECT query_id, doc_id, rank AS rnk FROM frank
+         |        WHERE rank <= $Bm25TopK) f
+         |  LEFT JOIN truth t USING (query_id, doc_id) GROUP BY 1),
+         |wh AS (SELECT f.query_id,
+         |    CAST(sum(CASE WHEN t.doc_id IS NOT NULL THEN $wCase ELSE 0 END)
+         |      AS BIGINT) AS dcg,
+         |    CAST(count(t.doc_id) AS BIGINT) AS n_hits
+         |  FROM (SELECT query_id, doc_id, rank AS rnk FROM wrank
+         |        WHERE rank <= $Bm25TopK) f
+         |  LEFT JOIN truth t USING (query_id, doc_id) GROUP BY 1)
+         |SELECT query_id, rh.n_hits AS n_hits_rrf,
+         |  wh.n_hits AS n_hits_weighted,
+         |  ${ndcgSel("rh")} AS ndcg_rrf6,
+         |  ${ndcgSel("wh")} AS ndcg_weighted6
+         |FROM rh JOIN wh USING (query_id)""".stripMargin
+    }) { (s, d) =>
+      val wDisc = (1 to Bm25TopK).map(i =>
+        math.round(1e6 / (math.log(i + 1) / math.log(2))))
+      val prefix = wDisc.scanLeft(0L)(_ + _)
+      val lexr = staged(bm25LexRank(s, d))
+      val vr = staged(rrfVecRank(s, d))
+      val lexN = staged(fwNorm(fwLexTop(s, d), "score_scaled", "lex_norm"))
+      val vecN = staged(fwNorm(fwVecTop(s, d), "cos_scaled", "vec_norm"))
+      val truth = vr.select(col("query_id"), col("doc_id"))
+        .withColumn("hit", lit(1L))
+      val wCol = (1 to Bm25TopK).foldLeft(lit(0L)) { (acc, i) =>
+        when(col("rank") === i, lit(wDisc(i - 1))).otherwise(acc)
+      }
+      def ndcgOf(top: org.apache.spark.sql.DataFrame, tag: String)
+          : org.apache.spark.sql.DataFrame =
+        top.filter(col("rank") <= Bm25TopK)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+          .join(broadcast(truth), Seq("query_id", "doc_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(when(col("hit").isNotNull, wCol).otherwise(0L))
+            .as(s"dcg_$tag"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+              .as(s"n_hits_$tag"))
+      def ndcgCol(tag: String): org.apache.spark.sql.Column =
+        when(col(s"n_hits_$tag") === 0L, lit(0.0)).otherwise(
+          r6(col(s"dcg_$tag").cast("double") /
+            element_at(typedLit(prefix), (col(s"n_hits_$tag") + 1).cast("int"))
+              .cast("double")))
+      ndcgOf(rrfFused(lexr, vr), "rrf")
+        .join(ndcgOf(fwFused(lexN, vecN), "weighted"), Seq("query_id"))
+        .select(col("query_id"), col("n_hits_rrf"), col("n_hits_weighted"),
+          ndcgCol("rrf").as("ndcg_rrf6"),
+          ndcgCol("weighted").as("ndcg_weighted6"))
+    },
+
     // Feature hashing (the "hashing trick" vectorizer): every document
     // becomes a fixed FhDim-wide signed count vector — index h mod
     // FhDim, sign from the next hash bit — with no vocabulary pass at
