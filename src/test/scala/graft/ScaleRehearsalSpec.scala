@@ -143,7 +143,13 @@ class ScaleRehearsalSpec extends SparkSpec {
     val heavy = Seq("er_fuzzy_match", "dedup_stopshingle", "dedup_minhash",
       "dedup_simhash", "ann_srp_lsh", "ann_ivf",
       // round-10 pair-graph consumers: SNM weights, pairwise BLEU, LPA
-      "er_match_weights", "text_bleu", "graph_label_propagation")
+      "er_match_weights", "text_bleu", "graph_label_propagation",
+      // round-19 retrieval family: hybrid fusion (BM25 + cosine chains,
+      // rank-bounded tails) and chunk-index retrieval (chunk fan-out +
+      // probed-list candidate join) — copy 0 of the blow-up is the
+      // identity copy, so the fixed-id query seeds and centroid docs
+      // survive and the corpus-scaled upstream is what grows 10x
+      "retrieval_rrf", "retrieval_fusion_weighted", "rag_chunk_retrieve")
     val report = heavy.map { q =>
       run(q, Base) // warm-up: JIT + codegen + per-sf layout builds
       val b0 = System.nanoTime(); run(q, Base)
