@@ -134,6 +134,17 @@ object TextQueries {
   val FwVec = 7L
   val FwCosScale = 1000000000L
 
+  /** retrieval_alpha_ladder: the (lex, vec) integer weight grid — each
+    * pair sums 10, so `wl` reads directly as alpha·10 toward the lexical
+    * side. The sweep a pipeline runs to TUNE alpha, not just use one. */
+  val FwLadder: Seq[(Long, Long)] =
+    Seq((1L, 9L), (3L, 7L), (5L, 5L), (7L, 3L), (9L, 1L))
+
+  /** rag_context_pack: the per-query context-window token budget. 160
+    * with W = 64 chunks ⇒ 2–3 chunks pack, so the budget boundary is
+    * exercised (a budget no query fills would pin nothing). */
+  val CtxBudget = 160L
+
   /** Shared BM25 scored set (query_id, doc_id, score_scaled) — one
     * definition consumed by text_bm25 AND the retrieval_rrf fusion pair,
     * so the lexical ranking can never diverge between the standalone and
@@ -2352,6 +2363,148 @@ object TextQueries {
         .select(col("query_id"), col("n_hits_rrf"), col("n_hits_weighted"),
           ndcgCol("rrf").as("ndcg_rrf6"),
           ndcgCol("weighted").as("ndcg_weighted6"))
+    },
+
+    // THE ALPHA SWEEP — the measurement that actually TUNES the weighted
+    // fusion (retrieval_fusion_recall compares two fixed strategies;
+    // this runs the whole weight grid): the per-side normalized scores
+    // are fused at every (wl, wv) of the ladder in ONE pass (the
+    // candidate frame cross-joins the 5-row literal weight grid — still
+    // O(queries · 2k · |grid|) rows, nothing corpus-sized), ranked per
+    // (alpha, query), and recall@k vs the exhaustive-cosine truth is
+    // reported per cell. The monotone story the table shows: recall
+    // rises toward the vector-weighted end because the truth IS the
+    // vector ranking — exactly the bias a real tuner must know this
+    // harness has, stated here so the number is read correctly.
+    checked("retrieval_alpha_ladder", {
+      val wGrid = FwLadder.map { case (wl, wv) => s"($wl, $wv)" }
+        .mkString(", ")
+      s"""WITH $bm25AggSqlCtes,
+         |$rrfVecSqlCtes,
+         |$fwFusedSqlCtes,
+         |truth AS (SELECT query_id, doc_id FROM vr),
+         |wts AS (SELECT * FROM (VALUES $wGrid) w(wl, wv)),
+         |lad AS (SELECT wl, query_id, doc_id,
+         |    CAST(wl * lex_norm + wv * vec_norm AS BIGINT) AS f
+         |  FROM wsc CROSS JOIN wts),
+         |lr AS (SELECT wl, query_id, doc_id FROM (
+         |    SELECT wl, query_id, doc_id, row_number() OVER (
+         |      PARTITION BY wl, query_id ORDER BY f DESC, doc_id) AS rn
+         |    FROM lad) r WHERE rn <= $Bm25TopK),
+         |hits AS (SELECT wl, query_id, CAST(count(t.doc_id) AS BIGINT) AS c
+         |  FROM lr LEFT JOIN truth t USING (query_id, doc_id)
+         |  GROUP BY 1, 2)
+         |SELECT CAST(wl AS BIGINT) AS alpha_lex10, query_id,
+         |  c AS n_hits,
+         |  ${sqlR6(s"CAST(c AS DOUBLE) / $Bm25TopK")} AS recall6
+         |FROM hits""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val lexN = staged(fwNorm(fwLexTop(s, d), "score_scaled", "lex_norm"))
+      val vecN = staged(fwNorm(fwVecTop(s, d), "cos_scaled", "vec_norm"))
+      val vr = staged(rrfVecRank(s, d))
+      val truth = vr.select(col("query_id"), col("doc_id"))
+        .withColumn("hit", lit(1L))
+      // The fused candidate frame once (absent side → 0), then the
+      // 5-row weight grid broadcast-cross-joined on.
+      val ids = lexN.select(col("query_id"), col("doc_id"))
+        .union(vecN.select(col("query_id"), col("doc_id"))).distinct()
+      val cand = ids
+        .join(broadcast(lexN), Seq("query_id", "doc_id"), "left")
+        .join(broadcast(vecN), Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("lex_norm"), lit(0L)).as("lex_norm"),
+          coalesce(col("vec_norm"), lit(0L)).as("vec_norm"))
+      val wts = broadcast(FwLadder.toDF("wl", "wv"))
+      val lad = cand.crossJoin(wts)
+        .select(col("wl"), col("query_id"), col("doc_id"),
+          (col("wl") * col("lex_norm") + col("wv") * col("vec_norm"))
+            .as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("wl"), col("query_id"))
+        .orderBy(col("f").desc, col("doc_id"))
+      lad.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= Bm25TopK)
+        .join(broadcast(truth), Seq("query_id", "doc_id"), "left")
+        .groupBy("wl", "query_id")
+        .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(col("wl").as("alpha_lex10"), col("query_id"),
+          col("n_hits"),
+          r6(col("n_hits").cast("double") / Bm25TopK).as("recall6"))
+    },
+
+    // CONTEXT PACKING — the last step of the RAG read path (chunk →
+    // embed → index → retrieve → PACK): each query's probed-list
+    // candidates, in retrieval order, pack greedily into the CtxBudget
+    // token window — cumulative n_tokens runs over the ranked prefix
+    // and packing STOPS at the first chunk that would overflow (prefix
+    // semantics, the deterministic contract; skip-and-continue packing
+    // is a knapsack heuristic a deployment layers on top). Everything
+    // is the retrieval plan plus one integer running sum per query —
+    // O(candidates) beyond the retrieval, nothing new corpus-sized.
+    checked("rag_context_pack", {
+      val sqlQ = Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      s"""WITH $cciChainSqlCtes,
+         |adist AS (SELECT v.doc_id, v.i, v.leng, v.vv, v.n2, c.c_id,
+         |    v.n2 - 2 * ${sqlDotInt("v.vv", "c.cv", FhDim)} + c.cn2 AS dd
+         |  FROM vn v CROSS JOIN cent c),
+         |asg AS (SELECT doc_id, i, leng, vv, n2, c_id
+         |  FROM (SELECT doc_id, i, leng, vv, n2, c_id, row_number() OVER (
+         |      PARTITION BY doc_id, i ORDER BY dd, c_id) AS rn FROM adist) r
+         |  WHERE rn = 1),
+         |q AS (SELECT * FROM (VALUES $sqlQ) v(query_id, t)),
+         |qth AS (SELECT query_id, list(${sqlH60("t")}) AS th
+         |  FROM q GROUP BY query_id),
+         |qvv AS (SELECT query_id, list_transform(range(1, ${FhDim + 1}), x ->
+         |    CAST(COALESCE(list_aggregate(list_transform(th, h ->
+         |      CASE WHEN h % $FhDim = x - 1 THEN $cciSignSql ELSE 0 END), 'sum'), 0)
+         |      AS BIGINT)) AS qv
+         |  FROM qth),
+         |qvn AS (SELECT query_id, qv,
+         |    ${sqlDotInt("qv", "qv", FhDim)} AS qn2 FROM qvv),
+         |qpr AS (SELECT query_id, c_id, qv, qn2
+         |  FROM (SELECT q.query_id, c.c_id, q.qv, q.qn2, row_number() OVER (
+         |      PARTITION BY q.query_id ORDER BY
+         |        q.qn2 - 2 * ${sqlDotInt("q.qv", "c.cv", FhDim)} + c.cn2,
+         |        c.c_id) AS rn
+         |    FROM qvn q CROSS JOIN cent c) r WHERE rn <= $CciProbe),
+         |cand AS (SELECT p.query_id, a.doc_id, a.i, a.leng,
+         |    p.qn2 - 2 * ${sqlDotInt("p.qv", "a.vv", FhDim)} + a.n2 AS dd
+         |  FROM qpr p JOIN asg a USING (c_id)),
+         |rk AS (SELECT query_id, doc_id, i, leng, dd,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dd, doc_id, i) AS rn,
+         |    sum(leng) OVER (PARTITION BY query_id
+         |      ORDER BY dd, doc_id, i ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM cand)
+         |SELECT CAST(query_id AS INT) AS query_id, doc_id,
+         |  CAST(i AS BIGINT) AS chunk_i, leng AS n_tokens,
+         |  CAST(dd AS BIGINT) AS dist, CAST(rn AS BIGINT) AS rank,
+         |  CAST(cum AS BIGINT) AS cum_tokens
+         |FROM rk WHERE cum <= $CtxBudget""".stripMargin
+    }) { (s, d) =>
+      val vecs = cciVecs(s, d)
+      val cent = cciCentroids(vecs)
+      val asg = staged(cciAssign(vecs, cent))
+      val qpr = ragQueryProbes(s, cent)
+      val cand = qpr.join(asg, Seq("c_id"))
+        .select(col("query_id"), col("doc_id"), col("i"), col("leng"),
+          (col("qn2") - lit(2.0) * dotInt(col("qv"), col("vv")) + col("n2"))
+            .as("dd"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dd"), col("doc_id"), col("i"))
+      cand
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum(col("leng")).over(ord.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .filter(col("cum") <= CtxBudget)
+        .select(col("query_id").cast("int").as("query_id"), col("doc_id"),
+          col("i").as("chunk_i"), col("leng").as("n_tokens"),
+          col("dd").cast("long").as("dist"), col("rn").as("rank"),
+          col("cum").as("cum_tokens"))
     },
 
     // Feature hashing (the "hashing trick" vectorizer): every document
