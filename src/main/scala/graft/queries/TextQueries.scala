@@ -214,17 +214,23 @@ object TextQueries {
        |  FROM sc GROUP BY query_id, doc_id)""".stripMargin
   }
 
-  /** Lexical top-Bm25TopK per query: (query_id, doc_id, lex_rank). */
-  private def bm25LexRank(s: org.apache.spark.sql.SparkSession,
-                          d: String): org.apache.spark.sql.DataFrame = {
+  /** Lexical top-Bm25TopK per query: (query_id, doc_id, lex_rank).
+    * `From` variants take a PRE-BUILT (ideally staged) scored frame so
+    * an eval query needing both the rank and the score view of one side
+    * computes the heavy upstream chain ONCE, not once per view. */
+  private def bm25LexRankFrom(agg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_scaled").desc, col("doc_id"))
-    bm25AggSpark(s, d)
-      .withColumn("lex_rank", row_number().over(w).cast("long"))
+    agg.withColumn("lex_rank", row_number().over(w).cast("long"))
       .filter(col("lex_rank") <= Bm25TopK)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
   }
+
+  private def bm25LexRank(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    bm25LexRankFrom(bm25AggSpark(s, d))
 
   /** Vector top-Bm25TopK per query — exhaustive exact cosine over the
     * embeddings corpus (query side broadcast, one shuffle-free corpus
@@ -246,23 +252,27 @@ object TextQueries {
           (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
   }
 
-  private def rrfVecRank(s: org.apache.spark.sql.SparkSession,
-                         d: String): org.apache.spark.sql.DataFrame = {
+  private def rrfVecRankFrom(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))
-    rrfVecScored(s, d)
+    scored
       .withColumn("vec_rank", row_number().over(w).cast("long"))
       .filter(col("vec_rank") <= Bm25TopK)
       .select(col("query_id"), col("doc_id"), col("vec_rank"))
   }
 
+  private def rrfVecRank(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame =
+    rrfVecRankFrom(rrfVecScored(s, d))
+
   /** Vector top-Bm25TopK per query with the cosine retained on the
     * FwCosScale integer grid — the weighted fusion needs SCORES, not
     * just ranks. Ranked by the gridded integer itself so the retained
     * set and its normalization read the same number. */
-  private def fwVecTop(s: org.apache.spark.sql.SparkSession,
-                       d: String): org.apache.spark.sql.DataFrame = {
-    val scored = rrfVecScored(s, d).select(col("query_id"), col("doc_id"),
+  private def fwVecTopFrom(vscored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val scored = vscored.select(col("query_id"), col("doc_id"),
       floor(col("cos") * FwCosScale + lit(0.5)).cast("long").as("cos_scaled"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -272,17 +282,25 @@ object TextQueries {
       .select(col("query_id"), col("doc_id"), col("cos_scaled"))
   }
 
+  private def fwVecTop(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame =
+    fwVecTopFrom(rrfVecScored(s, d))
+
   /** Lexical top-Bm25TopK per query with the BM25 integer score
     * retained. */
-  private def fwLexTop(s: org.apache.spark.sql.SparkSession,
-                       d: String): org.apache.spark.sql.DataFrame = {
+  private def fwLexTopFrom(agg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_scaled").desc, col("doc_id"))
-    bm25AggSpark(s, d).withColumn("rn", row_number().over(w))
+    agg.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Bm25TopK)
       .select(col("query_id"), col("doc_id"), col("score_scaled"))
   }
+
+  private def fwLexTop(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame =
+    fwLexTopFrom(bm25AggSpark(s, d))
 
   /** Per-(query, side) min-max normalization onto the FwScale integer
     * grid: (s − mn)·FwScale div (mx − mn), all-tied sides collapse to
@@ -2263,10 +2281,15 @@ object TextQueries {
          |    AS recall_weighted6
          |FROM nt LEFT JOIN hr USING (query_id) LEFT JOIN hw USING (query_id)
          |""".stripMargin) { (s, d) =>
-      val lexr = staged(bm25LexRank(s, d))
-      val vr = staged(rrfVecRank(s, d))
-      val lexN = staged(fwNorm(fwLexTop(s, d), "score_scaled", "lex_norm"))
-      val vecN = staged(fwNorm(fwVecTop(s, d), "cos_scaled", "vec_norm"))
+      // BOTH fusion strategies need both sides twice (rank view + score
+      // view): stage each heavy upstream chain ONCE and derive the four
+      // views from the staged frames.
+      val agg = staged(bm25AggSpark(s, d))
+      val vsc = staged(rrfVecScored(s, d))
+      val lexr = staged(bm25LexRankFrom(agg))
+      val vr = staged(rrfVecRankFrom(vsc))
+      val lexN = staged(fwNorm(fwLexTopFrom(agg), "score_scaled", "lex_norm"))
+      val vecN = staged(fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm"))
       val truth = vr.select(col("query_id"), col("doc_id"))
       val rtop = rrfFused(lexr, vr).filter(col("rank") <= Bm25TopK)
         .select(col("query_id"), col("doc_id"))
@@ -2334,10 +2357,14 @@ object TextQueries {
       val wDisc = (1 to Bm25TopK).map(i =>
         math.round(1e6 / (math.log(i + 1) / math.log(2))))
       val prefix = wDisc.scanLeft(0L)(_ + _)
-      val lexr = staged(bm25LexRank(s, d))
-      val vr = staged(rrfVecRank(s, d))
-      val lexN = staged(fwNorm(fwLexTop(s, d), "score_scaled", "lex_norm"))
-      val vecN = staged(fwNorm(fwVecTop(s, d), "cos_scaled", "vec_norm"))
+      // One staged build per heavy chain, four views derived (as in
+      // retrieval_fusion_recall).
+      val agg = staged(bm25AggSpark(s, d))
+      val vsc = staged(rrfVecScored(s, d))
+      val lexr = staged(bm25LexRankFrom(agg))
+      val vr = staged(rrfVecRankFrom(vsc))
+      val lexN = staged(fwNorm(fwLexTopFrom(agg), "score_scaled", "lex_norm"))
+      val vecN = staged(fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm"))
       val truth = vr.select(col("query_id"), col("doc_id"))
         .withColumn("hit", lit(1L))
       val wCol = (1 to Bm25TopK).foldLeft(lit(0L)) { (acc, i) =>
@@ -2400,9 +2427,13 @@ object TextQueries {
          |FROM hits""".stripMargin
     }) { (s, d) =>
       import s.implicits._
-      val lexN = staged(fwNorm(fwLexTop(s, d), "score_scaled", "lex_norm"))
-      val vecN = staged(fwNorm(fwVecTop(s, d), "cos_scaled", "vec_norm"))
-      val vr = staged(rrfVecRank(s, d))
+      // The vector chain feeds both the truth ranking and the normalized
+      // score side: staged once, both views derived.
+      val vsc = staged(rrfVecScored(s, d))
+      val lexN = staged(fwNorm(fwLexTopFrom(staged(bm25AggSpark(s, d))),
+        "score_scaled", "lex_norm"))
+      val vecN = staged(fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm"))
+      val vr = staged(rrfVecRankFrom(vsc))
       val truth = vr.select(col("query_id"), col("doc_id"))
         .withColumn("hit", lit(1L))
       // The fused candidate frame once (absent side → 0), then the
