@@ -269,9 +269,22 @@ class GraftMLogCatalog extends TableCatalog with ProcedureCatalog
   /** `DROP TABLE`: delete exactly the files the format OWNS — manifest
     * pointer, snapshot manifests, data files, deletion vectors, staging
     * temps, and the local filesystem's `.crc` sidecars for any of those
-    * — then the directory iff it is empty. Foreign files are never
-    * touched (a typo'd path that is not a store raises
-    * NoSuchTableException before anything is deleted).
+    * — then the directory iff it is empty. Non-mlog files are never
+    * touched. A path that is NOT a store returns false (no
+    * NoSuchTableException from this method — Spark's own resolution
+    * raises that before DropTableExec is reached), but first sweeps any
+    * AGED format-suffixed orphans there (`.mlog`/`.dvec` older than the
+    * 24 h [[DropOrphanGraceMs]]) — the collectable debris of a previous
+    * gave-up drop; see the non-existent-table branch below. So a DROP on
+    * a typo'd path CAN delete aged format-suffixed files at that path.
+    * REACHABILITY: SQL `DROP TABLE [IF EXISTS]` resolves the table
+    * BEFORE DropTableExec, so on a store-less path SQL stops at
+    * resolution and never reaches this sweep — the debris is collectable
+    * via a direct catalog-API `dropTable` call (or a DROP racing a
+    * concurrent drop past its own resolution). `CALL
+    * graft.system.vacuum` deliberately does NOT reach it either:
+    * [[MLog.requireStore]] refuses destructive maintenance on
+    * directories the format cannot prove it owns.
     *
     * Concurrent-committer fence: within each pass the LOG goes first
     * (pointer, then snapshots) so the store stops existing before its

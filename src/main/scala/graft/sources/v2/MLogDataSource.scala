@@ -1261,14 +1261,16 @@ object MLog {
 object MLogTable {
   /** `timestampAsOf` option value -> epoch ms. Accepted shapes, in try
     * order: all-digits epoch MILLISECONDS — but only at a plausible
-    * width (>= 10 digits, ~Nov 1970 onward), so a compact digit-only
-    * date like `20260816` raises a PARSE error instead of silently
-    * reading as 1970 epoch-ms and surfacing as a baffling
-    * "predates the first retained snapshot" refusal; ISO-8601 carrying
-    * a zone or offset (`2026-08-16T12:00:00Z`); zone-less SQL/ISO date
-    * or datetime, read as UTC. */
+    * width (10–13 digits, ~Nov 1970 through ~Nov 2286), so a compact
+    * digit-only date like `20260816` (8 digits) OR a compact datetime
+    * like `20260816120000` (14 digits, would read as ~year 2612) raises
+    * a PARSE error instead of silently reading as a wildly-off epoch-ms
+    * and surfacing as a baffling "predates the first retained snapshot"
+    * / "no snapshot" refusal; ISO-8601 carrying a zone or offset
+    * (`2026-08-16T12:00:00Z`); zone-less SQL/ISO date or datetime, read
+    * as UTC. */
   private[v2] def parseTsMs(t: String): Long =
-    if (t.length >= 10 && t.forall(_.isDigit)) t.toLong
+    if (t.length >= 10 && t.length <= 13 && t.forall(_.isDigit)) t.toLong
     else try java.time.Instant.parse(t).toEpochMilli
     catch {
       case _: java.time.format.DateTimeParseException =>

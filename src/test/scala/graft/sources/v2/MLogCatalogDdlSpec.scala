@@ -413,6 +413,24 @@ class MLogCatalogDdlSpec extends graft.SparkSpec {
     assert(compact.getMessage.contains("could not be parsed") ||
       compact.isInstanceOf[java.time.format.DateTimeParseException],
       s"expected a parse error, got: $compact")
+    // …and the same for a compact DATETIME ('20260816120000', 14 digits),
+    // which the width lower bound alone would read as epoch ms ~year 2612
+    // and surface as a baffling 'no snapshot at or before' refusal: the
+    // 10-13 digit upper bound must route it to the parse-error path too.
+    val compactDt = intercept[Exception] {
+      spark.read.format("mlog").option("timestampAsOf", "20260816120000")
+        .load(dir).count()
+    }
+    assert(!compactDt.getMessage.contains("no snapshot"),
+      s"a compact datetime must not be read as epoch ms, got: $compactDt")
+    assert(compactDt.getMessage.contains("could not be parsed") ||
+      compactDt.isInstanceOf[java.time.format.DateTimeParseException],
+      s"expected a parse error, got: $compactDt")
+    // Genuine 13-digit epoch-ms stays accepted (the upper bound is
+    // inclusive): "now" resolves to the latest snapshot.
+    assert(spark.read.format("mlog")
+      .option("timestampAsOf", System.currentTimeMillis().toString)
+      .load(dir).count() >= 0L)
   }
 
   test("DROP on a non-table sweeps AGED data-only debris (a gave-up " +
