@@ -145,18 +145,157 @@ object TextQueries {
     * exercised (a budget no query fills would pin nothing). */
   val CtxBudget = 160L
 
+  /** PLANTED-RELEVANCE harness for the fusion evals (retrieval_*_recall,
+    * retrieval_ndcg, retrieval_alpha_ladder) — the round-19 harness used
+    * the exhaustive vector ranking itself as relevance truth, which made
+    * every eval biased toward the vector end BY CONSTRUCTION (the alpha
+    * sweep was monotone and could never tune anything). This harness
+    * plants the truth instead, the dedup_recall move applied to
+    * retrieval: deterministic perturbations of fixed corpus docs DEFINE
+    * the relevant set, and both rankers run over the perturbed corpus
+    * without ever seeing the labels.
+    *
+    * Per query q (4 queries, two corpus terms each, term sets disjoint
+    * so no doc is planted toward two queries), a 30-id block starting at
+    * PlantBase + 30·q holds ten planted docs:
+    *  - slots 0–2   LEX-planted: the query's terms are APPENDED
+    *    PlantRep times to the doc's text (tf-boost through BM25's
+    *    saturation; the dl penalty and the corpus's ~77 %-df terms keep
+    *    lexical noise genuinely competitive — by design, a few planted
+    *    docs can fall out of the lexical top-k, which is what gives
+    *    fusion headroom over either endpoint);
+    *  - slots 10–12 VEC-planted: the doc's scaled embedding is blended
+    *    toward the query vector, v' = PlantWd·v + wq·qv with
+    *    wq = 2 + doc_id mod 3 (cos ≈ wq/√(wq²+PlantWd²) ∈
+    *    {0.71, 0.83, 0.89} against near-orthogonal noise — inside the
+    *    vector top-k but with real rank spread);
+    *  - slots 20–23 BOTH-planted: both perturbations.
+    * Truth = the 10 planted ids per query; n_truth ≡ Bm25TopK. The
+    * plant spec is a 40-row literal table (a broadcast in Spark, a
+    * VALUES CTE in the oracle), the perturbed corpus is one scan +
+    * constant-size broadcast joins — the 100 TB shape of the underlying
+    * chains is unchanged. Measured at both SFs: the recall-vs-alpha
+    * curve peaks at INTERIOR weights (sf0.01: 0.925 at wl ∈ {3,5,7} vs
+    * 0.85/0.80 at the endpoints; sf0.1: 0.875 at wl ∈ {3,5} vs
+    * 0.85/0.675) — the interior-argmax claim is pinned by
+    * PlantedRetrievalSpec at BOTH SFs. */
+  val PlantBase = 100L
+  val PlantStride = 30L
+  val PlantRep = 4
+  val PlantWd = 2L
+  val PlantedQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("dup", "scan"), 1 -> Seq("spark", "join"),
+    2 -> Seq("customer", "order"), 3 -> Seq("vector", "hash"))
+
+  /** The plant spec rows: (query_id, doc_id, lexpad, wq). lexpad = ""
+    * for vec-only plants; wq = 0 for lex-only plants. */
+  private[queries] def plantRows: Seq[(Int, Long, String, Long)] =
+    PlantedQueries.flatMap { case (q, ts) =>
+      val pad = (" " + ts.mkString(" ")) * PlantRep
+      val base = PlantBase + PlantStride * q
+      (0 until 3).map(s => (q, base + s, pad, 0L)) ++
+        (10 until 13).map { s =>
+          val d = base + s; (q, d, "", 2L + d % 3)
+        } ++
+        (20 until 24).map { s =>
+          val d = base + s; (q, d, pad, 2L + d % 3)
+        }
+    }
+
+  private def plantDf(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    broadcast(plantRows.toDF("query_id", "doc_id", "lexpad", "wq"))
+  }
+
+  /** The planted-truth frame: (query_id, doc_id), 10 rows per query. */
+  private def plantTruth(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    plantDf(s).select(col("query_id"), col("doc_id"))
+
+  /** The perturbed corpus text: planted lex docs get their query's
+    * terms appended PlantRep times; everything else passes through. */
+  private def plantedDocs(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .join(plantDf(s).select(col("doc_id"), col("lexpad")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat(col("text"), coalesce(col("lexpad"), lit(""))).as("text"))
+
+  /** The perturbed scaled-embedding frame (vec_id, v, n2): planted vec
+    * docs blended toward their query's vector on the exact integer grid
+    * (v' = PlantWd·v + wq·qv — BIGINT components, all downstream dots
+    * stay exact), everything else passes through. */
+  private def plantedVecs(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val sv = staged(Tables.embeddings(s, d)
+      .select(col("vec_id"), scaledVec(col("embedding")).as("v")))
+    val pj = plantDf(s).select(col("doc_id").as("vec_id"),
+      col("query_id").as("pq"), col("wq"))
+    val qv = sv.filter(col("vec_id") < PlantedQueries.length.toLong)
+      .select(col("vec_id").cast("int").as("pq"), col("v").as("qv0"))
+    sv.join(broadcast(pj), Seq("vec_id"), "left")
+      .join(broadcast(qv), Seq("pq"), "left")
+      .select(col("vec_id"),
+        when(col("wq") > 0L,
+          zip_with(col("v"), col("qv0"),
+            (x, y) => lit(PlantWd) * x + col("wq") * y))
+          .otherwise(col("v")).as("v"))
+      .withColumn("n2", dotInt(col("v"), col("v")))
+  }
+
+  /** SQL twin of the planted chain — CTEs `plant`, `q`, `pdocs`, the
+    * BM25 chain over pdocs ending in `agg`, and the vector chain over
+    * the blended embeddings ending in `vsc` / `vr` — the SAME terminal
+    * names the raw-corpus chains produce, so [[rrfFusedSqlCtes]] and
+    * [[fwFusedSqlCtes]] compose unchanged on top. */
+  private def plantedSqlCtes: String = {
+    val dim = SimilarityQueries.Dim
+    val pv = plantRows
+      .map { case (q, d, pad, wq) => s"($q, $d, '$pad', $wq)" }
+      .mkString(", ")
+    s"""plant AS (SELECT * FROM (VALUES $pv) p(query_id, doc_id, lexpad, wq)),
+       |pdocs AS (SELECT d.doc_id, d.text || COALESCE(p.lexpad, '') AS text
+       |  FROM documents d LEFT JOIN plant p ON d.doc_id = p.doc_id),
+       |${bm25AggSqlCtesOver("pdocs", PlantedQueries)},
+       |psv AS (SELECT vec_id, ${sqlScaledVec("embedding")} AS v
+       |  FROM embeddings),
+       |pqv AS (SELECT CAST(vec_id AS INT) AS pq, v AS qv0 FROM psv
+       |  WHERE vec_id < ${PlantedQueries.length}),
+       |pemb AS (SELECT s.vec_id,
+       |    CASE WHEN p.wq IS NOT NULL AND p.wq > 0
+       |      THEN list_transform(range(1, ${dim + 1}),
+       |        i -> $PlantWd * s.v[i] + p.wq * q.qv0[i])
+       |      ELSE s.v END AS v
+       |  FROM psv s LEFT JOIN plant p ON s.vec_id = p.doc_id
+       |  LEFT JOIN pqv q ON p.query_id = q.pq),
+       |${vecScoredSqlCtesOver("pemb", PlantedQueries.length)}""".stripMargin
+  }
+
   /** Shared BM25 scored set (query_id, doc_id, score_scaled) — one
     * definition consumed by text_bm25 AND the retrieval_rrf fusion pair,
     * so the lexical ranking can never diverge between the standalone and
     * fused paths. SQL twin = the CTE chain [[bm25AggSqlCtes]]. */
   private def bm25AggSpark(s: org.apache.spark.sql.SparkSession,
-                           d: String): org.apache.spark.sql.DataFrame = {
+                           d: String): org.apache.spark.sql.DataFrame =
+    bm25AggOver(s,
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      Bm25Queries)
+
+  /** [[bm25AggSpark]] over an ARBITRARY (doc_id, text) frame and query
+    * set — the planted-relevance evals score a perturbed corpus through
+    * the exact same chain. */
+  private def bm25AggOver(s: org.apache.spark.sql.SparkSession,
+                          docs: org.apache.spark.sql.DataFrame,
+                          queries: Seq[(Int, Seq[String])])
+      : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val qdf = broadcast(
-      Bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
         .toDF("query_id", "t"))
-    val qVocab = Bm25Queries.flatMap(_._2).distinct
-    val toks = staged(Tables.documents(s, d)
+    val qVocab = queries.flatMap(_._2).distinct
+    val toks = staged(docs
       .select(col("doc_id"), tokens(col("text")).as("tk")))
     val stats = broadcast(toks.agg(
       count(lit(1)).as("n"),
@@ -187,11 +326,17 @@ object TextQueries {
 
   /** The SQL spelling of [[bm25AggSpark]]: CTEs `toks` → `agg`
     * (query_id, doc_id, score_scaled), for inclusion in a WITH chain. */
-  private def bm25AggSqlCtes: String = {
-    val sqlQ = Bm25Queries
+  private def bm25AggSqlCtes: String =
+    bm25AggSqlCtesOver("documents", Bm25Queries)
+
+  /** [[bm25AggSqlCtes]] over an arbitrary relation/CTE name and query
+    * set (the planted-relevance twin of [[bm25AggOver]]). */
+  private def bm25AggSqlCtesOver(docsRel: String,
+                                 queries: Seq[(Int, Seq[String])]): String = {
+    val sqlQ = queries
       .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
-    s"""toks AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM $docsRel),
        |stats AS (SELECT count(*) AS n,
        |    CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM toks),
        |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
@@ -239,11 +384,19 @@ object TextQueries {
     * (query_id, doc_id, vec_rank). doc_id ≡ vec_id by the suite's id
     * convention; self-match excluded, ties → lowest doc_id. */
   private def rrfVecScored(s: org.apache.spark.sql.SparkSession,
-                           d: String): org.apache.spark.sql.DataFrame = {
-    val sv = staged(Tables.embeddings(s, d)
+                           d: String): org.apache.spark.sql.DataFrame =
+    vecScoredOver(staged(Tables.embeddings(s, d)
       .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
-      .withColumn("n2", dotInt(col("v"), col("v"))))
-    val q = sv.filter(col("vec_id") < RrfQueries)
+      .withColumn("n2", dotInt(col("v"), col("v")))), RrfQueries)
+
+  /** [[rrfVecScored]] over an ARBITRARY (vec_id, v, n2) scaled frame —
+    * the planted-relevance evals score a blended corpus through the
+    * exact same chain. Query vectors = rows vec_id < nQueries of the
+    * frame itself (those ids are never planted, so they are the raw
+    * embeddings either way). */
+  private def vecScoredOver(sv: org.apache.spark.sql.DataFrame,
+                            nQueries: Int): org.apache.spark.sql.DataFrame = {
+    val q = sv.filter(col("vec_id") < nQueries.toLong)
       .select(col("vec_id").cast("int").as("query_id"),
         col("v").as("qv"), col("n2").as("qn2"))
     broadcast(q).join(sv, col("vec_id") =!= col("query_id"))
@@ -591,12 +744,18 @@ object TextQueries {
        |    AND doc_id < ${CciBase + CciLists})""".stripMargin
 
   /** SQL twin of [[rrfVecRank]]: CTEs `vsv` → `vr`. */
-  private def rrfVecSqlCtes: String = {
-    val dim = SimilarityQueries.Dim
+  private def rrfVecSqlCtes: String =
     s"""vsv AS (SELECT vec_id, ${sqlScaledVec("embedding")} AS v FROM embeddings),
-       |vsn AS (SELECT vec_id, v, ${sqlDotInt("v", "v", dim)} AS n2 FROM vsv),
+       |${vecScoredSqlCtesOver("vsv", RrfQueries)}""".stripMargin
+
+  /** [[rrfVecSqlCtes]] over an arbitrary (vec_id, v) relation/CTE (the
+    * planted-relevance twin of [[vecScoredOver]]): CTEs `vsn` → `vsc`
+    * → `vr`. */
+  private def vecScoredSqlCtesOver(svRel: String, nQueries: Int): String = {
+    val dim = SimilarityQueries.Dim
+    s"""vsn AS (SELECT vec_id, v, ${sqlDotInt("v", "v", dim)} AS n2 FROM $svRel),
        |vq AS (SELECT CAST(vec_id AS INT) AS query_id, v AS qv, n2 AS qn2
-       |  FROM vsn WHERE vec_id < $RrfQueries),
+       |  FROM vsn WHERE vec_id < $nQueries),
        |vsc AS (SELECT query_id, vec_id AS doc_id,
        |    ${sqlDotInt("qv", "v", dim)} / (sqrt(qn2) * sqrt(n2)) AS cos
        |  FROM vq JOIN vsn ON vec_id <> query_id),
@@ -2159,20 +2318,18 @@ object TextQueries {
 
     // Retrieval-quality harness for the fusion (the ann_recall pattern
     // extended to RRF): recall@k of the fused top-k and of BM25-only,
-    // both against the exhaustive-cosine truth — the measurement a real
-    // pipeline reads to decide fusion depth/weights. The vector side IS
-    // the exhaustive ranking here, so its recall is computed (not
-    // assumed) and pinned at 1 via the truth_complete boolean + the
-    // hash-checked n_truth/recall columns; rrf/bm25 recalls are genuine
-    // measurements (lex-only docs CAN displace truth: the minimum vector
-    // contribution RrfScale div (RrfK + topK) is below a rank-1 lexical
-    // contribution). Everything downstream of the two retrievals is
-    // O(queries · k) — the eval costs nothing beyond the rankings.
+    // both against PLANTED relevance truth (see the PlantedQueries
+    // scaladoc) — the round-19 version used the exhaustive vector
+    // ranking as truth, which biased every eval toward the vector end
+    // by construction; the planted truth is independent of BOTH rankers,
+    // so both recalls are genuine measurements. Rankings run over the
+    // perturbed corpus (one scan + constant-size broadcast joins);
+    // everything downstream of the two retrievals is O(queries · k) —
+    // the eval costs nothing beyond the rankings.
     checked("retrieval_rrf_recall",
-      s"""WITH $bm25AggSqlCtes,
-         |$rrfVecSqlCtes,
+      s"""WITH $plantedSqlCtes,
          |$rrfFusedSqlCtes,
-         |truth AS (SELECT query_id, doc_id FROM vr),
+         |truth AS (SELECT query_id, doc_id FROM plant),
          |rtop AS (SELECT query_id, doc_id FROM frank WHERE rank <= $Bm25TopK),
          |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
          |  FROM truth GROUP BY query_id),
@@ -2189,13 +2346,14 @@ object TextQueries {
          |  ${sqlR6("CAST(COALESCE(hr.c, 0) AS DOUBLE) / n_truth")}
          |    AS recall_rrf6,
          |  ${sqlR6("CAST(COALESCE(hb.c, 0) AS DOUBLE) / n_truth")}
-         |    AS recall_bm25_6,
-         |  n_truth = $Bm25TopK AS truth_complete
+         |    AS recall_bm25_6
          |FROM nt LEFT JOIN hr USING (query_id) LEFT JOIN hb USING (query_id)
          |""".stripMargin) { (s, d) =>
-      val lexr = staged(bm25LexRank(s, d))
-      val vr = staged(rrfVecRank(s, d))
-      val truth = vr.select(col("query_id"), col("doc_id"))
+      val lexr = staged(bm25LexRankFrom(
+        bm25AggOver(s, plantedDocs(s, d), PlantedQueries)))
+      val vr = staged(rrfVecRankFrom(
+        vecScoredOver(plantedVecs(s, d), PlantedQueries.length)))
+      val truth = plantTruth(s)
       val rtop = rrfFused(lexr, vr).filter(col("rank") <= Bm25TopK)
         .select(col("query_id"), col("doc_id"))
       val nt = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
@@ -2211,8 +2369,7 @@ object TextQueries {
           r6(coalesce(col("c_rrf"), lit(0L)).cast("double") / col("n_truth"))
             .as("recall_rrf6"),
           r6(coalesce(col("c_bm25"), lit(0L)).cast("double") / col("n_truth"))
-            .as("recall_bm25_6"),
-          (col("n_truth") === Bm25TopK).as("truth_complete"))
+            .as("recall_bm25_6"))
     },
 
     // WEIGHTED NORMALIZED-SCORE FUSION — the other standard hybrid
@@ -2248,20 +2405,19 @@ object TextQueries {
           col("vec_norm"), col("fused_scaled"), col("fused6"), col("rank"))
     },
 
-    // The fusion-weight decision measurement: recall@k of BOTH fusion
+    // The fusion-strategy decision measurement: recall@k of BOTH fusion
     // strategies — rank-based RRF and score-based weighted — against the
-    // exhaustive-cosine truth, side by side with BM25-only (the
-    // retrieval_rrf_recall harness widened to the second fusion). This
-    // is the table a real pipeline reads to pick between RRF and an
-    // alpha-weighted combination (and to tune alpha): identical truth,
-    // identical candidate generation, only the fusion rule differs.
-    // Everything downstream of the retrievals is O(queries · k).
+    // PLANTED relevance truth (see PlantedQueries; the round-19
+    // vector-ranking truth was biased by construction), side by side.
+    // This is the table a real pipeline reads to pick between RRF and an
+    // alpha-weighted combination: identical truth, identical candidate
+    // generation, only the fusion rule differs. Everything downstream of
+    // the retrievals is O(queries · k).
     checked("retrieval_fusion_recall",
-      s"""WITH $bm25AggSqlCtes,
-         |$rrfVecSqlCtes,
+      s"""WITH $plantedSqlCtes,
          |$rrfFusedSqlCtes,
          |$fwFusedSqlCtes,
-         |truth AS (SELECT query_id, doc_id FROM vr),
+         |truth AS (SELECT query_id, doc_id FROM plant),
          |rtop AS (SELECT query_id, doc_id FROM frank WHERE rank <= $Bm25TopK),
          |wtop AS (SELECT query_id, doc_id FROM wrank WHERE rank <= $Bm25TopK),
          |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
@@ -2284,13 +2440,14 @@ object TextQueries {
       // BOTH fusion strategies need both sides twice (rank view + score
       // view): stage each heavy upstream chain ONCE and derive the four
       // views from the staged frames.
-      val agg = staged(bm25AggSpark(s, d))
-      val vsc = staged(rrfVecScored(s, d))
+      val agg = staged(bm25AggOver(s, plantedDocs(s, d), PlantedQueries))
+      val vsc = staged(vecScoredOver(plantedVecs(s, d),
+        PlantedQueries.length))
       val lexr = staged(bm25LexRankFrom(agg))
       val vr = staged(rrfVecRankFrom(vsc))
       val lexN = staged(fwNorm(fwLexTopFrom(agg), "score_scaled", "lex_norm"))
       val vecN = staged(fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm"))
-      val truth = vr.select(col("query_id"), col("doc_id"))
+      val truth = plantTruth(s)
       val rtop = rrfFused(lexr, vr).filter(col("rank") <= Bm25TopK)
         .select(col("query_id"), col("doc_id"))
       val wtop = fwFused(lexN, vecN).filter(col("rank") <= Bm25TopK)
@@ -2312,11 +2469,12 @@ object TextQueries {
 
     // NDCG@k of both fusion strategies — the position-sensitive half of
     // the fusion-eval pair (recall says WHETHER truth was retrieved,
-    // NDCG says WHERE it landed): relevance = membership in the
-    // exhaustive-cosine truth top-k, discounts are the ml_ndcg
-    // pre-quantized literals (round(1e6/log₂(i+1)) injected into BOTH
-    // engines — no runtime transcendental), DCG/IDCG exact integer sums,
-    // IDCG a literal prefix-sum lookup at n_hits, one IEEE division per
+    // NDCG says WHERE it landed): relevance = membership in the PLANTED
+    // truth set (see PlantedQueries; independent of both rankers),
+    // discounts are the ml_ndcg pre-quantized literals
+    // (round(1e6/log₂(i+1)) injected into BOTH engines — no runtime
+    // transcendental), DCG/IDCG exact integer sums, IDCG a literal
+    // prefix-sum lookup at n_hits, one IEEE division per
     // (query, strategy). O(queries · k) beyond the rankings.
     checked("retrieval_ndcg", {
       val wDisc = (1 to Bm25TopK).map(i =>
@@ -2329,11 +2487,10 @@ object TextQueries {
         s"""CASE WHEN $h.n_hits = 0 THEN 0.0 ELSE
            |    ${sqlR6(s"CAST($h.dcg AS DOUBLE) / " +
                s"CAST(($prefixList)[$h.n_hits + 1] AS DOUBLE)")} END""".stripMargin
-      s"""WITH $bm25AggSqlCtes,
-         |$rrfVecSqlCtes,
+      s"""WITH $plantedSqlCtes,
          |$rrfFusedSqlCtes,
          |$fwFusedSqlCtes,
-         |truth AS (SELECT query_id, doc_id FROM vr),
+         |truth AS (SELECT query_id, doc_id FROM plant),
          |rh AS (SELECT f.query_id,
          |    CAST(sum(CASE WHEN t.doc_id IS NOT NULL THEN $wCase ELSE 0 END)
          |      AS BIGINT) AS dcg,
@@ -2359,14 +2516,14 @@ object TextQueries {
       val prefix = wDisc.scanLeft(0L)(_ + _)
       // One staged build per heavy chain, four views derived (as in
       // retrieval_fusion_recall).
-      val agg = staged(bm25AggSpark(s, d))
-      val vsc = staged(rrfVecScored(s, d))
+      val agg = staged(bm25AggOver(s, plantedDocs(s, d), PlantedQueries))
+      val vsc = staged(vecScoredOver(plantedVecs(s, d),
+        PlantedQueries.length))
       val lexr = staged(bm25LexRankFrom(agg))
       val vr = staged(rrfVecRankFrom(vsc))
       val lexN = staged(fwNorm(fwLexTopFrom(agg), "score_scaled", "lex_norm"))
       val vecN = staged(fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm"))
-      val truth = vr.select(col("query_id"), col("doc_id"))
-        .withColumn("hit", lit(1L))
+      val truth = plantTruth(s).withColumn("hit", lit(1L))
       val wCol = (1 to Bm25TopK).foldLeft(lit(0L)) { (acc, i) =>
         when(col("rank") === i, lit(wDisc(i - 1))).otherwise(acc)
       }
@@ -2398,18 +2555,19 @@ object TextQueries {
     // are fused at every (wl, wv) of the ladder in ONE pass (the
     // candidate frame cross-joins the 5-row literal weight grid — still
     // O(queries · 2k · |grid|) rows, nothing corpus-sized), ranked per
-    // (alpha, query), and recall@k vs the exhaustive-cosine truth is
-    // reported per cell. The monotone story the table shows: recall
-    // rises toward the vector-weighted end because the truth IS the
-    // vector ranking — exactly the bias a real tuner must know this
-    // harness has, stated here so the number is read correctly.
+    // (alpha, query), and recall@k vs the PLANTED truth (see
+    // PlantedQueries — independent of both rankers, unlike the
+    // round-19 vector-ranking truth whose sweep was monotone by
+    // construction) is reported per cell. Measured: the curve PEAKS at
+    // interior weights at both SFs (each endpoint strictly below the
+    // max), so the sweep can actually pick an alpha —
+    // PlantedRetrievalSpec pins the interior argmax.
     checked("retrieval_alpha_ladder", {
       val wGrid = FwLadder.map { case (wl, wv) => s"($wl, $wv)" }
         .mkString(", ")
-      s"""WITH $bm25AggSqlCtes,
-         |$rrfVecSqlCtes,
+      s"""WITH $plantedSqlCtes,
          |$fwFusedSqlCtes,
-         |truth AS (SELECT query_id, doc_id FROM vr),
+         |truth AS (SELECT query_id, doc_id FROM plant),
          |wts AS (SELECT * FROM (VALUES $wGrid) w(wl, wv)),
          |lad AS (SELECT wl, query_id, doc_id,
          |    CAST(wl * lex_norm + wv * vec_norm AS BIGINT) AS f
@@ -2427,15 +2585,13 @@ object TextQueries {
          |FROM hits""".stripMargin
     }) { (s, d) =>
       import s.implicits._
-      // The vector chain feeds both the truth ranking and the normalized
-      // score side: staged once, both views derived.
-      val vsc = staged(rrfVecScored(s, d))
-      val lexN = staged(fwNorm(fwLexTopFrom(staged(bm25AggSpark(s, d))),
+      val vsc = staged(vecScoredOver(plantedVecs(s, d),
+        PlantedQueries.length))
+      val lexN = staged(fwNorm(fwLexTopFrom(
+        staged(bm25AggOver(s, plantedDocs(s, d), PlantedQueries))),
         "score_scaled", "lex_norm"))
       val vecN = staged(fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm"))
-      val vr = staged(rrfVecRankFrom(vsc))
-      val truth = vr.select(col("query_id"), col("doc_id"))
-        .withColumn("hit", lit(1L))
+      val truth = plantTruth(s).withColumn("hit", lit(1L))
       // The fused candidate frame once (absent side → 0), then the
       // 5-row weight grid broadcast-cross-joined on.
       val ids = lexN.select(col("query_id"), col("doc_id"))

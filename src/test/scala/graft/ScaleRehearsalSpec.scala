@@ -149,7 +149,14 @@ class ScaleRehearsalSpec extends SparkSpec {
       // probed-list candidate join) — copy 0 of the blow-up is the
       // identity copy, so the fixed-id query seeds and centroid docs
       // survive and the corpus-scaled upstream is what grows 10x
-      "retrieval_rrf", "retrieval_fusion_weighted", "rag_chunk_retrieve")
+      "retrieval_rrf", "retrieval_fusion_weighted", "rag_chunk_retrieve",
+      // round-20 (verdict #4): the dedup banding designs whose 100 TB
+      // claims previously rested on sf0.1 alone — SemDeDup's
+      // cluster-then-prune (fixed-id centroid seeds survive via the
+      // identity copy; the rotated copies decorrelate the clusters) and
+      // the ExactSubstr inverted index (position-tagged, zero pair
+      // generation — the rotation gives each copy its own suffix space)
+      "dedup_semantic", "dedup_exact_substr")
     val report = heavy.map { q =>
       run(q, Base) // warm-up: JIT + codegen + per-sf layout builds
       val b0 = System.nanoTime(); run(q, Base)
@@ -171,6 +178,63 @@ class ScaleRehearsalSpec extends SparkSpec {
         if (WallsHard) assert(ok, msg) else if (!ok) info(s"WARN: $msg")
       }
     }
+  }
+  test("media phash banding stays near-linear on a 10x media corpus") {
+    // media_phash_dedup's corpus is synthesized at a fixed size (1 800),
+    // not read from the sf dir, so its 10x rehearsal blows the CORPUS
+    // PARAMETER and re-runs the same hash -> 4x16-bit-band -> bucket-join
+    // chain the declared query uses (verdict #4: the banding design's
+    // scale claim previously rested on the fixed size alone). Gates:
+    //  1. candidate pairs per hashed row may rise with density (16-bit
+    //     bands have birthday growth) but must stay FAR below the
+    //     all-pairs regime — measured 0.37 -> 0.87 pairs/row at 10x
+    //     (2.3x per-row); the gate allows 5x per-row, while a quadratic
+    //     shape would show ~10x per-row growth with per-row counts in
+    //     the hundreds;
+    //  2. the planted near-dup recall stays structural (100 %) at 10x —
+    //     banding must not lose planted pairs as buckets crowd.
+    import graft.multimodal.MediaOps
+    val s = spark
+    import s.implicits._
+    def chain(n: Int): (Long, Long, Long, Long) = {
+      val feats = MediaOps.phashCorpus(s, n)
+        .mapPartitions(rows => rows.map(r =>
+          (r.media_id, MediaOps.aHash64(MediaOps.contentPlane(r.bytes)))))
+        .toDF("media_id", "phash")
+      val hashed = feats.filter(col("phash") =!= 0L).cache()
+      val nh = hashed.count()
+      val bands = hashed.select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("phash"), 16 * j).bitwiseAND(lit(65535L)) +
+            lit(j * 65536L)): _*)).as("bk"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bk") === col("y.bk") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("ia"), col("y.media_id").as("ib"),
+          col("x.phash").as("ha"), col("y.phash").as("hb"))
+        .distinct().cache()
+      val nc = cand.count()
+      val ham = bit_count(col("ha").bitwiseXOR(col("hb")))
+      val found = cand.filter(ham <= 8 && col("ia") % 3 === 0 &&
+        col("ib") === col("ia") + 1).count()
+      val planted = hashed.as("x").join(hashed.as("y"),
+        col("y.media_id") === col("x.media_id") + 1 &&
+          col("x.media_id") % 3 === 0).count()
+      hashed.unpersist(); cand.unpersist()
+      (nh, nc, found, planted)
+    }
+    val (bh, bc, bf, bp) = chain(1800)
+    val (xh, xc, xf, xp) = chain(18000)
+    assert(xh >= 9 * bh, s"blown corpus not ~10x: $bh -> $xh hashed")
+    assert(bf == bp && xf == xp,
+      s"planted recall broke: base $bf/$bp, blown $xf/$xp")
+    val perRowRatio = (xc.toDouble / xh) / (bc.toDouble / bh)
+    info(f"phash candidates/row: base ${bc.toDouble / bh}%.3f -> " +
+      f"blown ${xc.toDouble / xh}%.3f (${perRowRatio}%.1fx per-row)")
+    assert(perRowRatio < 5.0,
+      s"phash band fan-out grew ${perRowRatio}x per row on 10x media — " +
+        "the 16-bit bands are saturating toward all-pairs; widen the " +
+        "bands or add a band-frequency cap (the dedup_minhash BandCap)")
   }
 }
 
