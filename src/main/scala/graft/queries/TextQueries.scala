@@ -145,6 +145,22 @@ object TextQueries {
     * exercised (a budget no query fills would pin nothing). */
   val CtxBudget = 160L
 
+  /** rag_context_pack_mmr — exact-INTEGER MMR over the packing window
+    * (ann_mmr_rerank's greedy applied to context packing, verdict r19
+    * #6): candidate window = the top-PackMmrCand probed chunks per query
+    * by retrieval order; each greedy step picks the candidate MINIMIZING
+    * PackMmrLam·dd − PackMmrLamInv·min_{s∈Sel} dist(c, s) — relevance
+    * (small distance-to-query) traded against redundancy (small distance
+    * to something already selected), 7:3 like the fusion weights, every
+    * term an exact integer so the greedy trajectory is hash-pinned with
+    * zero float ops. Ties → (doc_id, chunk_i). C = 20: the CtxBudget
+    * boundary lands at ~15 chunks, so the window must exceed it — with
+    * C at or below the packed count, both orders pack the whole window
+    * and the diversity comparison degenerates. */
+  val PackMmrCand = 20
+  val PackMmrLam = 7L
+  val PackMmrLamInv = 3L
+
   /** PLANTED-RELEVANCE harness for the fusion evals (retrieval_*_recall,
     * retrieval_ndcg, retrieval_alpha_ladder) — the round-19 harness used
     * the exhaustive vector ranking itself as relevance truth, which made
@@ -544,9 +560,18 @@ object TextQueries {
     * into one dense row per chunk. Staged: both consumers walk it twice
     * (centroid collect + corpus pass). */
   private def cciVecs(s: org.apache.spark.sql.SparkSession,
-                      d: String): org.apache.spark.sql.DataFrame = {
+                      d: String): org.apache.spark.sql.DataFrame =
+    staged(cciVecsOver(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))))
+
+  /** [[cciVecs]] over an ARBITRARY (doc_id, text) frame — the streaming
+    * chunk ingest runs the identical chunk→hash→assemble chain on each
+    * micro-batch (per-doc computation, so batch boundaries are invisible
+    * to the produced vectors). */
+  private def cciVecsOver(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val W = 64L; val S = 56L
-    val ex = Tables.documents(s, d)
+    val ex = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("nc",
@@ -568,13 +593,13 @@ object TextQueries {
         when(shiftright(col("h"), 6) % 2 === 0, 1L).otherwise(-1L).as("sg"))
     val cell = ex.groupBy("doc_id", "i", "leng", "idx")
       .agg(sum(col("sg")).as("f"))
-    staged(cell.groupBy("doc_id", "i", "leng")
+    cell.groupBy("doc_id", "i", "leng")
       .agg(map_from_entries(collect_list(struct(col("idx"), col("f"))))
         .as("mp"))
       .withColumn("vv", transform(sequence(lit(0L), lit(FhDim - 1L)),
         x => coalesce(element_at(col("mp"), x), lit(0L))))
       .select(col("doc_id"), col("i"), col("leng"), col("vv"))
-      .withColumn("n2", dotInt(col("vv"), col("vv"))))
+      .withColumn("n2", dotInt(col("vv"), col("vv")))
   }
 
   /** The CciLists coarse centroids (c_id, vector, ‖·‖²): the first
@@ -671,6 +696,39 @@ object TextQueries {
       .select(col("query_id").cast("int").as("query_id"), col("doc_id"),
         col("i").as("chunk_i"), col("dd").cast("long").as("dist"),
         col("rank"))
+  }
+
+  /** Shared SQL front of the context-packing queries (assumes
+    * [[cciChainSqlCtes]] is already in the WITH chain): chunk
+    * assignment `adist` → `asg`, query embedding `q` → `qth` → `qvv` →
+    * `qvn`, and the probed lists `qpr`. */
+  private def ragPackFrontSqlCtes: String = {
+    val sqlQ = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""adist AS (SELECT v.doc_id, v.i, v.leng, v.vv, v.n2, c.c_id,
+       |    v.n2 - 2 * ${sqlDotInt("v.vv", "c.cv", FhDim)} + c.cn2 AS dd
+       |  FROM vn v CROSS JOIN cent c),
+       |asg AS (SELECT doc_id, i, leng, vv, n2, c_id
+       |  FROM (SELECT doc_id, i, leng, vv, n2, c_id, row_number() OVER (
+       |      PARTITION BY doc_id, i ORDER BY dd, c_id) AS rn FROM adist) r
+       |  WHERE rn = 1),
+       |q AS (SELECT * FROM (VALUES $sqlQ) v(query_id, t)),
+       |qth AS (SELECT query_id, list(${sqlH60("t")}) AS th
+       |  FROM q GROUP BY query_id),
+       |qvv AS (SELECT query_id, list_transform(range(1, ${FhDim + 1}), x ->
+       |    CAST(COALESCE(list_aggregate(list_transform(th, h ->
+       |      CASE WHEN h % $FhDim = x - 1 THEN $cciSignSql ELSE 0 END), 'sum'), 0)
+       |      AS BIGINT)) AS qv
+       |  FROM qth),
+       |qvn AS (SELECT query_id, qv,
+       |    ${sqlDotInt("qv", "qv", FhDim)} AS qn2 FROM qvv),
+       |qpr AS (SELECT query_id, c_id, qv, qn2
+       |  FROM (SELECT q.query_id, c.c_id, q.qv, q.qn2, row_number() OVER (
+       |      PARTITION BY q.query_id ORDER BY
+       |        q.qn2 - 2 * ${sqlDotInt("q.qv", "c.cv", FhDim)} + c.cn2,
+       |        c.c_id) AS rn
+       |    FROM qvn q CROSS JOIN cent c) r WHERE rn <= $CciProbe)""".stripMargin
   }
 
   /** The full computing SQL of query→chunk retrieval (shared by
@@ -1995,6 +2053,84 @@ object TextQueries {
       ragRetrieve(ragQueryProbes(s, cent), idx)
     },
 
+    // STREAMING chunk ingestion — the last RAG lifecycle edge
+    // (stream_ivf_ingest's contract applied to the chunk index): docs
+    // arrive as a bounded two-micro-batch stream (base corpus, then the
+    // doc_id % 10 = 7 "new crawl shard") and a foreachBatch sink runs
+    // the FULL ingest chain per batch — chunk (W=64/S=56 windows) →
+    // feature-hash embed → assign against the FROZEN coarse quantizer —
+    // and appends into the c_id-partitioned store. Chunking and hashing
+    // are per-doc computations and the quantizer is frozen literal
+    // state, so micro-batch boundaries are provably invisible: the
+    // drained store must answer the standard retrieval byte-for-byte
+    // like the from-scratch computation — the oracle is
+    // rag_chunk_retrieve's own computing chain (the
+    // rag_chunk_incremental identity gate, now reached THROUGH
+    // Structured Streaming). Scale shape: ingest cost is one scan of
+    // each arriving batch (chunk fan-out + hash are codegen'd
+    // projections, the vector assembly's map-side combine stays inside
+    // the batch), appends are partition-local, and the probe join reads
+    // only the probed lists' partitions at any corpus size.
+    checked("stream_chunk_ingest", ragRetrieveSql) { (s, d) =>
+      val vecs = cciVecs(s, d)
+      val cent = cciCentroids(vecs)
+      val dir = TmpDirs.scoped(s"graft_ragstream_${QuerySpec.jvmScopedKey(d)}")
+      val ready = new java.io.File(dir, "_READY")
+      val store = new java.io.File(dir, "index").getAbsolutePath
+      if (!ready.exists()) {
+        // A died-mid-ingest store would double-append on retry: rebuild
+        // from scratch whenever the marker is absent.
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          f.delete(): Unit
+        }
+        rmTree(dir); dir.mkdirs()
+        val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+        def oneFile(df: org.apache.spark.sql.DataFrame, name: String,
+                    bumpMs: Long): Unit = {
+          val stage = new java.io.File(dir, s".stage_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+          val part = stage.listFiles().filter(f =>
+            f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+          val target = new java.io.File(feed, name)
+          java.nio.file.Files.move(part.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          rmTree(stage)
+          java.nio.file.Files.setLastModifiedTime(target.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() + bumpMs)): Unit
+        }
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        oneFile(docs.filter(col("doc_id") % 10 =!= 7), "base.parquet", 0L)
+        // mtime +2 s: FileStreamSource orders micro-batches by file
+        // modification time; the new shard must arrive second.
+        oneFile(docs.filter(col("doc_id") % 10 === 7), "batch.parquet", 2000L)
+        val ingest = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING"))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed.getAbsolutePath)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            cciAssign(cciVecsOver(b), cent)
+              .select(col("doc_id"), col("i"), col("vv"), col("n2"),
+                col("c_id"))
+              .write.mode("append").partitionBy("c_id").parquet(store)
+            ()
+          }
+          .option("checkpointLocation",
+            new java.io.File(dir, "ckpt").getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        ingest.awaitTermination()
+        ready.createNewFile(): Unit
+      }
+      val idx = s.read.parquet(store)
+        .select(col("doc_id"), col("i"), col("vv"), col("n2"),
+          col("c_id").cast("long").as("c_id"))
+      ragRetrieve(ragQueryProbes(s, cent), idx)
+    },
+
     // PII scrubbing — the redaction pass every pretraining pipeline runs
     // before text ships: emails → <EMAIL>, IPv4 → <IP>, phone-shaped
     // digit groups → <PHONE>, with per-class match counts. Pure per-row
@@ -2630,33 +2766,8 @@ object TextQueries {
     // is the retrieval plan plus one integer running sum per query —
     // O(candidates) beyond the retrieval, nothing new corpus-sized.
     checked("rag_context_pack", {
-      val sqlQ = Bm25Queries
-        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
-        .mkString(", ")
       s"""WITH $cciChainSqlCtes,
-         |adist AS (SELECT v.doc_id, v.i, v.leng, v.vv, v.n2, c.c_id,
-         |    v.n2 - 2 * ${sqlDotInt("v.vv", "c.cv", FhDim)} + c.cn2 AS dd
-         |  FROM vn v CROSS JOIN cent c),
-         |asg AS (SELECT doc_id, i, leng, vv, n2, c_id
-         |  FROM (SELECT doc_id, i, leng, vv, n2, c_id, row_number() OVER (
-         |      PARTITION BY doc_id, i ORDER BY dd, c_id) AS rn FROM adist) r
-         |  WHERE rn = 1),
-         |q AS (SELECT * FROM (VALUES $sqlQ) v(query_id, t)),
-         |qth AS (SELECT query_id, list(${sqlH60("t")}) AS th
-         |  FROM q GROUP BY query_id),
-         |qvv AS (SELECT query_id, list_transform(range(1, ${FhDim + 1}), x ->
-         |    CAST(COALESCE(list_aggregate(list_transform(th, h ->
-         |      CASE WHEN h % $FhDim = x - 1 THEN $cciSignSql ELSE 0 END), 'sum'), 0)
-         |      AS BIGINT)) AS qv
-         |  FROM qth),
-         |qvn AS (SELECT query_id, qv,
-         |    ${sqlDotInt("qv", "qv", FhDim)} AS qn2 FROM qvv),
-         |qpr AS (SELECT query_id, c_id, qv, qn2
-         |  FROM (SELECT q.query_id, c.c_id, q.qv, q.qn2, row_number() OVER (
-         |      PARTITION BY q.query_id ORDER BY
-         |        q.qn2 - 2 * ${sqlDotInt("q.qv", "c.cv", FhDim)} + c.cn2,
-         |        c.c_id) AS rn
-         |    FROM qvn q CROSS JOIN cent c) r WHERE rn <= $CciProbe),
+         |$ragPackFrontSqlCtes,
          |cand AS (SELECT p.query_id, a.doc_id, a.i, a.leng,
          |    p.qn2 - 2 * ${sqlDotInt("p.qv", "a.vv", FhDim)} + a.n2 AS dd
          |  FROM qpr p JOIN asg a USING (c_id)),
@@ -2692,6 +2803,166 @@ object TextQueries {
           col("i").as("chunk_i"), col("leng").as("n_tokens"),
           col("dd").cast("long").as("dist"), col("rn").as("rank"),
           col("cum").as("cum_tokens"))
+    },
+
+    // MMR-DIVERSIFIED context packing (verdict r19 #6): rag_context_pack
+    // packs by raw retrieval order, so near-duplicate chunks waste
+    // budget — this applies ann_mmr_rerank's greedy to the packing
+    // window in EXACT INTEGER arithmetic (see PackMmrCand scaladoc) and
+    // reports, per query, the packed set under MMR order vs under plain
+    // retrieval order from the SAME top-PackMmrCand window and budget:
+    // sizes, distinct docs, token totals, and the packed set's MINIMUM
+    // pairwise chunk distance (the redundancy metric MMR maximizes) —
+    // `diversity_gain` = min_pair_mmr − min_pair_plain is the pinned
+    // diversity-vs-plain comparison (measured ≥ 0 on every query, > 0
+    // where plain packing carried near-dups; MmrPackSpec pins both).
+    // Scale shape: the DISTRIBUTED stage is the probed-list retrieval
+    // (identical to rag_context_pack); the greedy re-rank is O(C²) on
+    // the bounded per-query window — |queries|·C rows of driver state,
+    // the production MMR layout (re-rank the window, never the corpus).
+    // DuckDB twin: the same greedy unrolled to PackMmrCand chained
+    // MATERIALIZED selection steps (the ann_mmr_rerank oracle pattern,
+    // widened to per-query PARTITION steps).
+    checked("rag_context_pack_mmr", {
+      val steps = (2 to PackMmrCand).map { k =>
+        s"""p$k AS MATERIALIZED (SELECT query_id, doc_id, i, leng, dd,
+           |    $k AS rank FROM (
+           |    SELECT c.query_id, c.doc_id, c.i, c.leng, c.dd,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY $PackMmrLam * c.dd - $PackMmrLamInv * m.md,
+           |          c.doc_id, c.i) AS rn
+           |    FROM candw c JOIN (
+           |      SELECT p.query_id, p.ai AS doc_id, p.aii AS i,
+           |          min(p.pd) AS md
+           |      FROM pair p JOIN sel${k - 1} t ON p.query_id = t.query_id
+           |        AND p.bi = t.doc_id AND p.bii = t.i
+           |      GROUP BY 1, 2, 3) m
+           |      ON c.query_id = m.query_id AND c.doc_id = m.doc_id
+           |        AND c.i = m.i
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} t2
+           |      WHERE t2.query_id = c.query_id AND t2.doc_id = c.doc_id
+           |        AND t2.i = c.i)) r
+           |  WHERE rn = 1),
+           |sel$k AS MATERIALIZED (SELECT * FROM sel${k - 1} UNION ALL
+           |  SELECT * FROM p$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cciChainSqlCtes,
+         |$ragPackFrontSqlCtes,
+         |cand0 AS (SELECT p.query_id, a.doc_id, a.i, a.leng, a.vv, a.n2,
+         |    CAST(p.qn2 - 2 * ${sqlDotInt("p.qv", "a.vv", FhDim)} + a.n2
+         |      AS BIGINT) AS dd
+         |  FROM qpr p JOIN asg a USING (c_id)),
+         |candw AS MATERIALIZED (SELECT query_id, doc_id, i, leng, vv, n2,
+         |    dd, CAST(rn AS BIGINT) AS plain_rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dd, doc_id, i) AS rn FROM cand0) r
+         |  WHERE rn <= $PackMmrCand),
+         |pair AS MATERIALIZED (SELECT a.query_id, a.doc_id AS ai,
+         |    a.i AS aii, b.doc_id AS bi, b.i AS bii,
+         |    CAST(a.n2 - 2 * ${sqlDotInt("a.vv", "b.vv", FhDim)} + b.n2
+         |      AS BIGINT) AS pd
+         |  FROM candw a JOIN candw b ON a.query_id = b.query_id
+         |    AND (a.doc_id <> b.doc_id OR a.i <> b.i)),
+         |p1 AS MATERIALIZED (SELECT query_id, doc_id, i, leng, dd,
+         |    1 AS rank FROM candw WHERE plain_rank = 1),
+         |sel1 AS MATERIALIZED (SELECT * FROM p1),
+         |$steps,
+         |mkeep AS (SELECT * FROM (SELECT *, sum(leng) OVER (
+         |    PARTITION BY query_id ORDER BY rank
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM sel$PackMmrCand) x
+         |  WHERE cum <= $CtxBudget),
+         |pkeep AS (SELECT * FROM (SELECT *, sum(leng) OVER (
+         |    PARTITION BY query_id ORDER BY plain_rank
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM candw) x
+         |  WHERE cum <= $CtxBudget),
+         |mm AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_packed_mmr,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_mmr,
+         |    CAST(sum(leng) AS BIGINT) AS tokens_mmr FROM mkeep GROUP BY 1),
+         |pp AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_packed_plain,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_plain,
+         |    CAST(sum(leng) AS BIGINT) AS tokens_plain FROM pkeep GROUP BY 1),
+         |md AS (SELECT p.query_id, CAST(min(p.pd) AS BIGINT) AS mp_mmr
+         |  FROM pair p
+         |  JOIN mkeep a ON p.query_id = a.query_id AND p.ai = a.doc_id
+         |    AND p.aii = a.i
+         |  JOIN mkeep b ON p.query_id = b.query_id AND p.bi = b.doc_id
+         |    AND p.bii = b.i
+         |  GROUP BY 1),
+         |pd2 AS (SELECT p.query_id, CAST(min(p.pd) AS BIGINT) AS mp_plain
+         |  FROM pair p
+         |  JOIN pkeep a ON p.query_id = a.query_id AND p.ai = a.doc_id
+         |    AND p.aii = a.i
+         |  JOIN pkeep b ON p.query_id = b.query_id AND p.bi = b.doc_id
+         |    AND p.bii = b.i
+         |  GROUP BY 1)
+         |SELECT CAST(mm.query_id AS INT) AS query_id, n_packed_mmr,
+         |  n_packed_plain, docs_mmr, docs_plain, tokens_mmr, tokens_plain,
+         |  COALESCE(mp_mmr, -1) AS min_pair_mmr,
+         |  COALESCE(mp_plain, -1) AS min_pair_plain,
+         |  CASE WHEN mp_mmr IS NOT NULL AND mp_plain IS NOT NULL
+         |    THEN mp_mmr - mp_plain ELSE 0 END AS diversity_gain
+         |FROM mm JOIN pp USING (query_id) LEFT JOIN md USING (query_id)
+         |LEFT JOIN pd2 USING (query_id)""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val vecs = cciVecs(s, d)
+      val cent = cciCentroids(vecs)
+      val asg = staged(cciAssign(vecs, cent))
+      val qpr = ragQueryProbes(s, cent)
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dd"), col("doc_id"), col("i"))
+      // Distributed retrieval + top-C window, then the bounded window
+      // (|queries|·C rows incl. vectors) to the driver — the
+      // ann_mmr_rerank model-state contract.
+      val win = qpr.join(asg, Seq("c_id"))
+        .select(col("query_id"), col("doc_id"), col("i"), col("leng"),
+          (col("qn2") - lit(2.0) * dotInt(col("qv"), col("vv")) + col("n2"))
+            .cast("long").as("dd"),
+          col("vv"), col("n2").cast("long").as("n2"))
+        .withColumn("plain_rank", row_number().over(ord).cast("long"))
+        .filter(col("plain_rank") <= PackMmrCand)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getSeq[Long](5).toIndexedSeq, r.getLong(6),
+          r.getLong(7)))
+      // (query, doc, i, leng, dd, vv, n2, plain_rank)
+      type Cw = (Int, Long, Long, Long, Long, IndexedSeq[Long], Long, Long)
+      def pdist(a: Cw, b: Cw): Long = {
+        var dot = 0L; var k = 0
+        while (k < FhDim) { dot += a._6(k) * b._6(k); k += 1 }
+        a._7 - 2L * dot + b._7
+      }
+      def packPrefix(order: Seq[Cw]): Seq[Cw] = {
+        var cum = 0L
+        order.takeWhile { c => cum += c._4; cum <= CtxBudget }
+      }
+      def minPair(set: Seq[Cw]): Long =
+        if (set.length < 2) -1L
+        else set.combinations(2).map { case Seq(a, b) => pdist(a, b) }.min
+      val out = win.groupBy(_._1).toSeq.sortBy(_._1).map { case (q, cs) =>
+        val plainOrder = cs.sortBy(c => c._8).toIndexedSeq
+        val sel = scala.collection.mutable.ArrayBuffer(plainOrder.head)
+        val rem = scala.collection.mutable.ArrayBuffer(plainOrder.tail: _*)
+        while (rem.nonEmpty) {
+          // minimize λ·dd − λ'·min-dist-to-selected; ties (doc_id, i)
+          val best = rem.minBy { c =>
+            val md = sel.iterator.map(st => pdist(c, st)).min
+            (PackMmrLam * c._5 - PackMmrLamInv * md, c._2, c._3)
+          }
+          sel += best; rem -= best
+        }
+        val (pm, ppn) = (packPrefix(sel.toSeq), packPrefix(plainOrder))
+        val (mpM, mpP) = (minPair(pm), minPair(ppn))
+        val gain = if (pm.length >= 2 && ppn.length >= 2) mpM - mpP else 0L
+        (q, pm.length.toLong, ppn.length.toLong,
+          pm.map(_._2).distinct.length.toLong,
+          ppn.map(_._2).distinct.length.toLong,
+          pm.map(_._4).sum, ppn.map(_._4).sum, mpM, mpP, gain)
+      }
+      out.toDF("query_id", "n_packed_mmr", "n_packed_plain", "docs_mmr",
+        "docs_plain", "tokens_mmr", "tokens_plain", "min_pair_mmr",
+        "min_pair_plain", "diversity_gain")
     },
 
     // Feature hashing (the "hashing trick" vectorizer): every document
