@@ -326,6 +326,45 @@ class PlanShapeSpec extends SparkSpec {
         s"frames are queries-sized) — all must run broadcast; got plan:\n$p")
   }
 
+  for (name <- Seq("retrieval_rrf_recall", "retrieval_fusion_recall",
+      "retrieval_ndcg", "retrieval_alpha_ladder")) {
+    test(s"$name: planted-truth eval keeps the production shape — plant " +
+        "spec broadcasts, fusion joins rank-bounded, no cartesian") {
+      // The round-20 planted-truth re-base perturbs the corpus through a
+      // 40-row plant spec joined on doc_id before both rankers run. The
+      // plant join must broadcast the spec (never shuffle the corpus
+      // against a 40-row table), and the eval tail must keep the
+      // production fusion contract: rank-bounded frames only. Probed at
+      // the EXECUTED plan — the fused tail is AQE-planned over
+      // localCheckpointed rankings (the retrieval_rrf precedent).
+      val p = try {
+        val q = SparkEntry.allQueries.find(_.name == name)
+          .getOrElse(fail(s"no query named $name"))
+        val df = q.fn(spark, sf)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      } finally QuerySpec.releaseStaged()
+      assert(!p.contains("CartesianProduct"),
+        s"no cartesian product may appear anywhere in the $name plan")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= 2,
+        s"only the BM25 side's single-row N/avgdl stats broadcasts may be " +
+          s"nested-loop joins — the plant spec and truth join on " +
+          s"(query_id, doc_id) equi keys; found $bnlj in plan:\n$p")
+      // Per-query summary frames (count aggregates keyed on query_id
+      // alone, |queries| rows each) may legitimately pair up sort-merge —
+      // both sides are bounded by the query count, not the corpus. What
+      // must NEVER sort-merge is a join carrying doc_id: that key spans
+      // the corpus, and the truth/plant/rank joins on it are all
+      // broadcast-sized by construction.
+      val docSmj = """SortMergeJoin \[[^\]]*\], \[[^\]]*\]"""
+        .r.findAllIn(p).filter(_.contains("doc_id")).toList
+      assert(docSmj.isEmpty,
+        s"a sort-merge join in $name carries doc_id — corpus-scale " +
+          s"identity must only cross broadcast equi joins: $docSmj\n$p")
+    }
+  }
+
   test("rag_chunk_retrieve: the probe join broadcasts the bounded query " +
       "side onto the assigned chunks; no cartesian") {
     val p = try {
