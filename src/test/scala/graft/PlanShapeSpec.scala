@@ -864,7 +864,23 @@ class PlanShapeSpec extends SparkSpec {
       // lost map-side combine blows through; the approx twin must move
       // only sketch registers + the same exact branch.
       "dq_profile" -> 2500000L,
-      "dq_profile_approx" -> 2500000L)
+      "dq_profile_approx" -> 2500000L,
+      // round-20 additions: the retrieval/RAG read path. The chunk index
+      // ships (chunk, FhDim-combined cells) feature rows once; retrieval
+      // and packing move only rank-bounded frames on top of the staged
+      // index; BM25 ships query-vocab-filtered postings, never the
+      // corpus token stream; exact-substr ships the position-tagged
+      // suffix keys linearly (its declared cost — a pair-generating
+      // regression multiplies it).
+      // (measured steady-state at sf0.01: chunk_index 237k,
+      // chunk_retrieve 239k, context_pack 256k, rrf 72k, bm25 69k,
+      // exact_substr 267k — ~2× headroom)
+      "corpus_chunk_index" -> 500000L,
+      "rag_chunk_retrieve" -> 500000L,
+      "rag_context_pack" -> 520000L,
+      "retrieval_rrf" -> 150000L,
+      "text_bm25" -> 140000L,
+      "dedup_exact_substr" -> 550000L)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     try {
