@@ -880,7 +880,33 @@ class PlanShapeSpec extends SparkSpec {
       "rag_context_pack" -> 520000L,
       "retrieval_rrf" -> 150000L,
       "text_bm25" -> 140000L,
-      "dedup_exact_substr" -> 550000L)
+      "dedup_exact_substr" -> 550000L,
+      // round-20 sweep over the remaining heavy shuffles (batch,
+      // deterministic): pagerank pins the per-iteration edge-message
+      // volume ×5 rounds; gru_infer ships per-window sequence tensors
+      // once; unigram_apply moves the lattice frames its hard-EM
+      // declares; simhash/contamination/bleu are banded or equi-bounded
+      // gram joins; attribution/kpi_session ride one event shuffle;
+      // survival_km moves (cohort, t) cells; cdc/compact ship the
+      // changed-file row sets, not the table.
+      // (measured steady-state at sf0.01: pagerank 1.18M, gru_infer
+      // 1.27M, unigram_apply 434k, simhash 113k, contamination 272k,
+      // bleu 141k, attribution 210k, kpi_session 186k, survival_km
+      // 158k, cdc 334k, compact 340k, scd2 160k, bloom 192k —
+      // ~2× headroom)
+      "graph_pagerank" -> 2500000L,
+      "ml_gru_infer" -> 2600000L,
+      "text_unigram_apply" -> 900000L,
+      "dedup_simhash" -> 250000L,
+      "text_contamination" -> 550000L,
+      "text_bleu" -> 300000L,
+      "event_attribution" -> 450000L,
+      "kpi_session" -> 400000L,
+      "ml_survival_km" -> 350000L,
+      "snapshot_cdc" -> 700000L,
+      "files_compact" -> 700000L,
+      "scd2_upsert" -> 350000L,
+      "join_bloom" -> 400000L)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     try {
