@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions.col
 
 import graft.queries.{QuerySpec, TmpDirs}
 
-/** Crash-recovery contract of the four persisted-store lifecycle queries
-  * (TextQueries / SimilarityQueries): parquet appends — foreachBatch
+/** Crash-recovery contract of the five persisted-store lifecycle queries
+  * (TextQueries / SimilarityQueries / StreamingQueries): parquet appends
+  * — foreachBatch
   * micro-batch appends and the incremental "new shard" append alike —
   * are NOT idempotent under retry, so each query guards its store with a
   * `_READY` marker and rebuilds whenever the marker is absent (the
@@ -27,11 +28,12 @@ class StreamIngestRecoverySpec extends SparkSpec {
       q.fn(spark, sf).collect().map(_.toString).sorted.toSeq
     } finally QuerySpec.releaseStaged()
 
-  for ((name, prefix) <- Seq(
-      "stream_chunk_ingest" -> "graft_ragstream_",
-      "stream_ivf_ingest" -> "graft_ivfstream_",
-      "rag_chunk_incremental" -> "graft_ragstore_",
-      "ann_ivf_incremental" -> "graft_ivfstore_")) {
+  for ((name, prefix, sub, partCol) <- Seq(
+      ("stream_chunk_ingest", "graft_ragstream_", "index", Some("c_id")),
+      ("stream_ivf_ingest", "graft_ivfstream_", "index", Some("c_id")),
+      ("rag_chunk_incremental", "graft_ragstore_", "index", Some("c_id")),
+      ("ann_ivf_incremental", "graft_ivfstore_", "index", Some("c_id")),
+      ("stream_asof_enrich", "graft_asofenrich_", "store", None))) {
     test(s"$name: died-mid-ingest store (no _READY) is rebuilt, not " +
         "resumed — poisoned double-append vanishes, answer byte-stable") {
       val first = run(name)
@@ -40,15 +42,18 @@ class StreamIngestRecoverySpec extends SparkSpec {
       val dir = TmpDirs.scoped(s"$prefix${QuerySpec.jvmScopedKey(sf)}")
       val ready = new java.io.File(dir, "_READY")
       assert(ready.exists(), "first run must leave the _READY marker")
-      val store = new java.io.File(dir, "index").getAbsolutePath
+      val store = new java.io.File(dir, sub).getAbsolutePath
       val cleanRows = spark.read.parquet(store).count()
       assert(cleanRows > 0L)
 
       // The crash: a retried batch re-appended its rows, then the driver
       // died before _READY. Double every row and drop the marker.
-      spark.read.parquet(store)
-        .withColumn("c_id", col("c_id").cast("long"))
-        .write.mode("append").partitionBy("c_id").parquet(store)
+      val clean = spark.read.parquet(store)
+      partCol match {
+        case Some(c) => clean.withColumn(c, col(c).cast("long"))
+          .write.mode("append").partitionBy(c).parquet(store)
+        case None => clean.write.mode("append").parquet(store)
+      }
       assert(spark.read.parquet(store).count() == 2 * cleanRows,
         "poisoning must visibly double the store")
       assert(ready.delete(), "failed to remove the marker")
