@@ -156,7 +156,15 @@ class ScaleRehearsalSpec extends SparkSpec {
       // identity copy; the rotated copies decorrelate the clusters) and
       // the ExactSubstr inverted index (position-tagged, zero pair
       // generation — the rotation gives each copy its own suffix space)
-      "dedup_semantic", "dedup_exact_substr")
+      "dedup_semantic", "dedup_exact_substr",
+      // round-20 packing tail: both packers retrieve through the same
+      // chunk chain rag_chunk_retrieve rehearses, then bound their tails
+      // by construction — context_pack packs a rank-bounded window,
+      // context_pack_mmr collects only queries·C rows (C = PackMmrCand)
+      // to the driver for the greedy, a constant independent of corpus
+      // size. The rehearsal proves the walls track the retrieval, not
+      // the corpus.
+      "rag_context_pack", "rag_context_pack_mmr")
     val report = heavy.map { q =>
       run(q, Base) // warm-up: JIT + codegen + per-sf layout builds
       val b0 = System.nanoTime(); run(q, Base)
