@@ -408,6 +408,31 @@ class PlanShapeSpec extends SparkSpec {
       s"the store scan must prune on the c_id partition column; got plan:\n$p")
   }
 
+  test("stream_chunk_ingest: the streamed store answers through the same " +
+      "pruned scan as the incremental one") {
+    // The foreachBatch appends land c_id-partitioned exactly like
+    // rag_chunk_incremental's writes, so the retrieval over the drained
+    // store must keep the same contract: probe side broadcast, store
+    // scan pruned to the probed list partitions. A refactor that loses
+    // partitionBy on the streaming append silently degrades every read
+    // to a full-store scan — this pin catches it at the plan.
+    val (p, prunedOk) = try {
+      val q = SparkEntry.allQueries.find(_.name == "stream_chunk_ingest")
+        .getOrElse(fail("no query named stream_chunk_ingest"))
+      val df = q.fn(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val scans = "PartitionFilters: \\[[^\\]]*c_id[^\\]]*\\]".r
+        .findAllIn(plan).toList
+      (plan, scans.exists(s => !s.contains("PartitionFilters: []")))
+    } finally QuerySpec.releaseStaged()
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe side must broadcast onto the store scan; got plan:\n$p")
+    assert(prunedOk,
+      s"the store scan must prune on the c_id partition column; got plan:\n$p")
+  }
+
   test("corpus_chunk_index: IVF assignment is a projection — no join, no window") {
     val p = plan("corpus_chunk_index")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
