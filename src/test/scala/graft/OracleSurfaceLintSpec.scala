@@ -73,6 +73,14 @@ class OracleSurfaceLintSpec extends SparkSpec {
     OracleSurfaceLint.check("ok", ok.limit(0), ok)
   }
 
+  test("the flagship entry point answers the driver's smoke check") {
+    // The driver calls SparkEntry.entry(spark) on sf0.001 and requires
+    // rows > 0 — the one contract point no other spec exercised.
+    try assert(SparkEntry.entry(spark).count() > 0L,
+      "entry() must return rows on sf0.001")
+    finally graft.queries.QuerySpec.releaseStaged()
+  }
+
   test("every declared query carries a DuckDB oracle (0 rows-only)") {
     val rowsOnly = SparkEntry.allQueries.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.isEmpty,
