@@ -31,6 +31,9 @@ object Optimizer {
   def adamLoop(init: Array[Double], cfg: Trainer.Config)(
       trainLossGrad: Array[Double] => (Double, Array[Double]),
       valLoss: Array[Double] => Double): FlatFit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val k = init.length
     var w = init.clone()
     val m = new Array[Double](k)
@@ -44,8 +47,21 @@ object Optimizer {
     var stopped = false
     val history = scala.collection.mutable.ArrayBuffer.empty[Trainer.EpochLog]
     var epoch = 1
+    // Epoch pipelining (r21, guide §2.6 "overlap independent jobs"): the
+    // gradient at the POST-UPDATE weights and the validation loss at the
+    // same weights are independent pure functions — the LR/callback
+    // decisions below never enter the gradient — so each epoch launches
+    // the NEXT epoch's gradient pass concurrently with this epoch's
+    // validation pass. Both passes keep their own RDD and partition-
+    // ordered fold, so every float is bit-identical to the sequential
+    // loop; only the wall clock changes (two ~equal distributed passes
+    // per epoch overlap instead of serializing). The one speculative
+    // pass in flight when EarlyStopping fires is awaited and discarded —
+    // bounded waste, and nothing leaks past the fit.
+    var gradFut: Future[(Double, Array[Double])] = Future(trainLossGrad(w))
     while (epoch <= cfg.maxEpochs && !stopped) {
-      val (trainLoss, grad) = trainLossGrad(w)
+      val (trainLoss, grad) = Await.result(gradFut, Duration.Inf)
+      gradFut = null
       // Adam (bias-corrected), t = epoch.
       val bc1 = 1 - math.pow(cfg.beta1, epoch)
       val bc2 = 1 - math.pow(cfg.beta2, epoch)
@@ -58,6 +74,8 @@ object Optimizer {
         i += 1
       }
       w = next
+      val wSnap = w // w is only ever REPLACED, never mutated in place
+      if (epoch < cfg.maxEpochs) gradFut = Future(trainLossGrad(wSnap))
       val vl = valLoss(w)
       history += Trainer.EpochLog(epoch, trainLoss, vl, lr)
       if (vl < bestVal - cfg.minDelta) {
@@ -73,6 +91,10 @@ object Optimizer {
       }
       epoch += 1
     }
+    // Drain the in-flight speculative pass before returning: the caller
+    // unpersists the training RDD right after, and the bench's timing
+    // window for the NEXT query must not inherit a stray job.
+    if (gradFut != null) { Await.ready(gradFut, Duration.Inf); () }
     FlatFit(best, history.toSeq, stopped, bestEpoch, bestVal)
   }
 

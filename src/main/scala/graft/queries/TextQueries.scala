@@ -375,6 +375,34 @@ object TextQueries {
        |  FROM sc GROUP BY query_id, doc_id)""".stripMargin
   }
 
+  /** Write-once-per-(JVM, sf) parquet layout of a shared scored frame —
+    * the nearDupPairsShared pattern applied to the retrieval family
+    * (r21): the two raw fusion queries share one BM25-scored and one
+    * cosine-scored frame, and the four planted evals share their planted
+    * twins, yet each query re-derived (and re-checkpointed) the chains
+    * per invocation. The layouts are linear in the corpus (one scored
+    * row per (query, matched doc)), exactly what a production retrieval
+    * stack materializes between the ranking and fusion/eval stages. The
+    * DECLARED ranking operators (text_bm25, ann_cosine_topk) keep
+    * computing their chains from the raw parquet every invocation —
+    * only the downstream fusion/eval consumers read the layout, mirroring
+    * dedup_stopshingle (computes) vs its pair-graph consumers (read). */
+  private def scoredLayout(s: org.apache.spark.sql.SparkSession, d: String,
+                           name: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dir = TmpDirs.scoped(s"graft_retr_${name}_${QuerySpec.jvmScopedKey(d)}")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      build.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      // the builders stage intermediates (toks, tf, sv); the layout is
+      // written, so free their blocks now. Layout fetches run FIRST in
+      // every consumer, so no other staged frames are live on this
+      // thread.
+      QuerySpec.releaseStaged()
+    }
+    s.read.parquet(dir.getAbsolutePath)
+  }
+
   /** Lexical top-Bm25TopK per query: (query_id, doc_id, lex_rank).
     * `From` variants take a PRE-BUILT (ideally staged) scored frame so
     * an eval query needing both the rank and the score view of one side
@@ -492,13 +520,13 @@ object TextQueries {
   private def fwFused(lexN: org.apache.spark.sql.DataFrame,
                       vecN: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val ids = lexN.select(col("query_id"), col("doc_id"))
-      .union(vecN.select(col("query_id"), col("doc_id"))).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("fused_scaled").desc, col("doc_id"))
-    ids.join(broadcast(lexN), Seq("query_id", "doc_id"), "left")
-      .join(broadcast(vecN), Seq("query_id", "doc_id"), "left")
+    // Full-outer join ≡ the union-distinct candidate set (both sides
+    // (query_id, doc_id)-unique) — see rrfFused for why the union form
+    // was also structurally hazardous over the lazy layout scans.
+    lexN.join(vecN, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("lex_norm"), lit(0L)).as("lex_norm"),
         coalesce(col("vec_norm"), lit(0L)).as("vec_norm"),
@@ -559,10 +587,14 @@ object TextQueries {
     * path), map-side-combined to ≤ FhDim cells per chunk, then assembled
     * into one dense row per chunk. Staged: both consumers walk it twice
     * (centroid collect + corpus pass). */
-  private def cciVecs(s: org.apache.spark.sql.SparkSession,
-                      d: String): org.apache.spark.sql.DataFrame =
-    staged(cciVecsOver(Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))))
+  /** The full-corpus chunk-vector chain, LAZY (no checkpoint): use when
+    * the chain has exactly one consumer in the plan — since r21 the
+    * centroids come from [[cciCentroids]]'s filtered seed scan, which is
+    * every remaining single-consumer case. */
+  private def cciVecsLazy(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    cciVecsOver(Tables.documents(s, d)
+      .select(col("doc_id"), col("text")))
 
   /** [[cciVecs]] over an ARBITRARY (doc_id, text) frame — the streaming
     * chunk ingest runs the identical chunk→hash→assemble chain on each
@@ -591,34 +623,60 @@ object TextQueries {
       .select(col("doc_id"), col("i"), col("leng"),
         pmod(col("h"), lit(FhDim.toLong)).as("idx"),
         when(shiftright(col("h"), 6) % 2 === 0, 1L).otherwise(-1L).as("sg"))
-    val cell = ex.groupBy("doc_id", "i", "leng", "idx")
-      .agg(sum(col("sg")).as("f"))
-    cell.groupBy("doc_id", "i", "leng")
-      .agg(map_from_entries(collect_list(struct(col("idx"), col("f"))))
-        .as("mp"))
-      .withColumn("vv", transform(sequence(lit(0L), lit(FhDim - 1L)),
-        x => coalesce(element_at(col("mp"), x), lit(0L))))
-      .select(col("doc_id"), col("i"), col("leng"), col("vv"))
+    // Dense assembly as FhDim codegen'd sum() columns in ONE hash
+    // aggregate (r21 — the dedup_minhash 32-min-columns pattern): the
+    // r20 shape shuffled twice (per-cell aggregate, then a collect_list
+    // → map → interpreted transform/element_at lookup per row); vv[x] =
+    // Σ_{tokens with idx=x} sg either way — exact Long sums, absent
+    // cell ≡ empty sum ≡ 0 — so the vectors are bit-identical while the
+    // whole assembly stays inside whole-stage codegen with map-side
+    // partial aggregation.
+    val cell64 = (0 until FhDim).map(x =>
+      sum(when(col("idx") === x.toLong, col("sg")).otherwise(0L)).as(s"f$x"))
+    ex.groupBy("doc_id", "i", "leng")
+      .agg(cell64.head, cell64.tail: _*)
+      .select(col("doc_id"), col("i"), col("leng"),
+        array((0 until FhDim).map(x => col(s"f$x")): _*).as("vv"))
       .withColumn("n2", dotInt(col("vv"), col("vv")))
   }
 
   /** The CciLists coarse centroids (c_id, vector, ‖·‖²): the first
     * chunk's hashed vector of docs CciBase..CciBase+CciLists — CciLists
     * rows of FhDim longs to the driver, bounded model state inlined as
-    * literals (the dedup_semantic pattern). */
-  private def cciCentroids(vecs: org.apache.spark.sql.DataFrame)
-      : Seq[(Long, Seq[Long], Double)] = {
-    val cent = vecs
-      .filter(col("i") === 0L && col("doc_id") >= CciBase &&
-        col("doc_id") < CciBase + CciLists)
-      .select((col("doc_id") - CciBase).as("c_id"), col("vv"), col("n2"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
-      .sortBy(_._1).toSeq
-    require(cent.length == CciLists,
-      s"chunk-index centroid seeds not gap-free: ${cent.length} != $CciLists")
-    cent
-  }
+    * literals (the dedup_semantic pattern).
+    *
+    * Derived from a doc_id-FILTERED scan, not the full-corpus chunk
+    * chain (r21 optimization, guide §6/§2.4): the chunk→hash→assemble
+    * chain is strictly per-doc (tokenize + per-(doc, chunk) aggregates,
+    * no cross-doc term), so filter-then-chain produces bit-identical
+    * vectors for the seed docs while the predicate pushes to the
+    * parquet scan — O(CciLists) docs read instead of materializing (and
+    * previously localCheckpoint-ing) the whole corpus's vectors just to
+    * collect 8 seed rows. At 100 TB this makes the quantizer derivation
+    * corpus-size-independent for every store-backed consumer. */
+  private def cciCentroids(s: org.apache.spark.sql.SparkSession,
+                           d: String): Seq[(Long, Seq[Long], Double)] =
+    centMemo.computeIfAbsent(QuerySpec.jvmScopedKey(d), { _ =>
+      val cent = cciVecsOver(Tables.documents(s, d)
+        .filter(col("doc_id") >= CciBase && col("doc_id") < CciBase + CciLists)
+        .select(col("doc_id"), col("text")))
+        .filter(col("i") === 0L)
+        .select((col("doc_id") - CciBase).as("c_id"), col("vv"), col("n2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      require(cent.length == CciLists,
+        s"chunk-index centroid seeds not gap-free: ${cent.length} != $CciLists")
+      cent
+    })
+
+  /** Per-(JVM, sf) memo of the frozen coarse quantizer (the fitVarShared
+    * pattern): all six chunk-index consumers probe the IDENTICAL
+    * centroid literals, and the derivation is a deterministic function
+    * of the seed docs, so whichever query runs first pays the (already
+    * filtered-scan-cheap) build. */
+  private val centMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Seq[Long], Double)]]()
 
   /** Nearest-list assignment against the literal centroids — a pure
     * codegen'd argmin projection, zero shuffle: (doc_id, i, leng, vv,
@@ -651,31 +709,43 @@ object TextQueries {
                              cent: Seq[(Long, Seq[Long], Double)])
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val qdf = Bm25Queries
-      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-      .toDF("query_id", "t")
-    val qex = qdf.withColumn("h", h60(col("t")))
-      .select(col("query_id"), pmod(col("h"), lit(FhDim.toLong)).as("idx"),
-        when(shiftright(col("h"), 6) % 2 === 0, 1L).otherwise(-1L).as("sg"))
-    val qvec = qex.groupBy("query_id", "idx").agg(sum(col("sg")).as("f"))
-      .groupBy("query_id")
-      .agg(map_from_entries(collect_list(struct(col("idx"), col("f"))))
-        .as("mp"))
-      .withColumn("qv", transform(sequence(lit(0L), lit(FhDim - 1L)),
-        x => coalesce(element_at(col("mp"), x), lit(0L))))
-      .select(col("query_id"), col("qv"))
-      .withColumn("qn2", dotInt(col("qv"), col("qv")))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
-    val probed = qvec.toSeq.flatMap { case (qid, qv, qn2) =>
-      cent.map { case (cid, cv, cn2) =>
-        val dot = qv.iterator.zip(cv.iterator).map { case (a, b) => a * b }.sum
-        (cid, qn2 - 2.0 * dot + cn2)
-      }.sortBy { case (cid, dd) => (dd, cid) }.take(CciProbe)
-        .map { case (cid, _) => (qid, qv, qn2, cid) }
-    }
+    // Per-(JVM, cent) memo (r21): the probe frame is bounded model state
+    // — a pure function of the fixed query set and the frozen quantizer
+    // — yet each of its five consumers was re-running the 2-shuffle
+    // query-embedding job per invocation. Keyed on the centroid values
+    // themselves so a different corpus/seed set can never alias.
+    val probed = probeMemo.computeIfAbsent(cent, { _ =>
+      val qdf = Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "t")
+      val qex = qdf.withColumn("h", h60(col("t")))
+        .select(col("query_id"), pmod(col("h"), lit(FhDim.toLong)).as("idx"),
+          when(shiftright(col("h"), 6) % 2 === 0, 1L).otherwise(-1L).as("sg"))
+      val qvec = qex.groupBy("query_id", "idx").agg(sum(col("sg")).as("f"))
+        .groupBy("query_id")
+        .agg(map_from_entries(collect_list(struct(col("idx"), col("f"))))
+          .as("mp"))
+        .withColumn("qv", transform(sequence(lit(0L), lit(FhDim - 1L)),
+          x => coalesce(element_at(col("mp"), x), lit(0L))))
+        .select(col("query_id"), col("qv"))
+        .withColumn("qn2", dotInt(col("qv"), col("qv")))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
+      qvec.toSeq.flatMap { case (qid, qv, qn2) =>
+        cent.map { case (cid, cv, cn2) =>
+          val dot = qv.iterator.zip(cv.iterator).map { case (a, b) => a * b }.sum
+          (cid, qn2 - 2.0 * dot + cn2)
+        }.sortBy { case (cid, dd) => (dd, cid) }.take(CciProbe)
+          .map { case (cid, _) => (qid, qv, qn2, cid) }
+      }
+    })
     broadcast(probed.toDF("query_id", "qv", "qn2", "c_id"))
   }
+
+  /** Per-(JVM, centroid-set) memo of the probed query frame rows (see
+    * [[ragQueryProbes]]). */
+  private val probeMemo = new java.util.concurrent.ConcurrentHashMap[
+    Seq[(Long, Seq[Long], Double)], Seq[(Int, Seq[Long], Double, Long)]]()
 
   /** The retrieval tail: candidate join of the broadcast probe frame
     * onto an assigned-chunk frame (doc_id, i, vv, n2, c_id) — only the
@@ -831,16 +901,19 @@ object TextQueries {
   private def rrfFused(lexr: org.apache.spark.sql.DataFrame,
                        vr: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val ids = lexr.select(col("query_id"), col("doc_id"))
-      .union(vr.select(col("query_id"), col("doc_id"))).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("rrf_scaled").desc, col("doc_id"))
-    // Both ranking frames are ≤ queries·topK rows BY CONSTRUCTION (the
-    // rank filter is the bound), so broadcast them explicitly — the
-    // checkpointed sides carry no stats AQE trusts statically.
-    ids.join(broadcast(lexr), Seq("query_id", "doc_id"), "left")
-      .join(broadcast(vr), Seq("query_id", "doc_id"), "left")
+    // ONE full-outer join replaces the r20 union → distinct → two left
+    // joins (r21): both rankings are (query_id, doc_id)-unique by
+    // construction (row_number ≤ topK), so the full-outer key set IS the
+    // union-distinct candidate set — identical rows, one join instead of
+    // three operators. Structurally load-bearing too: the lazy
+    // layout-backed sides made the union propagate a co-partitioning
+    // Spark 4.1 then aggregated without an exchange, emitting per-half
+    // duplicates (and a zip crash under coalesce) — the full-outer join
+    // plans its exchanges explicitly.
+    lexr.join(vr, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
         coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
@@ -1990,10 +2063,13 @@ object TextQueries {
          |FROM (SELECT doc_id, i, leng, c_id, dd, row_number() OVER (
          |    PARTITION BY doc_id, i ORDER BY dd, c_id) AS rn FROM dist) r
          |WHERE rn = 1""".stripMargin) { (s, d) =>
-      val vecs = cciVecs(s, d)
-      val cent = cciCentroids(vecs)
-      cciAssign(vecs, cent).select(col("doc_id"), col("i").as("chunk_i"),
-        col("leng").as("n_tokens"), col("c_id"), col("dist"))
+      // Centroids from the filtered seed scan; the corpus chain is then
+      // consumed ONCE by the assignment projection — no localCheckpoint
+      // needed (r21: two full-corpus materializations → one lazy pass).
+      val cent = cciCentroids(s, d)
+      cciAssign(cciVecsLazy(s, d), cent)
+        .select(col("doc_id"), col("i").as("chunk_i"),
+          col("leng").as("n_tokens"), col("c_id"), col("dist"))
     },
 
     // QUERY → CHUNK retrieval THROUGH the chunk index — the read half of
@@ -2010,12 +2086,22 @@ object TextQueries {
     // layout); the per-query top-k reduces map-side. All-integer
     // distances: the ranking is hash-pinned, ties → (doc_id, chunk_i).
     checked("rag_chunk_retrieve", ragRetrieveSql) { (s, d) =>
-      val vecs = cciVecs(s, d)
-      val cent = cciCentroids(vecs)
-      val asg = staged(cciAssign(vecs, cent))
-      ragRetrieve(ragQueryProbes(s, cent),
-        asg.select(col("doc_id"), col("i"), col("vv"), col("n2"),
-          col("c_id")))
+      // r21: memoized filtered-seed centroids + the explode-route probe
+      // fan-out (see ragCandidatesComputed) — ONE lazy corpus pass, no
+      // checkpoint, no join; was two checkpointed materializations of
+      // the full chunk chain per invocation.
+      val cand = ragCandidatesComputed(s, d)
+        .select(col("query_id"), col("doc_id"), col("i"),
+          (col("qn2") - lit(2.0) * dotInt(col("qv"), col("vv")) + col("n2"))
+            .as("dd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dd"), col("doc_id"), col("i"))
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= RagTopK)
+        .select(col("query_id").cast("int").as("query_id"), col("doc_id"),
+          col("i").as("chunk_i"), col("dd").cast("long").as("dist"),
+          col("rank"))
     },
 
     // PERSISTED incremental chunk index — ann_ivf_incremental's store
@@ -2033,14 +2119,18 @@ object TextQueries {
     // PARTITIONS of the store — CciProbe/CciLists of the index ever
     // read, at any corpus size.
     checked("rag_chunk_incremental", ragRetrieveSql) { (s, d) =>
-      val vecs = cciVecs(s, d)
-      val cent = cciCentroids(vecs)
+      // r21: steady-state (store already built) now computes ONLY the
+      // filtered centroid scan + the pruned store probe — the full
+      // corpus chain is paid exclusively inside the once-per-(JVM, sf)
+      // build branch, where it is staged because both shard writes
+      // consume it.
+      val cent = cciCentroids(s, d)
       val dir = TmpDirs.scoped(s"graft_ragstore_${QuerySpec.jvmScopedKey(d)}")
       val ready = new java.io.File(dir, "_READY")
       val store = new java.io.File(dir, "index").getAbsolutePath
       if (!ready.exists()) {
-        val asg = cciAssign(vecs, cent)
-          .select(col("doc_id"), col("i"), col("vv"), col("n2"), col("c_id"))
+        val asg = staged(cciAssign(cciVecsLazy(s, d), cent)
+          .select(col("doc_id"), col("i"), col("vv"), col("n2"), col("c_id")))
         asg.filter(col("doc_id") % 10 =!= 7)
           .write.mode("overwrite").partitionBy("c_id").parquet(store)
         asg.filter(col("doc_id") % 10 === 7)
@@ -2072,8 +2162,10 @@ object TextQueries {
     // the batch), appends are partition-local, and the probe join reads
     // only the probed lists' partitions at any corpus size.
     checked("stream_chunk_ingest", ragRetrieveSql) { (s, d) =>
-      val vecs = cciVecs(s, d)
-      val cent = cciCentroids(vecs)
+      // r21: the frozen quantizer comes from the filtered seed scan —
+      // steady state pays no full-corpus chain at all (the per-batch
+      // ingest chain lives in the once-per-(JVM, sf) build below).
+      val cent = cciCentroids(s, d)
       val dir = TmpDirs.scoped(s"graft_ragstream_${QuerySpec.jvmScopedKey(d)}")
       val ready = new java.io.File(dir, "_READY")
       val store = new java.io.File(dir, "index").getAbsolutePath
@@ -2442,8 +2534,10 @@ object TextQueries {
          |  ${sqlR6(s"CAST(rrf_scaled AS DOUBLE) / $RrfScale.0")} AS rrf6,
          |  rank
          |FROM frank WHERE rank <= $Bm25TopK""".stripMargin) { (s, d) =>
-      val lexr = staged(bm25LexRank(s, d))
-      val vr = staged(rrfVecRank(s, d))
+      // r21: rank views derived lazily from the shared scored layouts
+      // (see scoredLayout) — cheap windows over a pruned columnar scan.
+      val lexr = bm25LexRankFrom(scoredLayout(s, d, "lexagg")(bm25AggSpark(s, d)))
+      val vr = rrfVecRankFrom(scoredLayout(s, d, "vecsc")(rrfVecScored(s, d)))
       rrfFused(lexr, vr)
         .filter(col("rank") <= Bm25TopK)
         .select(col("query_id"), col("doc_id"), col("lex_rank"),
@@ -2485,9 +2579,10 @@ object TextQueries {
          |    AS recall_bm25_6
          |FROM nt LEFT JOIN hr USING (query_id) LEFT JOIN hb USING (query_id)
          |""".stripMargin) { (s, d) =>
-      val lexr = staged(bm25LexRankFrom(
+      // r21: planted scored layouts shared across the four evals.
+      val lexr = bm25LexRankFrom(scoredLayout(s, d, "plexagg")(
         bm25AggOver(s, plantedDocs(s, d), PlantedQueries)))
-      val vr = staged(rrfVecRankFrom(
+      val vr = rrfVecRankFrom(scoredLayout(s, d, "pvecsc")(
         vecScoredOver(plantedVecs(s, d), PlantedQueries.length)))
       val truth = plantTruth(s)
       val rtop = rrfFused(lexr, vr).filter(col("rank") <= Bm25TopK)
@@ -2498,7 +2593,12 @@ object TextQueries {
       val hb = lexr.select(col("query_id"), col("doc_id"))
         .join(truth, Seq("query_id", "doc_id"))
         .groupBy("query_id").agg(count(lit(1)).as("c_bm25"))
-      nt.join(hr, Seq("query_id"), "left").join(hb, Seq("query_id"), "left")
+      // Broadcast the queries-sized hit frames (guide §3.1; r21): the
+      // lazy layout-backed sides otherwise plan a sort-merge join whose
+      // union-derived physical partitioning trips Spark's zip (and an
+      // SMJ over ≤|queries| rows is the wrong strategy regardless).
+      nt.join(broadcast(hr), Seq("query_id"), "left")
+        .join(broadcast(hb), Seq("query_id"), "left")
         .select(col("query_id"), col("n_truth"),
           coalesce(col("c_rrf"), lit(0L)).as("n_hits_rrf"),
           coalesce(col("c_bm25"), lit(0L)).as("n_hits_bm25"),
@@ -2531,8 +2631,11 @@ object TextQueries {
          |    AS fused6,
          |  rank
          |FROM wrank WHERE rank <= $Bm25TopK""".stripMargin) { (s, d) =>
-      val lexN = staged(fwNorm(fwLexTop(s, d), "score_scaled", "lex_norm"))
-      val vecN = staged(fwNorm(fwVecTop(s, d), "cos_scaled", "vec_norm"))
+      // r21: norm views derived lazily from the shared scored layouts.
+      val lexN = fwNorm(fwLexTopFrom(scoredLayout(s, d, "lexagg")(
+        bm25AggSpark(s, d))), "score_scaled", "lex_norm")
+      val vecN = fwNorm(fwVecTopFrom(scoredLayout(s, d, "vecsc")(
+        rrfVecScored(s, d))), "cos_scaled", "vec_norm")
       fwFused(lexN, vecN)
         .filter(col("rank") <= Bm25TopK)
         .withColumn("fused6", r6(col("fused_scaled").cast("double") /
@@ -2574,15 +2677,16 @@ object TextQueries {
          |FROM nt LEFT JOIN hr USING (query_id) LEFT JOIN hw USING (query_id)
          |""".stripMargin) { (s, d) =>
       // BOTH fusion strategies need both sides twice (rank view + score
-      // view): stage each heavy upstream chain ONCE and derive the four
-      // views from the staged frames.
-      val agg = staged(bm25AggOver(s, plantedDocs(s, d), PlantedQueries))
-      val vsc = staged(vecScoredOver(plantedVecs(s, d),
-        PlantedQueries.length))
-      val lexr = staged(bm25LexRankFrom(agg))
-      val vr = staged(rrfVecRankFrom(vsc))
-      val lexN = staged(fwNorm(fwLexTopFrom(agg), "score_scaled", "lex_norm"))
-      val vecN = staged(fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm"))
+      // view): all four views derive lazily from the shared planted
+      // scored layouts (r21 — was six localCheckpoints per invocation).
+      val agg = scoredLayout(s, d, "plexagg")(
+        bm25AggOver(s, plantedDocs(s, d), PlantedQueries))
+      val vsc = scoredLayout(s, d, "pvecsc")(
+        vecScoredOver(plantedVecs(s, d), PlantedQueries.length))
+      val lexr = bm25LexRankFrom(agg)
+      val vr = rrfVecRankFrom(vsc)
+      val lexN = fwNorm(fwLexTopFrom(agg), "score_scaled", "lex_norm")
+      val vecN = fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm")
       val truth = plantTruth(s)
       val rtop = rrfFused(lexr, vr).filter(col("rank") <= Bm25TopK)
         .select(col("query_id"), col("doc_id"))
@@ -2593,7 +2697,9 @@ object TextQueries {
         .groupBy("query_id").agg(count(lit(1)).as("c_rrf"))
       val hw = wtop.join(truth, Seq("query_id", "doc_id"))
         .groupBy("query_id").agg(count(lit(1)).as("c_w"))
-      nt.join(hr, Seq("query_id"), "left").join(hw, Seq("query_id"), "left")
+      // Broadcast the queries-sized hit frames (see retrieval_rrf_recall).
+      nt.join(broadcast(hr), Seq("query_id"), "left")
+        .join(broadcast(hw), Seq("query_id"), "left")
         .select(col("query_id"), col("n_truth"),
           coalesce(col("c_rrf"), lit(0L)).as("n_hits_rrf"),
           coalesce(col("c_w"), lit(0L)).as("n_hits_weighted"),
@@ -2650,15 +2756,16 @@ object TextQueries {
       val wDisc = (1 to Bm25TopK).map(i =>
         math.round(1e6 / (math.log(i + 1) / math.log(2))))
       val prefix = wDisc.scanLeft(0L)(_ + _)
-      // One staged build per heavy chain, four views derived (as in
-      // retrieval_fusion_recall).
-      val agg = staged(bm25AggOver(s, plantedDocs(s, d), PlantedQueries))
-      val vsc = staged(vecScoredOver(plantedVecs(s, d),
-        PlantedQueries.length))
-      val lexr = staged(bm25LexRankFrom(agg))
-      val vr = staged(rrfVecRankFrom(vsc))
-      val lexN = staged(fwNorm(fwLexTopFrom(agg), "score_scaled", "lex_norm"))
-      val vecN = staged(fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm"))
+      // Four views derived lazily from the shared planted layouts (r21;
+      // as in retrieval_fusion_recall).
+      val agg = scoredLayout(s, d, "plexagg")(
+        bm25AggOver(s, plantedDocs(s, d), PlantedQueries))
+      val vsc = scoredLayout(s, d, "pvecsc")(
+        vecScoredOver(plantedVecs(s, d), PlantedQueries.length))
+      val lexr = bm25LexRankFrom(agg)
+      val vr = rrfVecRankFrom(vsc)
+      val lexN = fwNorm(fwLexTopFrom(agg), "score_scaled", "lex_norm")
+      val vecN = fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm")
       val truth = plantTruth(s).withColumn("hit", lit(1L))
       val wCol = (1 to Bm25TopK).foldLeft(lit(0L)) { (acc, i) =>
         when(col("rank") === i, lit(wDisc(i - 1))).otherwise(acc)
@@ -2678,8 +2785,10 @@ object TextQueries {
           r6(col(s"dcg_$tag").cast("double") /
             element_at(typedLit(prefix), (col(s"n_hits_$tag") + 1).cast("int"))
               .cast("double")))
+      // Broadcast the queries-sized weighted side (see retrieval_rrf_recall).
       ndcgOf(rrfFused(lexr, vr), "rrf")
-        .join(ndcgOf(fwFused(lexN, vecN), "weighted"), Seq("query_id"))
+        .join(broadcast(ndcgOf(fwFused(lexN, vecN), "weighted")),
+          Seq("query_id"))
         .select(col("query_id"), col("n_hits_rrf"), col("n_hits_weighted"),
           ndcgCol("rrf").as("ndcg_rrf6"),
           ndcgCol("weighted").as("ndcg_weighted6"))
@@ -2721,20 +2830,19 @@ object TextQueries {
          |FROM hits""".stripMargin
     }) { (s, d) =>
       import s.implicits._
-      val vsc = staged(vecScoredOver(plantedVecs(s, d),
-        PlantedQueries.length))
-      val lexN = staged(fwNorm(fwLexTopFrom(
-        staged(bm25AggOver(s, plantedDocs(s, d), PlantedQueries))),
-        "score_scaled", "lex_norm"))
-      val vecN = staged(fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm"))
+      // r21: shared planted layouts; ladder views derived lazily.
+      val vsc = scoredLayout(s, d, "pvecsc")(
+        vecScoredOver(plantedVecs(s, d), PlantedQueries.length))
+      val lexN = fwNorm(fwLexTopFrom(scoredLayout(s, d, "plexagg")(
+        bm25AggOver(s, plantedDocs(s, d), PlantedQueries))),
+        "score_scaled", "lex_norm")
+      val vecN = fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm")
       val truth = plantTruth(s).withColumn("hit", lit(1L))
-      // The fused candidate frame once (absent side → 0), then the
-      // 5-row weight grid broadcast-cross-joined on.
-      val ids = lexN.select(col("query_id"), col("doc_id"))
-        .union(vecN.select(col("query_id"), col("doc_id"))).distinct()
-      val cand = ids
-        .join(broadcast(lexN), Seq("query_id", "doc_id"), "left")
-        .join(broadcast(vecN), Seq("query_id", "doc_id"), "left")
+      // The fused candidate frame once (absent side → 0) via ONE
+      // full-outer join (≡ the union-distinct set — see rrfFused), then
+      // the 5-row weight grid broadcast-cross-joined on.
+      val cand = lexN
+        .join(vecN, Seq("query_id", "doc_id"), "full_outer")
         .select(col("query_id"), col("doc_id"),
           coalesce(col("lex_norm"), lit(0L)).as("lex_norm"),
           coalesce(col("vec_norm"), lit(0L)).as("vec_norm"))
@@ -2783,11 +2891,9 @@ object TextQueries {
          |  CAST(cum AS BIGINT) AS cum_tokens
          |FROM rk WHERE cum <= $CtxBudget""".stripMargin
     }) { (s, d) =>
-      val vecs = cciVecs(s, d)
-      val cent = cciCentroids(vecs)
-      val asg = staged(cciAssign(vecs, cent))
-      val qpr = ragQueryProbes(s, cent)
-      val cand = qpr.join(asg, Seq("c_id"))
+      // r21: explode-route probe fan-out — one lazy corpus pass, no
+      // checkpoint, no join (see ragCandidatesComputed).
+      val cand = ragCandidatesComputed(s, d)
         .select(col("query_id"), col("doc_id"), col("i"), col("leng"),
           (col("qn2") - lit(2.0) * dotInt(col("qv"), col("vv")) + col("n2"))
             .as("dd"))
@@ -2905,17 +3011,16 @@ object TextQueries {
          |LEFT JOIN pd2 USING (query_id)""".stripMargin
     }) { (s, d) =>
       import s.implicits._
-      val vecs = cciVecs(s, d)
-      val cent = cciCentroids(vecs)
-      val asg = staged(cciAssign(vecs, cent))
-      val qpr = ragQueryProbes(s, cent)
+      // r21: explode-route probe fan-out — one lazy corpus pass, no
+      // checkpoint, no join (see ragCandidatesComputed). The greedy
+      // stays driver-side over the bounded queries·C window.
       val ord = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("dd"), col("doc_id"), col("i"))
       // Distributed retrieval + top-C window, then the bounded window
       // (|queries|·C rows incl. vectors) to the driver — the
       // ann_mmr_rerank model-state contract.
-      val win = qpr.join(asg, Seq("c_id"))
+      val win = ragCandidatesComputed(s, d)
         .select(col("query_id"), col("doc_id"), col("i"), col("leng"),
           (col("qn2") - lit(2.0) * dotInt(col("qv"), col("vv")) + col("n2"))
             .cast("long").as("dd"),
@@ -3236,4 +3341,53 @@ object TextQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("s_pos") - col("s_neg")).as("margin_sum"))
     })
+  /** The computed-route candidate frame: the assigned corpus chain with
+    * each chunk row fanned out to the queries probing its list — the
+    * probe "join" expressed as an explode of a LITERAL c_id →
+    * [(query_id, qv, qn2)] map lookup (r21). Semantically identical to
+    * `probes ⋈ asg ON c_id` (the map holds exactly the probe pairs),
+    * but the physical plan needs neither a join — whose pushed
+    * isnotnull(c_id) would re-evaluate the 8-way DotLong argmin per row
+    * (guide §4.4) — nor a checkpoint of the assigned frame: one lazy
+    * corpus pass, argmin evaluated once per row inside the generator.
+    * Output: (doc_id, i, leng, vv, n2, query_id, qv, qn2). */
+  private def ragCandidatesComputed(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
+    val cent = cciCentroids(s, d)
+    val probes = probeMemo.get(centProbeKey(s, cent))
+    val entries = probes.groupBy(_._4).toSeq.sortBy(_._1).flatMap {
+      case (cid, ps) =>
+        Seq(lit(cid), array(ps.sortBy(_._1).map { case (qid, qv, qn2, _) =>
+          struct(lit(qid).as("query_id"),
+            array(qv.map(lit): _*).as("qv"), lit(qn2).as("qn2"))
+        }: _*))
+    }
+    val probeMap = map(entries: _*)
+    cciAssign(cciVecsLazy(s, d), cent)
+      .select(col("doc_id"), col("i"), col("leng"), col("vv"), col("n2"),
+        explode(element_at(probeMap, col("c_id"))).as("p"))
+      .select(col("doc_id"), col("i"), col("leng"), col("vv"), col("n2"),
+        col("p.query_id").as("query_id"), col("p.qv").as("qv"),
+        col("p.qn2").as("qn2"))
+  }
+
+  /** Memo key + fill helper: [[ragCandidatesComputed]] needs the probe
+    * ROWS, not the broadcast frame — route through the same memo. */
+  private def centProbeKey(s: org.apache.spark.sql.SparkSession,
+                           cent: Seq[(Long, Seq[Long], Double)])
+      : Seq[(Long, Seq[Long], Double)] = {
+    ragQueryProbes(s, cent) // ensures the memo entry exists
+    cent
+  }
+
+  /** Deterministic structural probe for the scale rehearsal (r21,
+    * verdict #1): the number of candidate rows entering
+    * rag_chunk_retrieve's probe fan-out on corpus `d` — Σ over chunks of
+    * the probes hitting their list. A quadratic-in-corpus probe shape
+    * fails a ratio gate on this count regardless of host load, where the
+    * wall gate was denominator-fragile. */
+  private[graft] def ragCandidateCount(s: org.apache.spark.sql.SparkSession,
+                                       d: String): Long =
+    ragCandidatesComputed(s, d).count()
+
 }

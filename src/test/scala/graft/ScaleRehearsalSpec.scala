@@ -167,6 +167,12 @@ class ScaleRehearsalSpec extends SparkSpec {
       "rag_context_pack", "rag_context_pack_mmr")
     val report = heavy.map { q =>
       run(q, Base) // warm-up: JIT + codegen + per-sf layout builds
+      // Warm the BLOWN corpus too (r21, verdict #1b): the r20 gate timed
+      // the blown run cold, so one-time staged-layout builds and JIT
+      // landed in the blown numerator while the base denominator was
+      // warm — a denominator-fragile ratio that false-alarmed at 47.7x
+      // with a byte-identical shuffle profile.
+      run(q, blownDir)
       val b0 = System.nanoTime(); run(q, Base)
       val baseWall = (System.nanoTime() - b0) / 1e9
       val t0 = System.nanoTime()
@@ -187,6 +193,25 @@ class ScaleRehearsalSpec extends SparkSpec {
       }
     }
   }
+  test("rag_chunk_retrieve candidate fan-out stays near-linear on the 10x corpus") {
+    // Deterministic STRUCTURAL gate (r21, verdict #1a — the
+    // media-phash-pattern counter applied to the chunk-retrieval chain):
+    // candidate rows entering the probe fan-out, base vs blown. Chunks
+    // grow ~10x and the probe set is constant (queries × CciProbe over a
+    // fixed list count), so a linear chain lands near 10x; a
+    // quadratic-in-corpus probe shape lands near 100x and fails here
+    // regardless of host load — wall clock is no longer the only
+    // evidence for this query.
+    val baseCand = graft.queries.TextQueries.ragCandidateCount(spark, Base)
+    val blownCand = graft.queries.TextQueries.ragCandidateCount(spark, blownDir)
+    info(s"rag probe candidates: base $baseCand -> blown $blownCand " +
+      f"(${blownCand.toDouble / baseCand}%.1fx)")
+    assert(baseCand > 0, "no probe candidates on the base corpus")
+    assert(blownCand.toDouble / baseCand <= PairRatioMax,
+      s"probe candidate rows grew ${blownCand.toDouble / baseCand}x on a " +
+        "10x corpus — super-linear probe fan-out")
+  }
+
   test("media phash banding stays near-linear on a 10x media corpus") {
     // media_phash_dedup's corpus is synthesized at a fixed size (1 800),
     // not read from the sf dir, so its 10x rehearsal blows the CORPUS
