@@ -54,6 +54,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scale-adaptive post-shuffle partitioning (r22, guide §2.2 "let
+      // AQE coalesce small partitions"): Spark's default
+      // parallelismFirst=true makes AQE respect minimum parallelism
+      // (= core count) and IGNORE the advisory partition size, so every
+      // tiny post-shuffle stage still schedules `cpus` tasks — pure
+      // scheduling latency at small SFs and many small blocks at large
+      // ones. false is the setting Spark's own tuning docs recommend
+      // ("it's recommended to set this config to false and respect the
+      // advisory size"): partition counts then follow DATA SIZE at every
+      // scale — the advisory size (64 MB default) governs, so a 100 TB
+      // shuffle still fans out to tens of thousands of partitions while
+      // a 2 MB one stops paying for 32 empty tasks. Env-overridable for
+      // A/B so the scaling run can quantify it.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -160,13 +175,20 @@ object Bench {
     // per-query WALLS, so a judge can't name a regressed query without a
     // local rerun). Persist it as a repo artifact: cwd is the repo when
     // the driver runs sbt, and the end-of-round snapshot commits it.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write BENCH_DETAIL.json: $e")
+    // Written under BOTH names (round-21 verdict #4 / ADVICE): the bare
+    // BENCH_DETAIL.json was overwritten by every run, so the r21 32-core
+    // full-suite detail was clobbered by the subsequent 8-core run and
+    // the driver's per-query PERF comparison came back empty. The
+    // core-count-suffixed file makes runs at different widths land in
+    // different artifacts; the legacy name stays for existing readers.
+    for (name <- Seq("BENCH_DETAIL.json", s"BENCH_DETAIL_c$cpus.json")) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(name), (detail + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $name: $e")
+      }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"steal_flagged":$flagged,"detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"steal_flagged":$flagged,"detail":"BENCH_DETAIL_c$cpus.json"}""")
     spark.stop()
   }
 }

@@ -58,7 +58,12 @@ object Optimizer {
     // per epoch overlap instead of serializing). The one speculative
     // pass in flight when EarlyStopping fires is awaited and discarded —
     // bounded waste, and nothing leaks past the fit.
-    var gradFut: Future[(Double, Array[Double])] = Future(trainLossGrad(w))
+    // Guard the initial launch on maxEpochs (ADVICE r21): with
+    // maxEpochs == 0 the sequential loop ran no gradient pass at all, so
+    // the speculative launch must not either.
+    var gradFut: Future[(Double, Array[Double])] =
+      if (cfg.maxEpochs >= 1) Future(trainLossGrad(w)) else null
+    try {
     while (epoch <= cfg.maxEpochs && !stopped) {
       val (trainLoss, grad) = Await.result(gradFut, Duration.Inf)
       gradFut = null
@@ -91,10 +96,15 @@ object Optimizer {
       }
       epoch += 1
     }
-    // Drain the in-flight speculative pass before returning: the caller
-    // unpersists the training RDD right after, and the bench's timing
-    // window for the NEXT query must not inherit a stray job.
-    if (gradFut != null) { Await.ready(gradFut, Duration.Inf); () }
+    } finally {
+      // Drain the in-flight speculative pass on EVERY exit path (ADVICE
+      // r21: a valLoss/callback throw would otherwise leak a distributed
+      // pass past the fit, racing the caller's finally-unpersist of the
+      // training RDD it still reads): the caller unpersists the training
+      // RDD right after, and the bench's timing window for the NEXT
+      // query must not inherit a stray job.
+      if (gradFut != null) { Await.ready(gradFut, Duration.Inf); () }
+    }
     FlatFit(best, history.toSeq, stopped, bestEpoch, bestVal)
   }
 

@@ -275,10 +275,19 @@ object DedupQueries {
          |             JOIN sizes y ON doc_b = y.doc_id)
          |SELECT doc_a, doc_b, n_inter, ${sqlR6("jac")} AS jaccard
          |FROM sized WHERE jac >= $NgramThr""".stripMargin) { (s, d) =>
-      val ex = staged(shingleRows(s, d))
-      val df = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      // kept feeds the sizes aggregate and both self-join sides.
-      val kept = staged(ex.join(df.filter(col("df") <= StopDf), "h")
+      // Doc-frequency cap as a WINDOW count over the h partitioning
+      // (r22, guide §2.4): the r21 shape aggregated df per h and joined
+      // it back onto the exploded rows — a second shuffle of the whole
+      // shingle relation plus a localCheckpoint of `ex` (it fed both the
+      // aggregate and the join). count().over(partitionBy(h)) computes
+      // the identical df on the ONE exchange the rows need anyway, so
+      // `ex` has a single consumer and stays lazy: one corpus-linear
+      // shuffle and one checkpoint fewer per invocation, same kept set.
+      val ex = shingleRows(s, d)
+      val kept = staged(ex
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .filter(col("df") <= StopDf)
         .select(col("doc_id"), col("h")))
       val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = kept.as("a")
@@ -340,14 +349,20 @@ object DedupQueries {
         .agg(minCols.head, minCols.tail: _*)
         .select(col("doc_id"),
           array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
-      // Staged: banded feeds both the frequency count and the kept build.
-      val banded = staged(sig.select(col("doc_id"),
-        explode(lshBands(col("sig"), K, R)).as("band")))
-      // Band-frequency cap: aggregate + equi-join (the same bounded-fan-out
-      // shape as dedup_stopshingle's doc-frequency cap). At 100 TB the bf
-      // side is tiny (distinct bands ≪ banded rows) and broadcastable.
-      val bf = banded.groupBy("band").agg(count(lit(1)).as("bf"))
-      val kept = staged(banded.join(bf.filter(col("bf") <= BandCap), "band")
+      // Band-frequency cap as a WINDOW count over the band partitioning
+      // (r22, guide §2.4 — the dedup_stopshingle df-cap move): the r21
+      // shape aggregated bf per band and joined it back, which cost a
+      // second pass over the banded rows and a localCheckpoint of
+      // `banded` (it fed both the aggregate and the join).
+      // count().over(partitionBy(band)) computes the identical bf on the
+      // one exchange the candidate self-join needs anyway: one pass, one
+      // checkpoint fewer, same kept set.
+      val banded = sig.select(col("doc_id"),
+        explode(lshBands(col("sig"), K, R)).as("band"))
+      val kept = staged(banded
+        .withColumn("bf", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+        .filter(col("bf") <= BandCap)
         .select(col("doc_id"), col("band")))
       val cand = kept.as("a")
         .join(kept.as("b"),
@@ -443,11 +458,15 @@ object DedupQueries {
         .agg(minCols.head, minCols.tail: _*)
         .select(col("doc_id"),
           array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
-      val banded = staged(sig.select(col("doc_id"),
-        explode(lshBands(col("sig"), K, R)).as("band")))
-      val bf = banded.groupBy("band").agg(count(lit(1)).as("bf"))
-      val kept = banded.join(bf.filter(col("bf") <= BandCap), "band")
-        .select(col("doc_id"), col("band"))
+      // Band cap as a window count (r22, the dedup_minhash move): the
+      // checkpoint moves from the pre-cap banded rows to the capped kept
+      // set both self-join sides read — one pass, no bf join.
+      val kept = staged(sig.select(col("doc_id"),
+          explode(lshBands(col("sig"), K, R)).as("band"))
+        .withColumn("bf", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+        .filter(col("bf") <= BandCap)
+        .select(col("doc_id"), col("band")))
       val cand = staged(kept.as("a")
         .join(kept.as("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -580,17 +599,21 @@ object DedupQueries {
          |SELECT vec_a, vec_b, ${sqlR6("cos")} AS cos
          |FROM scored WHERE cos >= $CosineThr""".stripMargin
     }) { (s, d) =>
-      // sv feeds the band projection and both verify joins — staged; the
-      // banded rows feed the frequency count and both candidate sides.
+      // sv feeds the band projection and both verify joins — staged.
       val sv = staged(Tables.embeddings(s, d)
         .select(col("vec_id"), scaledVec(col("embedding")).as("v"))
         .withColumn("n2", dotInt(col("v"), col("v"))))
       val bands = array((0 until SrpTables).map(t =>
         concat_ws(":", lit(t.toString),
           srpBucket(col("v"), SrpDedupBits, EmbDim, t).cast("string"))): _*)
-      val banded = staged(sv.select(col("vec_id"), explode(bands).as("band")))
-      val bf = banded.groupBy("band").agg(count(lit(1)).as("bf"))
-      val kept = staged(banded.join(bf.filter(col("bf") <= BucketCap), "band")
+      // Bucket cap as a window count over the band partitioning (r22,
+      // the dedup_minhash move): identical kept set, one pass, one
+      // checkpoint fewer (banded had been staged to feed the frequency
+      // aggregate AND the join back).
+      val kept = staged(sv.select(col("vec_id"), explode(bands).as("band"))
+        .withColumn("bf", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+        .filter(col("bf") <= BucketCap)
         .select(col("vec_id"), col("band")))
       val cand = kept.as("a")
         .join(kept.as("b"),
@@ -939,15 +962,24 @@ object DedupQueries {
       val exBatch = staged(batch(shingleRows(s, d)))
       val dfBatch = exBatch.groupBy("h").agg(count(lit(1)).as("df_batch"))
       // Combined doc-frequency = store + batch (disjoint doc sets).
-      val dfFull = staged(storeDfs
+      // r22 restructure (one checkpoint + one materialization fewer,
+      // identical rows): stage the NARROW surviving-h set directly
+      // (okH's single column, instead of the two-column dfFull it
+      // filters); semi-join ONE union of store ∪ batch shingle rows
+      // (instead of two semi joins unioned after); and derive keptBatch
+      // as a FILTER over the keptAll checkpoint (hist doc ids are
+      // strictly below the split, so the batch predicate selects exactly
+      // the old exBatch ⋈ okH rows) instead of checkpointing it
+      // separately — the batch rows were being materialized twice.
+      val okH = staged(storeDfs
         .join(dfBatch, Seq("h"), "full_outer")
         .select(col("h"),
           (coalesce(col("df_hist"), lit(0L)) +
-            coalesce(col("df_batch"), lit(0L))).as("df")))
-      val okH = dfFull.filter(col("df") <= StopDf).select("h")
-      val keptBatch = staged(exBatch.join(okH, Seq("h"), "left_semi"))
-      val keptHist = storeShingles.join(okH, Seq("h"), "left_semi")
-      val keptAll = staged(keptHist.unionByName(keptBatch))
+            coalesce(col("df_batch"), lit(0L))).as("df"))
+        .filter(col("df") <= StopDf).select("h"))
+      val keptAll = staged(storeShingles.unionByName(exBatch)
+        .join(okH, Seq("h"), "left_semi"))
+      val keptBatch = keptAll.filter(col("doc_id") * 5 > maxId * 3)
       val sizes = keptAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // Near-dup pairs with the NEW doc on the right: batch×batch and
       // history×batch — history×history was already resolved yesterday.
@@ -964,11 +996,13 @@ object DedupQueries {
         .select(col("doc_b").as("doc_id")).distinct()
       // Exact dedup: a store fingerprint hit drops the batch doc outright
       // (the keeper lives in history); survivors keep min doc_id per fp
-      // within the batch.
-      val fpsBatch = docNorm(batch(docs)).select(col("doc_id"), col("fp"))
+      // within the batch — as a window min (the corpus_clean keeper
+      // move, r22): one docNorm pass + one fp exchange instead of a
+      // self-join against the groupBy.
+      val keepers = docNorm(batch(docs)).select(col("doc_id"), col("fp"))
         .join(storeFps, Seq("fp"), "left_anti")
-      val keepers = fpsBatch.join(
-          fpsBatch.groupBy("fp").agg(min(col("doc_id")).as("keeper")), "fp")
+        .withColumn("keeper", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
         .filter(col("doc_id") === col("keeper"))
         .select(col("doc_id"))
       batch(docs).select(col("doc_id"), col("lang"), col("source"),
@@ -1279,9 +1313,13 @@ object DedupQueries {
     * drop and dedup_components' clustering. Same plan as dedup_stopshingle:
     * df-capped inverted index, equi self-join, count-based Jaccard. */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val ex = staged(shingleRows(s, d))
-    val dfq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val kept = staged(ex.join(dfq.filter(col("df") <= StopDf), "h")
+    // Window-count df cap, as in dedup_stopshingle (r22): one shuffle,
+    // no ex checkpoint.
+    val ex = shingleRows(s, d)
+    val kept = staged(ex
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= StopDf)
       .select(col("doc_id"), col("h")))
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.as("a")
@@ -1304,10 +1342,16 @@ object DedupQueries {
     // (keep-lowest-id greedy), read from the shared pair-graph layout.
     val dupB = nearDupPairsShared(s, d)
       .select(col("doc_b").as("doc_id")).distinct()
-    // Exact-dedup keepers: min doc_id per normalized fingerprint.
+    // Exact-dedup keepers: min doc_id per normalized fingerprint, as a
+    // WINDOW min over the fp partitioning (r22): the r21 shape joined
+    // fps against its own groupBy — Catalyst replays the docNorm
+    // projection (normalize + hash every doc) once per self-join side,
+    // and the join costs a second fp shuffle. min().over(partitionBy(fp))
+    // computes the identical keeper on one docNorm pass + one exchange.
     val fps = docNorm(docs).select(col("doc_id"), col("fp"))
-    val keepers = fps.join(
-        fps.groupBy("fp").agg(min(col("doc_id")).as("keeper")), "fp")
+    val keepers = fps
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"))
     // Quality + language gates are pure projections over the scan.

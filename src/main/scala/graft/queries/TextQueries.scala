@@ -313,9 +313,18 @@ object TextQueries {
     val qVocab = queries.flatMap(_._2).distinct
     val toks = staged(docs
       .select(col("doc_id"), tokens(col("text")).as("tk")))
-    val stats = broadcast(toks.agg(
-      count(lit(1)).as("n"),
-      (sum(size(col("tk"))).cast("double") / count(lit(1))).as("avgdl")))
+    // Corpus doc count and average doc length as DRIVER LITERALS via one
+    // bounded 1-row action over the already-staged toks (r22; the
+    // corpus_clean_incremental maxId contract): the r20 shape
+    // crossJoin'd a broadcast 1-row stats frame into BOTH the idf build
+    // and the scoring projection — two BroadcastNestedLoopJoins per
+    // chain that every lazily-inlined fusion consumer now inherits.
+    // Identical arithmetic: n stays a Long term in the same expression
+    // tree; avgdl is the same cast(sum)/count IEEE division.
+    val st = toks.agg(count(lit(1)),
+      (sum(size(col("tk"))).cast("double") / count(lit(1)))).head
+    val n = st.getLong(0)
+    val avgdl = st.getDouble(1)
     val dl = toks.select(col("doc_id"), size(col("tk")).as("dl"))
     // Vocabulary filter BEFORE the aggregation: the per-token stream is
     // cut to query terms in the scan projection, so the tf groupBy
@@ -325,15 +334,14 @@ object TextQueries {
       .filter(col("t").isInCollection(qVocab))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")))
     val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    val idf = broadcast(dfT.crossJoin(stats)
+    val idf = broadcast(dfT
       .select(col("t"),
-        floor(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        floor(log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
           + lit(1.0)) * LmLogScale + lit(0.5)).as("iidf")))
     val tfn = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
-        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
     val sc = qdf.join(tf, "t").join(idf, "t").join(dl, "doc_id")
-      .crossJoin(stats)
       .select(col("query_id"), col("doc_id"),
         floor(col("iidf").cast("double") * tfn + lit(0.5)).as("ic"))
     sc.groupBy("query_id", "doc_id")
@@ -375,47 +383,47 @@ object TextQueries {
        |  FROM sc GROUP BY query_id, doc_id)""".stripMargin
   }
 
-  /** Write-once-per-(JVM, sf) parquet layout of a shared scored frame —
-    * the nearDupPairsShared pattern applied to the retrieval family
-    * (r21): the two raw fusion queries share one BM25-scored and one
-    * cosine-scored frame, and the four planted evals share their planted
-    * twins, yet each query re-derived (and re-checkpointed) the chains
-    * per invocation. The layouts are linear in the corpus (one scored
-    * row per (query, matched doc)), exactly what a production retrieval
-    * stack materializes between the ranking and fusion/eval stages. The
-    * DECLARED ranking operators (text_bm25, ann_cosine_topk) keep
-    * computing their chains from the raw parquet every invocation —
-    * only the downstream fusion/eval consumers read the layout, mirroring
-    * dedup_stopshingle (computes) vs its pair-graph consumers (read). */
-  private def scoredLayout(s: org.apache.spark.sql.SparkSession, d: String,
-                           name: String)(
-      build: => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val dir = TmpDirs.scoped(s"graft_retr_${name}_${QuerySpec.jvmScopedKey(d)}")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      build.write.mode("overwrite").parquet(dir.getAbsolutePath)
-      // the builders stage intermediates (toks, tf, sv); the layout is
-      // written, so free their blocks now. Layout fetches run FIRST in
-      // every consumer, so no other staged frames are live on this
-      // thread.
-      QuerySpec.releaseStaged()
-    }
-    s.read.parquet(dir.getAbsolutePath)
-  }
+  // r22 NOTE (de-gaming, VERDICT r21 #2): r21's `scoredLayout` memoized
+  // the BM25-scored and cosine-scored frames (and their planted twins) to
+  // per-(JVM, sf) tmp parquet, so the scoring chains — the expensive part
+  // of the fusion/eval queries' declared SQL — executed only in the
+  // bench's untimed warm-up. Removed: every timed invocation now computes
+  // its scored frames from the raw parquet. The honest replacements keep
+  // the real r21 structure (ONE full-outer candidate join instead of
+  // union→distinct→two joins) and add two in-plan reductions so the
+  // per-invocation cost stays low WITHOUT cross-invocation state:
+  //  - one shared top-k window per side ([[lexTopFrom]]) feeds both the
+  //    rank view and the score view — the r20 shape paid a separate
+  //    window (and localCheckpoint) per view;
+  //  - min-max normalization as window aggregates over the SAME
+  //    partitioning ([[fwNorm]]) — the r20 shape paid a groupBy + a
+  //    broadcast join back per side.
 
-  /** Lexical top-Bm25TopK per query: (query_id, doc_id, lex_rank).
-    * `From` variants take a PRE-BUILT (ideally staged) scored frame so
-    * an eval query needing both the rank and the score view of one side
-    * computes the heavy upstream chain ONCE, not once per view. */
-  private def bm25LexRankFrom(agg: org.apache.spark.sql.DataFrame)
+  /** Shared lexical top-Bm25TopK window: (query_id, doc_id, score_scaled,
+    * rn) with rn ≤ topK by (score desc, doc_id) — ONE row_number pass
+    * serving both the rank view ([[bm25LexRankFrom]]) and the score view
+    * ([[fwLexTopFrom]]); an eval needing both stages THIS bounded frame
+    * (≤ queries·topK rows) instead of the corpus-linear scored frame. */
+  private def lexTopFrom(agg: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_scaled").desc, col("doc_id"))
-    agg.withColumn("lex_rank", row_number().over(w).cast("long"))
-      .filter(col("lex_rank") <= Bm25TopK)
-      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    agg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("score_scaled"), col("rn"))
   }
+
+  /** Lexical top-Bm25TopK per query: (query_id, doc_id, lex_rank). */
+  private def bm25LexRankFrom(agg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    lexRankView(lexTopFrom(agg))
+
+  /** The rank view of a [[lexTopFrom]] frame. */
+  private def lexRankView(top: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    top.select(col("query_id"), col("doc_id"),
+      col("rn").cast("long").as("lex_rank"))
 
   private def bm25LexRank(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame =
@@ -486,14 +494,8 @@ object TextQueries {
   /** Lexical top-Bm25TopK per query with the BM25 integer score
     * retained. */
   private def fwLexTopFrom(agg: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score_scaled").desc, col("doc_id"))
-    agg.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= Bm25TopK)
-      .select(col("query_id"), col("doc_id"), col("score_scaled"))
-  }
+      : org.apache.spark.sql.DataFrame =
+    lexTopFrom(agg).select(col("query_id"), col("doc_id"), col("score_scaled"))
 
   private def fwLexTop(s: org.apache.spark.sql.SparkSession,
                        d: String): org.apache.spark.sql.DataFrame =
@@ -501,13 +503,21 @@ object TextQueries {
 
   /** Per-(query, side) min-max normalization onto the FwScale integer
     * grid: (s − mn)·FwScale div (mx − mn), all-tied sides collapse to
-    * the full grid value (every retained doc IS the max). The min/max
-    * frame is queries-sized — broadcast. */
+    * the full grid value (every retained doc IS the max). min/max as
+    * WINDOW aggregates over the query_id partitioning the top-k window
+    * just established (r22): the retained frame arrives partitioned AND
+    * sorted by query_id, so the unordered min/max window adds zero
+    * exchanges and zero sorts — the r20 shape paid a separate groupBy
+    * plus a broadcast join back per side (and a localCheckpoint of the
+    * side to avoid recomputing it for the join). Identical values:
+    * group min/max is order-independent and the grid arithmetic is
+    * unchanged. */
   private def fwNorm(top: org.apache.spark.sql.DataFrame, scoreCol: String,
                      outCol: String): org.apache.spark.sql.DataFrame = {
-    val mm = top.groupBy("query_id")
-      .agg(min(col(scoreCol)).as("mn"), max(col(scoreCol)).as("mx"))
-    top.join(broadcast(mm), "query_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    top.withColumn("mn", min(col(scoreCol)).over(w))
+      .withColumn("mx", max(col(scoreCol)).over(w))
       .select(col("query_id"), col("doc_id"),
         when(col("mx") === col("mn"), lit(FwScale)).otherwise(
           expr(s"(($scoreCol - mn) * $FwScale) div (mx - mn)")).as(outCol))
@@ -2534,10 +2544,13 @@ object TextQueries {
          |  ${sqlR6(s"CAST(rrf_scaled AS DOUBLE) / $RrfScale.0")} AS rrf6,
          |  rank
          |FROM frank WHERE rank <= $Bm25TopK""".stripMargin) { (s, d) =>
-      // r21: rank views derived lazily from the shared scored layouts
-      // (see scoredLayout) — cheap windows over a pruned columnar scan.
-      val lexr = bm25LexRankFrom(scoredLayout(s, d, "lexagg")(bm25AggSpark(s, d)))
-      val vr = rrfVecRankFrom(scoredLayout(s, d, "vecsc")(rrfVecScored(s, d)))
+      // Both scored chains computed from raw parquet EVERY invocation
+      // (r22 de-gaming — see the scoredLayout removal note). Each side
+      // has exactly one consumer in the plan (the full-outer fusion
+      // join), so the whole query is ONE lazy plan: no layout, no
+      // localCheckpoint.
+      val lexr = bm25LexRankFrom(bm25AggSpark(s, d))
+      val vr = rrfVecRankFrom(rrfVecScored(s, d))
       rrfFused(lexr, vr)
         .filter(col("rank") <= Bm25TopK)
         .select(col("query_id"), col("doc_id"), col("lex_rank"),
@@ -2579,11 +2592,14 @@ object TextQueries {
          |    AS recall_bm25_6
          |FROM nt LEFT JOIN hr USING (query_id) LEFT JOIN hb USING (query_id)
          |""".stripMargin) { (s, d) =>
-      // r21: planted scored layouts shared across the four evals.
-      val lexr = bm25LexRankFrom(scoredLayout(s, d, "plexagg")(
+      // Planted chains computed per invocation (r22 de-gaming). lexr
+      // feeds TWO consumers (the fusion join + the BM25-only hit count),
+      // so the BOUNDED top-k frame (≤ queries·topK rows) is staged once;
+      // the vector side has one consumer and stays lazy.
+      val lexr = staged(bm25LexRankFrom(
         bm25AggOver(s, plantedDocs(s, d), PlantedQueries)))
-      val vr = rrfVecRankFrom(scoredLayout(s, d, "pvecsc")(
-        vecScoredOver(plantedVecs(s, d), PlantedQueries.length)))
+      val vr = rrfVecRankFrom(
+        vecScoredOver(plantedVecs(s, d), PlantedQueries.length))
       val truth = plantTruth(s)
       val rtop = rrfFused(lexr, vr).filter(col("rank") <= Bm25TopK)
         .select(col("query_id"), col("doc_id"))
@@ -2631,11 +2647,13 @@ object TextQueries {
          |    AS fused6,
          |  rank
          |FROM wrank WHERE rank <= $Bm25TopK""".stripMargin) { (s, d) =>
-      // r21: norm views derived lazily from the shared scored layouts.
-      val lexN = fwNorm(fwLexTopFrom(scoredLayout(s, d, "lexagg")(
-        bm25AggSpark(s, d))), "score_scaled", "lex_norm")
-      val vecN = fwNorm(fwVecTopFrom(scoredLayout(s, d, "vecsc")(
-        rrfVecScored(s, d))), "cos_scaled", "vec_norm")
+      // Scored chains computed per invocation (r22 de-gaming); the
+      // window-based fwNorm keeps each side a single lazy chain (no
+      // groupBy+join-back, no checkpoint).
+      val lexN = fwNorm(fwLexTopFrom(bm25AggSpark(s, d)),
+        "score_scaled", "lex_norm")
+      val vecN = fwNorm(fwVecTopFrom(rrfVecScored(s, d)),
+        "cos_scaled", "vec_norm")
       fwFused(lexN, vecN)
         .filter(col("rank") <= Bm25TopK)
         .withColumn("fused6", r6(col("fused_scaled").cast("double") /
@@ -2677,15 +2695,19 @@ object TextQueries {
          |FROM nt LEFT JOIN hr USING (query_id) LEFT JOIN hw USING (query_id)
          |""".stripMargin) { (s, d) =>
       // BOTH fusion strategies need both sides twice (rank view + score
-      // view): all four views derive lazily from the shared planted
-      // scored layouts (r21 — was six localCheckpoints per invocation).
-      val agg = scoredLayout(s, d, "plexagg")(
-        bm25AggOver(s, plantedDocs(s, d), PlantedQueries))
-      val vsc = scoredLayout(s, d, "pvecsc")(
-        vecScoredOver(plantedVecs(s, d), PlantedQueries.length))
-      val lexr = bm25LexRankFrom(agg)
+      // view), computed per invocation (r22 de-gaming). The lex side's
+      // two views share ONE top-k window, staged at its BOUNDED output
+      // (≤ queries·topK rows — the checkpoint materializes the BM25
+      // chain exactly once); the vec side's two views rank by different
+      // keys (cos vs gridded cos_scaled), so the corpus-linear scored
+      // frame is staged once and each view is a cheap window over it.
+      // Two localCheckpoints total — the r20 shape paid six.
+      val lexTop = staged(lexTopFrom(
+        bm25AggOver(s, plantedDocs(s, d), PlantedQueries)))
+      val vsc = staged(vecScoredOver(plantedVecs(s, d), PlantedQueries.length))
+      val lexr = lexRankView(lexTop)
       val vr = rrfVecRankFrom(vsc)
-      val lexN = fwNorm(fwLexTopFrom(agg), "score_scaled", "lex_norm")
+      val lexN = fwNorm(lexTop, "score_scaled", "lex_norm")
       val vecN = fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm")
       val truth = plantTruth(s)
       val rtop = rrfFused(lexr, vr).filter(col("rank") <= Bm25TopK)
@@ -2756,15 +2778,15 @@ object TextQueries {
       val wDisc = (1 to Bm25TopK).map(i =>
         math.round(1e6 / (math.log(i + 1) / math.log(2))))
       val prefix = wDisc.scanLeft(0L)(_ + _)
-      // Four views derived lazily from the shared planted layouts (r21;
-      // as in retrieval_fusion_recall).
-      val agg = scoredLayout(s, d, "plexagg")(
-        bm25AggOver(s, plantedDocs(s, d), PlantedQueries))
-      val vsc = scoredLayout(s, d, "pvecsc")(
-        vecScoredOver(plantedVecs(s, d), PlantedQueries.length))
-      val lexr = bm25LexRankFrom(agg)
+      // Four views computed per invocation (r22 de-gaming; the same
+      // two-checkpoint structure as retrieval_fusion_recall — staged
+      // bounded lex top-k + staged vec scored frame).
+      val lexTop = staged(lexTopFrom(
+        bm25AggOver(s, plantedDocs(s, d), PlantedQueries)))
+      val vsc = staged(vecScoredOver(plantedVecs(s, d), PlantedQueries.length))
+      val lexr = lexRankView(lexTop)
       val vr = rrfVecRankFrom(vsc)
-      val lexN = fwNorm(fwLexTopFrom(agg), "score_scaled", "lex_norm")
+      val lexN = fwNorm(lexTop, "score_scaled", "lex_norm")
       val vecN = fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm")
       val truth = plantTruth(s).withColumn("hit", lit(1L))
       val wCol = (1 to Bm25TopK).foldLeft(lit(0L)) { (acc, i) =>
@@ -2830,13 +2852,15 @@ object TextQueries {
          |FROM hits""".stripMargin
     }) { (s, d) =>
       import s.implicits._
-      // r21: shared planted layouts; ladder views derived lazily.
-      val vsc = scoredLayout(s, d, "pvecsc")(
-        vecScoredOver(plantedVecs(s, d), PlantedQueries.length))
-      val lexN = fwNorm(fwLexTopFrom(scoredLayout(s, d, "plexagg")(
-        bm25AggOver(s, plantedDocs(s, d), PlantedQueries))),
+      // Scored chains computed per invocation (r22 de-gaming): the
+      // ladder needs only the two norm views, each a single lazy chain
+      // (window-based fwNorm) — no layout, no localCheckpoint.
+      val lexN = fwNorm(fwLexTopFrom(
+        bm25AggOver(s, plantedDocs(s, d), PlantedQueries)),
         "score_scaled", "lex_norm")
-      val vecN = fwNorm(fwVecTopFrom(vsc), "cos_scaled", "vec_norm")
+      val vecN = fwNorm(fwVecTopFrom(
+        vecScoredOver(plantedVecs(s, d), PlantedQueries.length)),
+        "cos_scaled", "vec_norm")
       val truth = plantTruth(s).withColumn("hit", lit(1L))
       // The fused candidate frame once (absent side → 0) via ONE
       // full-outer join (≡ the union-distinct set — see rrfFused), then
@@ -3389,5 +3413,30 @@ object TextQueries {
   private[graft] def ragCandidateCount(s: org.apache.spark.sql.SparkSession,
                                        d: String): Long =
     ragCandidatesComputed(s, d).count()
+
+  /** Structural bound gates for the fusion family's full-outer candidate
+    * join (r22, VERDICT r21 #1): the row counts of the four retained
+    * top-k frames that feed [[rrfFused]]/[[fwFused]] — raw lex/vec and
+    * their planted twins. Every one is ≤ |queries|·topK by the
+    * row_number filter; PlanShapeSpec pins the measured counts against
+    * that bound, so the full-outer SortMergeJoin the plans now carry is
+    * PROVABLY rank-bounded on both sides (never corpus-scale), not just
+    * argued so. Keys match [[Bm25Queries]]/[[PlantedQueries]]. */
+  private[graft] def fusionSideCounts(s: org.apache.spark.sql.SparkSession,
+                                      d: String): Map[String, Long] =
+    try Map(
+      "lex" -> bm25LexRankFrom(bm25AggSpark(s, d)).count(),
+      "vec" -> rrfVecRankFrom(rrfVecScored(s, d)).count(),
+      "plex" -> bm25LexRankFrom(
+        bm25AggOver(s, plantedDocs(s, d), PlantedQueries)).count(),
+      "pvec" -> rrfVecRankFrom(
+        vecScoredOver(plantedVecs(s, d), PlantedQueries.length)).count())
+    finally QuerySpec.releaseStaged()
+
+  /** The bound [[fusionSideCounts]] is gated against: raw sides admit
+    * |Bm25Queries|·topK rows, planted sides |PlantedQueries|·topK. */
+  private[graft] def fusionSideBound(key: String): Long =
+    (if (key.startsWith("p")) PlantedQueries.length else Bm25Queries.length)
+      .toLong * Bm25TopK
 
 }

@@ -283,47 +283,89 @@ class PlanShapeSpec extends SparkSpec {
         s"matched set, not sort-merge the corpus; got plan:\n$p")
   }
 
+  /** AdaptiveSparkPlan.toString prints the Final Plan AND the Initial
+    * Plan — operator counts over the raw string double-count every node.
+    * Counting pins run on the final (executed) section only. */
+  private def finalPlanOf(p: String): String = {
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
+  /** Every SortMergeJoin in a fusion plan must be THE rank-bounded
+    * full-outer candidate join on (query_id, doc_id) — the one join
+    * shape that cannot ride a broadcast hint (Spark has no full-outer
+    * BroadcastHashJoin) and whose two inputs are ≤ queries·topK rows by
+    * the row_number filter (measured by the fusionSideCounts gate
+    * below). Anything else sort-merging — in particular a corpus-scale
+    * doc_id join — fails here. */
+  private def assertOnlyBoundedFullOuterSmj(name: String, p: String): Unit = {
+    val smjs = """SortMergeJoin \[[^\]]*\], \[[^\]]*\], \w+"""
+      .r.findAllIn(p).toList
+    val bad = smjs.filterNot(s => s.endsWith("FullOuter") &&
+      s.contains("query_id") && s.contains("doc_id"))
+    assert(bad.isEmpty,
+      s"$name: every sort-merge join must be the rank-bounded FullOuter " +
+        s"fusion join on (query_id, doc_id); offending: $bad\n$p")
+  }
+
   test("retrieval_rrf: fusion joins only rank-bounded frames; no cartesian") {
-    // The fused tail is AQE-planned over two localCheckpointed rankings,
-    // so probe the EXECUTED plan (the static one is isFinalPlan=false and
-    // pessimistic about the tiny checkpointed sides).
-    val p = try {
+    // The fused tail is AQE-planned, so probe the EXECUTED plan (the
+    // static one is isFinalPlan=false and pessimistic about tiny sides).
+    val p = finalPlanOf(try {
       val q = SparkEntry.allQueries.find(_.name == "retrieval_rrf")
         .getOrElse(fail("no query named retrieval_rrf"))
       val df = q.fn(spark, sf)
       df.collect()
       df.queryExecution.executedPlan.toString
-    } finally QuerySpec.releaseStaged()
+    } finally QuerySpec.releaseStaged())
     assert(!p.contains("CartesianProduct"),
       "no cartesian product may appear anywhere in the fused plan")
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnlj <= 2,
-      s"only the BM25 side's single-row N/avgdl stats broadcasts may be " +
-        s"nested-loop joins — the fusion itself joins rank-bounded frames " +
-        s"on (query_id, doc_id); found $bnlj in plan:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"every join in the fused plan has a ≤ queries·topK-row side — at " +
-        s"execution all must run broadcast, none sort-merge; got plan:\n$p")
+    assert(bnlj <= 1,
+      s"only the vector side's |queries|-row non-equi query broadcast may " +
+        s"be a nested-loop join (the BM25 N/avgdl stats are driver " +
+        s"literals since r22) — the fusion itself joins rank-bounded " +
+        s"frames on (query_id, doc_id); found $bnlj in plan:\n$p")
+    // Re-pinned (r22, VERDICT r21 #1): the candidate set is ONE
+    // full-outer join of the two retained top-k rankings — full-outer
+    // cannot broadcast, so it plans as a SortMergeJoin whose BOTH sides
+    // are ≤ queries·topK rows (the boundedness gate below measures
+    // them); no other join may sort-merge.
+    assertOnlyBoundedFullOuterSmj("retrieval_rrf", p)
   }
 
   test("retrieval_fusion_weighted: fusion joins only rank-bounded frames; " +
-      "no cartesian, no sort-merge at execution") {
-    val p = try {
+      "no cartesian, bounded full-outer the only sort-merge") {
+    val p = finalPlanOf(try {
       val q = SparkEntry.allQueries.find(_.name == "retrieval_fusion_weighted")
         .getOrElse(fail("no query named retrieval_fusion_weighted"))
       val df = q.fn(spark, sf)
       df.collect()
       df.queryExecution.executedPlan.toString
-    } finally QuerySpec.releaseStaged()
+    } finally QuerySpec.releaseStaged())
     assert(!p.contains("CartesianProduct"),
       "no cartesian product may appear anywhere in the weighted-fusion plan")
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnlj <= 2,
-      s"only the BM25 side's single-row N/avgdl stats broadcasts may be " +
-        s"nested-loop joins; found $bnlj in plan:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"every fusion join has a ≤ queries·topK-row side (the min-max " +
-        s"frames are queries-sized) — all must run broadcast; got plan:\n$p")
+    assert(bnlj <= 1,
+      s"only the vector side's |queries|-row non-equi query broadcast may " +
+        s"be a nested-loop join; found $bnlj in plan:\n$p")
+    assertOnlyBoundedFullOuterSmj("retrieval_fusion_weighted", p)
+  }
+
+  test("fusion candidate sides measure rank-bounded: ≤ queries·topK rows each") {
+    // The boundedness argument the FullOuter SMJ pins above lean on,
+    // MEASURED (r22): all four retained top-k frames (raw lex/vec and
+    // their planted twins) must come in at or under |queries|·topK rows
+    // — a broken rank filter that let corpus-scale rows into the fusion
+    // join fails here deterministically.
+    val counts = graft.queries.TextQueries.fusionSideCounts(spark, sf)
+    counts.foreach { case (k, n) =>
+      val bound = graft.queries.TextQueries.fusionSideBound(k)
+      info(f"$k%-5s $n%4d rows (bound $bound)")
+      assert(n <= bound,
+        s"fusion side '$k' carries $n rows — over the queries·topK " +
+          s"bound of $bound; the full-outer join is no longer rank-bounded")
+    }
   }
 
   for (name <- Seq("retrieval_rrf_recall", "retrieval_fusion_recall",
@@ -337,36 +379,51 @@ class PlanShapeSpec extends SparkSpec {
       // production fusion contract: rank-bounded frames only. Probed at
       // the EXECUTED plan — the fused tail is AQE-planned over
       // localCheckpointed rankings (the retrieval_rrf precedent).
-      val p = try {
+      val p = finalPlanOf(try {
         val q = SparkEntry.allQueries.find(_.name == name)
           .getOrElse(fail(s"no query named $name"))
         val df = q.fn(spark, sf)
         df.collect()
         df.queryExecution.executedPlan.toString
-      } finally QuerySpec.releaseStaged()
+      } finally QuerySpec.releaseStaged())
       assert(!p.contains("CartesianProduct"),
         s"no cartesian product may appear anywhere in the $name plan")
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
       assert(bnlj <= 2,
-        s"only the BM25 side's single-row N/avgdl stats broadcasts may be " +
-          s"nested-loop joins — the plant spec and truth join on " +
-          s"(query_id, doc_id) equi keys; found $bnlj in plan:\n$p")
+        s"only the bounded literal broadcasts — the |queries|-row " +
+          s"non-equi vector query probe and (ladder only) the 5-row " +
+          s"weight-grid cross — may be nested-loop joins; the plant spec " +
+          s"and truth join on (query_id, doc_id) equi keys; found $bnlj " +
+          s"in plan:\n$p")
       // Per-query summary frames (count aggregates keyed on query_id
       // alone, |queries| rows each) may legitimately pair up sort-merge —
-      // both sides are bounded by the query count, not the corpus. What
-      // must NEVER sort-merge is a join carrying doc_id: that key spans
-      // the corpus, and the truth/plant/rank joins on it are all
-      // broadcast-sized by construction.
-      val docSmj = """SortMergeJoin \[[^\]]*\], \[[^\]]*\]"""
-        .r.findAllIn(p).filter(_.contains("doc_id")).toList
+      // both sides are bounded by the query count, not the corpus. A
+      // join carrying doc_id may sort-merge ONLY as the rank-bounded
+      // FullOuter fusion candidate join (re-pinned r22, VERDICT r21 #1:
+      // full-outer cannot broadcast, and both its inputs are
+      // ≤ queries·topK rows by the row_number filter — measured by the
+      // fusionSideCounts gate). Any OTHER doc_id sort-merge would mean
+      // corpus-scale identity crossing a shuffle join.
+      val docSmj = """SortMergeJoin \[[^\]]*\], \[[^\]]*\], \w+"""
+        .r.findAllIn(p).filter(_.contains("doc_id"))
+        .filterNot(_.endsWith("FullOuter")).toList
       assert(docSmj.isEmpty,
-        s"a sort-merge join in $name carries doc_id — corpus-scale " +
-          s"identity must only cross broadcast equi joins: $docSmj\n$p")
+        s"a non-full-outer sort-merge join in $name carries doc_id — " +
+          s"corpus-scale identity must only cross broadcast equi joins " +
+          s"or the bounded FullOuter fusion join: $docSmj\n$p")
     }
   }
 
-  test("rag_chunk_retrieve: the probe join broadcasts the bounded query " +
-      "side onto the assigned chunks; no cartesian") {
+  test("rag_chunk_retrieve: probe fan-out is the literal-map explode over " +
+      "one lazy corpus pass; no join, no cartesian, no sort-merge") {
+    // Re-pinned (r22, VERDICT r21 #1): r21 replaced the broadcast probe
+    // join with `explode(element_at(<literal c_id → probes map>, c_id))`
+    // — the probe side is bounded model state INLINED as a literal, so
+    // no join exists at all (strictly stronger than the old broadcast
+    // pin: zero build, zero hash relation, argmin evaluated once per row
+    // inside the generator). Linearity of the fan-out is pinned
+    // separately by ScaleRehearsalSpec's deterministic ragCandidateCount
+    // gate (≤ 25× on the 10× corpus).
     val p = try {
       val q = SparkEntry.allQueries.find(_.name == "rag_chunk_retrieve")
         .getOrElse(fail("no query named rag_chunk_retrieve"))
@@ -376,12 +433,13 @@ class PlanShapeSpec extends SparkSpec {
     } finally QuerySpec.releaseStaged()
     assert(!p.contains("CartesianProduct"),
       s"no cartesian product may appear in the retrieval plan; got:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the (query, probed-list) side is bounded model state and must " +
-        s"broadcast onto the chunk-assignment frame; got plan:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"nothing corpus-sized may shuffle for the candidate join — the " +
-        s"probe side is |queries|·CciProbe rows; got plan:\n$p")
+    assert("Generate explode\\(element_at\\(".r.findFirstIn(p).isDefined,
+      s"the probe fan-out must be the generator over the literal " +
+        s"c_id → probes map lookup; got plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+        && !p.contains("BroadcastHashJoin"),
+      s"the candidate set needs NO join at any corpus size — the probe " +
+        s"side is |queries|·CciProbe literal rows; got plan:\n$p")
   }
 
   test("rag_chunk_incremental: the store answers like the computation and " +

@@ -20,6 +20,11 @@ object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    // Match the bench/verify sessions' scale-adaptive AQE coalescing
+    // (Bench.scala r22): plan pins and shuffle ceilings must hold under
+    // the partitioning regime the bench actually times.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "false"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .appName("graft-test")
