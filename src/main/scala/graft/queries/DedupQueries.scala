@@ -1010,7 +1010,10 @@ object DedupQueries {
           langId(tokens(col("text"))).as("lang_pred"))
         .filter(col("n_tokens") >= MinTokens && col("lang_pred") === CleanLang)
         .join(keepers, Seq("doc_id"), "left_semi")
-        .join(dupB, Seq("doc_id"), "left_anti")
+        // dupB is batch-bounded (tonight's near-dup victims) — broadcast
+        // the anti probe instead of letting it plan as a SortMergeJoin
+        // that re-shuffles the surviving batch frame on doc_id (r22).
+        .join(broadcast(dupB), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
     },
 
@@ -1060,15 +1063,22 @@ object DedupQueries {
       // shingleRows lesson: the composed posexplode(shingles(...)) form
       // evals an interpreted HOF lambda per window — measured ~3.5 s of
       // this query's 4.9 s wall at sf0.1); h60 runs codegen'd AFTER the
-      // generator.
-      val pos = staged(Tables.documents(s, d)
+      // generator. Duplicate-gram detection as a WINDOW count over the h
+      // partitioning (r22, guide §2.4 — the dedup df-cap move): the
+      // previous shape checkpointed the corpus-linear position index to
+      // feed a gram-count aggregate AND a semi join back (broadcasting a
+      // duplicated-gram set that is itself corpus-linear in the worst
+      // case — a scale hazard, not just a second pass). count().over(
+      // partitionBy(h)) finds the same hits on the ONE exchange of the
+      // index, so the index has a single consumer and stays lazy: no
+      // checkpoint, no corpus-scale broadcast, identical rows.
+      val hits = Tables.documents(s, d)
         .select(col("doc_id"),
           graft.functions.expr.ShingleExplode.withPos(
             tokens(col("text")), SpanGram).as(Seq("pos", "sstr")))
-        .select(col("doc_id"), col("pos"), h60(col("sstr")).as("h")))
-      val dup = pos.groupBy("h").agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).select("h")
-      val hits = pos.join(dup, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("pos"), h60(col("sstr")).as("h"))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("h")))
+        .filter(col("n") > 1)
         .select(col("doc_id"), col("pos"),
           (col("pos") + (SpanGram - 1)).as("endp"))
       val flagged = hits

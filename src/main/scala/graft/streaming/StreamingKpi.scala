@@ -257,7 +257,12 @@ object StreamingKpi {
   }
 
   /** Conf required by transformWithState: the operator's state schema
-    * evolution rides RocksDB-only features. */
+    * evolution rides RocksDB-only features. RocksDB changelog
+    * checkpointing was MEASURED here and rejected (r22): at these state
+    * sizes it cost +0.6 s per drain (changelog files + the mandatory
+    * first snapshot per partition, on top of the store open) — it pays
+    * off when snapshots are large, which bounded bench state never is;
+    * production deployments with nontrivial state should enable it. */
   val TwsConf: Map[String, String] = Map(
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

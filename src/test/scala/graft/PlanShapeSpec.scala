@@ -250,14 +250,21 @@ class PlanShapeSpec extends SparkSpec {
       "no nested-loop/cartesian join may survive in the decontamination plan")
   }
 
-  test("dedup_exact_substr generates no pairs: semi join + linear shuffles only") {
+  test("dedup_exact_substr generates no pairs: window filter + linear shuffles only") {
+    // r22 re-pin: duplicate-gram detection is a count().over(partitionBy(h))
+    // window filter on the position index's one linear exchange — no join
+    // of ANY kind may exist (the r21 shape semi-joined a duplicated-gram
+    // set back, which at worst is corpus-linear and was broadcast — a
+    // scale hazard the window shape removes). The whole point of
+    // ExactSubstr is that no pair relation ever exists.
     val p = plan("dedup_exact_substr")
-    assert(p.contains("LeftSemi"),
-      s"positions must rejoin the duplicated-gram set as a semi join — " +
-        s"the whole point of ExactSubstr is that no pair relation ever " +
-        s"exists; got plan:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      "no nested-loop/cartesian join may appear in the span plan")
+    assert(!p.contains("Join"),
+      s"no join may appear in the span plan — duplicate grams are found " +
+        s"by a window count on the index's own h exchange; got plan:\n$p")
+    val wins = "Window".r.findAllIn(p).size
+    assert(wins >= 3,
+      s"expected the h-partitioned dup-count window plus the two " +
+        s"doc-partitioned interval-merge windows; got $wins in plan:\n$p")
   }
 
   test("text_lm_score joins stay linear: only the 1-row vocab crosses as BNLJ") {
