@@ -69,6 +69,19 @@ object Bench {
       // A/B so the scaling run can quantify it.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      // r22 A/B on the full suite (same host, same SF): parallelismFirst
+      // =true (Spark's default, = the r21 behavior) costs +8.9% across
+      // the 277 untouched queries (165.5 s vs 151.9 s) — tiny post-
+      // shuffle stages schedule 32 tasks each for pure latency. The
+      // trade-off is real but smaller the other way: a handful of
+      // CPU-heavy small-BYTE stages (e.g. dedup_stopshingle's h-window
+      // sort, ~8 MB at sf0.1) coalesce to one task under the 64 MB
+      // advisory and give back ~0.6 s each. A smaller advisory size was
+      // measured (16 MB) and did NOT recover them — bytes-proportional
+      // coalescing cannot express CPU-proportional parallelism at tiny
+      // SFs, and pinning partition counts to cores is exactly the
+      // behavior that breaks at 100 TB (10 GB+ partitions). false is
+      // the scale-correct setting and the measured suite-level win.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -339,15 +339,32 @@ object TextFns {
     s"len(list_filter($toks, t -> list_contains($arr, t)))"
   }
 
-  /** Predicted language: argmax marker count, 'und' (undetermined) when no
-    * marker hits at all. */
-  def langId(toks: Column): Column = {
-    val scored = langMarkers.map { case (l, ms) => (l, markerCount(toks, ms)) }
+  /** Shared argmax fold over per-language scores (ties to the earlier
+    * language in [[langMarkers]] order; 'und' when no marker hits). */
+  private def langArgmax(scored: Seq[(String, Column)]): Column = {
     val best = scored.tail.foldLeft[(Column, Column)]((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
     }
     when(best._2 === 0, lit("und")).otherwise(best._1)
   }
+
+  /** Predicted language: argmax marker count, 'und' (undetermined) when no
+    * marker hits at all. Marker counting runs as ONE codegen'd pass over
+    * the token array ([[graft.functions.expr.MarkerCounts]]) instead of
+    * four interpreted `size(filter(...))` higher-order evals per row
+    * (r22, guide §4 — HOF lambdas run outside whole-stage codegen);
+    * [[langIdHof]] keeps the built-in-composed form as the reference. */
+  def langId(toks: Column): Column = {
+    val counts = graft.functions.expr.MarkerCounts(toks, langMarkers.map(_._2))
+    langArgmax(langMarkers.zipWithIndex.map { case ((l, _), i) =>
+      (l, element_at(counts, i + 1))
+    })
+  }
+
+  /** The higher-order-function twin of [[langId]] (4 interpreted
+    * filter passes) — the property-tested reference implementation. */
+  def langIdHof(toks: Column): Column =
+    langArgmax(langMarkers.map { case (l, ms) => (l, markerCount(toks, ms)) })
 
   def sqlLangId(toks: String): String = {
     // Same left-fold argmax as langId, unrolled to nested CASEs.

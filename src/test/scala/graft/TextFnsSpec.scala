@@ -68,6 +68,37 @@ class TextFnsSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
   }
 
+  test("langId (codegen MarkerCounts) matches the HOF reference on random docs") {
+    // r22: langId's marker counting moved to the one-pass native
+    // expression; the 4-filter HOF twin stays as the reference. Random
+    // token soups over the marker vocab + noise, plus edge cases:
+    // empty array, NULL array, and exact-tie rows (the argmax must
+    // break ties to the earlier language on both routes).
+    val vocab = TextFns.langMarkers.flatMap(_._2) ++ Seq("zzz", "qqq", "x1")
+    val rnd = new scala.util.Random(42)
+    val docs = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    } ++ Seq("", "the el the el", "der the y of und is")
+    val df = docs.toDF("text")
+      .select(TextFns.langId(TextFns.tokens(col("text"))).as("native"),
+        TextFns.langIdHof(TextFns.tokens(col("text"))).as("hof"))
+    assert(df.collect().forall(r => r.getString(0) == r.getString(1)))
+    // NULL token array: both routes ride the same NULL-propagating argmax
+    // fold (all scores NULL → every when() falls through identically) —
+    // pin agreement, not a specific value (no declared caller passes NULL).
+    val nullDf = Seq(Option.empty[Seq[String]]).toDF("toks")
+      .select(TextFns.langId(col("toks")).as("native"),
+        TextFns.langIdHof(col("toks")).as("hof"))
+    val nr = nullDf.head()
+    assert(nr.get(0) == nr.get(1))
+    // the codegen path actually evaluates (non-local relation)
+    val big = spark.range(500).select(
+      expr("array('the', 'of', CAST(id AS STRING))").as("toks"))
+    val counted = big.select(TextFns.langId(col("toks")).as("l"))
+      .groupBy("l").count().collect()
+    assert(counted.map(_.getString(0)).toSet == Set("en"))
+  }
+
   test("media stub: decode/resize/embed round-trip, corrupt-safe") {
     val feats = MediaOps.extract(MediaOps.corpus(spark, 30)).collect()
     assert(feats.length == 30)
