@@ -1006,14 +1006,21 @@ object StreamingQueries {
       // Dedicated inner-join topology, executed per invocation (restored
       // in r22 — r21 served this query by filtering the memoized outer
       // drain's rows, which left no timed run exercising the declared
-      // inner stream-stream join; VERDICT r21 #2).
+      // inner stream-stream join; VERDICT r21 #2). Both join sides are
+      // branches of ONE file-source stream (r22): the two-source form
+      // scanned and offset-tracked the same events file twice per
+      // micro-batch; a self-join from one source keeps the identical
+      // stream-stream join semantics (two watermarked sides, two state
+      // stores, same batch boundaries — they were already lockstep, the
+      // same file through the same rate limit) at half the source cost.
       StreamingKpi.runBounded(s, s2 => {
-        val clicks = StreamingKpi.eventsStream(s2, d)
+        val src = StreamingKpi.eventsStream(s2, d)
+        val clicks = src
           .filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
             col("ts").as("click_ts"))
           .withWatermark("click_ts", "10 seconds")
-        val purchases = StreamingKpi.eventsStream(s2, d)
+        val purchases = src
           .filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
             col("ts").as("p_ts"))
